@@ -8,17 +8,24 @@ exercises the same GSPMD partitioning paths.
 import os
 import sys
 
-# Must happen before anything imports jax.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+
+import jax  # noqa: E402
+
+# This image's sitecustomize registers the "axon" TPU tunnel backend at
+# interpreter start, which wins over the JAX_PLATFORMS env var — force the
+# selection through the config instead (the CPU plugin reads XLA_FLAGS
+# lazily, so the 8-device override above still applies).
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,223 @@
+"""Attention kernels: flash prefill (Pallas) + cached decode.
+
+Parity target: llama.cpp's attention over its KV cache, which the
+reference's LLM runner drives token-by-token (reference:
+src/ai_models/tk_runner_streaming.c:13-84), and whisper.cpp's
+encoder/decoder attention.
+
+TPU design:
+  - Prefill uses a Pallas flash-attention kernel: online softmax over
+    (block_q, block_k) tiles, O(seq) VMEM, MXU for both matmuls. Grid is
+    (heads, q_blocks, k_blocks) with k innermost so the running max /
+    denominator / accumulator live in VMEM scratch across k steps.
+    Causal q/k tile pairs that are fully masked are skipped via
+    predication.
+  - Decode (one query token against a length-masked KV cache) is a pure
+    XLA program: at batch~1 it is bandwidth-bound on the cache read and
+    XLA emits a near-roofline fused gather+softmax+weighted-sum; the 7B
+    weight streams, not attention, dominate the decode step.
+  - Grouped-query attention (Mistral: 32 q heads / 8 kv heads) is handled
+    in the kernel index maps — kv tiles are reused across the head group,
+    not materialized per q head.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# XLA reference attention (oracle + CPU path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("causal",))
+def attention_xla(
+    q: jnp.ndarray,  # (H, Sq, D)
+    k: jnp.ndarray,  # (Hk, Sk, D)
+    v: jnp.ndarray,  # (Hk, Sk, D)
+    causal: bool = True,
+) -> jnp.ndarray:
+    h, sq, d = q.shape
+    hk = k.shape[0]
+    scale = 1.0 / math.sqrt(d)
+    if hk != h:
+        rep = h // hk
+        k = jnp.repeat(k, rep, axis=0)
+        v = jnp.repeat(v, rep, axis=0)
+    s = jnp.einsum("hqd,hkd->hqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if causal:
+        sk = k.shape[1]
+        qi = jnp.arange(sq)[:, None] + (sk - sq)  # align ends
+        ki = jnp.arange(sk)[None, :]
+        s = jnp.where(ki <= qi, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("hqk,hkd->hqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (prefill)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale: float, causal: bool, block_q: int, block_k: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Causal: skip tiles entirely above the diagonal.
+    run = True if not causal else (ki * block_k <= (qi + 1) * block_q - 1)
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0].astype(jnp.float32)          # (bq, d)
+        k = k_ref[0].astype(jnp.float32)          # (bk, d)
+        v = v_ref[0].astype(jnp.float32)          # (bk, d)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+
+        if causal:
+            rows = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(cols <= rows, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]                      # (bq, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                     # (bq, bk)
+        alpha = jnp.exp(m_prev - m_new)            # (bq, 1)
+
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,  # (H, S, D)
+    k: jnp.ndarray,  # (Hk, S, D)
+    v: jnp.ndarray,  # (Hk, S, D)
+    causal: bool = True,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    h, s, d = q.shape
+    hk = k.shape[0]
+    rep = h // hk
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    assert s % block_q == 0 and s % block_k == 0, (
+        "pad seq to a multiple of the attention block size")
+
+    grid = (h, s // block_q, s // block_k)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh // rep, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running denom
+            pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * h * s * s * d,
+            bytes_accessed=(h + 2 * hk) * s * d * 2 + h * s * d * 2,
+            transcendentals=h * s * s,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def prefill_attention(q, k, v, causal: bool = True) -> jnp.ndarray:
+    """Dispatch: Pallas flash on TPU, XLA oracle elsewhere."""
+    s = q.shape[1]
+    if jax.default_backend() == "tpu" and s >= 256 and s % 256 == 0:
+        return flash_attention(q, k, v, causal=causal)
+    return attention_xla(q, k, v, causal=causal)
+
+
+# ---------------------------------------------------------------------------
+# Cached decode attention (single new token, length-masked cache)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def decode_attention(
+    q: jnp.ndarray,        # (H, D) — the new token's query
+    k_cache: jnp.ndarray,  # (S_max, Hk, D)
+    v_cache: jnp.ndarray,  # (S_max, Hk, D)
+    cur_len: jnp.ndarray,  # scalar int32: valid prefix length (incl. new tok)
+) -> jnp.ndarray:
+    h, d = q.shape
+    s_max, hk, _ = k_cache.shape
+    rep = h // hk
+    scale = 1.0 / math.sqrt(d)
+
+    qg = q.reshape(hk, rep, d).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    s = jnp.einsum("grd,sgd->grs", qg, kf) * scale      # (Hk, rep, S)
+    mask = jnp.arange(s_max)[None, None, :] < cur_len
+    s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("grs,sgd->grd", p, vf)
+    return out.reshape(h, d).astype(q.dtype)
+
+
+@jax.jit
+def paged_decode_attention(
+    q: jnp.ndarray,         # (H, D)
+    k_pages: jnp.ndarray,   # (n_pages, page_size, Hk, D) — global page pool
+    v_pages: jnp.ndarray,   # (n_pages, page_size, Hk, D)
+    page_table: jnp.ndarray,  # (pages_per_seq,) int32 page ids for this seq
+    cur_len: jnp.ndarray,     # scalar int32
+) -> jnp.ndarray:
+    """Decode attention over a paged KV pool: the sequence's pages are
+    gathered through ``page_table`` (the paged-KV layout lets the runtime
+    grow many conversations inside one preallocated pool — the TPU
+    analogue of llama.cpp's KV cells)."""
+    page_size = k_pages.shape[1]
+    k_seq = k_pages[page_table].reshape(-1, *k_pages.shape[2:])
+    v_seq = v_pages[page_table].reshape(-1, *v_pages.shape[2:])
+    del page_size
+    return decode_attention(q, k_seq, v_seq, cur_len)

@@ -1,0 +1,321 @@
+"""Group-quantized weights + fused dequant-matmul Pallas kernels.
+
+Parity target: llama.cpp's GGUF Q8_0/Q4_0 weight formats and their
+dequant-matmul kernels, which the reference's LLM runner rides for the
+Mistral-7B decode loop (reference: src/ai_models/tk_model_runner.h:38-225,
+tk_runner_streaming.c:60-84 — llama.cpp owns the kernels).
+
+TPU design: decode matvec is HBM-bandwidth-bound, so the win is reading
+1 byte (Q8) or 0.5 byte (Q4) per weight instead of 2-4. The Pallas kernels
+stream int8/packed-int4 weight tiles HBM->VMEM, dequantize on the VPU
+(convert + per-group scale), and feed the MXU — the f32 weights never
+exist in HBM. Group scales are laid out as (K/G, N) so a (TILE_K, TILE_N)
+weight tile needs a single (TILE_K/G, TILE_N) scale tile.
+
+Q4 packing: two int4 values share one uint8 *across the K halves* —
+packed[k, n] holds w[k, n] (low nibble) and w[k + K/2, n] (high nibble).
+This keeps unpacking free of sublane interleaving: the kernel computes
+x_lo @ W_lo + x_hi @ W_hi with two clean tiles.
+
+All kernels have an XLA reference path (`*_xla`) used on CPU (tests) and
+as a numerics oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_GROUP = 256
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Quantized weight containers (pytrees — live inside model param trees)
+# ---------------------------------------------------------------------------
+
+class QuantizedLinear(NamedTuple):
+    """Group-quantized (K, N) weight. ``bits`` is static metadata."""
+
+    values: jnp.ndarray  # int8: (K, N) for Q8; packed uint8 (K//2, N) for Q4
+    scales: jnp.ndarray  # f32 (K // group, N)
+
+    @property
+    def group_size(self) -> int:
+        k = self.values.shape[0] * (2 if self.values.dtype == jnp.uint8 else 1)
+        return k // self.scales.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.values.shape[0] * (2 if self.values.dtype == jnp.uint8 else 1)
+
+    @property
+    def n(self) -> int:
+        return self.values.shape[1]
+
+
+def quantize_q8(w: jnp.ndarray, group: int = DEFAULT_GROUP) -> QuantizedLinear:
+    """Symmetric int8 group quantization of a (K, N) weight (GGUF Q8_0
+    semantics: per-group absmax scale, values in [-127, 127])."""
+    k, n = w.shape
+    assert k % group == 0, f"K={k} not divisible by group={group}"
+    wg = w.astype(jnp.float32).reshape(k // group, group, n)
+    scale = jnp.max(jnp.abs(wg), axis=1) / 127.0  # (K/G, N)
+    safe = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wg / safe[:, None, :]), -127, 127).astype(jnp.int8)
+    return QuantizedLinear(values=q.reshape(k, n), scales=scale)
+
+
+def quantize_q4(w: jnp.ndarray, group: int = DEFAULT_GROUP) -> QuantizedLinear:
+    """Symmetric int4 group quantization, values in [-8, 7], packed two per
+    uint8 across the K halves (see module docstring)."""
+    k, n = w.shape
+    assert k % group == 0 and (k // 2) % group == 0
+    wg = w.astype(jnp.float32).reshape(k // group, group, n)
+    scale = jnp.max(jnp.abs(wg), axis=1) / 7.0
+    safe = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wg / safe[:, None, :]), -8, 7).astype(jnp.int32)
+    q = q.reshape(k, n)
+    lo = (q[: k // 2] + 8).astype(jnp.uint8)        # biased to [0, 15]
+    hi = (q[k // 2:] + 8).astype(jnp.uint8)
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return QuantizedLinear(values=packed, scales=scale)
+
+
+def dequantize(qw: QuantizedLinear) -> jnp.ndarray:
+    """Reference dequantization to f32 (K, N)."""
+    if qw.values.dtype == jnp.int8:
+        k, n = qw.values.shape
+        g = k // qw.scales.shape[0]
+        vals = qw.values.astype(jnp.float32).reshape(-1, g, n)
+        return (vals * qw.scales[:, None, :]).reshape(k, n)
+    # Q4 packed
+    packed = qw.values
+    half, n = packed.shape
+    k = half * 2
+    g = k // qw.scales.shape[0]
+    lo = (packed & 0xF).astype(jnp.int32) - 8
+    hi = (packed >> 4).astype(jnp.int32) - 8
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    return (q.reshape(-1, g, n) * qw.scales[:, None, :]).reshape(k, n)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference matmul
+# ---------------------------------------------------------------------------
+
+def quantized_matmul_xla(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
+    """Oracle path: dequantize then matmul (used on CPU / for testing)."""
+    w = dequantize(qw)
+    return jnp.matmul(
+        x.astype(jnp.float32), w, preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas Q8 kernel
+# ---------------------------------------------------------------------------
+
+def _select_scale_row(s_ref, gid) -> jnp.ndarray:
+    """Pick row ``gid`` of the (n_groups, TN) scale block as a (1, TN)
+    vector via a one-hot matmul — Mosaic rejects dynamic sublane slices
+    whose alignment it can't prove, but a tiny static-shape dot is free."""
+    n_groups = s_ref.shape[0]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)
+              == gid).astype(jnp.float32)
+    return jnp.dot(onehot, s_ref[:], preferred_element_type=jnp.float32)
+
+
+def _q8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, group: int):
+    """Grid (nN, nK); K is the innermost (sequential) axis so the VMEM
+    accumulator carries across K tiles of one N tile.
+
+    Within a quantization group the scale is constant along K, so
+    ``x_g @ (w_g * s_g) == (x_g @ w_g) * s_g`` — the kernel runs one raw
+    dot per group and applies the (1, TN) scale row to the (M, TN)
+    partial product, which is cheaper than materializing a dequantized
+    (TK, TN) tile and keeps every shape static."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpt = w_ref.shape[0] // group  # groups per K tile
+    for j in range(gpt):
+        sl = slice(j * group, (j + 1) * group)
+        part = jnp.dot(
+            x_ref[:, sl].astype(jnp.float32),
+            w_ref[sl, :].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        s_g = _select_scale_row(s_ref, k_idx * gpt + j)
+        acc_ref[:] += part * s_g
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "interpret"))
+def q8_matmul_pallas(
+    x: jnp.ndarray,
+    values: jnp.ndarray,
+    scales: jnp.ndarray,
+    tile_n: int = 512,
+    tile_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused int8-dequant matmul: (M, K) @ q8(K, N) -> (M, N) f32."""
+    m, k = x.shape
+    n = values.shape[1]
+    g = k // scales.shape[0]
+    tile_k = min(tile_k, k)
+    tile_n = min(tile_n, n)
+    assert k % tile_k == 0 and n % tile_n == 0 and tile_k % g == 0
+
+    grid = (n // tile_n, k // tile_k)
+    return pl.pallas_call(
+        functools.partial(_q8_kernel, group=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, tile_k), lambda ni, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, tile_n), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // g, tile_n), lambda ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, tile_n), lambda ni, ki: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, tile_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=k * n + (k // g) * n * 4 + m * k * 4 + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, values, scales)
+
+
+# ---------------------------------------------------------------------------
+# Pallas Q4 kernel (half-split packing)
+# ---------------------------------------------------------------------------
+
+def _q4_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref, acc_ref,
+               *, group: int):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Nibble math via int32: Mosaic lowers neither int8 vector sub nor
+    # uint8->f32 casts on this target.
+    packed = w_ref[:].astype(jnp.int32)
+    lo = ((packed & 0xF) - 8).astype(jnp.float32)
+    hi = ((packed >> 4) - 8).astype(jnp.float32)
+    gpt = w_ref.shape[0] // group
+    for j in range(gpt):
+        sl = slice(j * group, (j + 1) * group)
+        gid = k_idx * gpt + j
+        part_lo = jnp.dot(xlo_ref[:, sl].astype(jnp.float32), lo[sl, :],
+                          preferred_element_type=jnp.float32)
+        part_hi = jnp.dot(xhi_ref[:, sl].astype(jnp.float32), hi[sl, :],
+                          preferred_element_type=jnp.float32)
+        acc_ref[:] += part_lo * _select_scale_row(slo_ref, gid)
+        acc_ref[:] += part_hi * _select_scale_row(shi_ref, gid)
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "interpret"))
+def q4_matmul_pallas(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scales: jnp.ndarray,
+    tile_n: int = 512,
+    tile_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused int4-dequant matmul: (M, K) @ q4(K, N) -> (M, N) f32.
+
+    ``tile_k`` tiles the *packed* K/2 axis; each kernel step therefore
+    consumes 2*tile_k logical K rows (one from each half).
+    """
+    m, k = x.shape
+    half = packed.shape[0]
+    n = packed.shape[1]
+    assert half * 2 == k
+    g = k // scales.shape[0]
+    tile_k = min(tile_k, half)
+    tile_n = min(tile_n, n)
+    assert half % tile_k == 0 and n % tile_n == 0 and tile_k % g == 0
+
+    x_lo, x_hi = x[:, :half], x[:, half:]
+    s_lo, s_hi = scales[: half // g], scales[half // g:]
+
+    grid = (n // tile_n, half // tile_k)
+    n_groups_half = half // g
+    return pl.pallas_call(
+        functools.partial(_q4_kernel, group=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, tile_k), lambda ni, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_k), lambda ni, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, tile_n), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups_half, tile_n), lambda ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups_half, tile_n), lambda ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, tile_n), lambda ni, ki: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, tile_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=half * n + (k // g) * n * 4 + m * k * 4 + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_lo, x_hi, packed, s_lo, s_hi)
+
+
+# ---------------------------------------------------------------------------
+# Dispatching front-end
+# ---------------------------------------------------------------------------
+
+def quantized_matmul(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
+    """(…, K) @ quantized (K, N) -> (…, N) f32. Dispatches to the Pallas
+    kernel on TPU and the XLA oracle elsewhere."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    m = x2.shape[0]
+    if not _on_tpu() or m > 256:
+        out = quantized_matmul_xla(x2, qw)
+    elif qw.values.dtype == jnp.int8:
+        out = q8_matmul_pallas(x2, qw.values, qw.scales)
+    else:
+        out = q4_matmul_pallas(x2, qw.values, qw.scales)
+    return out.reshape(*lead, qw.n)
