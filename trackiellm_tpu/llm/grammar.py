@@ -1,0 +1,416 @@
+"""Grammar-constrained decoding for tool calls.
+
+Parity target: the reference's GBNF grammar that forces the LLM to emit
+``{"tool_call":{"name":...,"arguments":{...}}}`` (reference:
+src/ai_models/grammars/tool_call.gbnf:1-23, wired into llama.cpp sampling
+in src/ai_models/tk_runner_lifecycle.c:47-80).
+
+TPU design: constrained sampling is inherently data-dependent, so it
+lives on the host: each step the runner asks the grammar for the set of
+legal next tokens, masks the device logits with one fixed-shape
+``jnp.where``, and samples. The grammar itself is an incremental
+character-level acceptor (fixed skeleton + name alternation + a full
+incremental JSON acceptor for the arguments object), equivalent in
+language to the reference's GBNF.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import List, Optional, Sequence
+
+_WS = " \t\n\r"
+
+# JSON number DFA states. *_NEED states cannot legally terminate.
+_NUM_TERMINAL = {"INT_ZERO", "INT_DIGITS", "FRAC_DIGITS", "EXP_DIGITS"}
+
+
+def _num_step(state: str, ch: str):
+    """One step of the JSON number DFA. Returns the new state, or None if
+    ``ch`` does not continue the number (caller decides: terminate if the
+    state is terminal, else the prefix is invalid)."""
+    digit = "0" <= ch <= "9"
+    if state == "INT_NEED_DIGIT":
+        return "INT_ZERO" if ch == "0" else ("INT_DIGITS" if digit else None)
+    if state == "INT_ZERO":
+        if ch == ".":
+            return "FRAC_NEED_DIGIT"
+        if ch in "eE":
+            return "EXP_NEED"
+        return None  # leading zeros / digits after 0 are not JSON
+    if state == "INT_DIGITS":
+        if digit:
+            return "INT_DIGITS"
+        if ch == ".":
+            return "FRAC_NEED_DIGIT"
+        if ch in "eE":
+            return "EXP_NEED"
+        return None
+    if state == "FRAC_NEED_DIGIT":
+        return "FRAC_DIGITS" if digit else None
+    if state == "FRAC_DIGITS":
+        if digit:
+            return "FRAC_DIGITS"
+        if ch in "eE":
+            return "EXP_NEED"
+        return None
+    if state == "EXP_NEED":
+        if ch in "+-":
+            return "EXP_NEED_DIGIT"
+        return "EXP_DIGITS" if digit else None
+    if state == "EXP_NEED_DIGIT":
+        return "EXP_DIGITS" if digit else None
+    if state == "EXP_DIGITS":
+        return "EXP_DIGITS" if digit else None
+    raise AssertionError(state)
+
+
+class JsonAcceptor:
+    """Incremental acceptor for a single JSON value (object-rooted here).
+
+    ``feed(ch)`` returns False if the character makes the prefix invalid;
+    ``done`` flips once a complete value has been consumed.
+    """
+
+    def __init__(self, root_object_only: bool = True):
+        self.containers: List[str] = []  # 'O' | 'A'
+        self.expect = "root_value"
+        self.in_string: Optional[str] = None  # 'key' | 'value'
+        self.escape = False
+        self.num_state: Optional[str] = None  # JSON number DFA state
+        self.lit_rest = ""  # remainder of true/false/null
+        self.done = False
+        self.failed = False
+        self._root_object_only = root_object_only
+
+    def copy(self) -> "JsonAcceptor":
+        return copy.copy(self)  # all fields immutable except containers
+
+    def __copy__(self):
+        new = object.__new__(JsonAcceptor)
+        new.__dict__ = dict(self.__dict__)
+        new.containers = list(self.containers)
+        return new
+
+    # -- internals ----------------------------------------------------------
+    def _end_value(self) -> None:
+        if not self.containers:
+            self.expect = "done"
+            self.done = True
+        else:
+            self.expect = "comma_or_end"
+
+    def feed(self, ch: str) -> bool:
+        if self.failed:
+            return False
+        ok = self._feed(ch)
+        if not ok:
+            self.failed = True
+        return ok
+
+    def _feed(self, ch: str) -> bool:
+        if self.in_string is not None:
+            if self.escape:
+                self.escape = False
+                return True
+            if ch == "\\":
+                self.escape = True
+                return True
+            if ch == '"':
+                was_key = self.in_string == "key"
+                self.in_string = None
+                if was_key:
+                    self.expect = "colon"
+                else:
+                    self._end_value()
+                return True
+            return ch >= " "  # no raw control chars in strings
+
+        if self.lit_rest:
+            if ch == self.lit_rest[0]:
+                self.lit_rest = self.lit_rest[1:]
+                if not self.lit_rest:
+                    self._end_value()
+                return True
+            return False
+
+        if self.num_state is not None:
+            nxt = _num_step(self.num_state, ch)
+            if nxt is not None:
+                self.num_state = nxt
+                return True
+            if self.num_state not in _NUM_TERMINAL:
+                return False  # e.g. "9." or "-" followed by a delimiter
+            self.num_state = None
+            self._end_value()
+            # fall through: ch is a structural char after the number
+
+        if ch in _WS:
+            return not self.done or True  # whitespace always tolerated
+
+        e = self.expect
+        if e in ("value", "root_value", "value_or_end_arr"):
+            if e == "value_or_end_arr" and ch == "]":
+                self.containers.pop()
+                self._end_value()
+                return True
+            if e == "root_value" and self._root_object_only and ch != "{":
+                return False
+            if ch == "{":
+                self.containers.append("O")
+                self.expect = "key_or_end"
+                return True
+            if ch == "[":
+                self.containers.append("A")
+                self.expect = "value_or_end_arr"
+                return True
+            if ch == '"':
+                self.in_string = "value"
+                return True
+            if ch == "-":
+                self.num_state = "INT_NEED_DIGIT"
+                return True
+            if ch == "0":
+                self.num_state = "INT_ZERO"
+                return True
+            if "1" <= ch <= "9":
+                self.num_state = "INT_DIGITS"
+                return True
+            for lit in ("true", "false", "null"):
+                if ch == lit[0]:
+                    self.lit_rest = lit[1:]
+                    if not self.lit_rest:
+                        self._end_value()
+                    return True
+            return False
+
+        if e == "key_or_end":
+            if ch == '"':
+                self.in_string = "key"
+                return True
+            if ch == "}":
+                self.containers.pop()
+                self._end_value()
+                return True
+            return False
+
+        if e == "key":
+            if ch == '"':
+                self.in_string = "key"
+                return True
+            return False
+
+        if e == "colon":
+            if ch == ":":
+                self.expect = "value"
+                return True
+            return False
+
+        if e == "comma_or_end":
+            top = self.containers[-1]
+            if ch == ",":
+                self.expect = "key" if top == "O" else "value"
+                return True
+            if top == "O" and ch == "}":
+                self.containers.pop()
+                self._end_value()
+                return True
+            if top == "A" and ch == "]":
+                self.containers.pop()
+                self._end_value()
+                return True
+            return False
+
+        # expect == "done": nothing further (whitespace handled above)
+        return False
+
+    def closure(self) -> str:
+        """Minimal string that completes the current prefix into valid
+        JSON (used to force-close a generation that is about to run out
+        of token budget — a failure mode the reference's GBNF sampling
+        cannot recover from: truncated output is simply invalid there)."""
+        probe = self.copy()
+        out = []
+
+        def push(s: str) -> None:
+            for ch in s:
+                assert probe.feed(ch), f"closure char {ch!r} rejected"
+                out.append(ch)
+
+        if probe.escape:
+            push("n")
+        if probe.in_string is not None:
+            push('"')
+        if probe.lit_rest:
+            push(probe.lit_rest)
+        if probe.num_state is not None and probe.num_state not in _NUM_TERMINAL:
+            push("0")  # completes every non-terminal number prefix
+        guard = 0
+        while not probe.done:
+            guard += 1
+            assert guard < 256, "closure did not converge"
+            if probe.num_state is not None:
+                # A closing bracket both terminates the number and pops
+                # its container.
+                push("}" if probe.containers[-1] == "O" else "]")
+                continue
+            e = probe.expect
+            if e in ("value", "root_value"):
+                push("null" if probe.containers else "{}")
+            elif e == "value_or_end_arr":
+                push("]")
+            elif e in ("key_or_end",):
+                push("}")
+            elif e == "key":
+                push('"_":null')
+            elif e == "colon":
+                push(":null")
+            elif e == "comma_or_end":
+                push("}" if probe.containers[-1] == "O" else "]")
+            else:  # pragma: no cover
+                raise AssertionError(f"unexpected state {e}")
+        return "".join(out)
+
+
+class ToolCallGrammar:
+    """Acceptor for ``{"tool_call":{"name":"<tool>","arguments":<obj>}}``.
+
+    Stateful per generation: ``feed_text`` advances; ``allowed`` probes a
+    candidate continuation without committing (used for token masking).
+    """
+
+    def __init__(self, tool_names: Sequence[str]):
+        if not tool_names:
+            raise ValueError("ToolCallGrammar needs at least one tool name")
+        self.tool_names = list(tool_names)
+        self._pre = '{"tool_call":{"name":"'
+        self._mid = '","arguments":'
+        self._post = "}}"
+        self.reset()
+
+    def reset(self) -> None:
+        self.phase = "pre"   # pre -> name -> mid -> args -> post -> done
+        self.pos = 0          # position within current literal phase
+        self.name_buf = ""
+        self.json = JsonAcceptor(root_object_only=True)
+
+    # -- state snapshot (cheap, for probing) ---------------------------------
+    def _snapshot(self):
+        return (self.phase, self.pos, self.name_buf, self.json.copy())
+
+    def _restore(self, snap) -> None:
+        self.phase, self.pos, self.name_buf, self.json = snap
+
+    @property
+    def done(self) -> bool:
+        return self.phase == "done"
+
+    def feed_char(self, ch: str) -> bool:
+        if self.phase == "pre":
+            if ch != self._pre[self.pos]:
+                return False
+            self.pos += 1
+            if self.pos == len(self._pre):
+                self.phase, self.pos = "name", 0
+            return True
+
+        if self.phase == "name":
+            cand = self.name_buf + ch
+            # Must remain a prefix of some tool name, or close the name.
+            if ch == '"':
+                if self.name_buf in self.tool_names:
+                    self.phase, self.pos = "mid", 1  # '"' consumed = mid[0]
+                    return True
+                return False
+            if any(n.startswith(cand) for n in self.tool_names):
+                self.name_buf = cand
+                return True
+            return False
+
+        if self.phase == "mid":
+            if ch != self._mid[self.pos]:
+                return False
+            self.pos += 1
+            if self.pos == len(self._mid):
+                self.phase = "args"
+            return True
+
+        if self.phase == "args":
+            ok = self.json.feed(ch)
+            if ok and self.json.done:
+                self.phase, self.pos = "post", 0
+            return ok
+
+        if self.phase == "post":
+            if ch != self._post[self.pos]:
+                return False
+            self.pos += 1
+            if self.pos == len(self._post):
+                self.phase = "done"
+            return True
+
+        return False  # done: no more characters
+
+    def feed_text(self, text: str) -> bool:
+        for ch in text:
+            if not self.feed_char(ch):
+                return False
+        return True
+
+    def allows(self, text: str) -> bool:
+        """Probe: would feeding ``text`` keep the prefix valid?"""
+        if not text:
+            return False
+        snap = self._snapshot()
+        ok = self.feed_text(text)
+        self._restore(snap)
+        return ok
+
+    def closure(self) -> str:
+        """Minimal completion of the current prefix into a full valid
+        tool call (budget-forced close; see JsonAcceptor.closure)."""
+        if self.phase == "done":
+            return ""
+        out = []
+        if self.phase == "pre":
+            out.append(self._pre[self.pos:])
+            out.append(self.tool_names[0])
+            out.append(self._mid)
+            out.append("{}")
+            out.append(self._post)
+        elif self.phase == "name":
+            name = next(n for n in self.tool_names
+                        if n.startswith(self.name_buf))
+            out.append(name[len(self.name_buf):])
+            out.append('"')
+            out.append(self._mid[1:])
+            out.append("{}")
+            out.append(self._post)
+        elif self.phase == "mid":
+            out.append(self._mid[self.pos:])
+            out.append("{}")
+            out.append(self._post)
+        elif self.phase == "args":
+            out.append(self.json.closure())
+            out.append(self._post)
+        elif self.phase == "post":
+            out.append(self._post[self.pos:])
+        text = "".join(out)
+        assert self.allows(text), "grammar closure must be self-consistent"
+        return text
+
+    def token_mask(self, tokenizer, extra_allowed: Sequence[int] = ()) -> "list[bool]":
+        """Boolean vocab mask of tokens whose text keeps the prefix valid.
+        Once the grammar is complete only EOS (and ``extra_allowed``) pass."""
+        v = tokenizer.vocab_size
+        mask = [False] * v
+        if self.done:
+            mask[tokenizer.eos_id] = True
+            for t in extra_allowed:
+                mask[t] = True
+            return mask
+        for t in range(v):
+            piece = tokenizer.decode_token(t)
+            if piece and self.allows(piece):
+                mask[t] = True
+        return mask

@@ -1,0 +1,284 @@
+"""Streaming LLM runner: the conversational session API.
+
+Parity target: ``tk_llm_runner_t`` (reference: src/ai_models/
+tk_model_runner.h:38-225) — a stateful session over a preloaded model:
+``prepare_generation`` (prompt prefill + optional tool grammar),
+``generate_next_token`` (streaming sampling), ``add_tool_response``
+(re-inject tool output), ``reset`` (clear context) — plus the Rust
+ToolManager's prompt construction from tool definitions
+(src/ai_models/src/tool_manager.rs:21-30).
+
+TPU design: the device holds params + KV cache; prefill runs at bucketed
+lengths so one compiled program serves each bucket; the host loop only
+samples (one int32 device->host per token) and applies the grammar mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.llm import sampling
+from trackiellm_tpu.llm.grammar import ToolCallGrammar
+from trackiellm_tpu.llm.tokenizer import ByteTokenizer, Tokenizer
+from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
+from trackiellm_tpu.utils.logging import get_logger
+
+log = get_logger("llm.runner")
+
+PREFILL_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+EXTEND_BUCKETS = (16, 64, 256, 1024)
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    """Sampling knobs (defaults mirror tk_cortex_main.c:911-916)."""
+
+    max_tokens: int = 512
+    temperature: float = 0.7
+    top_k: int = 40
+    top_p: float = 0.95
+    repetition_penalty: float = 1.1
+    repeat_window: int = 64
+    seed: int = 0
+    stop_strings: tuple = ()
+
+
+@dataclasses.dataclass
+class ToolDefinition:
+    """A callable tool advertised to the model (parity: Rust
+    ToolDefinition, src/ai_models/src/tool_manager.rs)."""
+
+    name: str
+    description: str
+    parameters: Dict[str, str]  # arg name -> description
+
+    def render(self) -> str:
+        args = ", ".join(f"{k}: {v}" for k, v in self.parameters.items())
+        return f"- {self.name}({args}): {self.description}"
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise TrackieError(
+        ErrorCode.CONTEXT_OVERFLOW,
+        f"sequence of {n} tokens exceeds the largest bucket {buckets[-1]}",
+    )
+
+
+class LLMRunner:
+    """Stateful conversational session over a parameter pytree."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: llm_model.LLMConfig,
+        tokenizer: Optional[Tokenizer] = None,
+        gen_config: Optional[GenerationConfig] = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer or ByteTokenizer(
+            n_special_pad_to=cfg.vocab_size)
+        self.gen = gen_config or GenerationConfig()
+        self._cache_dtype = cache_dtype
+        self.cache = llm_model.KVCache.create(cfg, dtype=cache_dtype)
+        self._key = jax.random.PRNGKey(self.gen.seed)
+        self._grammar: Optional[ToolCallGrammar] = None
+        self._grammar_mask_cache: Dict[Any, jnp.ndarray] = {}
+        self._next_logits: Optional[jnp.ndarray] = None
+        self._generated_ids: List[int] = []
+        self._generated_text: str = ""
+        self._n_emitted = 0
+        self._done = False
+
+    # ------------------------------------------------------------------
+    # Session API (tk_llm_runner parity)
+    # ------------------------------------------------------------------
+
+    def build_prompt(self, system: str, context: str, user: str,
+                     tools: Sequence[ToolDefinition] = ()) -> str:
+        """Instruction-format prompt with optional tool list (parity:
+        ToolManager::generate_prompt)."""
+        parts = [system]
+        if tools:
+            parts.append(
+                "You may call one tool by replying ONLY with JSON of the "
+                'form {"tool_call":{"name":"<tool>","arguments":{...}}}.\n'
+                "Available tools:\n" + "\n".join(t.render() for t in tools)
+            )
+        if context:
+            parts.append(f"Context:\n{context}")
+        return f"[INST] {'\n\n'.join(parts)}\n\nUser: {user} [/INST]"
+
+    def prepare_generation(self, prompt: str,
+                           tools: Sequence[ToolDefinition] = (),
+                           force_tool_call: bool = False) -> None:
+        """Tokenize + prefill the prompt; arm the tool grammar if asked."""
+        ids = self.tokenizer.encode(prompt, add_bos=True)
+        n = len(ids)
+        bucket = _bucket_for(n, [b for b in PREFILL_BUCKETS
+                                 if b <= self.cfg.max_seq] or [self.cfg.max_seq])
+        padded = np.zeros(bucket, np.int32)
+        padded[:n] = ids
+        self.cache = llm_model.KVCache.create(self.cfg,
+                                              dtype=self._cache_dtype)
+        logits, self.cache = llm_model.prefill(
+            self.params, self.cfg, jnp.asarray(padded), jnp.int32(n),
+            self.cache)
+        self._next_logits = logits
+        self._generated_ids = []
+        self._generated_text = ""
+        self._n_emitted = 0
+        self._done = False
+        if force_tool_call:
+            if not tools:
+                raise TrackieError(ErrorCode.TOOL_CALL_INVALID,
+                                   "force_tool_call requires tools")
+            self._grammar = ToolCallGrammar([t.name for t in tools])
+        else:
+            self._grammar = None
+
+    def generate_next_token(self) -> Optional[str]:
+        """Sample and return the next token's text, or None when finished
+        (EOS, grammar completion, stop string, or max_tokens)."""
+        if self._done or self._next_logits is None:
+            return None
+        if self._n_emitted >= self.gen.max_tokens:
+            self._done = True
+            return None
+
+        # Budget-forced closure: if a constrained generation is about to
+        # exhaust its token budget, emit the grammar's minimal valid
+        # completion instead of truncating into invalid JSON (the
+        # reference's GBNF sampling has no recovery for this).
+        if self._grammar is not None and not self._grammar.done:
+            closure = self._grammar.closure()
+            closure_ids = self.tokenizer.encode(closure)
+            remaining = self.gen.max_tokens - self._n_emitted
+            if closure and len(closure_ids) >= remaining - 1:
+                assert self._grammar.feed_text(closure)
+                self._generated_text += closure
+                self._generated_ids.extend(closure_ids)
+                self._n_emitted = self.gen.max_tokens
+                bucket = _bucket_for(len(closure_ids), EXTEND_BUCKETS)
+                padded = np.zeros(bucket, np.int32)
+                padded[: len(closure_ids)] = closure_ids
+                _, self.cache = llm_model.extend(
+                    self.params, self.cfg, jnp.asarray(padded),
+                    jnp.int32(len(closure_ids)), self.cache)
+                self._done = True
+                return closure
+
+        mask = None
+        if self._grammar is not None:
+            mask = jnp.asarray(
+                np.array(self._grammar.token_mask(self.tokenizer), bool))
+
+        if self.gen.temperature <= 0:
+            token = sampling.greedy(self._next_logits, mask)
+        else:
+            self._key, sub = jax.random.split(self._key)
+            recent = np.full(self.gen.repeat_window, -1, np.int32)
+            tail = self._generated_ids[-self.gen.repeat_window:]
+            recent[: len(tail)] = tail
+            token = sampling.sample(
+                self._next_logits, sub,
+                jnp.float32(self.gen.temperature),
+                top_k=self.gen.top_k, top_p=self.gen.top_p,
+                mask=mask, recent_tokens=jnp.asarray(recent),
+                repetition_penalty=self.gen.repetition_penalty,
+            )
+        tid = int(token)
+
+        if tid == self.tokenizer.eos_id:
+            self._done = True
+            return None
+
+        piece = self.tokenizer.decode_token(tid)
+        if self._grammar is not None:
+            self._grammar.feed_text(piece)
+            if self._grammar.done:
+                self._done = True
+
+        self._generated_ids.append(tid)
+        self._generated_text += piece
+        self._n_emitted += 1
+
+        for stop in self.gen.stop_strings:
+            if stop and stop in self._generated_text:
+                self._done = True
+                self._generated_text = self._generated_text.split(stop)[0]
+                return piece
+
+        if not self._done:
+            self._next_logits, self.cache = llm_model.decode_step(
+                self.params, self.cfg, jnp.int32(tid), self.cache)
+        else:
+            # Commit the final token to the cache so the conversation can
+            # continue (e.g. tool response after a tool call).
+            _, self.cache = llm_model.decode_step(
+                self.params, self.cfg, jnp.int32(tid), self.cache)
+            self._next_logits = None
+        return piece
+
+    def generate(self, prompt: str, tools: Sequence[ToolDefinition] = (),
+                 force_tool_call: bool = False,
+                 on_token: Optional[Callable[[str], None]] = None) -> str:
+        """Run a full generation, streaming pieces to ``on_token``."""
+        self.prepare_generation(prompt, tools, force_tool_call)
+        while (piece := self.generate_next_token()) is not None:
+            if on_token:
+                on_token(piece)
+        return self._generated_text
+
+    def add_tool_response(self, tool_name: str, response: Any) -> None:
+        """Re-inject a tool's output into the context (parity:
+        tk_llm_runner_add_tool_response, tk_runner_helpers.c:78-126)."""
+        text = f"\nTool {tool_name} returned: {json.dumps(response)}\n"
+        ids = self.tokenizer.encode(text)
+        bucket = _bucket_for(len(ids), EXTEND_BUCKETS)
+        padded = np.zeros(bucket, np.int32)
+        padded[: len(ids)] = ids
+        self._next_logits, self.cache = llm_model.extend(
+            self.params, self.cfg, jnp.asarray(padded),
+            jnp.int32(len(ids)), self.cache)
+        self._done = False
+        self._grammar = None
+
+    @property
+    def text(self) -> str:
+        return self._generated_text
+
+    def parse_tool_call(self) -> Optional[Dict[str, Any]]:
+        """If the generation is a tool call, parse it (decision-engine
+        front half; full parsing lives in cortex/decision.py)."""
+        try:
+            obj = json.loads(self._generated_text)
+            call = obj.get("tool_call")
+            if isinstance(call, dict) and "name" in call:
+                return {"name": call["name"],
+                        "arguments": call.get("arguments", {})}
+        except (json.JSONDecodeError, AttributeError):
+            pass
+        return None
+
+    def reset(self) -> None:
+        """Clear the conversation (parity: llama_kv_cache_clear via
+        tk_llm_runner reset, tk_runner_helpers.c:128-133)."""
+        self.cache = llm_model.KVCache.create(self.cfg,
+                                              dtype=self._cache_dtype)
+        self._next_logits = None
+        self._generated_ids = []
+        self._generated_text = ""
+        self._done = False
+        self._grammar = None

@@ -1,0 +1,336 @@
+"""Mistral-7B-class decoder-only transformer, TPU-native.
+
+Parity target: the reference's LLM stack — llama.cpp running a GGUF
+Mistral-7B with a 4096-token context (reference: src/cortex/
+tk_cortex_main.c:911-916, src/ai_models/tk_model_runner.h:38-225). The
+architecture implemented here is the Mistral shape: RMSNorm, rotary
+embeddings, grouped-query attention (32 q / 8 kv heads), SwiGLU MLP,
+optional sliding-window attention, tied decode loop over a KV cache.
+
+TPU design decisions:
+  - Layer parameters are *stacked* along a leading layer axis and the
+    forward is a single ``lax.scan`` over layers — one compiled block
+    regardless of depth (32 separately-traced layers would blow up
+    compile time and defeat XLA's scheduling).
+  - Weights may be bf16 or group-quantized (Q8/Q4 via
+    :mod:`trackiellm_tpu.ops.quant`); the quantized path streams int8 /
+    packed-int4 through the Pallas dequant-matmul so full-precision
+    weights never exist in HBM.
+  - Prefill runs at fixed bucket lengths (pad + causal mask) through the
+    Pallas flash-attention kernel; decode is one token against a
+    length-masked contiguous KV cache (see ops/attention.py for why).
+  - The KV cache is a preallocated (L, 2, S_max, Hk, D) buffer updated
+    with ``dynamic_update_slice`` — static shapes, zero reallocation
+    (the TPU analogue of llama.cpp's KV cells).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trackiellm_tpu.ops.attention import decode_attention, prefill_attention
+from trackiellm_tpu.ops.quant import (
+    QuantizedLinear,
+    quantize_q4,
+    quantize_q8,
+    quantized_matmul,
+)
+
+
+class LLMConfig(NamedTuple):
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    head_dim: int = 128
+    hidden_dim: int = 14336
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_seq: int = 4096
+    sliding_window: int = 4096
+
+    @classmethod
+    def mistral_7b(cls) -> "LLMConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "LLMConfig":
+        """Small config for tests / compile checks."""
+        return cls(vocab_size=512, dim=256, n_layers=2, n_heads=4,
+                   n_kv_heads=2, head_dim=64, hidden_dim=512, max_seq=256,
+                   sliding_window=256)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: LLMConfig,
+                dtype: jnp.dtype = jnp.bfloat16) -> Dict[str, Any]:
+    """Random-init parameter pytree. Per-layer weights are stacked on a
+    leading (n_layers,) axis for the scan-based forward."""
+    keys = jax.random.split(key, 10)
+    d, l = cfg.dim, cfg.n_layers
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    h = cfg.hidden_dim
+
+    def w(k, *shape, scale=None):
+        scale = scale or (1.0 / (shape[-2] ** 0.5))
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "tok_emb": w(keys[0], cfg.vocab_size, d, scale=0.02),
+        "layers": {
+            "attn_norm": jnp.ones((l, d), dtype),
+            "wq": w(keys[1], l, d, qd),
+            "wk": w(keys[2], l, d, kvd),
+            "wv": w(keys[3], l, d, kvd),
+            "wo": w(keys[4], l, qd, d),
+            "mlp_norm": jnp.ones((l, d), dtype),
+            "w_gate": w(keys[5], l, d, h),
+            "w_up": w(keys[6], l, d, h),
+            "w_down": w(keys[7], l, h, d),
+        },
+        "out_norm": jnp.ones((d,), dtype),
+        "lm_head": w(keys[8], d, cfg.vocab_size),
+    }
+
+
+_QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_params(params: Dict[str, Any], bits: int = 4,
+                    group: int = 256) -> Dict[str, Any]:
+    """Quantize the big per-layer matrices (Q4/Q8 group quant). Embeddings
+    and norms stay bf16 (GGUF keeps those high-precision too)."""
+    quantize = quantize_q4 if bits == 4 else quantize_q8
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in _QUANTIZABLE:
+        stacked = layers[name]  # (L, K, N)
+        qs = [quantize(stacked[i], group) for i in range(stacked.shape[0])]
+        layers[name] = QuantizedLinear(
+            values=jnp.stack([q.values for q in qs]),
+            scales=jnp.stack([q.scales for q in qs]),
+        )
+    out["layers"] = layers
+    out["lm_head"] = quantize(params["lm_head"], group)
+    return out
+
+
+def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Dense projection for either a plain array or a QuantizedLinear."""
+    if isinstance(w, QuantizedLinear):
+        return quantized_matmul(x, w).astype(x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * scale
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def _rope_freqs(cfg: LLMConfig) -> jnp.ndarray:
+    half = cfg.head_dim // 2
+    return 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
+               freqs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate (..., S, H, D) by per-position angles (split-half layout,
+    matching Mistral/Llama reference weights)."""
+    ang = positions[..., :, None].astype(jnp.float32) * freqs  # (S, D/2)
+    cos = jnp.cos(ang)[..., :, None, :]
+    sin = jnp.sin(ang)[..., :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, S_max, Hk, D)
+    v: jnp.ndarray  # (L, S_max, Hk, D)
+    length: jnp.ndarray  # scalar int32 — tokens written so far
+
+    @classmethod
+    def create(cls, cfg: LLMConfig, dtype: jnp.dtype = jnp.bfloat16,
+               max_seq: Optional[int] = None) -> "KVCache":
+        s = max_seq or cfg.max_seq
+        shape = (cfg.n_layers, s, cfg.n_kv_heads, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.int32(0))
+
+
+# ---------------------------------------------------------------------------
+# Forward: prefill (bucketed length, scan over layers)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
+            length: jnp.ndarray, cache: KVCache,
+            ) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the prompt through the model, filling the KV cache.
+
+    ``tokens`` is a (S_pad,) bucket (padded with anything); ``length`` is
+    the true prompt length. Returns logits of the *last real token*
+    (what sampling needs) and the filled cache. Padded positions write
+    garbage at cache slots >= length, which decode masks via cache.length
+    — causality means they never contaminate real positions.
+    """
+    s_pad = tokens.shape[0]
+    freqs = _rope_freqs(cfg)
+    positions = jnp.arange(s_pad)
+    x = params["tok_emb"][tokens]  # (S, D)
+
+    def layer_fn(x, layer):
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = _linear(h, layer["wq"]).reshape(s_pad, cfg.n_heads, cfg.head_dim)
+        k = _linear(h, layer["wk"]).reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
+        v = _linear(h, layer["wv"]).reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions, freqs)
+        k = apply_rope(k, positions, freqs)
+
+        attn = prefill_attention(
+            q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+            causal=True,
+        ).transpose(1, 0, 2).reshape(s_pad, -1)
+        x = x + _linear(attn.astype(x.dtype), layer["wo"])
+
+        h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
+        up = _linear(h2, layer["w_up"]).astype(jnp.float32)
+        x = x + _linear((gate * up).astype(x.dtype), layer["w_down"])
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(layer_fn, x, params["layers"])
+
+    new_cache = KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype),
+                                       (0, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(cache.v, vs.astype(cache.v.dtype),
+                                       (0, 0, 0, 0)),
+        length=length.astype(jnp.int32),
+    )
+    x_last = x[jnp.maximum(length - 1, 0)]
+    logits = _linear(_rms_norm(x_last[None], params["out_norm"], cfg.norm_eps),
+                     params["lm_head"])[0]
+    return logits.astype(jnp.float32), new_cache
+
+
+# ---------------------------------------------------------------------------
+# Forward: single-token decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
+                cache: KVCache) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step: token (scalar int32) -> logits (V,), cache+1.
+
+    The whole step is a single compiled program (scan over layers); the
+    host loop around it only samples and feeds the next token.
+    """
+    pos = cache.length  # position of this new token
+    freqs = _rope_freqs(cfg)
+    x = params["tok_emb"][token][None]  # (1, D)
+
+    def layer_fn(carry, inputs):
+        x = carry
+        layer, k_cache_l, v_cache_l = inputs
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = _linear(h, layer["wq"]).reshape(1, cfg.n_heads, cfg.head_dim)
+        k = _linear(h, layer["wk"]).reshape(1, cfg.n_kv_heads, cfg.head_dim)
+        v = _linear(h, layer["wv"]).reshape(1, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, pos[None], freqs)
+        k = apply_rope(k, pos[None], freqs)
+
+        k_cache_l = jax.lax.dynamic_update_slice(
+            k_cache_l, k.astype(k_cache_l.dtype), (pos, 0, 0))
+        v_cache_l = jax.lax.dynamic_update_slice(
+            v_cache_l, v.astype(v_cache_l.dtype), (pos, 0, 0))
+
+        attn = decode_attention(q[0], k_cache_l, v_cache_l, pos + 1)
+        x = x + _linear(attn.reshape(1, -1).astype(x.dtype), layer["wo"])
+
+        h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
+        up = _linear(h2, layer["w_up"]).astype(jnp.float32)
+        x = x + _linear((gate * up).astype(x.dtype), layer["w_down"])
+        return x, (k_cache_l, v_cache_l)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.k, cache.v))
+
+    logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
+                     params["lm_head"])[0]
+    return logits.astype(jnp.float32), KVCache(new_k, new_v, pos + 1)
+
+
+# ---------------------------------------------------------------------------
+# Forward: append a token chunk to an existing cache (tool-response
+# re-injection, conversation continuation)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
+           n_valid: jnp.ndarray, cache: KVCache,
+           ) -> Tuple[jnp.ndarray, KVCache]:
+    """Append a (bucketed, padded) token chunk after ``cache.length``.
+
+    Runs the chunk as scanned decode steps in one compiled program.
+    Padded steps write at slots past the final length — invisible to
+    later attention (length-masked) and overwritten as real tokens
+    arrive. Returns the logits at the last *valid* token.
+
+    Parity: the reference's tool-response re-injection decodes the tool
+    output through the existing llama.cpp context the same way
+    (src/ai_models/tk_runner_helpers.c:78-126).
+    """
+    start_len = cache.length
+
+    def body(cache, tok):
+        logits, cache = decode_step(params, cfg, tok, cache)
+        return cache, logits
+
+    cache, all_logits = jax.lax.scan(body, cache, tokens.astype(jnp.int32))
+    final = KVCache(cache.k, cache.v,
+                    (start_len + n_valid).astype(jnp.int32))
+    last = all_logits[jnp.maximum(n_valid - 1, 0)]
+    return last, final
+
+
+# ---------------------------------------------------------------------------
+# Convenience: full greedy generation inside one jit (benchmark path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def generate_greedy(params: Dict[str, Any], cfg: LLMConfig,
+                    first_token: jnp.ndarray, cache: KVCache,
+                    n_tokens: int) -> Tuple[jnp.ndarray, KVCache]:
+    """Greedy-decode ``n_tokens`` tokens entirely on device (no host
+    round-trips) — used by the benchmark and by non-interactive batch
+    generation. Interactive/grammar-constrained paths use
+    :func:`decode_step` from the host runner instead."""
+
+    def body(carry, _):
+        token, cache = carry
+        logits, cache = decode_step(params, cfg, token, cache)
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (_, cache), tokens = jax.lax.scan(
+        body, (first_token.astype(jnp.int32), cache), None, length=n_tokens)
+    return tokens, cache
