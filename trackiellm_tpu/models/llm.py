@@ -124,6 +124,48 @@ def quantize_params(params: Dict[str, Any], bits: int = 4,
     return out
 
 
+def init_params_quantized(key: jax.Array, cfg: LLMConfig, bits: int = 4,
+                          group: int = 256,
+                          dtype: jnp.dtype = jnp.bfloat16) -> Dict[str, Any]:
+    """Random-init directly into quantized form, one layer-matrix at a
+    time — peak memory is a single (K, N) f32 matrix instead of the whole
+    bf16 model (a 7B bf16 tree would not fit next to its quantized copy
+    in 16 GB of HBM)."""
+    quantize = quantize_q4 if bits == 4 else quantize_q8
+    d, l, h = cfg.dim, cfg.n_layers, cfg.hidden_dim
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    shapes = {
+        "wq": (d, qd), "wk": (d, kvd), "wv": (d, kvd), "wo": (qd, d),
+        "w_gate": (d, h), "w_up": (d, h), "w_down": (h, d),
+    }
+    layers: Dict[str, Any] = {
+        "attn_norm": jnp.ones((l, d), dtype),
+        "mlp_norm": jnp.ones((l, d), dtype),
+    }
+    build_one = jax.jit(
+        lambda k, kk, nn: quantize(
+            jax.random.normal(k, (kk, nn), jnp.float32) / (kk ** 0.5), group),
+        static_argnums=(1, 2),
+    )
+    for idx, (name, (kk, nn)) in enumerate(shapes.items()):
+        qs = [build_one(jax.random.fold_in(key, idx * 1000 + i), kk, nn)
+              for i in range(l)]
+        layers[name] = QuantizedLinear(
+            values=jnp.stack([q.values for q in qs]),
+            scales=jnp.stack([q.scales for q in qs]),
+        )
+    emb_key = jax.random.fold_in(key, 99991)
+    return {
+        "tok_emb": (jax.random.normal(
+            emb_key, (cfg.vocab_size, d), jnp.float32) * 0.02).astype(dtype),
+        "layers": layers,
+        "out_norm": jnp.ones((d,), dtype),
+        "lm_head": build_one(jax.random.fold_in(key, 99992), d,
+                             cfg.vocab_size),
+    }
+
+
 def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
     """Dense projection for either a plain array or a QuantizedLinear."""
     if isinstance(w, QuantizedLinear):

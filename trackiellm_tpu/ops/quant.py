@@ -306,16 +306,37 @@ def q4_matmul_pallas(
 # Dispatching front-end
 # ---------------------------------------------------------------------------
 
+def _pick_tile(dim: int, preferred: int, align: int = 128) -> int:
+    """Largest multiple of ``align`` that divides ``dim``, capped at
+    ``preferred``; falls back to ``dim`` itself (full-dim blocks are
+    always legal)."""
+    t = min(preferred, dim)
+    t -= t % align
+    while t >= align:
+        if dim % t == 0:
+            return t
+        t -= align
+    return dim
+
+
 def quantized_matmul(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
     """(…, K) @ quantized (K, N) -> (…, N) f32. Dispatches to the Pallas
     kernel on TPU and the XLA oracle elsewhere."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     m = x2.shape[0]
+    g = qw.group_size
     if not _on_tpu() or m > 256:
         out = quantized_matmul_xla(x2, qw)
     elif qw.values.dtype == jnp.int8:
-        out = q8_matmul_pallas(x2, qw.values, qw.scales)
+        tile_n = _pick_tile(qw.n, 512)
+        tile_k = max(_pick_tile(qw.k, 512, align=g), g)
+        out = q8_matmul_pallas(x2, qw.values, qw.scales,
+                               tile_n=tile_n, tile_k=tile_k)
     else:
-        out = q4_matmul_pallas(x2, qw.values, qw.scales)
+        half = qw.k // 2
+        tile_n = _pick_tile(qw.n, 512)
+        tile_k = max(_pick_tile(half, 512, align=g), g)
+        out = q4_matmul_pallas(x2, qw.values, qw.scales,
+                               tile_n=tile_n, tile_k=tile_k)
     return out.reshape(*lead, qw.n)

@@ -1,0 +1,26 @@
+"""Multi-chip scaling: device mesh, sharding rules, sharded train step.
+
+The reference has **no** distributed compute (SURVEY.md section 2.10 —
+no NCCL/MPI/collectives anywhere); its parallelism is host threads and
+CUDA copy streams. This package is where the TPU rebuild goes beyond it:
+the LLM shards over an ICI mesh via `jax.sharding` + jit, with XLA
+inserting the collectives (scaling-book recipe: pick a mesh, annotate
+shardings, let the compiler place psum/all-gather).
+
+Axes: ``dp`` (data parallel over batch), ``fsdp`` (parameter/optimizer
+sharding, also folded into the batch axis), ``tp`` (tensor parallel over
+attention heads / MLP hidden). Pipeline and expert axes do not apply to
+a dense single-tower Mistral (no MoE, depth scanned on one chip); the
+mesh builder still accepts them for forward compatibility.
+"""
+
+from trackiellm_tpu.parallel.mesh import build_mesh  # noqa: F401
+from trackiellm_tpu.parallel.sharding import (  # noqa: F401
+    data_sharding,
+    param_shardings,
+)
+from trackiellm_tpu.parallel.train import (  # noqa: F401
+    init_train_state,
+    lm_forward_batched,
+    make_train_step,
+)

@@ -1,0 +1,65 @@
+"""Sharding rules for the LLM parameter tree.
+
+Megatron-style tensor parallelism over the ``tp`` axis:
+  - wq/wk/wv and w_gate/w_up are column-parallel (output dim sharded) —
+    each tp shard owns whole attention heads / MLP columns;
+  - wo and w_down are row-parallel (input dim sharded) — XLA inserts the
+    psum after the row-parallel matmul automatically;
+  - embeddings and lm_head shard the vocab over tp;
+  - everything additionally shards over ``fsdp`` on a non-tp axis
+    (ZeRO-3 style parameter sharding; XLA all-gathers per layer).
+
+Layout note: per-layer weights are stacked (L, K, N) — axis 0 is the
+scan axis and never sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_shardings(mesh: Mesh) -> Dict[str, Any]:
+    """NamedSharding tree matching models.llm.init_params structure."""
+
+    def ns(*spec) -> NamedSharding:
+        return NamedSharding(mesh, P(*spec))
+
+    return {
+        "tok_emb": ns("tp", "fsdp"),
+        "layers": {
+            "attn_norm": ns(None, None),
+            "wq": ns(None, "fsdp", "tp"),      # column-parallel (heads)
+            "wk": ns(None, "fsdp", "tp"),
+            "wv": ns(None, "fsdp", "tp"),
+            "wo": ns(None, "tp", "fsdp"),      # row-parallel
+            "mlp_norm": ns(None, None),
+            "w_gate": ns(None, "fsdp", "tp"),  # column-parallel
+            "w_up": ns(None, "fsdp", "tp"),
+            "w_down": ns(None, "tp", "fsdp"),  # row-parallel
+        },
+        "out_norm": ns(None),
+        "lm_head": ns("fsdp", "tp"),           # vocab-column-parallel
+    }
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, S) token batches shard over the combined dp+fsdp axis."""
+    return NamedSharding(mesh, P(("dp", "fsdp"), None))
+
+
+def activation_spec() -> P:
+    """Logical spec for (B, S, D) activations: batch over dp+fsdp,
+    features replicated (tp materializes on heads inside attention)."""
+    return P(("dp", "fsdp"), None, None)
+
+
+def heads_spec() -> P:
+    """(B, S, H, D) attention tensors: heads sharded over tp."""
+    return P(("dp", "fsdp"), None, "tp", None)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

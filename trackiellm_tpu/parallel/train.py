@@ -1,0 +1,132 @@
+"""Sharded LM training step (fine-tuning path + multichip dry-run).
+
+The reference ships inference only; this module is the rebuild's
+fine-tuning/adaptation path and the harness for validating the multi-chip
+sharding design. One jitted ``train_step`` carries the full
+forward + backward + AdamW update with GSPMD shardings from
+:mod:`trackiellm_tpu.parallel.sharding`; XLA places the collectives
+(psum for row-parallel matmuls and gradient reduction, all-gathers for
+fsdp parameter shards) on the ICI mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding
+
+from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.parallel import sharding as shd
+
+
+def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
+                       tokens: jnp.ndarray) -> jnp.ndarray:
+    """Batched causal LM forward: (B, S) int32 -> (B, S, V) f32 logits.
+
+    Layer-scanned like the inference path, with explicit sharding
+    constraints on activations and attention heads, and rematerialization
+    per layer (``jax.checkpoint``) to trade FLOPs for HBM during the
+    backward pass.
+    """
+    b, s = tokens.shape
+    freqs = llm_model._rope_freqs(cfg)
+    positions = jnp.arange(s)
+    x = params["tok_emb"][tokens]  # (B, S, D)
+    x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
+
+    @functools.partial(jax.checkpoint, policy=None)
+    def layer_fn(x, layer):
+        h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = llm_model._linear(h, layer["wq"]).reshape(
+            b, s, cfg.n_heads, cfg.head_dim)
+        k = llm_model._linear(h, layer["wk"]).reshape(
+            b, s, cfg.n_kv_heads, cfg.head_dim)
+        v = llm_model._linear(h, layer["wv"]).reshape(
+            b, s, cfg.n_kv_heads, cfg.head_dim)
+        q = jax.lax.with_sharding_constraint(q, shd.heads_spec())
+        q = llm_model.apply_rope(q, positions, freqs)
+        k = llm_model.apply_rope(k, positions, freqs)
+
+        # (B, H, S, D) causal attention; kv heads repeat over the group.
+        rep = cfg.n_heads // cfg.n_kv_heads
+        kh = jnp.repeat(k, rep, axis=2)
+        vh = jnp.repeat(v, rep, axis=2)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                            kh.astype(jnp.float32)) / (cfg.head_dim ** 0.5)
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs,
+                          vh.astype(jnp.float32)).reshape(b, s, -1)
+        x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
+        x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
+
+        h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu(
+            llm_model._linear(h2, layer["w_gate"]).astype(jnp.float32))
+        up = llm_model._linear(h2, layer["w_up"]).astype(jnp.float32)
+        x = x + llm_model._linear((gate * up).astype(x.dtype),
+                                  layer["w_down"])
+        x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
+        return x, None
+
+    x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+    x = llm_model._rms_norm(x, params["out_norm"], cfg.norm_eps)
+    return llm_model._linear(x, params["lm_head"]).astype(jnp.float32)
+
+
+def lm_loss(params, cfg, tokens) -> jnp.ndarray:
+    """Next-token cross-entropy over (B, S) tokens (shifted)."""
+    logits = lm_forward_batched(params, cfg, tokens)  # (B, S, V)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+    return optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=0.01)
+
+
+def init_train_state(key: jax.Array, cfg: llm_model.LLMConfig, mesh: Mesh,
+                     lr: float = 1e-4,
+                     dtype=jnp.float32) -> Tuple[Dict, Any, Any]:
+    """Sharded param + optimizer state init (params materialize directly
+    in their shards via jit out_shardings — no full replica ever exists)."""
+    p_shard = shd.param_shardings(mesh)
+    opt = make_optimizer(lr)
+
+    with mesh:
+        params = jax.jit(
+            functools.partial(llm_model.init_params, cfg=cfg, dtype=dtype),
+            out_shardings=p_shard,
+        )(key)
+        opt_state = jax.jit(
+            opt.init,
+            out_shardings=None,  # derived from params' shardings by XLA
+        )(params)
+    return params, opt_state, opt
+
+
+def make_train_step(cfg: llm_model.LLMConfig, mesh: Mesh,
+                    opt: optax.GradientTransformation):
+    """Build the jitted, fully-sharded train step."""
+    p_shard = shd.param_shardings(mesh)
+    d_shard = shd.data_sharding(mesh)
+
+    def train_step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(lm_loss)(params, cfg, tokens)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        train_step,
+        in_shardings=(p_shard, None, d_shard),
+        out_shardings=(p_shard, None, None),
+        donate_argnums=(0, 1),
+    )
