@@ -1,0 +1,292 @@
+"""Vision pipeline: per-frame orchestration of detection, depth, OCR,
+fusion, attributes, and scene graph.
+
+Parity target: ``tk_vision_pipeline_process_frame`` (reference:
+src/vision/tk_vision_pipeline.c:162-286): analyses gated by a flag
+bitmask (tk_vision_pipeline.h:72-104), OCR auto-triggered when a
+text-bearing label is detected (:216-223), detection+depth distance
+fusion (:253), scene-graph build (:261-271), per-analysis degradation —
+a failed stage logs and clears its valid bit while the frame continues
+(:190-234 + valid_analyses_mask) — and runtime-updatable thresholds
+(tk_vision_pipeline.h:147-152).
+
+TPU design: the device path is three jit programs (detect+NMS,
+depth+fusion+color stats, OCR batch) with static shapes; the pipeline
+object is host-side glue. Model backends are injected callables so the
+pipeline is testable with stub models (the reference's tests do the
+same — NULL model paths, behavioral assertions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from trackiellm_tpu.models.detector import COCO_LABELS
+from trackiellm_tpu.ops.nms import boxes_to_original, decode_and_nms
+from trackiellm_tpu.ops.preprocess import (
+    imagenet_normalize_chw,
+    letterbox_preprocess,
+)
+from trackiellm_tpu.models.depth import relative_to_metric
+from trackiellm_tpu.vision import object_analysis as oa
+from trackiellm_tpu.vision.scene_graph import SceneNode, build_scene_graph
+from trackiellm_tpu.utils.logging import get_logger
+
+log = get_logger("vision.pipeline")
+
+
+class AnalysisFlags(enum.IntFlag):
+    """Parity: TK_VISION_ANALYZE_* bitmask (tk_vision_pipeline.h:72-104)."""
+
+    NONE = 0
+    DETECTION = 1 << 0
+    DEPTH = 1 << 1
+    OCR = 1 << 2
+    ATTRIBUTES = 1 << 3
+    SCENE_GRAPH = 1 << 4
+    NAVIGATION = 1 << 5
+    ALL = DETECTION | DEPTH | OCR | ATTRIBUTES | SCENE_GRAPH | NAVIGATION
+
+
+# Labels that auto-trigger OCR when detected (parity: the "sign"/"text"
+# label trigger, tk_vision_pipeline.c:216-223).
+TEXT_BEARING_LABELS = frozenset(
+    {"stop sign", "book", "tv", "laptop", "cell phone", "clock"})
+
+
+@dataclasses.dataclass
+class VisionConfig:
+    """Runtime-tunable pipeline parameters (defaults mirror
+    cortex_initialize_subsystems, tk_cortex_main.c:780-781)."""
+
+    confidence_threshold: float = 0.5
+    iou_threshold: float = 0.45
+    max_objects: int = 20
+    detector_input: int = 640
+    depth_input: int = 384
+    min_depth_m: float = 0.3
+    max_depth_m: float = 10.0
+    labels: Tuple[str, ...] = COCO_LABELS
+    ocr_crop_hw: Tuple[int, int] = (32, 128)
+
+
+@dataclasses.dataclass
+class DetectedObject:
+    """Parity: tk_vision_object_t (tk_vision_pipeline.h:160-185)."""
+
+    class_id: int
+    label: str
+    confidence: float
+    box: List[float]  # xyxy camera pixels
+    distance_m: Optional[float] = None
+    min_distance_m: Optional[float] = None
+    attributes: List[str] = dataclasses.field(default_factory=list)
+    text: Optional[str] = None  # OCR result if this object triggered it
+
+
+@dataclasses.dataclass
+class VisionResult:
+    """Parity: tk_vision_result_t + valid_analyses_mask
+    (tk_vision_pipeline.h:113-121, 195-214). Ownership is GC'd — no
+    tk_vision_result_destroy needed."""
+
+    frame_id: int
+    objects: List[DetectedObject]
+    depth_map_m: Optional[np.ndarray]
+    scene_graph: Optional[Dict[str, Any]]
+    valid_analyses: AnalysisFlags
+    timings_ms: Dict[str, float]
+
+
+# Injected model backends (real models or test stubs):
+DetectorFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+DepthFn = Callable[[jnp.ndarray], jnp.ndarray]
+OCRFn = Callable[[np.ndarray], List[str]]
+
+
+def _host_resize_gray(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor host resize for OCR crops (crop shapes are
+    dynamic; resizing on host avoids a jit retrace per crop size)."""
+    in_h, in_w = img.shape[:2]
+    ys = np.clip(((np.arange(out_h) + 0.5) * in_h / out_h).astype(int),
+                 0, in_h - 1)
+    xs = np.clip(((np.arange(out_w) + 0.5) * in_w / out_w).astype(int),
+                 0, in_w - 1)
+    return img[ys][:, xs]
+
+
+class VisionPipeline:
+    """Host orchestrator over the jit'd vision programs."""
+
+    def __init__(
+        self,
+        detector_fn: DetectorFn,
+        depth_fn: Optional[DepthFn] = None,
+        ocr_fn: Optional[OCRFn] = None,
+        config: Optional[VisionConfig] = None,
+    ):
+        self.detector_fn = detector_fn
+        self.depth_fn = depth_fn
+        self.ocr_fn = ocr_fn
+        self.config = config or VisionConfig()
+        self._frame_counter = 0
+
+    # Parity: tk_vision_pipeline_update_thresholds
+    # (tk_vision_pipeline.h:147-152).
+    def update_thresholds(self, confidence: Optional[float] = None,
+                          iou: Optional[float] = None,
+                          max_objects: Optional[int] = None) -> None:
+        if confidence is not None:
+            self.config.confidence_threshold = confidence
+        if iou is not None:
+            self.config.iou_threshold = iou
+        if max_objects is not None:
+            self.config.max_objects = max_objects
+
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame_hwc_u8: np.ndarray,
+                      flags: AnalysisFlags = AnalysisFlags.ALL,
+                      ) -> VisionResult:
+        cfg = self.config
+        self._frame_counter += 1
+        valid = AnalysisFlags.NONE
+        timings: Dict[str, float] = {}
+        objects: List[DetectedObject] = []
+        depth_map: Optional[np.ndarray] = None
+        graph = None
+
+        frame = jnp.asarray(frame_hwc_u8)
+
+        # --- detection -------------------------------------------------
+        boxes_np = np.zeros((0, 4), np.float32)
+        if flags & AnalysisFlags.DETECTION and self.detector_fn is not None:
+            t0 = time.perf_counter()
+            try:
+                chw, meta = letterbox_preprocess(
+                    frame, cfg.detector_input, cfg.detector_input)
+                raw_boxes, cls_probs = self.detector_fn(chw)
+                det = decode_and_nms(
+                    raw_boxes, cls_probs,
+                    score_thresh=cfg.confidence_threshold,
+                    iou_thresh=cfg.iou_threshold,
+                    max_out=cfg.max_objects)
+                cam_boxes = boxes_to_original(det.boxes, meta)
+                valid_mask = np.asarray(det.valid)
+                cam_np = np.asarray(cam_boxes)
+                scores_np = np.asarray(det.scores)
+                classes_np = np.asarray(det.classes)
+                for i in range(len(valid_mask)):
+                    if not valid_mask[i]:
+                        continue
+                    cid = int(classes_np[i])
+                    label = (cfg.labels[cid]
+                             if 0 <= cid < len(cfg.labels) else f"class{cid}")
+                    objects.append(DetectedObject(
+                        class_id=cid, label=label,
+                        confidence=float(scores_np[i]),
+                        box=[float(v) for v in cam_np[i]]))
+                boxes_np = cam_np[valid_mask]
+                valid |= AnalysisFlags.DETECTION
+            except Exception as e:  # degradation, not failure
+                log.warning("detection failed on frame %d: %s",
+                            self._frame_counter, e)
+            timings["detection"] = (time.perf_counter() - t0) * 1e3
+
+        # --- depth + fusion ---------------------------------------------
+        if flags & AnalysisFlags.DEPTH and self.depth_fn is not None:
+            t0 = time.perf_counter()
+            try:
+                chw = imagenet_normalize_chw(frame, cfg.depth_input,
+                                             cfg.depth_input)
+                rel = self.depth_fn(chw)
+                metric = relative_to_metric(rel, cfg.min_depth_m,
+                                            cfg.max_depth_m)
+                depth_map = np.asarray(metric)
+                valid |= AnalysisFlags.DEPTH
+                if objects:
+                    h, w = frame_hwc_u8.shape[:2]
+                    dh, dw = depth_map.shape
+                    scale = np.array([dw / w, dh / h, dw / w, dh / h],
+                                     np.float32)
+                    dboxes = jnp.asarray(
+                        np.stack([np.asarray(o.box) for o in objects])
+                        * scale)
+                    ok = jnp.ones((len(objects),), bool)
+                    stats = np.asarray(
+                        oa.fuse_boxes_with_depth(dboxes, ok, metric))
+                    for i, obj in enumerate(objects):
+                        obj.distance_m = float(stats[i, 0])
+                        obj.min_distance_m = float(stats[i, 1])
+            except Exception as e:
+                log.warning("depth failed on frame %d: %s",
+                            self._frame_counter, e)
+            timings["depth"] = (time.perf_counter() - t0) * 1e3
+
+        # --- attributes ---------------------------------------------------
+        if flags & AnalysisFlags.ATTRIBUTES and objects:
+            t0 = time.perf_counter()
+            try:
+                img01 = frame.astype(jnp.float32) / 255.0
+                bx = jnp.asarray(np.stack([np.asarray(o.box)
+                                           for o in objects]))
+                ok = jnp.ones((len(objects),), bool)
+                rgb = np.asarray(oa.box_color_stats(img01, bx, ok))
+                tags = oa.attributes_for(rgb, np.ones(len(objects), bool))
+                for obj, t in zip(objects, tags):
+                    obj.attributes = t
+                valid |= AnalysisFlags.ATTRIBUTES
+            except Exception as e:
+                log.warning("attributes failed on frame %d: %s",
+                            self._frame_counter, e)
+            timings["attributes"] = (time.perf_counter() - t0) * 1e3
+
+        # --- OCR (explicit or auto-triggered) ----------------------------
+        want_ocr = bool(flags & AnalysisFlags.OCR)
+        auto = [o for o in objects if o.label in TEXT_BEARING_LABELS]
+        if self.ocr_fn is not None and (want_ocr and auto):
+            t0 = time.perf_counter()
+            try:
+                gray = frame_hwc_u8.astype(np.float32).mean(-1) / 255.0
+                crops = []
+                for o in auto:
+                    x1, y1, x2, y2 = [int(max(v, 0)) for v in o.box]
+                    crop = gray[y1:max(y2, y1 + 2), x1:max(x2, x1 + 2)]
+                    crops.append(_host_resize_gray(crop, *cfg.ocr_crop_hw))
+                texts = self.ocr_fn(np.stack(crops))
+                for o, t in zip(auto, texts):
+                    o.text = t
+                valid |= AnalysisFlags.OCR
+            except Exception as e:
+                log.warning("ocr failed on frame %d: %s",
+                            self._frame_counter, e)
+            timings["ocr"] = (time.perf_counter() - t0) * 1e3
+
+        # --- scene graph ---------------------------------------------------
+        if flags & AnalysisFlags.SCENE_GRAPH and objects:
+            t0 = time.perf_counter()
+            try:
+                nodes = [SceneNode(i, o.label, o.box, o.distance_m,
+                                   o.attributes)
+                         for i, o in enumerate(objects)]
+                graph = build_scene_graph(nodes)
+                valid |= AnalysisFlags.SCENE_GRAPH
+            except Exception as e:
+                log.warning("scene graph failed on frame %d: %s",
+                            self._frame_counter, e)
+            timings["scene_graph"] = (time.perf_counter() - t0) * 1e3
+
+        return VisionResult(
+            frame_id=self._frame_counter,
+            objects=objects,
+            depth_map_m=depth_map,
+            scene_graph=graph,
+            valid_analyses=valid,
+            timings_ms=timings,
+        )
