@@ -1,0 +1,295 @@
+"""Streaming audio pipeline: wake word -> VAD -> ASR -> TTS state machine
+with a priority-interrupting speech queue.
+
+Parity target: the reference's audio pipeline (reference:
+src/audio/tk_audio_pipeline.c):
+  - state machine AWAITING_WAKE_WORD -> LISTENING_FOR_COMMAND ->
+    TRANSCRIBING -> SYNTHESIZING (tk_audio_pipeline.h:61-67),
+  - passive listening = wake word + ambient sound classifier (:481),
+  - VAD gating with end-of-speech on 500 ms silence @ 0.8 prob
+    (:611, tk_cortex_main.c:881-882),
+  - ASR on end-of-speech (:660),
+  - priority TTS queue where higher-priority speech interrupts lower
+    (:837-1008), and direct `say` (:1027),
+  - dedicated worker thread (:550).
+
+TPU design: the state machine and buffers are host-side (control flow is
+irregular); every model call (VAD step, ASR, sound class, TTS) is a
+jitted device program behind an injected callable. A background worker
+thread drains the TTS queue so synthesis overlaps listening.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import heapq
+import itertools
+import threading
+import time
+from typing import Any, Callable, List, Optional
+
+import numpy as np
+
+from trackiellm_tpu.utils.logging import get_logger
+
+log = get_logger("audio.pipeline")
+
+
+class AudioState(enum.Enum):
+    """Parity: tk_audio_pipeline.h:61-67."""
+
+    AWAITING_WAKE_WORD = "awaiting_wake_word"
+    LISTENING_FOR_COMMAND = "listening_for_command"
+    TRANSCRIBING = "transcribing"
+    SYNTHESIZING = "synthesizing"
+
+
+class TTSPriority(enum.IntEnum):
+    """Parity: the decision-engine priority enum reused by the audio
+    pipeline (tk_audio_pipeline.h:39)."""
+
+    LOW = 0
+    NORMAL = 1
+    HIGH = 2
+    CRITICAL = 3
+
+
+@dataclasses.dataclass
+class AudioPipelineConfig:
+    sample_rate: int = 16_000
+    chunk_ms: int = 100                      # tk_cortex_main.c:875
+    vad_threshold: float = 0.8               # tk_cortex_main.c:882
+    end_of_speech_silence_ms: int = 500      # tk_cortex_main.c:881
+    max_command_seconds: float = 15.0
+    pre_roll_chunks: int = 3                 # keep audio just before VAD
+    passive_sound_window_s: float = 1.0
+    wake_word_enabled: bool = True
+
+
+@dataclasses.dataclass(order=True)
+class _QueuedSpeech:
+    sort_key: tuple
+    text: str = dataclasses.field(compare=False)
+    priority: TTSPriority = dataclasses.field(compare=False)
+    seq: int = dataclasses.field(compare=False, default=0)
+
+
+class AudioPipeline:
+    """Host state machine over injected model callables.
+
+    Callables (any may be None to disable that stage):
+      vad_fn(chunk f32[N]) -> speech probability float
+      asr_fn(audio f32[T]) -> transcript str
+      tts_fn(text str) -> waveform f32[T]
+      wake_fn(chunk) -> bool
+      sound_fn(window f32[T]) -> class name str or None
+    Callbacks: on_wake(), on_speech_start(), on_speech_end(),
+      on_transcription(text), on_sound(name), on_tts_audio(wav, priority),
+      on_state_change(old, new).
+    """
+
+    def __init__(self, config: Optional[AudioPipelineConfig] = None,
+                 vad_fn: Optional[Callable] = None,
+                 asr_fn: Optional[Callable] = None,
+                 tts_fn: Optional[Callable] = None,
+                 wake_fn: Optional[Callable] = None,
+                 sound_fn: Optional[Callable] = None,
+                 **callbacks: Callable):
+        self.config = config or AudioPipelineConfig()
+        self.vad_fn = vad_fn
+        self.asr_fn = asr_fn
+        self.tts_fn = tts_fn
+        self.wake_fn = wake_fn
+        self.sound_fn = sound_fn
+        self._cb = callbacks
+
+        self.state = (AudioState.AWAITING_WAKE_WORD
+                      if self.config.wake_word_enabled and wake_fn
+                      else AudioState.LISTENING_FOR_COMMAND)
+        self._speech_buf: List[np.ndarray] = []
+        self._pre_roll: List[np.ndarray] = []
+        self._silence_ms = 0.0
+        self._in_speech = False
+        self._passive_buf: List[np.ndarray] = []
+
+        # Priority TTS queue + worker thread.
+        self._queue: List[_QueuedSpeech] = []
+        self._queue_lock = threading.Condition()
+        self._seq = itertools.count()
+        self._interrupt = threading.Event()
+        self._current_priority: Optional[TTSPriority] = None
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._tts_worker,
+                                        daemon=True, name="tts-worker")
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def _emit(self, name: str, *args) -> None:
+        cb = self._cb.get(name)
+        if cb:
+            try:
+                cb(*args)
+            except Exception as e:  # callbacks must not kill the pipeline
+                log.warning("callback %s raised: %s", name, e)
+
+    def _set_state(self, new: AudioState) -> None:
+        if new is not self.state:
+            old, self.state = self.state, new
+            self._emit("on_state_change", old, new)
+
+    # ------------------------------------------------------------------
+    # Capture path (parity: tk_audio_pipeline_process_chunk)
+    # ------------------------------------------------------------------
+
+    def process_chunk(self, chunk: np.ndarray) -> None:
+        """Feed one mono f32 chunk at the configured sample rate."""
+        chunk = np.asarray(chunk, np.float32)
+
+        if self.state is AudioState.AWAITING_WAKE_WORD:
+            self._passive_listen(chunk)
+            return
+        if self.state is AudioState.LISTENING_FOR_COMMAND:
+            self._active_listen(chunk)
+            return
+        # TRANSCRIBING / SYNTHESIZING: drop mic input (reference behavior:
+        # the pipeline is busy; callers may still queue TTS).
+
+    def _passive_listen(self, chunk: np.ndarray) -> None:
+        if self.wake_fn and self.wake_fn(chunk):
+            log.info("wake word detected")
+            self._emit("on_wake")
+            self._reset_listening()
+            self._set_state(AudioState.LISTENING_FOR_COMMAND)
+            return
+        if self.sound_fn:
+            self._passive_buf.append(chunk)
+            total = sum(len(c) for c in self._passive_buf)
+            window = int(self.config.passive_sound_window_s
+                         * self.config.sample_rate)
+            if total >= window:
+                audio = np.concatenate(self._passive_buf)[-window:]
+                self._passive_buf = []
+                name = self.sound_fn(audio)
+                if name:
+                    self._emit("on_sound", name)
+
+    def _active_listen(self, chunk: np.ndarray) -> None:
+        cfg = self.config
+        chunk_ms = 1000.0 * len(chunk) / cfg.sample_rate
+        prob = self.vad_fn(chunk) if self.vad_fn else 1.0
+
+        if prob >= cfg.vad_threshold:
+            if not self._in_speech:
+                self._in_speech = True
+                self._speech_buf = list(self._pre_roll)
+                self._emit("on_speech_start")
+            self._speech_buf.append(chunk)
+            self._silence_ms = 0.0
+        else:
+            if self._in_speech:
+                self._speech_buf.append(chunk)
+                self._silence_ms += chunk_ms
+                if self._silence_ms >= cfg.end_of_speech_silence_ms:
+                    self._finish_utterance()
+                    return
+            else:
+                self._pre_roll.append(chunk)
+                self._pre_roll = self._pre_roll[-cfg.pre_roll_chunks:]
+
+        max_len = cfg.max_command_seconds * cfg.sample_rate
+        if (self._in_speech
+                and sum(len(c) for c in self._speech_buf) >= max_len):
+            self._finish_utterance()
+
+    def _finish_utterance(self) -> None:
+        self._emit("on_speech_end")
+        audio = (np.concatenate(self._speech_buf)
+                 if self._speech_buf else np.zeros(0, np.float32))
+        self._reset_listening()
+        if self.asr_fn is None or len(audio) == 0:
+            self._set_state(self._idle_state())
+            return
+        self._set_state(AudioState.TRANSCRIBING)
+        try:
+            text = self.asr_fn(audio)
+        except Exception as e:
+            log.warning("ASR failed: %s", e)
+            text = ""
+        self._set_state(self._idle_state())
+        if text:
+            self._emit("on_transcription", text)
+
+    def _reset_listening(self) -> None:
+        self._speech_buf = []
+        self._pre_roll = []
+        self._silence_ms = 0.0
+        self._in_speech = False
+
+    def _idle_state(self) -> AudioState:
+        return (AudioState.AWAITING_WAKE_WORD
+                if self.config.wake_word_enabled and self.wake_fn
+                else AudioState.LISTENING_FOR_COMMAND)
+
+    # ------------------------------------------------------------------
+    # TTS path (parity: priority queue w/ interruption + _say)
+    # ------------------------------------------------------------------
+
+    def say(self, text: str, priority: TTSPriority = TTSPriority.NORMAL,
+            ) -> None:
+        """Queue speech. CRITICAL/HIGH interrupts lower-priority speech
+        currently synthesizing (parity: tk_audio_pipeline.c:837-1008)."""
+        with self._queue_lock:
+            seq = next(self._seq)
+            heapq.heappush(self._queue,
+                           _QueuedSpeech((-int(priority), seq), text,
+                                         priority, seq))
+            if (self._current_priority is not None
+                    and priority > self._current_priority):
+                self._interrupt.set()
+            self._queue_lock.notify()
+
+    def clear_speech_queue(self) -> None:
+        with self._queue_lock:
+            self._queue.clear()
+            self._interrupt.set()
+
+    def _tts_worker(self) -> None:
+        while not self._stop.is_set():
+            with self._queue_lock:
+                while not self._queue and not self._stop.is_set():
+                    self._queue_lock.wait(timeout=0.1)
+                if self._stop.is_set():
+                    return
+                item = heapq.heappop(self._queue)
+                self._current_priority = item.priority
+            self._interrupt.clear()
+            try:
+                if self.tts_fn is not None:
+                    wav = self.tts_fn(item.text)
+                    if not self._interrupt.is_set():
+                        self._emit("on_tts_audio", wav, item.priority)
+                    else:
+                        log.info("speech %r interrupted by higher priority",
+                                 item.text[:32])
+            except Exception as e:
+                log.warning("TTS failed for %r: %s", item.text[:32], e)
+            finally:
+                with self._queue_lock:
+                    self._current_priority = None
+
+    def wait_idle(self, timeout: float = 5.0) -> bool:
+        """Block until the speech queue drains (test helper)."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._queue_lock:
+                if not self._queue and self._current_priority is None:
+                    return True
+            time.sleep(0.01)
+        return False
+
+    def close(self) -> None:
+        self._stop.set()
+        with self._queue_lock:
+            self._queue_lock.notify_all()
+        self._worker.join(timeout=2.0)
