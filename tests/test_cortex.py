@@ -1,0 +1,376 @@
+"""Cortex tests: contextual reasoner priority ordering, decision engine,
+world model safety rules, memory manager, and the full event loop.
+
+The centerpiece reproduces the reference's tk_cortex_full_test
+(tests/tk_cortex_full_test.c:20-72): build a cortex with NO models, drive
+the reasoner directly, and assert on the *prompt string* — fire alarm +
+step-down hazard injected -> the generated context must contain
+"URGENTE", the alarm, the step cue, and the user query, with urgency
+ordered before the query.
+"""
+
+import time
+
+import pytest
+
+from trackiellm_tpu.cortex import (
+    ContextualReasoner,
+    Cortex,
+    CortexConfig,
+    CortexState,
+    DecisionEngine,
+    MemoryManager,
+    WorldModel,
+)
+from trackiellm_tpu.cortex.decision import (
+    Action,
+    ActionPriority,
+    ActionState,
+    parse_llm_response,
+)
+from trackiellm_tpu.cortex.reasoner import ContextPriority, ReasonerConfig
+from trackiellm_tpu.cortex import world_model as wm
+
+
+class FakeObj:
+    def __init__(self, label, box, distance_m=None, attributes=()):
+        self.label = label
+        self.box = box
+        self.distance_m = distance_m
+        self.attributes = list(attributes)
+
+
+class TestReasonerPriorityOrdering:
+    """The reference's flagship behavioral test, reproduced."""
+
+    def test_urgent_before_query_full_scenario(self):
+        r = ContextualReasoner()
+        # Inject: fire alarm (urgent sound), step-down hazard (urgent
+        # navigation), some normal vision context, and a user query.
+        r.update_ambient_sound("alarme de incêndio", urgent=True)
+        r.update_navigation_context(
+            ["degrau descendo à frente"], clear_path_deg=10.0)
+        r.update_vision_context(
+            [FakeObj("cup", [0, 0, 10, 10], 1.2, ["color:red"])])
+        r.add_conversation_turn("user", "onde está minha xícara?")
+
+        prompt = r.generate_context_string(
+            user_query="onde está minha xícara?")
+
+        assert "URGENTE" in prompt
+        assert "alarme de incêndio" in prompt
+        assert "degrau" in prompt
+        assert "onde está minha xícara?" in prompt
+        # Ordering: every URGENTE line precedes the user query line.
+        q_pos = prompt.rindex("Pergunta do usuário")
+        for line in prompt.splitlines():
+            if line.startswith("[URGENTE]"):
+                assert prompt.index(line) < q_pos
+        # Vision context present and after urgent lines.
+        assert "cup" in prompt
+        assert prompt.index("[URGENTE]") < prompt.index("cup")
+
+    def test_token_budget_drops_low_priority_first(self):
+        r = ContextualReasoner(ReasonerConfig(token_budget=24))
+        r.add_context_item("informação de fundo pouco importante " * 3,
+                           ContextPriority.LOW)
+        r.update_ambient_sound("sirene", urgent=True)
+        prompt = r.generate_context_string(user_query="oi")
+        assert "URGENTE" in prompt
+        assert "fundo" not in prompt  # low-priority didn't fit
+        assert "Pergunta do usuário: oi" in prompt
+
+    def test_decay_drops_items(self):
+        r = ContextualReasoner(ReasonerConfig(relevance_decay=0.5,
+                                              min_relevance=0.3))
+        r.add_context_item("efêmero", ContextPriority.NORMAL)
+        r.update_ambient_sound("alarme", urgent=True)
+        for _ in range(3):
+            r.decay_tick()
+        prompt = r.generate_context_string()
+        assert "efêmero" not in prompt
+        assert "alarme" in prompt  # URGENT items do not decay
+
+    def test_turn_cap(self):
+        r = ContextualReasoner(ReasonerConfig(max_conversation_turns=3))
+        for i in range(10):
+            r.add_conversation_turn("user", f"msg{i}")
+        assert r.get_summary()["turns"] == 3
+        prompt = r.generate_context_string()
+        assert "msg9" in prompt and "msg0" not in prompt
+
+    def test_vision_context_replaced_not_accumulated(self):
+        r = ContextualReasoner()
+        r.update_vision_context([FakeObj("cat", [0, 0, 1, 1], 2.0)])
+        r.update_vision_context([FakeObj("dog", [0, 0, 1, 1], 1.0)])
+        prompt = r.generate_context_string()
+        assert "dog" in prompt and "cat" not in prompt
+
+
+class TestDecisionEngine:
+    def test_parse_text_response(self):
+        resp = parse_llm_response("A xícara está na mesa.")
+        assert not resp.is_tool_call
+        assert resp.text == "A xícara está na mesa."
+
+    def test_parse_tool_call(self):
+        resp = parse_llm_response(
+            '{"tool_call":{"name":"recall_memory",'
+            '"arguments":{"query":"xícara"}}}')
+        assert resp.is_tool_call
+        assert resp.tool_name == "recall_memory"
+        assert resp.tool_arguments == {"query": "xícara"}
+
+    def test_parse_tool_call_with_surrounding_prose(self):
+        resp = parse_llm_response(
+            'Sure! {"tool_call":{"name":"go","arguments":{}}} done')
+        assert resp.is_tool_call and resp.tool_name == "go"
+
+    def test_priority_queue_order(self):
+        d = DecisionEngine()
+        seen = []
+        d.register_tool("t", lambda a: seen.append(a["i"]))
+        d.enqueue(Action("t", {"i": 1}, ActionPriority.LOW))
+        d.enqueue(Action("t", {"i": 2}, ActionPriority.CRITICAL))
+        d.enqueue(Action("t", {"i": 3}, ActionPriority.NORMAL))
+        d.process_actions()
+        assert seen == [2, 3, 1]
+
+    def test_unknown_tool_fails_gracefully(self):
+        d = DecisionEngine()
+        d.enqueue(Action("nope", {}))
+        done = d.process_actions()
+        assert done[0].state is ActionState.FAILED
+
+    def test_speak_on_text_response(self):
+        spoken = []
+        d = DecisionEngine(speak_fn=lambda t, p: spoken.append((t, p)))
+        d.process_llm_response("olá!")
+        assert spoken == [("olá!", int(ActionPriority.NORMAL))]
+
+    def test_emergency_stop_cancels_and_blocks(self):
+        d = DecisionEngine()
+        d.register_tool("t", lambda a: "ok")
+        d.enqueue(Action("t", {}))
+        n = d.emergency_stop()
+        assert n == 1 and d.in_emergency
+        d.enqueue(Action("t", {}, ActionPriority.NORMAL))
+        assert d.pending_count == 0  # blocked
+        d.enqueue(Action("t", {}, ActionPriority.CRITICAL))
+        assert d.pending_count == 1  # critical passes
+        d.clear_emergency()
+
+
+class TestWorldModel:
+    def test_track_association_and_new_ids(self):
+        clock = [0.0]
+        w = WorldModel(clock=lambda: clock[0])
+        t1 = w.update_from_detections(
+            [FakeObj("person", [100, 100, 140, 200], 3.0)])
+        assert t1[0].track_id == 1
+        # Same person moved slightly -> same track.
+        t2 = w.update_from_detections(
+            [FakeObj("person", [110, 105, 150, 205], 2.5)])
+        assert t2[0].track_id == 1 and t2[0].hits == 2
+        # A far-away person -> new track.
+        t3 = w.update_from_detections(
+            [FakeObj("person", [500, 100, 540, 200], 4.0)])
+        assert t3[0].track_id == 2
+
+    def test_person_alert_with_cooldown(self):
+        clock = [0.0]
+        w = WorldModel(clock=lambda: clock[0])
+        w.update_from_detections([FakeObj("person", [0, 0, 10, 10], 0.8)])
+        alerts = w.run_safety_rules()
+        assert len(alerts) == 1 and "pessoa" in alerts[0]
+        assert "URGENTE" in alerts[0]
+        # Within the 10 s cooldown -> silent.
+        clock[0] = 5.0
+        w.update_from_detections([FakeObj("person", [0, 0, 10, 10], 0.7)])
+        assert w.run_safety_rules() == []
+        # After cooldown -> fires again.
+        clock[0] = 11.0
+        w.update_from_detections([FakeObj("person", [0, 0, 10, 10], 0.6)])
+        assert len(w.run_safety_rules()) == 1
+
+    def test_obstacle_alert_distance_gate(self):
+        clock = [0.0]
+        w = WorldModel(clock=lambda: clock[0])
+        w.update_from_detections([FakeObj("chair", [0, 0, 10, 10], 2.5)])
+        assert w.run_safety_rules() == []  # beyond 2.0 m
+        clock[0] = 1.0
+        w.update_from_detections([FakeObj("chair", [0, 0, 10, 10], 1.5)])
+        alerts = w.run_safety_rules()
+        assert len(alerts) == 1 and "chair" in alerts[0]
+
+    def test_track_expiry(self):
+        clock = [0.0]
+        w = WorldModel(clock=lambda: clock[0])
+        w.update_from_detections([FakeObj("cat", [0, 0, 10, 10], 3.0)])
+        clock[0] = wm.TRACK_EXPIRY_S + 1
+        w.update_from_detections([])
+        assert w.tracks == []
+
+
+class TestMemoryManager:
+    def test_archive_and_retrieve(self):
+        m = MemoryManager()
+        m.archive("as chaves estão na gaveta da cozinha")
+        m.archive("o ônibus passa às oito horas")
+        hits = m.retrieve_relevant("onde estão as chaves?")
+        assert len(hits) >= 1
+        assert "gaveta" in hits[0].text
+
+    def test_facts_and_places(self):
+        m = MemoryManager()
+        m.set_fact("nome", "João")
+        m.add_place("casa", "rua das flores 12")
+        assert m.get_fact("nome") == "João"
+        assert m.get_place("casa") == "rua das flores 12"
+
+    def test_persistence_roundtrip(self, tmp_path):
+        p = str(tmp_path / "memory.json")
+        m = MemoryManager(store_path=p)
+        m.archive("lembrete importante")
+        m.set_fact("k", "v")
+        m.save()
+        m2 = MemoryManager(store_path=p)
+        assert m2.get_fact("k") == "v"
+        assert m2.retrieve_relevant("lembrete")[0].text == "lembrete importante"
+
+
+class StubLLM:
+    """Minimal LLMRunner-compatible stub: returns canned responses."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.tool_responses = []
+        self.prompts = []
+
+    def build_prompt(self, system, context, user, tools=()):
+        self.prompts.append((system, context, user))
+        return f"{system}\n{context}\n{user}"
+
+    def generate(self, prompt, tools=(), force_tool_call=False,
+                 on_token=None):
+        return self.responses.pop(0) if self.responses else ""
+
+    def add_tool_response(self, name, result):
+        self.tool_responses.append((name, result))
+
+
+class TestCortexEventLoop:
+    def _drain(self, cortex, timeout=2.0):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if cortex._events.empty():
+                return True
+            time.sleep(0.01)
+        return False
+
+    def test_lifecycle(self):
+        c = Cortex()
+        assert c.state is CortexState.IDLE
+        c.run()
+        time.sleep(0.05)
+        c.stop()
+        assert c.state is CortexState.SHUTDOWN
+
+    def test_user_speech_drives_llm_and_response(self):
+        responses = []
+        llm = StubLLM(["A xícara vermelha está na mesa."])
+        c = Cortex(llm_runner=llm, on_response=responses.append)
+        c.run()
+        c.inject_user_text("onde está minha xícara?")
+        c.stop(timeout=3.0)
+        assert responses == ["A xícara vermelha está na mesa."]
+        # Context string contained the user query.
+        assert any("xícara" in p[2] for p in llm.prompts)
+
+    def test_tool_call_round_trip(self):
+        responses = []
+        llm = StubLLM([
+            '{"tool_call":{"name":"set_fact",'
+            '"arguments":{"key":"nome","value":"Ana"}}}',
+            "Certo, vou lembrar que seu nome é Ana.",
+        ])
+        c = Cortex(llm_runner=llm, on_response=responses.append)
+        c.run()
+        c.inject_user_text("meu nome é Ana")
+        c.stop(timeout=3.0)
+        assert c.memory.get_fact("nome") == "Ana"
+        assert llm.tool_responses and llm.tool_responses[0][0] == "set_fact"
+        assert responses[-1] == "Certo, vou lembrar que seu nome é Ana."
+
+    def test_vision_event_updates_context_and_alerts(self):
+        spoken = []
+
+        class StubVision:
+            def process_frame(self, frame):
+                from trackiellm_tpu.vision.pipeline import (
+                    AnalysisFlags, VisionResult)
+                return VisionResult(
+                    frame_id=1,
+                    objects=[FakeObj("person", [0, 0, 50, 100], 0.5)],
+                    depth_map_m=None, scene_graph=None,
+                    valid_analyses=AnalysisFlags.DETECTION,
+                    timings_ms={})
+
+        class StubAudio:
+            def say(self, text, priority):
+                spoken.append((text, priority))
+
+            def clear_speech_queue(self):
+                pass
+
+            def process_chunk(self, chunk):
+                pass
+
+        c = Cortex(vision_pipeline=StubVision(), audio_pipeline=StubAudio())
+        c.run()
+        c.inject_video_frame(object())
+        time.sleep(0.3)
+        c.stop()
+        assert any("URGENTE" in t and "pessoa" in t for t, _ in spoken)
+        prompt = c.reasoner.generate_context_string()
+        assert "person" in prompt
+
+    def test_ambient_alarm_is_urgent(self):
+        spoken = []
+
+        class StubAudio:
+            def say(self, text, priority):
+                spoken.append((text, priority))
+
+            def clear_speech_queue(self):
+                pass
+
+            def process_chunk(self, chunk):
+                pass
+
+        c = Cortex(audio_pipeline=StubAudio())
+        c.run()
+        c.inject_ambient_sound("ALARM")
+        time.sleep(0.2)
+        c.stop()
+        assert any("URGENTE" in t for t, _ in spoken)
+        assert "URGENTE" in c.reasoner.generate_context_string()
+
+    def test_emergency_stop_cancels_actions(self):
+        c = Cortex()
+        c.decisions.register_tool("slow", lambda a: "done")
+        from trackiellm_tpu.cortex.decision import Action
+        c.decisions.enqueue(Action("slow", {}))
+        c.run()
+        c.emergency_stop()
+        time.sleep(0.2)
+        c.stop()
+        assert c.decisions.in_emergency
+
+    def test_perf_counters_advance(self):
+        c = Cortex(config=CortexConfig(main_loop_hz=100.0))
+        c.run()
+        time.sleep(0.3)
+        c.stop()
+        assert c.stats["iterations"] > 5
+        assert c.stats["loop_ema_ms"] >= 0.0

@@ -1,0 +1,432 @@
+"""Cortex main loop: lifecycle-managed reasoning engine.
+
+Parity target: ``tk_cortex_main`` (reference: src/cortex/tk_cortex_main.c):
+  - state machine UNINITIALIZED -> IDLE -> LISTENING -> PROCESSING ->
+    RESPONDING (+ FATAL_ERROR / SHUTDOWN) (tk_cortex_main.h:51-60),
+  - dedicated event-loop thread with a bounded (128-slot) event queue
+    (:231-280, :957),
+  - video ring buffer depth 4 (:542) with deep-copied latest-frame
+    processing (:1149-1176),
+  - audio chunks forwarded straight to the audio pipeline (:660-666),
+  - 10 Hz timer tick driving decision-queue processing + navigation
+    analysis + context decay (:1116-1126, :1246),
+  - LLM inference on final user speech with a 2048-token context budget
+    (:1323-1335), decision-engine execution of the response (:1363-1374),
+  - emergency-stop flag checked every iteration (:963-970),
+  - perf counters: EMA loop time + last vision/LLM latency, logged every
+    100 iterations (:369-375, 1388-1411).
+
+TPU design: the loop is a host thread (control flow); every heavy stage
+it calls (vision pipeline, audio models, LLM) is a jitted device program
+owned by the injected subsystem objects.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import enum
+import queue
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+from trackiellm_tpu.cortex.decision import (
+    ActionPriority,
+    DecisionEngine,
+)
+from trackiellm_tpu.cortex.memory import MemoryManager
+from trackiellm_tpu.cortex.reasoner import ContextPriority, ContextualReasoner
+from trackiellm_tpu.cortex.world_model import WorldModel
+from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
+from trackiellm_tpu.utils.logging import get_logger
+
+log = get_logger("cortex")
+
+
+class CortexState(enum.Enum):
+    """Parity: tk_cortex_state_t (tk_cortex_main.h:51-60)."""
+
+    UNINITIALIZED = "uninitialized"
+    IDLE = "idle"
+    LISTENING = "listening"
+    PROCESSING = "processing"
+    RESPONDING = "responding"
+    FATAL_ERROR = "fatal_error"
+    SHUTDOWN = "shutdown"
+
+
+class EventType(enum.Enum):
+    NEW_VIDEO_FRAME = "new_video_frame"
+    USER_SPEECH_FINAL = "user_speech_final"
+    SIGNIFICANT_VISION_CHANGE = "significant_vision_change"
+    AMBIENT_SOUND = "ambient_sound"
+    SYSTEM_TIMER = "system_timer"
+    EMERGENCY = "emergency"
+    STOP = "stop"
+
+
+@dataclasses.dataclass
+class CortexEvent:
+    type: EventType
+    payload: Any = None
+
+
+@dataclasses.dataclass
+class CortexConfig:
+    """Defaults mirror tk_cortex_main.c / cortex_worker.rs."""
+
+    main_loop_hz: float = 10.0        # cortex_worker.rs:131
+    event_queue_depth: int = 128      # tk_cortex_main.c:231
+    video_buffer_depth: int = 4       # tk_cortex_main.c:542
+    llm_token_budget: int = 2048      # tk_cortex_main.c:1334
+    system_prompt: str = (
+        "Você é o Trackie, um assistente para pessoas com deficiência "
+        "visual. Responda de forma curta, clara e útil.")
+
+
+class Cortex:
+    """The reasoning engine. Subsystems are injected (any may be None —
+    the reference's tests build a cortex with NULL model paths and drive
+    the reasoner directly; the same works here)."""
+
+    def __init__(
+        self,
+        config: Optional[CortexConfig] = None,
+        vision_pipeline=None,       # .process_frame(frame) -> VisionResult
+        audio_pipeline=None,        # .process_chunk / .say
+        navigation_engine=None,     # .update(depth) / .hazards()
+        sensor_fusion=None,         # .get_world_state()
+        llm_runner=None,            # trackiellm_tpu.llm.runner.LLMRunner
+        reasoner: Optional[ContextualReasoner] = None,
+        decision_engine: Optional[DecisionEngine] = None,
+        world_model: Optional[WorldModel] = None,
+        memory: Optional[MemoryManager] = None,
+        on_response: Optional[Callable[[str], None]] = None,
+        on_state_change: Optional[Callable] = None,
+    ):
+        self.config = config or CortexConfig()
+        self.vision = vision_pipeline
+        self.audio = audio_pipeline
+        self.navigation = navigation_engine
+        self.sensors = sensor_fusion
+        self.llm = llm_runner
+        self.reasoner = reasoner or ContextualReasoner()
+        self.decisions = decision_engine or DecisionEngine(
+            speak_fn=self._speak)
+        self.world = world_model or WorldModel()
+        self.memory = memory or MemoryManager()
+        self._on_response = on_response
+        self._on_state_change = on_state_change
+
+        self.state = CortexState.UNINITIALIZED
+        self._events: "queue.Queue[CortexEvent]" = queue.Queue(
+            maxsize=self.config.event_queue_depth)
+        self._frames = collections.deque(
+            maxlen=self.config.video_buffer_depth)
+        self._frame_lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        self._stop_flag = threading.Event()
+        self._emergency_flag = threading.Event()
+        self._known_labels: set = set()
+
+        # Perf counters (parity: tk_cortex_main.c:369-375).
+        self.stats: Dict[str, float] = {
+            "loop_ema_ms": 0.0, "last_vision_ms": 0.0, "last_llm_ms": 0.0,
+            "iterations": 0,
+        }
+        self._register_default_tools()
+        self.state = CortexState.IDLE
+
+    # ------------------------------------------------------------------
+    # Lifecycle (parity: tk_cortex_create/run/stop)
+    # ------------------------------------------------------------------
+
+    def run(self, block: bool = False) -> None:
+        if self._thread is not None:
+            raise TrackieError(ErrorCode.INVALID_STATE, "cortex already running")
+        self._stop_flag.clear()
+        self._thread = threading.Thread(target=self._main_loop,
+                                        name="cortex-loop", daemon=True)
+        self._thread.start()
+        if block:
+            self._thread.join()
+
+    def stop(self, timeout: float = 5.0) -> None:
+        self._stop_flag.set()
+        self._enqueue(CortexEvent(EventType.STOP), drop_ok=True)
+        if self._thread:
+            self._thread.join(timeout=timeout)
+            self._thread = None
+        self._set_state(CortexState.SHUTDOWN)
+
+    def _set_state(self, new: CortexState) -> None:
+        if new is not self.state:
+            old, self.state = self.state, new
+            if self._on_state_change:
+                try:
+                    self._on_state_change(old, new)
+                except Exception:
+                    pass
+
+    # ------------------------------------------------------------------
+    # Injection API (parity: tk_cortex_inject_*)
+    # ------------------------------------------------------------------
+
+    def _enqueue(self, event: CortexEvent, drop_ok: bool = False) -> bool:
+        try:
+            self._events.put_nowait(event)
+            return True
+        except queue.Full:
+            if not drop_ok:
+                log.warning("event queue full; dropping %s", event.type)
+            return False
+
+    def inject_video_frame(self, frame) -> None:
+        """Parity: tk_cortex_inject_video_frame (:669) — ring-buffer the
+        frame, enqueue NEW_VIDEO_FRAME."""
+        with self._frame_lock:
+            self._frames.append(frame)
+        self._enqueue(CortexEvent(EventType.NEW_VIDEO_FRAME), drop_ok=True)
+
+    def inject_audio_chunk(self, chunk) -> None:
+        """Parity: tk_cortex_inject_audio_frame (:660) — straight into
+        the audio pipeline; its transcription callback re-enters via
+        inject_user_text."""
+        if self.audio is not None:
+            self.audio.process_chunk(chunk)
+
+    def inject_user_text(self, text: str) -> None:
+        self._enqueue(CortexEvent(EventType.USER_SPEECH_FINAL, text))
+
+    def inject_ambient_sound(self, sound_class: str) -> None:
+        self._enqueue(CortexEvent(EventType.AMBIENT_SOUND, sound_class))
+
+    def emergency_stop(self) -> None:
+        self._emergency_flag.set()
+        self._enqueue(CortexEvent(EventType.EMERGENCY), drop_ok=True)
+
+    # ------------------------------------------------------------------
+    # Main loop (parity: cortex_main_loop_thread :957)
+    # ------------------------------------------------------------------
+
+    def _main_loop(self) -> None:
+        period = 1.0 / self.config.main_loop_hz
+        next_tick = time.monotonic()
+        while not self._stop_flag.is_set():
+            t0 = time.monotonic()
+            if self._emergency_flag.is_set():
+                self._handle_emergency()
+                self._emergency_flag.clear()
+
+            timeout = max(next_tick - time.monotonic(), 0.0)
+            try:
+                event = self._events.get(timeout=timeout)
+            except queue.Empty:
+                event = CortexEvent(EventType.SYSTEM_TIMER)
+                next_tick += period
+            try:
+                if event.type is EventType.STOP:
+                    break
+                self._handle_event(event)
+            except Exception as e:
+                log.error("cortex loop error on %s: %s", event.type, e)
+                # Parity: FATAL_ERROR only on repeated/critical failures;
+                # individual stage errors degrade (tk_cortex_main.c:986).
+
+            dt_ms = (time.monotonic() - t0) * 1e3
+            ema = self.stats["loop_ema_ms"]
+            self.stats["loop_ema_ms"] = 0.9 * ema + 0.1 * dt_ms
+            self.stats["iterations"] += 1
+            if self.stats["iterations"] % 100 == 0:
+                log.info("cortex perf: loop EMA %.2f ms, vision %.1f ms, "
+                         "llm %.1f ms", self.stats["loop_ema_ms"],
+                         self.stats["last_vision_ms"],
+                         self.stats["last_llm_ms"])
+
+    def _handle_event(self, event: CortexEvent) -> None:
+        """Parity: cortex_handle_event (:1053)."""
+        if event.type is EventType.NEW_VIDEO_FRAME:
+            self._process_vision()
+        elif event.type is EventType.USER_SPEECH_FINAL:
+            self._process_user_speech(event.payload)
+        elif event.type is EventType.AMBIENT_SOUND:
+            self._process_ambient_sound(event.payload)
+        elif event.type is EventType.SYSTEM_TIMER:
+            self._process_timer_tick()
+        elif event.type is EventType.SIGNIFICANT_VISION_CHANGE:
+            self._process_significant_change(event.payload)
+        elif event.type is EventType.EMERGENCY:
+            pass  # handled by the flag check at loop top
+
+    # ------------------------------------------------------------------
+    # Vision path (parity: cortex_process_vision_input :1149)
+    # ------------------------------------------------------------------
+
+    def _process_vision(self) -> None:
+        if self.vision is None:
+            return
+        with self._frame_lock:
+            frame = self._frames[-1] if self._frames else None
+        if frame is None:
+            return
+        t0 = time.monotonic()
+        result = self.vision.process_frame(frame)
+        self.stats["last_vision_ms"] = (time.monotonic() - t0) * 1e3
+
+        scene_desc = ""
+        if result.scene_graph:
+            from trackiellm_tpu.vision.scene_graph import describe_scene_graph
+            scene_desc = describe_scene_graph(result.scene_graph)
+        self.reasoner.update_vision_context(result.objects, scene_desc)
+
+        self.world.update_from_detections(result.objects)
+        alerts = self.world.run_safety_rules()
+        for alert in alerts:
+            self.reasoner.add_context_item(
+                alert.replace("URGENTE: ", ""),
+                priority=ContextPriority.URGENT, category="safety")
+            self._speak(alert, int(ActionPriority.CRITICAL))
+
+        # Significant-change detection: a label never seen before
+        # (parity: CORTEX_EVENT_SIGNIFICANT_VISION_CHANGE :1229-1237).
+        new_labels = {o.label for o in result.objects} - self._known_labels
+        if new_labels:
+            self._known_labels |= new_labels
+            self._enqueue(CortexEvent(
+                EventType.SIGNIFICANT_VISION_CHANGE, sorted(new_labels)),
+                drop_ok=True)
+
+    def _process_significant_change(self, labels: List[str]) -> None:
+        self.reasoner.add_context_item(
+            f"Novos objetos na cena: {', '.join(labels)}",
+            priority=ContextPriority.NORMAL, category="vision_change")
+
+    # ------------------------------------------------------------------
+    # Speech / LLM path (parity: cortex_run_llm_inference :1323)
+    # ------------------------------------------------------------------
+
+    def _process_user_speech(self, text: str) -> None:
+        self._set_state(CortexState.PROCESSING)
+        self.reasoner.add_conversation_turn("user", text)
+
+        # Long-term memory recall feeds the context (Rust memory parity).
+        for frag in self.memory.retrieve_relevant(text):
+            self.reasoner.add_context_item(
+                f"Memória: {frag.text}", priority=ContextPriority.LOW,
+                category="memory")
+
+        if self.llm is None:
+            self._set_state(CortexState.IDLE)
+            return
+
+        t0 = time.monotonic()
+        context = self.reasoner.generate_context_string(
+            user_query=text, token_budget=self.config.llm_token_budget)
+        from trackiellm_tpu.llm.runner import ToolDefinition
+
+        tools = [ToolDefinition(n, n.replace("_", " "), {})
+                 for n in self.decisions.tool_names]
+        prompt = self.llm.build_prompt(self.config.system_prompt, context,
+                                       text, tools)
+        raw = self.llm.generate(prompt, tools=tools)
+        self.stats["last_llm_ms"] = (time.monotonic() - t0) * 1e3
+
+        self._set_state(CortexState.RESPONDING)
+        resp = self.decisions.process_llm_response(raw)
+        if resp.is_tool_call:
+            done = self.decisions.process_actions()
+            for action in done:
+                self.llm.add_tool_response(action.name, action.result)
+            # One follow-up generation turns the tool result into speech.
+            followup = self.llm.generate(
+                self.llm.build_prompt(
+                    self.config.system_prompt,
+                    f"Resultado da ferramenta {resp.tool_name}: "
+                    f"{done[0].result if done else 'sem resultado'}",
+                    text))
+            self.decisions.process_llm_response(followup)
+            raw = followup
+        self.reasoner.add_conversation_turn("assistant", raw)
+        self._set_state(CortexState.IDLE)
+
+    # ------------------------------------------------------------------
+    # Other handlers
+    # ------------------------------------------------------------------
+
+    def _process_ambient_sound(self, sound_class: str) -> None:
+        urgent = sound_class in ("ALARM", "SIREN")
+        self.reasoner.update_ambient_sound(sound_class, urgent=urgent)
+        if urgent:
+            self._speak(f"URGENTE: {sound_class} detectado!",
+                        int(ActionPriority.CRITICAL))
+
+    def _process_timer_tick(self) -> None:
+        """Parity: CORTEX_EVENT_SYSTEM_TIMER (:1116) — decision queue +
+        navigation analysis + decay."""
+        self.decisions.process_actions()
+        if self.navigation is not None and self.sensors is not None:
+            try:
+                hazards = self.navigation.current_hazards()
+                if hazards:
+                    self.reasoner.update_navigation_context(hazards)
+                    for alert in self.world.run_navigation_rules(hazards):
+                        self._speak(alert, int(ActionPriority.CRITICAL))
+            except Exception as e:
+                log.warning("navigation tick failed: %s", e)
+        self.reasoner.decay_tick()
+
+    def _handle_emergency(self) -> None:
+        n = self.decisions.emergency_stop()
+        if self.audio is not None:
+            try:
+                self.audio.clear_speech_queue()
+            except Exception:
+                pass
+        self.decisions.emergency_response("Parada de emergência ativada.")
+        log.warning("emergency stop: %d actions cancelled", n)
+
+    # ------------------------------------------------------------------
+
+    def _speak(self, text: str, priority: int) -> None:
+        if self.audio is not None:
+            try:
+                self.audio.say(text, priority)
+                return
+            except Exception as e:
+                log.warning("say failed: %s", e)
+        if self._on_response:
+            self._on_response(text)
+
+    def _register_default_tools(self) -> None:
+        """Default tool set executing against the reasoner / memory /
+        navigation (parity: the decision engine's action handlers)."""
+        d = self.decisions
+
+        def describe_scene(args):
+            return self.reasoner.generate_context_string(token_budget=256)
+
+        def save_memory(args):
+            self.memory.archive(str(args.get("text", "")))
+            self.memory.save()
+            return "ok"
+
+        def set_fact(args):
+            self.memory.set_fact(str(args.get("key", "")),
+                                 str(args.get("value", "")))
+            return "ok"
+
+        def recall(args):
+            frags = self.memory.retrieve_relevant(str(args.get("query", "")))
+            return "; ".join(f.text for f in frags) or "nada encontrado"
+
+        def find_clear_path(args):
+            if self.navigation is None:
+                return "navegação indisponível"
+            return self.navigation.describe_clear_path()
+
+        d.register_tool("describe_scene", describe_scene)
+        d.register_tool("save_memory", save_memory)
+        d.register_tool("set_fact", set_fact)
+        d.register_tool("recall_memory", recall)
+        d.register_tool("find_clear_path", find_clear_path)
