@@ -1,0 +1,137 @@
+"""Application assembly: the framework's ``main()``.
+
+Parity target: the Rust binary entry (reference: src/main.rs:37-127):
+create TaskManager + EventBus + MemoryManager, build the subsystems,
+spawn the vision/audio/cortex/sensor workers, shut down on signal with a
+10 s join timeout. ``TK_MOCK_SENSORS`` parity: with no real hardware
+sources the app runs end-to-end on mock camera/mic/IMU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+from trackiellm_tpu.audio.pipeline import AudioPipeline, AudioPipelineConfig
+from trackiellm_tpu.cortex.main import Cortex, CortexConfig
+from trackiellm_tpu.cortex.memory import MemoryManager
+from trackiellm_tpu.navigation.path_planner import NavigationEngine
+from trackiellm_tpu.runtime.event_bus import EventBus, EventKind
+from trackiellm_tpu.runtime.scheduler import InferenceScheduler
+from trackiellm_tpu.runtime.tasks import TaskManager
+from trackiellm_tpu.runtime import workers as w
+from trackiellm_tpu.sensors.fusion import SensorFusion
+from trackiellm_tpu.utils.config import Config
+from trackiellm_tpu.utils.logging import get_logger
+from trackiellm_tpu.vision.pipeline import VisionPipeline
+
+log = get_logger("app")
+
+
+@dataclasses.dataclass
+class AppSources:
+    """Hardware sources; None -> mock (TK_MOCK_SENSORS parity)."""
+
+    camera: Optional[Callable] = None
+    microphone: Optional[Callable] = None
+    imu: Optional[Callable] = None
+
+
+class TrackieApp:
+    """Full-system assembly. Model backends are injected (real jitted
+    models in production, stubs in tests — the wiring is identical)."""
+
+    def __init__(
+        self,
+        config: Optional[Config] = None,
+        sources: Optional[AppSources] = None,
+        detector_fn=None, depth_fn=None, ocr_fn=None,
+        vad_fn=None, asr_fn=None, tts_fn=None, wake_fn=None, sound_fn=None,
+        llm_runner=None,
+        on_spoken_audio: Optional[Callable] = None,
+    ):
+        cfg = config or Config()
+        self.bus = EventBus(capacity=cfg.get_int("bus.capacity", 256))
+        self.tasks = TaskManager()
+        self.scheduler = InferenceScheduler()
+        self.memory = MemoryManager(
+            store_path=cfg.get_string("memory.path", "") or None)
+        self.sensors = SensorFusion()
+        self.navigation = NavigationEngine()
+
+        self.vision = (VisionPipeline(detector_fn, depth_fn, ocr_fn)
+                       if detector_fn else None)
+
+        self._spoken = on_spoken_audio
+        self.audio = AudioPipeline(
+            config=AudioPipelineConfig(
+                chunk_ms=cfg.get_int("audio.chunk_ms", 100),
+                vad_threshold=cfg.get_float("audio.vad_threshold", 0.8),
+                end_of_speech_silence_ms=cfg.get_int(
+                    "audio.silence_ms", 500),
+                wake_word_enabled=cfg.get_bool("audio.wake_word", True),
+            ),
+            vad_fn=vad_fn, asr_fn=asr_fn, tts_fn=tts_fn,
+            wake_fn=wake_fn, sound_fn=sound_fn,
+            on_transcription=self._on_transcription,
+            on_sound=self._on_sound,
+            on_tts_audio=self._on_tts_audio,
+        )
+
+        self.cortex = Cortex(
+            config=CortexConfig(
+                main_loop_hz=cfg.get_float("cortex.loop_hz", 10.0)),
+            vision_pipeline=self.vision,
+            audio_pipeline=self.audio,
+            navigation_engine=self.navigation,
+            sensor_fusion=self.sensors,
+            llm_runner=llm_runner,
+            memory=self.memory,
+        )
+
+        self.sources = sources or AppSources()
+        self._started = False
+
+    # -- bus glue -----------------------------------------------------------
+    def _on_transcription(self, text: str) -> None:
+        self.bus.publish(EventKind.TRANSCRIPTION_RESULT, text)
+        self.cortex.inject_user_text(text)
+
+    def _on_sound(self, name: str) -> None:
+        self.bus.publish(EventKind.AMBIENT_SOUND, name)
+        self.cortex.inject_ambient_sound(name)
+
+    def _on_tts_audio(self, wav, priority) -> None:
+        self.bus.publish(EventKind.SPEAK, {"samples": len(wav),
+                                           "priority": int(priority)})
+        if self._spoken:
+            self._spoken(wav, priority)
+
+    # -- lifecycle ------------------------------------------------------------
+    def start(self) -> None:
+        assert not self._started
+        self._started = True
+        self.cortex.run()
+        camera = self.sources.camera or w.mock_camera_source()
+        mic = self.sources.microphone or w.mock_microphone_source()
+        imu = self.sources.imu or w.mock_imu_source()
+        if self.vision is not None:
+            self.tasks.spawn("vision", lambda stop: w.vision_worker(
+                stop, self.cortex, camera, self.bus,
+                fps=self.cortex.config.main_loop_hz))
+        self.tasks.spawn("audio", lambda stop: w.audio_worker(
+            stop, self.cortex, mic,
+            chunk_ms=self.audio.config.chunk_ms))
+        self.tasks.spawn("sensors", lambda stop: w.sensor_worker(
+            stop, self.sensors, imu, self.cortex, self.bus))
+        log.info("TrackieApp started: %s", self.tasks.status())
+
+    def stop(self, timeout: float = 10.0) -> None:
+        stragglers = self.tasks.join_all(timeout=timeout)
+        if stragglers:
+            log.warning("workers did not stop in time: %s", stragglers)
+        self.cortex.stop()
+        self.audio.close()
+        self.scheduler.close()
+        self.bus.shutdown()
+        self._started = False
