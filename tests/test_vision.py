@@ -257,6 +257,28 @@ class TestPipelineBehavior:
         r2 = pipe.process_frame(frame, AnalysisFlags.DETECTION)
         assert len(r2.objects) < len(r1.objects)
 
+    def test_ocr_cache_hit_on_repeat_frame(self):
+        fx = {
+            "camera": {"width": 640, "height": 480},
+            "objects": [{"label": "stop sign", "box": [100, 100, 200, 200],
+                         "min_confidence": 0.5, "expected_color": "red"}],
+        }
+        calls = []
+
+        def ocr(crops):
+            calls.append(crops.shape[0])
+            return ["stop"] * crops.shape[0]
+
+        pipe = VisionPipeline(detector_fn=_stub_detector_for(fx), ocr_fn=ocr)
+        frame = _make_fixture_frame({"camera": fx["camera"],
+                                     "objects": [fx["objects"][0]] * 2})
+        flags = AnalysisFlags.DETECTION | AnalysisFlags.OCR
+        r1 = pipe.process_frame(frame, flags)
+        r2 = pipe.process_frame(frame, flags)  # identical frame
+        assert sum(calls) == 1                 # second hit the cache
+        assert pipe.ocr_cache_hits == 1
+        assert r2.objects[0].text == "stop"
+
     def test_ocr_auto_trigger(self):
         fx = {
             "camera": {"width": 640, "height": 480},

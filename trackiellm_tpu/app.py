@@ -17,7 +17,7 @@ from trackiellm_tpu.cortex.main import Cortex, CortexConfig
 from trackiellm_tpu.cortex.memory import MemoryManager
 from trackiellm_tpu.navigation.path_planner import NavigationEngine
 from trackiellm_tpu.runtime.event_bus import EventBus, EventKind
-from trackiellm_tpu.runtime.scheduler import InferenceScheduler
+from trackiellm_tpu.runtime.scheduler import InferenceScheduler, JobKind
 from trackiellm_tpu.runtime.tasks import TaskManager
 from trackiellm_tpu.runtime import workers as w
 from trackiellm_tpu.sensors.fusion import SensorFusion
@@ -58,6 +58,22 @@ class TrackieApp:
             store_path=cfg.get_string("memory.path", "") or None)
         self.sensors = SensorFusion()
         self.navigation = NavigationEngine()
+
+        # All model calls route through the shared per-chip scheduler so
+        # modalities contend by priority, not by thread timing
+        # (BASELINE.json north star: one batched inference scheduler).
+        sched = self.scheduler
+
+        def _via(kind: JobKind, fn):
+            if fn is None:
+                return None
+            return lambda *a, **k: sched.run(kind, fn, *a, **k)
+
+        detector_fn = _via(JobKind.VISION, detector_fn)
+        depth_fn = _via(JobKind.VISION, depth_fn)
+        ocr_fn = _via(JobKind.VISION, ocr_fn)
+        asr_fn = _via(JobKind.ASR, asr_fn)
+        tts_fn = _via(JobKind.TTS, tts_fn)
 
         self.vision = (VisionPipeline(detector_fn, depth_fn, ocr_fn)
                        if detector_fn else None)

@@ -136,6 +136,11 @@ class VisionPipeline:
         self.ocr_fn = ocr_fn
         self.config = config or VisionConfig()
         self._frame_counter = 0
+        # OCR result cache keyed by crop hash with expiry (parity:
+        # tk_text_recognition.cpp:93-100's image-hash cache).
+        self._ocr_cache: Dict[str, Tuple[str, float]] = {}
+        self.ocr_cache_ttl_s = 30.0
+        self.ocr_cache_hits = 0
 
     # Parity: tk_vision_pipeline_update_thresholds
     # (tk_vision_pipeline.h:147-152).
@@ -253,15 +258,34 @@ class VisionPipeline:
         if self.ocr_fn is not None and (want_ocr and auto):
             t0 = time.perf_counter()
             try:
+                import hashlib
+
                 gray = frame_hwc_u8.astype(np.float32).mean(-1) / 255.0
-                crops = []
+                now = time.monotonic()
+                self._ocr_cache = {
+                    k: v for k, v in self._ocr_cache.items()
+                    if now - v[1] < self.ocr_cache_ttl_s
+                }
+                crops, fresh = [], []
                 for o in auto:
                     x1, y1, x2, y2 = [int(max(v, 0)) for v in o.box]
-                    crop = gray[y1:max(y2, y1 + 2), x1:max(x2, x1 + 2)]
-                    crops.append(_host_resize_gray(crop, *cfg.ocr_crop_hw))
-                texts = self.ocr_fn(np.stack(crops))
-                for o, t in zip(auto, texts):
-                    o.text = t
+                    crop = _host_resize_gray(
+                        gray[y1:max(y2, y1 + 2), x1:max(x2, x1 + 2)],
+                        *cfg.ocr_crop_hw)
+                    key = hashlib.md5(
+                        np.ascontiguousarray(crop)).hexdigest()
+                    cached = self._ocr_cache.get(key)
+                    if cached is not None:
+                        o.text = cached[0]
+                        self.ocr_cache_hits += 1
+                    else:
+                        crops.append(crop)
+                        fresh.append((o, key))
+                if crops:
+                    texts = self.ocr_fn(np.stack(crops))
+                    for (o, key), t in zip(fresh, texts):
+                        o.text = t
+                        self._ocr_cache[key] = (t, now)
                 valid |= AnalysisFlags.OCR
             except Exception as e:
                 log.warning("ocr failed on frame %d: %s",
