@@ -84,17 +84,17 @@ def init_params(key: jax.Array, cfg: LLMConfig,
         scale = scale or (1.0 / (shape[-2] ** 0.5))
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
+    # QKV and gate+up are stored fused: one wide matmul each reads the
+    # weight stream once and launches one kernel instead of three/two —
+    # decode is launch- and bandwidth-bound (PERF_NOTES.md).
     return {
         "tok_emb": w(keys[0], cfg.vocab_size, d, scale=0.02),
         "layers": {
             "attn_norm": jnp.ones((l, d), dtype),
-            "wq": w(keys[1], l, d, qd),
-            "wk": w(keys[2], l, d, kvd),
-            "wv": w(keys[3], l, d, kvd),
+            "wqkv": w(keys[1], l, d, qd + 2 * kvd),
             "wo": w(keys[4], l, qd, d),
             "mlp_norm": jnp.ones((l, d), dtype),
-            "w_gate": w(keys[5], l, d, h),
-            "w_up": w(keys[6], l, d, h),
+            "w_gu": w(keys[5], l, d, 2 * h),
             "w_down": w(keys[7], l, h, d),
         },
         "out_norm": jnp.ones((d,), dtype),
@@ -102,7 +102,7 @@ def init_params(key: jax.Array, cfg: LLMConfig,
     }
 
 
-_QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_QUANTIZABLE = ("wqkv", "wo", "w_gu", "w_down")
 
 
 def quantize_params(params: Dict[str, Any], bits: int = 4,
@@ -136,8 +136,8 @@ def init_params_quantized(key: jax.Array, cfg: LLMConfig, bits: int = 4,
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
     shapes = {
-        "wq": (d, qd), "wk": (d, kvd), "wv": (d, kvd), "wo": (qd, d),
-        "w_gate": (d, h), "w_up": (d, h), "w_down": (h, d),
+        "wqkv": (d, qd + 2 * kvd), "wo": (qd, d),
+        "w_gu": (d, 2 * h), "w_down": (h, d),
     }
     layers: Dict[str, Any] = {
         "attn_norm": jnp.ones((l, d), dtype),
@@ -238,11 +238,15 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     positions = jnp.arange(s_pad)
     x = params["tok_emb"][tokens]  # (S, D)
 
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+
     def layer_fn(x, layer):
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = _linear(h, layer["wq"]).reshape(s_pad, cfg.n_heads, cfg.head_dim)
-        k = _linear(h, layer["wk"]).reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
-        v = _linear(h, layer["wv"]).reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
+        qkv = _linear(h, layer["wqkv"])
+        q = qkv[:, :qd].reshape(s_pad, cfg.n_heads, cfg.head_dim)
+        k = qkv[:, qd:qd + kvd].reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
+        v = qkv[:, qd + kvd:].reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
@@ -253,9 +257,10 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         x = x + _linear(attn.astype(x.dtype), layer["wo"])
 
         h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
-        up = _linear(h2, layer["w_up"]).astype(jnp.float32)
-        x = x + _linear((gate * up).astype(x.dtype), layer["w_down"])
+        gu = _linear(h2, layer["w_gu"]).astype(jnp.float32)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + _linear((jax.nn.silu(gate) * up).astype(x.dtype),
+                        layer["w_down"])
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(layer_fn, x, params["layers"])
@@ -292,10 +297,13 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
     def layer_fn(carry, inputs):
         x = carry
         layer, k_cache_l, v_cache_l = inputs
+        qd = cfg.n_heads * cfg.head_dim
+        kvd = cfg.n_kv_heads * cfg.head_dim
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = _linear(h, layer["wq"]).reshape(1, cfg.n_heads, cfg.head_dim)
-        k = _linear(h, layer["wk"]).reshape(1, cfg.n_kv_heads, cfg.head_dim)
-        v = _linear(h, layer["wv"]).reshape(1, cfg.n_kv_heads, cfg.head_dim)
+        qkv = _linear(h, layer["wqkv"])
+        q = qkv[:, :qd].reshape(1, cfg.n_heads, cfg.head_dim)
+        k = qkv[:, qd:qd + kvd].reshape(1, cfg.n_kv_heads, cfg.head_dim)
+        v = qkv[:, qd + kvd:].reshape(1, cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, pos[None], freqs)
         k = apply_rope(k, pos[None], freqs)
 
@@ -308,9 +316,10 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         x = x + _linear(attn.reshape(1, -1).astype(x.dtype), layer["wo"])
 
         h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu(_linear(h2, layer["w_gate"]).astype(jnp.float32))
-        up = _linear(h2, layer["w_up"]).astype(jnp.float32)
-        x = x + _linear((gate * up).astype(x.dtype), layer["w_down"])
+        gu = _linear(h2, layer["w_gu"]).astype(jnp.float32)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + _linear((jax.nn.silu(gate) * up).astype(x.dtype),
+                        layer["w_down"])
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(

@@ -319,6 +319,44 @@ def _pick_tile(dim: int, preferred: int, align: int = 128) -> int:
     return dim
 
 
+# VMEM is 16 MB; Mosaic double-buffers each input block. Large tiles
+# minimize grid steps (each step costs ~3 us of launch overhead in this
+# environment — the dominant cost for decode matvecs, PERF_NOTES.md),
+# but the x/scale/accumulator footprint grows with M, so the picker
+# estimates the whole working set and shrinks until it fits.
+_VMEM_BUDGET = 11 * 1024 * 1024
+_MAX_TILE_N = 4096
+
+
+def _vmem_estimate(m: int, tile_k: int, tile_n: int, k_rows: int,
+                   g: int, halves: int) -> int:
+    w = 2 * tile_k * tile_n                      # packed/int8, x2 buffers
+    scales = 2 * halves * (k_rows // g) * tile_n * 4
+    x = 2 * halves * m * tile_k * 4
+    acc = m * tile_n * 4
+    out = 2 * m * tile_n * 4
+    return w + scales + x + acc + out
+
+
+def _pick_tiles_for(k_rows: int, n: int, g: int, m: int,
+                    halves: int) -> Tuple[int, int]:
+    """Choose (tile_k, tile_n) maximizing tile size within VMEM.
+    ``k_rows`` is the stored row count (packed rows for Q4)."""
+    tile_n = _pick_tile(n, _MAX_TILE_N)
+    tile_k = max(_pick_tile(k_rows, k_rows, align=g), g)
+    while (_vmem_estimate(m, tile_k, tile_n, k_rows, g, halves)
+           > _VMEM_BUDGET):
+        if tile_k > g and tile_k >= tile_n:
+            tile_k = max(_pick_tile(k_rows, tile_k // 2, align=g), g)
+        elif tile_n > 512:
+            tile_n = _pick_tile(n, tile_n // 2)
+        elif tile_k > g:
+            tile_k = max(_pick_tile(k_rows, tile_k // 2, align=g), g)
+        else:
+            break
+    return tile_k, tile_n
+
+
 def quantized_matmul(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
     """(…, K) @ quantized (K, N) -> (…, N) f32. Dispatches to the Pallas
     kernel on TPU and the XLA oracle elsewhere."""
@@ -329,14 +367,12 @@ def quantized_matmul(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
     if not _on_tpu() or m > 256:
         out = quantized_matmul_xla(x2, qw)
     elif qw.values.dtype == jnp.int8:
-        tile_n = _pick_tile(qw.n, 512)
-        tile_k = max(_pick_tile(qw.k, 512, align=g), g)
+        tile_k, tile_n = _pick_tiles_for(qw.k, qw.n, g, m, halves=1)
         out = q8_matmul_pallas(x2, qw.values, qw.scales,
                                tile_n=tile_n, tile_k=tile_k)
     else:
         half = qw.k // 2
-        tile_n = _pick_tile(qw.n, 512)
-        tile_k = max(_pick_tile(half, 512, align=g), g)
+        tile_k, tile_n = _pick_tiles_for(half, qw.n, g, m, halves=2)
         out = q4_matmul_pallas(x2, qw.values, qw.scales,
                                tile_n=tile_n, tile_k=tile_k)
     return out.reshape(*lead, qw.n)

@@ -31,13 +31,10 @@ def param_shardings(mesh: Mesh) -> Dict[str, Any]:
         "tok_emb": ns("tp", "fsdp"),
         "layers": {
             "attn_norm": ns(None, None),
-            "wq": ns(None, "fsdp", "tp"),      # column-parallel (heads)
-            "wk": ns(None, "fsdp", "tp"),
-            "wv": ns(None, "fsdp", "tp"),
+            "wqkv": ns(None, "fsdp", "tp"),    # column-parallel (heads)
             "wo": ns(None, "tp", "fsdp"),      # row-parallel
             "mlp_norm": ns(None, None),
-            "w_gate": ns(None, "fsdp", "tp"),  # column-parallel
-            "w_up": ns(None, "fsdp", "tp"),
+            "w_gu": ns(None, "fsdp", "tp"),    # column-parallel
             "w_down": ns(None, "tp", "fsdp"),  # row-parallel
         },
         "out_norm": ns(None),

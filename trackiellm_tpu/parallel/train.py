@@ -38,14 +38,17 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     x = params["tok_emb"][tokens]  # (B, S, D)
     x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
 
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+
     @functools.partial(jax.checkpoint, policy=None)
     def layer_fn(x, layer):
         h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = llm_model._linear(h, layer["wq"]).reshape(
-            b, s, cfg.n_heads, cfg.head_dim)
-        k = llm_model._linear(h, layer["wk"]).reshape(
+        qkv = llm_model._linear(h, layer["wqkv"])
+        q = qkv[..., :qd].reshape(b, s, cfg.n_heads, cfg.head_dim)
+        k = qkv[..., qd:qd + kvd].reshape(
             b, s, cfg.n_kv_heads, cfg.head_dim)
-        v = llm_model._linear(h, layer["wv"]).reshape(
+        v = qkv[..., qd + kvd:].reshape(
             b, s, cfg.n_kv_heads, cfg.head_dim)
         q = jax.lax.with_sharding_constraint(q, shd.heads_spec())
         q = llm_model.apply_rope(q, positions, freqs)
@@ -66,10 +69,9 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
         x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
 
         h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu(
-            llm_model._linear(h2, layer["w_gate"]).astype(jnp.float32))
-        up = llm_model._linear(h2, layer["w_up"]).astype(jnp.float32)
-        x = x + llm_model._linear((gate * up).astype(x.dtype),
+        gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + llm_model._linear((jax.nn.silu(gate) * up).astype(x.dtype),
                                   layer["w_down"])
         x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
         return x, None
