@@ -1,0 +1,144 @@
+"""GGUF -> LLM params conversion tests: a synthetic llama.cpp-style
+checkpoint converts into the fused native layout and produces identical
+forward logits to a directly-assembled parameter tree."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tests.test_loader import write_gguf
+from trackiellm_tpu.models import convert as C
+from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.models import loader as L
+
+
+DIM, LAYERS, HEADS, KV, HID, VOCAB = 64, 2, 4, 2, 128, 96
+QD, KVD = HEADS * (DIM // HEADS), KV * (DIM // HEADS)
+
+
+def _make_gguf(path, tied=False, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def m(rows, cols):  # GGUF orientation: (out, in)
+        return (rng.standard_normal((rows, cols)) / np.sqrt(cols)
+                ).astype(np.float32)
+
+    tensors = {"token_embd.weight": (m(VOCAB, DIM) * 0.2, L.GGML_F32),
+               "output_norm.weight": (np.ones(DIM, np.float32),
+                                      L.GGML_F32)}
+    if not tied:
+        tensors["output.weight"] = (m(VOCAB, DIM), L.GGML_F32)
+    for i in range(LAYERS):
+        p = f"blk.{i}"
+        tensors[f"{p}.attn_norm.weight"] = (np.ones(DIM, np.float32),
+                                            L.GGML_F32)
+        tensors[f"{p}.ffn_norm.weight"] = (np.ones(DIM, np.float32),
+                                           L.GGML_F32)
+        tensors[f"{p}.attn_q.weight"] = (m(QD, DIM), L.GGML_F32)
+        tensors[f"{p}.attn_k.weight"] = (m(KVD, DIM), L.GGML_F32)
+        tensors[f"{p}.attn_v.weight"] = (m(KVD, DIM), L.GGML_F32)
+        tensors[f"{p}.attn_output.weight"] = (m(DIM, QD), L.GGML_F32)
+        tensors[f"{p}.ffn_gate.weight"] = (m(HID, DIM), L.GGML_F32)
+        tensors[f"{p}.ffn_up.weight"] = (m(HID, DIM), L.GGML_F32)
+        tensors[f"{p}.ffn_down.weight"] = (m(DIM, HID), L.GGML_F32)
+
+    write_gguf(path, tensors, metadata={
+        "general.architecture": "llama",
+        "general.name": "tiny-test",
+        "llama.embedding_length": DIM,
+        "llama.block_count": LAYERS,
+        "llama.attention.head_count": HEADS,
+        "llama.attention.head_count_kv": KV,
+        "llama.feed_forward_length": HID,
+        "llama.context_length": 128,
+        "llama.attention.layer_norm_rms_epsilon": 1e-5,
+        "llama.rope.freq_base": 10000.0,
+        "llama.vocab_size": VOCAB,
+    })
+    return tensors
+
+
+class TestConfigFromGGUF:
+    def test_fields(self, tmp_path):
+        p = str(tmp_path / "t.gguf")
+        _make_gguf(p)
+        cfg = C.config_from_gguf(L.read_gguf_header(p))
+        assert cfg.dim == DIM and cfg.n_layers == LAYERS
+        assert cfg.n_heads == HEADS and cfg.n_kv_heads == KV
+        assert cfg.hidden_dim == HID and cfg.vocab_size == VOCAB
+        assert cfg.head_dim == DIM // HEADS
+        assert cfg.max_seq == 128
+
+
+class TestConversion:
+    def test_forward_matches_direct_assembly(self, tmp_path):
+        p = str(tmp_path / "t.gguf")
+        raw = _make_gguf(p)
+        params, cfg = C.gguf_to_llm_params(p, bits=None, dtype=jnp.float32)
+
+        # Directly assemble the same tree from the raw tensors.
+        def T(name):
+            return raw[name][0].T.astype(np.float32)
+
+        direct = {
+            "tok_emb": jnp.asarray(raw["token_embd.weight"][0]),
+            "layers": {
+                "attn_norm": jnp.stack(
+                    [raw[f"blk.{i}.attn_norm.weight"][0]
+                     for i in range(LAYERS)]),
+                "wqkv": jnp.stack([np.concatenate(
+                    [T(f"blk.{i}.attn_q.weight"),
+                     T(f"blk.{i}.attn_k.weight"),
+                     T(f"blk.{i}.attn_v.weight")], 1)
+                    for i in range(LAYERS)]),
+                "wo": jnp.stack([T(f"blk.{i}.attn_output.weight")
+                                 for i in range(LAYERS)]),
+                "mlp_norm": jnp.stack(
+                    [raw[f"blk.{i}.ffn_norm.weight"][0]
+                     for i in range(LAYERS)]),
+                "w_gu": jnp.stack([np.concatenate(
+                    [T(f"blk.{i}.ffn_gate.weight"),
+                     T(f"blk.{i}.ffn_up.weight")], 1)
+                    for i in range(LAYERS)]),
+                "w_down": jnp.stack([T(f"blk.{i}.ffn_down.weight")
+                                     for i in range(LAYERS)]),
+            },
+            "out_norm": jnp.asarray(raw["output_norm.weight"][0]),
+            "lm_head": jnp.asarray(T("output.weight")),
+        }
+
+        toks = jnp.arange(10, dtype=jnp.int32) % VOCAB
+        cache1 = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        cache2 = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        a, _ = llm_model.prefill(params, cfg, toks, jnp.int32(10), cache1)
+        b, _ = llm_model.prefill(direct, cfg, toks, jnp.int32(10), cache2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_tied_embeddings_fallback(self, tmp_path):
+        p = str(tmp_path / "tied.gguf")
+        _make_gguf(p, tied=True)
+        params, cfg = C.gguf_to_llm_params(p, bits=None, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(params["lm_head"]),
+            np.asarray(params["tok_emb"]).T, atol=1e-6)
+
+    def test_quantized_conversion_runs(self, tmp_path):
+        p = str(tmp_path / "q.gguf")
+        _make_gguf(p)
+        params, cfg = C.gguf_to_llm_params(p, bits=8, group=32)
+        from trackiellm_tpu.ops.quant import QuantizedLinear
+
+        assert isinstance(params["layers"]["wqkv"], QuantizedLinear)
+        toks = jnp.arange(6, dtype=jnp.int32)
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, _ = llm_model.prefill(params, cfg, toks, jnp.int32(6),
+                                      cache)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_layer_truncation(self, tmp_path):
+        p = str(tmp_path / "t2.gguf")
+        _make_gguf(p)
+        params, cfg = C.gguf_to_llm_params(p, bits=None, max_layers=1)
+        assert cfg.n_layers == 1
+        assert params["layers"]["wqkv"].shape[0] == 1

@@ -1,0 +1,156 @@
+"""Checkpoint conversion: GGUF (llama.cpp) -> trackiellm_tpu LLM params.
+
+Parity target: the migration path for reference users — the reference
+consumes Mistral-7B GGUF via llama.cpp (src/ai_models/tk_model_loader.c:
+199); here the same file converts *offline* into the framework's native
+parameter pytree (fused QKV / gate+up, stacked layers, optional Q4/Q8
+group requantization), after which inference is pure JAX.
+
+llama.cpp tensor naming (converted by this module):
+  token_embd.weight                 -> tok_emb
+  blk.{i}.attn_norm.weight          -> layers.attn_norm[i]
+  blk.{i}.attn_{q,k,v}.weight       -> layers.wqkv[i] (fused, transposed)
+  blk.{i}.attn_output.weight        -> layers.wo[i]
+  blk.{i}.ffn_norm.weight           -> layers.mlp_norm[i]
+  blk.{i}.ffn_{gate,up}.weight      -> layers.w_gu[i] (fused)
+  blk.{i}.ffn_down.weight           -> layers.w_down[i]
+  output_norm.weight                -> out_norm
+  output.weight                     -> lm_head (falls back to tok_emb.T
+                                      for tied-embedding models)
+
+GGUF stores weights as (out, in); this framework computes x @ W with
+W (in, out), so every matrix is transposed during conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.models.loader import (
+    GGUFFile,
+    load_gguf_tensor,
+    read_gguf_header,
+)
+from trackiellm_tpu.ops.quant import quantize_q4, quantize_q8
+from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
+from trackiellm_tpu.utils.logging import get_logger
+
+log = get_logger("models.convert")
+
+
+def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
+    """Derive an LLMConfig from GGUF metadata (llama.cpp key names)."""
+    md = gguf.metadata
+    arch = gguf.architecture or "llama"
+
+    def key(suffix: str, default=None):
+        v = md.get(f"{arch}.{suffix}", default)
+        if v is None:
+            raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                               f"missing GGUF key {arch}.{suffix}")
+        return v
+
+    n_heads = int(key("attention.head_count"))
+    dim = int(key("embedding_length"))
+    return llm_model.LLMConfig(
+        vocab_size=int(md.get("tokenizer.ggml.tokens_count",
+                              md.get(f"{arch}.vocab_size",
+                                     gguf.tensors["token_embd.weight"]
+                                     .shape[0]))),
+        dim=dim,
+        n_layers=int(key("block_count")),
+        n_heads=n_heads,
+        n_kv_heads=int(key("attention.head_count_kv", n_heads)),
+        head_dim=dim // n_heads,
+        hidden_dim=int(key("feed_forward_length")),
+        norm_eps=float(key("attention.layer_norm_rms_epsilon", 1e-5)),
+        rope_theta=float(key("rope.freq_base", 10000.0)),
+        max_seq=int(key("context_length", 4096)),
+        sliding_window=int(md.get(f"{arch}.attention.sliding_window",
+                                  key("context_length", 4096))),
+    )
+
+
+def gguf_to_llm_params(
+    path: str,
+    bits: Optional[int] = 4,
+    group: int = 256,
+    dtype=jnp.bfloat16,
+    max_layers: Optional[int] = None,
+) -> tuple:
+    """Convert a GGUF checkpoint. Returns (params, cfg).
+
+    ``bits``: 4/8 requantizes the big matrices into the Pallas kernel
+    layout; None keeps them in ``dtype``. ``max_layers`` truncates (for
+    tests / draft models).
+    """
+    gguf = read_gguf_header(path)
+    cfg = config_from_gguf(gguf)
+    if max_layers is not None:
+        cfg = cfg._replace(n_layers=min(cfg.n_layers, max_layers))
+    quantize = (quantize_q4 if bits == 4
+                else quantize_q8 if bits == 8 else None)
+
+    def mat(name: str) -> np.ndarray:
+        # GGUF (out, in) -> (in, out)
+        return np.ascontiguousarray(load_gguf_tensor(gguf, name).T)
+
+    def vec(name: str) -> jnp.ndarray:
+        return jnp.asarray(load_gguf_tensor(gguf, name), dtype)
+
+    def maybe_quant(w: np.ndarray):
+        if quantize is None:
+            return jnp.asarray(w, dtype)
+        return quantize(jnp.asarray(w, jnp.float32), group)
+
+    def stack(items):
+        first = items[0]
+        if quantize is None:
+            return jnp.stack(items)
+        from trackiellm_tpu.ops.quant import QuantizedLinear
+
+        return QuantizedLinear(
+            values=jnp.stack([q.values for q in items]),
+            scales=jnp.stack([q.scales for q in items]))
+
+    wqkv, wo, w_gu, w_down = [], [], [], []
+    attn_norm, mlp_norm = [], []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}"
+        attn_norm.append(vec(f"{p}.attn_norm.weight"))
+        mlp_norm.append(vec(f"{p}.ffn_norm.weight"))
+        qkv = np.concatenate([mat(f"{p}.attn_q.weight"),
+                              mat(f"{p}.attn_k.weight"),
+                              mat(f"{p}.attn_v.weight")], axis=1)
+        wqkv.append(maybe_quant(qkv))
+        wo.append(maybe_quant(mat(f"{p}.attn_output.weight")))
+        gu = np.concatenate([mat(f"{p}.ffn_gate.weight"),
+                             mat(f"{p}.ffn_up.weight")], axis=1)
+        w_gu.append(maybe_quant(gu))
+        w_down.append(maybe_quant(mat(f"{p}.ffn_down.weight")))
+        log.info("converted layer %d/%d", i + 1, cfg.n_layers)
+
+    tok_emb = load_gguf_tensor(gguf, "token_embd.weight")  # (V, D)
+    if "output.weight" in gguf.tensors:
+        lm_head = mat("output.weight")
+    else:  # tied embeddings
+        lm_head = np.ascontiguousarray(tok_emb.T)
+
+    params: Dict[str, Any] = {
+        "tok_emb": jnp.asarray(tok_emb, dtype),
+        "layers": {
+            "attn_norm": jnp.stack(attn_norm),
+            "wqkv": stack(wqkv),
+            "wo": stack(wo),
+            "mlp_norm": jnp.stack(mlp_norm),
+            "w_gu": stack(w_gu),
+            "w_down": stack(w_down),
+        },
+        "out_norm": vec("output_norm.weight"),
+        "lm_head": maybe_quant(lm_head),
+    }
+    return params, cfg
