@@ -219,12 +219,19 @@ class Cortex:
                 self._handle_emergency()
                 self._emergency_flag.clear()
 
-            timeout = max(next_tick - time.monotonic(), 0.0)
-            try:
-                event = self._events.get(timeout=timeout)
-            except queue.Empty:
+            # The timer has priority when due — a continuous event stream
+            # must not starve decision-queue processing / decay / nav
+            # analysis (the reference drives these from a dedicated
+            # timer for the same reason).
+            now = time.monotonic()
+            if now >= next_tick:
                 event = CortexEvent(EventType.SYSTEM_TIMER)
-                next_tick += period
+                next_tick = max(next_tick + period, now)
+            else:
+                try:
+                    event = self._events.get(timeout=next_tick - now)
+                except queue.Empty:
+                    continue  # timer is now due; handled next iteration
             try:
                 if event.type is EventType.STOP:
                     break
@@ -321,8 +328,18 @@ class Cortex:
             return
 
         t0 = time.monotonic()
+        # Budget the context against the runner's REAL window/tokenizer
+        # when available (a 2048 budget against a small window would
+        # overflow the prompt bucket).
+        budget = self.config.llm_token_budget
+        count_fn = getattr(self.llm, "count_tokens", None)
+        max_prompt = getattr(self.llm, "max_prompt_tokens", None)
+        if count_fn is not None and max_prompt is not None:
+            overhead = (count_fn(self.config.system_prompt)
+                        + count_fn(text) + 128)
+            budget = max(min(budget, max_prompt - overhead), 16)
         context = self.reasoner.generate_context_string(
-            user_query=text, token_budget=self.config.llm_token_budget)
+            user_query=text, token_budget=budget, count_fn=count_fn)
         from trackiellm_tpu.llm.runner import ToolDefinition
 
         tools = [ToolDefinition(n, n.replace("_", " "), {})

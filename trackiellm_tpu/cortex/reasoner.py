@@ -162,20 +162,25 @@ class ContextualReasoner:
     # ------------------------------------------------------------------
 
     def generate_context_string(self, user_query: str = "",
-                                token_budget: Optional[int] = None) -> str:
+                                token_budget: Optional[int] = None,
+                                count_fn=None) -> str:
         """Build the LLM context block under the token budget.
 
         Ordering contract (asserted by the reference's full test):
         URGENT items first, marked ``[URGENTE]``; then high->low priority
         context; then recent conversation; the user query LAST.
+
+        ``count_fn`` overrides the chars/4 token estimate with the real
+        tokenizer's count (the cortex passes the LLM runner's).
         """
         budget = token_budget or self.config.token_budget
+        count = count_fn or _estimate_tokens
         lines: List[str] = []
         used = 0
 
         def try_add(line: str) -> bool:
             nonlocal used
-            t = _estimate_tokens(line)
+            t = count(line)
             if used + t > budget:
                 return False
             lines.append(line)
@@ -201,7 +206,7 @@ class ContextualReasoner:
         for turn in reversed(self._turns):
             line = f"{'Usuário' if turn.role == 'user' else 'Assistente'}: " \
                    f"{turn.text}"
-            t = _estimate_tokens(line)
+            t = count(line)
             if used + c_used + t > budget:
                 break
             convo.append(line)

@@ -105,6 +105,20 @@ class LLMRunner:
     # Session API (tk_llm_runner parity)
     # ------------------------------------------------------------------
 
+    def count_tokens(self, text: str) -> int:
+        """Exact token count under this runner's tokenizer (the cortex
+        uses it to budget the context string precisely instead of the
+        chars/4 heuristic)."""
+        return len(self.tokenizer.encode(text))
+
+    @property
+    def max_prompt_tokens(self) -> int:
+        """Largest prompt that still leaves room to generate: the biggest
+        prefill bucket that fits max_seq minus the generation budget."""
+        limit = self.cfg.max_seq - self.gen.max_tokens
+        fitting = [b for b in PREFILL_BUCKETS if b <= limit]
+        return fitting[-1] if fitting else max(limit, 16)
+
     def build_prompt(self, system: str, context: str, user: str,
                      tools: Sequence[ToolDefinition] = ()) -> str:
         """Instruction-format prompt with optional tool list (parity:
@@ -125,9 +139,21 @@ class LLMRunner:
                            force_tool_call: bool = False) -> None:
         """Tokenize + prefill the prompt; arm the tool grammar if asked."""
         ids = self.tokenizer.encode(prompt, add_bos=True)
+        buckets = ([b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
+                   or [self.cfg.max_seq])
+        limit = min(buckets[-1], self.max_prompt_tokens)
+        if len(ids) > limit:
+            # Middle-cut truncation: keep the system/instruction head and
+            # the (most important) query tail. Raising would drop the
+            # whole turn; the reference's fixed 2048 budget sidesteps
+            # this only because its window is always 4096.
+            head = limit // 4
+            tail = limit - head
+            log.warning("prompt of %d tokens truncated to %d",
+                        len(ids), limit)
+            ids = ids[:head] + ids[-tail:]
         n = len(ids)
-        bucket = _bucket_for(n, [b for b in PREFILL_BUCKETS
-                                 if b <= self.cfg.max_seq] or [self.cfg.max_seq])
+        bucket = _bucket_for(n, buckets)
         padded = np.zeros(bucket, np.int32)
         padded[:n] = ids
         self.cache = llm_model.KVCache.create(self.cfg,
@@ -153,7 +179,8 @@ class LLMRunner:
         (EOS, grammar completion, stop string, or max_tokens)."""
         if self._done or self._next_logits is None:
             return None
-        if self._n_emitted >= self.gen.max_tokens:
+        if (self._n_emitted >= self.gen.max_tokens
+                or int(self.cache.length) >= self.cfg.max_seq - 1):
             self._done = True
             return None
 
