@@ -379,3 +379,47 @@ class TestTensorOps:
         mp = T.max_pool2d(x, 2, 2)
         assert mp.shape == (1, 1, 2, 2)
         assert float(mp[0, 0, 0, 0]) == 5.0
+
+
+class TestSlidingWindow:
+    def test_xla_window_masks_old_tokens(self, rng):
+        kq, kk, kv = jax.random.split(rng, 3)
+        h, s, d, w = 2, 32, 16, 8
+        q = jax.random.normal(kq, (h, s, d))
+        k = jax.random.normal(kk, (h, s, d))
+        v = jax.random.normal(kv, (h, s, d))
+        out = attn.attention_xla(q, k, v, causal=True, window=w)
+        # Oracle: per-query full attention over its window slice.
+        for qi in (10, 31):
+            lo = max(qi - w + 1, 0)
+            ref = attn.attention_xla(
+                q[:, qi:qi + 1], k[:, lo:qi + 1], v[:, lo:qi + 1],
+                causal=True)
+            np.testing.assert_allclose(np.asarray(out[:, qi]),
+                                       np.asarray(ref[:, 0]),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_flash_window_matches_xla(self, rng):
+        kq, kk, kv = jax.random.split(rng, 3)
+        h, s, d, w = 2, 512, 32, 192
+        q = jax.random.normal(kq, (h, s, d), jnp.float32)
+        k = jax.random.normal(kk, (h, s, d), jnp.float32)
+        v = jax.random.normal(kv, (h, s, d), jnp.float32)
+        ref = attn.attention_xla(q, k, v, causal=True, window=w)
+        out = attn.flash_attention(q, k, v, causal=True, window=w,
+                                   block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_decode_window(self, rng):
+        kq, kk, kv = jax.random.split(rng, 3)
+        h, hk, d, s_max, cur, w = 4, 2, 16, 64, 40, 12
+        q = jax.random.normal(kq, (h, d))
+        kc = jax.random.normal(kk, (s_max, hk, d))
+        vc = jax.random.normal(kv, (s_max, hk, d))
+        out = attn.decode_attention(q, kc, vc, jnp.int32(cur), window=w)
+        # Oracle: contiguous attention over the last w cache entries.
+        ref = attn.decode_attention(q, kc[cur - w:cur], vc[cur - w:cur],
+                                    jnp.int32(w))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

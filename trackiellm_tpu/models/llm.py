@@ -250,9 +250,11 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
+        window = (cfg.sliding_window
+                  if 0 < cfg.sliding_window < cfg.max_seq else 0)
         attn = prefill_attention(
             q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
-            causal=True,
+            causal=True, window=window,
         ).transpose(1, 0, 2).reshape(s_pad, -1)
         x = x + _linear(attn.astype(x.dtype), layer["wo"])
 
@@ -312,7 +314,10 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         v_cache_l = jax.lax.dynamic_update_slice(
             v_cache_l, v.astype(v_cache_l.dtype), (pos, 0, 0))
 
-        attn = decode_attention(q[0], k_cache_l, v_cache_l, pos + 1)
+        window = (cfg.sliding_window
+                  if 0 < cfg.sliding_window < cfg.max_seq else 0)
+        attn = decode_attention(q[0], k_cache_l, v_cache_l, pos + 1,
+                                window=window)
         x = x + _linear(attn.reshape(1, -1).astype(x.dtype), layer["wo"])
 
         h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)

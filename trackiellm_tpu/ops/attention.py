@@ -38,12 +38,13 @@ NEG_INF = -1e30
 # XLA reference attention (oracle + CPU path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("causal",))
+@functools.partial(jax.jit, static_argnames=("causal", "window"))
 def attention_xla(
     q: jnp.ndarray,  # (H, Sq, D)
     k: jnp.ndarray,  # (Hk, Sk, D)
     v: jnp.ndarray,  # (Hk, Sk, D)
     causal: bool = True,
+    window: int = 0,  # sliding window; 0 = unbounded (Mistral parity)
 ) -> jnp.ndarray:
     h, sq, d = q.shape
     hk = k.shape[0]
@@ -58,7 +59,10 @@ def attention_xla(
         sk = k.shape[1]
         qi = jnp.arange(sq)[:, None] + (sk - sq)  # align ends
         ki = jnp.arange(sk)[None, :]
-        s = jnp.where(ki <= qi, s, NEG_INF)
+        mask = ki <= qi
+        if window > 0:
+            mask &= ki > qi - window
+        s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("hqk,hkd->hqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
@@ -68,7 +72,8 @@ def attention_xla(
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                  *, scale: float, causal: bool, block_q: int, block_k: int):
+                  *, scale: float, causal: bool, block_q: int, block_k: int,
+                  window: int = 0):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -78,8 +83,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Causal: skip tiles entirely above the diagonal.
+    # Causal: skip tiles entirely above the diagonal; with a sliding
+    # window also skip tiles entirely below it.
     run = True if not causal else (ki * block_k <= (qi + 1) * block_q - 1)
+    if causal and window > 0:
+        run = run & ((ki + 1) * block_k - 1 >= qi * block_q - window + 1)
 
     @pl.when(run)
     def _():
@@ -93,7 +101,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                 jnp.int32, (block_q, block_k), 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(cols <= rows, s, NEG_INF)
+            mask = cols <= rows
+            if window > 0:
+                mask &= cols > rows - window
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, :1]                      # (bq, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -113,7 +124,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret", "window"),
 )
 def flash_attention(
     q: jnp.ndarray,  # (H, S, D)
@@ -123,6 +135,7 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    window: int = 0,
 ) -> jnp.ndarray:
     h, s, d = q.shape
     hk = k.shape[0]
@@ -136,7 +149,7 @@ def flash_attention(
     grid = (h, s // block_q, s // block_k)
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, window=window,
     )
     return pl.pallas_call(
         kernel,
@@ -169,24 +182,26 @@ def flash_attention(
     )(q, k, v)
 
 
-def prefill_attention(q, k, v, causal: bool = True) -> jnp.ndarray:
+def prefill_attention(q, k, v, causal: bool = True,
+                      window: int = 0) -> jnp.ndarray:
     """Dispatch: Pallas flash on TPU, XLA oracle elsewhere."""
     s = q.shape[1]
     if jax.default_backend() == "tpu" and s >= 256 and s % 256 == 0:
-        return flash_attention(q, k, v, causal=causal)
-    return attention_xla(q, k, v, causal=causal)
+        return flash_attention(q, k, v, causal=causal, window=window)
+    return attention_xla(q, k, v, causal=causal, window=window)
 
 
 # ---------------------------------------------------------------------------
 # Cached decode attention (single new token, length-masked cache)
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("window",))
 def decode_attention(
     q: jnp.ndarray,        # (H, D) — the new token's query
     k_cache: jnp.ndarray,  # (S_max, Hk, D)
     v_cache: jnp.ndarray,  # (S_max, Hk, D)
     cur_len: jnp.ndarray,  # scalar int32: valid prefix length (incl. new tok)
+    window: int = 0,       # sliding window; 0 = attend to everything
 ) -> jnp.ndarray:
     h, d = q.shape
     s_max, hk, _ = k_cache.shape
@@ -197,7 +212,10 @@ def decode_attention(
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
     s = jnp.einsum("grd,sgd->grs", qg, kf) * scale      # (Hk, rep, S)
-    mask = jnp.arange(s_max)[None, None, :] < cur_len
+    idx = jnp.arange(s_max)[None, None, :]
+    mask = idx < cur_len
+    if window > 0:
+        mask &= idx >= cur_len - window
     s = jnp.where(mask, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("grs,sgd->grd", p, vf)
