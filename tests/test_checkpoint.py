@@ -1,0 +1,75 @@
+"""Checkpoint save/load + CLI tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.test_convert import _make_gguf
+from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+from trackiellm_tpu.utils.errors import TrackieError
+
+
+class TestCheckpoint:
+    def test_roundtrip_plain(self, tmp_path):
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        d = str(tmp_path / "ckpt")
+        save_checkpoint(d, params, config=cfg, metadata={"note": "t"})
+        loaded, cfg2, meta = load_checkpoint(d)
+        assert cfg2 == cfg
+        assert meta["note"] == "t"
+        a = jax.tree.leaves(params)
+        b = jax.tree.leaves(loaded)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_roundtrip_quantized_and_bf16(self, tmp_path):
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params_quantized(
+            jax.random.PRNGKey(1), cfg, bits=4, group=64)
+        d = str(tmp_path / "qckpt")
+        save_checkpoint(d, params, config=cfg)
+        loaded, cfg2, _ = load_checkpoint(d)
+        # Forward parity through the reloaded tree.
+        toks = jnp.arange(5, dtype=jnp.int32)
+        c1 = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        c2 = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        a, _ = llm_model.prefill(params, cfg, toks, jnp.int32(5), c1)
+        b, _ = llm_model.prefill(loaded, cfg2, toks, jnp.int32(5), c2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_missing_checkpoint(self, tmp_path):
+        with pytest.raises(TrackieError):
+            load_checkpoint(str(tmp_path / "nope"))
+
+
+class TestCLI:
+    def _run(self, *argv):
+        from trackiellm_tpu.__main__ import main
+
+        return main(list(argv))
+
+    def test_inspect(self, tmp_path, capsys):
+        p = str(tmp_path / "m.gguf")
+        _make_gguf(p)
+        assert self._run("inspect", p) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["format"] == "gguf"
+        assert out["architecture"] == "llama"
+
+    def test_convert_then_generate(self, tmp_path, capsys):
+        p = str(tmp_path / "m.gguf")
+        _make_gguf(p)
+        out_dir = str(tmp_path / "native")
+        assert self._run("convert", p, "-o", out_dir, "--bits", "0") == 0
+        assert self._run("generate", out_dir, "-p", "oi",
+                         "--max-tokens", "4") == 0

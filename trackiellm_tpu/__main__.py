@@ -1,0 +1,109 @@
+"""CLI entry: ``python -m trackiellm_tpu <command>``.
+
+Commands mirror the reference's operator workflows (README.md's
+``trackied --config ...`` invocation plus the model tooling):
+
+  inspect <model>                  — format/metadata of a checkpoint
+  convert <gguf> -o DIR [--bits N] — GGUF -> native checkpoint
+  generate <ckpt> -p PROMPT        — run a generation from a checkpoint
+  bench                            — headline decode benchmark
+  demo [seconds]                   — full assistant loop, mock hardware
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_inspect(args) -> int:
+    from trackiellm_tpu.models.loader import describe
+
+    print(json.dumps(describe(args.model), indent=1))
+    return 0
+
+
+def _cmd_convert(args) -> int:
+    import time
+
+    from trackiellm_tpu.models.checkpoint import save_checkpoint
+    from trackiellm_tpu.models.convert import gguf_to_llm_params
+
+    t0 = time.time()
+    params, cfg = gguf_to_llm_params(args.gguf, bits=args.bits or None)
+    save_checkpoint(args.output, params, config=cfg,
+                    metadata={"source": args.gguf, "bits": args.bits})
+    print(f"converted + saved to {args.output} "
+          f"in {time.time() - t0:.1f}s; config: {cfg}")
+    return 0
+
+
+def _cmd_generate(args) -> int:
+    from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+    from trackiellm_tpu.models.checkpoint import load_checkpoint
+
+    params, cfg, _ = load_checkpoint(args.checkpoint)
+    if cfg is None:
+        print("checkpoint has no LLMConfig sidecar", file=sys.stderr)
+        return 1
+    runner = LLMRunner(params, cfg, gen_config=GenerationConfig(
+        max_tokens=args.max_tokens, temperature=args.temperature))
+    runner.generate(args.prompt,
+                    on_token=lambda s: print(s, end="", flush=True))
+    print()
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def _cmd_demo(args) -> int:
+    import runpy
+    import os
+
+    sys.argv = ["run_assistant.py", str(args.seconds)]
+    runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "run_assistant.py"),
+        run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="trackiellm_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("inspect", help="inspect a model file")
+    p.add_argument("model")
+    p.set_defaults(fn=_cmd_inspect)
+
+    p = sub.add_parser("convert", help="GGUF -> native checkpoint")
+    p.add_argument("gguf")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--bits", type=int, default=4, choices=(0, 4, 8))
+    p.set_defaults(fn=_cmd_convert)
+
+    p = sub.add_parser("generate", help="generate from a checkpoint")
+    p.add_argument("checkpoint")
+    p.add_argument("-p", "--prompt", default="Olá!")
+    p.add_argument("--max-tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.set_defaults(fn=_cmd_generate)
+
+    p = sub.add_parser("bench", help="headline decode benchmark")
+    p.set_defaults(fn=_cmd_bench)
+
+    p = sub.add_parser("demo", help="assistant demo on mock hardware")
+    p.add_argument("seconds", nargs="?", type=float, default=5.0)
+    p.set_defaults(fn=_cmd_demo)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

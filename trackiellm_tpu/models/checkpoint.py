@@ -1,0 +1,129 @@
+"""Native checkpoint save/load for model parameter trees.
+
+Parity note: the reference keeps models as read-only GGUF/ONNX artifacts
+(SURVEY.md section 5.4). Here the native artifact is an orbax checkpoint
+of the parameter pytree (quantized leaves included) plus a JSON sidecar
+carrying the architecture config — convert a GGUF once
+(models/convert.py), save natively, reload in seconds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.ops.quant import QuantizedLinear
+from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
+from trackiellm_tpu.utils.paths import Path
+
+_CONFIG_FILE = "config.json"
+_TREE_FILE = "tree.json"
+_ARRAYS_FILE = "arrays.npz"
+
+
+def _flatten(params: Any) -> Tuple[Dict[str, np.ndarray], Any]:
+    """Flatten a pytree into named arrays + a structure descriptor.
+
+    npz-based rather than orbax's OCDBT: single-file artifacts, no
+    async-manager teardown issues, loadable with plain numpy. Quantized
+    leaves round-trip via a ``__qlin__`` marker in the structure.
+    """
+    leaves: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, QuantizedLinear):
+            leaves[f"{prefix}.values"] = np.asarray(node.values)
+            leaves[f"{prefix}.scales"] = np.asarray(node.scales)
+            return {"__qlin__": prefix}
+        if isinstance(node, dict):
+            return {k: walk(v, f"{prefix}.{k}" if prefix else k)
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [walk(v, f"{prefix}[{i}]") for i, v in enumerate(node)]
+        leaves[prefix] = np.asarray(node)
+        return {"__leaf__": prefix, "__dtype__": str(np.asarray(node).dtype)}
+
+    tree = walk(params, "")
+    return leaves, tree
+
+
+def _unflatten(tree: Any, arrays: Dict[str, np.ndarray],
+               device_put: bool) -> Any:
+    import jax.numpy as jnp
+
+    def lift(a):
+        return jnp.asarray(a) if device_put else a
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "__qlin__" in node:
+                p = node["__qlin__"]
+                return QuantizedLinear(values=lift(arrays[f"{p}.values"]),
+                                       scales=lift(arrays[f"{p}.scales"]))
+            if "__leaf__" in node:
+                # dtype restoration (incl. bf16 views) happens in
+                # load_checkpoint before unflattening.
+                return lift(arrays[node["__leaf__"]])
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"bad tree node {node!r}")
+
+    return walk(tree)
+
+
+def save_checkpoint(directory: str, params: Any,
+                    config: Optional[Any] = None,
+                    metadata: Optional[Dict] = None) -> None:
+    """Save params (+ config NamedTuple + metadata) to a directory."""
+    os.makedirs(directory, exist_ok=True)
+    leaves, tree = _flatten(params)
+    # bfloat16 isn't npz-native: store raw uint16 view with dtype marker.
+    packed = {}
+    dtypes = {}
+    for name, arr in leaves.items():
+        dtypes[name] = str(arr.dtype)
+        if arr.dtype == jax.numpy.bfloat16:
+            packed[name] = np.asarray(arr).view(np.uint16)
+        else:
+            packed[name] = arr
+    np.savez(os.path.join(directory, _ARRAYS_FILE), **packed)
+    Path(os.path.join(directory, _TREE_FILE)).write_text_atomic(
+        json.dumps({"tree": tree, "dtypes": dtypes}))
+    sidecar = {"metadata": metadata or {}}
+    if config is not None:
+        sidecar["config"] = dict(config._asdict())
+        sidecar["config_class"] = type(config).__name__
+    Path(os.path.join(directory, _CONFIG_FILE)).write_text_atomic(
+        json.dumps(sidecar, indent=1))
+
+
+def load_checkpoint(directory: str, device_put: bool = True,
+                    ) -> Tuple[Any, Optional[llm_model.LLMConfig], Dict]:
+    """Load (params, config-or-None, metadata)."""
+    tree_path = os.path.join(directory, _TREE_FILE)
+    if not os.path.exists(tree_path):
+        raise TrackieError(ErrorCode.FILE_NOT_FOUND, directory)
+    spec = json.loads(Path(tree_path).read_text())
+    with np.load(os.path.join(directory, _ARRAYS_FILE)) as z:
+        arrays = {}
+        for name in z.files:
+            a = z[name]
+            if spec["dtypes"].get(name) == "bfloat16":
+                a = a.view(jax.numpy.bfloat16)
+            arrays[name] = a
+    params = _unflatten(spec["tree"], arrays, device_put)
+
+    sidecar = json.loads(Path(os.path.join(directory, _CONFIG_FILE))
+                         .read_text())
+    cfg = None
+    if "config" in sidecar and sidecar.get("config_class") == "LLMConfig":
+        cfg = llm_model.LLMConfig(**sidecar["config"])
+    return params, cfg, sidecar.get("metadata", {})
