@@ -234,3 +234,44 @@ class TestModuleRegistry:
         assert done.wait(2.0)
         assert isinstance(errs[0], RuntimeError)
         reg.close()
+
+
+class TestCppWrappers:
+    def test_raii_wrapper_compiles_and_runs(self, tmp_path):
+        """Compile the header-only C++ RAII layer against the C ABI and
+        run its assertions (parity: tk_ffi_cpp_api)."""
+        import os
+        import shutil
+        import subprocess
+        import textwrap
+
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        native = os.path.join(os.path.dirname(__file__), "..",
+                              "trackiellm_tpu", "ffi", "native")
+        src = tmp_path / "t.cpp"
+        src.write_text(textwrap.dedent("""
+            #include <cassert>
+            #include "trackie_runtime.hpp"
+            int main() {
+                trackie::RingBuffer ring(64);
+                const uint8_t msg[] = "abc";
+                assert(ring.write(msg, 3) == 3);
+                assert(ring.read(3).size() == 3);
+                trackie::EventQueue q(2);
+                assert(q.push(1, msg, 3));
+                auto e = q.pop(50);
+                assert(e && e->type == 1);
+                uint8_t key[32] = {0}, nonce[12] = {0};
+                std::vector<uint8_t> pt = {9, 9};
+                assert(trackie::aead_decrypt(
+                    key, nonce, trackie::aead_encrypt(key, nonce, pt)) == pt);
+                return 0;
+            }
+        """))
+        exe = tmp_path / "t"
+        subprocess.run(
+            ["g++", "-O1", "-std=c++17", f"-I{native}", str(src),
+             os.path.join(native, "trackie_runtime.cpp"), "-o", str(exe)],
+            check=True, capture_output=True, timeout=120)
+        subprocess.run([str(exe)], check=True, timeout=30)

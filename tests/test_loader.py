@@ -268,3 +268,15 @@ class TestModelService:
 
     def test_global_singleton(self):
         assert global_model_service() is global_model_service()
+
+
+class TestOptimize:
+    def test_downcast_big_tensors(self, tmp_path):
+        p = str(tmp_path / "opt.npz")
+        np.savez(p, big=np.zeros((128, 128), np.float32),
+                 small=np.zeros((4,), np.float32))
+        m = L.load_model(p)
+        opt = L.optimize_model(m)
+        assert opt.tensors["big"].dtype == np.float16
+        assert opt.tensors["small"].dtype == np.float32
+        assert opt.size_bytes < m.size_bytes

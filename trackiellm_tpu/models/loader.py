@@ -322,6 +322,23 @@ def load_model(path: str) -> LoadedModel:
     return LoadedModel(path, fmt, meta, tensors, time.time(), size)
 
 
+def optimize_model(model: LoadedModel,
+                   target_dtype=np.float16) -> LoadedModel:
+    """Parity: the loader's optimize entry point (tk_model_loader.c:1188-
+    1301) — here a storage optimization: downcast f32 tensors to the
+    target dtype (f16 halves the footprint; norms and small vectors are
+    kept f32 for numerical headroom)."""
+    out: Dict[str, np.ndarray] = {}
+    for name, t in model.tensors.items():
+        if t.dtype == np.float32 and t.ndim >= 2 and t.size > 4096:
+            out[name] = t.astype(target_dtype)
+        else:
+            out[name] = t
+    size = sum(t.nbytes for t in out.values())
+    return LoadedModel(model.path, model.format, model.metadata, out,
+                       model.loaded_at, size)
+
+
 def validate_model(path: str) -> bool:
     """Parity: tk_model_loader validate (:1188) — header parse + tensor
     directory sanity, no full data read."""

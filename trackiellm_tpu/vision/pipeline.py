@@ -102,6 +102,7 @@ class VisionResult:
     scene_graph: Optional[Dict[str, Any]]
     valid_analyses: AnalysisFlags
     timings_ms: Dict[str, float]
+    barcodes: List[str] = dataclasses.field(default_factory=list)
 
 
 # Injected model backends (real models or test stubs):
@@ -130,10 +131,15 @@ class VisionPipeline:
         depth_fn: Optional[DepthFn] = None,
         ocr_fn: Optional[OCRFn] = None,
         config: Optional[VisionConfig] = None,
+        barcode_fn: Optional[Callable] = None,
     ):
         self.detector_fn = detector_fn
         self.depth_fn = depth_fn
         self.ocr_fn = ocr_fn
+        # QR/barcode detection hook (parity: the reference's hooks in
+        # tk_text_recognition.cpp:103-104) — called on the grayscale
+        # frame whenever OCR runs; results land in VisionResult.barcodes.
+        self.barcode_fn = barcode_fn
         self.config = config or VisionConfig()
         self._frame_counter = 0
         # OCR result cache keyed by crop hash with expiry (parity:
@@ -253,6 +259,7 @@ class VisionPipeline:
             timings["attributes"] = (time.perf_counter() - t0) * 1e3
 
         # --- OCR (explicit or auto-triggered) ----------------------------
+        barcodes: List[str] = []
         want_ocr = bool(flags & AnalysisFlags.OCR)
         auto = [o for o in objects if o.label in TEXT_BEARING_LABELS]
         if self.ocr_fn is not None and (want_ocr and auto):
@@ -286,6 +293,8 @@ class VisionPipeline:
                     for (o, key), t in zip(fresh, texts):
                         o.text = t
                         self._ocr_cache[key] = (t, now)
+                if self.barcode_fn is not None:
+                    barcodes = list(self.barcode_fn(gray) or [])
                 valid |= AnalysisFlags.OCR
             except Exception as e:
                 log.warning("ocr failed on frame %d: %s",
@@ -313,4 +322,5 @@ class VisionPipeline:
             scene_graph=graph,
             valid_analyses=valid,
             timings_ms=timings,
+            barcodes=barcodes,
         )
