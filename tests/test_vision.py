@@ -301,3 +301,38 @@ class TestPipelineBehavior:
         sign = next(o for o in res.objects if o.label == "stop sign")
         assert sign.text == "stop"
         assert len(ocr_calls) == 1
+
+
+class TestNavigationCuesInPipeline:
+    def test_navigation_flag_produces_cues(self):
+        """NAVIGATION analysis: depth grid -> hazard strings (parity:
+        the Rust analyze_navigation_cues step)."""
+        from trackiellm_tpu.navigation import NavigationEngine
+        from tests.test_navigation import _synthetic_depth
+
+        depth = _synthetic_depth(obstacle={"z": 1.5})
+
+        def depth_fn(chw):
+            # Return relative inverse depth whose metric mapping matches
+            # the synthetic scene closely enough for hazard detection:
+            # invert the metric depth into [0, 1].
+            import jax.numpy as jnp
+            d = jnp.asarray(depth)
+            inv = jnp.where(d > 0, 1.0 / jnp.maximum(d, 0.1), 0.0)
+            return inv
+
+        fx = {"camera": {"width": 160, "height": 120},
+              "objects": [{"label": "chair", "box": [10, 10, 30, 30],
+                           "min_confidence": 0.5, "expected_color": None}]}
+        pipe = VisionPipeline(
+            detector_fn=_stub_detector_for(fx),
+            depth_fn=lambda chw: depth_fn(chw),
+            navigation_engine=NavigationEngine(),
+            config=VisionConfig(depth_input=120, min_depth_m=0.3,
+                                max_depth_m=10.0),
+        )
+        frame = np.zeros((120, 160, 3), np.uint8)
+        res = pipe.process_frame(
+            frame, AnalysisFlags.DEPTH | AnalysisFlags.NAVIGATION)
+        assert res.valid_analyses & AnalysisFlags.NAVIGATION
+        assert isinstance(res.navigation_cues, list)

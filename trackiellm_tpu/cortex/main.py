@@ -278,7 +278,17 @@ class Cortex:
         if frame is None:
             return
         t0 = time.monotonic()
-        result = self.vision.process_frame(frame)
+        orientation = None
+        if self.sensors is not None:
+            try:
+                orientation = self.sensors.get_orientation()
+            except Exception:
+                pass
+        try:
+            result = self.vision.process_frame(frame,
+                                               orientation_wxyz=orientation)
+        except TypeError:  # stub pipelines without the kwarg
+            result = self.vision.process_frame(frame)
         self.stats["last_vision_ms"] = (time.monotonic() - t0) * 1e3
 
         scene_desc = ""
@@ -286,6 +296,12 @@ class Cortex:
             from trackiellm_tpu.vision.scene_graph import describe_scene_graph
             scene_desc = describe_scene_graph(result.scene_graph)
         self.reasoner.update_vision_context(result.objects, scene_desc)
+
+        cues = getattr(result, "navigation_cues", None)
+        if cues:
+            self.reasoner.update_navigation_context(cues)
+            for alert in self.world.run_navigation_rules(cues):
+                self._speak(alert, int(ActionPriority.CRITICAL))
 
         self.world.update_from_detections(result.objects)
         alerts = self.world.run_safety_rules()

@@ -103,6 +103,7 @@ class VisionResult:
     valid_analyses: AnalysisFlags
     timings_ms: Dict[str, float]
     barcodes: List[str] = dataclasses.field(default_factory=list)
+    navigation_cues: List[str] = dataclasses.field(default_factory=list)
 
 
 # Injected model backends (real models or test stubs):
@@ -132,6 +133,7 @@ class VisionPipeline:
         ocr_fn: Optional[OCRFn] = None,
         config: Optional[VisionConfig] = None,
         barcode_fn: Optional[Callable] = None,
+        navigation_engine=None,
     ):
         self.detector_fn = detector_fn
         self.depth_fn = depth_fn
@@ -140,6 +142,10 @@ class VisionPipeline:
         # tk_text_recognition.cpp:103-104) — called on the grayscale
         # frame whenever OCR runs; results land in VisionResult.barcodes.
         self.barcode_fn = barcode_fn
+        # Navigation-cue analysis over the depth grid (parity: the Rust
+        # analyze_navigation_cues step the C pipeline calls,
+        # tk_vision_pipeline.c:239 -> src/vision/src/depth_processing.rs).
+        self.navigation_engine = navigation_engine
         self.config = config or VisionConfig()
         self._frame_counter = 0
         # OCR result cache keyed by crop hash with expiry (parity:
@@ -164,7 +170,7 @@ class VisionPipeline:
 
     def process_frame(self, frame_hwc_u8: np.ndarray,
                       flags: AnalysisFlags = AnalysisFlags.ALL,
-                      ) -> VisionResult:
+                      orientation_wxyz=None) -> VisionResult:
         cfg = self.config
         self._frame_counter += 1
         valid = AnalysisFlags.NONE
@@ -301,6 +307,21 @@ class VisionPipeline:
                             self._frame_counter, e)
             timings["ocr"] = (time.perf_counter() - t0) * 1e3
 
+        # --- navigation cues over the depth grid -------------------------
+        navigation_cues: List[str] = []
+        if (flags & AnalysisFlags.NAVIGATION
+                and self.navigation_engine is not None
+                and depth_map is not None):
+            t0 = time.perf_counter()
+            try:
+                self.navigation_engine.update(depth_map, orientation_wxyz)
+                navigation_cues = self.navigation_engine.current_hazards()
+                valid |= AnalysisFlags.NAVIGATION
+            except Exception as e:
+                log.warning("navigation cues failed on frame %d: %s",
+                            self._frame_counter, e)
+            timings["navigation"] = (time.perf_counter() - t0) * 1e3
+
         # --- scene graph ---------------------------------------------------
         if flags & AnalysisFlags.SCENE_GRAPH and objects:
             t0 = time.perf_counter()
@@ -323,4 +344,5 @@ class VisionPipeline:
             valid_analyses=valid,
             timings_ms=timings,
             barcodes=barcodes,
+            navigation_cues=navigation_cues,
         )
