@@ -58,6 +58,9 @@ def main() -> None:
     )
     reasoner = ContextualReasoner()
     rng = np.random.default_rng(int(time.time()))
+    # Preallocate the KV cache once; turns reuse it with length reset
+    # (stale entries are length-masked), like the production runner.
+    kv = llm_model.KVCache.create(llm_cfg)
 
     def one_pass(seed: int) -> float:
         frame = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
@@ -74,7 +77,7 @@ def main() -> None:
         ids = np.frombuffer(context.encode()[:120], np.uint8).astype(np.int32)
         padded = np.zeros(128, np.int32)
         padded[:len(ids)] = ids % llm_cfg.vocab_size
-        cache = llm_model.KVCache.create(llm_cfg)
+        cache = llm_model.KVCache(kv.k, kv.v, jnp.int32(0))
         logits, cache = llm_model.prefill(
             llm_params, llm_cfg, jnp.asarray(padded),
             jnp.int32(len(ids)), cache)

@@ -15,7 +15,7 @@ import contextlib
 import dataclasses
 import threading
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 @dataclasses.dataclass
