@@ -1,0 +1,115 @@
+"""Batched serving tests: batched decode correctness vs single-sequence
+decode, slot insertion, and the continuous-batching server."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from trackiellm_tpu.llm.server import LLMServer
+from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+from trackiellm_tpu.models import llm as llm_model
+
+CFG = llm_model.LLMConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llm_model.init_params(jax.random.PRNGKey(0), CFG,
+                                 dtype=jnp.float32)
+
+
+class TestBatchedDecode:
+    def test_matches_single_sequence(self, params):
+        """decode_step_batch on two slots with different histories must
+        match two independent decode_step chains exactly."""
+        toks_a = jnp.arange(6, dtype=jnp.int32)
+        toks_b = jnp.arange(3, dtype=jnp.int32) + 40
+
+        # Independent single-sequence paths.
+        ca = llm_model.KVCache.create(CFG, dtype=jnp.float32)
+        cb = llm_model.KVCache.create(CFG, dtype=jnp.float32)
+        la, ca = llm_model.prefill(params, CFG, toks_a, jnp.int32(6), ca)
+        lb, cb = llm_model.prefill(params, CFG, toks_b, jnp.int32(3), cb)
+        na, nb = jnp.argmax(la), jnp.argmax(lb)
+        ref_a, ca = llm_model.decode_step(params, CFG, na.astype(jnp.int32),
+                                          ca)
+        ref_b, cb = llm_model.decode_step(params, CFG, nb.astype(jnp.int32),
+                                          cb)
+
+        # Batched path: prefill separately, insert into slots, one step.
+        batch = llm_model.BatchedKVCache.create(CFG, 2, dtype=jnp.float32)
+        sa = llm_model.KVCache.create(CFG, dtype=jnp.float32)
+        sb = llm_model.KVCache.create(CFG, dtype=jnp.float32)
+        _, sa = llm_model.prefill(params, CFG, toks_a, jnp.int32(6), sa)
+        _, sb = llm_model.prefill(params, CFG, toks_b, jnp.int32(3), sb)
+        batch = llm_model.insert_sequence(batch, CFG, 0, sa)
+        batch = llm_model.insert_sequence(batch, CFG, 1, sb)
+        tokens = jnp.asarray([int(na), int(nb)], jnp.int32)
+        logits, batch = llm_model.decode_step_batch(
+            params, CFG, tokens, jnp.array([True, True]), batch)
+
+        np.testing.assert_allclose(np.asarray(logits[0]), np.asarray(ref_a),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(ref_b),
+                                   rtol=2e-3, atol=2e-3)
+        assert batch.lengths.tolist() == [7, 4]
+
+    def test_inactive_slot_untouched(self, params):
+        batch = llm_model.BatchedKVCache.create(CFG, 2, dtype=jnp.float32)
+        s = llm_model.KVCache.create(CFG, dtype=jnp.float32)
+        _, s = llm_model.prefill(params, CFG, jnp.arange(4, dtype=jnp.int32),
+                                 jnp.int32(4), s)
+        batch = llm_model.insert_sequence(batch, CFG, 0, s)
+        before_k = np.asarray(batch.k[:, 1])
+        _, batch = llm_model.decode_step_batch(
+            params, CFG, jnp.asarray([5, 0], jnp.int32),
+            jnp.array([True, False]), batch)
+        assert batch.lengths.tolist() == [5, 0]
+        np.testing.assert_array_equal(np.asarray(batch.k[:, 1]), before_k)
+
+
+class TestLLMServer:
+    def test_concurrent_requests_complete(self, params):
+        server = LLMServer(params, CFG, batch_slots=2,
+                           tokenizer=ByteTokenizer(CFG.vocab_size),
+                           cache_dtype=jnp.float32)
+        try:
+            futures = [server.submit(f"pergunta {i}", max_tokens=6)
+                       for i in range(5)]  # more requests than slots
+            results = [f.result(timeout=120) for f in futures]
+            assert len(results) == 5
+            assert all(isinstance(r, str) for r in results)
+            assert server.stats["completed"] == 5
+            assert server.stats["tokens"] >= 5
+        finally:
+            server.close()
+
+    def test_server_matches_runner_greedy(self, params):
+        """The served greedy continuation must equal the interactive
+        runner's for the same prompt."""
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+
+        tok = ByteTokenizer(CFG.vocab_size)
+        runner = LLMRunner(params, CFG, tok,
+                           GenerationConfig(max_tokens=8, temperature=0.0),
+                           cache_dtype=jnp.float32)
+        expected = runner.generate("ola")
+
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32)
+        try:
+            got = server.generate("ola", max_tokens=8)
+        finally:
+            server.close()
+        assert got == expected
+
+    def test_close_fails_pending(self, params):
+        server = LLMServer(params, CFG, batch_slots=1,
+                           tokenizer=ByteTokenizer(CFG.vocab_size),
+                           cache_dtype=jnp.float32)
+        server.close()
+        fut = server.submit("x")
+        server.close()
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=5)

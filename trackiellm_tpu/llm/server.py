@@ -1,0 +1,192 @@
+"""Continuous-batching LLM server: many conversations, one decode loop.
+
+Beyond the reference (llama.cpp runs one context per process); required
+by this framework's production-serving mandate. Design:
+
+  - a fixed number of batch slots share one :class:`BatchedKVCache`;
+  - new requests prefill as single sequences (the existing bucketed
+    prefill) and are inserted into a free slot **between decode steps**
+    — continuous batching, no stop-the-world;
+  - one jitted ``decode_step_batch`` advances every active slot per
+    step; finished slots (EOS / max tokens) free immediately and new
+    requests take their place;
+  - sampling is greedy or temperature per request, on host, with the
+    same device-side masked sampler as the interactive runner.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trackiellm_tpu.llm import sampling
+from trackiellm_tpu.llm.runner import PREFILL_BUCKETS, _bucket_for
+from trackiellm_tpu.llm.tokenizer import ByteTokenizer, Tokenizer
+from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.utils.logging import get_logger
+
+log = get_logger("llm.server")
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: str
+    max_tokens: int = 64
+    temperature: float = 0.0
+    future: Future = dataclasses.field(default_factory=Future)
+    submitted_at: float = dataclasses.field(default_factory=time.monotonic)
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Optional[Request] = None
+    generated: List[int] = dataclasses.field(default_factory=list)
+    n_emitted: int = 0
+    next_token: int = 0
+
+    @property
+    def active(self) -> bool:
+        return self.request is not None
+
+
+class LLMServer:
+    """Fixed-slot continuous-batching server over a parameter tree."""
+
+    def __init__(self, params: Dict[str, Any], cfg: llm_model.LLMConfig,
+                 batch_slots: int = 4,
+                 tokenizer: Optional[Tokenizer] = None,
+                 cache_dtype=jnp.bfloat16, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.batch = batch_slots
+        self.tokenizer = tokenizer or ByteTokenizer(cfg.vocab_size)
+        self.cache = llm_model.BatchedKVCache.create(cfg, batch_slots,
+                                                     dtype=cache_dtype)
+        self._slots = [_Slot() for _ in range(batch_slots)]
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._key = jax.random.PRNGKey(seed)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve_loop,
+                                        daemon=True, name="llm-server")
+        self._thread.start()
+        self.stats = {"completed": 0, "decode_steps": 0, "tokens": 0}
+
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt: str, max_tokens: int = 64,
+               temperature: float = 0.0) -> Future:
+        """Enqueue a generation; the Future resolves to the text."""
+        req = Request(prompt, max_tokens, temperature)
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, prompt: str, max_tokens: int = 64,
+                 temperature: float = 0.0, timeout: float = 300.0) -> str:
+        return self.submit(prompt, max_tokens, temperature).result(timeout)
+
+    # ------------------------------------------------------------------
+
+    def _admit(self) -> None:
+        """Fill free slots from the queue (prefill + slot insert)."""
+        for slot_idx, slot in enumerate(self._slots):
+            if slot.active:
+                continue
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            ids = self.tokenizer.encode(req.prompt, add_bos=True)
+            buckets = [b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
+            limit = min(buckets[-1],
+                        self.cfg.max_seq - req.max_tokens - 1)
+            if len(ids) > limit:
+                head = limit // 4
+                ids = ids[:head] + ids[-(limit - head):]
+            bucket = _bucket_for(len(ids), buckets)
+            padded = np.zeros(bucket, np.int32)
+            padded[: len(ids)] = ids
+            seq_cache = llm_model.KVCache.create(
+                self.cfg, dtype=self.cache.k.dtype)
+            logits, seq_cache = llm_model.prefill(
+                self.params, self.cfg, jnp.asarray(padded),
+                jnp.int32(len(ids)), seq_cache)
+            self.cache = llm_model.insert_sequence(
+                self.cache, self.cfg, slot_idx, seq_cache)
+            slot.request = req
+            slot.generated = []
+            slot.n_emitted = 0
+            slot.next_token = self._sample_one(logits, req, [])
+
+    def _sample_one(self, logits: jnp.ndarray, req: Request,
+                    recent: List[int]) -> int:
+        if req.temperature <= 0:
+            return int(sampling.greedy(logits))
+        self._key, sub = jax.random.split(self._key)
+        return int(sampling.sample(logits, sub,
+                                   jnp.float32(req.temperature)))
+
+    def _finish(self, slot: _Slot) -> None:
+        req = slot.request
+        text = self.tokenizer.decode(slot.generated)
+        slot.request = None
+        self.stats["completed"] += 1
+        if req and not req.future.cancelled():
+            req.future.set_result(text)
+
+    def _serve_loop(self) -> None:
+        while not self._stop.is_set():
+            self._admit()
+            active_mask = [s.active for s in self._slots]
+            if not any(active_mask):
+                time.sleep(0.005)
+                continue
+
+            tokens = jnp.asarray(
+                [s.next_token if s.active else 0 for s in self._slots],
+                jnp.int32)
+            active = jnp.asarray(active_mask)
+            logits, self.cache = llm_model.decode_step_batch(
+                self.params, self.cfg, tokens, active, self.cache)
+            self.stats["decode_steps"] += 1
+
+            logits_np_ready = logits  # fetched per-slot below
+            for i, slot in enumerate(self._slots):
+                if not slot.active:
+                    continue
+                req = slot.request
+                slot.generated.append(slot.next_token)
+                slot.n_emitted += 1
+                self.stats["tokens"] += 1
+                nxt = self._sample_one(logits_np_ready[i], req,
+                                       slot.generated)
+                if (nxt == self.tokenizer.eos_id
+                        or slot.n_emitted >= req.max_tokens
+                        or int(self.cache.lengths[i])
+                        >= self.cfg.max_seq - 1):
+                    self._finish(slot)
+                else:
+                    slot.next_token = nxt
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        # Fail any stragglers.
+        while True:
+            try:
+                req = self._queue.get_nowait()
+                req.future.set_exception(RuntimeError("server closed"))
+            except queue.Empty:
+                break
+        for slot in self._slots:
+            if slot.active:
+                slot.request.future.set_exception(
+                    RuntimeError("server closed"))
+                slot.request = None

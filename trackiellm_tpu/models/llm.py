@@ -336,6 +336,107 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Forward: batched decode (multi-conversation serving)
+# ---------------------------------------------------------------------------
+
+class BatchedKVCache(NamedTuple):
+    """Per-slot KV caches for a fixed batch of conversations.
+
+    (Beyond the reference: llama.cpp serves one context per process; this
+    is the continuous-batching layout that keeps the MXU busy when many
+    sessions decode together — tokens/step scale with active slots at
+    nearly the same weight-stream cost.)
+    """
+
+    k: jnp.ndarray        # (L, B, S_max, Hk, D)
+    v: jnp.ndarray        # (L, B, S_max, Hk, D)
+    lengths: jnp.ndarray  # (B,) int32
+
+    @classmethod
+    def create(cls, cfg: LLMConfig, batch: int,
+               dtype: jnp.dtype = jnp.bfloat16,
+               max_seq: Optional[int] = None) -> "BatchedKVCache":
+        s = max_seq or cfg.max_seq
+        shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   lengths=jnp.zeros((batch,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slot"))
+def insert_sequence(cache: BatchedKVCache, cfg: LLMConfig, slot: int,
+                    seq_cache: KVCache) -> BatchedKVCache:
+    """Copy a single-sequence cache (from prefill) into batch slot
+    ``slot``; the slot's length follows the sequence's."""
+    k = jax.lax.dynamic_update_slice(
+        cache.k, seq_cache.k[:, None].astype(cache.k.dtype),
+        (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, seq_cache.v[:, None].astype(cache.v.dtype),
+        (0, slot, 0, 0, 0))
+    lengths = cache.lengths.at[slot].set(seq_cache.length)
+    return BatchedKVCache(k, v, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
+                      tokens: jnp.ndarray, active: jnp.ndarray,
+                      cache: BatchedKVCache,
+                      ) -> Tuple[jnp.ndarray, BatchedKVCache]:
+    """One decode step for every active slot: tokens (B,) -> logits
+    (B, V). Inactive slots (active=False) compute but write nothing and
+    do not advance."""
+    b = tokens.shape[0]
+    pos = cache.lengths  # (B,) position of each new token
+    freqs = _rope_freqs(cfg)
+    x = params["tok_emb"][tokens]  # (B, D)
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    window = (cfg.sliding_window
+              if 0 < cfg.sliding_window < cfg.max_seq else 0)
+
+    def layer_fn(carry, inputs):
+        x = carry
+        layer, k_cache_l, v_cache_l = inputs  # caches: (B, S, Hk, D)
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        qkv = _linear(h, layer["wqkv"])
+        q = qkv[:, :qd].reshape(b, cfg.n_heads, cfg.head_dim)
+        k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        q = jax.vmap(lambda qq, p: apply_rope(qq[None], p[None], freqs)[0]
+                     )(q, pos)
+        k = jax.vmap(lambda kk, p: apply_rope(kk[None], p[None], freqs)[0]
+                     )(k, pos)
+
+        def write_row(cache_row, val, p, act):
+            new = jax.lax.dynamic_update_slice(
+                cache_row, val[None].astype(cache_row.dtype), (p, 0, 0))
+            return jnp.where(act, new, cache_row)
+
+        k_cache_l = jax.vmap(write_row)(k_cache_l, k, pos, active)
+        v_cache_l = jax.vmap(write_row)(v_cache_l, v, pos, active)
+
+        attn = jax.vmap(
+            lambda qq, kc, vc, p: decode_attention(qq, kc, vc, p + 1,
+                                                   window=window)
+        )(q, k_cache_l, v_cache_l, pos)
+        x = x + _linear(attn.reshape(b, -1).astype(x.dtype), layer["wo"])
+
+        h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gu = _linear(h2, layer["w_gu"]).astype(jnp.float32)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + _linear((jax.nn.silu(gate) * up).astype(x.dtype),
+                        layer["w_down"])
+        return x, (k_cache_l, v_cache_l)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.k, cache.v))
+    logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
+                     params["lm_head"])
+    lengths = jnp.where(active, pos + 1, pos)
+    return logits.astype(jnp.float32), BatchedKVCache(new_k, new_v, lengths)
+
+
+# ---------------------------------------------------------------------------
 # Forward: append a token chunk to an existing cache (tool-response
 # re-injection, conversation continuation)
 # ---------------------------------------------------------------------------
