@@ -142,3 +142,25 @@ class TestConversion:
         params, cfg = C.gguf_to_llm_params(p, bits=None, max_layers=1)
         assert cfg.n_layers == 1
         assert params["layers"]["wqkv"].shape[0] == 1
+
+
+class TestTokenizerFromGGUF:
+    def test_vocab_extraction_and_roundtrip(self, tmp_path):
+        import struct
+        from trackiellm_tpu.models.convert import tokenizer_from_gguf
+
+        p = str(tmp_path / "v.gguf")
+        _make_gguf(p)
+        # Append tokenizer tokens by rewriting with extra metadata: the
+        # test writer only supports scalars, so patch the GGUFFile
+        # metadata directly instead.
+        g = L.read_gguf_header(p)
+        assert tokenizer_from_gguf(g) is None  # no vocab present
+        g.metadata["tokenizer.ggml.tokens"] = [
+            "<unk>", "<s>", "</s>", "▁hello", "▁world", "!",
+            "▁", "h", "e", "l", "o"]
+        tok = tokenizer_from_gguf(g)
+        assert tok.bos_id == 1 and tok.eos_id == 2
+        ids = tok.encode(" hello world!")
+        assert tok.decode(ids) == " hello world!"
+        assert ids[0] == 3  # longest match " hello"

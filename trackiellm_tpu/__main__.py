@@ -29,11 +29,15 @@ def _cmd_convert(args) -> int:
 
     from trackiellm_tpu.models.checkpoint import save_checkpoint
     from trackiellm_tpu.models.convert import gguf_to_llm_params
+    from trackiellm_tpu.models.loader import read_gguf_header
 
     t0 = time.time()
     params, cfg = gguf_to_llm_params(args.gguf, bits=args.bits or None)
+    vocab = read_gguf_header(args.gguf).metadata.get(
+        "tokenizer.ggml.tokens")
     save_checkpoint(args.output, params, config=cfg,
-                    metadata={"source": args.gguf, "bits": args.bits})
+                    metadata={"source": args.gguf, "bits": args.bits,
+                              "vocab_pieces": vocab})
     print(f"converted + saved to {args.output} "
           f"in {time.time() - t0:.1f}s; config: {cfg}")
     return 0
@@ -43,12 +47,19 @@ def _cmd_generate(args) -> int:
     from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
     from trackiellm_tpu.models.checkpoint import load_checkpoint
 
-    params, cfg, _ = load_checkpoint(args.checkpoint)
+    params, cfg, meta = load_checkpoint(args.checkpoint)
     if cfg is None:
         print("checkpoint has no LLMConfig sidecar", file=sys.stderr)
         return 1
-    runner = LLMRunner(params, cfg, gen_config=GenerationConfig(
-        max_tokens=args.max_tokens, temperature=args.temperature))
+    tokenizer = None
+    if meta.get("vocab_pieces"):
+        from trackiellm_tpu.models.convert import tokenizer_from_pieces
+
+        tokenizer = tokenizer_from_pieces(meta["vocab_pieces"])
+    runner = LLMRunner(params, cfg, tokenizer,
+                       gen_config=GenerationConfig(
+                           max_tokens=args.max_tokens,
+                           temperature=args.temperature))
     runner.generate(args.prompt,
                     on_token=lambda s: print(s, end="", flush=True))
     print()

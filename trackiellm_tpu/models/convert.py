@@ -75,6 +75,39 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
     )
 
 
+def tokenizer_from_pieces(pieces, pad_id: int = 0):
+    """Build a VocabTokenizer from raw SentencePiece pieces, preserving
+    llama positional ids (0 unk, 1 bos, 2 eos)."""
+    from trackiellm_tpu.llm.tokenizer import VocabTokenizer
+
+    tok = VocabTokenizer.__new__(VocabTokenizer)
+    tok.pieces = [str(t).replace("\u2581", " ") for t in pieces]
+    tok.unk_id, tok.bos_id, tok.eos_id = 0, 1, 2
+    tok.pad_id = pad_id
+    tok.vocab_size = len(tok.pieces)
+    tok.SPECIALS = tuple(tok.pieces[:3])
+    tok._index = {p: i for i, p in enumerate(tok.pieces) if i >= 3 and p}
+    tok._max_len = max((len(p) for p in tok._index), default=1)
+    return tok
+
+
+def tokenizer_from_gguf(gguf: GGUFFile):
+    """Build a tokenizer from the GGUF's embedded vocabulary
+    (``tokenizer.ggml.tokens`` — SentencePiece pieces with the U+2581
+    space marker). Returns None when the file carries no vocab.
+
+    llama.cpp reads the same table (the reference inherits it); here it
+    feeds :class:`trackiellm_tpu.llm.tokenizer.VocabTokenizer` so a
+    converted checkpoint generates real text with zero extra files.
+    """
+    tokens = gguf.metadata.get("tokenizer.ggml.tokens")
+    if not tokens:
+        return None
+    return tokenizer_from_pieces(
+        tokens,
+        pad_id=int(gguf.metadata.get("tokenizer.ggml.padding_token_id", 0)))
+
+
 def gguf_to_llm_params(
     path: str,
     bits: Optional[int] = 4,
