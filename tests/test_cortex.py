@@ -374,3 +374,80 @@ class TestCortexEventLoop:
         c.stop()
         assert c.stats["iterations"] > 5
         assert c.stats["loop_ema_ms"] >= 0.0
+
+
+class TestSentenceStreaming:
+    def test_sentences_stream_during_generation(self):
+        """Completed sentences reach TTS while generation continues; the
+        full text is not re-spoken."""
+        spoken = []
+
+        class StreamingLLM(StubLLM):
+            def generate(self, prompt, tools=(), force_tool_call=False,
+                         on_token=None):
+                text = "Primeira frase. Segunda frase!"
+                if on_token:
+                    for piece in (text[i:i + 5]
+                                  for i in range(0, len(text), 5)):
+                        on_token(piece)
+                return text
+
+        class StubAudio:
+            def say(self, text, priority):
+                spoken.append(text)
+
+            def clear_speech_queue(self):
+                pass
+
+            def process_chunk(self, chunk):
+                pass
+
+        c = Cortex(llm_runner=StreamingLLM([]),
+                   audio_pipeline=StubAudio())
+        c._process_user_speech("oi")
+        assert spoken == ["Primeira frase.", "Segunda frase!"]
+
+    def test_tool_call_not_streamed(self):
+        spoken = []
+
+        class ToolLLM(StubLLM):
+            def generate(self, prompt, tools=(), force_tool_call=False,
+                         on_token=None):
+                text = ('{"tool_call":{"name":"set_fact",'
+                        '"arguments":{"key":"k","value":"v"}}}')
+                if on_token:
+                    on_token(text)
+                # follow-up response after tool execution
+                return (text if not self.calls else "feito.")
+
+        class StubAudio:
+            def say(self, text, priority):
+                spoken.append(text)
+
+            def clear_speech_queue(self):
+                pass
+
+            def process_chunk(self, chunk):
+                pass
+
+        llm = ToolLLM([])
+        orig = llm.generate
+        calls = {"n": 0}
+
+        def gen(prompt, tools=(), force_tool_call=False, on_token=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                text = ('{"tool_call":{"name":"set_fact",'
+                        '"arguments":{"key":"k","value":"v"}}}')
+                if on_token:
+                    on_token(text)
+                return text
+            return "feito."
+
+        llm.generate = gen
+        c = Cortex(llm_runner=llm, audio_pipeline=StubAudio())
+        c._process_user_speech("meu nome é k")
+        # Tool-call JSON was never spoken; the follow-up was.
+        assert all("tool_call" not in s for s in spoken)
+        assert "feito." in spoken
+        assert c.memory.get_fact("k") == "v"

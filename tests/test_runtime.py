@@ -155,3 +155,36 @@ class TestScheduler:
         with pytest.raises(ZeroDivisionError):
             fut.result(timeout=2.0)
         s.close()
+
+
+class TestWatchdog:
+    def test_restarts_crashed_worker_then_gives_up(self):
+        from trackiellm_tpu.runtime.watchdog import Watchdog
+
+        tm = TaskManager()
+        crashes = {"n": 0}
+
+        def flaky(stop):
+            crashes["n"] += 1
+            raise RuntimeError(f"crash {crashes['n']}")
+
+        tm.spawn("flaky", flaky)
+        wd = Watchdog(tm, interval_s=0.01, max_restarts=2)
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline and "flaky" not in wd.gave_up:
+            wd.check_once()
+            time.sleep(0.02)
+        assert crashes["n"] == 3  # original + 2 restarts
+        assert wd.restarts["flaky"] == 2
+        assert "flaky" in wd.gave_up
+        tm.join_all(1.0)
+
+    def test_healthy_worker_untouched(self):
+        from trackiellm_tpu.runtime.watchdog import Watchdog
+
+        tm = TaskManager()
+        tm.spawn("ok", lambda stop: stop.wait(5.0))
+        wd = Watchdog(tm, interval_s=0.01)
+        wd.check_once()
+        assert wd.restarts == {}
+        tm.join_all(1.0)

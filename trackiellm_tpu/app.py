@@ -19,6 +19,7 @@ from trackiellm_tpu.navigation.path_planner import NavigationEngine
 from trackiellm_tpu.runtime.event_bus import EventBus, EventKind
 from trackiellm_tpu.runtime.scheduler import InferenceScheduler, JobKind
 from trackiellm_tpu.runtime.tasks import TaskManager
+from trackiellm_tpu.runtime.watchdog import Watchdog
 from trackiellm_tpu.runtime import workers as w
 from trackiellm_tpu.sensors.fusion import SensorFusion
 from trackiellm_tpu.utils.config import Config
@@ -105,6 +106,7 @@ class TrackieApp:
             memory=self.memory,
         )
 
+        self.watchdog = Watchdog(self.tasks)
         self.sources = sources or AppSources()
         self._started = False
 
@@ -140,9 +142,11 @@ class TrackieApp:
             chunk_ms=self.audio.config.chunk_ms))
         self.tasks.spawn("sensors", lambda stop: w.sensor_worker(
             stop, self.sensors, imu, self.cortex, self.bus))
+        self.watchdog.start()
         log.info("TrackieApp started: %s", self.tasks.status())
 
     def stop(self, timeout: float = 10.0) -> None:
+        self.watchdog.stop()
         stragglers = self.tasks.join_all(timeout=timeout)
         if stragglers:
             log.warning("workers did not stop in time: %s", stragglers)

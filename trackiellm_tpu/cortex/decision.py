@@ -121,6 +121,14 @@ class DecisionEngine:
             self._speak(resp.text, int(ActionPriority.NORMAL))
         return resp
 
+    def parse_only(self, raw_text: str) -> LLMResponse:
+        """Like process_llm_response but never speaks — for callers that
+        already streamed the text to TTS sentence-by-sentence."""
+        resp = parse_llm_response(raw_text)
+        if resp.is_tool_call:
+            self.enqueue(Action(resp.tool_name, resp.tool_arguments or {}))
+        return resp
+
     def enqueue(self, action: Action) -> None:
         if self._emergency and action.priority < ActionPriority.CRITICAL:
             action.state = ActionState.CANCELLED

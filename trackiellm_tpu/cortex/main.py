@@ -85,6 +85,49 @@ class CortexConfig:
         "visual. Responda de forma curta, clara e útil.")
 
 
+class _SentenceStreamer:
+    """Accumulates generation tokens and emits completed sentences.
+
+    Holds off entirely when the output opens with '{' (tool-call JSON
+    must reach the decision engine whole). ``streamed`` reports whether
+    any speech was emitted (the caller then skips re-speaking the full
+    text)."""
+
+    _BOUNDARY = ".!?;"
+
+    def __init__(self, emit):
+        self._emit = emit
+        self._buf = ""
+        self._tool_like: Optional[bool] = None
+        self.streamed = False
+
+    def feed(self, piece: str) -> None:
+        self._buf += piece
+        if self._tool_like is None:
+            stripped = self._buf.lstrip()
+            if not stripped:
+                return
+            self._tool_like = stripped.startswith("{")
+        if self._tool_like:
+            return
+        while True:
+            idx = next((i for i, c in enumerate(self._buf)
+                        if c in self._BOUNDARY), None)
+            if idx is None:
+                return
+            sentence = self._buf[:idx + 1].strip()
+            self._buf = self._buf[idx + 1:]
+            if len(sentence) >= 2:  # skip degenerate fragments
+                self._emit(sentence)
+                self.streamed = True
+
+    def flush(self) -> None:
+        if not self._tool_like and self._buf.strip():
+            self._emit(self._buf.strip())
+            self._buf = ""
+            self.streamed = True
+
+
 class Cortex:
     """The reasoning engine. Subsystems are injected (any may be None —
     the reference's tests build a cortex with NULL model paths and drive
@@ -362,11 +405,23 @@ class Cortex:
                  for n in self.decisions.tool_names]
         prompt = self.llm.build_prompt(self.config.system_prompt, context,
                                        text, tools)
-        raw = self.llm.generate(prompt, tools=tools)
+
+        # Stream completed sentences straight to TTS while the model is
+        # still decoding — the user hears the first clause ~N-tokens
+        # earlier. Suppressed when the output looks like a tool call
+        # (leading '{'): those must be parsed whole.
+        stream = _SentenceStreamer(
+            lambda s: self._speak(s, int(ActionPriority.NORMAL)))
+        raw = self.llm.generate(prompt, tools=tools,
+                                on_token=stream.feed)
         self.stats["last_llm_ms"] = (time.monotonic() - t0) * 1e3
 
         self._set_state(CortexState.RESPONDING)
-        resp = self.decisions.process_llm_response(raw)
+        if stream.streamed:
+            stream.flush()
+            resp = self.decisions.parse_only(raw)
+        else:
+            resp = self.decisions.process_llm_response(raw)
         if resp.is_tool_call:
             done = self.decisions.process_actions()
             for action in done:

@@ -26,6 +26,8 @@ class TaskHandle:
     stop_event: threading.Event
     started_at: float
     error: Optional[BaseException] = None
+    target: Optional[Callable] = None
+    restarts: int = 0
 
     @property
     def alive(self) -> bool:
@@ -44,7 +46,8 @@ class TaskManager:
         """``target`` receives a stop Event it must poll (cooperative
         cancellation, like tokio task + shutdown channel)."""
         stop = threading.Event()
-        handle = TaskHandle(name, None, stop, time.monotonic())  # type: ignore
+        handle = TaskHandle(name, None, stop, time.monotonic(),  # type: ignore
+                            target=target)
 
         def _run():
             try:
@@ -85,6 +88,21 @@ class TaskManager:
             if h.thread.is_alive():
                 stragglers.append(h.name)
         return stragglers
+
+    def respawn(self, name: str) -> Optional[TaskHandle]:
+        """Restart a dead task with its original target (worker recovery;
+        parity with the reference's systemd Restart=on-failure at the
+        process level, README.md:92-107, done per-worker here)."""
+        with self._lock:
+            old = self._tasks.get(name)
+            if old is None or old.alive or old.target is None:
+                return None
+            restarts = old.restarts + 1
+            target = old.target
+            del self._tasks[name]
+        handle = self.spawn(name, target)
+        handle.restarts = restarts
+        return handle
 
     def status(self) -> Dict[str, bool]:
         with self._lock:
