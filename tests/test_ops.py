@@ -423,3 +423,17 @@ class TestSlidingWindow:
                                     jnp.int32(w))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestQ4StreamKernel:
+    def test_v2_matches_oracle(self, rng):
+        k1, k2 = jax.random.split(rng)
+        x = jax.random.normal(k1, (8, 1024))
+        w = jax.random.normal(k2, (1024, 512))
+        qw = quant.quantize_q4(w, group=128)
+        ref = quant.quantized_matmul_xla(x, qw)
+        out = quant.q4_matmul_pallas_v2(x, qw.values, qw.scales,
+                                        tile_n=256, tile_k=128,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)

@@ -303,6 +303,127 @@ def q4_matmul_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Pallas Q4 kernel v2: in-kernel double-buffered HBM streaming
+# ---------------------------------------------------------------------------
+
+def _q4_stream_kernel(xlo_ref, xhi_ref, w_hbm, slo_ref, shi_ref, o_ref,
+                      acc_ref, wbuf, sem, *, group: int, tile_k: int,
+                      tile_n: int):
+    """Grid is (nN,) only: each program streams the ENTIRE K dimension
+    of its N tile through a 2-slot VMEM buffer with manual async DMA.
+    Compared with the grid-tiled v1 this trades ~K/tile_k Mosaic grid
+    steps (~3 us each in this environment) for an in-kernel fori_loop
+    (~ns each), and overlaps each chunk's DMA with the previous chunk's
+    dequant+dot."""
+    ni = pl.program_id(0)
+    half = w_hbm.shape[0]
+    n_chunks = half // tile_k
+    gpt = tile_k // group
+    col0 = pl.multiple_of(ni * tile_n, 128)
+
+    def get_dma(slot, idx):
+        row0 = pl.multiple_of(idx * tile_k, 128)
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(row0, tile_k), pl.ds(col0, tile_n)],
+            wbuf.at[slot],
+            sem.at[slot],
+        )
+
+    get_dma(0, 0).start()
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(i, _):
+        slot = i % 2
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            get_dma((i + 1) % 2, i + 1).start()
+
+        get_dma(slot, i).wait()
+        packed = wbuf[slot].astype(jnp.int32)
+        lo = ((packed & 0xF) - 8).astype(jnp.float32)
+        hi = ((packed >> 4) - 8).astype(jnp.float32)
+        for j in range(gpt):
+            sl = pl.ds(pl.multiple_of(i * tile_k, 128) + j * group, group)
+            gid = i * gpt + j
+            part_lo = jnp.dot(xlo_ref[:, sl].astype(jnp.float32),
+                              lo[j * group:(j + 1) * group, :],
+                              preferred_element_type=jnp.float32)
+            part_hi = jnp.dot(xhi_ref[:, sl].astype(jnp.float32),
+                              hi[j * group:(j + 1) * group, :],
+                              preferred_element_type=jnp.float32)
+            acc_ref[:] += part_lo * _select_scale_row(slo_ref, gid)
+            acc_ref[:] += part_hi * _select_scale_row(shi_ref, gid)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "interpret"))
+def q4_matmul_pallas_v2(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scales: jnp.ndarray,
+    tile_n: int = 2048,
+    tile_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused int4-dequant matmul with in-kernel HBM streaming.
+
+    EXPERIMENTAL — measured SLOWER than the grid-tiled v1 on this v5e
+    (47-59 GB/s vs 61 on the w_gu shape): Mosaic's automatic grid
+    pipelining outperforms this manual double-buffer. Kept as the
+    starting point for a future fused-layer streaming kernel; the
+    dispatcher ships v1."""
+    m, k = x.shape
+    half, n = packed.shape
+    assert half * 2 == k
+    g = k // scales.shape[0]
+    tile_k = min(tile_k, half)
+    tile_n = min(tile_n, n)
+    assert half % tile_k == 0 and n % tile_n == 0 and tile_k % g == 0
+
+    x_lo, x_hi = x[:, :half], x[:, half:]
+    s_lo, s_hi = scales[: half // g], scales[half // g:]
+    n_groups_half = half // g
+
+    return pl.pallas_call(
+        functools.partial(_q4_stream_kernel, group=g, tile_k=tile_k,
+                          tile_n=tile_n),
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((m, half), lambda ni: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, half), lambda ni: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # weights stay in HBM
+            pl.BlockSpec((n_groups_half, tile_n), lambda ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups_half, tile_n), lambda ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, tile_n), lambda ni: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((m, tile_n), jnp.float32),
+            pltpu.VMEM((2, tile_k, tile_n), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=half * n + (k // g) * n * 4 + m * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_lo, x_hi, packed, s_lo, s_hi)
+
+
+# ---------------------------------------------------------------------------
 # Dispatching front-end
 # ---------------------------------------------------------------------------
 
