@@ -209,3 +209,33 @@ class TestLLMRunnerSession:
         tools = [ToolDefinition("read_text", "OCR the scene", {})]
         p = runner.build_prompt("sys", "ctx", "what do you see?", tools)
         assert "read_text" in p and "tool_call" in p and "[INST]" in p
+
+
+class TestChatAppendOnly:
+    def test_multi_turn_reuses_cache(self):
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(3), cfg,
+                                       dtype=jnp.float32)
+        r = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                      GenerationConfig(max_tokens=4, temperature=0.0),
+                      cache_dtype=jnp.float32)
+        a = r.chat("oi")
+        len_after_1 = r._host_len
+        b = r.chat("tudo bem?")
+        assert isinstance(a, str) and isinstance(b, str)
+        # Second turn appended rather than restarting from zero.
+        assert r._host_len > len_after_1
+        assert len(r._chat_turns) == 2
+
+    def test_window_overflow_restarts(self):
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(3), cfg,
+                                       dtype=jnp.float32)
+        r = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                      GenerationConfig(max_tokens=8, temperature=0.0),
+                      cache_dtype=jnp.float32)
+        for i in range(6):
+            r.chat(f"mensagem numero {i} com algum texto extra aqui")
+        # Never exceeds the window.
+        assert r._host_len < cfg.max_seq
+        assert len(r._chat_turns) == 6
