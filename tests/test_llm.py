@@ -93,3 +93,31 @@ class TestLLMCore:
         assert float(jnp.max(jnp.abs(a - b))) > 1e-3
         # Position 0 is identity.
         np.testing.assert_allclose(np.asarray(a), np.asarray(x), atol=1e-6)
+
+
+class TestChunkedExtend:
+    def test_extend_matches_full_prefill(self):
+        """prefill(A) + extend(B) must produce the same next-token logits
+        as prefill(A+B)."""
+        params = _params()
+        toks = jax.random.randint(jax.random.PRNGKey(7), (14,), 0,
+                                  CFG.vocab_size, jnp.int32)
+
+        cache_full = llm.KVCache.create(CFG, dtype=jnp.float32)
+        ref, cache_full = llm.prefill(params, CFG, toks, jnp.int32(14),
+                                      cache_full)
+
+        cache = llm.KVCache.create(CFG, dtype=jnp.float32)
+        _, cache = llm.prefill(params, CFG, toks[:8], jnp.int32(8), cache)
+        chunk = jnp.concatenate([toks[8:], jnp.zeros(10, jnp.int32)])
+        out, cache = llm.extend(params, CFG, chunk, jnp.int32(6), cache)
+
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+        assert int(cache.length) == 14
+        # And decode continues identically from both caches.
+        nxt = jnp.argmax(ref).astype(jnp.int32)
+        a, _ = llm.decode_step(params, CFG, nxt, cache_full)
+        b, _ = llm.decode_step(params, CFG, nxt, cache)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

@@ -447,26 +447,75 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
            ) -> Tuple[jnp.ndarray, KVCache]:
     """Append a (bucketed, padded) token chunk after ``cache.length``.
 
-    Runs the chunk as scanned decode steps in one compiled program.
-    Padded steps write at slots past the final length — invisible to
-    later attention (length-masked) and overwritten as real tokens
-    arrive. Returns the logits at the last *valid* token.
+    Chunked prefill: the whole chunk runs in ONE parallel pass — each new
+    token attends to the existing cache prefix plus causally within the
+    chunk — instead of token-by-token decode. A 256-token tool response
+    costs one forward, not 256 sequential steps. Padded positions write
+    past the final length (length-masked later, overwritten as real
+    tokens arrive). Returns the logits at the last *valid* token.
 
     Parity: the reference's tool-response re-injection decodes the tool
-    output through the existing llama.cpp context the same way
-    (src/ai_models/tk_runner_helpers.c:78-126).
+    output through the existing llama.cpp context
+    (src/ai_models/tk_runner_helpers.c:78-126) — sequentially; this is
+    the parallel version.
     """
-    start_len = cache.length
+    offset = cache.length
+    b = tokens.shape[0]
+    freqs = _rope_freqs(cfg)
+    positions = offset + jnp.arange(b)
+    x = params["tok_emb"][tokens.astype(jnp.int32)]  # (B, D)
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    window = (cfg.sliding_window
+              if 0 < cfg.sliding_window < cfg.max_seq else 0)
+    s_max = cache.k.shape[1]
 
-    def body(cache, tok):
-        logits, cache = decode_step(params, cfg, tok, cache)
-        return cache, logits
+    def layer_fn(x, inputs):
+        layer, k_cache_l, v_cache_l = inputs  # (S_max, Hk, D)
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        qkv = _linear(h, layer["wqkv"])
+        q = qkv[:, :qd].reshape(b, cfg.n_heads, cfg.head_dim)
+        k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions, freqs)
+        k = apply_rope(k, positions, freqs)
 
-    cache, all_logits = jax.lax.scan(body, cache, tokens.astype(jnp.int32))
-    final = KVCache(cache.k, cache.v,
-                    (start_len + n_valid).astype(jnp.int32))
-    last = all_logits[jnp.maximum(n_valid - 1, 0)]
-    return last, final
+        k_cache_l = jax.lax.dynamic_update_slice(
+            k_cache_l, k.astype(k_cache_l.dtype), (offset, 0, 0))
+        v_cache_l = jax.lax.dynamic_update_slice(
+            v_cache_l, v.astype(v_cache_l.dtype), (offset, 0, 0))
+
+        # Each chunk query attends to the prefix + itself (causal).
+        rep = cfg.n_heads // cfg.n_kv_heads
+        kf = jnp.repeat(k_cache_l.astype(jnp.float32), rep, axis=1)
+        vf = jnp.repeat(v_cache_l.astype(jnp.float32), rep, axis=1)
+        scores = jnp.einsum(
+            "qhd,shd->hqs", q.astype(jnp.float32), kf
+        ) / (cfg.head_dim ** 0.5)
+        key_idx = jnp.arange(s_max)[None, None, :]
+        q_pos = positions[None, :, None]
+        mask = key_idx <= q_pos
+        if window:
+            mask &= key_idx > q_pos - window
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("hqs,shd->qhd", probs, vf).reshape(b, -1)
+        x = x + _linear(attn.astype(x.dtype), layer["wo"])
+
+        h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gu = _linear(h2, layer["w_gu"]).astype(jnp.float32)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + _linear((jax.nn.silu(gate) * up).astype(x.dtype),
+                        layer["w_down"])
+        return x, (k_cache_l, v_cache_l)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.k, cache.v))
+    final = KVCache(new_k, new_v, (offset + n_valid).astype(jnp.int32))
+    x_last = x[jnp.maximum(n_valid - 1, 0)]
+    logits = _linear(_rms_norm(x_last[None], params["out_norm"],
+                               cfg.norm_eps), params["lm_head"])[0]
+    return logits.astype(jnp.float32), final
 
 
 # ---------------------------------------------------------------------------
