@@ -239,3 +239,72 @@ class TestChatAppendOnly:
         # Never exceeds the window.
         assert r._host_len < cfg.max_seq
         assert len(r._chat_turns) == 6
+
+
+class TestGrammarFuzz:
+    def test_random_valid_json_accepted(self):
+        """Property: any json.dumps output for the arguments object must
+        be accepted by the acceptor and marked done."""
+        import random
+
+        rng = random.Random(0)
+
+        def rand_value(depth=0):
+            kinds = ["str", "int", "float", "bool", "null"]
+            if depth < 2:
+                kinds += ["obj", "arr"]
+            k = rng.choice(kinds)
+            if k == "str":
+                return "".join(rng.choice("abc xyz\"\\/\n\t")
+                               for _ in range(rng.randrange(6)))
+            if k == "int":
+                return rng.randrange(-10**6, 10**6)
+            if k == "float":
+                return rng.uniform(-1e6, 1e6)
+            if k == "bool":
+                return rng.random() < 0.5
+            if k == "null":
+                return None
+            if k == "arr":
+                return [rand_value(depth + 1)
+                        for _ in range(rng.randrange(4))]
+            return {f"k{i}": rand_value(depth + 1)
+                    for i in range(rng.randrange(4))}
+
+        for _ in range(50):
+            obj = {f"k{i}": rand_value() for i in range(rng.randrange(4))}
+            doc = json.dumps(obj)
+            acc = JsonAcceptor()
+            for ch in doc:
+                assert acc.feed(ch), f"rejected {doc!r} at {ch!r}"
+            assert acc.done, doc
+
+    def test_random_mutations_never_accepted_as_done(self):
+        """Property: single-character corruption either gets rejected or
+        leaves the acceptor not-done — json.loads agrees in every case we
+        mark done."""
+        import random
+
+        rng = random.Random(1)
+        base = '{"a":[1,2.5,null],"b":{"c":"tx t","d":true},"e":-3e2}'
+        for _ in range(200):
+            pos = rng.randrange(len(base))
+            ch = rng.choice('{}[]":,0123456789abtfn')
+            doc = base[:pos] + ch + base[pos + 1:]
+            acc = JsonAcceptor()
+            ok = all(acc.feed(c) for c in doc)
+            if ok and acc.done:
+                json.loads(doc)  # must not raise
+
+    def test_closure_always_valid(self):
+        """Property: closure() from any valid prefix yields valid JSON."""
+        import random
+
+        rng = random.Random(2)
+        base = '{"a":[1,2.5,null],"b":{"c":"tx t","d":true},"e":-3e2}'
+        for cut in range(1, len(base)):
+            acc = JsonAcceptor()
+            ok = all(acc.feed(c) for c in base[:cut])
+            assert ok
+            closure = acc.closure()
+            json.loads(base[:cut] + closure)  # must parse
