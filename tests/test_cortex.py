@@ -451,3 +451,77 @@ class TestSentenceStreaming:
         assert all("tool_call" not in s for s in spoken)
         assert "feito." in spoken
         assert c.memory.get_fact("k") == "v"
+
+
+class TestVoiceCommandFastPath:
+    def _audio(self, spoken, cleared):
+        class StubAudio:
+            def say(self, text, priority):
+                spoken.append((text, priority))
+
+            def clear_speech_queue(self):
+                cleared.append(True)
+
+            def process_chunk(self, chunk):
+                pass
+        return StubAudio()
+
+    def test_emergency_stop_without_llm(self):
+        spoken, cleared = [], []
+        c = Cortex(audio_pipeline=self._audio(spoken, cleared),
+                   llm_runner=StubLLM(["should not be called"]))
+        c._process_user_speech("pare tudo agora")
+        assert c._emergency_flag.is_set()
+        assert c.llm.prompts == []  # LLM bypassed
+
+    def test_stop_speech_clears_queue(self):
+        spoken, cleared = [], []
+        c = Cortex(audio_pipeline=self._audio(spoken, cleared))
+        c._process_user_speech("silêncio por favor")
+        assert cleared == [True]
+
+    def test_repeat_speaks_last_response(self):
+        spoken, cleared = [], []
+        llm = StubLLM(["A resposta original."])
+        c = Cortex(audio_pipeline=self._audio(spoken, cleared),
+                   llm_runner=llm)
+        c._process_user_speech("qual é a resposta?")
+        spoken.clear()
+        c._process_user_speech("repete por favor")
+        assert spoken and spoken[0][0] == "A resposta original."
+
+
+class TestFeedbackDedupInCortex:
+    def test_duplicate_alerts_deduped(self):
+        spoken = []
+
+        class StubAudio:
+            def say(self, text, priority):
+                spoken.append(text)
+
+            def clear_speech_queue(self):
+                pass
+
+            def process_chunk(self, chunk):
+                pass
+
+        class StubVision:
+            def process_frame(self, frame, orientation_wxyz=None):
+                from trackiellm_tpu.vision.pipeline import (
+                    AnalysisFlags, VisionResult)
+                return VisionResult(
+                    frame_id=1,
+                    objects=[FakeObj("person", [0, 0, 50, 100], 0.5)],
+                    depth_map_m=None, scene_graph=None,
+                    valid_analyses=AnalysisFlags.DETECTION, timings_ms={})
+
+        clock = [0.0]
+        c = Cortex(vision_pipeline=StubVision(),
+                   audio_pipeline=StubAudio(),
+                   world_model=WorldModel(clock=lambda: clock[0]))
+        # Two frames inside the cooldown window -> one alert total.
+        c._process_vision()
+        c.inject_video_frame(object())
+        c._process_vision()
+        c.feedback.process()
+        assert sum("pessoa" in s for s in spoken) <= 1

@@ -38,6 +38,11 @@ from trackiellm_tpu.cortex.decision import (
 from trackiellm_tpu.cortex.memory import MemoryManager
 from trackiellm_tpu.cortex.reasoner import ContextPriority, ContextualReasoner
 from trackiellm_tpu.cortex.world_model import WorldModel
+from trackiellm_tpu.interaction.commands import CommandParser
+from trackiellm_tpu.interaction.feedback import (
+    FeedbackManager,
+    FeedbackPriority,
+)
 from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
 from trackiellm_tpu.utils.logging import get_logger
 
@@ -159,6 +164,12 @@ class Cortex:
             speak_fn=self._speak)
         self.world = world_model or WorldModel()
         self.memory = memory or MemoryManager()
+        # Alert dedup queue + voice-command fast path (parity:
+        # tk_feedback_manager + tk_voice_commands, src/interaction/).
+        self.feedback = FeedbackManager(speak_fn=self._speak)
+        self.commands = CommandParser()
+        self._last_response = ""
+
         self._on_response = on_response
         self._on_state_change = on_state_change
 
@@ -344,7 +355,7 @@ class Cortex:
         if cues:
             self.reasoner.update_navigation_context(cues)
             for alert in self.world.run_navigation_rules(cues):
-                self._speak(alert, int(ActionPriority.CRITICAL))
+                self.feedback.submit(alert, FeedbackPriority.CRITICAL)
 
         self.world.update_from_detections(result.objects)
         alerts = self.world.run_safety_rules()
@@ -352,7 +363,7 @@ class Cortex:
             self.reasoner.add_context_item(
                 alert.replace("URGENTE: ", ""),
                 priority=ContextPriority.URGENT, category="safety")
-            self._speak(alert, int(ActionPriority.CRITICAL))
+            self.feedback.submit(alert, FeedbackPriority.CRITICAL)
 
         # Significant-change detection: a label never seen before
         # (parity: CORTEX_EVENT_SIGNIFICANT_VISION_CHANGE :1229-1237).
@@ -374,6 +385,25 @@ class Cortex:
 
     def _process_user_speech(self, text: str) -> None:
         self._set_state(CortexState.PROCESSING)
+
+        # Fast-path intents bypass LLM inference entirely (parity:
+        # tk_voice_commands' keyword shim ahead of the model).
+        cmd = self.commands.parse(text)
+        if cmd is not None and cmd.intent in ("emergency_stop",
+                                              "stop_speech", "repeat"):
+            if cmd.intent == "emergency_stop":
+                self.emergency_stop()
+            elif cmd.intent == "stop_speech":
+                if self.audio is not None:
+                    try:
+                        self.audio.clear_speech_queue()
+                    except Exception:
+                        pass
+            elif cmd.intent == "repeat" and self._last_response:
+                self._speak(self._last_response, int(ActionPriority.HIGH))
+            self._set_state(CortexState.IDLE)
+            return
+
         self.reasoner.add_conversation_turn("user", text)
 
         # Long-term memory recall feeds the context (Rust memory parity).
@@ -436,6 +466,7 @@ class Cortex:
             self.decisions.process_llm_response(followup)
             raw = followup
         self.reasoner.add_conversation_turn("assistant", raw)
+        self._last_response = raw
         self._set_state(CortexState.IDLE)
 
     # ------------------------------------------------------------------
@@ -453,6 +484,7 @@ class Cortex:
         """Parity: CORTEX_EVENT_SYSTEM_TIMER (:1116) — decision queue +
         navigation analysis + decay."""
         self.decisions.process_actions()
+        self.feedback.process()
         if self.navigation is not None and self.sensors is not None:
             try:
                 hazards = self.navigation.current_hazards()
