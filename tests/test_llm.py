@@ -121,3 +121,20 @@ class TestChunkedExtend:
         b, _ = llm.decode_step(params, CFG, nxt, cache)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+class TestAttnBuckets:
+    def test_bucketed_decode_matches_full(self):
+        cfg = llm.LLMConfig.tiny()._replace(max_seq=512, sliding_window=512)
+        params = llm.init_params(jax.random.PRNGKey(0), cfg,
+                                 dtype=jnp.float32)
+        toks = jax.random.randint(jax.random.PRNGKey(4), (9,), 0,
+                                  cfg.vocab_size, jnp.int32)
+        c1 = llm.KVCache.create(cfg, dtype=jnp.float32)
+        c2 = llm.KVCache.create(cfg, dtype=jnp.float32)
+        _, c1 = llm.prefill(params, cfg, toks, jnp.int32(9), c1)
+        _, c2 = llm.prefill(params, cfg, toks, jnp.int32(9), c2)
+        a, _ = llm.decode_step(params, cfg, toks[0], c1)
+        b, _ = llm.decode_step(params, cfg, toks[0], c2, attn_len=64)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

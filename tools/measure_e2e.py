@@ -84,7 +84,7 @@ def main() -> None:
         tok = jnp.argmax(logits).astype(jnp.int32)
         for _ in range(N_ANSWER_TOKENS):
             logits, cache = llm_model.decode_step(llm_params, llm_cfg, tok,
-                                                  cache)
+                                                  cache, attn_len=256)
             tok = jnp.argmax(logits).astype(jnp.int32)
         int(tok)  # value fetch: decode really finished
 

@@ -34,6 +34,7 @@ log = get_logger("llm.runner")
 
 PREFILL_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 EXTEND_BUCKETS = (16, 64, 256, 1024)
+ATTN_BUCKETS = (256, 512, 1024, 2048, 4096)
 
 
 @dataclasses.dataclass
@@ -181,6 +182,17 @@ class LLMRunner:
         else:
             self._grammar = None
 
+    def _attn_bucket(self) -> Optional[int]:
+        """Smallest attention bucket covering the live prefix (+1 for the
+        token being written). None when the window itself is small."""
+        if self.cfg.max_seq <= ATTN_BUCKETS[0]:
+            return None
+        need = self._host_len + 1
+        for b in ATTN_BUCKETS:
+            if b >= need and b <= self.cfg.max_seq:
+                return b
+        return None
+
     def generate_next_token(self) -> Optional[str]:
         """Sample and return the next token's text, or None when finished
         (EOS, grammar completion, stop string, or max_tokens)."""
@@ -257,13 +269,15 @@ class LLMRunner:
 
         if not self._done:
             self._next_logits, self.cache = llm_model.decode_step(
-                self.params, self.cfg, jnp.int32(tid), self.cache)
+                self.params, self.cfg, jnp.int32(tid), self.cache,
+                attn_len=self._attn_bucket())
             self._host_len += 1
         else:
             # Commit the final token to the cache so the conversation can
             # continue (e.g. tool response after a tool call).
             _, self.cache = llm_model.decode_step(
-                self.params, self.cfg, jnp.int32(tid), self.cache)
+                self.params, self.cfg, jnp.int32(tid), self.cache,
+                attn_len=self._attn_bucket())
             self._host_len += 1
             self._next_logits = None
         return piece

@@ -284,13 +284,20 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
 # Forward: single-token decode
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_len"))
 def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
-                cache: KVCache) -> Tuple[jnp.ndarray, KVCache]:
+                cache: KVCache, attn_len: Optional[int] = None,
+                ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step: token (scalar int32) -> logits (V,), cache+1.
 
     The whole step is a single compiled program (scan over layers); the
     host loop around it only samples and feeds the next token.
+
+    ``attn_len`` (static) bounds the cache prefix attention reads: at a
+    4096 window the full cache costs ~0.5 GB of reads per token even for
+    a 100-token conversation; the runner passes a power-of-two bucket
+    covering the live prefix instead (each bucket is its own compiled
+    variant). Must satisfy attn_len > cache.length.
     """
     pos = cache.length  # position of this new token
     freqs = _rope_freqs(cfg)
@@ -316,7 +323,9 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
 
         window = (cfg.sliding_window
                   if 0 < cfg.sliding_window < cfg.max_seq else 0)
-        attn = decode_attention(q[0], k_cache_l, v_cache_l, pos + 1,
+        k_view = k_cache_l[:attn_len] if attn_len else k_cache_l
+        v_view = v_cache_l[:attn_len] if attn_len else v_cache_l
+        attn = decode_attention(q[0], k_view, v_view, pos + 1,
                                 window=window)
         x = x + _linear(attn.reshape(1, -1).astype(x.dtype), layer["wo"])
 
