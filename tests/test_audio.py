@@ -221,7 +221,6 @@ class TestAudioPipelineStateMachine:
 
     def test_tts_priority_interruption(self):
         ev_order = []
-        slow = threading_safe_list = []
 
         def tts(text):
             time.sleep(0.25)

@@ -95,7 +95,6 @@ class LLMRunner:
         self.cache = llm_model.KVCache.create(cfg, dtype=cache_dtype)
         self._key = jax.random.PRNGKey(self.gen.seed)
         self._grammar: Optional[ToolCallGrammar] = None
-        self._grammar_mask_cache: Dict[Any, jnp.ndarray] = {}
         self._next_logits: Optional[jnp.ndarray] = None
         self._host_len = 0
         self._chat_turns: List[tuple] = []

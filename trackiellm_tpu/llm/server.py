@@ -51,6 +51,7 @@ class _Slot:
     generated: List[int] = dataclasses.field(default_factory=list)
     n_emitted: int = 0
     next_token: int = 0
+    host_len: int = 0  # mirrors cache.lengths[slot] (no device sync)
 
     @property
     def active(self) -> bool:
@@ -123,10 +124,12 @@ class LLMServer:
             slot.request = req
             slot.generated = []
             slot.n_emitted = 0
+            slot.host_len = len(ids)
             slot.next_token = self._sample_one(logits, req, [])
 
     def _sample_one(self, logits: jnp.ndarray, req: Request,
                     recent: List[int]) -> int:
+        del recent  # repetition penalty: roadmap (per-slot recent windows)
         if req.temperature <= 0:
             return int(sampling.greedy(logits))
         self._key, sub = jax.random.split(self._key)
@@ -157,20 +160,24 @@ class LLMServer:
                 self.params, self.cfg, tokens, active, self.cache)
             self.stats["decode_steps"] += 1
 
-            logits_np_ready = logits  # fetched per-slot below
+            # One device->host fetch for every greedy slot; sampled slots
+            # (temperature > 0) draw individually.
+            greedy_all = np.asarray(jnp.argmax(logits, axis=-1))
             for i, slot in enumerate(self._slots):
                 if not slot.active:
                     continue
                 req = slot.request
                 slot.generated.append(slot.next_token)
                 slot.n_emitted += 1
+                slot.host_len += 1
                 self.stats["tokens"] += 1
-                nxt = self._sample_one(logits_np_ready[i], req,
-                                       slot.generated)
+                if req.temperature <= 0:
+                    nxt = int(greedy_all[i])
+                else:
+                    nxt = self._sample_one(logits[i], req, slot.generated)
                 if (nxt == self.tokenizer.eos_id
                         or slot.n_emitted >= req.max_tokens
-                        or int(self.cache.lengths[i])
-                        >= self.cfg.max_seq - 1):
+                        or slot.host_len >= self.cfg.max_seq - 1):
                     self._finish(slot)
                 else:
                     slot.next_token = nxt

@@ -141,7 +141,6 @@ def gguf_to_llm_params(
         return quantize(jnp.asarray(w, jnp.float32), group)
 
     def stack(items):
-        first = items[0]
         if quantize is None:
             return jnp.stack(items)
         from trackiellm_tpu.ops.quant import QuantizedLinear
