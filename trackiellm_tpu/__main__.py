@@ -66,6 +66,36 @@ def _cmd_generate(args) -> int:
     return 0
 
 
+def _cmd_transcribe(args) -> int:
+    import wave
+
+    import numpy as np
+    import jax
+
+    from trackiellm_tpu.audio.asr import WhisperASR
+    from trackiellm_tpu.models import whisper as whisper_model
+    from trackiellm_tpu.models.checkpoint import load_checkpoint
+
+    with wave.open(args.wav, "rb") as f:
+        sr = f.getframerate()
+        raw = f.readframes(f.getnframes())
+        audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        if f.getnchannels() > 1:
+            audio = audio.reshape(-1, f.getnchannels()).mean(1)
+
+    if args.checkpoint:
+        params, _, meta = load_checkpoint(args.checkpoint)
+        cfg = whisper_model.WhisperConfig(**meta["whisper_config"])
+    else:
+        print("(no checkpoint given: using random test weights — output "
+              "is a smoke test, not a transcription)", file=sys.stderr)
+        cfg = whisper_model.WhisperConfig.test()
+        params = whisper_model.init_whisper(jax.random.PRNGKey(0), cfg)
+    asr = WhisperASR(params, cfg)
+    print(asr.transcribe(audio, sample_rate=sr))
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import bench
 
@@ -104,6 +134,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-tokens", type=int, default=64)
     p.add_argument("--temperature", type=float, default=0.7)
     p.set_defaults(fn=_cmd_generate)
+
+    p = sub.add_parser("transcribe", help="transcribe a WAV file")
+    p.add_argument("wav")
+    p.add_argument("--checkpoint", default=None)
+    p.set_defaults(fn=_cmd_transcribe)
 
     p = sub.add_parser("bench", help="headline decode benchmark")
     p.set_defaults(fn=_cmd_bench)
