@@ -256,3 +256,18 @@ class TestAudioPipelineStateMachine:
         # 'a' interrupted by NORMAL; HIGH then NORMAL emitted in order.
         assert ev_order == [TTSPriority.HIGH, TTSPriority.NORMAL]
         pipe.close()
+
+
+class TestSoundEngine:
+    def test_classifies_or_abstains(self, rng):
+        from trackiellm_tpu.audio.sound_engine import SoundClassifierEngine
+
+        cfg = sc.SoundClassifierConfig.tiny()
+        params = sc.init_sound_classifier(rng, cfg)
+        eng = SoundClassifierEngine(params, cfg, threshold=0.0,
+                                    ignore=())
+        out = eng(_loud(16000))
+        assert out in {c.name for c in sc.SoundClass}
+        # High threshold: abstains on a uniformly-random model.
+        eng_strict = SoundClassifierEngine(params, cfg, threshold=0.999)
+        assert eng_strict(_loud(16000)) is None

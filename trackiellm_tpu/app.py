@@ -76,7 +76,10 @@ class TrackieApp:
         asr_fn = _via(JobKind.ASR, asr_fn)
         tts_fn = _via(JobKind.TTS, tts_fn)
 
-        self.vision = (VisionPipeline(detector_fn, depth_fn, ocr_fn)
+        # The navigation engine rides the vision pipeline's depth maps
+        # (NAVIGATION analysis flag); the cortex then reads its hazards.
+        self.vision = (VisionPipeline(detector_fn, depth_fn, ocr_fn,
+                                      navigation_engine=self.navigation)
                        if detector_fn else None)
 
         self._spoken = on_spoken_audio
