@@ -216,6 +216,14 @@ def q8_matmul_pallas(
 
 def _q4_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref, acc_ref,
                *, group: int):
+    """Decode is VPU-unpack-bound (PERF_NOTES.md cost structure), so the
+    unpack is minimal: one u8->i32 convert, one AND, one SHIFT, two
+    layout-preserving casts to f32 — the -8 nibble bias is NOT
+    subtracted per element; since ``x @ (q - 8) s == (x @ q) s -
+    8 s sum(x)``, it folds into a per-group scalar correction on the
+    (M, TN) accumulator. (bf16 dots were tried and are SLOWER here:
+    i32->bf16 conversion forces a sublane relayout, i32->f32 does not.)
+    """
     k_idx = pl.program_id(1)
 
     @pl.when(k_idx == 0)
@@ -225,18 +233,22 @@ def _q4_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref, acc_ref,
     # Nibble math via int32: Mosaic lowers neither int8 vector sub nor
     # uint8->f32 casts on this target.
     packed = w_ref[:].astype(jnp.int32)
-    lo = ((packed & 0xF) - 8).astype(jnp.float32)
-    hi = ((packed >> 4) - 8).astype(jnp.float32)
+    lo = (packed & 0xF).astype(jnp.float32)   # biased [0, 15]
+    hi = (packed >> 4).astype(jnp.float32)
     gpt = w_ref.shape[0] // group
     for j in range(gpt):
         sl = slice(j * group, (j + 1) * group)
         gid = k_idx * gpt + j
-        part_lo = jnp.dot(xlo_ref[:, sl].astype(jnp.float32), lo[sl, :],
+        x_lo = xlo_ref[:, sl].astype(jnp.float32)
+        x_hi = xhi_ref[:, sl].astype(jnp.float32)
+        part_lo = jnp.dot(x_lo, lo[sl, :],
                           preferred_element_type=jnp.float32)
-        part_hi = jnp.dot(xhi_ref[:, sl].astype(jnp.float32), hi[sl, :],
+        part_hi = jnp.dot(x_hi, hi[sl, :],
                           preferred_element_type=jnp.float32)
-        acc_ref[:] += part_lo * _select_scale_row(slo_ref, gid)
-        acc_ref[:] += part_hi * _select_scale_row(shi_ref, gid)
+        bias_lo = 8.0 * jnp.sum(x_lo, axis=1, keepdims=True)  # (M, 1)
+        bias_hi = 8.0 * jnp.sum(x_hi, axis=1, keepdims=True)
+        acc_ref[:] += (part_lo - bias_lo) * _select_scale_row(slo_ref, gid)
+        acc_ref[:] += (part_hi - bias_hi) * _select_scale_row(shi_ref, gid)
 
     @pl.when(k_idx == pl.num_programs(1) - 1)
     def _():
