@@ -167,7 +167,17 @@ def init_params_quantized(key: jax.Array, cfg: LLMConfig, bits: int = 4,
 
 
 def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
-    """Dense projection for either a plain array or a QuantizedLinear."""
+    """Dense projection for a plain array, a QuantizedLinear, or a
+    LoRA-wrapped base (structural check: models.lora.LoraLinear)."""
+    if hasattr(w, "base") and hasattr(w, "a"):  # LoraLinear
+        y = _linear(x, w.base)
+        r = w.a.shape[-1]
+        delta = jnp.matmul(
+            jnp.matmul(x.astype(jnp.float32), w.a.astype(jnp.float32),
+                       preferred_element_type=jnp.float32),
+            w.b.astype(jnp.float32), preferred_element_type=jnp.float32)
+        return (y.astype(jnp.float32) + delta * (w.alpha / r)).astype(
+            x.dtype)
     if isinstance(w, QuantizedLinear):
         return quantized_matmul(x, w).astype(x.dtype)
     return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
