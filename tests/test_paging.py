@@ -21,7 +21,8 @@ def params():
 
 class TestPoolManagement:
     def test_alloc_and_free(self):
-        pool = PagedKVPool(CFG, n_pages=8, page_size=16, dtype=jnp.float32)
+        # Page 0 is reserved as the trash page: 9 pages -> 8 usable.
+        pool = PagedKVPool(CFG, n_pages=9, page_size=16, dtype=jnp.float32)
         s1 = pool.create_sequence(length=0)
         assert pool.free_pages == 7
         s2 = pool.create_sequence(length=20)  # needs 2 pages
@@ -31,15 +32,15 @@ class TestPoolManagement:
         assert pool.free_pages == 8
 
     def test_exhaustion(self):
-        pool = PagedKVPool(CFG, n_pages=2, page_size=16, dtype=jnp.float32)
+        pool = PagedKVPool(CFG, n_pages=3, page_size=16, dtype=jnp.float32)
         pool.create_sequence(length=30)  # 2 pages
         with pytest.raises(TrackieError):
             pool.create_sequence(length=1)
 
     def test_memory_elasticity(self):
         """Many short conversations fit where contiguous caches would
-        not: 8 sequences of <=16 tokens in a 128-token pool."""
-        pool = PagedKVPool(CFG, n_pages=8, page_size=16, dtype=jnp.float32)
+        not: 8 sequences of <=16 tokens in a 128-token (+trash) pool."""
+        pool = PagedKVPool(CFG, n_pages=9, page_size=16, dtype=jnp.float32)
         seqs = [pool.create_sequence(length=0) for _ in range(8)]
         assert pool.free_pages == 0
         for s in seqs[:4]:
@@ -110,3 +111,43 @@ class TestPagedDecodeExactness:
                     rtol=2e-3, atol=2e-3,
                     err_msg=f"seq {n} diverged at step {step}")
                 toks[n] = int(jnp.argmax(ref_logits))
+
+
+class TestBatchedPagedDecode:
+    def test_matches_per_sequence_paged(self, params):
+        """Batched paged decode (shared pool, per-slot tables) must match
+        per-sequence paged decode exactly, with an inactive slot mixed in."""
+        pool_a = PagedKVPool(CFG, n_pages=16, page_size=16,
+                             dtype=jnp.float32)
+        pool_b = PagedKVPool(CFG, n_pages=16, page_size=16,
+                             dtype=jnp.float32)
+
+        seeds = {}
+        for name, start in (("a", 1), ("b", 30)):
+            toks = (jnp.arange(6, dtype=jnp.int32) + start) % CFG.vocab_size
+            c = llm_model.KVCache.create(CFG, dtype=jnp.float32)
+            logits, c = llm_model.prefill(params, CFG, toks, jnp.int32(6), c)
+            seeds[name] = (int(jnp.argmax(logits)), c)
+
+        sa1 = pool_a.create_sequence(prefill_cache=seeds["a"][1], length=6)
+        sb1 = pool_a.create_sequence(prefill_cache=seeds["b"][1], length=6)
+        sa2 = pool_b.create_sequence(prefill_cache=seeds["a"][1], length=6)
+        sb2 = pool_b.create_sequence(prefill_cache=seeds["b"][1], length=6)
+
+        tok_a, tok_b = seeds["a"][0], seeds["b"][0]
+        for step in range(12):  # crosses a page boundary
+            ref_a = pool_a.decode_step(params, tok_a, sa1)
+            ref_b = pool_a.decode_step(params, tok_b, sb1)
+            batched = pool_b.batch_decode_step(
+                params, [tok_a, tok_b, None], [sa2, sb2, None])
+            np.testing.assert_allclose(np.asarray(batched[0]),
+                                       np.asarray(ref_a),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"a diverged at {step}")
+            np.testing.assert_allclose(np.asarray(batched[1]),
+                                       np.asarray(ref_b),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"b diverged at {step}")
+            tok_a = int(jnp.argmax(ref_a))
+            tok_b = int(jnp.argmax(ref_b))
+        assert pool_b.length(sa2) == 18

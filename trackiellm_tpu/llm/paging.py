@@ -110,6 +110,79 @@ def copy_prefill_into_pages(
     return pool_k, pool_v
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step_batch_paged(
+    params: Dict[str, Any],
+    cfg: llm_model.LLMConfig,
+    tokens: jnp.ndarray,       # (B,) int32
+    active: jnp.ndarray,       # (B,) bool
+    pool_k: jnp.ndarray,       # (L, P, page, Hk, D)
+    pool_v: jnp.ndarray,
+    tables: jnp.ndarray,       # (B, max_pages) int32
+    lengths: jnp.ndarray,      # (B,) int32
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched decode over ONE shared page pool with per-slot tables —
+    continuous batching with paged memory (vLLM-style). Inactive slots
+    write nothing. Returns (logits (B, V), pool_k, pool_v)."""
+    b = tokens.shape[0]
+    page_size = pool_k.shape[2]
+    pos = lengths
+    page_idx = jnp.take_along_axis(
+        tables, (pos // page_size)[:, None], axis=1)[:, 0]  # (B,)
+    slot = pos % page_size
+    # Inactive slots write into the reserved trash page 0 (the allocator
+    # never hands it out), so their no-op writes cannot collide with a
+    # live sequence's cell in the scatter.
+    page_idx = jnp.where(active, page_idx, 0)
+    slot = jnp.where(active, slot, 0)
+    freqs = llm_model._rope_freqs(cfg)
+    x = params["tok_emb"][tokens]
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    window = (cfg.sliding_window
+              if 0 < cfg.sliding_window < cfg.max_seq else 0)
+
+    def layer_fn(carry, inputs):
+        x = carry
+        layer, pk_l, pv_l = inputs
+        h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        qkv = llm_model._linear(h, layer["wqkv"])
+        q = qkv[:, :qd].reshape(b, cfg.n_heads, cfg.head_dim)
+        k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        q = jax.vmap(lambda qq, p: llm_model.apply_rope(
+            qq[None], p[None], freqs)[0])(q, pos)
+        k = jax.vmap(lambda kk, p: llm_model.apply_rope(
+            kk[None], p[None], freqs)[0])(k, pos)
+
+        # Scatter each active slot's KV into its (page, slot) cell.
+        pk_l = pk_l.at[page_idx, slot].set(k.astype(pk_l.dtype))
+        pv_l = pv_l.at[page_idx, slot].set(v.astype(pv_l.dtype))
+
+        def one_slot(qq, table, p):
+            k_seq = pk_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+            v_seq = pv_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+            return decode_attention(qq, k_seq, v_seq, p + 1, window=window)
+
+        attn = jax.vmap(one_slot)(q, tables, pos)
+        x = x + llm_model._linear(attn.reshape(b, -1).astype(x.dtype),
+                                  layer["wo"])
+
+        h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + llm_model._linear(
+            (jax.nn.silu(gate) * up).astype(x.dtype), layer["w_down"])
+        return x, (pk_l, pv_l)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], pool_k, pool_v))
+    logits = llm_model._linear(
+        llm_model._rms_norm(x, params["out_norm"], cfg.norm_eps),
+        params["lm_head"])
+    return logits.astype(jnp.float32), new_k, new_v
+
+
 class PagedKVPool:
     """Host-side page allocator over device pools.
 
@@ -127,7 +200,8 @@ class PagedKVPool:
                  cfg.head_dim)
         self.pool_k = jnp.zeros(shape, dtype)
         self.pool_v = jnp.zeros(shape, dtype)
-        self._free: List[int] = list(range(n_pages))
+        # Page 0 is reserved as the trash page for inactive batch slots.
+        self._free: List[int] = list(range(1, n_pages))
         self._tables: Dict[int, List[int]] = {}
         self._lengths: Dict[int, int] = {}
         self._next_seq = 1
@@ -137,6 +211,38 @@ class PagedKVPool:
     @property
     def free_pages(self) -> int:
         return len(self._free)
+
+    def ensure_capacity(self, seq_id: int) -> None:
+        """Grow the sequence's table if the next token crosses a page
+        boundary."""
+        length = self._lengths[seq_id]
+        if length % self.page_size == 0 and length // self.page_size >= len(
+                self._tables[seq_id]):
+            self._tables[seq_id].append(self._alloc_page())
+
+    def batch_decode_step(self, params, tokens, seq_ids) -> jnp.ndarray:
+        """One batched step over the shared pool. ``seq_ids`` may contain
+        None for inactive slots. Returns (B, V) logits."""
+        b = len(seq_ids)
+        active = [s is not None for s in seq_ids]
+        for s, a in zip(seq_ids, active):
+            if a:
+                self.ensure_capacity(s)
+        max_pages = self.cfg.max_seq // self.page_size
+        tables = jnp.stack([
+            self._table_array(s) if a else jnp.zeros((max_pages,), jnp.int32)
+            for s, a in zip(seq_ids, active)])
+        lengths = jnp.asarray([self._lengths[s] if a else 0
+                               for s, a in zip(seq_ids, active)], jnp.int32)
+        toks = jnp.asarray([t if t is not None else 0 for t in tokens],
+                           jnp.int32)
+        logits, self.pool_k, self.pool_v = decode_step_batch_paged(
+            params, self.cfg, toks, jnp.asarray(active), self.pool_k,
+            self.pool_v, tables, lengths)
+        for s, a in zip(seq_ids, active):
+            if a:
+                self._lengths[s] += 1
+        return logits
 
     def _alloc_page(self) -> int:
         if not self._free:
@@ -182,10 +288,8 @@ class PagedKVPool:
 
     def decode_step(self, params, token: int, seq_id: int) -> jnp.ndarray:
         """One token for one sequence; grows the table on page boundary."""
+        self.ensure_capacity(seq_id)
         length = self._lengths[seq_id]
-        if length % self.page_size == 0 and length // self.page_size >= len(
-                self._tables[seq_id]):
-            self._tables[seq_id].append(self._alloc_page())
         logits, self.pool_k, self.pool_v = decode_step_paged(
             params, self.cfg, jnp.int32(token), self.pool_k, self.pool_v,
             self._table_array(seq_id), jnp.int32(length))
