@@ -271,3 +271,28 @@ class TestSoundEngine:
         # High threshold: abstains on a uniformly-random model.
         eng_strict = SoundClassifierEngine(params, cfg, threshold=0.999)
         assert eng_strict(_loud(16000)) is None
+
+
+class TestNeuralVADStreaming:
+    def test_rechunking_and_state(self, rng):
+        v = vad_model.NeuralVAD(vad_model.init_vad(rng))
+        p1 = v(_loud(1600))   # 3 frames + 64 leftover samples
+        assert 0.0 <= p1 <= 1.0
+        assert len(v._leftover) == 1600 - 3 * 512
+        v(_loud(1600))
+        assert len(v._leftover) == (3200 - 6 * 512)
+        v.reset()
+        assert len(v._leftover) == 0
+
+    def test_usable_in_pipeline(self, rng):
+        v = vad_model.NeuralVAD(vad_model.init_vad(rng))
+        pipe = AudioPipeline(
+            config=AudioPipelineConfig(wake_word_enabled=False,
+                                       vad_threshold=2.0),  # never trips
+            vad_fn=v,
+            asr_fn=lambda a: "x",
+        )
+        for _ in range(3):
+            pipe.process_chunk(_loud())
+        assert pipe.state is AudioState.LISTENING_FOR_COMMAND
+        pipe.close()

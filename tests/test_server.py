@@ -113,3 +113,39 @@ class TestLLMServer:
         server.close()
         with pytest.raises(RuntimeError):
             fut.result(timeout=5)
+
+
+class TestPagedServer:
+    def test_paged_matches_dense_greedy(self, params):
+        tok = ByteTokenizer(CFG.vocab_size)
+        dense = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                          cache_dtype=jnp.float32)
+        try:
+            expected = dense.generate("ola mundo", max_tokens=6)
+        finally:
+            dense.close()
+
+        paged = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                          cache_dtype=jnp.float32, paged=True,
+                          page_size=32, n_pages=17)
+        try:
+            got = paged.generate("ola mundo", max_tokens=6)
+            # Pool pages were released when the request finished.
+            assert paged.pool.free_pages == 16
+        finally:
+            paged.close()
+        assert got == expected
+
+    def test_paged_concurrent(self, params):
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, paged=True,
+                           page_size=32, n_pages=33)
+        try:
+            futures = [server.submit(f"q{i}", max_tokens=5)
+                       for i in range(4)]
+            results = [f.result(timeout=120) for f in futures]
+            assert len(results) == 4
+            assert server.pool.free_pages == 32  # everything released
+        finally:
+            server.close()

@@ -52,6 +52,7 @@ class _Slot:
     n_emitted: int = 0
     next_token: int = 0
     host_len: int = 0  # mirrors cache.lengths[slot] (no device sync)
+    seq_id: Optional[int] = None  # paged mode: pool sequence handle
 
     @property
     def active(self) -> bool:
@@ -64,13 +65,28 @@ class LLMServer:
     def __init__(self, params: Dict[str, Any], cfg: llm_model.LLMConfig,
                  batch_slots: int = 4,
                  tokenizer: Optional[Tokenizer] = None,
-                 cache_dtype=jnp.bfloat16, seed: int = 0):
+                 cache_dtype=jnp.bfloat16, seed: int = 0,
+                 paged: bool = False, n_pages: int = 0,
+                 page_size: int = 128):
         self.params = params
         self.cfg = cfg
         self.batch = batch_slots
         self.tokenizer = tokenizer or ByteTokenizer(cfg.vocab_size)
-        self.cache = llm_model.BatchedKVCache.create(cfg, batch_slots,
-                                                     dtype=cache_dtype)
+        # Memory layout: dense per-slot caches (default) or one shared
+        # paged pool (memory scales with live tokens; llm/paging.py).
+        self.paged = paged
+        if paged:
+            from trackiellm_tpu.llm.paging import PagedKVPool
+
+            if n_pages <= 0:
+                n_pages = batch_slots * (cfg.max_seq // page_size) // 2 + 1
+            self.pool = PagedKVPool(cfg, n_pages=n_pages,
+                                    page_size=page_size, dtype=cache_dtype)
+            self.cache = None
+        else:
+            self.pool = None
+            self.cache = llm_model.BatchedKVCache.create(
+                cfg, batch_slots, dtype=cache_dtype)
         self._slots = [_Slot() for _ in range(batch_slots)]
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._key = jax.random.PRNGKey(seed)
@@ -114,13 +130,18 @@ class LLMServer:
             bucket = _bucket_for(len(ids), buckets)
             padded = np.zeros(bucket, np.int32)
             padded[: len(ids)] = ids
-            seq_cache = llm_model.KVCache.create(
-                self.cfg, dtype=self.cache.k.dtype)
+            kv_dtype = (self.pool.pool_k.dtype if self.paged
+                        else self.cache.k.dtype)
+            seq_cache = llm_model.KVCache.create(self.cfg, dtype=kv_dtype)
             logits, seq_cache = llm_model.prefill(
                 self.params, self.cfg, jnp.asarray(padded),
                 jnp.int32(len(ids)), seq_cache)
-            self.cache = llm_model.insert_sequence(
-                self.cache, self.cfg, slot_idx, seq_cache)
+            if self.paged:
+                slot.seq_id = self.pool.create_sequence(
+                    prefill_cache=seq_cache, length=len(ids))
+            else:
+                self.cache = llm_model.insert_sequence(
+                    self.cache, self.cfg, slot_idx, seq_cache)
             slot.request = req
             slot.generated = []
             slot.n_emitted = 0
@@ -140,11 +161,29 @@ class LLMServer:
         req = slot.request
         text = self.tokenizer.decode(slot.generated)
         slot.request = None
+        if self.paged and slot.seq_id is not None:
+            self.pool.free_sequence(slot.seq_id)  # pages return instantly
+            slot.seq_id = None
         self.stats["completed"] += 1
         if req and not req.future.cancelled():
             req.future.set_result(text)
 
     def _serve_loop(self) -> None:
+        try:
+            self._serve_loop_inner()
+        except Exception as exc:  # noqa: BLE001 — fail futures, not hang
+            log.error("serve loop died: %s", exc)
+            for slot in self._slots:
+                if slot.active:
+                    slot.request.future.set_exception(exc)
+                    slot.request = None
+            while True:
+                try:
+                    self._queue.get_nowait().future.set_exception(exc)
+                except queue.Empty:
+                    break
+
+    def _serve_loop_inner(self) -> None:
         while not self._stop.is_set():
             self._admit()
             active_mask = [s.active for s in self._slots]
@@ -152,12 +191,19 @@ class LLMServer:
                 time.sleep(0.005)
                 continue
 
-            tokens = jnp.asarray(
-                [s.next_token if s.active else 0 for s in self._slots],
-                jnp.int32)
-            active = jnp.asarray(active_mask)
-            logits, self.cache = llm_model.decode_step_batch(
-                self.params, self.cfg, tokens, active, self.cache)
+            if self.paged:
+                logits = self.pool.batch_decode_step(
+                    self.params,
+                    [s.next_token if s.active else None
+                     for s in self._slots],
+                    [s.seq_id for s in self._slots])
+            else:
+                tokens = jnp.asarray(
+                    [s.next_token if s.active else 0 for s in self._slots],
+                    jnp.int32)
+                active = jnp.asarray(active_mask)
+                logits, self.cache = llm_model.decode_step_batch(
+                    self.params, self.cfg, tokens, active, self.cache)
             self.stats["decode_steps"] += 1
 
             # One device->host fetch for every greedy slot; sampled slots

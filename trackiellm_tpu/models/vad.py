@@ -102,6 +102,37 @@ def vad_step(params: Dict[str, Any], cfg: VADConfig, chunk: jnp.ndarray,
     return prob, new_state
 
 
+class NeuralVAD:
+    """Streaming wrapper over the neural VAD: carries the GRU state and
+    re-chunks arbitrary-length input to the model's 512-sample frames
+    (the pipeline feeds 100 ms = 1600-sample chunks). Returns the max
+    speech probability across the frames of the chunk."""
+
+    def __init__(self, params, cfg: VADConfig = VADConfig()):
+        self.params = params
+        self.cfg = cfg
+        self.state = init_state(cfg)
+        self._leftover = np.zeros(0, np.float32)
+
+    def __call__(self, chunk) -> float:
+        data = np.concatenate([self._leftover,
+                               np.asarray(chunk, np.float32)])
+        n_frames = len(data) // CHUNK_SAMPLES
+        prob = 0.0
+        for i in range(n_frames):
+            frame = jnp.asarray(
+                data[i * CHUNK_SAMPLES:(i + 1) * CHUNK_SAMPLES])
+            p, self.state = vad_step(self.params, self.cfg, frame,
+                                     self.state)
+            prob = max(prob, float(p))
+        self._leftover = data[n_frames * CHUNK_SAMPLES:]
+        return prob
+
+    def reset(self) -> None:
+        self.state = init_state(self.cfg)
+        self._leftover = np.zeros(0, np.float32)
+
+
 class EnergyVAD:
     """Deterministic fallback VAD (log-energy hysteresis) — used when no
     trained weights are present and by tests that need a *predictable*
