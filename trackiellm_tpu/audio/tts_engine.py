@@ -26,11 +26,25 @@ class TTSEngine:
 
     def __init__(self, params: Dict[str, Any],
                  cfg: tts_model.TTSConfig, rate: float = 1.0,
-                 sample_rate: int = 16_000):
+                 sample_rate: int = 16_000,
+                 lang: Optional[str] = None):
         self.params = params
         self.cfg = cfg
         self.rate = rate
         self.sample_rate = sample_rate
+        # Language selects the phonemic front end (tk_tts_piper.h:50's
+        # language code); None keeps the grapheme charset.
+        self.lang = lang
+        if lang is not None:
+            from trackiellm_tpu.audio.phonemizer import PhonemeFrontend
+
+            self.frontend = PhonemeFrontend(lang)
+            if cfg.vocab_size != PhonemeFrontend.vocab_size:
+                raise ValueError(
+                    "phonemic TTS needs cfg.vocab_size == "
+                    f"{PhonemeFrontend.vocab_size}, got {cfg.vocab_size}")
+        else:
+            self.frontend = None
 
     def set_rate(self, rate: float) -> None:
         """Voice speaking-rate parameter (tk_tts_piper voice params)."""
@@ -42,6 +56,7 @@ class TTSEngine:
             "max_chars_per_chunk": self.cfg.max_chars,
             "hop": self.cfg.hop,
             "rate": self.rate,
+            "lang": self.lang,
         }
 
     def _chunks(self, text: str) -> Iterable[str]:
@@ -60,7 +75,8 @@ class TTSEngine:
         parts = []
         for chunk in self._chunks(text):
             wav, n = tts_model.synthesize(self.params, self.cfg, chunk,
-                                          rate=self.rate)
+                                          rate=self.rate,
+                                          frontend=self.frontend)
             parts.append(wav[:n])
         if not parts:
             return np.zeros(0, np.float32)
@@ -74,7 +90,8 @@ class TTSEngine:
         total = 0
         for chunk in self._chunks(text):
             wav, n = tts_model.synthesize(self.params, self.cfg, chunk,
-                                          rate=self.rate)
+                                          rate=self.rate,
+                                          frontend=self.frontend)
             on_chunk(wav[:n])
             total += n
         return total

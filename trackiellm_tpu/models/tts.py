@@ -166,12 +166,15 @@ def vocoder_forward(params: Dict[str, Any], cfg: TTSConfig,
 
 
 def synthesize(params: Dict[str, Any], cfg: TTSConfig, text: str,
-               rate: float = 1.0):
+               rate: float = 1.0, frontend=None):
     """Text -> (waveform np.ndarray @ 16 kHz, n_samples). Parity:
-    tk_tts_piper synth-to-buffer."""
+    tk_tts_piper synth-to-buffer. ``frontend`` maps text ->
+    (ids, n) — defaults to the grapheme charset; pass
+    audio.phonemizer.PhonemeFrontend for phonemic input (the model must
+    then be built with vocab_size=PhonemeFrontend.vocab_size)."""
     import numpy as np
 
-    ids, n = text_to_ids(text, cfg.max_chars)
+    ids, n = (frontend or text_to_ids)(text, cfg.max_chars)
     mel, n_frames = acoustic_forward(params, cfg, jnp.asarray(ids),
                                      jnp.int32(n), jnp.float32(rate))
     wav = vocoder_forward(params, cfg, mel)
