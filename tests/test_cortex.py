@@ -525,3 +525,52 @@ class TestFeedbackDedupInCortex:
         c._process_vision()
         c.feedback.process()
         assert sum("pessoa" in s for s in spoken) <= 1
+
+
+class TestFatalEscalation:
+    """Repeated handler failures escalate to FATAL_ERROR and halt the
+    loop (tk_cortex_main.c:986-989); isolated failures only degrade."""
+
+    class _BoomLLM:
+        def __init__(self, fail_times):
+            self.fail_times = fail_times
+            self.calls = 0
+
+        def build_prompt(self, *a, **k):
+            return "prompt"
+
+        def generate(self, *a, **k):
+            self.calls += 1
+            if self.calls <= self.fail_times:
+                raise RuntimeError("boom")
+            return "ok"
+
+    def test_repeated_failures_reach_fatal(self):
+        states = []
+        c = Cortex(llm_runner=self._BoomLLM(fail_times=99),
+                   config=CortexConfig(max_consecutive_failures=3),
+                   on_state_change=lambda old, new: states.append(new))
+        c.run()
+        for _ in range(5):
+            c.inject_user_text("oi")
+        deadline = time.monotonic() + 5.0
+        while (c.state is not CortexState.FATAL_ERROR
+               and time.monotonic() < deadline):
+            time.sleep(0.02)
+        assert c.state is CortexState.FATAL_ERROR
+        assert CortexState.FATAL_ERROR in states
+        c.stop()
+
+    def test_isolated_failures_degrade_only(self):
+        llm = self._BoomLLM(fail_times=1)  # fails once, then recovers
+        c = Cortex(llm_runner=llm,
+                   config=CortexConfig(max_consecutive_failures=3))
+        c.run()
+        c.inject_user_text("um")   # fails
+        time.sleep(0.3)
+        c.inject_user_text("dois")  # succeeds -> counter resets
+        c.inject_user_text("três")
+        time.sleep(0.5)
+        assert c.state is not CortexState.FATAL_ERROR
+        c.stop()
+        assert llm.calls >= 3

@@ -85,6 +85,10 @@ class CortexConfig:
     event_queue_depth: int = 128      # tk_cortex_main.c:231
     video_buffer_depth: int = 4       # tk_cortex_main.c:542
     llm_token_budget: int = 2048      # tk_cortex_main.c:1334
+    # Consecutive event-handler failures before the loop escalates to
+    # FATAL_ERROR and halts (tk_cortex_main.c:986-989 escalates on
+    # critical failure; repeated failures are treated as critical here).
+    max_consecutive_failures: int = 3
     system_prompt: str = (
         "Você é o Trackie, um assistente para pessoas com deficiência "
         "visual. Responda de forma curta, clara e útil.")
@@ -174,6 +178,7 @@ class Cortex:
         self._on_state_change = on_state_change
 
         self.state = CortexState.UNINITIALIZED
+        self._consecutive_failures = 0
         self._events: "queue.Queue[CortexEvent]" = queue.Queue(
             maxsize=self.config.event_queue_depth)
         self._frames = collections.deque(
@@ -290,10 +295,24 @@ class Cortex:
                 if event.type is EventType.STOP:
                     break
                 self._handle_event(event)
+                # Only substantive events clear the failure streak — a
+                # trivially-succeeding timer tick between two crashing
+                # speech events must not mask a persistent failure.
+                if event.type is not EventType.SYSTEM_TIMER:
+                    self._consecutive_failures = 0
             except Exception as e:
                 log.error("cortex loop error on %s: %s", event.type, e)
-                # Parity: FATAL_ERROR only on repeated/critical failures;
-                # individual stage errors degrade (tk_cortex_main.c:986).
+                # Parity: individual stage errors degrade; repeated
+                # failures escalate to FATAL_ERROR and halt the loop
+                # (tk_cortex_main.c:986-989).
+                self._consecutive_failures += 1
+                if (self._consecutive_failures
+                        >= self.config.max_consecutive_failures):
+                    log.error("cortex: %d consecutive failures — "
+                              "entering FATAL_ERROR",
+                              self._consecutive_failures)
+                    self._set_state(CortexState.FATAL_ERROR)
+                    break
 
             dt_ms = (time.monotonic() - t0) * 1e3
             ema = self.stats["loop_ema_ms"]

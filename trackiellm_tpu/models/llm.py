@@ -541,18 +541,24 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
 # Convenience: full greedy generation inside one jit (benchmark path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_tokens", "attn_len"))
 def generate_greedy(params: Dict[str, Any], cfg: LLMConfig,
                     first_token: jnp.ndarray, cache: KVCache,
-                    n_tokens: int) -> Tuple[jnp.ndarray, KVCache]:
+                    n_tokens: int, attn_len: Optional[int] = None,
+                    ) -> Tuple[jnp.ndarray, KVCache]:
     """Greedy-decode ``n_tokens`` tokens entirely on device (no host
     round-trips) — used by the benchmark and by non-interactive batch
     generation. Interactive/grammar-constrained paths use
-    :func:`decode_step` from the host runner instead."""
+    :func:`decode_step` from the host runner instead.
+
+    ``attn_len`` (static) bounds cache reads like in decode_step; it
+    must cover cache.length + n_tokens."""
 
     def body(carry, _):
         token, cache = carry
-        logits, cache = decode_step(params, cfg, token, cache)
+        logits, cache = decode_step(params, cfg, token, cache,
+                                    attn_len=attn_len)
         nxt = jnp.argmax(logits).astype(jnp.int32)
         return (nxt, cache), nxt
 
