@@ -164,3 +164,108 @@ class TestTokenizerFromGGUF:
         ids = tok.encode(" hello world!")
         assert tok.decode(ids) == " hello world!"
         assert ids[0] == 3  # longest match " hello"
+
+
+class TestWhisperFromTorch:
+    """Roundtrip: our random params -> torch-style state dict (inverse
+    mapping built here) -> whisper_from_torch -> identical tree + a
+    working encode/decode."""
+
+    def _to_torch_state(self, params, cfg):
+        import numpy as np
+
+        state = {}
+        state["encoder.conv1.weight"] = np.asarray(
+            params["conv1_w"]).transpose(2, 1, 0)
+        state["encoder.conv1.bias"] = np.asarray(params["conv1_b"])
+        state["encoder.conv2.weight"] = np.asarray(
+            params["conv2_w"]).transpose(2, 1, 0)
+        state["encoder.conv2.bias"] = np.asarray(params["conv2_b"])
+
+        def put_blocks(prefix, st, n, names):
+            for i in range(n):
+                for ours, theirs, is_mat in names:
+                    a = np.asarray(st[ours][i])
+                    state[f"{prefix}.{i}.{theirs}"] = a.T if is_mat else a
+
+        attn_names = [
+            ("ln1", "attn_ln.weight", False), ("ln1_b", "attn_ln.bias", False),
+            ("wq", "attn.query.weight", True), ("bq", "attn.query.bias", False),
+            ("wk", "attn.key.weight", True),
+            ("wv", "attn.value.weight", True), ("bv", "attn.value.bias", False),
+            ("wo", "attn.out.weight", True), ("bo", "attn.out.bias", False),
+            ("ln2", "mlp_ln.weight", False), ("ln2_b", "mlp_ln.bias", False),
+            ("w1", "mlp.0.weight", True), ("b1", "mlp.0.bias", False),
+            ("w2", "mlp.2.weight", True), ("b2", "mlp.2.bias", False),
+        ]
+        put_blocks("encoder.blocks", params["enc"], cfg.n_audio_layers,
+                   attn_names)
+        state["encoder.ln_post.weight"] = np.asarray(params["enc_ln"])
+        state["encoder.ln_post.bias"] = np.asarray(params["enc_ln_b"])
+
+        state["decoder.token_embedding.weight"] = np.asarray(
+            params["tok_emb"])
+        state["decoder.positional_embedding"] = np.asarray(
+            params["pos_emb"])
+        put_blocks("decoder.blocks", params["dec"], cfg.n_text_layers,
+                   attn_names)
+        cross_names = [
+            ("ln", "cross_attn_ln.weight", False),
+            ("ln_b", "cross_attn_ln.bias", False),
+            ("wq", "cross_attn.query.weight", True),
+            ("bq", "cross_attn.query.bias", False),
+            ("wk", "cross_attn.key.weight", True),
+            ("wv", "cross_attn.value.weight", True),
+            ("bv", "cross_attn.value.bias", False),
+            ("wo", "cross_attn.out.weight", True),
+            ("bo", "cross_attn.out.bias", False),
+        ]
+        put_blocks("decoder.blocks", params["cross"], cfg.n_text_layers,
+                   cross_names)
+        state["decoder.ln.weight"] = np.asarray(params["dec_ln"])
+        state["decoder.ln.bias"] = np.asarray(params["dec_ln_b"])
+        return state
+
+    def test_roundtrip_and_forward(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from trackiellm_tpu.models import whisper as W
+        from trackiellm_tpu.models.convert import (
+            whisper_config_from_torch, whisper_from_torch)
+
+        cfg = W.WhisperConfig.test()
+        ref = W.init_whisper(jax.random.PRNGKey(0), cfg)
+        # Give the zero biases real values so the mapping is exercised.
+        for grp in ("enc", "dec", "cross"):
+            for name in ("bq", "bv", "bo"):
+                ref[grp][name] = jax.random.normal(
+                    jax.random.PRNGKey(hash((grp, name)) & 0xFFFF),
+                    ref[grp][name].shape) * 0.01
+
+        state = self._to_torch_state(ref, cfg)
+        got_cfg = whisper_config_from_torch(state)
+        assert got_cfg.n_mels == cfg.n_mels
+        assert got_cfg.d_model == cfg.d_model
+        assert got_cfg.n_audio_layers == cfg.n_audio_layers
+        assert got_cfg.n_text_layers == cfg.n_text_layers
+        assert got_cfg.vocab_size == cfg.vocab_size
+
+        params, _ = whisper_from_torch(state)
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref)
+        flat_got = dict(jax.tree_util.tree_leaves_with_path(params))
+        for path, leaf in flat_ref:
+            np.testing.assert_allclose(
+                np.asarray(flat_got[path]), np.asarray(leaf), rtol=1e-6,
+                err_msg=str(path))
+
+        # Converted params drive the real encoder/decoder.
+        mel = jax.random.normal(jax.random.PRNGKey(7),
+                                (cfg.n_mels, 50), jnp.float32)
+        feats = W.encode(params, got_cfg, mel)
+        assert feats.shape == (25, cfg.d_model)
+        cache = W.make_decoder_cache(params, got_cfg, feats)
+        logits, cache = W.decode_step(params, got_cfg,
+                                      jnp.int32(1), cache)
+        assert logits.shape == (cfg.vocab_size,)
+        assert bool(jnp.all(jnp.isfinite(logits)))

@@ -437,3 +437,33 @@ class TestQ4StreamKernel:
                                         interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-4)
+
+
+class TestQ4Int8Kernel:
+    def test_i8_matches_oracle_within_a8_error(self, rng):
+        """W4A8 adds activation-quantization error on top of the W4
+        oracle — bounded, small relative error rather than exactness."""
+        k1, k2 = jax.random.split(rng)
+        x = jax.random.normal(k1, (8, 1024))
+        w = jax.random.normal(k2, (1024, 512))
+        qw = quant.quantize_q4(w, group=256)
+        ref = np.asarray(quant.quantized_matmul_xla(x, qw))
+        out = np.asarray(quant.q4_matmul_pallas_i8(
+            x, qw.values, qw.scales, tile_n=256, tile_k=256,
+            interpret=True))
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, rel
+
+    def test_activation_quantization_identities(self, rng):
+        x = jax.random.normal(rng, (4, 512))
+        xq, sx, sxsum = quant.quantize_activations_q8(x, group=128)
+        assert xq.dtype == jnp.int8 and sx.shape == (4, 4)
+        # sxsum is exactly sx * sum(x_i8) per group (the bias-fold term)
+        manual = sx * np.asarray(
+            xq.astype(jnp.int32).reshape(4, 4, 128).sum(axis=2))
+        np.testing.assert_allclose(np.asarray(sxsum), manual, rtol=1e-6)
+        # dequantized activations track the originals
+        deq = np.asarray(xq, np.float32).reshape(4, 4, 128) \
+            * np.asarray(sx)[:, :, None]
+        np.testing.assert_allclose(deq.reshape(4, 512), np.asarray(x),
+                                   atol=np.abs(x).max() / 100)

@@ -149,3 +149,24 @@ class TestPagedServer:
             assert server.pool.free_pages == 32  # everything released
         finally:
             server.close()
+
+
+class TestRepetitionPenalty:
+    def test_sampled_path_penalizes_repeats(self, params):
+        """With a huge penalty and near-zero temperature the sampled
+        path must avoid repeating recent tokens, while the plain greedy
+        chain (penalty off) is free to repeat."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=1, tokenizer=tok,
+                           cache_dtype=jnp.float32, seed=3)
+        try:
+            fut = server.submit("aaaa", max_tokens=12, temperature=0.01,
+                                repetition_penalty=5.0)
+            fut.result(timeout=120)
+            # reach into the last slot's history: no token appears > 2x
+            # in a 12-token run under a 5x penalty at ~greedy temp
+            gen = server._slots[0].generated
+            assert len(gen) == 12
+            assert max(gen.count(t) for t in set(gen)) <= 3
+        finally:
+            server.close()

@@ -41,6 +41,8 @@ class Request:
     prompt: str
     max_tokens: int = 64
     temperature: float = 0.0
+    repetition_penalty: float = 1.1   # llama.cpp default; sampled path only
+    repeat_window: int = 64
     future: Future = dataclasses.field(default_factory=Future)
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
 
@@ -99,15 +101,19 @@ class LLMServer:
     # ------------------------------------------------------------------
 
     def submit(self, prompt: str, max_tokens: int = 64,
-               temperature: float = 0.0) -> Future:
+               temperature: float = 0.0,
+               repetition_penalty: float = 1.1) -> Future:
         """Enqueue a generation; the Future resolves to the text."""
-        req = Request(prompt, max_tokens, temperature)
+        req = Request(prompt, max_tokens, temperature,
+                      repetition_penalty=repetition_penalty)
         self._queue.put(req)
         return req.future
 
     def generate(self, prompt: str, max_tokens: int = 64,
-                 temperature: float = 0.0, timeout: float = 300.0) -> str:
-        return self.submit(prompt, max_tokens, temperature).result(timeout)
+                 temperature: float = 0.0, timeout: float = 300.0,
+                 repetition_penalty: float = 1.1) -> str:
+        return self.submit(prompt, max_tokens, temperature,
+                           repetition_penalty).result(timeout)
 
     # ------------------------------------------------------------------
 
@@ -150,12 +156,18 @@ class LLMServer:
 
     def _sample_one(self, logits: jnp.ndarray, req: Request,
                     recent: List[int]) -> int:
-        del recent  # repetition penalty: roadmap (per-slot recent windows)
         if req.temperature <= 0:
             return int(sampling.greedy(logits))
         self._key, sub = jax.random.split(self._key)
-        return int(sampling.sample(logits, sub,
-                                   jnp.float32(req.temperature)))
+        # Per-slot repetition penalty over a fixed-width recent window
+        # (static shape -> one compiled sampler for every slot).
+        window = np.full(req.repeat_window, -1, np.int32)
+        tail = recent[-req.repeat_window:]
+        window[: len(tail)] = tail
+        return int(sampling.sample(
+            logits, sub, jnp.float32(req.temperature),
+            recent_tokens=jnp.asarray(window),
+            repetition_penalty=req.repetition_penalty))
 
     def _finish(self, slot: _Slot) -> None:
         req = slot.request

@@ -186,3 +186,111 @@ def gguf_to_llm_params(
         "lm_head": maybe_quant(lm_head),
     }
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Whisper: torch-layout checkpoint -> stacked JAX pytree
+# ---------------------------------------------------------------------------
+
+def whisper_config_from_torch(state: Dict[str, Any]) -> "Any":
+    """Derive a WhisperConfig from checkpoint shapes (standard layout:
+    encoder.conv1.weight (d, n_mels, 3), decoder.positional_embedding
+    (n_text_ctx, d), head_dim 64 across all published sizes)."""
+    from trackiellm_tpu.models.whisper import WhisperConfig
+
+    d, n_mels, _ = state["encoder.conv1.weight"].shape
+    n_audio = len({k.split(".")[2] for k in state
+                   if k.startswith("encoder.blocks.")})
+    n_text = len({k.split(".")[2] for k in state
+                  if k.startswith("decoder.blocks.")})
+    vocab, _ = state["decoder.token_embedding.weight"].shape
+    n_text_ctx, _ = state["decoder.positional_embedding"].shape
+    return WhisperConfig(
+        n_mels=n_mels, d_model=d, n_heads=max(d // 64, 1),
+        n_audio_layers=n_audio, n_text_layers=n_text,
+        n_text_ctx=n_text_ctx, vocab_size=vocab)
+
+
+def _wt(state, name):
+    """Torch linear weight (out, in) -> (in, out)."""
+    return jnp.asarray(np.asarray(state[name], np.float32).T)
+
+
+def _wb(state, name):
+    return jnp.asarray(np.asarray(state[name], np.float32))
+
+
+def _whisper_layer_stack_from_torch(state, prefix: str, n: int):
+    """Stack n transformer blocks (standard naming: attn_ln, attn.query/
+    key/value/out with biased q/v/out, mlp_ln, mlp.0/mlp.2) into the
+    scan-ready (n, ...) layout of models/whisper._layer_stack."""
+    def S(fmt, conv=_wt):
+        return jnp.stack([conv(state, fmt.format(i)) for i in range(n)])
+
+    p = prefix
+    return {
+        "ln1": S(p + ".{}.attn_ln.weight", _wb),
+        "ln1_b": S(p + ".{}.attn_ln.bias", _wb),
+        "wq": S(p + ".{}.attn.query.weight"),
+        "wk": S(p + ".{}.attn.key.weight"),
+        "wv": S(p + ".{}.attn.value.weight"),
+        "wo": S(p + ".{}.attn.out.weight"),
+        "bq": S(p + ".{}.attn.query.bias", _wb),
+        "bv": S(p + ".{}.attn.value.bias", _wb),
+        "bo": S(p + ".{}.attn.out.bias", _wb),
+        "ln2": S(p + ".{}.mlp_ln.weight", _wb),
+        "ln2_b": S(p + ".{}.mlp_ln.bias", _wb),
+        "w1": S(p + ".{}.mlp.0.weight"),
+        "b1": S(p + ".{}.mlp.0.bias", _wb),
+        "w2": S(p + ".{}.mlp.2.weight"),
+        "b2": S(p + ".{}.mlp.2.bias", _wb),
+    }
+
+
+def whisper_from_torch(state: Dict[str, Any]):
+    """Standard Whisper checkpoint (torch state-dict arrays, e.g. the
+    published .pt files or HF "model.{...}" after prefix-stripping) ->
+    (params, WhisperConfig) for models/whisper.
+
+    Torch linears are (out, in) -> transposed; conv1ds are (out, in, k)
+    -> (k, in, out) ("TIO"). The encoder's sinusoidal positional buffer
+    is not copied — models/whisper computes identical sinusoids.
+    """
+    cfg = whisper_config_from_torch(state)
+    n = cfg.n_text_layers
+
+    def conv(name):
+        return jnp.asarray(
+            np.asarray(state[name], np.float32).transpose(2, 1, 0))
+
+    def S(fmt, c=_wt):
+        return jnp.stack([c(state, fmt.format(i)) for i in range(n)])
+
+    cb = "decoder.blocks"
+    params = {
+        "conv1_w": conv("encoder.conv1.weight"),
+        "conv1_b": _wb(state, "encoder.conv1.bias"),
+        "conv2_w": conv("encoder.conv2.weight"),
+        "conv2_b": _wb(state, "encoder.conv2.bias"),
+        "enc": _whisper_layer_stack_from_torch(
+            state, "encoder.blocks", cfg.n_audio_layers),
+        "enc_ln": _wb(state, "encoder.ln_post.weight"),
+        "enc_ln_b": _wb(state, "encoder.ln_post.bias"),
+        "tok_emb": _wb(state, "decoder.token_embedding.weight"),
+        "pos_emb": _wb(state, "decoder.positional_embedding"),
+        "dec": _whisper_layer_stack_from_torch(state, cb, n),
+        "cross": {
+            "ln": S(cb + ".{}.cross_attn_ln.weight", _wb),
+            "ln_b": S(cb + ".{}.cross_attn_ln.bias", _wb),
+            "wq": S(cb + ".{}.cross_attn.query.weight"),
+            "wk": S(cb + ".{}.cross_attn.key.weight"),
+            "wv": S(cb + ".{}.cross_attn.value.weight"),
+            "wo": S(cb + ".{}.cross_attn.out.weight"),
+            "bq": S(cb + ".{}.cross_attn.query.bias", _wb),
+            "bv": S(cb + ".{}.cross_attn.value.bias", _wb),
+            "bo": S(cb + ".{}.cross_attn.out.bias", _wb),
+        },
+        "dec_ln": _wb(state, "decoder.ln.weight"),
+        "dec_ln_b": _wb(state, "decoder.ln.bias"),
+    }
+    return params, cfg

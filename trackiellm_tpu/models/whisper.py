@@ -74,6 +74,10 @@ def _layer_stack(key, n, d):
         "ln1": jnp.ones((n, d)), "ln1_b": jnp.zeros((n, d)),
         "wq": stack(ks[0], d, d), "wk": stack(ks[1], d, d),
         "wv": stack(ks[2], d, d), "wo": stack(ks[3], d, d),
+        # q/v/out projection biases (the standard Whisper layout has
+        # them; key has none). Zeros when randomly initialised.
+        "bq": jnp.zeros((n, d)), "bv": jnp.zeros((n, d)),
+        "bo": jnp.zeros((n, d)),
         "ln2": jnp.ones((n, d)), "ln2_b": jnp.zeros((n, d)),
         "w1": stack(ks[4], d, 4 * d), "b1": jnp.zeros((n, 4 * d)),
         "w2": stack(ks[5], 4 * d, d), "b2": jnp.zeros((n, d)),
@@ -91,6 +95,8 @@ def _cross_stack(key, n, d):
         "ln": jnp.ones((n, d)), "ln_b": jnp.zeros((n, d)),
         "wq": stack(ks[0], d, d), "wk": stack(ks[1], d, d),
         "wv": stack(ks[2], d, d), "wo": stack(ks[3], d, d),
+        "bq": jnp.zeros((n, d)), "bv": jnp.zeros((n, d)),
+        "bo": jnp.zeros((n, d)),
     }
 
 
@@ -163,9 +169,9 @@ def encode(params: Dict[str, Any], cfg: WhisperConfig,
 
     def layer(x, lp):
         h = _ln(x, lp["ln1"], lp["ln1_b"])
-        attn = _mha(h @ lp["wq"], h @ lp["wk"], h @ lp["wv"],
-                    cfg.n_heads, causal=False)
-        x = x + attn @ lp["wo"]
+        attn = _mha(h @ lp["wq"] + lp["bq"], h @ lp["wk"],
+                    h @ lp["wv"] + lp["bv"], cfg.n_heads, causal=False)
+        x = x + attn @ lp["wo"] + lp["bo"]
         h = _ln(x, lp["ln2"], lp["ln2_b"])
         x = x + (jax.nn.gelu(h @ lp["w1"] + lp["b1"]) @ lp["w2"] + lp["b2"])
         return x, None
@@ -192,7 +198,7 @@ def make_decoder_cache(params: Dict[str, Any], cfg: WhisperConfig,
     """Precompute per-layer cross K/V from the encoded audio."""
     def per_layer(_, cp):
         h = _ln(audio_feats, cp["ln"], cp["ln_b"])
-        return None, (h @ cp["wk"], h @ cp["wv"])
+        return None, (h @ cp["wk"], h @ cp["wv"] + cp["bv"])
 
     _, (ck, cv) = lax.scan(per_layer, None, params["cross"])
     shape = (cfg.n_text_layers, cfg.n_text_ctx, cfg.d_model)
@@ -213,7 +219,9 @@ def decode_step(params: Dict[str, Any], cfg: WhisperConfig,
         x = carry
         lp, cp, k_l, v_l, ck_l, cv_l = inputs
         h = _ln(x, lp["ln1"], lp["ln1_b"])
-        q, k, v = h @ lp["wq"], h @ lp["wk"], h @ lp["wv"]
+        q = h @ lp["wq"] + lp["bq"]
+        k = h @ lp["wk"]
+        v = h @ lp["wv"] + lp["bv"]
         k_l = lax.dynamic_update_slice(k_l, k, (pos, 0))
         v_l = lax.dynamic_update_slice(v_l, v, (pos, 0))
         # Masked self-attention over the cache prefix.
@@ -225,12 +233,14 @@ def decode_step(params: Dict[str, Any], cfg: WhisperConfig,
         mask = jnp.arange(cfg.n_text_ctx)[None, None, :] <= pos
         scores = jnp.where(mask, scores, -1e30)
         attn = jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(scores, -1), vh)
-        x = x + attn.transpose(1, 0, 2).reshape(1, -1) @ lp["wo"]
+        x = (x + attn.transpose(1, 0, 2).reshape(1, -1) @ lp["wo"]
+             + lp["bo"])
 
         # Cross-attention to the audio.
         h = _ln(x, cp["ln"], cp["ln_b"])
-        attn = _mha(h @ cp["wq"], ck_l, cv_l, cfg.n_heads, causal=False)
-        x = x + attn @ cp["wo"]
+        attn = _mha(h @ cp["wq"] + cp["bq"], ck_l, cv_l, cfg.n_heads,
+                    causal=False)
+        x = x + attn @ cp["wo"] + cp["bo"]
 
         h = _ln(x, lp["ln2"], lp["ln2_b"])
         x = x + (jax.nn.gelu(h @ lp["w1"] + lp["b1"]) @ lp["w2"] + lp["b2"])
