@@ -308,3 +308,26 @@ class TestGrammarFuzz:
             assert ok
             closure = acc.closure()
             json.loads(base[:cut] + closure)  # must parse
+
+
+class TestCancellation:
+    def test_should_stop_cancels_between_tokens(self):
+        """A true should_stop halts generation at the next token
+        boundary — the shutdown path for hosts (cortex) that must not
+        block on a long reply."""
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        runner = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                           GenerationConfig(max_tokens=32,
+                                            temperature=0.0),
+                           cache_dtype=jnp.float32)
+        seen = []
+
+        def stop_after_three():
+            return len(seen) >= 3
+
+        out = runner.generate("ola", on_token=seen.append,
+                              should_stop=stop_after_three)
+        assert len(seen) == 3
+        assert out == "".join(seen)

@@ -461,8 +461,20 @@ class Cortex:
         # (leading '{'): those must be parsed whole.
         stream = _SentenceStreamer(
             lambda s: self._speak(s, int(ActionPriority.NORMAL)))
+        # Cancel between tokens when the cortex is shutting down —
+        # otherwise stop() can time out on a long reply and leave this
+        # thread inside a device call at interpreter exit (crash).
+        import inspect
+
+        gen_kwargs = {}
+        try:
+            if "should_stop" in inspect.signature(
+                    self.llm.generate).parameters:
+                gen_kwargs["should_stop"] = self._stop_flag.is_set
+        except (TypeError, ValueError):
+            pass
         raw = self.llm.generate(prompt, tools=tools,
-                                on_token=stream.feed)
+                                on_token=stream.feed, **gen_kwargs)
         self.stats["last_llm_ms"] = (time.monotonic() - t0) * 1e3
 
         self._set_state(CortexState.RESPONDING)

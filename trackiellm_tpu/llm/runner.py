@@ -283,12 +283,19 @@ class LLMRunner:
 
     def generate(self, prompt: str, tools: Sequence[ToolDefinition] = (),
                  force_tool_call: bool = False,
-                 on_token: Optional[Callable[[str], None]] = None) -> str:
-        """Run a full generation, streaming pieces to ``on_token``."""
+                 on_token: Optional[Callable[[str], None]] = None,
+                 should_stop: Optional[Callable[[], bool]] = None) -> str:
+        """Run a full generation, streaming pieces to ``on_token``.
+        ``should_stop`` is polled between tokens — a shutting-down host
+        (cortex stop flag) cancels mid-generation instead of blocking
+        its caller for the rest of the reply."""
         self.prepare_generation(prompt, tools, force_tool_call)
         while (piece := self.generate_next_token()) is not None:
             if on_token:
                 on_token(piece)
+            if should_stop is not None and should_stop():
+                self._done = True
+                break
         return self._generated_text
 
     def chat(self, user_text: str, system: Optional[str] = None,
