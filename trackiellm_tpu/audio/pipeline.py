@@ -290,6 +290,12 @@ class AudioPipeline:
 
     def close(self) -> None:
         self._stop.set()
+        self._interrupt.set()  # discard any in-flight synthesis result
         with self._queue_lock:
             self._queue_lock.notify_all()
-        self._worker.join(timeout=2.0)
+        # Generous join: a first-call TTS compile can take seconds, and
+        # returning while the worker is inside device code risks a crash
+        # at interpreter exit (same class as the cortex shutdown bug).
+        self._worker.join(timeout=10.0)
+        if self._worker.is_alive():
+            log.warning("TTS worker did not stop within 10 s")

@@ -242,7 +242,11 @@ class LLMServer:
 
     def close(self) -> None:
         self._stop.set()
-        self._thread.join(timeout=5.0)
+        # A cold decode compile inside the loop can take >5 s; returning
+        # while the thread is in device code risks a crash at exit.
+        self._thread.join(timeout=30.0)
+        if self._thread.is_alive():
+            log.warning("serve loop did not stop within 30 s")
         # Fail any stragglers.
         while True:
             try:

@@ -146,7 +146,7 @@ class InferenceScheduler:
         self._stop.set()
         with self._cv:
             self._cv.notify_all()
-        self._thread.join(timeout=2.0)
+        self._thread.join(timeout=10.0)
 
 
 def _block(result: Any) -> Any:
