@@ -280,3 +280,24 @@ class TestOptimize:
         assert opt.tensors["big"].dtype == np.float16
         assert opt.tensors["small"].dtype == np.float32
         assert opt.size_bytes < m.size_bytes
+
+
+class TestNativeCheckpointInspect:
+    def test_describe_native_checkpoint(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from trackiellm_tpu.models import llm
+        from trackiellm_tpu.models.checkpoint import save_checkpoint
+        from trackiellm_tpu.models.loader import (ModelFormat,
+                                                  describe, detect_format)
+
+        cfg = llm.LLMConfig.tiny()
+        params = llm.init_params(jax.random.PRNGKey(0), cfg,
+                                 dtype=jnp.float32)
+        path = str(tmp_path / "ck")
+        save_checkpoint(path, params, cfg)
+        assert detect_format(path) is ModelFormat.NATIVE
+        info = describe(path)
+        assert info["format"] == "native"
+        assert info["config"]["config"]["dim"] == cfg.dim
+        assert info["n_parameters"] > 0

@@ -38,6 +38,7 @@ log = get_logger("models.loader")
 
 
 class ModelFormat(enum.Enum):
+    NATIVE = "native"          # this framework's checkpoint directory
     GGUF = "gguf"
     SAFETENSORS = "safetensors"
     NPZ = "npz"
@@ -59,6 +60,8 @@ def detect_format(path: str) -> ModelFormat:
         if "checkpoint" in entries or "_METADATA" in entries or any(
                 e.startswith("ocdbt") for e in entries):
             return ModelFormat.ORBAX
+        if "arrays.npz" in entries and "tree.json" in entries:
+            return ModelFormat.NATIVE  # models/checkpoint.py layout
         return ModelFormat.UNKNOWN
     try:
         with open(path, "rb") as f:
@@ -285,6 +288,22 @@ class LoadedModel:
 def describe(path: str) -> Dict[str, Any]:
     """Metadata-only inspection (no tensor data read)."""
     fmt = detect_format(path)
+    if fmt is ModelFormat.NATIVE:
+        import os
+
+        import numpy as np
+
+        info: Dict[str, Any] = {"format": fmt.value}
+        cfg_path = os.path.join(path, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                info["config"] = json.load(f)
+        with np.load(os.path.join(path, "arrays.npz")) as z:
+            names = z.files
+            info["n_arrays"] = len(names)
+            info["n_parameters"] = int(sum(
+                int(np.prod(z[n].shape)) for n in names))
+        return info
     if fmt is ModelFormat.GGUF:
         g = read_gguf_header(path)
         return {"format": fmt.value, "architecture": g.architecture,
