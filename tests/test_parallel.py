@@ -142,3 +142,55 @@ class TestEvaluate:
                 params, TRAIN_CFG, ds.batches(8, seed=0))
         assert after["perplexity"] < before["perplexity"] * 0.7
         assert after["batches"] == before["batches"] > 0
+
+
+class TestShardedInference:
+    """Tensor-parallel quantized inference must match the single-device
+    result exactly in semantics (GSPMD repartitions the same program)."""
+
+    CFG = llm_model.LLMConfig(
+        vocab_size=512, dim=256, n_layers=2, n_heads=8, n_kv_heads=4,
+        head_dim=32, hidden_dim=512, max_seq=128, sliding_window=128)
+
+    def _quant_params(self):
+        return llm_model.quantize_params(
+            llm_model.init_params(jax.random.PRNGKey(7), self.CFG,
+                                  dtype=jnp.bfloat16),
+            bits=4, group=64)
+
+    def test_tp_prefill_decode_matches_single_device(self):
+        from trackiellm_tpu.parallel import (
+            infer_param_shardings, kv_cache_sharding,
+            make_sharded_prefill, make_sharded_decode,
+        )
+
+        cfg = self.CFG
+        qparams = self._quant_params()
+        toks = jax.random.randint(jax.random.PRNGKey(8), (64,), 0,
+                                  cfg.vocab_size, jnp.int32)
+        length = jnp.int32(48)
+
+        # Single-device oracle.
+        cache0 = llm_model.KVCache.create(cfg)
+        ref_logits, ref_cache = llm_model.prefill(
+            qparams, cfg, toks, length, cache0)
+        ref_tok = jnp.argmax(ref_logits).astype(jnp.int32)
+        ref_logits2, _ = llm_model.decode_step(
+            qparams, cfg, ref_tok, ref_cache, attn_len=cfg.max_seq)
+
+        # Sharded over the 8-device mesh (tp=4).
+        mesh = build_mesh(jax.devices()[:8])
+        sp = jax.device_put(qparams, infer_param_shardings(mesh, True))
+        sc = jax.device_put(llm_model.KVCache.create(cfg),
+                            kv_cache_sharding(mesh))
+        prefill_fn = make_sharded_prefill(cfg, mesh, quantized=True)
+        logits, cache = prefill_fn(sp, toks, length, sc)
+        decode_fn = make_sharded_decode(cfg, mesh, quantized=True,
+                                        attn_len=cfg.max_seq)
+        tok = jnp.argmax(logits).astype(jnp.int32)
+        logits2, _ = decode_fn(sp, tok, cache)
+
+        assert int(tok) == int(ref_tok)
+        np.testing.assert_allclose(np.asarray(logits2),
+                                   np.asarray(ref_logits2),
+                                   rtol=3e-2, atol=3e-2)

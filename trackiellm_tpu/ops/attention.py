@@ -185,8 +185,9 @@ def flash_attention(
 def prefill_attention(q, k, v, causal: bool = True,
                       window: int = 0) -> jnp.ndarray:
     """Dispatch: Pallas flash on TPU, XLA oracle elsewhere."""
+    from trackiellm_tpu.ops.backend import on_tpu
     s = q.shape[1]
-    if jax.default_backend() == "tpu" and s >= 256 and s % 256 == 0:
+    if on_tpu() and s >= 256 and s % 256 == 0:
         return flash_attention(q, k, v, causal=causal, window=window)
     return attention_xla(q, k, v, causal=causal, window=window)
 

@@ -35,7 +35,8 @@ DEFAULT_GROUP = 256
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    from trackiellm_tpu.ops.backend import on_tpu
+    return on_tpu()
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,12 @@ a dense single-tower Mistral (no MoE, depth scanned on one chip); the
 mesh builder still accepts them for forward compatibility.
 """
 
+from trackiellm_tpu.parallel.infer import (  # noqa: F401
+    infer_param_shardings,
+    kv_cache_sharding,
+    make_sharded_decode,
+    make_sharded_prefill,
+)
 from trackiellm_tpu.parallel.mesh import build_mesh  # noqa: F401
 from trackiellm_tpu.parallel.sharding import (  # noqa: F401
     data_sharding,

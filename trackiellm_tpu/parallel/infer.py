@@ -1,0 +1,102 @@
+"""Tensor-parallel single-sequence inference (sharded prefill + decode).
+
+The reference serves its 7B LLM on one device (llama.cpp context,
+src/ai_models/tk_runner_streaming.c); this module is where the rebuild
+scales that path over an ICI mesh. The same :mod:`trackiellm_tpu.models.llm`
+forward runs unchanged — only shardings differ:
+
+  - ``wqkv`` / ``w_gu`` are column-parallel over ``tp`` (each shard owns
+    whole attention heads / MLP columns), ``wo`` / ``w_down`` are
+    row-parallel (XLA inserts the psum);
+  - quantized weights shard the same way: both ``values`` and ``scales``
+    of a :class:`~trackiellm_tpu.ops.quant.QuantizedLinear` carry the
+    matrix's partition spec (Q4 packs two K-halves per byte, so a
+    K-shard of the packed values is *not* a contiguous K-shard of the
+    dequantized matrix — GSPMD still partitions the dequant+matmul graph
+    correctly, at worst with an extra collective);
+  - the KV cache (L, S, Hk, D) shards KV heads over ``tp``;
+  - embeddings / lm_head shard the vocab over ``tp``.
+
+``n_kv_heads`` and the quantization group count per matrix must be
+divisible by the tp degree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.ops.quant import QuantizedLinear
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def _q(mesh: Mesh, *spec) -> QuantizedLinear:
+    """A QuantizedLinear whose values and scales share one spec."""
+    return QuantizedLinear(values=_ns(mesh, *spec), scales=_ns(mesh, *spec))
+
+
+def infer_param_shardings(mesh: Mesh, quantized: bool) -> Dict[str, Any]:
+    """Sharding tree for the inference param tree (bf16 or quantized)."""
+    col = _q(mesh, None, None, "tp") if quantized else _ns(
+        mesh, None, None, "tp")
+    row = _q(mesh, None, "tp", None) if quantized else _ns(
+        mesh, None, "tp", None)
+    head = _q(mesh, None, "tp") if quantized else _ns(mesh, None, "tp")
+    return {
+        "tok_emb": _ns(mesh, "tp", None),
+        "layers": {
+            "attn_norm": _ns(mesh, None, None),
+            "wqkv": col,
+            "wo": row,
+            "mlp_norm": _ns(mesh, None, None),
+            "w_gu": col,
+            "w_down": row,
+        },
+        "out_norm": _ns(mesh, None),
+        "lm_head": head,
+    }
+
+
+def kv_cache_sharding(mesh: Mesh) -> llm_model.KVCache:
+    """KV cache shards KV heads over tp; length scalar replicated."""
+    kv = _ns(mesh, None, None, "tp", None)
+    return llm_model.KVCache(k=kv, v=kv, length=_ns(mesh))
+
+
+def make_sharded_prefill(cfg: llm_model.LLMConfig, mesh: Mesh,
+                         quantized: bool):
+    """jit of llm.prefill with tensor-parallel in/out shardings."""
+    p_shard = infer_param_shardings(mesh, quantized)
+    c_shard = kv_cache_sharding(mesh)
+
+    def pf(params, tokens, length, cache):
+        return llm_model.prefill(params, cfg, tokens, length, cache)
+
+    return jax.jit(
+        pf,
+        in_shardings=(p_shard, _ns(mesh, None), _ns(mesh), c_shard),
+        out_shardings=(_ns(mesh, "tp"), c_shard),
+    )
+
+
+def make_sharded_decode(cfg: llm_model.LLMConfig, mesh: Mesh,
+                        quantized: bool, attn_len: int):
+    """jit of llm.decode_step with tensor-parallel in/out shardings."""
+    p_shard = infer_param_shardings(mesh, quantized)
+    c_shard = kv_cache_sharding(mesh)
+
+    def step(params, token, cache):
+        return llm_model.decode_step(params, cfg, token, cache,
+                                     attn_len=attn_len)
+
+    return jax.jit(
+        step,
+        in_shardings=(p_shard, _ns(mesh), c_shard),
+        out_shardings=(_ns(mesh, "tp"), c_shard),
+    )
