@@ -331,3 +331,35 @@ class TestCancellation:
                               should_stop=stop_after_three)
         assert len(seen) == 3
         assert out == "".join(seen)
+
+
+class TestStopStringCacheCommit:
+    def test_stop_string_commits_final_token(self):
+        """A stop-string-terminated turn must still commit its final
+        sampled token to the KV cache — a following chat() extends from
+        a cache consistent with every token actually generated."""
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        tok = ByteTokenizer(cfg.vocab_size)
+        # Pick a stop string the model will definitely emit: the second
+        # generated piece of an unconstrained greedy run.
+        probe = LLMRunner(params, cfg, tok,
+                          GenerationConfig(max_tokens=4, temperature=0.0),
+                          cache_dtype=jnp.float32)
+        probe_text = probe.generate("abcdef")
+        assert len(probe_text) >= 2, "probe generation ended at EOS"
+        stop = probe_text[1]
+        runner = LLMRunner(
+            params, cfg, tok,
+            GenerationConfig(max_tokens=16, temperature=0.0,
+                             stop_strings=(stop,)),
+            cache_dtype=jnp.float32)
+        out = runner.generate("abcdef")
+        assert len(runner._generated_ids) < 16, "stop string never fired"
+        assert stop not in out
+        n_prompt = len(tok.encode("abcdef", add_bos=True))
+        # cache history = prompt + every generated token (including the
+        # one carrying the stop string), with host mirror in sync.
+        assert runner._host_len == n_prompt + len(runner._generated_ids)
+        assert int(runner.cache.length) == runner._host_len

@@ -105,14 +105,14 @@ class TestLLMServer:
         assert got == expected
 
     def test_close_fails_pending(self, params):
+        """submit() after close fails FAST (no Future left to hang on a
+        dead serve loop)."""
         server = LLMServer(params, CFG, batch_slots=1,
                            tokenizer=ByteTokenizer(CFG.vocab_size),
                            cache_dtype=jnp.float32)
         server.close()
-        fut = server.submit("x")
-        server.close()
         with pytest.raises(RuntimeError):
-            fut.result(timeout=5)
+            server.submit("x")
 
 
 class TestPagedServer:
@@ -168,5 +168,48 @@ class TestRepetitionPenalty:
             gen = server._slots[0].generated
             assert len(gen) == 12
             assert max(gen.count(t) for t in set(gen)) <= 3
+        finally:
+            server.close()
+
+
+class TestPagedPoolPressure:
+    def test_oom_preempts_slot_not_loop(self, params):
+        """Pool exhaustion during decode must preempt only the affected
+        slot (retry via backlog) — never kill the serve loop. Two
+        32-token prompts (one full page each) in a pool with 3 usable
+        pages: the second slot's page-boundary growth hits OOM, gets
+        preempted, and completes after the first finishes."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, paged=True,
+                           page_size=32, n_pages=4)
+        try:
+            f1 = server.submit("a" * 31, max_tokens=8)
+            f2 = server.submit("b" * 31, max_tokens=8)
+            r1 = f1.result(timeout=120)
+            r2 = f2.result(timeout=120)
+            assert isinstance(r1, str) and isinstance(r2, str)
+            assert server._thread.is_alive()
+            # The pool must be fully free again after both complete.
+            assert server.pool.free_pages == server.pool.n_pages - 1
+        finally:
+            server.close()
+
+    def test_never_fitting_prompt_rejected(self, params):
+        """A prompt larger than the whole pool fails its own future with
+        DEVICE_OOM instead of wedging the backlog."""
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=1, tokenizer=tok,
+                           cache_dtype=jnp.float32, paged=True,
+                           page_size=32, n_pages=3)
+        try:
+            fut = server.submit("x" * 200, max_tokens=4)
+            with pytest.raises(TrackieError):
+                fut.result(timeout=60)
+            # The server still serves fitting requests afterwards.
+            ok = server.generate("hi", max_tokens=4, timeout=120)
+            assert isinstance(ok, str)
         finally:
             server.close()

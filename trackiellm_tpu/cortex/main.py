@@ -461,16 +461,22 @@ class Cortex:
         # (leading '{'): those must be parsed whole.
         stream = _SentenceStreamer(
             lambda s: self._speak(s, int(ActionPriority.NORMAL)))
-        # Cancel between tokens when the cortex is shutting down —
-        # otherwise stop() can time out on a long reply and leave this
-        # thread inside a device call at interpreter exit (crash).
+        # Cancel between tokens when the cortex is shutting down OR an
+        # emergency stop fires — generation blocks the single event-loop
+        # thread, so without this an emergency_stop() would only be
+        # serviced after the full multi-second reply (a real latency
+        # hazard for an assistive-navigation device; the reference
+        # checks its emergency flag every loop iteration,
+        # tk_cortex_main.c:963-970).
         import inspect
 
         gen_kwargs = {}
         try:
             if "should_stop" in inspect.signature(
                     self.llm.generate).parameters:
-                gen_kwargs["should_stop"] = self._stop_flag.is_set
+                gen_kwargs["should_stop"] = (
+                    lambda: self._stop_flag.is_set()
+                    or self._emergency_flag.is_set())
         except (TypeError, ValueError):
             pass
         raw = self.llm.generate(prompt, tools=tools,

@@ -126,7 +126,16 @@ class NativeRingBuffer:
     """
 
     def __init__(self, capacity: int):
+        import threading
+
         self._lib = _load()
+        # tk_ring_write_overwrite mutates BOTH head and tail (it drops
+        # the oldest bytes), which breaks the lock-free SPSC contract —
+        # a concurrent read() could tear. This lock restores safety for
+        # every combination of callers; the non-overwrite fast path pays
+        # one uncontended mutex acquire per chunk (cold next to the
+        # ctypes call itself).
+        self._mu = threading.Lock()
         if self._lib:
             self._h = self._lib.tk_ring_create(capacity)
         else:
@@ -136,30 +145,33 @@ class NativeRingBuffer:
                 capacity - 1, 1).bit_length())
 
     def write(self, data: bytes, overwrite: bool = False) -> int:
-        if self._lib:
-            fn = (self._lib.tk_ring_write_overwrite if overwrite
-                  else self._lib.tk_ring_write)
-            return int(fn(self._h, _as_u8p(data), len(data)))
-        if overwrite:
-            self._buf.extend(data)
-            return len(data)
-        free = self._buf.maxlen - len(self._buf)
-        take = min(free, len(data))
-        self._buf.extend(data[:take])
-        return take
+        with self._mu:
+            if self._lib:
+                fn = (self._lib.tk_ring_write_overwrite if overwrite
+                      else self._lib.tk_ring_write)
+                return int(fn(self._h, _as_u8p(data), len(data)))
+            if overwrite:
+                self._buf.extend(data)
+                return len(data)
+            free = self._buf.maxlen - len(self._buf)
+            take = min(free, len(data))
+            self._buf.extend(data[:take])
+            return take
 
     def read(self, n: int) -> bytes:
-        if self._lib:
-            out = (ctypes.c_uint8 * n)()
-            got = int(self._lib.tk_ring_read(self._h, out, n))
-            return bytes(out[:got])
-        take = min(n, len(self._buf))
-        return bytes(self._buf.popleft() for _ in range(take))
+        with self._mu:
+            if self._lib:
+                out = (ctypes.c_uint8 * n)()
+                got = int(self._lib.tk_ring_read(self._h, out, n))
+                return bytes(out[:got])
+            take = min(n, len(self._buf))
+            return bytes(self._buf.popleft() for _ in range(take))
 
     def __len__(self) -> int:
-        if self._lib:
-            return int(self._lib.tk_ring_size(self._h))
-        return len(self._buf)
+        with self._mu:
+            if self._lib:
+                return int(self._lib.tk_ring_size(self._h))
+            return len(self._buf)
 
     @property
     def capacity(self) -> int:

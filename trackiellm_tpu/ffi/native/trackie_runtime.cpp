@@ -103,8 +103,10 @@ size_t tk_ring_write_overwrite(tk_ring* r, const uint8_t* data, size_t n) {
     size_t tail = r->tail.load(std::memory_order_acquire);
     size_t free_space = r->capacity - (head - tail);
     if (n > free_space) {
-        // Advance tail (drop oldest). Safe only with external consumer
-        // coordination; the Python wrapper serializes access.
+        // Advance tail (drop oldest). This mutates the consumer index
+        // from the producer side, so callers MUST serialize overwrite
+        // writes against reads externally (NativeRingBuffer holds a
+        // lock around every call); it is NOT safe as lock-free SPSC.
         r->tail.store(tail + (n - free_space), std::memory_order_release);
     }
     return tk_ring_write(r, data, n);

@@ -134,7 +134,10 @@ class LLMRunner:
             )
         if context:
             parts.append(f"Context:\n{context}")
-        return f"[INST] {'\n\n'.join(parts)}\n\nUser: {user} [/INST]"
+        # Hoisted join: a backslash escape inside an f-string expression
+        # is a SyntaxError before Python 3.12.
+        body = "\n\n".join(parts)
+        return f"[INST] {body}\n\nUser: {user} [/INST]"
 
     def prepare_generation(self, prompt: str,
                            tools: Sequence[ToolDefinition] = (),
@@ -262,9 +265,15 @@ class LLMRunner:
 
         for stop in self.gen.stop_strings:
             if stop and stop in self._generated_text:
+                # Mark done but FALL THROUGH to the commit below: the
+                # final sampled token must still enter the KV cache, or
+                # a following chat()/add_tool_response() would extend
+                # from a cache whose history is one token short of what
+                # was generated. (The visible text is still truncated
+                # at the stop string — that is display-level.)
                 self._done = True
                 self._generated_text = self._generated_text.split(stop)[0]
-                return piece
+                break
 
         if not self._done:
             self._next_logits, self.cache = llm_model.decode_step(

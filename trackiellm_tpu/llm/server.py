@@ -31,6 +31,7 @@ from trackiellm_tpu.llm import sampling
 from trackiellm_tpu.llm.runner import PREFILL_BUCKETS, _bucket_for
 from trackiellm_tpu.llm.tokenizer import ByteTokenizer, Tokenizer
 from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
 from trackiellm_tpu.utils.logging import get_logger
 
 log = get_logger("llm.server")
@@ -45,6 +46,7 @@ class Request:
     repeat_window: int = 64
     future: Future = dataclasses.field(default_factory=Future)
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
+    preemptions: int = 0  # paged mode: restarts after pool pressure
 
 
 @dataclasses.dataclass
@@ -91,6 +93,8 @@ class LLMServer:
                 cfg, batch_slots, dtype=cache_dtype)
         self._slots = [_Slot() for _ in range(batch_slots)]
         self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._backlog: List[Request] = []  # OOM-deferred, retried first
+        self._fatal: Optional[Exception] = None
         self._key = jax.random.PRNGKey(seed)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._serve_loop,
@@ -103,7 +107,15 @@ class LLMServer:
     def submit(self, prompt: str, max_tokens: int = 64,
                temperature: float = 0.0,
                repetition_penalty: float = 1.1) -> Future:
-        """Enqueue a generation; the Future resolves to the text."""
+        """Enqueue a generation; the Future resolves to the text.
+
+        Fails fast (instead of queueing into the void) once the serve
+        thread has exited — whether by close() or a fatal loop error."""
+        if self._fatal is not None:
+            raise RuntimeError(
+                f"server serve loop died: {self._fatal}") from self._fatal
+        if self._stop.is_set() or not self._thread.is_alive():
+            raise RuntimeError("server is closed")
         req = Request(prompt, max_tokens, temperature,
                       repetition_penalty=repetition_penalty)
         self._queue.put(req)
@@ -117,16 +129,41 @@ class LLMServer:
 
     # ------------------------------------------------------------------
 
+    def _next_request(self) -> Optional[Request]:
+        if self._backlog:
+            return self._backlog.pop(0)
+        try:
+            return self._queue.get_nowait()
+        except queue.Empty:
+            return None
+
     def _admit(self) -> None:
-        """Fill free slots from the queue (prefill + slot insert)."""
+        """Fill free slots from the queue (prefill + slot insert).
+
+        Paged mode admits only while the pool has pages for the whole
+        prompt plus one decode page of headroom; requests that do not
+        fit wait in a backlog and retry as pages free up (admission
+        control, not a loop-killing exception)."""
         for slot_idx, slot in enumerate(self._slots):
             if slot.active:
                 continue
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
+            req = self._next_request()
+            if req is None:
                 return
             ids = self.tokenizer.encode(req.prompt, add_bos=True)
+            if self.paged:
+                need = (len(ids) + self.pool.page_size - 1
+                        ) // self.pool.page_size + 1
+                if self.pool.free_pages < need:
+                    if need > self.pool.n_pages - 1:
+                        # Can never fit, even in an empty pool: reject.
+                        req.future.set_exception(TrackieError(
+                            ErrorCode.DEVICE_OOM,
+                            f"prompt needs {need} KV pages, pool has "
+                            f"{self.pool.n_pages - 1}"))
+                        continue
+                    self._backlog.insert(0, req)
+                    return
             buckets = [b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
             limit = min(buckets[-1],
                         self.cfg.max_seq - req.max_tokens - 1)
@@ -169,6 +206,34 @@ class LLMServer:
             recent_tokens=jnp.asarray(window),
             repetition_penalty=req.repetition_penalty))
 
+    def _ensure_decode_capacity(self) -> None:
+        """Grow each active sequence's page table before the batched
+        step; on pool exhaustion preempt ONLY the affected slot — free
+        its pages and restart the request from the backlog — instead of
+        letting DEVICE_OOM kill the serve loop. A slot that cannot make
+        progress even alone (or keeps getting preempted) fails its own
+        future."""
+        for slot in self._slots:
+            if not slot.active:
+                continue
+            try:
+                self.pool.ensure_capacity(slot.seq_id)
+            except TrackieError as exc:
+                req = slot.request
+                slot.request = None
+                self.pool.free_sequence(slot.seq_id)
+                slot.seq_id = None
+                others_active = any(s.active for s in self._slots)
+                req.preemptions += 1
+                if not others_active or req.preemptions > 3:
+                    req.future.set_exception(exc)
+                    log.warning("request failed after %d preemptions: %s",
+                                req.preemptions, exc)
+                else:
+                    log.info("preempting slot (pool pressure), retrying "
+                             "request (%d preemptions)", req.preemptions)
+                    self._backlog.append(req)
+
     def _finish(self, slot: _Slot) -> None:
         req = slot.request
         text = self.tokenizer.decode(slot.generated)
@@ -185,10 +250,14 @@ class LLMServer:
             self._serve_loop_inner()
         except Exception as exc:  # noqa: BLE001 — fail futures, not hang
             log.error("serve loop died: %s", exc)
+            self._fatal = exc  # submit() fails fast from here on
             for slot in self._slots:
                 if slot.active:
                     slot.request.future.set_exception(exc)
                     slot.request = None
+            for req in self._backlog:
+                req.future.set_exception(exc)
+            self._backlog.clear()
             while True:
                 try:
                     self._queue.get_nowait().future.set_exception(exc)
@@ -204,6 +273,10 @@ class LLMServer:
                 continue
 
             if self.paged:
+                self._ensure_decode_capacity()
+                active_mask = [s.active for s in self._slots]
+                if not any(active_mask):
+                    continue
                 logits = self.pool.batch_decode_step(
                     self.params,
                     [s.next_token if s.active else None
@@ -248,6 +321,9 @@ class LLMServer:
         if self._thread.is_alive():
             log.warning("serve loop did not stop within 30 s")
         # Fail any stragglers.
+        for req in self._backlog:
+            req.future.set_exception(RuntimeError("server closed"))
+        self._backlog.clear()
         while True:
             try:
                 req = self._queue.get_nowait()
