@@ -363,3 +363,116 @@ class TestStopStringCacheCommit:
         # one carrying the stop string), with host mirror in sync.
         assert runner._host_len == n_prompt + len(runner._generated_ids)
         assert int(runner.cache.length) == runner._host_len
+
+
+class TestSentencePieceBPE:
+    """Score-merge BPE must reproduce llama.cpp segmentation (reference:
+    src/ai_models/tk_runner_streaming.c:13-46 inherits llama.cpp's
+    llm_tokenizer_spm), which greedy longest-match does NOT."""
+
+    def test_bpe_beats_greedy_on_scored_vocab(self):
+        from trackiellm_tpu.models.convert import tokenizer_from_pieces
+
+        # llama layout: 0 unk, 1 bos, 2 eos, then content pieces.
+        pieces = ["<unk>", "<s>", "</s>", "▁", "a", "b", "c",
+                  "ab", "bc"]
+        scores = [0, 0, 0, -1.0, -1.0, -1.0, -1.0, -2.0, -1.5]
+        bpe = tokenizer_from_pieces(pieces, scores=scores)
+        greedy = tokenizer_from_pieces(pieces)  # no scores -> greedy
+
+        # Greedy eats the longest early piece: '▁','ab','c'.
+        g = greedy.encode("abc")
+        assert [greedy._raw[i] for i in g] == ["▁", "ab", "c"]
+        # BPE merges the highest-scoring pair first: 'bc' (-1.5) beats
+        # 'ab' (-2.0), so llama.cpp segments '▁','a','bc'.
+        b = bpe.encode("abc")
+        assert [bpe._raw[i] for i in b] == ["▁", "a", "bc"]
+
+    def test_tie_breaks_leftmost(self):
+        from trackiellm_tpu.models.convert import tokenizer_from_pieces
+
+        pieces = ["<unk>", "<s>", "</s>", "▁", "a", "b",
+                  "ab", "ba"]
+        scores = [0, 0, 0, -1.0, -1.0, -1.0, -2.0, -2.0]
+        tok = tokenizer_from_pieces(pieces, scores=scores)
+        # "aba": pairs (a,b)->ab and (b,a)->ba tie at -2.0; leftmost
+        # merges first -> 'ab','a'.
+        ids = tok.encode("aba")
+        assert [tok._raw[i] for i in ids] == ["▁", "ab", "a"]
+
+    def test_byte_fallback(self):
+        from trackiellm_tpu.models.convert import tokenizer_from_pieces
+
+        pieces = (["<unk>", "<s>", "</s>", "▁", "o", "l", "ol"]
+                  + [f"<0x{i:02X}>" for i in range(256)])
+        scores = [0.0] * len(pieces)
+        tok = tokenizer_from_pieces(pieces, scores=scores)
+        ids = tok.encode("olá")  # 'á' not in vocab -> 2 UTF-8 bytes
+        raws = [tok._raw[i] for i in ids]
+        assert raws[:2] == ["▁", "ol"]
+        assert raws[2:] == ["<0xC3>", "<0xA1>"]
+        # Byte tokens reassemble through decode.
+        assert tok.decode(ids) == " olá"
+
+    @staticmethod
+    def _naive_spm_bpe(text, index, scores):
+        """Direct transcription of sentencepiece/llama.cpp greedy merge:
+        repeatedly scan ALL adjacent pairs, merge the one whose
+        concatenation is a vocab piece with the highest score (leftmost
+        on ties). O(n^2) but obviously correct — the oracle for the
+        heap + linked-list implementation."""
+        syms = list(text)
+        while True:
+            best = None  # (score, -pos) maximized
+            for i in range(len(syms) - 1):
+                tid = index.get(syms[i] + syms[i + 1])
+                if tid is None:
+                    continue
+                cand = (scores[tid], -i)
+                if best is None or cand > best[0]:
+                    best = (cand, i)
+            if best is None:
+                return syms
+            i = best[1]
+            syms[i: i + 2] = [syms[i] + syms[i + 1]]
+
+    def test_matches_naive_reference_on_random_vocabs(self):
+        """Property test: the heap-based merge loop must agree with the
+        naive rescan-everything reference on random scored vocabs."""
+        import random
+
+        from trackiellm_tpu.models.convert import tokenizer_from_pieces
+
+        rng = random.Random(42)
+        alphabet = "abcde"
+        for trial in range(40):
+            # Random multi-char pieces with random scores.
+            n_pieces = rng.randint(3, 20)
+            content = sorted({
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(2, 4)))
+                for _ in range(n_pieces)})
+            pieces = (["<unk>", "<s>", "</s>"] + list(alphabet)
+                      + content)
+            scores = [0.0] * 3 + [0.0] * len(alphabet) + [
+                round(rng.uniform(-10, -1), 3) for _ in content]
+            tok = tokenizer_from_pieces(pieces, scores=scores,
+                                        add_space_prefix=False)
+            text = "".join(rng.choice(alphabet)
+                           for _ in range(rng.randint(1, 30)))
+            got = [tok._raw[i] for i in tok.encode(text)]
+            want = self._naive_spm_bpe(text, tok._index, tok._scores)
+            assert got == want, (trial, text, got, want)
+
+    def test_roundtrip_with_marker_vocab(self):
+        from trackiellm_tpu.models.convert import tokenizer_from_pieces
+
+        pieces = (["<unk>", "<s>", "</s>", "▁olá", "▁mundo",
+                   "▁", "m", "u", "n", "d", "o"]
+                  + [f"<0x{i:02X}>" for i in range(256)])
+        scores = [0.0, 0.0, 0.0, -1.0, -2.0, -3.0] + [-4.0] * 5 \
+            + [0.0] * 256
+        tok = tokenizer_from_pieces(pieces, scores=scores)
+        ids = tok.encode("olá mundo", add_bos=True)
+        assert ids[0] == tok.bos_id
+        assert tok.decode(ids) == " olá mundo"

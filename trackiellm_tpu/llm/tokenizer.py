@@ -8,14 +8,20 @@ implementations:
   - :class:`ByteTokenizer` — a self-contained byte-level tokenizer
     (256 byte ids + specials). Zero external files; the default for
     tests and for environments without a model vocabulary.
-  - :class:`VocabTokenizer` — greedy-longest-match over a loaded
-    vocabulary file (one piece per line), covering converted
-    SentencePiece vocabs without the sentencepiece runtime.
+  - :class:`VocabTokenizer` — SentencePiece-compatible tokenizer over a
+    loaded vocabulary. With per-piece **scores** (GGUF carries them as
+    ``tokenizer.ggml.scores``) it runs llama.cpp's exact greedy
+    score-merge BPE (highest-score adjacent merge first, leftmost on
+    ties, byte fallback for uncovered spans); without scores it falls
+    back to greedy longest-match.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Protocol, Sequence
+import heapq
+from typing import Dict, List, Optional, Protocol, Sequence
+
+_SPACE_MARKER = "▁"  # SentencePiece '▁'
 
 
 class Tokenizer(Protocol):
@@ -57,34 +63,187 @@ class ByteTokenizer:
         return bytes([token_id]) if 0 <= token_id < 256 else b""
 
 
-class VocabTokenizer:
-    """Greedy longest-match tokenizer over an explicit vocabulary.
+# Token types, matching GGUF tokenizer.ggml.token_type / llama.cpp.
+TOKEN_TYPE_NORMAL = 1
+TOKEN_TYPE_UNKNOWN = 2
+TOKEN_TYPE_CONTROL = 3
+TOKEN_TYPE_USER_DEFINED = 4
+TOKEN_TYPE_UNUSED = 5
+TOKEN_TYPE_BYTE = 6
 
-    Vocab file format: one piece per line (literal text; ``\\u2581`` is
-    treated as a leading space, SentencePiece convention). Ids are line
+
+def _is_byte_piece(piece: str) -> bool:
+    return (len(piece) == 6 and piece.startswith("<0x")
+            and piece.endswith(">"))
+
+
+class VocabTokenizer:
+    """SentencePiece-compatible tokenizer over an explicit vocabulary.
+
+    Two encode modes:
+
+    - **Score-merge BPE** (when ``scores`` are provided): llama.cpp's
+      ``llm_tokenizer_spm`` algorithm — start from unicode codepoints,
+      repeatedly merge the adjacent pair whose concatenation is a vocab
+      piece with the highest score (leftmost wins ties), then emit ids;
+      spans with no piece fall back to ``<0xXX>`` byte tokens when the
+      vocab has them, else ``unk``. This reproduces llama.cpp/Mistral
+      segmentation exactly (greedy longest-match does NOT: it prefers
+      long early pieces over higher-scoring later merges).
+    - **Greedy longest-match** (no scores): legacy behavior for plain
+      piece lists.
+
+    Vocab file format for :meth:`load`: one piece per line (literal
+    text; U+2581 is the SentencePiece space marker). Ids are line
     numbers after the specials block.
     """
 
     SPECIALS = ("<pad>", "<s>", "</s>", "<unk>")
 
-    def __init__(self, pieces: Sequence[str]):
-        self.pieces: List[str] = list(self.SPECIALS) + [
-            p.replace("▁", " ") for p in pieces
-        ]
+    def __init__(self, pieces: Sequence[str],
+                 scores: Optional[Sequence[float]] = None,
+                 token_types: Optional[Sequence[int]] = None,
+                 add_space_prefix: bool = True):
+        raw = list(self.SPECIALS) + list(pieces)
+        sc = (None if scores is None
+              else [0.0] * len(self.SPECIALS) + list(scores))
+        tt = (None if token_types is None
+              else [TOKEN_TYPE_CONTROL] * len(self.SPECIALS)
+              + list(token_types))
         self.pad_id, self.bos_id, self.eos_id, self.unk_id = 0, 1, 2, 3
-        self.vocab_size = len(self.pieces)
-        self._index: Dict[str, int] = {
-            p: i for i, p in enumerate(self.pieces) if i >= len(self.SPECIALS)
-        }
+        self._init_tables(raw, sc, tt, add_space_prefix,
+                          n_specials=len(self.SPECIALS))
+
+    def _init_tables(self, raw_pieces: List[str],
+                     scores: Optional[List[float]],
+                     token_types: Optional[List[int]],
+                     add_space_prefix: bool, n_specials: int) -> None:
+        """Shared setup for both vocab layouts (prepended specials and
+        llama-native 0=unk/1=bos/2=eos)."""
+        self._raw = [str(p) for p in raw_pieces]
+        self.pieces = [p.replace(_SPACE_MARKER, " ") for p in self._raw]
+        self.vocab_size = len(self._raw)
+        self._scores = list(scores) if scores is not None else None
+        self._types = list(token_types) if token_types is not None else None
+        # The '▁' convention (and the llama dummy space prefix) only
+        # applies to vocabs that actually use the marker; plain word
+        # lists tokenize the text literally.
+        self._uses_marker = any(_SPACE_MARKER in p for p in self._raw)
+        self._add_space_prefix = add_space_prefix and self._uses_marker
+        self._n_specials = n_specials
+
+        def matchable(i: int, piece: str) -> bool:
+            if not piece:
+                return False
+            if self._types is not None:
+                return self._types[i] in (TOKEN_TYPE_NORMAL,
+                                          TOKEN_TYPE_USER_DEFINED)
+            # No type table: exclude obvious specials and byte pieces.
+            if i < n_specials or i in (self.pad_id, self.bos_id,
+                                       self.eos_id, self.unk_id):
+                return False
+            return not _is_byte_piece(piece)
+
+        # Text-matchable pieces use the RAW form ('▁'-marked): the BPE
+        # merge loop runs over normalized text.
+        self._index: Dict[str, int] = {}
+        for i, p in enumerate(self._raw):
+            if matchable(i, p) and p not in self._index:
+                self._index[p] = i
         self._max_len = max((len(p) for p in self._index), default=1)
+
+        # Byte-fallback table: <0xXX> pieces, by byte value.
+        self._byte_ids: Dict[int, int] = {}
+        for i, p in enumerate(self._raw):
+            if _is_byte_piece(p):
+                try:
+                    self._byte_ids[int(p[1:5], 16)] = i
+                except ValueError:
+                    pass
 
     @classmethod
     def load(cls, path: str) -> "VocabTokenizer":
         with open(path, "r", encoding="utf-8") as f:
             return cls([line.rstrip("\n") for line in f if line.rstrip("\n")])
 
+    # -- encoding ----------------------------------------------------------
+
     def encode(self, text: str, add_bos: bool = False) -> List[int]:
-        ids: List[int] = [self.bos_id] if add_bos else []
+        if self._scores is not None:
+            ids = self._encode_bpe(text)
+        else:
+            ids = self._encode_greedy(text)
+        return ([self.bos_id] + ids) if add_bos else ids
+
+    def _normalize(self, text: str) -> str:
+        if not self._uses_marker:
+            return text
+        # Dummy space prefix (sentencepiece add_dummy_prefix); its
+        # companion remove_extra_whitespaces means an already-space-led
+        # text gains no second marker.
+        if self._add_space_prefix and text and not text[0].isspace():
+            text = " " + text
+        return text.replace(" ", _SPACE_MARKER)
+
+    def _emit(self, span: str, out: List[int]) -> None:
+        tid = self._index.get(span)
+        if tid is not None:
+            out.append(tid)
+            return
+        for b in span.encode("utf-8"):
+            out.append(self._byte_ids.get(b, self.unk_id))
+
+    def _encode_bpe(self, text: str) -> List[int]:
+        """llama.cpp llm_tokenizer_spm: greedy highest-score pair merge.
+
+        Symbols live in a doubly-linked list; a heap orders candidate
+        merges by (score desc, left position asc). Stale entries (either
+        side re-merged since queueing) are detected by length mismatch.
+        """
+        text = self._normalize(text)
+        if not text:
+            return []
+        syms: List[str] = list(text)  # unicode codepoints
+        n = len(syms)
+        prev = list(range(-1, n - 1))
+        nxt = [*range(1, n), -1]
+        alive = [True] * n
+        heap: List = []
+
+        def try_add(lt: int, rt: int) -> None:
+            if lt < 0 or rt < 0:
+                return
+            tid = self._index.get(syms[lt] + syms[rt])
+            if tid is not None:
+                heapq.heappush(heap, (-self._scores[tid], lt,
+                                      len(syms[lt]), len(syms[rt])))
+
+        for i in range(n - 1):
+            try_add(i, i + 1)
+        while heap:
+            _, lt, llen, rlen = heapq.heappop(heap)
+            rt = nxt[lt]
+            if (rt < 0 or not alive[lt] or not alive[rt]
+                    or len(syms[lt]) != llen or len(syms[rt]) != rlen):
+                continue  # stale: one side was merged since queueing
+            syms[lt] += syms[rt]
+            alive[rt] = False
+            nxt[lt] = nxt[rt]
+            if nxt[rt] >= 0:
+                prev[nxt[rt]] = lt
+            try_add(prev[lt], lt)
+            try_add(lt, nxt[lt])
+
+        out: List[int] = []
+        i = 0
+        while i >= 0:
+            self._emit(syms[i], out)
+            i = nxt[i]
+        return out
+
+    def _encode_greedy(self, text: str) -> List[int]:
+        text = self._normalize(text)
+        ids: List[int] = []
         i = 0
         while i < len(text):
             match = None
@@ -94,20 +253,38 @@ class VocabTokenizer:
                     match = (self._index[cand], ln)
                     break
             if match is None:
-                ids.append(self.unk_id)
+                self._emit(text[i], ids)
                 i += 1
             else:
                 ids.append(match[0])
                 i += match[1]
         return ids
 
+    # -- decoding ----------------------------------------------------------
+
     def decode(self, ids: Sequence[int]) -> str:
-        return "".join(
-            self.pieces[i] for i in ids
-            if len(self.SPECIALS) <= i < self.vocab_size
-        )
+        """Ids -> text. Byte-fallback tokens are reassembled at the byte
+        level so multi-byte UTF-8 split across tokens round-trips."""
+        data = bytearray()
+        for i in ids:
+            if not (0 <= i < self.vocab_size):
+                continue
+            if i in (self.pad_id, self.bos_id, self.eos_id, self.unk_id):
+                continue
+            raw = self._raw[i]
+            if _is_byte_piece(raw):
+                data.append(int(raw[1:5], 16))
+            else:
+                data.extend(self.pieces[i].encode("utf-8"))
+        return data.decode("utf-8", errors="replace")
 
     def decode_token(self, token_id: int) -> str:
-        if len(self.SPECIALS) <= token_id < self.vocab_size:
-            return self.pieces[token_id]
-        return ""
+        if not (0 <= token_id < self.vocab_size):
+            return ""
+        if token_id in (self.pad_id, self.bos_id, self.eos_id):
+            return ""
+        raw = self._raw[token_id]
+        if _is_byte_piece(raw):
+            b = int(raw[1:5], 16)
+            return chr(b) if b < 0x80 else ""
+        return self.pieces[token_id]

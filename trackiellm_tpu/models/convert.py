@@ -75,19 +75,21 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
     )
 
 
-def tokenizer_from_pieces(pieces, pad_id: int = 0):
+def tokenizer_from_pieces(pieces, pad_id: int = 0, scores=None,
+                          token_types=None, add_space_prefix: bool = True):
     """Build a VocabTokenizer from raw SentencePiece pieces, preserving
-    llama positional ids (0 unk, 1 bos, 2 eos)."""
+    llama positional ids (0 unk, 1 bos, 2 eos). With ``scores`` (GGUF
+    ``tokenizer.ggml.scores``) encoding runs llama.cpp's exact
+    score-merge BPE; without them it degrades to greedy longest-match."""
     from trackiellm_tpu.llm.tokenizer import VocabTokenizer
 
     tok = VocabTokenizer.__new__(VocabTokenizer)
-    tok.pieces = [str(t).replace("\u2581", " ") for t in pieces]
     tok.unk_id, tok.bos_id, tok.eos_id = 0, 1, 2
     tok.pad_id = pad_id
-    tok.vocab_size = len(tok.pieces)
-    tok.SPECIALS = tuple(tok.pieces[:3])
-    tok._index = {p: i for i, p in enumerate(tok.pieces) if i >= 3 and p}
-    tok._max_len = max((len(p) for p in tok._index), default=1)
+    tok._init_tables([str(t) for t in pieces],
+                     list(scores) if scores is not None else None,
+                     list(token_types) if token_types is not None else None,
+                     add_space_prefix, n_specials=3)
     return tok
 
 
@@ -105,7 +107,11 @@ def tokenizer_from_gguf(gguf: GGUFFile):
         return None
     return tokenizer_from_pieces(
         tokens,
-        pad_id=int(gguf.metadata.get("tokenizer.ggml.padding_token_id", 0)))
+        pad_id=int(gguf.metadata.get("tokenizer.ggml.padding_token_id", 0)),
+        scores=gguf.metadata.get("tokenizer.ggml.scores"),
+        token_types=gguf.metadata.get("tokenizer.ggml.token_type"),
+        add_space_prefix=bool(gguf.metadata.get(
+            "tokenizer.ggml.add_space_prefix", True)))
 
 
 def gguf_to_llm_params(
