@@ -300,3 +300,118 @@ def whisper_from_torch(state: Dict[str, Any]):
         "dec_ln_b": _wb(state, "decoder.ln.bias"),
     }
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# YOLOv8 detector (ultralytics checkpoint layout)
+# ---------------------------------------------------------------------------
+
+# ultralytics yolov8 module indices (yolov8.yaml): params live at
+# "model.<idx>.<...>"; 10/13 are Upsample and 11/14/17/20 are Concat
+# (no params), 22 is the Detect head.
+_YOLO_IDX = {
+    "stem": 0, "down1": 1, "c2f1": 2, "down2": 3, "c2f2": 4,
+    "down3": 5, "c2f3": 6, "down4": 7, "c2f4": 8, "sppf": 9,
+    "up_c2f1": 12, "up_c2f2": 15, "pan_down1": 16, "pan_c2f1": 18,
+    "pan_down2": 19, "pan_c2f2": 21,
+}
+_YOLO_BN_EPS = 1e-3  # ultralytics Conv: BatchNorm2d(c2, eps=0.001)
+
+
+def _fold_conv_bn(state: Dict[str, Any], prefix: str,
+                  eps: float = _YOLO_BN_EPS) -> Dict[str, jnp.ndarray]:
+    """torch Conv2d+BatchNorm2d -> fused HWIO conv + bias.
+
+    w' = w * gamma/sqrt(var+eps) (per out-channel), b' = beta - mean *
+    gamma/sqrt(var+eps). Matches what exporters (and the reference's
+    ONNX checkpoints) bake into inference graphs.
+    """
+    w = np.asarray(state[f"{prefix}.conv.weight"], np.float32)
+    gamma = np.asarray(state[f"{prefix}.bn.weight"], np.float32)
+    beta = np.asarray(state[f"{prefix}.bn.bias"], np.float32)
+    mean = np.asarray(state[f"{prefix}.bn.running_mean"], np.float32)
+    var = np.asarray(state[f"{prefix}.bn.running_var"], np.float32)
+    scale = gamma / np.sqrt(var + eps)
+    w = w * scale[:, None, None, None]
+    b = beta - mean * scale
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)),  # OIHW -> HWIO
+            "b": jnp.asarray(b)}
+
+
+def _plain_conv(state: Dict[str, Any], prefix: str) -> Dict[str, jnp.ndarray]:
+    """torch Conv2d with bias (no BN) -> HWIO conv + bias."""
+    w = np.asarray(state[f"{prefix}.weight"], np.float32)
+    b = np.asarray(state[f"{prefix}.bias"], np.float32)
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(b)}
+
+
+def _c2f_from_torch(state, prefix: str) -> Dict[str, Any]:
+    m = []
+    j = 0
+    while f"{prefix}.m.{j}.cv1.conv.weight" in state:
+        m.append({"cv1": _fold_conv_bn(state, f"{prefix}.m.{j}.cv1"),
+                  "cv2": _fold_conv_bn(state, f"{prefix}.m.{j}.cv2")})
+        j += 1
+    return {"cv1": _fold_conv_bn(state, f"{prefix}.cv1"),
+            "m": m,
+            "cv2": _fold_conv_bn(state, f"{prefix}.cv2")}
+
+
+def detector_config_from_torch(state: Dict[str, Any],
+                               prefix: str = "model.") -> "Any":
+    """Infer DetectorConfig from an ultralytics-layout state dict."""
+    from trackiellm_tpu.models.detector import DetectorConfig
+
+    def cout(name):
+        return int(np.asarray(state[f"{prefix}{name}.conv.weight"]).shape[0])
+
+    channels = (cout("0"), cout("1"), cout("3"), cout("5"), cout("7"))
+    depths = []
+    for idx in (2, 4, 6, 8):
+        j = 0
+        while f"{prefix}{idx}.m.{j}.cv1.conv.weight" in state:
+            j += 1
+        depths.append(j)
+    n_box = int(np.asarray(
+        state[f"{prefix}22.cv2.0.2.weight"]).shape[0])
+    nc = int(np.asarray(state[f"{prefix}22.cv3.0.2.weight"]).shape[0])
+    return DetectorConfig(num_classes=nc, channels=channels,
+                          depths=tuple(depths), reg_max=n_box // 4)
+
+
+def detector_from_torch(state: Dict[str, Any], prefix: str = "model."):
+    """ultralytics YOLOv8 state dict (torch tensors or numpy arrays,
+    names "model.<idx>....") -> (params, DetectorConfig) for
+    models/detector. BN is folded into each conv; layouts transpose
+    OIHW -> HWIO. The Detect head's fixed DFL conv (model.22.dfl) is
+    not copied — detector_forward computes the softmax expectation
+    directly.
+
+    Parity: replaces the reference's ONNX detector session ingest
+    (src/vision/tk_object_detector.c:83) with a weights-only mapping.
+    """
+    cfg = detector_config_from_torch(state, prefix)
+
+    def P(name):
+        return f"{prefix}{_YOLO_IDX[name]}"
+
+    params: Dict[str, Any] = {}
+    for name, idx in _YOLO_IDX.items():
+        pfx = f"{prefix}{idx}"
+        if name == "sppf":
+            params[name] = {"cv1": _fold_conv_bn(state, f"{pfx}.cv1"),
+                            "cv2": _fold_conv_bn(state, f"{pfx}.cv2")}
+        elif "c2f" in name:
+            params[name] = _c2f_from_torch(state, pfx)
+        else:
+            params[name] = _fold_conv_bn(state, pfx)
+    det = f"{prefix}22"
+    for i in range(3):
+        params[f"head{i}_box1"] = _fold_conv_bn(state, f"{det}.cv2.{i}.0")
+        params[f"head{i}_box2"] = _fold_conv_bn(state, f"{det}.cv2.{i}.1")
+        params[f"head{i}_box3"] = _plain_conv(state, f"{det}.cv2.{i}.2")
+        params[f"head{i}_cls1"] = _fold_conv_bn(state, f"{det}.cv3.{i}.0")
+        params[f"head{i}_cls2"] = _fold_conv_bn(state, f"{det}.cv3.{i}.1")
+        params[f"head{i}_cls3"] = _plain_conv(state, f"{det}.cv3.{i}.2")
+    return params, cfg

@@ -33,15 +33,28 @@ class DetectorConfig(NamedTuple):
     reg_max: int = 16
     img_size: int = 640
 
+    @property
+    def head_box_ch(self) -> int:
+        """Detect box-branch width: ultralytics `c2 = max(16, ch[0]//4,
+        reg_max*4)` with ch[0] = P3 channels."""
+        return max(16, self.channels[2] // 4, self.reg_max * 4)
+
+    @property
+    def head_cls_ch(self) -> int:
+        """Detect cls-branch width: ultralytics `c3 = max(ch[0],
+        min(nc, 100))`."""
+        return max(self.channels[2], min(self.num_classes, 100))
+
     @classmethod
     def v8n(cls) -> "DetectorConfig":
         return cls()
 
     @classmethod
     def tiny(cls) -> "DetectorConfig":
-        """Test-scale config (same topology, 1/4 width, img 160)."""
+        """Test-scale config (same topology, 1/4 width, img 160,
+        reg_max shrunk so the head widths scale down too)."""
         return cls(num_classes=8, channels=(4, 8, 16, 32, 64),
-                   depths=(1, 1, 1, 1), img_size=160)
+                   depths=(1, 1, 1, 1), img_size=160, reg_max=4)
 
 
 # ---------------------------------------------------------------------------
@@ -105,12 +118,18 @@ def init_detector(key: jax.Array, cfg: DetectorConfig) -> Dict[str, Any]:
         "pan_down2": _conv_init(nxt(), 3, 3, ch[3], ch[3]),
         "pan_c2f2": _c2f_init(nxt(), ch[3] + ch[4], ch[4], d[0]),
     }
-    # Decoupled head per level (P3, P4, P5).
+    # Decoupled head per level (P3, P4, P5) — ultralytics Detect exact:
+    # box branch cv2 = Conv3x3(c, c2) -> Conv3x3(c2, c2) -> 1x1(c2, 4*reg_max)
+    # cls branch cv3 = Conv3x3(c, c3) -> Conv3x3(c3, c3) -> 1x1(c3, nc)
+    c2, c3 = cfg.head_box_ch, cfg.head_cls_ch
     for i, c in enumerate((ch[2], ch[3], ch[4])):
-        params[f"head{i}_box1"] = _conv_init(nxt(), 3, 3, c, 64)
-        params[f"head{i}_box2"] = _conv_init(nxt(), 1, 1, 64, 4 * cfg.reg_max)
-        params[f"head{i}_cls1"] = _conv_init(nxt(), 3, 3, c, 64)
-        params[f"head{i}_cls2"] = _conv_init(nxt(), 1, 1, 64,
+        params[f"head{i}_box1"] = _conv_init(nxt(), 3, 3, c, c2)
+        params[f"head{i}_box2"] = _conv_init(nxt(), 3, 3, c2, c2)
+        params[f"head{i}_box3"] = _conv_init(nxt(), 1, 1, c2,
+                                             4 * cfg.reg_max)
+        params[f"head{i}_cls1"] = _conv_init(nxt(), 3, 3, c, c3)
+        params[f"head{i}_cls2"] = _conv_init(nxt(), 3, 3, c3, c3)
+        params[f"head{i}_cls3"] = _conv_init(nxt(), 1, 1, c3,
                                              cfg.num_classes)
     return params
 
@@ -120,9 +139,17 @@ def init_detector(key: jax.Array, cfg: DetectorConfig) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def _conv(x, p, stride=1, act=True):
-    """NHWC conv + bias (+ SiLU), 'SAME' padding, f32 accumulation."""
+    """NHWC conv + bias (+ SiLU), f32 accumulation.
+
+    Padding is the torch convention (symmetric k//2 on both sides), NOT
+    XLA 'SAME': for stride-2 convs SAME pads (0,1) while checkpoints
+    trained under torch/ONNX pad (1,1) — the one-pixel shift would
+    misalign every downsampling stage against converted weights.
+    """
+    kh, kw = p["w"].shape[0], p["w"].shape[1]
     out = lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
+        x, p["w"].astype(x.dtype), (stride, stride),
+        [(kh // 2, kh // 2), (kw // 2, kw // 2)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     ) + p["b"]
@@ -160,8 +187,10 @@ def _upsample2(x):
 
 
 def _head(x, p, i):
-    box = _conv(_conv(x, p[f"head{i}_box1"]), p[f"head{i}_box2"], act=False)
-    cls = _conv(_conv(x, p[f"head{i}_cls1"]), p[f"head{i}_cls2"], act=False)
+    box = _conv(_conv(_conv(x, p[f"head{i}_box1"]), p[f"head{i}_box2"]),
+                p[f"head{i}_box3"], act=False)
+    cls = _conv(_conv(_conv(x, p[f"head{i}_cls1"]), p[f"head{i}_cls2"]),
+                p[f"head{i}_cls3"], act=False)
     return box, cls
 
 
