@@ -415,3 +415,136 @@ def detector_from_torch(state: Dict[str, Any], prefix: str = "model."):
         params[f"head{i}_cls2"] = _fold_conv_bn(state, f"{det}.cv3.{i}.1")
         params[f"head{i}_cls3"] = _plain_conv(state, f"{det}.cv3.{i}.2")
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# MiDaS v2.1 small (MidasNet_small + tf_efficientnet_lite3 checkpoint)
+# ---------------------------------------------------------------------------
+
+_TF_BN_EPS = 1e-3  # timm tf_* models: BatchNorm eps 0.001
+
+# MiDaS _make_efficientnet_backbone slices the effnet into 4 sequential
+# layers; (layer, position) of each MBConv stage in the state dict:
+#   layer1 = [conv_stem, bn1, act, blocks0, blocks1]
+#   layer2 = [blocks2]   layer3 = [blocks3, blocks4]
+#   layer4 = [blocks5, blocks6]
+_MIDAS_STAGE_POS = ((1, 3), (1, 4), (2, 0), (3, 0), (3, 1), (4, 0), (4, 1))
+_LITE_STRIDES = (1, 2, 2, 2, 1, 2, 1)
+
+
+def _fold_bn_into(state: Dict[str, Any], conv_key: str, bn_prefix: str,
+                  eps: float = _TF_BN_EPS) -> Dict[str, jnp.ndarray]:
+    """Conv2d(bias=False)+BatchNorm2d -> fused HWIO conv + bias."""
+    w = np.asarray(state[conv_key], np.float32)
+    gamma = np.asarray(state[f"{bn_prefix}.weight"], np.float32)
+    beta = np.asarray(state[f"{bn_prefix}.bias"], np.float32)
+    mean = np.asarray(state[f"{bn_prefix}.running_mean"], np.float32)
+    var = np.asarray(state[f"{bn_prefix}.running_var"], np.float32)
+    scale = gamma / np.sqrt(var + eps)
+    return {"w": jnp.asarray((w * scale[:, None, None, None])
+                             .transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(beta - mean * scale)}
+
+
+def _torch_conv(state: Dict[str, Any], prefix: str,
+                bias: bool = True) -> Dict[str, Any]:
+    w = np.asarray(state[f"{prefix}.weight"], np.float32)
+    out = {"w": jnp.asarray(w.transpose(2, 3, 1, 0))}
+    out["b"] = (jnp.asarray(np.asarray(state[f"{prefix}.bias"],
+                                       np.float32)) if bias else None)
+    return out
+
+
+def midas_config_from_torch(state: Dict[str, Any], prefix: str = ""):
+    """Infer DepthConfig from a MidasNet_small state dict."""
+    from trackiellm_tpu.models.depth import DepthConfig, MBStage
+
+    stem_ch = int(np.asarray(
+        state[f"{prefix}pretrained.layer1.0.weight"]).shape[0])
+    stages = []
+    cin = stem_ch
+    for si, ((layer, pos), stride) in enumerate(
+            zip(_MIDAS_STAGE_POS, _LITE_STRIDES)):
+        base = f"{prefix}pretrained.layer{layer}.{pos}"
+        ds = f"{base}.0.conv_pwl.weight" not in state
+        if ds:
+            k = int(np.asarray(state[f"{base}.0.conv_dw.weight"]).shape[2])
+            cout = int(np.asarray(state[f"{base}.0.conv_pw.weight"]).shape[0])
+            expand = 1
+        else:
+            k = int(np.asarray(state[f"{base}.0.conv_dw.weight"]).shape[2])
+            cout = int(np.asarray(
+                state[f"{base}.0.conv_pwl.weight"]).shape[0])
+            mid = int(np.asarray(state[f"{base}.0.conv_pw.weight"]).shape[0])
+            expand = mid // cin
+        n = 0
+        while (f"{base}.{n}.conv_dw.weight" in state):
+            n += 1
+        stages.append(MBStage(k, stride, expand, cout, n))
+        cin = cout
+    features = int(np.asarray(
+        state[f"{prefix}scratch.layer1_rn.weight"]).shape[0])
+    return DepthConfig(stem_ch=stem_ch, stages=tuple(stages),
+                       features=features)
+
+
+def midas_small_from_torch(state: Dict[str, Any], prefix: str = ""):
+    """MiDaS v2.1 small checkpoint (midas_v21_small state dict:
+    "pretrained.layer*" efficientnet-lite3 + "scratch.*" RefineNet) ->
+    (params, DepthConfig) for models/depth. Encoder BN folds into each
+    conv; layouts transpose OIHW -> HWIO.
+
+    Parity: replaces the reference's MiDaS ONNX session ingest
+    (src/vision/tk_depth_midas.c:176) with a weights-only mapping.
+    """
+    cfg = midas_config_from_torch(state, prefix)
+
+    blocks = []
+    for si, ((layer, pos), st) in enumerate(
+            zip(_MIDAS_STAGE_POS, cfg.stages)):
+        stage = []
+        for j in range(st.repeats):
+            base = f"{prefix}pretrained.layer{layer}.{pos}.{j}"
+            if st.expand == 1:
+                stage.append({
+                    "dw": _fold_bn_into(state, f"{base}.conv_dw.weight",
+                                        f"{base}.bn1"),
+                    "pw": _fold_bn_into(state, f"{base}.conv_pw.weight",
+                                        f"{base}.bn2"),
+                })
+            else:
+                stage.append({
+                    "pw": _fold_bn_into(state, f"{base}.conv_pw.weight",
+                                        f"{base}.bn1"),
+                    "dw": _fold_bn_into(state, f"{base}.conv_dw.weight",
+                                        f"{base}.bn2"),
+                    "pwl": _fold_bn_into(state, f"{base}.conv_pwl.weight",
+                                         f"{base}.bn3"),
+                })
+        blocks.append(stage)
+
+    sc = f"{prefix}scratch"
+
+    def rcu(rn, unit):
+        base = f"{sc}.refinenet{rn}.resConfUnit{unit}"
+        return {"c1": _torch_conv(state, f"{base}.conv1"),
+                "c2": _torch_conv(state, f"{base}.conv2")}
+
+    refine = [{"rcu1": rcu(k + 1, 1), "rcu2": rcu(k + 1, 2),
+               "out": _torch_conv(state, f"{sc}.refinenet{k + 1}.out_conv")}
+              for k in range(4)]
+
+    params = {
+        "stem": _fold_bn_into(state,
+                              f"{prefix}pretrained.layer1.0.weight",
+                              f"{prefix}pretrained.layer1.1"),
+        "blocks": blocks,
+        "layer_rn": [
+            _torch_conv(state, f"{sc}.layer{k + 1}_rn", bias=False)
+            for k in range(4)],
+        "refine": refine,
+        "head1": _torch_conv(state, f"{sc}.output_conv.0"),
+        "head2": _torch_conv(state, f"{sc}.output_conv.2"),
+        "head3": _torch_conv(state, f"{sc}.output_conv.4"),
+    }
+    return params, cfg
