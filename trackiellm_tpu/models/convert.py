@@ -548,3 +548,185 @@ def midas_small_from_torch(state: Dict[str, Any], prefix: str = ""):
         "head3": _torch_conv(state, f"{sc}.output_conv.4"),
     }
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Audio / small-perception converters (torch state-dict layouts)
+# ---------------------------------------------------------------------------
+# Every model in models/ has a tested *_from_* ingestion path; these map
+# the torch-trained layouts (Linear (out,in), Conv1d (out,in,k), Conv2d
+# OIHW, GRU/GRUCell weight_ih/weight_hh with r,z,n gate order) into the
+# framework's NHWC / (k,in,out) / (in,out) trees.
+
+def _lin(state, prefix):
+    """torch nn.Linear -> {"w": (in,out), "b": (out,)}."""
+    return {"w": jnp.asarray(np.asarray(state[f"{prefix}.weight"],
+                                        np.float32).T),
+            "b": jnp.asarray(np.asarray(state[f"{prefix}.bias"],
+                                        np.float32))}
+
+
+def _conv2d(state, prefix):
+    """torch nn.Conv2d (with bias) -> {"w": HWIO, "b"}."""
+    w = np.asarray(state[f"{prefix}.weight"], np.float32)
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(np.asarray(state[f"{prefix}.bias"],
+                                        np.float32))}
+
+
+def _conv1d_tio(state, prefix):
+    """torch nn.Conv1d (out,in,k) -> {"w": (k,in,out), "b"}."""
+    w = np.asarray(state[f"{prefix}.weight"], np.float32)
+    return {"w": jnp.asarray(w.transpose(2, 1, 0)),
+            "b": jnp.asarray(np.asarray(state[f"{prefix}.bias"],
+                                        np.float32))}
+
+
+def vad_from_torch(state: Dict[str, Any]):
+    """Silero-shape VAD checkpoint (torch: two feature Linears, a
+    GRUCell carrying the streaming state, a Linear head — names
+    "conv1"/"conv2"/"gru"/"out") -> (params, VADConfig) for models/vad.
+
+    torch GRUCell gate order is r,z,n with separate input/hidden biases
+    — exactly the layout vad_step computes. Parity: replaces the
+    reference's Silero ONNX session ingest (src/sensors/tk_vad_silero.c:25).
+    """
+    from trackiellm_tpu.models.vad import VADConfig
+
+    wi = np.asarray(state["gru.weight_ih"], np.float32)
+    hidden = wi.shape[0] // 3
+    n_mels = int(np.asarray(state["conv1.weight"]).shape[1])
+    conv_ch = int(np.asarray(state["conv1.weight"]).shape[0])
+    cfg = VADConfig(n_mels=n_mels, conv_ch=conv_ch, hidden=hidden)
+    params = {
+        "conv1": _lin(state, "conv1"),
+        "conv2": _lin(state, "conv2"),
+        "gru_wi": {"w": jnp.asarray(wi.T),
+                   "b": jnp.asarray(np.asarray(state["gru.bias_ih"],
+                                               np.float32))},
+        "gru_wh": {"w": jnp.asarray(
+            np.asarray(state["gru.weight_hh"], np.float32).T),
+            "b": jnp.asarray(np.asarray(state["gru.bias_hh"],
+                                        np.float32))},
+        "out": _lin(state, "out"),
+    }
+    return params, cfg
+
+
+def tts_from_torch(state: Dict[str, Any], upsample=(4, 5, 8)):
+    """Piper/VITS-shape TTS checkpoint (torch: phoneme Embedding, Conv1d
+    encoder/decoder stacks, Linear duration predictor + mel head,
+    Conv1d HiFiGAN-style vocoder — names matching models/tts's tree) ->
+    (params, TTSConfig). Parity: replaces the reference's Piper ONNX
+    voice ingest (src/audio/tk_tts_piper.c:237).
+    """
+    from trackiellm_tpu.models.tts import TTSConfig
+
+    emb = np.asarray(state["emb.weight"], np.float32)
+    n_mels = int(np.asarray(state["mel_out.weight"]).shape[0])
+    voc_ch = int(np.asarray(state["voc_in.weight"]).shape[0])
+    cfg = TTSConfig(vocab_size=emb.shape[0], d_model=emb.shape[1],
+                    n_mels=n_mels, voc_ch=voc_ch,
+                    upsample=tuple(upsample))
+    params = {
+        "emb": jnp.asarray(emb),
+        "enc1": _conv1d_tio(state, "enc1"),
+        "enc2": _conv1d_tio(state, "enc2"),
+        "dur1": _lin(state, "dur1"),
+        "dur2": _lin(state, "dur2"),
+        "dec1": _conv1d_tio(state, "dec1"),
+        "dec2": _conv1d_tio(state, "dec2"),
+        "mel_out": _lin(state, "mel_out"),
+        "voc_in": _conv1d_tio(state, "voc_in"),
+        "voc_out": _conv1d_tio(state, "voc_out"),
+    }
+    for i in range(len(cfg.upsample)):
+        for part in (f"voc_up{i}", f"voc_res{i}a", f"voc_res{i}b"):
+            params[part] = _conv1d_tio(state, part)
+    return params, cfg
+
+
+def ocr_from_torch(state: Dict[str, Any]):
+    """CRNN checkpoint (torch: three Conv2d blocks, bidirectional GRU
+    as two GRUCell-layout sides "gru_fwd"/"gru_bwd" with fused bias,
+    Linear CTC head) -> (params, OCRConfig) for models/ocr."""
+    from trackiellm_tpu.models.ocr import OCRConfig
+
+    conv_ch = int(np.asarray(state["conv3.weight"]).shape[0])
+    hidden = int(np.asarray(state["gru_fwd.weight_hh"]).shape[1])
+    num_classes = int(np.asarray(state["out.weight"]).shape[0])
+
+    def gru(side):
+        wi = np.asarray(state[f"{side}.weight_ih"], np.float32)
+        wh = np.asarray(state[f"{side}.weight_hh"], np.float32)
+        # models/ocr uses one fused bias on the input side; torch keeps
+        # two. bias_hh folds into it for the r/z gates; the n gate's
+        # hidden bias (scaled by r) cannot fold exactly — checkpoints
+        # for this head are expected trained with bias_hh == 0 for n
+        # (enforced here).
+        bi = np.asarray(state[f"{side}.bias_ih"], np.float32).copy()
+        bh = np.asarray(state[f"{side}.bias_hh"], np.float32)
+        h = wh.shape[1]
+        if np.any(bh[2 * h:] != 0):
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                "CRNN GRU bias_hh[n] must be zero to fold into the "
+                "fused-bias layout")
+        bi[:2 * h] += bh[:2 * h]
+        return {"wi": jnp.asarray(wi.T), "wh": jnp.asarray(wh.T),
+                "b": jnp.asarray(bi)}
+
+    params = {
+        "conv1": _conv2d(state, "conv1"),
+        "conv2": _conv2d(state, "conv2"),
+        "conv3": _conv2d(state, "conv3"),
+        "gru_fwd": gru("gru_fwd"),
+        "gru_bwd": gru("gru_bwd"),
+        "out_w": jnp.asarray(np.asarray(state["out.weight"],
+                                        np.float32).T),
+        "out_b": jnp.asarray(np.asarray(state["out.bias"], np.float32)),
+    }
+    cfg = OCRConfig(conv_ch=conv_ch, hidden=hidden,
+                    num_classes=num_classes)
+    return params, cfg
+
+
+def sound_classifier_from_torch(state: Dict[str, Any], n_mels: int = 64,
+                                n_frames: int = 96):
+    """Conv+pool classifier checkpoint -> (params, SoundClassifierConfig).
+    Parity: the reference's ONNX ambient classifier
+    (src/audio/tk_sound_classifier.c:14)."""
+    from trackiellm_tpu.models.sound_classifier import SoundClassifierConfig
+
+    ch = int(np.asarray(state["conv2.weight"]).shape[0])
+    ncls = int(np.asarray(state["out.weight"]).shape[0])
+    params = {
+        "conv1": _conv2d(state, "conv1"),
+        "conv2": _conv2d(state, "conv2"),
+        "conv3": _conv2d(state, "conv3"),
+        "out_w": jnp.asarray(np.asarray(state["out.weight"],
+                                        np.float32).T),
+        "out_b": jnp.asarray(np.asarray(state["out.bias"], np.float32)),
+    }
+    cfg = SoundClassifierConfig(n_mels=n_mels, n_frames=n_frames, ch=ch,
+                                num_classes=ncls)
+    return params, cfg
+
+
+def wake_word_from_torch(state: Dict[str, Any], n_mels: int = 40,
+                         n_frames: int = 76, sensitivity: float = 0.5):
+    """Conv KWS checkpoint -> (params, WakeWordConfig). Parity: the
+    reference's Porcupine keyword blob (src/audio/tk_wake_word_porcupine.c:15),
+    replaced by an open conv spotter."""
+    from trackiellm_tpu.audio.wake_word import WakeWordConfig
+
+    ch = int(np.asarray(state["conv2.weight"]).shape[0])
+    params = {
+        "conv1": _conv2d(state, "conv1"),
+        "conv2": _conv2d(state, "conv2"),
+        "out_w": jnp.asarray(np.asarray(state["out.weight"],
+                                        np.float32).T),
+        "out_b": jnp.asarray(np.asarray(state["out.bias"], np.float32)),
+    }
+    return params, WakeWordConfig(n_mels=n_mels, n_frames=n_frames,
+                                  ch=ch, sensitivity=sensitivity)

@@ -24,8 +24,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Charset: blank + printable ASCII subset (parity: Tesseract eng basics).
-CHARSET = "0123456789abcdefghijklmnopqrstuvwxyz .,:;!?-'\"()/$%&@#"
+# Charset: blank + digits + ASCII letters BOTH CASES + pt-BR accented
+# letters + punctuation. The product language is pt-BR (the reference
+# OCRs arbitrary signage, src/vision/tk_text_recognition.cpp:73-82), so
+# the CTC head must be able to emit uppercase and accented characters.
+CHARSET = ("0123456789"
+           "abcdefghijklmnopqrstuvwxyz"
+           "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+           "áàâãéêíóôõúüç"
+           "ÁÀÂÃÉÊÍÓÔÕÚÜÇ"
+           " .,:;!?-'\"()/$%&@#")
 BLANK = 0  # CTC blank id; char ids are 1-based into CHARSET
 
 

@@ -28,8 +28,10 @@ import jax.numpy as jnp
 from jax import lax
 
 # Character inventory (grapheme fallback; a phonemizer can map into the
-# same id space later).
-TTS_CHARSET = " abcdefghijklmnopqrstuvwxyz0123456789.,!?'-:;"
+# same id space later). Includes pt-BR accented letters — the product
+# language (text_to_ids lowercases, so lowercase forms suffice).
+TTS_CHARSET = (" abcdefghijklmnopqrstuvwxyzáàâãéêíóôõúüç"
+               "0123456789.,!?'-:;")
 
 
 def text_to_ids(text: str, max_chars: int):
