@@ -154,7 +154,12 @@ class TestPhonemicTTS:
         from trackiellm_tpu.audio.tts_engine import TTSEngine
         from trackiellm_tpu.models import tts as tts_model
 
-        cfg = tts_model.TTSConfig.tiny()  # grapheme-sized vocab
+        from trackiellm_tpu.audio.phonemizer import PhonemeFrontend
+
+        # Any vocab that is NOT the phoneme inventory must be rejected
+        # (the grapheme charset may coincide in size, so force one off).
+        cfg = tts_model.TTSConfig.tiny()._replace(
+            vocab_size=PhonemeFrontend.vocab_size + 1)
         params = tts_model.init_tts(jax.random.PRNGKey(0), cfg)
         with pytest.raises(ValueError):
             TTSEngine(params, cfg, lang="en")
