@@ -476,3 +476,65 @@ class TestSentencePieceBPE:
         ids = tok.encode("olá mundo", add_bos=True)
         assert ids[0] == tok.bos_id
         assert tok.decode(ids) == " olá mundo"
+
+
+class TestChunkedPrefill:
+    def test_oversized_prompt_matches_single_prefill(self, monkeypatch):
+        """A prompt larger than the biggest prefill bucket must produce
+        IDENTICAL logits to a single oversized prefill (chunked prefill
+        with cross-chunk attention), and no truncation warning fires.
+        The reference never truncates mid-prompt (4096/2048 contract,
+        tk_cortex_main.c:1334)."""
+        import trackiellm_tpu.llm.runner as runner_mod
+
+        cfg = llm_model.LLMConfig.tiny()._replace(max_seq=2048,
+                                                  sliding_window=2048)
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        tok = ByteTokenizer(cfg.vocab_size)
+        runner = LLMRunner(params, cfg, tok,
+                           GenerationConfig(max_tokens=8, temperature=0.0),
+                           cache_dtype=jnp.float32)
+
+        warnings = []
+        monkeypatch.setattr(runner_mod.log, "warning",
+                            lambda *a, **k: warnings.append(a))
+        # Force chunking: cap prefill buckets at 512 so a ~1501-token
+        # prompt runs as prefill(512) + extend chunks.
+        monkeypatch.setattr(runner_mod, "PREFILL_BUCKETS",
+                            (64, 128, 256, 512))
+        prompt = "x" * 1500  # 1501 ids with bos > 512-bucket
+        runner.prepare_generation(prompt)
+        assert not warnings, warnings
+        chunked_logits = np.asarray(runner._next_logits)
+        n = runner._host_len
+        assert n == 1501  # every token kept — no content loss
+
+        # Oracle: one oversized prefill of the same ids.
+        ids = tok.encode(prompt, add_bos=True)
+        assert len(ids) == n
+        padded = np.zeros(2048, np.int32)
+        padded[: len(ids)] = ids
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        want, _ = llm_model.prefill(params, cfg, jnp.asarray(padded),
+                                    jnp.int32(len(ids)), cache)
+        np.testing.assert_allclose(chunked_logits, np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_window_overflow_still_truncates_with_warning(self,
+                                                          monkeypatch):
+        import trackiellm_tpu.llm.runner as runner_mod
+
+        cfg = llm_model.LLMConfig.tiny()  # max_seq 256
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        runner = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                           GenerationConfig(max_tokens=16,
+                                            temperature=0.0),
+                           cache_dtype=jnp.float32)
+        warnings = []
+        monkeypatch.setattr(runner_mod.log, "warning",
+                            lambda *a, **k: warnings.append(a))
+        runner.prepare_generation("y" * 1000)
+        assert warnings and "truncated" in warnings[0][0]
+        assert runner._host_len <= cfg.max_seq - 16 - 1

@@ -115,11 +115,10 @@ class LLMRunner:
 
     @property
     def max_prompt_tokens(self) -> int:
-        """Largest prompt that still leaves room to generate: the biggest
-        prefill bucket that fits max_seq minus the generation budget."""
-        limit = self.cfg.max_seq - self.gen.max_tokens
-        fitting = [b for b in PREFILL_BUCKETS if b <= limit]
-        return fitting[-1] if fitting else max(limit, 16)
+        """Largest prompt that still leaves room to generate. With
+        chunked prefill this is the full window minus the generation
+        budget (not one prefill bucket)."""
+        return max(self.cfg.max_seq - self.gen.max_tokens - 1, 16)
 
     def build_prompt(self, system: str, context: str, user: str,
                      tools: Sequence[ToolDefinition] = ()) -> str:
@@ -142,25 +141,34 @@ class LLMRunner:
     def prepare_generation(self, prompt: str,
                            tools: Sequence[ToolDefinition] = (),
                            force_tool_call: bool = False) -> None:
-        """Tokenize + prefill the prompt; arm the tool grammar if asked."""
+        """Tokenize + prefill the prompt; arm the tool grammar if asked.
+
+        Prompts larger than the biggest prefill bucket run as
+        **incremental chunked prefill**: the first bucket goes through
+        prefill(), the remainder through extend() chunks with
+        attn-bucketed cross-chunk attention — identical logits to a
+        single oversized prefill, no content loss. Only a prompt that
+        cannot fit the model window at all (max_seq minus the generation
+        budget — the reference's hard 4096 contract,
+        tk_cortex_main.c:1334) is middle-cut, with a warning.
+        """
         ids = self.tokenizer.encode(prompt, add_bos=True)
         buckets = ([b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
                    or [self.cfg.max_seq])
-        limit = min(buckets[-1], self.max_prompt_tokens)
-        if len(ids) > limit:
-            # Middle-cut truncation: keep the system/instruction head and
-            # the (most important) query tail. Raising would drop the
-            # whole turn; the reference's fixed 2048 budget sidesteps
-            # this only because its window is always 4096.
-            head = limit // 4
-            tail = limit - head
-            log.warning("prompt of %d tokens truncated to %d",
-                        len(ids), limit)
+        hard_limit = max(self.cfg.max_seq - self.gen.max_tokens - 1, 16)
+        if len(ids) > hard_limit:
+            # True window overflow: keep the system/instruction head and
+            # the (most important) query tail.
+            head = hard_limit // 4
+            tail = hard_limit - head
+            log.warning("prompt of %d tokens exceeds the %d-token window "
+                        "budget; truncated", len(ids), hard_limit)
             ids = ids[:head] + ids[-tail:]
         n = len(ids)
-        bucket = _bucket_for(n, buckets)
+        first_n = min(n, buckets[-1])
+        bucket = _bucket_for(first_n, buckets)
         padded = np.zeros(bucket, np.int32)
-        padded[:n] = ids
+        padded[:first_n] = ids[:first_n]
         # Reuse the allocated KV buffers across turns (resetting length
         # masks any stale entries) — re-creating the cache zero-fills
         # ~1 GB per turn at 7B scale, a measurable chunk of the
@@ -168,10 +176,16 @@ class LLMRunner:
         self.cache = llm_model.KVCache(self.cache.k, self.cache.v,
                                        jnp.int32(0))
         logits, self.cache = llm_model.prefill(
-            self.params, self.cfg, jnp.asarray(padded), jnp.int32(n),
+            self.params, self.cfg, jnp.asarray(padded), jnp.int32(first_n),
             self.cache)
+        self._host_len = first_n  # host mirror of cache.length
+        pos = first_n
+        chunk_cap = EXTEND_BUCKETS[-1]
+        while pos < n:
+            chunk = ids[pos: pos + chunk_cap]
+            logits = self._extend_ids(chunk)
+            pos += len(chunk)
         self._next_logits = logits
-        self._host_len = n  # host mirror of cache.length (no device sync)
         self._generated_ids = []
         self._generated_text = ""
         self._n_emitted = 0
@@ -187,13 +201,29 @@ class LLMRunner:
     def _attn_bucket(self) -> Optional[int]:
         """Smallest attention bucket covering the live prefix (+1 for the
         token being written). None when the window itself is small."""
+        return self._attn_bucket_for(self._host_len + 1)
+
+    def _attn_bucket_for(self, need: int) -> Optional[int]:
         if self.cfg.max_seq <= ATTN_BUCKETS[0]:
             return None
-        need = self._host_len + 1
         for b in ATTN_BUCKETS:
             if b >= need and b <= self.cfg.max_seq:
                 return b
         return None
+
+    def _extend_ids(self, ids) -> jnp.ndarray:
+        """Append token ids to the live cache via one bucketed extend()
+        pass (attn-bucketed over the covered prefix); returns the logits
+        at the last appended token and advances the host length."""
+        bucket = _bucket_for(len(ids), EXTEND_BUCKETS)
+        padded = np.zeros(bucket, np.int32)
+        padded[: len(ids)] = ids
+        logits, self.cache = llm_model.extend(
+            self.params, self.cfg, jnp.asarray(padded),
+            jnp.int32(len(ids)), self.cache,
+            attn_len=self._attn_bucket_for(self._host_len + bucket))
+        self._host_len += len(ids)
+        return logits
 
     def generate_next_token(self) -> Optional[str]:
         """Sample and return the next token's text, or None when finished
@@ -218,13 +248,7 @@ class LLMRunner:
                 self._generated_text += closure
                 self._generated_ids.extend(closure_ids)
                 self._n_emitted = self.gen.max_tokens
-                bucket = _bucket_for(len(closure_ids), EXTEND_BUCKETS)
-                padded = np.zeros(bucket, np.int32)
-                padded[: len(closure_ids)] = closure_ids
-                _, self.cache = llm_model.extend(
-                    self.params, self.cfg, jnp.asarray(padded),
-                    jnp.int32(len(closure_ids)), self.cache)
-                self._host_len += len(closure_ids)
+                self._extend_ids(closure_ids)
                 self._done = True
                 return closure
 
@@ -330,13 +354,7 @@ class LLMRunner:
                 f"[INST] {user_text} [/INST]") if p)
             self.prepare_generation(prompt)
         else:
-            bucket = _bucket_for(len(new_ids), EXTEND_BUCKETS)
-            padded = np.zeros(bucket, np.int32)
-            padded[: len(new_ids)] = new_ids
-            self._next_logits, self.cache = llm_model.extend(
-                self.params, self.cfg, jnp.asarray(padded),
-                jnp.int32(len(new_ids)), self.cache)
-            self._host_len += len(new_ids)
+            self._next_logits = self._extend_ids(new_ids)
             self._generated_ids = []
             self._generated_text = ""
             self._n_emitted = 0
@@ -353,13 +371,7 @@ class LLMRunner:
         tk_llm_runner_add_tool_response, tk_runner_helpers.c:78-126)."""
         text = f"\nTool {tool_name} returned: {json.dumps(response)}\n"
         ids = self.tokenizer.encode(text)
-        bucket = _bucket_for(len(ids), EXTEND_BUCKETS)
-        padded = np.zeros(bucket, np.int32)
-        padded[: len(ids)] = ids
-        self._next_logits, self.cache = llm_model.extend(
-            self.params, self.cfg, jnp.asarray(padded),
-            jnp.int32(len(ids)), self.cache)
-        self._host_len += len(ids)
+        self._next_logits = self._extend_ids(ids)
         self._done = False
         self._grammar = None
 

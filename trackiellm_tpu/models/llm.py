@@ -460,9 +460,10 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
 # re-injection, conversation continuation)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_len"))
 def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
            n_valid: jnp.ndarray, cache: KVCache,
+           attn_len: Optional[int] = None,
            ) -> Tuple[jnp.ndarray, KVCache]:
     """Append a (bucketed, padded) token chunk after ``cache.length``.
 
@@ -472,6 +473,11 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     costs one forward, not 256 sequential steps. Padded positions write
     past the final length (length-masked later, overwritten as real
     tokens arrive). Returns the logits at the last *valid* token.
+
+    ``attn_len`` (static) bounds the cache prefix attention reads, like
+    decode_step's: without it every chunk pays a dense f32 pass over
+    the full S_max cache (0.5 GB of reads at 4096) regardless of the
+    live prefix. Must satisfy attn_len >= cache.length + len(tokens).
 
     Parity: the reference's tool-response re-injection decodes the tool
     output through the existing llama.cpp context
@@ -504,14 +510,17 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         v_cache_l = jax.lax.dynamic_update_slice(
             v_cache_l, v.astype(v_cache_l.dtype), (offset, 0, 0))
 
-        # Each chunk query attends to the prefix + itself (causal).
+        # Each chunk query attends to the prefix + itself (causal),
+        # over the attn_len-bounded cache view.
+        k_view = k_cache_l[:attn_len] if attn_len else k_cache_l
+        v_view = v_cache_l[:attn_len] if attn_len else v_cache_l
         rep = cfg.n_heads // cfg.n_kv_heads
-        kf = jnp.repeat(k_cache_l.astype(jnp.float32), rep, axis=1)
-        vf = jnp.repeat(v_cache_l.astype(jnp.float32), rep, axis=1)
+        kf = jnp.repeat(k_view.astype(jnp.float32), rep, axis=1)
+        vf = jnp.repeat(v_view.astype(jnp.float32), rep, axis=1)
         scores = jnp.einsum(
             "qhd,shd->hqs", q.astype(jnp.float32), kf
         ) / (cfg.head_dim ** 0.5)
-        key_idx = jnp.arange(s_max)[None, None, :]
+        key_idx = jnp.arange(attn_len or s_max)[None, None, :]
         q_pos = positions[None, :, None]
         mask = key_idx <= q_pos
         if window:
