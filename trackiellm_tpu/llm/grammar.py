@@ -399,18 +399,63 @@ class ToolCallGrammar:
         assert self.allows(text), "grammar closure must be self-consistent"
         return text
 
+    def _state_key(self):
+        """Hashable signature of the full acceptor state. Inside a JSON
+        string the accumulated content is irrelevant to what may come
+        next, so the state space during generation is small — masks
+        cache extremely well."""
+        j = self.json
+        return (self.phase, self.pos, self.name_buf,
+                tuple(j.containers), j.expect, j.in_string, j.escape,
+                j.num_state, j.lit_rest, j.done, j.failed)
+
     def token_mask(self, tokenizer, extra_allowed: Sequence[int] = ()) -> "list[bool]":
         """Boolean vocab mask of tokens whose text keeps the prefix valid.
-        Once the grammar is complete only EOS (and ``extra_allowed``) pass."""
+        Once the grammar is complete only EOS (and ``extra_allowed``) pass.
+
+        Masks are cached per acceptor state (and the tokenizer's decoded
+        pieces per vocab): at a 32k vocab an uncached build walks every
+        piece through the acceptor (~tens of ms), which would dominate
+        tool-call decode; cached steady-state cost is a dict lookup.
+        Returned lists are shared — treat them as read-only.
+        """
         v = tokenizer.vocab_size
-        mask = [False] * v
         if self.done:
+            mask = [False] * v
             mask[tokenizer.eos_id] = True
             for t in extra_allowed:
                 mask[t] = True
             return mask
-        for t in range(v):
-            piece = tokenizer.decode_token(t)
-            if piece and self.allows(piece):
+
+        cache = getattr(self, "_mask_cache", None)
+        if cache is None or self._mask_tok is not tokenizer:
+            cache = {}
+            self._mask_cache = cache
+            self._mask_tok = tokenizer
+            # Group pieces by first character: if feeding a single char
+            # fails, every piece starting with it fails — one probe per
+            # distinct first char prunes the whole group. In skeleton
+            # states (one legal char) this cuts a 32k-piece walk to
+            # ~|alphabet| probes + one group's full checks.
+            by_first: dict = {}
+            for t in range(v):
+                piece = tokenizer.decode_token(t)
+                if piece:
+                    by_first.setdefault(piece[0], []).append((t, piece))
+            self._by_first = by_first
+        key = self._state_key()
+        mask = cache.get(key)
+        if mask is None:
+            mask = [False] * v
+            for ch, group in self._by_first.items():
+                if not self.allows(ch):
+                    continue
+                for t, piece in group:
+                    if len(piece) == 1 or self.allows(piece):
+                        mask[t] = True
+            cache[key] = mask
+        if extra_allowed:
+            mask = list(mask)
+            for t in extra_allowed:
                 mask[t] = True
         return mask
