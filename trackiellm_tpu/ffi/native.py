@@ -19,6 +19,7 @@ log = get_logger("ffi.native")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native", "trackie_runtime.cpp")
+_SRC_FFI = os.path.join(_HERE, "native", "trackie_ffi.cpp")
 _LIB = os.path.join(_HERE, "native", "libtrackie_runtime.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -29,8 +30,8 @@ _build_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-             "-o", _LIB, _SRC],
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             "-o", _LIB, _SRC, _SRC_FFI],
             check=True, capture_output=True, timeout=120)
         return True
     except (subprocess.SubprocessError, FileNotFoundError) as e:
@@ -44,7 +45,8 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _build_failed:
             return _lib
         if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                os.path.getmtime(_LIB) < max(os.path.getmtime(_SRC),
+                                             os.path.getmtime(_SRC_FFI))):
             if not _build():
                 _build_failed = True
                 return None
