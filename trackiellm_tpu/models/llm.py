@@ -188,6 +188,26 @@ def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (x.astype(jnp.float32) * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * scale
 
 
+def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
+               eps: float) -> jnp.ndarray:
+    """norm -> gate/up -> silu*up -> down -> +residual.
+
+    Small-M Q4 weights can take the ONE-LAUNCH fused Pallas kernel
+    (ops/fused.py) behind the TRACKIE_FUSED_MLP=1 opt-in — measured
+    perf-neutral on the v5e (launch overhead is not the decode
+    bottleneck; see ops.fused.use_fused_mlp). LoRA-wrapped / bf16 / Q8
+    weights always keep the composable path."""
+    from trackiellm_tpu.ops import fused
+
+    if (x.ndim == 2 and fused.use_fused_mlp()
+            and fused._can_fuse(x, w_gu, w_down)):
+        return fused.fused_mlp(x, norm_scale, w_gu, w_down, eps)
+    h2 = _rms_norm(x, norm_scale, eps)
+    gu = _linear(h2, w_gu).astype(jnp.float32)
+    gate, up = jnp.split(gu, 2, axis=-1)
+    return x + _linear((jax.nn.silu(gate) * up).astype(x.dtype), w_down)
+
+
 # ---------------------------------------------------------------------------
 # RoPE
 # ---------------------------------------------------------------------------
@@ -268,11 +288,8 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         ).transpose(1, 0, 2).reshape(s_pad, -1)
         x = x + _linear(attn.astype(x.dtype), layer["wo"])
 
-        h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gu = _linear(h2, layer["w_gu"]).astype(jnp.float32)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + _linear((jax.nn.silu(gate) * up).astype(x.dtype),
-                        layer["w_down"])
+        x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
+                       layer["w_down"], cfg.norm_eps)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(layer_fn, x, params["layers"])
@@ -339,11 +356,8 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
                                 window=window)
         x = x + _linear(attn.reshape(1, -1).astype(x.dtype), layer["wo"])
 
-        h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gu = _linear(h2, layer["w_gu"]).astype(jnp.float32)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + _linear((jax.nn.silu(gate) * up).astype(x.dtype),
-                        layer["w_down"])
+        x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
+                       layer["w_down"], cfg.norm_eps)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -440,11 +454,8 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
         )(q, k_cache_l, v_cache_l, pos)
         x = x + _linear(attn.reshape(b, -1).astype(x.dtype), layer["wo"])
 
-        h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gu = _linear(h2, layer["w_gu"]).astype(jnp.float32)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + _linear((jax.nn.silu(gate) * up).astype(x.dtype),
-                        layer["w_down"])
+        x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
+                       layer["w_down"], cfg.norm_eps)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -530,11 +541,8 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         attn = jnp.einsum("hqs,shd->qhd", probs, vf).reshape(b, -1)
         x = x + _linear(attn.astype(x.dtype), layer["wo"])
 
-        h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gu = _linear(h2, layer["w_gu"]).astype(jnp.float32)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + _linear((jax.nn.silu(gate) * up).astype(x.dtype),
-                        layer["w_down"])
+        x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
+                       layer["w_down"], cfg.norm_eps)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(

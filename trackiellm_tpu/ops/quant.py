@@ -77,7 +77,18 @@ def quantize_q8(w: jnp.ndarray, group: int = DEFAULT_GROUP) -> QuantizedLinear:
 
 def quantize_q4(w: jnp.ndarray, group: int = DEFAULT_GROUP) -> QuantizedLinear:
     """Symmetric int4 group quantization, values in [-8, 7], packed two per
-    uint8 across the K halves (see module docstring)."""
+    uint8 across the K halves (see module docstring).
+
+    MIXED-BIAS nibble encoding, chosen so BOTH nibbles unpack with one
+    8-bit-lane AND + a same-width bitcast (no i32 round trip, no vector
+    shift — neither lowers cheaply in Mosaic):
+      - low nibble  = q_lo + 8 (biased [0, 15]) — ``packed & 0x0F``
+        read as i8 gives q_lo + 8; the bias folds into a per-group
+        scalar correction (x @ (q+8) s == (x @ q) s + 8 s sum(x)).
+      - high nibble = q_hi two's-complement — ``packed & 0xF0`` read as
+        i8 gives EXACTLY q_hi * 16; the 1/16 folds into the scale
+        application. No bias correction needed for this half at all.
+    """
     k, n = w.shape
     assert k % group == 0 and (k // 2) % group == 0
     wg = w.astype(jnp.float32).reshape(k // group, group, n)
@@ -86,7 +97,7 @@ def quantize_q4(w: jnp.ndarray, group: int = DEFAULT_GROUP) -> QuantizedLinear:
     q = jnp.clip(jnp.round(wg / safe[:, None, :]), -8, 7).astype(jnp.int32)
     q = q.reshape(k, n)
     lo = (q[: k // 2] + 8).astype(jnp.uint8)        # biased to [0, 15]
-    hi = (q[k // 2:] + 8).astype(jnp.uint8)
+    hi = (q[k // 2:] & 0xF).astype(jnp.uint8)       # two's complement
     packed = (lo | (hi << 4)).astype(jnp.uint8)
     return QuantizedLinear(values=packed, scales=scale)
 
@@ -98,13 +109,13 @@ def dequantize(qw: QuantizedLinear) -> jnp.ndarray:
         g = k // qw.scales.shape[0]
         vals = qw.values.astype(jnp.float32).reshape(-1, g, n)
         return (vals * qw.scales[:, None, :]).reshape(k, n)
-    # Q4 packed
+    # Q4 packed (mixed-bias: lo biased +8, hi two's complement)
     packed = qw.values
     half, n = packed.shape
     k = half * 2
     g = k // qw.scales.shape[0]
     lo = (packed & 0xF).astype(jnp.int32) - 8
-    hi = (packed >> 4).astype(jnp.int32) - 8
+    hi = (((packed >> 4) & 0xF).astype(jnp.int32) ^ 8) - 8
     q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
     return (q.reshape(-1, g, n) * qw.scales[:, None, :]).reshape(k, n)
 
@@ -125,13 +136,16 @@ def quantized_matmul_xla(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
 # Pallas Q8 kernel
 # ---------------------------------------------------------------------------
 
-def _select_scale_row(s_ref, gid) -> jnp.ndarray:
+def _select_scale_row(s_ref, gid, factor: float = 1.0) -> jnp.ndarray:
     """Pick row ``gid`` of the (n_groups, TN) scale block as a (1, TN)
     vector via a one-hot matmul — Mosaic rejects dynamic sublane slices
-    whose alignment it can't prove, but a tiny static-shape dot is free."""
+    whose alignment it can't prove, but a tiny static-shape dot is free.
+    (A VPU mask+sublane-reduce variant was A/B'd at -1.5%: the one-hot
+    MXU dot stays.) ``factor`` scales the selected row for free (folded
+    into the one-hot) — used for the high nibble's 1/16."""
     n_groups = s_ref.shape[0]
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)
-              == gid).astype(jnp.float32)
+              == gid).astype(jnp.float32) * factor
     return jnp.dot(onehot, s_ref[:], preferred_element_type=jnp.float32)
 
 
@@ -217,25 +231,23 @@ def q8_matmul_pallas(
 
 def _q4_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref, acc_ref,
                *, group: int):
-    """Decode is VPU-unpack-bound (PERF_NOTES.md cost structure), so the
-    unpack is minimal: one u8->i32 convert, one AND, one SHIFT, two
-    layout-preserving casts to f32 — the -8 nibble bias is NOT
-    subtracted per element; since ``x @ (q - 8) s == (x @ q) s -
-    8 s sum(x)``, it folds into a per-group scalar correction on the
-    (M, TN) accumulator. (bf16 dots were tried and are SLOWER here:
-    i32->bf16 conversion forces a sublane relayout, i32->f32 does not.)
-    """
+    """f32-activation path over the MIXED-BIAS packing (quantize_q4):
+    low nibble is biased [0, 15] — its -8 folds into a per-group scalar
+    correction (``x @ (q+8) s == (x @ q) s + 8 s sum(x)``); the high
+    nibble is two's complement read as i8 (= q*16, one 8-bit AND), its
+    1/16 folded into the scale row selection. (bf16 dots were tried and
+    are SLOWER here: i32->bf16 conversion forces a sublane relayout,
+    i32->f32 does not.)"""
     k_idx = pl.program_id(1)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Nibble math via int32: Mosaic lowers neither int8 vector sub nor
-    # uint8->f32 casts on this target.
-    packed = w_ref[:].astype(jnp.int32)
-    lo = (packed & 0xF).astype(jnp.float32)   # biased [0, 15]
-    hi = (packed >> 4).astype(jnp.float32)
+    packed = w_ref[:]
+    lo = (packed.astype(jnp.int32) & 0xF).astype(jnp.float32)  # q+8
+    hi = ((packed & 0xF0).astype(jnp.int8)                     # q*16
+          ).astype(jnp.int32).astype(jnp.float32)
     gpt = w_ref.shape[0] // group
     for j in range(gpt):
         sl = slice(j * group, (j + 1) * group)
@@ -247,9 +259,9 @@ def _q4_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref, acc_ref,
         part_hi = jnp.dot(x_hi, hi[sl, :],
                           preferred_element_type=jnp.float32)
         bias_lo = 8.0 * jnp.sum(x_lo, axis=1, keepdims=True)  # (M, 1)
-        bias_hi = 8.0 * jnp.sum(x_hi, axis=1, keepdims=True)
         acc_ref[:] += (part_lo - bias_lo) * _select_scale_row(slo_ref, gid)
-        acc_ref[:] += (part_hi - bias_hi) * _select_scale_row(shi_ref, gid)
+        acc_ref[:] += part_hi * _select_scale_row(shi_ref, gid,
+                                                  factor=1.0 / 16.0)
 
     @pl.when(k_idx == pl.num_programs(1) - 1)
     def _():
@@ -355,7 +367,7 @@ def _q4_stream_kernel(xlo_ref, xhi_ref, w_hbm, slo_ref, shi_ref, o_ref,
         get_dma(slot, i).wait()
         packed = wbuf[slot].astype(jnp.int32)
         lo = ((packed & 0xF) - 8).astype(jnp.float32)
-        hi = ((packed >> 4) - 8).astype(jnp.float32)
+        hi = ((((packed >> 4) & 0xF) ^ 8) - 8).astype(jnp.float32)
         for j in range(gpt):
             sl = pl.ds(pl.multiple_of(i * tile_k, 128) + j * group, group)
             gid = i * gpt + j
@@ -473,9 +485,32 @@ def _vmem_estimate(m: int, tile_k: int, tile_n: int, k_rows: int,
 
 
 def _pick_tiles_for(k_rows: int, n: int, g: int, m: int,
-                    halves: int) -> Tuple[int, int]:
-    """Choose (tile_k, tile_n) maximizing tile size within VMEM.
+                    halves: int, max_wide_w: int = 4_500_000,
+                    max_wide_n: int = 1 << 30) -> Tuple[int, int]:
+    """Choose (tile_k, tile_n) within VMEM, preferring WIDE tiles.
+
+    DMA efficiency dominates the decode matvec: a (tile_k, tile_n)
+    block of a row-major (K, N) array is tile_k strided runs of tile_n
+    bytes, and short runs (1-2 KB at the old square-ish tiles) stream
+    HBM below peak (wide tiles measured +2.9% end-to-end). Mosaic's
+    real scoped-stack use runs ~2x the estimator at very wide blocks
+    (a (256, 16000) plan estimated ~10 MB but compiled to 23.8 MB
+    scoped), so the double-buffered weight block is capped at
+    ``max_wide_w`` bytes and the width at ``max_wide_n`` (the i8
+    kernel's activations are 4x smaller, so its caller raises both).
     ``k_rows`` is the stored row count (packed rows for Q4)."""
+    for tn in (n, n // 2, n // 4):
+        if tn < 128 or tn > max_wide_n or n % tn or tn % 128:
+            continue
+        tk = max(_pick_tile(k_rows, k_rows, align=g), g)
+        while tk > g and (2 * tk * tn > max_wide_w or _vmem_estimate(
+                m, tk, tn, k_rows, g, halves) > _VMEM_BUDGET):
+            tk = max(_pick_tile(k_rows, tk // 2, align=g), g)
+        if (2 * tk * tn <= max_wide_w
+                and _vmem_estimate(m, tk, tn, k_rows, g, halves)
+                <= _VMEM_BUDGET):
+            return tk, tn
+    # Narrow fallback (small VMEM vs huge rows): old square-ish search.
     tile_n = _pick_tile(n, _MAX_TILE_N)
     tile_k = max(_pick_tile(k_rows, k_rows, align=g), g)
     while (_vmem_estimate(m, tile_k, tile_n, k_rows, g, halves)
@@ -493,7 +528,14 @@ def _pick_tiles_for(k_rows: int, n: int, g: int, m: int,
 
 def quantized_matmul(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
     """(…, K) @ quantized (K, N) -> (…, N) f32. Dispatches to the Pallas
-    kernel on TPU and the XLA oracle elsewhere."""
+    kernel on TPU and the XLA oracle elsewhere.
+
+    The Q4 TPU path defaults to the W4A8 int8-MXU kernel (nibbles never
+    leave 8-bit lanes; llama.cpp parity — it also runs Q4 weights
+    against Q8_0-quantized activations). ``TRACKIE_Q4_F32A=1`` opts back
+    into the f32-activation kernel (exact activations, slower unpack)."""
+    import os
+
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     m = x2.shape[0]
@@ -506,9 +548,20 @@ def quantized_matmul(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
                                tile_n=tile_n, tile_k=tile_k)
     else:
         half = qw.k // 2
-        tile_k, tile_n = _pick_tiles_for(half, qw.n, g, m, halves=2)
-        out = q4_matmul_pallas(x2, qw.values, qw.scales,
-                               tile_n=tile_n, tile_k=tile_k)
+        if os.environ.get("TRACKIE_Q4_F32A") == "1":
+            tile_k, tile_n = _pick_tiles_for(half, qw.n, g, m, halves=2)
+            out = q4_matmul_pallas(x2, qw.values, qw.scales,
+                                   tile_n=tile_n, tile_k=tile_k)
+        else:
+            # i8 activations leave VMEM headroom for bigger weight
+            # tiles (fewer grid steps / DMA issues); 14336-wide is the
+            # measured compile-safe limit (16000-wide OOMs the Mosaic
+            # scoped stack).
+            tile_k, tile_n = _pick_tiles_for(
+                half, qw.n, g, m, halves=2,
+                max_wide_w=9_000_000, max_wide_n=14336)
+            out = q4_matmul_pallas_i8(x2, qw.values, qw.scales,
+                                      tile_n=tile_n, tile_k=tile_k)
     return out.reshape(*lead, qw.n)
 
 
@@ -543,14 +596,15 @@ def _select_col(ref, gid) -> jnp.ndarray:
 
 
 def _q4_kernel_i8(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
-                  sxlo_ref, sxhi_ref, sumlo_ref, sumhi_ref,
-                  o_ref, acc_ref, *, group: int):
-    """W4A8: nibbles stay in 8-bit lanes (AND/SHIFT only — no i32
-    expansion, 4x fewer VPU register-ops than the f32 unpack) and the
-    dot runs on the MXU's native int8 path. Per group g the true
-    contribution is  s_g * (sx_g * (x_i8 @ q_u8) - 8 * sxsum_g)  — the
-    [-8] nibble bias and the activation scale both fold into (M, TN)
-    vector math on the accumulator."""
+                  sxlo_ref, sxhi_ref, sumlo_ref, o_ref, acc_ref,
+                  *, group: int):
+    """W4A8 over the MIXED-BIAS packing: both nibbles unpack with ONE
+    8-bit-lane AND + a same-width bitcast (measured-legal in Mosaic; no
+    i32 round trip, no vector shift), then int8 MXU dots. Per group g:
+      lo (biased):  s_g * (sx_g * (x_i8 @ (q+8)) - 8 * sxsum_g)
+      hi (two's c): (s_g/16) * sx_g * (x_i8 @ q*16)   — no bias term
+    The activation scale sx and the folds are (M, TN) vector math on
+    the accumulator."""
     k_idx = pl.program_id(1)
 
     @pl.when(k_idx == 0)
@@ -558,10 +612,8 @@ def _q4_kernel_i8(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     packed = w_ref[:]
-    # Mosaic can't legalize shrui on 8-bit vectors; AND stays in 8-bit
-    # lanes, the shift round-trips through i32.
-    lo = (packed & 0xF).astype(jnp.int8)      # biased [0, 15]
-    hi = (packed.astype(jnp.int32) >> 4).astype(jnp.int8)
+    lo = (packed & 0xF).astype(jnp.int8)       # q + 8, 8-bit ops only
+    hi = (packed & 0xF0).astype(jnp.int8)      # q * 16
     gpt = w_ref.shape[0] // group
     for j in range(gpt):
         sl = slice(j * group, (j + 1) * group)
@@ -571,13 +623,12 @@ def _q4_kernel_i8(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
         dot_hi = jnp.dot(xhi_ref[:, sl], hi[sl, :],
                          preferred_element_type=jnp.int32).astype(jnp.float32)
         s_lo = _select_scale_row(slo_ref, gid)            # (1, TN)
-        s_hi = _select_scale_row(shi_ref, gid)
+        s_hi = _select_scale_row(shi_ref, gid, factor=1.0 / 16.0)
         sx_lo = _select_col(sxlo_ref, gid)                # (M, 1)
         sx_hi = _select_col(sxhi_ref, gid)
         sum_lo = _select_col(sumlo_ref, gid)
-        sum_hi = _select_col(sumhi_ref, gid)
         acc_ref[:] += (dot_lo * sx_lo - 8.0 * sum_lo) * s_lo
-        acc_ref[:] += (dot_hi * sx_hi - 8.0 * sum_hi) * s_hi
+        acc_ref[:] += (dot_hi * sx_hi) * s_hi
 
     @pl.when(k_idx == pl.num_programs(1) - 1)
     def _():
@@ -594,8 +645,9 @@ def q4_matmul_pallas_i8(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused W4A8 matmul: (M, K) f32 @ q4(K, N) -> (M, N) f32 via int8
-    MXU dots. EXPERIMENTAL alternative to q4_matmul_pallas; adds ~0.4%
-    relative activation-quantization error (A8)."""
+    MXU dots over the mixed-bias packing — the default TPU decode path
+    (llama.cpp also runs Q4 matmuls against Q8-quantized activations);
+    ~0.5% relative activation-quantization error vs the f32 path."""
     m, k = x.shape
     half, n = packed.shape
     assert half * 2 == k
@@ -608,7 +660,7 @@ def q4_matmul_pallas_i8(
     x_lo, x_hi = xq[:, :half], xq[:, half:]
     ngh = half // g                                       # groups per half
     sx_lo, sx_hi = sx[:, :ngh], sx[:, ngh:]
-    sum_lo, sum_hi = sxsum[:, :ngh], sxsum[:, ngh:]
+    sum_lo = sxsum[:, :ngh]       # hi half is two's complement: no fold
     s_lo, s_hi = scales[:ngh], scales[ngh:]
 
     grid = (n // tile_n, half // tile_k)
@@ -632,8 +684,6 @@ def q4_matmul_pallas_i8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, ngh), lambda ni, ki: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, ngh), lambda ni, ki: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, tile_n), lambda ni, ki: (0, ni),
                                memory_space=pltpu.VMEM),
@@ -648,4 +698,4 @@ def q4_matmul_pallas_i8(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_lo, x_hi, packed, s_lo, s_hi, sx_lo, sx_hi, sum_lo, sum_hi)
+    )(x_lo, x_hi, packed, s_lo, s_hi, sx_lo, sx_hi, sum_lo)
