@@ -1,0 +1,44 @@
+# Operator entry points. Parity: the reference's ci/test.sh + ci/lint.sh
+# + static-analysis scripts (reference: ci/test.sh:41-60, ci/lint.sh).
+
+PY ?= python
+
+.PHONY: check lint test smoke native bench e2e graft
+
+check: lint native test graft   ## the full pre-merge net
+
+lint:
+	$(PY) -m compileall -q trackiellm_tpu tools examples tests bench.py __graft_entry__.py
+	$(PY) tools/lint.py
+
+test:
+	$(PY) -m pytest tests/ -q
+
+# Fast subset for tight loops (skips the slow real-model e2e).
+smoke:
+	$(PY) -m pytest tests/ -q -x --deselect tests/test_e2e_real.py
+
+native:
+	g++ -O2 -shared -fPIC -std=c++17 -pthread \
+	    -o trackiellm_tpu/ffi/native/libtrackie_runtime.so \
+	    trackiellm_tpu/ffi/native/trackie_runtime.cpp \
+	    trackiellm_tpu/ffi/native/trackie_ffi.cpp
+	gcc -O2 -o /tmp/trackie_embed_demo examples/embed_demo.c \
+	    -Itrackiellm_tpu/ffi/native -Ltrackiellm_tpu/ffi/native \
+	    -ltrackie_runtime -Wl,-rpath,$(PWD)/trackiellm_tpu/ffi/native
+	/tmp/trackie_embed_demo
+
+graft:
+	$(PY) -c "import os; \
+	os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS','') + ' --xla_force_host_platform_device_count=8'; \
+	import jax; jax.config.update('jax_platforms', 'cpu'); \
+	import __graft_entry__ as ge; \
+	fn, args = ge.entry(); jax.jit(fn)(*args); \
+	ge.dryrun_multichip(8); print('graft hooks OK')"
+
+# Real-chip runs (need the TPU attached):
+bench:
+	$(PY) bench.py
+
+e2e:
+	$(PY) tools/measure_e2e.py

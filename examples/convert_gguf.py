@@ -14,7 +14,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import time
 
-import jax.numpy as jnp
 
 from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
 from trackiellm_tpu.models.convert import gguf_to_llm_params

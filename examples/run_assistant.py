@@ -16,7 +16,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
 
-import numpy as np
 import jax
 
 # The demo's tiny models compile in milliseconds on CPU; remote TPU

@@ -15,7 +15,6 @@ Everything is timed with fresh per-call inputs and value-fetch syncs.
                      isolates per-execution relay overhead
 """
 
-import functools
 import os
 import sys
 import time

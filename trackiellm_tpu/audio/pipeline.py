@@ -27,7 +27,7 @@ import heapq
 import itertools
 import threading
 import time
-from typing import Any, Callable, List, Optional
+from typing import Callable, List, Optional
 
 import numpy as np
 

@@ -9,7 +9,6 @@ carrying the architecture config — convert a GGUF once
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Dict, Optional, Tuple

@@ -15,8 +15,7 @@ only.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

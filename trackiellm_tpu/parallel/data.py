@@ -11,7 +11,7 @@ runs (the same async-transfer trick as the camera feeder).
 from __future__ import annotations
 
 import threading
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 import jax

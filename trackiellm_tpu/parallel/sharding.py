@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import jax
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

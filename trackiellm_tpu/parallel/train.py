@@ -17,7 +17,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh
 
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.parallel import sharding as shd

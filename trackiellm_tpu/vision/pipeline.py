@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import time
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
