@@ -219,12 +219,22 @@ class TestLoaderFrontEnd:
         m = L.load_model(p)
         assert set(m.tensors) == {"a", "b"}
 
-    def test_onnx_rejected_with_hint(self, tmp_path):
+    def test_onnx_loads_weights_only(self, tmp_path):
+        # graphs are never executed, but initializers load (weights-only
+        # ingestion via models/onnx_reader)
+        from trackiellm_tpu.models.onnx_reader import write_onnx_initializers
+
+        p = str(tmp_path / "m.onnx")
+        write_onnx_initializers(p, {"w": np.ones((2, 2), np.float32)})
+        m = L.load_model(p)
+        assert m.format is L.ModelFormat.ONNX
+        assert set(m.tensors) == {"w"}
+
+    def test_onnx_without_graph_rejected(self, tmp_path):
         p = tmp_path / "m.onnx"
-        p.write_bytes(b"\x08\x01\x12\x00")
-        with pytest.raises(TrackieError) as ei:
+        p.write_bytes(b"\x08\x01")  # ir_version only, no GraphProto
+        with pytest.raises(ValueError):
             L.load_model(str(p))
-        assert "convert" in str(ei.value)
 
     def test_cache_lru_eviction(self, tmp_path):
         paths = []

@@ -329,12 +329,19 @@ def load_model(path: str) -> LoadedModel:
         tensors = load_safetensors(path)
     elif fmt is ModelFormat.NPZ:
         tensors = load_npz(path)
-    elif fmt in (ModelFormat.ONNX, ModelFormat.TFLITE):
+    elif fmt is ModelFormat.ONNX:
+        # The graph is never executed (architectures are JAX programs in
+        # trackiellm_tpu.models); the WEIGHTS load fine — feed them to
+        # the matching models.convert mapper.
+        from trackiellm_tpu.models.onnx_reader import read_onnx_initializers
+
+        tensors = read_onnx_initializers(path)
+    elif fmt is ModelFormat.TFLITE:
         raise TrackieError(
             ErrorCode.MODEL_FORMAT_UNKNOWN,
-            f"{fmt.value} graphs are not executed at runtime; convert the "
-            f"weights offline (the architectures live in "
-            f"trackiellm_tpu.models)")
+            "tflite graphs are not executed at runtime; convert the "
+            "weights offline (the architectures live in "
+            "trackiellm_tpu.models)")
     else:
         raise TrackieError(ErrorCode.MODEL_FORMAT_UNKNOWN, path)
     size = sum(t.nbytes for t in tensors.values())
