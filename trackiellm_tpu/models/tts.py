@@ -176,9 +176,14 @@ def synthesize(params: Dict[str, Any], cfg: TTSConfig, text: str,
     then be built with vocab_size=PhonemeFrontend.vocab_size)."""
     import numpy as np
 
+    import jax
+
     ids, n = (frontend or text_to_ids)(text, cfg.max_chars)
     mel, n_frames = acoustic_forward(params, cfg, jnp.asarray(ids),
                                      jnp.int32(n), jnp.float32(rate))
     wav = vocoder_forward(params, cfg, mel)
-    n_samples = int(n_frames) * cfg.hop
-    return np.asarray(wav[:n_samples]), n_samples
+    # one host round trip for both values (int(n_frames) first would
+    # pay a second relay sync before the waveform fetch)
+    wav_np, n_frames_np = jax.device_get((wav, n_frames))
+    n_samples = int(n_frames_np) * cfg.hop
+    return wav_np[:n_samples], n_samples
