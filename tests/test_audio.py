@@ -120,6 +120,28 @@ class TestTTS:
         _, longer = tts_model.synthesize(params, cfg, "hello there friend")
         assert longer > short
 
+    def test_streaming_matches_oneshot(self, setup):
+        """Chunked vocoder (overlap >= receptive field) must reproduce
+        the one-shot waveform exactly in the interior — streaming is a
+        latency optimization, not an approximation."""
+        cfg, params = setup
+        text = "hello there streaming friend"
+        full, n = tts_model.synthesize(params, cfg, text)
+        chunks = list(tts_model.synthesize_streaming(
+            params, cfg, text, chunk_frames=16, overlap=8))
+        assert len(chunks) > 1, "expected multiple chunks at 16 frames"
+        wav = np.concatenate(chunks)
+        assert len(wav) == n
+        np.testing.assert_allclose(wav, full, rtol=1e-5, atol=1e-5)
+
+    def test_streaming_first_chunk_is_prefix(self, setup):
+        cfg, params = setup
+        full, n = tts_model.synthesize(params, cfg, "hello world")
+        first = next(tts_model.synthesize_streaming(
+            params, cfg, "hello world", chunk_frames=16, overlap=8))
+        np.testing.assert_allclose(first, full[:len(first)],
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestSoundClassifier:
     def test_probabilities(self, rng):

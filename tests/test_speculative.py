@@ -1,0 +1,121 @@
+"""Prompt-lookup speculative decoding: greedy equivalence + rollback.
+
+The contract under test (llm/speculative.py): speculative generation
+emits EXACTLY the plain greedy decode_step sequence — proposals only
+change how many forward passes it takes, never the text — and the
+cache it leaves behind is interchangeable with the plain loop's.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trackiellm_tpu.llm.speculative import (SpecStats, propose_ngram,
+                                            speculative_generate)
+from trackiellm_tpu.models import llm as llm_model
+
+
+class TestProposeNgram:
+    def test_matches_recent_bigram(self):
+        #           0  1  2  3  4  5  6
+        hist = [5, 7, 9, 5, 7, 9, 5, 7]
+        # tail (5, 7) last occurred at 3..4 -> followed by 9, 5, 7
+        assert propose_ngram(hist, 3, max_ngram=2) == [9, 5, 7]
+
+    def test_prefers_longest_ngram(self):
+        hist = [1, 2, 3, 8, 2, 3, 9, 1, 2, 3]
+        # trigram (1,2,3) matches position 0 -> follows with 8
+        assert propose_ngram(hist, 1, max_ngram=3) == [8]
+
+    def test_no_match_returns_empty(self):
+        assert propose_ngram([1, 2, 3, 4, 5], 4) == []
+
+    def test_short_history(self):
+        assert propose_ngram([3], 4) == []
+        assert propose_ngram([], 4) == []
+
+
+def _setup(seed=0):
+    cfg = llm_model.LLMConfig.tiny()
+    params = llm_model.init_params(jax.random.PRNGKey(seed), cfg,
+                                   dtype=jnp.float32)
+    return cfg, params
+
+
+def _prefill(params, cfg, prompt):
+    cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+    padded = np.zeros((32,), np.int32)
+    padded[:len(prompt)] = prompt
+    logits, cache = llm_model.prefill(params, cfg, jnp.asarray(padded),
+                                      jnp.int32(len(prompt)), cache)
+    return int(jnp.argmax(logits)), cache
+
+
+def _plain_greedy(params, cfg, first, cache, n):
+    toks, tok = [], first
+    for _ in range(n):
+        logits, cache = llm_model.decode_step(params, cfg, jnp.int32(tok),
+                                              cache)
+        tok = int(jnp.argmax(logits))
+        toks.append(tok)
+    return toks, cache
+
+
+PROMPTS = [
+    [5, 9, 11, 5, 9, 11, 5, 9, 11, 5, 9],     # periodic — proposals fire
+    [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],        # pi digits — mostly plain
+    [7, 7, 7, 7, 7, 7],                        # constant
+]
+
+
+class TestGreedyEquivalence:
+    @pytest.mark.parametrize("prompt", PROMPTS)
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_matches_plain_decode(self, prompt, seed):
+        cfg, params = _setup(seed)
+        n = 24
+        first, cache_a = _prefill(params, cfg, prompt)
+        want, cache_a = _plain_greedy(params, cfg, first, cache_a, n)
+
+        _, cache_b = _prefill(params, cfg, prompt)
+        got, cache_b, stats = speculative_generate(
+            params, cfg, prompt, first, cache_b, n)
+        assert got == want, stats.as_dict()
+        assert int(cache_b.length) == int(cache_a.length)
+
+    def test_acceptance_happens_on_periodic_output(self):
+        """Greedy decode of a random tiny model falls into a cycle;
+        once the cycle is in the history, prompt-lookup proposals must
+        start being ACCEPTED (this pins the accept path, not just the
+        reject path)."""
+        cfg, params = _setup(0)
+        prompt = [5, 9, 11, 5, 9, 11, 5, 9, 11, 5, 9]
+        first, cache = _prefill(params, cfg, prompt)
+        _, cache, stats = speculative_generate(
+            params, cfg, prompt, first, cache, 48)
+        assert stats.passes > 0
+        assert stats.accepted > 0, stats.as_dict()
+        # fewer forward passes than tokens — the point of the exercise
+        assert stats.passes + stats.plain_steps < 48
+
+    def test_cache_usable_after_speculation(self):
+        """The cache left by speculative_generate must continue exactly
+        like the plain loop's (rollback really masked the rejects)."""
+        cfg, params = _setup(1)
+        prompt = [2, 4, 2, 4, 2, 4, 2]
+        n = 16
+        first, cache_a = _prefill(params, cfg, prompt)
+        want, cache_a = _plain_greedy(params, cfg, first, cache_a, n + 4)
+
+        _, cache_b = _prefill(params, cfg, prompt)
+        got, cache_b, _ = speculative_generate(
+            params, cfg, prompt, first, cache_b, n)
+        more, cache_b = _plain_greedy(params, cfg, got[-1], cache_b, 4)
+        assert got + more == want
+
+    def test_stats_dict(self):
+        s = SpecStats()
+        s.proposed = 10
+        s.accepted = 4
+        assert s.as_dict()["acceptance"] == 0.4

@@ -32,8 +32,9 @@ import numpy as np  # noqa: E402
 
 from trackiellm_tpu.models import depth as depth_model  # noqa: E402
 from trackiellm_tpu.models import detector as det_model  # noqa: E402
+from trackiellm_tpu.ops.nms import boxes_to_original, decode_and_nms  # noqa: E402
 from trackiellm_tpu.ops.preprocess import (  # noqa: E402
-    boxes_to_original, imagenet_normalize_chw, letterbox_normalize_chw)
+    imagenet_normalize_chw, letterbox_preprocess)
 from trackiellm_tpu.vision import object_analysis as oa  # noqa: E402
 from trackiellm_tpu.vision.pipeline import (  # noqa: E402
     AnalysisFlags, VisionPipeline)
@@ -76,10 +77,11 @@ def main() -> None:
     state = {}
 
     def det_fwd(i):
-        chw, meta = letterbox_normalize_chw(dev_frames[i], 640, 640)
-        raw = det_model.detector_forward(det_params, det_cfg, chw)
-        det = det_model.decode_and_nms(raw, det_cfg, conf_thresh=0.5,
-                                       iou_thresh=0.45, max_out=32)
+        chw, meta = letterbox_preprocess(dev_frames[i], 640, 640)
+        raw_boxes, cls_probs = det_model.detector_forward(
+            det_params, det_cfg, chw)
+        det = decode_and_nms(raw_boxes, cls_probs, score_thresh=0.5,
+                             iou_thresh=0.45, max_out=32)
         cam = boxes_to_original(det.boxes, meta)
         state["det"] = (cam, det.scores, det.classes, det.valid)
         int(det.classes[0])

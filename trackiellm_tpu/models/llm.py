@@ -471,10 +471,11 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
 # re-injection, conversation continuation)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_len"))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_len",
+                                              "all_logits"))
 def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
            n_valid: jnp.ndarray, cache: KVCache,
-           attn_len: Optional[int] = None,
+           attn_len: Optional[int] = None, all_logits: bool = False,
            ) -> Tuple[jnp.ndarray, KVCache]:
     """Append a (bucketed, padded) token chunk after ``cache.length``.
 
@@ -548,6 +549,12 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     x, (new_k, new_v) = jax.lax.scan(
         layer_fn, x, (params["layers"], cache.k, cache.v))
     final = KVCache(new_k, new_v, (offset + n_valid).astype(jnp.int32))
+    if all_logits:
+        # (B, V) logits at every chunk position — the speculative
+        # verify pass needs argmax at each proposal offset.
+        logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
+                         params["lm_head"])
+        return logits.astype(jnp.float32), final
     x_last = x[jnp.maximum(n_valid - 1, 0)]
     logits = _linear(_rms_norm(x_last[None], params["out_norm"],
                                cfg.norm_eps), params["lm_head"])[0]

@@ -167,6 +167,59 @@ def vocoder_forward(params: Dict[str, Any], cfg: TTSConfig,
     return wav
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames_chunk"))
+def vocoder_forward_chunk(params: Dict[str, Any], cfg: TTSConfig,
+                          mel_chunk: jnp.ndarray,
+                          n_frames_chunk: int) -> jnp.ndarray:
+    """Vocode a (n_frames_chunk, n_mels) mel slice. Same weights and
+    math as vocoder_forward, compiled once per (static) chunk shape."""
+    del n_frames_chunk
+    return vocoder_forward.__wrapped__(params, cfg, mel_chunk)
+
+
+def synthesize_streaming(params: Dict[str, Any], cfg: TTSConfig, text: str,
+                         rate: float = 1.0, frontend=None,
+                         chunk_frames: int = 64, overlap: int = 8):
+    """Generator: text -> successive waveform chunks (np.ndarray @
+    16 kHz). The first chunk is audible after ONE acoustic pass + a
+    small-chunk vocoder pass + a ~40 KB fetch, instead of the full
+    512-frame vocoder + 328 KB download — the time-to-first-sample path
+    for streamed speech.
+
+    Parity: tk_tts_piper.c:106-237 synth-to-callback (the reference
+    streams audio chunks to a callback; this is the pull version).
+
+    The vocoder is convolutional, so each chunk is computed with
+    ``overlap`` extra mel frames on each side and the edges discarded;
+    with overlap >= the vocoder's receptive field (~5 frames) interior
+    samples match the one-shot vocoder_forward output exactly (tested).
+    """
+    import numpy as np
+
+    ids, n = (frontend or text_to_ids)(text, cfg.max_chars)
+    mel, n_frames_dev = acoustic_forward(params, cfg, jnp.asarray(ids),
+                                         jnp.int32(n), jnp.float32(rate))
+    n_frames = int(n_frames_dev)
+    hop = cfg.hop
+    start = 0
+    while start < n_frames:
+        end = min(start + chunk_frames, n_frames)
+        lo = max(start - overlap, 0)
+        hi = min(end + overlap, cfg.max_frames)
+        # static shape per (chunk+overlap) bucket: pad to the full
+        # chunk+2*overlap window so at most 2 vocoder variants compile
+        win = chunk_frames + 2 * overlap
+        mel_win = lax.dynamic_slice(
+            mel, (jnp.int32(min(lo, cfg.max_frames - win)), 0),
+            (win, cfg.n_mels))
+        off = lo if lo <= cfg.max_frames - win else cfg.max_frames - win
+        wav_win = vocoder_forward_chunk(params, cfg, mel_win, win)
+        first = (start - off) * hop
+        last = (end - off) * hop
+        yield np.asarray(wav_win[first:last])
+        start = end
+
+
 def synthesize(params: Dict[str, Any], cfg: TTSConfig, text: str,
                rate: float = 1.0, frontend=None):
     """Text -> (waveform np.ndarray @ 16 kHz, n_samples). Parity:
