@@ -119,3 +119,98 @@ class TestGreedyEquivalence:
         s.proposed = 10
         s.accepted = 4
         assert s.as_dict()["acceptance"] == 0.4
+
+
+# ---------------------------------------------------------------------------
+# Runner integration: GenerationConfig(speculative=True)
+# ---------------------------------------------------------------------------
+
+from trackiellm_tpu.llm.runner import (GenerationConfig,  # noqa: E402
+                                       LLMRunner)
+from trackiellm_tpu.llm.tokenizer import ByteTokenizer  # noqa: E402
+
+
+def _runner(seed=0, **gen_kwargs):
+    cfg = llm_model.LLMConfig.tiny()
+    params = llm_model.init_params(jax.random.PRNGKey(seed), cfg,
+                                   dtype=jnp.float32)
+    gen_kwargs.setdefault("temperature", 0.0)
+    gen_kwargs.setdefault("max_tokens", 40)
+    return LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                     GenerationConfig(**gen_kwargs),
+                     cache_dtype=jnp.float32)
+
+
+class TestRunnerSpeculative:
+    @pytest.mark.parametrize("prompt", [
+        "abc abc abc abc ab",          # periodic prompt
+        "the quick brown fox",         # free text (greedy may loop)
+    ])
+    def test_text_identical_to_plain(self, prompt):
+        plain = _runner(seed=2).generate(prompt)
+        spec = _runner(seed=2, speculative=True).generate(prompt)
+        assert spec == plain
+
+    def test_invariants_and_continuation(self):
+        r = _runner(seed=2, speculative=True)
+        r.generate("abc abc abc abc ab")
+        assert r._host_len == len(r._committed_ids)
+        assert not r._pending_spec
+        # the cache must be continuable exactly like the plain runner's
+        p = _runner(seed=2)
+        p.generate("abc abc abc abc ab")
+        r.add_tool_response("t", {"ok": 1})
+        p.add_tool_response("t", {"ok": 1})
+        more_spec = [r.generate_next_token() for _ in range(6)]
+        more_plain = [p.generate_next_token() for _ in range(6)]
+        assert more_spec == more_plain
+
+    def test_stop_string_identical(self):
+        kw = dict(seed=2, max_tokens=48)
+        plain = _runner(**kw).generate("xyz xyz xyz xy")
+        # pick a stop string that actually occurs in the plain output
+        stop = plain[len(plain) // 2: len(plain) // 2 + 3]
+        if not stop:
+            pytest.skip("degenerate output")
+        a = _runner(**kw, stop_strings=(stop,)).generate("xyz xyz xyz xy")
+        b = _runner(**kw, stop_strings=(stop,),
+                    speculative=True).generate("xyz xyz xyz xy")
+        assert a == b
+
+    def test_max_tokens_identical(self):
+        for n in (1, 3, 7, 20):
+            a = _runner(seed=5, max_tokens=n).generate("qq qq qq qq q")
+            b = _runner(seed=5, max_tokens=n,
+                        speculative=True).generate("qq qq qq qq q")
+            assert a == b, n
+
+    def test_sampling_temperature_disables_speculation(self):
+        r = _runner(seed=0, speculative=True, temperature=0.8)
+        r.generate("abc abc abc")
+        assert not r._pending_spec  # never armed
+
+    def test_speculation_saves_forward_passes(self):
+        """Count device passes via decode_step/extend call wrappers."""
+        r = _runner(seed=2, speculative=True, max_tokens=32)
+        calls = {"decode": 0, "extend": 0}
+        orig_decode = llm_model.decode_step
+        orig_extend = llm_model.extend
+
+        def count_decode(*a, **k):
+            calls["decode"] += 1
+            return orig_decode(*a, **k)
+
+        def count_extend(*a, **k):
+            calls["extend"] += 1
+            return orig_extend(*a, **k)
+
+        llm_model.decode_step = count_decode
+        llm_model.extend = count_extend
+        try:
+            out = r.generate("abc abc abc abc ab")
+        finally:
+            llm_model.decode_step = orig_decode
+            llm_model.extend = orig_extend
+        n = len(r._generated_ids)
+        passes = calls["decode"] + calls["extend"]
+        assert passes < n, (passes, n, out)

@@ -56,11 +56,17 @@ def main() -> None:
         max_seq=1024, sliding_window=1024)
 
     # --- full decode step -------------------------------------------------
+    t = time.perf_counter()
     params = llm_model.init_params_quantized(key, cfg, bits=4)
+    jax.block_until_ready(params["lm_head"])
+    print(f"[init {time.perf_counter() - t:.0f}s]", flush=True)
     cache = llm_model.KVCache.create(cfg)
     tokens = jax.random.randint(key, (128,), 0, cfg.vocab_size, jnp.int32)
+    t = time.perf_counter()
     _, cache = llm_model.prefill(params, cfg, tokens, jnp.int32(128), cache)
+    print(f"[prefill {time.perf_counter() - t:.0f}s]", flush=True)
 
+    skip = os.environ.get("DIAG_SKIP", "").split(",")
     step = functools.partial(llm_model.decode_step, attn_len=256)
 
     def full_fn(state):
@@ -68,15 +74,16 @@ def main() -> None:
         logits, cache = step(params, cfg, tok, cache)
         return jnp.argmax(logits).astype(jnp.int32), cache
 
-    dt = bench_loop(full_fn, (jnp.int32(5), cache))
-    print(f"full      {dt * 1e3:7.2f} ms/token  {1 / dt:7.2f} tok/s",
-          flush=True)
+    if "full" not in skip:
+        dt = bench_loop(full_fn, (jnp.int32(5), cache))
+        print(f"full      {dt * 1e3:7.2f} ms/token  {1 / dt:7.2f} tok/s",
+              flush=True)
 
     # --- 4 matmuls only ---------------------------------------------------
     layers = params["layers"]
 
     @jax.jit
-    def matmul4(x):
+    def matmul4(x, layers):
         def body(x, layer):
             qkv = quant.quantized_matmul(x, layer["wqkv"])
             x = x + quant.quantized_matmul(
@@ -92,11 +99,12 @@ def main() -> None:
     x0 = jax.random.normal(key, (1, DIM), jnp.bfloat16) * 0.02
 
     def m4_fn(x):
-        return matmul4(x)
+        return matmul4(x, layers)
 
-    dt4 = bench_loop(m4_fn, x0)
-    print(f"matmul4   {dt4 * 1e3:7.2f} ms/token  (glue = full - this)",
-          flush=True)
+    if "matmul4" not in skip:
+        dt4 = bench_loop(m4_fn, x0)
+        print(f"matmul4   {dt4 * 1e3:7.2f} ms/token  (glue = full - this)",
+              flush=True)
 
     # --- 1 giant matmul with the same bytes per layer ----------------------
     # per-layer packed bytes: (6144+4096+28672*2)*4096/2 ≈ 109.2 MB
@@ -104,7 +112,7 @@ def main() -> None:
     # (w_gu) + 29.4M (w_down) ≈ 109.1 MB; at K=4096 (half rows 2048)
     # that is N = 109.1e6 / 2048 ≈ 53248 columns.
     n_total = 53248
-    del params
+    del params, layers, cache, full_fn, matmul4, m4_fn  # free 3.9 GB HBM
     big = []
     for i in range(L):
         w8 = jax.random.randint(
@@ -117,19 +125,44 @@ def main() -> None:
     big = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *big)
 
     @jax.jit
-    def matmul1(x):
+    def matmul1(x, big):
         def body(x, layer):
             y = quant.quantized_matmul(x, layer)
             return (x + y[:, :DIM] * 1e-3).astype(jnp.bfloat16), None
         x, _ = jax.lax.scan(body, x, big)
         return x
 
-    dt1 = bench_loop(lambda x: matmul1(x), x0)
+    dt1 = bench_loop(lambda x: matmul1(x, big), x0)
     bytes_per_layer = (DIM // 2) * n_total + \
         (DIM // quant.DEFAULT_GROUP) * n_total * big.scales.dtype.itemsize
     gbs = bytes_per_layer * L / dt1 / 1e9
     print(f"matmul1   {dt1 * 1e3:7.2f} ms/token  ({gbs:6.1f} GB/s effective)",
           flush=True)
+
+    # --- HBM ceiling: XLA's own bf16 matvec over the same byte volume ------
+    # 8 layers x (4096, 26624) bf16 = 218 MB/layer; XLA's matvec kernels
+    # are the best available streaming baseline on this stack. This is
+    # the honest "speed of light" for a weight-streaming decode step.
+    del big
+    n_bf = 26624
+    bf_l = 8
+    wbf = jnp.stack([
+        (jax.random.normal(jax.random.fold_in(key, 5000 + i),
+                           (DIM, n_bf), jnp.bfloat16) * 0.02)
+        for i in range(bf_l)])
+
+    @jax.jit
+    def bf16_stream(x, wbf):
+        def body(x, w):
+            y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+            return (x + y[:, :DIM] * 1e-3).astype(jnp.bfloat16), None
+        x, _ = jax.lax.scan(body, x, wbf)
+        return x
+
+    dtb = bench_loop(lambda x: bf16_stream(x, wbf), x0)
+    gbs_b = DIM * n_bf * 2 * bf_l / dtb / 1e9
+    print(f"bf16x{bf_l}    {dtb * 1e3:7.2f} ms/pass   ({gbs_b:6.1f} GB/s "
+          "XLA ceiling)", flush=True)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,13 @@ class GenerationConfig:
     repeat_window: int = 64
     seed: int = 0
     stop_strings: tuple = ()
+    # Prompt-lookup speculative decoding (llm/speculative.py): greedy
+    # (temperature <= 0), unconstrained generations verify n-gram
+    # proposals in one extend() pass — emitted text is EXACTLY the
+    # plain greedy sequence, repetitive spans just cost fewer passes.
+    speculative: bool = False
+    spec_max_propose: int = 7
+    spec_ngram: int = 3
 
 
 @dataclasses.dataclass
@@ -102,6 +109,15 @@ class LLMRunner:
         self._generated_text: str = ""
         self._n_emitted = 0
         self._done = False
+        # Every token id committed to the KV cache, in order (mirror of
+        # the cache text; len == _host_len). Speculative n-gram lookup
+        # searches this.
+        self._committed_ids: List[int] = []
+        # Buffered future tokens from a speculative verify pass.
+        self._pending_spec: List[int] = []
+        self._spec_index = 0
+        self._spec_offset = 0
+        self._spec_accepted = 0
 
     # ------------------------------------------------------------------
     # Session API (tk_llm_runner parity)
@@ -179,6 +195,8 @@ class LLMRunner:
             self.params, self.cfg, jnp.asarray(padded), jnp.int32(first_n),
             self.cache)
         self._host_len = first_n  # host mirror of cache.length
+        self._committed_ids = [int(i) for i in ids[:first_n]]
+        self._pending_spec = []
         pos = first_n
         chunk_cap = EXTEND_BUCKETS[-1]
         while pos < n:
@@ -215,6 +233,7 @@ class LLMRunner:
         """Append token ids to the live cache via one bucketed extend()
         pass (attn-bucketed over the covered prefix); returns the logits
         at the last appended token and advances the host length."""
+        self._drop_pending_spec()  # never extend over buffered tokens
         bucket = _bucket_for(len(ids), EXTEND_BUCKETS)
         padded = np.zeros(bucket, np.int32)
         padded[: len(ids)] = ids
@@ -223,17 +242,22 @@ class LLMRunner:
             jnp.int32(len(ids)), self.cache,
             attn_len=self._attn_bucket_for(self._host_len + bucket))
         self._host_len += len(ids)
+        self._committed_ids.extend(int(i) for i in ids)
         return logits
 
     def generate_next_token(self) -> Optional[str]:
         """Sample and return the next token's text, or None when finished
         (EOS, grammar completion, stop string, or max_tokens)."""
-        if self._done or self._next_logits is None:
+        if self._done or (self._next_logits is None
+                          and not self._pending_spec):
             return None
         if (self._n_emitted >= self.gen.max_tokens
                 or self._host_len >= self.cfg.max_seq - 1):
             self._done = True
+            self._drop_pending_spec()
             return None
+        if self._pending_spec:
+            return self._emit_spec_token()
 
         # Budget-forced closure: if a constrained generation is about to
         # exhaust its token budget, emit the grammar's minimal valid
@@ -300,10 +324,15 @@ class LLMRunner:
                 break
 
         if not self._done:
+            if (self.gen.speculative and self._grammar is None
+                    and self.gen.temperature <= 0
+                    and self._start_speculative_pass(tid)):
+                return piece
             self._next_logits, self.cache = llm_model.decode_step(
                 self.params, self.cfg, jnp.int32(tid), self.cache,
                 attn_len=self._attn_bucket())
             self._host_len += 1
+            self._committed_ids.append(tid)
         else:
             # Commit the final token to the cache so the conversation can
             # continue (e.g. tool response after a tool call).
@@ -311,8 +340,136 @@ class LLMRunner:
                 self.params, self.cfg, jnp.int32(tid), self.cache,
                 attn_len=self._attn_bucket())
             self._host_len += 1
+            self._committed_ids.append(tid)
             self._next_logits = None
         return piece
+
+    # ------------------------------------------------------------------
+    # Prompt-lookup speculative decoding (greedy, unconstrained only)
+    # ------------------------------------------------------------------
+
+    def _start_speculative_pass(self, tid: int) -> bool:
+        """After emitting ``tid``, try to verify an n-gram proposal in
+        ONE extend() pass instead of a decode_step (llm/speculative.py
+        has the algorithm; this is the streaming-runner adaptation).
+        Buffers the resulting future tokens — ``tid`` plus all accepted
+        proposals land in the cache now; buffered tokens are then
+        emitted one per generate_next_token() call with plain-loop
+        semantics (EOS / stop strings / max_tokens behave identically).
+        Returns False when no proposal fired (caller decode_steps)."""
+        from trackiellm_tpu.llm.speculative import propose_ngram
+
+        proposal = propose_ngram(self._committed_ids + [tid],
+                                 self.gen.spec_max_propose,
+                                 max_ngram=self.gen.spec_ngram)
+        if not proposal:
+            return False
+        bucket = EXTEND_BUCKETS[0]
+        proposal = proposal[: bucket - 1]
+        if self._host_len + bucket >= self.cfg.max_seq:
+            return False
+        chunk = [tid] + proposal
+        padded = np.zeros(bucket, np.int32)
+        padded[: len(chunk)] = chunk
+        offset = self._host_len
+        logits, cache = llm_model.extend(
+            self.params, self.cfg, jnp.asarray(padded),
+            jnp.int32(len(chunk)), self.cache,
+            attn_len=self._attn_bucket_for(offset + bucket),
+            all_logits=True)
+        greedy = np.asarray(jnp.argmax(logits[: len(chunk)], axis=-1))
+        accepted = 0
+        while (accepted < len(proposal)
+               and int(greedy[accepted]) == proposal[accepted]):
+            accepted += 1
+        # Cache now holds tid + the accepted proposals; the rejected
+        # tail past `length` is stale-masked (models/llm.py contract).
+        self.cache = cache._replace(
+            length=jnp.int32(offset + 1 + accepted))
+        self._host_len = offset + 1 + accepted
+        self._committed_ids.extend(chunk[: 1 + accepted])
+        self._spec_offset = offset
+        self._spec_accepted = accepted
+        self._spec_index = 0
+        self._pending_spec = [int(g) for g in greedy[: accepted + 1]]
+        self._next_logits = None
+        return True
+
+    def _emit_spec_token(self) -> Optional[str]:
+        """Pop one buffered speculative token with the exact semantics
+        of the plain sample-then-commit path."""
+        idx = self._spec_index
+        tid = self._pending_spec[idx]
+        self._spec_index += 1
+        last = self._spec_index >= len(self._pending_spec)
+        in_cache = idx < self._spec_accepted  # bonus token is not
+
+        if tid == self.tokenizer.eos_id:
+            # Plain path never commits EOS: roll back to the tokens
+            # emitted before it.
+            new_len = self._spec_offset + 1 + idx
+            self.cache = self.cache._replace(length=jnp.int32(new_len))
+            self._host_len = new_len
+            del self._committed_ids[new_len:]
+            self._pending_spec = []
+            self._spec_index = 0
+            self._next_logits = None
+            self._done = True
+            return None
+
+        piece = self.tokenizer.decode_token(tid)
+        self._generated_ids.append(tid)
+        self._generated_text += piece
+        self._n_emitted += 1
+
+        for stop in self.gen.stop_strings:
+            if stop and stop in self._generated_text:
+                self._done = True
+                self._generated_text = self._generated_text.split(stop)[0]
+                break
+
+        if self._done:
+            # Commit this token, drop everything after it (plain path
+            # commits the final token; see the stop-string comment).
+            if in_cache:
+                new_len = self._spec_offset + 2 + idx
+                self.cache = self.cache._replace(length=jnp.int32(new_len))
+                self._host_len = new_len
+                del self._committed_ids[new_len:]
+            else:  # bonus token: commit via decode_step
+                _, self.cache = llm_model.decode_step(
+                    self.params, self.cfg, jnp.int32(tid), self.cache,
+                    attn_len=self._attn_bucket())
+                self._host_len += 1
+                self._committed_ids.append(tid)
+            self._pending_spec = []
+            self._spec_index = 0
+            self._next_logits = None
+        elif last:
+            # Bonus token: not in the cache yet — either chain another
+            # speculative pass from it or decode_step it (both commit).
+            self._pending_spec = []
+            self._spec_index = 0
+            if not self._start_speculative_pass(tid):
+                self._next_logits, self.cache = llm_model.decode_step(
+                    self.params, self.cfg, jnp.int32(tid), self.cache,
+                    attn_len=self._attn_bucket())
+                self._host_len += 1
+                self._committed_ids.append(tid)
+        return piece
+
+    def _drop_pending_spec(self) -> None:
+        """Roll the cache back to cover exactly the emitted tokens when
+        generation ends with speculative tokens still buffered."""
+        if not self._pending_spec:
+            return
+        new_len = self._spec_offset + 1 + self._spec_index
+        self.cache = self.cache._replace(length=jnp.int32(new_len))
+        self._host_len = new_len
+        del self._committed_ids[new_len:]
+        self._pending_spec = []
+        self._spec_index = 0
+        self._next_logits = None
 
     def generate(self, prompt: str, tools: Sequence[ToolDefinition] = (),
                  force_tool_call: bool = False,
@@ -329,6 +486,9 @@ class LLMRunner:
             if should_stop is not None and should_stop():
                 self._done = True
                 break
+        # An external stop can land with speculative tokens buffered;
+        # roll the cache back to exactly the emitted text.
+        self._drop_pending_spec()
         return self._generated_text
 
     def chat(self, user_text: str, system: Optional[str] = None,
@@ -404,3 +564,6 @@ class LLMRunner:
         self._generated_text = ""
         self._done = False
         self._grammar = None
+        self._committed_ids = []
+        self._pending_spec = []
+        self._spec_index = 0
