@@ -6,6 +6,7 @@ backends, behavioral assertions on state transitions, transcription
 callbacks, and speech-priority interruption.
 """
 
+import threading
 import time
 
 import numpy as np
@@ -239,6 +240,53 @@ class TestAudioPipelineStateMachine:
             pipe.process_chunk(_loud())
             pipe.process_chunk(_quiet())
         assert pipe.state is AudioState.AWAITING_WAKE_WORD
+        pipe.close()
+
+    def test_tts_streaming_chunks_emitted_in_order(self):
+        chunks_out = []
+
+        def tts_stream(text):
+            for i in range(3):
+                yield np.full(8, float(i), np.float32)
+
+        pipe = AudioPipeline(
+            config=AudioPipelineConfig(),
+            tts_stream_fn=tts_stream,
+            on_tts_audio=lambda wav, p: chunks_out.append(float(wav[0])),
+        )
+        pipe.say("ola mundo")
+        assert pipe.wait_idle(timeout=3.0)
+        assert chunks_out == [0.0, 1.0, 2.0]
+        pipe.close()
+
+    def test_tts_streaming_interrupted_mid_stream(self):
+        """CRITICAL speech must cut a lower-priority stream BETWEEN
+        chunks — finer interruption than the one-shot path."""
+        emitted = []
+        release = threading.Event()
+
+        def tts_stream(text):
+            if text == "long":
+                yield np.zeros(8, np.float32)
+                release.wait(timeout=3.0)   # hold mid-stream
+                yield np.ones(8, np.float32)
+                yield np.ones(8, np.float32)
+            else:
+                yield np.full(8, 9.0, np.float32)
+
+        pipe = AudioPipeline(
+            config=AudioPipelineConfig(),
+            tts_stream_fn=tts_stream,
+            on_tts_audio=lambda wav, p: emitted.append((float(wav[0]), p)),
+        )
+        pipe.say("long", TTSPriority.LOW)
+        time.sleep(0.15)  # first chunk emitted, generator holding
+        pipe.say("OBSTACLE", TTSPriority.CRITICAL)
+        release.set()
+        assert pipe.wait_idle(timeout=3.0)
+        values = [v for v, _ in emitted]
+        assert 9.0 in values          # CRITICAL spoke
+        assert 1.0 not in values      # LOW's tail chunks were dropped
         pipe.close()
 
     def test_tts_priority_interruption(self):

@@ -48,6 +48,7 @@ class TrackieApp:
         sources: Optional[AppSources] = None,
         detector_fn=None, depth_fn=None, ocr_fn=None,
         vad_fn=None, asr_fn=None, tts_fn=None, wake_fn=None, sound_fn=None,
+        tts_stream_fn=None,
         llm_runner=None,
         on_spoken_audio: Optional[Callable] = None,
     ):
@@ -75,6 +76,21 @@ class TrackieApp:
         ocr_fn = _via(JobKind.VISION, ocr_fn)
         asr_fn = _via(JobKind.ASR, asr_fn)
         tts_fn = _via(JobKind.TTS, tts_fn)
+        if tts_stream_fn is not None:
+            # Stream chunks through the scheduler one pull at a time so
+            # a long synthesis can't hog the device launch queue: the
+            # generator is created inline, each chunk fetch is its own
+            # TTS-priority job.
+            inner_stream = tts_stream_fn
+
+            def tts_stream_fn(text):
+                gen = sched.run(JobKind.TTS, lambda: iter(inner_stream(text)))
+                sentinel = object()
+                while True:
+                    chunk = sched.run(JobKind.TTS, next, gen, sentinel)
+                    if chunk is sentinel:
+                        return
+                    yield chunk
 
         # The navigation engine rides the vision pipeline's depth maps
         # (NAVIGATION analysis flag); the cortex then reads its hazards.
@@ -92,6 +108,7 @@ class TrackieApp:
                 wake_word_enabled=cfg.get_bool("audio.wake_word", True),
             ),
             vad_fn=vad_fn, asr_fn=asr_fn, tts_fn=tts_fn,
+            tts_stream_fn=tts_stream_fn,
             wake_fn=wake_fn, sound_fn=sound_fn,
             on_transcription=self._on_transcription,
             on_sound=self._on_sound,

@@ -82,11 +82,16 @@ class AudioPipeline:
       vad_fn(chunk f32[N]) -> speech probability float
       asr_fn(audio f32[T]) -> transcript str
       tts_fn(text str) -> waveform f32[T]
+      tts_stream_fn(text str) -> iterator of waveform chunks f32[Ti]
+        (preferred over tts_fn when both are given: the first chunk is
+        audible ~2-3x sooner and CRITICAL speech can interrupt BETWEEN
+        chunks instead of only between sentences — parity with
+        tk_tts_piper's synth-to-callback, tk_tts_piper.c:106-237)
       wake_fn(chunk) -> bool
       sound_fn(window f32[T]) -> class name str or None
     Callbacks: on_wake(), on_speech_start(), on_speech_end(),
-      on_transcription(text), on_sound(name), on_tts_audio(wav, priority),
-      on_state_change(old, new).
+      on_transcription(text), on_sound(name), on_tts_audio(wav, priority)
+      (fires once per chunk in streaming mode), on_state_change(old, new).
     """
 
     def __init__(self, config: Optional[AudioPipelineConfig] = None,
@@ -95,11 +100,13 @@ class AudioPipeline:
                  tts_fn: Optional[Callable] = None,
                  wake_fn: Optional[Callable] = None,
                  sound_fn: Optional[Callable] = None,
+                 tts_stream_fn: Optional[Callable] = None,
                  **callbacks: Callable):
         self.config = config or AudioPipelineConfig()
         self.vad_fn = vad_fn
         self.asr_fn = asr_fn
         self.tts_fn = tts_fn
+        self.tts_stream_fn = tts_stream_fn
         self.wake_fn = wake_fn
         self.sound_fn = sound_fn
         self._cb = callbacks
@@ -265,7 +272,14 @@ class AudioPipeline:
                 self._current_priority = item.priority
             self._interrupt.clear()
             try:
-                if self.tts_fn is not None:
+                if self.tts_stream_fn is not None:
+                    for chunk in self.tts_stream_fn(item.text):
+                        if self._interrupt.is_set():
+                            log.info("speech %r interrupted mid-stream",
+                                     item.text[:32])
+                            break
+                        self._emit("on_tts_audio", chunk, item.priority)
+                elif self.tts_fn is not None:
                     wav = self.tts_fn(item.text)
                     if not self._interrupt.is_set():
                         self._emit("on_tts_audio", wav, item.priority)

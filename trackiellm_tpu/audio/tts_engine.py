@@ -82,18 +82,27 @@ class TTSEngine:
             return np.zeros(0, np.float32)
         return np.concatenate(parts)
 
+    def stream(self, text: str) -> Iterable[np.ndarray]:
+        """Generator of waveform chunks: sentence pieces go through the
+        chunked vocoder (models.tts.synthesize_streaming), so the first
+        ~0.64 s of audio is ready after one small vocoder pass instead
+        of the full-bucket pass. Feed AudioPipeline(tts_stream_fn=
+        engine.stream) — chunks are bit-identical to the one-shot
+        waveform (tested)."""
+        for piece in self._chunks(text):
+            yield from tts_model.synthesize_streaming(
+                self.params, self.cfg, piece, rate=self.rate,
+                frontend=self.frontend)
+
     def synthesize_streaming(self, text: str,
                              on_chunk: Callable[[np.ndarray], None]) -> int:
-        """Synth-to-callback: each sentence's audio is delivered as soon
-        as it is ready (lower time-to-first-audio). Returns total
-        samples."""
+        """Synth-to-callback (parity: tk_tts_piper synth-to-callback):
+        each vocoder chunk is delivered as soon as it is ready. Returns
+        total samples."""
         total = 0
-        for chunk in self._chunks(text):
-            wav, n = tts_model.synthesize(self.params, self.cfg, chunk,
-                                          rate=self.rate,
-                                          frontend=self.frontend)
-            on_chunk(wav[:n])
-            total += n
+        for wav in self.stream(text):
+            on_chunk(wav)
+            total += len(wav)
         return total
 
     def __call__(self, text: str) -> np.ndarray:
