@@ -28,7 +28,7 @@ def main() -> None:
     key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
     params = llm_model.init_params_quantized(key, cfg, bits=4)
 
-    for batch in (1, 4, 8):
+    for batch in (8, 16, 32):
         cache = llm_model.BatchedKVCache.create(cfg, batch)
         # Give each slot a distinct short history.
         for b in range(batch):
