@@ -84,6 +84,22 @@ class TestWhisper:
         assert len(toks) <= 8
         assert all(0 <= t < cfg.vocab_size for t in toks)
 
+    def test_device_loop_matches_host_loop(self, setup):
+        """Single-dispatch lax.while_loop transcription must be
+        token-identical to the host-loop oracle."""
+        cfg, params = setup
+        rng = np.random.default_rng(7)
+        audio = jnp.asarray(
+            0.2 * rng.standard_normal(SR).astype(np.float32))
+        mel = log_mel_spectrogram(audio)[:, :2 * cfg.n_audio_ctx]
+        mel = jnp.pad(
+            mel, ((0, 0), (0, 2 * cfg.n_audio_ctx - mel.shape[1])))
+        host = whisper_model.transcribe_tokens_host(
+            params, cfg, mel, max_tokens=12, language=3)
+        dev = whisper_model.transcribe_tokens(
+            params, cfg, mel, max_tokens=12, language=3)
+        assert dev == host
+
     def test_decode_cache_grows(self, setup):
         cfg, params = setup
         mel = jnp.zeros((cfg.n_mels, 100))

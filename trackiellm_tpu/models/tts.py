@@ -207,8 +207,11 @@ def synthesize_streaming(params: Dict[str, Any], cfg: TTSConfig, text: str,
         lo = max(start - overlap, 0)
         hi = min(end + overlap, cfg.max_frames)
         # static shape per (chunk+overlap) bucket: pad to the full
-        # chunk+2*overlap window so at most 2 vocoder variants compile
-        win = chunk_frames + 2 * overlap
+        # chunk+2*overlap window so at most 2 vocoder variants compile.
+        # Clamped to max_frames: a small model (or small max_frames
+        # config) must degrade to one whole-buffer window, not ask
+        # dynamic_slice for more frames than the mel buffer holds.
+        win = min(chunk_frames + 2 * overlap, cfg.max_frames)
         mel_win = lax.dynamic_slice(
             mel, (jnp.int32(min(lo, cfg.max_frames - win)), 0),
             (win, cfg.n_mels))

@@ -272,10 +272,12 @@ def special_tokens(cfg: WhisperConfig) -> Dict[str, int]:
     }
 
 
-def transcribe_tokens(params: Dict[str, Any], cfg: WhisperConfig,
-                      mel: jnp.ndarray, max_tokens: int = 64,
-                      language: int = 0) -> list:
-    """Greedy decode -> list of token ids (text tokens only).
+def transcribe_tokens_host(params: Dict[str, Any], cfg: WhisperConfig,
+                           mel: jnp.ndarray, max_tokens: int = 64,
+                           language: int = 0) -> list:
+    """Greedy decode with a host-side loop (one dispatch + one device
+    sync per token). Reference semantics; kept as the oracle for
+    :func:`transcribe_tokens`' single-dispatch device loop.
 
     Parity: whisper.cpp greedy sampling (tk_asr_whisper.c:90-91) and the
     language-switch API (:386) via the ``language`` slot id.
@@ -297,3 +299,77 @@ def transcribe_tokens(params: Dict[str, Any], cfg: WhisperConfig,
         out.append(tok)
         logits, cache = decode_step(params, cfg, jnp.int32(tok), cache)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+def _transcribe_device(params: Dict[str, Any], cfg: WhisperConfig,
+                       mel: jnp.ndarray, language: jnp.ndarray,
+                       max_tokens: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole greedy transcription as ONE compiled program.
+
+    encode -> cross-KV -> 4 prompt steps -> ``lax.while_loop`` greedy
+    decode, entirely on device. Returns ``(buf, count)`` where
+    ``buf[:count]`` are the emitted text tokens. One host dispatch and
+    one device->host sync total — on TPU-over-relay this removes the
+    per-token dispatch latency that made the host loop's RTF ~0.36
+    (see PERF_NOTES.md round-2 ASR section).
+    """
+    sp = special_tokens(cfg)
+    feats = encode(params, cfg, mel)
+    cache = make_decoder_cache(params, cfg, feats)
+
+    prompt = jnp.stack([
+        jnp.int32(sp["sot"]),
+        jnp.int32(sp["lang_base"]) + language.astype(jnp.int32),
+        jnp.int32(sp["transcribe"]),
+        jnp.int32(sp["no_timestamps"]),
+    ])
+
+    def prompt_step(cache, t):
+        logits, cache = decode_step(params, cfg, t, cache)
+        return cache, logits
+
+    cache, prompt_logits = lax.scan(prompt_step, cache, prompt)
+    logits = prompt_logits[-1]
+
+    buf = jnp.zeros((max_tokens,), jnp.int32)
+    count = jnp.int32(0)
+    done = jnp.bool_(False)
+
+    def cond(carry):
+        _, _, _, count, done = carry
+        return jnp.logical_and(~done, count < max_tokens)
+
+    def body(carry):
+        logits, cache, buf, count, _ = carry
+        tok = jnp.argmax(logits).astype(jnp.int32)
+        stop = jnp.logical_or(tok == sp["eot"],
+                              cache.length >= cfg.n_text_ctx - 1)
+
+        def do_stop(_):
+            return logits, cache, buf, count, jnp.bool_(True)
+
+        def do_emit(_):
+            b = buf.at[count].set(tok)
+            lg, cc = decode_step(params, cfg, tok, cache)
+            return lg, cc, b, count + 1, jnp.bool_(False)
+
+        return lax.cond(stop, do_stop, do_emit, None)
+
+    _, _, buf, count, _ = lax.while_loop(
+        cond, body, (logits, cache, buf, count, done))
+    return buf, count
+
+
+def transcribe_tokens(params: Dict[str, Any], cfg: WhisperConfig,
+                      mel: jnp.ndarray, max_tokens: int = 64,
+                      language: int = 0) -> list:
+    """Greedy decode -> list of token ids (text tokens only).
+
+    Single device dispatch (:func:`_transcribe_device`); token-identical
+    to :func:`transcribe_tokens_host` (tested in tests/test_audio.py).
+    """
+    buf, count = _transcribe_device(
+        params, cfg, mel, jnp.int32(language), max_tokens)
+    n = int(count)
+    return np.asarray(buf[:n]).tolist() if n else []
