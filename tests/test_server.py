@@ -104,6 +104,53 @@ class TestLLMServer:
             server.close()
         assert got == expected
 
+    def test_chunked_matches_single_step(self, params):
+        """The chunk_steps device fast path must produce byte-identical
+        results to the per-step loop, across max_tokens both below and
+        above the chunk size (mixed chunk + single-step tails)."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        cases = [("ola", 5), ("tudo bem", 8), ("longa resposta", 19)]
+        single = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=1)
+        try:
+            want = [single.generate(p, max_tokens=m) for p, m in cases]
+        finally:
+            single.close()
+        chunked = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                            cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            got = [chunked.generate(p, max_tokens=m) for p, m in cases]
+            assert chunked.stats["decode_steps"] >= 4
+        finally:
+            chunked.close()
+        assert got == want
+
+    def test_decode_steps_batch_matches_loop(self, params):
+        """decode_steps_batch == n manual decode_step_batch calls with
+        argmax feedback (tokens and final cache lengths)."""
+        batch = llm_model.BatchedKVCache.create(CFG, 2, dtype=jnp.float32)
+        for slot, n in ((0, 5), (1, 3)):
+            s = llm_model.KVCache.create(CFG, dtype=jnp.float32)
+            _, s = llm_model.prefill(
+                params, CFG, jnp.arange(n, dtype=jnp.int32) + slot,
+                jnp.int32(n), s)
+            batch = llm_model.insert_sequence(batch, CFG, slot, s)
+        active = jnp.array([True, True])
+        toks = jnp.asarray([9, 11], jnp.int32)
+
+        ref_cache, ref_toks, cur = batch, [], toks
+        for _ in range(4):
+            logits, ref_cache = llm_model.decode_step_batch(
+                params, CFG, cur, active, ref_cache)
+            cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            ref_toks.append(np.asarray(cur))
+
+        produced, got_cache = llm_model.decode_steps_batch(
+            params, CFG, toks, active, batch, 4)
+        np.testing.assert_array_equal(np.asarray(produced),
+                                      np.stack(ref_toks))
+        assert got_cache.lengths.tolist() == ref_cache.lengths.tolist()
+
     def test_close_fails_pending(self, params):
         """submit() after close fails FAST (no Future left to hang on a
         dead serve loop)."""

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Measure REAL LLMServer aggregate throughput (7B Q4, continuous
+batching) — not the raw decode-step kernel (tools/measure_batch.py),
+but the full serve loop with admission, bookkeeping, and host fetches.
+
+A/Bs the steady-state device-chunk fast path (chunk_steps=8, one host
+fetch per 8 steps) against the per-step loop (chunk_steps=1, one
+non-pipelining relay round trip per step). Honest timing per
+PERF_NOTES.md: fresh time-seeded weights + prompts, wall clock over
+Future completion (value arrival on host IS the sync).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from trackiellm_tpu.llm.server import LLMServer  # noqa: E402
+from trackiellm_tpu.llm.tokenizer import ByteTokenizer  # noqa: E402
+from trackiellm_tpu.models import llm as llm_model  # noqa: E402
+
+MAX_TOKENS = 48
+N_REQUESTS = 16
+
+
+def run(server, seed: int) -> dict:
+    prompts = [f"pergunta numero {seed}-{i}: o que ha a minha frente?"
+               for i in range(N_REQUESTS)]
+    # warmup: compile prefill + decode programs outside the timed window
+    server.generate(prompts[0] + " (warmup)", max_tokens=MAX_TOKENS)
+    t0 = time.perf_counter()
+    futs = [server.submit(p, max_tokens=MAX_TOKENS) for p in prompts]
+    outs = [f.result(timeout=600) for f in futs]
+    dt = time.perf_counter() - t0
+    toks = N_REQUESTS * MAX_TOKENS
+    assert all(isinstance(o, str) for o in outs)
+    return {"aggregate_tok_s": round(toks / dt, 1),
+            "wall_s": round(dt, 2),
+            "decode_steps": server.stats["decode_steps"]}
+
+
+def main() -> None:
+    seed = int(time.time()) & 0x7FFFFFFF
+    cfg = llm_model.LLMConfig.mistral_7b()._replace(max_seq=512,
+                                                    sliding_window=512)
+    params = llm_model.init_params_quantized(
+        jax.random.PRNGKey(seed), cfg, bits=4)
+    tok = ByteTokenizer(cfg.vocab_size)
+
+    for label, chunk in (("per_step", 1), ("chunk8", 8)):
+        server = LLMServer(params, cfg, batch_slots=8, tokenizer=tok,
+                           chunk_steps=chunk)
+        try:
+            res = run(server, seed)
+        finally:
+            server.close()
+        print(json.dumps({"config": f"llm_server_b8_{label}", **res}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

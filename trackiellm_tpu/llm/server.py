@@ -71,10 +71,16 @@ class LLMServer:
                  tokenizer: Optional[Tokenizer] = None,
                  cache_dtype=jnp.bfloat16, seed: int = 0,
                  paged: bool = False, n_pages: int = 0,
-                 page_size: int = 128):
+                 page_size: int = 128, chunk_steps: int = 8):
         self.params = params
         self.cfg = cfg
         self.batch = batch_slots
+        # Steady-state fast path: when every active request is greedy
+        # and no work is waiting, run up to this many decode steps as
+        # one device program (models/llm.py decode_steps_batch) — the
+        # per-step host fetch of sampled tokens is a non-pipelining
+        # relay round trip (PERF_NOTES.md). 1 disables chunking.
+        self.chunk_steps = max(1, int(chunk_steps))
         self.tokenizer = tokenizer or ByteTokenizer(cfg.vocab_size)
         # Memory layout: dense per-slot caches (default) or one shared
         # paged pool (memory scales with live tokens; llm/paging.py).
@@ -245,6 +251,61 @@ class LLMServer:
         if req and not req.future.cancelled():
             req.future.set_result(text)
 
+    def _can_chunk(self) -> bool:
+        """True when a full chunk_steps device chunk is safe: dense
+        cache, every active request greedy with >= chunk_steps of both
+        token budget and cache room, and nothing waiting to be admitted
+        (a chunk would delay admission by up to chunk_steps steps).
+        Always exactly chunk_steps or nothing — a variable k would
+        compile one program per distinct k."""
+        if self.paged or self.chunk_steps <= 1:
+            return False
+        if not self._queue.empty() or self._backlog:
+            return False
+        k = self.chunk_steps
+        for slot in self._slots:
+            if not slot.active:
+                continue
+            req = slot.request
+            if (req.temperature > 0
+                    or req.max_tokens - slot.n_emitted < k
+                    or self.cfg.max_seq - 1 - slot.host_len < k):
+                return False
+        return True
+
+    def _decode_chunk(self) -> None:
+        """chunk_steps greedy steps in one device program + ONE host
+        fetch; per-token bookkeeping semantics identical to the
+        single-step path (tested against it)."""
+        k = self.chunk_steps
+        tokens = jnp.asarray(
+            [s.next_token if s.active else 0 for s in self._slots],
+            jnp.int32)
+        active = jnp.asarray([s.active for s in self._slots])
+        produced, self.cache = llm_model.decode_steps_batch(
+            self.params, self.cfg, tokens, active, self.cache, k)
+        self.stats["decode_steps"] += k
+        prod = np.asarray(produced)  # (k, B) — the one fetch
+        for i, slot in enumerate(self._slots):
+            if not slot.active:
+                continue
+            req = slot.request
+            for j in range(k):
+                slot.generated.append(slot.next_token)
+                slot.n_emitted += 1
+                slot.host_len += 1
+                self.stats["tokens"] += 1
+                nxt = int(prod[j, i])
+                if (nxt == self.tokenizer.eos_id
+                        or slot.n_emitted >= req.max_tokens
+                        or slot.host_len >= self.cfg.max_seq - 1):
+                    # Later chunk positions wrote junk into this slot's
+                    # cache rows; the slot is freed and re-prefilled on
+                    # reuse, so they are unreachable.
+                    self._finish(slot)
+                    break
+                slot.next_token = nxt
+
     def _serve_loop(self) -> None:
         try:
             self._serve_loop_inner()
@@ -283,6 +344,9 @@ class LLMServer:
                      for s in self._slots],
                     [s.seq_id for s in self._slots])
             else:
+                if self._can_chunk():
+                    self._decode_chunk()
+                    continue
                 tokens = jnp.asarray(
                     [s.next_token if s.active else 0 for s in self._slots],
                     jnp.int32)

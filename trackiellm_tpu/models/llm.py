@@ -466,6 +466,35 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
     return logits.astype(jnp.float32), BatchedKVCache(new_k, new_v, lengths)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def decode_steps_batch(params: Dict[str, Any], cfg: LLMConfig,
+                       tokens: jnp.ndarray, active: jnp.ndarray,
+                       cache: BatchedKVCache, n_steps: int,
+                       ) -> Tuple[jnp.ndarray, BatchedKVCache]:
+    """``n_steps`` greedy batch-decode steps as ONE compiled program.
+
+    lax.scan over :func:`decode_step_batch` with on-device argmax token
+    feedback. Returns ``(produced (n_steps, B), cache)`` where
+    ``produced[j]`` is the token sampled after step ``j`` (the chain
+    t1..t_k given input t0 = ``tokens``).
+
+    This is the server's steady-state fast path: the per-step host
+    fetch of sampled tokens in ``LLMServer._serve_loop_inner`` is a
+    full relay round trip that does NOT pipeline (same failure mode as
+    the old per-token ASR loop, PERF_NOTES.md); chunking k steps pays
+    it once per k tokens. Inactive slots compute but never advance.
+    """
+    def step(carry, _):
+        toks, cache = carry
+        logits, cache = decode_step_batch(params, cfg, toks, active, cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (_, cache), produced = jax.lax.scan(
+        step, (tokens, cache), None, length=n_steps)
+    return produced, cache
+
+
 # ---------------------------------------------------------------------------
 # Forward: append a token chunk to an existing cache (tool-response
 # re-injection, conversation continuation)
