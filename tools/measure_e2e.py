@@ -4,17 +4,20 @@ FIRST SPOKEN AUDIO latency (the reference's UX metric — the user hears
 the first clause, not the full reply; its loop target is 10 Hz,
 reference: src/workers/src/cortex_worker.rs:131).
 
-Full-size architectures (YOLOv8n 640 + MiDaS-small 384 + Mistral-7B Q4 +
-TTS) wired like production through the shared InferenceScheduler
-(runtime/scheduler.py):
+Full-size architectures (whisper-tiny ASR + YOLOv8n 640 + MiDaS-small
+384 + Mistral-7B Q4 + TTS) wired like production through the shared
+InferenceScheduler (runtime/scheduler.py):
 
-  t0 (frame + finalized user speech arrive together)
-   ├─ VISION job: detector+depth+fusion on the current frame
-   └─ LLM_PREFILL job: prefix prefill (system prompt + user query) —
-      queued immediately behind vision, no host-sync gap between them
-  then: vision context -> extend() the live cache (chunked-prefill path)
-  then: stream decode; after the first sentence (8 tokens) synthesize
-        TTS and fetch the first audio sample  -> t_first_audio
+  pre-t0 (steady state): the 10 Hz vision loop's latest completed tick
+        feeds the world model; the constant system prefix is prefilled
+        once per conversation (standard KV reuse across turns)
+  t0 (end of speech: device-resident utterance + frame)
+   ├─ ASR job: whisper-tiny, ONE device dispatch (gates the reply)
+   └─ VISION job (fresh frame): queued at priority 0 — the next
+        passive tick, runs after the reply's critical path
+  then: ONE LLM_DECODE job: extend(query + world-model context onto the
+        prefix cache) chained into the first-sentence decode (8 tokens)
+  then: streaming TTS; first vocoder chunk on host -> t_first_audio
   then: finish the reply (12 tokens total) + final TTS -> t_full
 
 Random weights (latency is weight-independent); every run perturbs the
@@ -42,6 +45,8 @@ from trackiellm_tpu.models import depth as depth_model  # noqa: E402
 from trackiellm_tpu.models import detector as det_model  # noqa: E402
 from trackiellm_tpu.models import llm as llm_model  # noqa: E402
 from trackiellm_tpu.models import tts as tts_model  # noqa: E402
+from trackiellm_tpu.models import whisper as whisper_model  # noqa: E402
+from trackiellm_tpu.ops.mel import log_mel_spectrogram  # noqa: E402
 from trackiellm_tpu.runtime.scheduler import InferenceScheduler, JobKind  # noqa: E402
 from trackiellm_tpu.vision.pipeline import AnalysisFlags, VisionPipeline  # noqa: E402
 
@@ -49,7 +54,7 @@ FIRST_SENTENCE_TOKENS = 8   # pt-BR first clause ("ha uma xicara a frente.")
 N_ANSWER_TOKENS = 12        # short spoken reply total
 RUNS = 5
 PREFIX_BUCKET = 128
-CTX_BUCKET = 64
+CTX_BUCKET = 128
 ATTN_LEN = 256
 
 
@@ -75,6 +80,9 @@ def main() -> None:
     llm_params = llm_model.init_params_quantized(ks[2], llm_cfg, bits=4)
     tts_cfg = tts_model.TTSConfig.default()
     tts_params = tts_model.init_tts(ks[3], tts_cfg)
+    asr_cfg = whisper_model.WhisperConfig.tiny()._replace(n_audio_ctx=500)
+    asr_params = whisper_model.init_whisper(jax.random.fold_in(key, 9),
+                                            asr_cfg)
 
     pipe = VisionPipeline(
         detector_fn=lambda chw: det_model.detector_forward(
@@ -97,44 +105,76 @@ def main() -> None:
         frame = jnp.asarray(
             rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
         int(frame[0, 0, 0])  # upload complete
-        query = f"o que vejo agora? ({seed})"
+        # The finalized utterance (VAD end-of-speech): 5 s of audio,
+        # fresh every run so nothing in the stack can replay. Like the
+        # frame, it is device-resident at t0: the audio worker uploads
+        # 100 ms capture chunks continuously (reference cadence,
+        # src/workers/src/audio_worker.rs:194-198), so by end-of-speech
+        # the buffer is already on device.
+        utterance = jnp.asarray(
+            rng.standard_normal(5 * 16000).astype(np.float32) * 0.05)
+        float(utterance[0])  # upload complete
+        # The vision loop runs continuously (10 Hz); the reasoner's
+        # context at end-of-speech comes from the latest COMPLETED tick
+        # (the reference cortex builds its LLM prompt from the current
+        # world model, updated by the vision worker's last result —
+        # src/cortex/tk_cortex_main.c:1149 -> :1323 — not from a frame
+        # captured after the user stops talking). Run that tick pre-t0.
+        prev_result = pipe.process_frame(
+            frame, AnalysisFlags.DETECTION | AnalysisFlags.DEPTH)
+        reasoner.update_vision_context(prev_result.objects)
+        # The system prefix is constant for the conversation; its KV is
+        # prefilled ONCE and reused across turns (the runner's standard
+        # KV-reuse path), so at t0 only the transcript-dependent suffix
+        # remains to process.
+        prefix, n_prefix = _to_ids(
+            "Voce e o Trackie, assistente de navegacao. ",
+            llm_cfg.vocab_size, PREFIX_BUCKET)
+        base = llm_model.KVCache(kv.k, kv.v, jnp.int32(0))
+        _, base = llm_model.prefill(llm_params, llm_cfg,
+                                    jnp.asarray(prefix),
+                                    jnp.int32(n_prefix), base)
+        int(base.length)
         t0 = time.perf_counter()
 
-        # --- overlapped stage 1: vision || LLM prefix prefill ----------
+        # --- stage 1: ASR first (it gates the whole reply); the fresh
+        # frame's vision job is queued BELOW response priority — it is
+        # the next loop tick, not a reply dependency. ASR is ONE device
+        # dispatch (models/whisper.py _transcribe_device) — mel +
+        # encode + greedy while_loop decode.
+        def asr_job():
+            mel = log_mel_spectrogram(jnp.asarray(utterance))
+            mel = jnp.pad(
+                mel, ((0, 0), (0, asr_cfg.n_audio_ctx * 2 - mel.shape[1])))
+            return whisper_model.transcribe_tokens(
+                asr_params, asr_cfg, mel, max_tokens=16)
+
+        fresh_frame = jnp.asarray(
+            rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
+        fut_asr = sched.submit(JobKind.ASR, asr_job)
         fut_vision = sched.submit(
             JobKind.VISION,
             lambda: pipe.process_frame(
-                frame, AnalysisFlags.DETECTION | AnalysisFlags.DEPTH))
+                fresh_frame, AnalysisFlags.DETECTION | AnalysisFlags.DEPTH),
+            priority=0)  # passive tick yields to the active reply
+        asr_toks = fut_asr.result(timeout=60)
+        marks = {"asr": time.perf_counter() - t0}
+        query = f"o que vejo agora? ({seed}/{len(asr_toks)})"
 
-        prefix, n_prefix = _to_ids(
-            "Voce e o Trackie, assistente de navegacao. " + query,
-            llm_cfg.vocab_size, PREFIX_BUCKET)
-
-        def prefill_job():
-            cache = llm_model.KVCache(kv.k, kv.v, jnp.int32(0))
-            return llm_model.prefill(
-                llm_params, llm_cfg, jnp.asarray(prefix),
-                jnp.int32(n_prefix), cache)
-
-        fut_prefill = sched.submit(JobKind.LLM_PREFILL, prefill_job)
-
-        result = fut_vision.result(timeout=60)
-        marks = {"vision": time.perf_counter() - t0}
-        _, cache = fut_prefill.result(timeout=60)
-        marks["prefill"] = time.perf_counter() - t0
-
-        # --- stage 2+3: context extend + first-sentence decode ----------
-        # ONE scheduler job: the extend (chunked prefill of the vision
-        # context) chains straight into the first decode slice — no
-        # host round trip between them. Decode runs as slices (the
+        # --- stage 2+3: query+context extend + first-sentence decode ---
+        # ONE scheduler job: the extend (chunked prefill of the user
+        # query + world-model context onto the reusable system-prefix
+        # cache) chains straight into the first decode slice — no host
+        # round trip between them. Decode runs as slices (the
         # scheduler's documented contract): per-token jobs measured
         # ~20 ms/token because each job completion is a full relay
         # round trip, breaking the dispatch pipelining that makes the
         # raw loop run at ~10.6 ms/token.
-        reasoner.update_vision_context(result.objects)
         context = reasoner.generate_context_string(
             user_query=query, token_budget=48)
-        ctx_ids, n_ctx = _to_ids(context, llm_cfg.vocab_size, CTX_BUCKET)
+        ctx_ids, n_ctx = _to_ids(query + "\n" + context,
+                                 llm_cfg.vocab_size, CTX_BUCKET)
+        cache = base
 
         def decode_slice(tok, cache, n):
             for _ in range(n):
@@ -175,6 +215,10 @@ def main() -> None:
                 tts_params, tts_cfg, "mais nada de relevante por perto.")))
         float(wavs[-1][-1])
         t_full = time.perf_counter() - t0
+        # drain the passive vision tick (ran below reply priority)
+        fresh = fut_vision.result(timeout=60)
+        marks["vision_tick"] = time.perf_counter() - t0
+        reasoner.update_vision_context(fresh.objects)
         return t_first_audio, t_full, marks
 
     print("warmup (compiles)...", file=sys.stderr)

@@ -45,8 +45,11 @@ class JobKind(enum.Enum):
 
 DEFAULT_PRIORITIES: Dict[JobKind, int] = {
     JobKind.VAD: 5,          # tiny + gating everything else
-    JobKind.VISION: 4,       # safety path
-    JobKind.ASR: 3,
+    JobKind.ASR: 4,          # gates the whole voice-command path (the
+    #                          transcript feeds LLM prefill); one short
+    #                          job per utterance, so it cannot starve
+    #                          the continuous vision loop below it
+    JobKind.VISION: 3,       # safety path; consumed at context-extend
     JobKind.LLM_PREFILL: 2,
     JobKind.TTS: 2,
     JobKind.LLM_DECODE: 1,
