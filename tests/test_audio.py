@@ -159,6 +159,23 @@ class TestTTS:
         np.testing.assert_allclose(first, full[:len(first)],
                                    rtol=1e-5, atol=1e-5)
 
+    def test_latency_bucket_matches_full_config(self):
+        """A short clause streamed through the small (32, 256) acoustic
+        bucket must reproduce the full-config one-shot waveform — the
+        bucket is a compile-size optimization, not a different model
+        (padding is masked, so valid positions see identical math)."""
+        cfg = tts_model.TTSConfig(d_model=32, voc_ch=32,
+                                  max_chars=96, max_frames=384)
+        params = tts_model.init_tts(jax.random.PRNGKey(3), cfg)
+        text = "uma xicara a frente."
+        assert tts_model.bucket_config(cfg, len(text)).max_chars == 32
+        full, n = tts_model.synthesize(params, cfg, text)
+        chunks = list(tts_model.synthesize_streaming(
+            params, cfg, text, chunk_frames=16, overlap=8))
+        wav = np.concatenate(chunks)
+        assert len(wav) == n
+        np.testing.assert_allclose(wav, full, rtol=1e-4, atol=1e-5)
+
 
 class TestSoundClassifier:
     def test_probabilities(self, rng):

@@ -177,6 +177,27 @@ def vocoder_forward_chunk(params: Dict[str, Any], cfg: TTSConfig,
     return vocoder_forward.__wrapped__(params, cfg, mel_chunk)
 
 
+# Short-clause latency buckets: (max_chars, max_frames), small -> full.
+# Every TTS weight is shape-independent of the (max_chars, max_frames)
+# statics, so a short first clause can run a ~2x cheaper acoustic
+# program with the SAME params. The frame budget is 8 frames/char —
+# conservative above trained Piper-class durations (~5-7 frames/char at
+# rate 1); a clause that could outgrow its bucket takes the next one.
+LATENCY_BUCKETS = ((32, 256), (64, 320))
+
+
+def bucket_config(cfg: TTSConfig, n_chars: int) -> TTSConfig:
+    """Smallest compile bucket that safely covers ``n_chars`` of text
+    (falls back to ``cfg`` itself). Mel output for the valid frames is
+    identical across buckets: padding positions are masked to zero, so
+    the convolutions see the same neighborhood everywhere valid."""
+    for mc, mf in LATENCY_BUCKETS:
+        if (n_chars <= mc < cfg.max_chars and mf < cfg.max_frames
+                and 8 * n_chars <= mf):
+            return cfg._replace(max_chars=mc, max_frames=mf)
+    return cfg
+
+
 def synthesize_streaming(params: Dict[str, Any], cfg: TTSConfig, text: str,
                          rate: float = 1.0, frontend=None,
                          chunk_frames: int = 64, overlap: int = 8):
@@ -196,6 +217,11 @@ def synthesize_streaming(params: Dict[str, Any], cfg: TTSConfig, text: str,
     """
     import numpy as np
 
+    # Short clauses drop into a cheaper compile bucket (same weights) —
+    # this is the time-to-first-audio path, so the acoustic pass size
+    # matters more than one extra program variant.
+    probe_ids, probe_n = (frontend or text_to_ids)(text, cfg.max_chars)
+    cfg = bucket_config(cfg, probe_n)
     ids, n = (frontend or text_to_ids)(text, cfg.max_chars)
     mel, n_frames_dev = acoustic_forward(params, cfg, jnp.asarray(ids),
                                          jnp.int32(n), jnp.float32(rate))
