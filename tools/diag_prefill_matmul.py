@@ -2,13 +2,14 @@
 """Where is the prefill/extend crossover between the Pallas W4A8 kernel
 and XLA dequant-then-matmul?
 
-Decode (M=1) is settled: the Pallas kernel streams Q4 bytes at
-378 GB/s. But prefill/extend run M in {32..256} through the same kernel
-(ops/quant.py routes m <= 256 to Pallas), where the balance shifts:
-XLA pays 4x weight traffic (f32 dequant materialization) but gets
-MXU-optimal matmul tiling; the Pallas kernel reads 4x less but does its
-dot in group-sized K slices. Chained in-jit timing with fresh
-activations per rep (relay memoization hygiene per PERF_NOTES.md).
+VERDICT OF THIS PROBE: **unreliable — do not use its numbers.** Its
+isolated chained matmuls report 54 ms for a 4096x4096 M=128 pallas
+call, while the SAME call inside the full 32-layer prefill costs
+~0.4 ms (in-model prefill@128 = 50 ms total, value-fetch synced).
+This re-confirms PERF_NOTES.md: isolated matmul microbenches through
+the relay are meaningless; only full-model A/Bs decide. The live A/B
+lever is TRACKIE_PREFILL_XLA_M (ops/quant.py) measured through
+in-model prefill timing. Kept as a cautionary example.
 """
 
 import os

@@ -540,7 +540,11 @@ def quantized_matmul(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
     x2 = x.reshape(-1, x.shape[-1])
     m = x2.shape[0]
     g = qw.group_size
-    if not _on_tpu() or m > 256:
+    # TRACKIE_PREFILL_XLA_M: route m >= this to XLA dequant-then-matmul
+    # (prefill/extend A/B lever; isolated microbenches are meaningless
+    # through the relay, so the threshold is set by full-model timing).
+    xla_m = int(os.environ.get("TRACKIE_PREFILL_XLA_M", "257"))
+    if not _on_tpu() or m > 256 or m >= xla_m:
         out = quantized_matmul_xla(x2, qw)
     elif qw.values.dtype == jnp.int8:
         tile_k, tile_n = _pick_tiles_for(qw.k, qw.n, g, m, halves=1)
