@@ -47,6 +47,23 @@ class TestWhisperASREngine:
         asr.set_language(0)
 
 
+class TestStreamingOverRealASR:
+    def test_partial_passes_and_final(self, asr):
+        """StreamingTranscriber over the real (tiny) Whisper engine:
+        passes run during feeding and finalize equals the engine's own
+        full-segment transcription."""
+        from trackiellm_tpu.audio.streaming_asr import StreamingTranscriber
+
+        st = StreamingTranscriber(asr, refresh_s=0.2)
+        rng = np.random.default_rng(5)
+        audio = 0.1 * rng.standard_normal(8000).astype(np.float32)
+        for i in range(0, 8000, 1600):  # 100 ms chunks
+            st.feed(audio[i:i + 1600])
+        assert st.passes >= 2
+        final = st.finalize(audio)
+        assert final == asr.transcribe(audio)
+
+
 class TestTTSEngine:
     def test_synthesize_buffer(self, tts):
         wav = tts.synthesize("hello world.")

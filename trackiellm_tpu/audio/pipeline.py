@@ -91,7 +91,9 @@ class AudioPipeline:
       sound_fn(window f32[T]) -> class name str or None
     Callbacks: on_wake(), on_speech_start(), on_speech_end(),
       on_transcription(text), on_sound(name), on_tts_audio(wav, priority)
-      (fires once per chunk in streaming mode), on_state_change(old, new).
+      (fires once per chunk in streaming mode), on_state_change(old, new),
+      on_partial_transcription(stable_text) (streaming_asr only; fires
+      as the LocalAgreement stable prefix grows mid-utterance).
     """
 
     def __init__(self, config: Optional[AudioPipelineConfig] = None,
@@ -101,10 +103,18 @@ class AudioPipeline:
                  wake_fn: Optional[Callable] = None,
                  sound_fn: Optional[Callable] = None,
                  tts_stream_fn: Optional[Callable] = None,
+                 streaming_asr=None,
                  **callbacks: Callable):
         self.config = config or AudioPipelineConfig()
         self.vad_fn = vad_fn
         self.asr_fn = asr_fn
+        # Optional audio.streaming_asr.StreamingTranscriber: speech
+        # chunks are fed DURING the utterance and the agreed stable
+        # prefix is emitted via on_partial_transcription(text) —
+        # consumers can start acting (LLM prompt prefill) before
+        # end-of-speech. The final transcript still comes from one
+        # authoritative full-buffer pass (finalize).
+        self.streaming_asr = streaming_asr
         self.tts_fn = tts_fn
         self.tts_stream_fn = tts_stream_fn
         self.wake_fn = wake_fn
@@ -191,8 +201,13 @@ class AudioPipeline:
                 self._in_speech = True
                 self._speech_buf = list(self._pre_roll)
                 self._emit("on_speech_start")
+                if self.streaming_asr:
+                    self.streaming_asr.reset()
+                    for c in self._speech_buf:  # pre-roll belongs too
+                        self._feed_streaming(c)
             self._speech_buf.append(chunk)
             self._silence_ms = 0.0
+            self._feed_streaming(chunk)
         else:
             if self._in_speech:
                 self._speech_buf.append(chunk)
@@ -209,17 +224,34 @@ class AudioPipeline:
                 and sum(len(c) for c in self._speech_buf) >= max_len):
             self._finish_utterance()
 
+    def _feed_streaming(self, chunk: np.ndarray) -> None:
+        if not self.streaming_asr:
+            return
+        try:
+            grown = self.streaming_asr.feed(chunk)
+        except Exception as e:  # partials must not kill capture
+            log.warning("streaming ASR feed failed: %s", e)
+            return
+        if grown:
+            self._emit("on_partial_transcription", grown)
+
     def _finish_utterance(self) -> None:
         self._emit("on_speech_end")
         audio = (np.concatenate(self._speech_buf)
                  if self._speech_buf else np.zeros(0, np.float32))
         self._reset_listening()
-        if self.asr_fn is None or len(audio) == 0:
+        if (self.asr_fn is None and self.streaming_asr is None) \
+                or len(audio) == 0:
+            if self.streaming_asr:
+                self.streaming_asr.reset()
             self._set_state(self._idle_state())
             return
         self._set_state(AudioState.TRANSCRIBING)
         try:
-            text = self.asr_fn(audio)
+            if self.streaming_asr is not None:
+                text = self.streaming_asr.finalize(audio)
+            else:
+                text = self.asr_fn(audio)
         except Exception as e:
             log.warning("ASR failed: %s", e)
             text = ""
