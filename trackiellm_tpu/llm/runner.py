@@ -103,6 +103,7 @@ class LLMRunner:
         self._key = jax.random.PRNGKey(self.gen.seed)
         self._grammar: Optional[ToolCallGrammar] = None
         self._next_logits: Optional[jnp.ndarray] = None
+        self._primed_ids: Optional[List[int]] = None
         self._host_len = 0
         self._chat_turns: List[tuple] = []
         self._generated_ids: List[int] = []
@@ -169,8 +170,6 @@ class LLMRunner:
         tk_cortex_main.c:1334) is middle-cut, with a warning.
         """
         ids = self.tokenizer.encode(prompt, add_bos=True)
-        buckets = ([b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
-                   or [self.cfg.max_seq])
         hard_limit = max(self.cfg.max_seq - self.gen.max_tokens - 1, 16)
         if len(ids) > hard_limit:
             # True window overflow: keep the system/instruction head and
@@ -180,6 +179,46 @@ class LLMRunner:
             log.warning("prompt of %d tokens exceeds the %d-token window "
                         "budget; truncated", len(ids), hard_limit)
             ids = ids[:head] + ids[-tail:]
+
+        primed = self._primed_ids
+        self._primed_ids = None
+        if (primed and len(primed) <= len(ids)
+                and ids[: len(primed)] == primed):
+            # The primed cache already holds this prompt's prefix (the
+            # streaming-ASR stable transcript prefilled mid-utterance):
+            # only the remainder is processed here.
+            rest = ids[len(primed):]
+            logits = self._next_logits
+            pos = 0
+            chunk_cap = EXTEND_BUCKETS[-1]
+            while pos < len(rest):
+                chunk = rest[pos: pos + chunk_cap]
+                logits = self._extend_ids(chunk)
+                pos += len(chunk)
+            self._next_logits = logits
+        else:
+            if primed:
+                log.info("primed prefix did not match the final prompt; "
+                         "re-prefilling from scratch")
+            self._ingest_ids(ids)
+        self._generated_ids = []
+        self._generated_text = ""
+        self._n_emitted = 0
+        self._done = False
+        if force_tool_call:
+            if not tools:
+                raise TrackieError(ErrorCode.TOOL_CALL_INVALID,
+                                   "force_tool_call requires tools")
+            self._grammar = ToolCallGrammar([t.name for t in tools])
+        else:
+            self._grammar = None
+
+    def _ingest_ids(self, ids) -> None:
+        """Fresh-cache prompt ingestion: bucketed prefill of the head,
+        chunked extend of the remainder (shared by prepare_generation
+        and prime)."""
+        buckets = ([b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
+                   or [self.cfg.max_seq])
         n = len(ids)
         first_n = min(n, buckets[-1])
         bucket = _bucket_for(first_n, buckets)
@@ -204,17 +243,34 @@ class LLMRunner:
             logits = self._extend_ids(chunk)
             pos += len(chunk)
         self._next_logits = logits
-        self._generated_ids = []
-        self._generated_text = ""
-        self._n_emitted = 0
-        self._done = False
-        if force_tool_call:
-            if not tools:
-                raise TrackieError(ErrorCode.TOOL_CALL_INVALID,
-                                   "force_tool_call requires tools")
-            self._grammar = ToolCallGrammar([t.name for t in tools])
+
+    def prime(self, prompt_prefix: str) -> None:
+        """Prefill a prompt PREFIX before the full prompt is known.
+
+        The streaming-ASR integration point (audio/streaming_asr.py):
+        as the LocalAgreement stable transcript grows mid-utterance,
+        the cortex can prime the runner with the prompt-so-far; the
+        following prepare_generation()/generate() whose tokenized
+        prompt starts with the primed ids extends ONLY the remainder —
+        the bulk of prompt processing happens while the user is still
+        speaking. A non-matching final prompt falls back to a full
+        re-prefill (correctness never depends on the prime).
+        Re-priming with a longer prefix extends incrementally when the
+        previous prime is its prefix."""
+        ids = self.tokenizer.encode(prompt_prefix, add_bos=True)
+        prev = self._primed_ids
+        if (prev and len(prev) <= len(ids)
+                and ids[: len(prev)] == prev):
+            rest = ids[len(prev):]
+            pos = 0
+            chunk_cap = EXTEND_BUCKETS[-1]
+            while pos < len(rest):
+                chunk = rest[pos: pos + chunk_cap]
+                self._next_logits = self._extend_ids(chunk)
+                pos += len(chunk)
         else:
-            self._grammar = None
+            self._ingest_ids(ids)
+        self._primed_ids = list(ids)
 
     def _attn_bucket(self) -> Optional[int]:
         """Smallest attention bucket covering the live prefix (+1 for the
@@ -565,5 +621,6 @@ class LLMRunner:
         self._done = False
         self._grammar = None
         self._committed_ids = []
+        self._primed_ids = None
         self._pending_spec = []
         self._spec_index = 0
