@@ -260,6 +260,12 @@ class StubLLM:
 
 
 class TestCortexEventLoop:
+    @staticmethod
+    def _await(cond, timeout):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline and not cond():
+            time.sleep(0.02)
+
     def _drain(self, cortex, timeout=2.0):
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
@@ -301,6 +307,76 @@ class TestCortexEventLoop:
         assert c.memory.get_fact("nome") == "Ana"
         assert llm.tool_responses and llm.tool_responses[0][0] == "set_fact"
         assert responses[-1] == "Certo, vou lembrar que seu nome é Ana."
+
+    def test_partial_transcripts_prime_the_runner(self):
+        """Streaming-ASR partials must prime the LLM with a byte prefix
+        of the final prompt, and the final turn must reuse the frozen
+        context so the prefix actually matches."""
+
+        class PrimingStubLLM(StubLLM):
+            def __init__(self, responses):
+                super().__init__(responses)
+                self.primed = []
+
+            def prime(self, prefix):
+                self.primed.append(prefix)
+
+        responses = []
+        llm = PrimingStubLLM(["ha uma mesa a frente."])
+        c = Cortex(llm_runner=llm, on_response=responses.append)
+        c.run()
+        c.inject_partial_transcript("o que")
+        c.inject_partial_transcript("o que voce ve")
+        c.inject_user_text("o que voce ve agora?")
+        self._await(lambda: responses, 5.0)
+        c.stop(timeout=3.0)
+        assert responses == ["ha uma mesa a frente."]
+        assert len(llm.primed) == 2
+        assert llm.primed[1].endswith("o que voce ve")
+        assert c.stats.get("partial_primes") == 2
+        # The final generation's prompt starts with the primed prefix
+        # (context was frozen at the first partial).
+        final_prompt = "\n".join(llm.prompts[-1])
+        assert llm.primed[1] in final_prompt.replace("\n", "\n")
+        assert c._partial_ctx is None  # consumed by the final turn
+
+    def test_partial_without_prime_support_is_noop(self):
+        responses = []
+        llm = StubLLM(["resposta"])  # no prime() method
+        c = Cortex(llm_runner=llm, on_response=responses.append)
+        c.run()
+        c.inject_partial_transcript("o que")
+        c.inject_user_text("o que voce ve?")
+        self._await(lambda: responses, 5.0)
+        c.stop(timeout=3.0)
+        assert responses == ["resposta"]
+
+    def test_partials_with_real_runner_end_to_end(self):
+        """Cortex + real tiny LLMRunner: priming mid-utterance then the
+        final turn completes and the runner actually consumed the
+        primed prefix (no full re-prefill warning path)."""
+        import jax
+        import jax.numpy as jnp
+
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+        from trackiellm_tpu.models import llm as llm_model
+
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        runner = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                           GenerationConfig(max_tokens=8, temperature=0.0),
+                           cache_dtype=jnp.float32)
+        responses = []
+        c = Cortex(llm_runner=runner, on_response=responses.append)
+        c.run()
+        c.inject_partial_transcript("o que voce")
+        c.inject_user_text("o que voce ve?")
+        self._await(lambda: responses, 60.0)
+        c.stop(timeout=10.0)
+        assert len(responses) == 1 and isinstance(responses[0], str)
+        assert c.stats.get("partial_primes") == 1
 
     def test_vision_event_updates_context_and_alerts(self):
         spoken = []

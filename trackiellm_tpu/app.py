@@ -49,6 +49,7 @@ class TrackieApp:
         detector_fn=None, depth_fn=None, ocr_fn=None,
         vad_fn=None, asr_fn=None, tts_fn=None, wake_fn=None, sound_fn=None,
         tts_stream_fn=None,
+        streaming_asr=False,
         llm_runner=None,
         on_spoken_audio: Optional[Callable] = None,
     ):
@@ -110,9 +111,15 @@ class TrackieApp:
             vad_fn=vad_fn, asr_fn=asr_fn, tts_fn=tts_fn,
             tts_stream_fn=tts_stream_fn,
             wake_fn=wake_fn, sound_fn=sound_fn,
+            streaming_asr=self._build_streaming_asr(streaming_asr, asr_fn),
             on_transcription=self._on_transcription,
             on_sound=self._on_sound,
             on_tts_audio=self._on_tts_audio,
+            # Partial stable transcripts go straight to the cortex so
+            # it can prime the LLM mid-utterance (the cortex exists by
+            # the time audio flows; capture is deferred via self).
+            on_partial_transcription=lambda t:
+                self.cortex.inject_partial_transcript(t),
         )
 
         self.cortex = Cortex(
@@ -129,6 +136,20 @@ class TrackieApp:
         self.watchdog = Watchdog(self.tasks)
         self.sources = sources or AppSources()
         self._started = False
+
+    @staticmethod
+    def _build_streaming_asr(streaming_asr, asr_fn):
+        """streaming_asr=True builds a LocalAgreement transcriber over
+        the (scheduler-routed) ASR; a ready StreamingTranscriber passes
+        through; False/None disables partials."""
+        if not streaming_asr or asr_fn is None:
+            return None
+        if streaming_asr is True:
+            from trackiellm_tpu.audio.streaming_asr import (
+                StreamingTranscriber)
+
+            return StreamingTranscriber(asr_fn)
+        return streaming_asr
 
     # -- bus glue -----------------------------------------------------------
     def _on_transcription(self, text: str) -> None:

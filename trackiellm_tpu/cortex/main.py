@@ -63,6 +63,7 @@ class CortexState(enum.Enum):
 
 class EventType(enum.Enum):
     NEW_VIDEO_FRAME = "new_video_frame"
+    USER_SPEECH_PARTIAL = "user_speech_partial"
     USER_SPEECH_FINAL = "user_speech_final"
     SIGNIFICANT_VISION_CHANGE = "significant_vision_change"
     AMBIENT_SOUND = "ambient_sound"
@@ -173,6 +174,11 @@ class Cortex:
         self.feedback = FeedbackManager(speak_fn=self._speak)
         self.commands = CommandParser()
         self._last_response = ""
+        # Context/tools frozen at the first streaming-ASR partial of an
+        # utterance, so the primed prompt prefix byte-matches the final
+        # prompt (the final turn reuses them; see
+        # _process_partial_transcript).
+        self._partial_ctx = None
 
         self._on_response = on_response
         self._on_state_change = on_state_change
@@ -258,6 +264,15 @@ class Cortex:
     def inject_user_text(self, text: str) -> None:
         self._enqueue(CortexEvent(EventType.USER_SPEECH_FINAL, text))
 
+    def inject_partial_transcript(self, stable_text: str) -> None:
+        """Streaming-ASR hook (audio/streaming_asr.py partials): the
+        agreed stable transcript prefix, emitted while the user is
+        still speaking. The cortex primes the LLM with the
+        prompt-so-far so the final turn extends only the tail.
+        Advisory — drops are harmless (the final turn re-prefills)."""
+        self._enqueue(CortexEvent(EventType.USER_SPEECH_PARTIAL,
+                                  stable_text), drop_ok=True)
+
     def inject_ambient_sound(self, sound_class: str) -> None:
         self._enqueue(CortexEvent(EventType.AMBIENT_SOUND, sound_class))
 
@@ -328,6 +343,8 @@ class Cortex:
         """Parity: cortex_handle_event (:1053)."""
         if event.type is EventType.NEW_VIDEO_FRAME:
             self._process_vision()
+        elif event.type is EventType.USER_SPEECH_PARTIAL:
+            self._process_partial_transcript(event.payload)
         elif event.type is EventType.USER_SPEECH_FINAL:
             self._process_user_speech(event.payload)
         elif event.type is EventType.AMBIENT_SOUND:
@@ -402,8 +419,49 @@ class Cortex:
     # Speech / LLM path (parity: cortex_run_llm_inference :1323)
     # ------------------------------------------------------------------
 
+    def _process_partial_transcript(self, stable_text: str) -> None:
+        """Prime the LLM with the prompt-so-far while the user is still
+        speaking (streaming-ASR stable prefix). Runs on the cortex
+        event thread, so it can never race an in-flight generation —
+        partials queued behind a USER_SPEECH_FINAL simply arrive after
+        it and re-prime for nothing (harmless)."""
+        if (self.llm is None or not stable_text
+                or not hasattr(self.llm, "prime")):
+            return
+        if self._partial_ctx is None:
+            budget = self.config.llm_token_budget
+            count_fn = getattr(self.llm, "count_tokens", None)
+            max_prompt = getattr(self.llm, "max_prompt_tokens", None)
+            if count_fn is not None and max_prompt is not None:
+                overhead = (count_fn(self.config.system_prompt)
+                            + count_fn(stable_text) + 160)
+                budget = max(min(budget, max_prompt - overhead), 16)
+            from trackiellm_tpu.llm.runner import ToolDefinition
+
+            context = self.reasoner.generate_context_string(
+                user_query=stable_text, token_budget=budget,
+                count_fn=count_fn)
+            tools = [ToolDefinition(n, n.replace("_", " "), {})
+                     for n in self.decisions.tool_names]
+            self._partial_ctx = (context, tools)
+        context, tools = self._partial_ctx
+        prompt = self.llm.build_prompt(self.config.system_prompt, context,
+                                       stable_text, tools)
+        # Strip the prompt-format closing so the primed text is a true
+        # byte prefix of the final prompt (same format, longer user
+        # text).
+        if prompt.endswith(" [/INST]"):
+            prompt = prompt[: -len(" [/INST]")]
+        try:
+            self.llm.prime(prompt)
+            self.stats["partial_primes"] = (
+                self.stats.get("partial_primes", 0) + 1)
+        except Exception as e:  # priming is best-effort
+            log.warning("partial-transcript prime failed: %s", e)
+
     def _process_user_speech(self, text: str) -> None:
         self._set_state(CortexState.PROCESSING)
+        frozen, self._partial_ctx = self._partial_ctx, None
 
         # Fast-path intents bypass LLM inference entirely (parity:
         # tk_voice_commands' keyword shim ahead of the model).
@@ -439,19 +497,25 @@ class Cortex:
         # Budget the context against the runner's REAL window/tokenizer
         # when available (a 2048 budget against a small window would
         # overflow the prompt bucket).
-        budget = self.config.llm_token_budget
-        count_fn = getattr(self.llm, "count_tokens", None)
-        max_prompt = getattr(self.llm, "max_prompt_tokens", None)
-        if count_fn is not None and max_prompt is not None:
-            overhead = (count_fn(self.config.system_prompt)
-                        + count_fn(text) + 128)
-            budget = max(min(budget, max_prompt - overhead), 16)
-        context = self.reasoner.generate_context_string(
-            user_query=text, token_budget=budget, count_fn=count_fn)
-        from trackiellm_tpu.llm.runner import ToolDefinition
+        if frozen is not None:
+            # Streaming-ASR partials primed the runner against THIS
+            # context/tool list; regenerating would break the byte
+            # prefix and waste the primed cache.
+            context, tools = frozen
+        else:
+            budget = self.config.llm_token_budget
+            count_fn = getattr(self.llm, "count_tokens", None)
+            max_prompt = getattr(self.llm, "max_prompt_tokens", None)
+            if count_fn is not None and max_prompt is not None:
+                overhead = (count_fn(self.config.system_prompt)
+                            + count_fn(text) + 128)
+                budget = max(min(budget, max_prompt - overhead), 16)
+            context = self.reasoner.generate_context_string(
+                user_query=text, token_budget=budget, count_fn=count_fn)
+            from trackiellm_tpu.llm.runner import ToolDefinition
 
-        tools = [ToolDefinition(n, n.replace("_", " "), {})
-                 for n in self.decisions.tool_names]
+            tools = [ToolDefinition(n, n.replace("_", " "), {})
+                     for n in self.decisions.tool_names]
         prompt = self.llm.build_prompt(self.config.system_prompt, context,
                                        text, tools)
 
