@@ -151,6 +151,43 @@ class TestLLMServer:
                                       np.stack(ref_toks))
         assert got_cache.lengths.tolist() == ref_cache.lengths.tolist()
 
+    def test_paged_chunked_matches_paged_single_step(self, params):
+        """The paged device-chunk fast path must match the paged
+        per-step loop byte-for-byte, including page pre-growth."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        cases = [("ola paged", 6), ("resposta longa paged", 19)]
+        single = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, paged=True,
+                           page_size=8, n_pages=40, chunk_steps=1)
+        try:
+            want = [single.generate(p, max_tokens=m) for p, m in cases]
+        finally:
+            single.close()
+        chunked = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                            cache_dtype=jnp.float32, paged=True,
+                            page_size=8, n_pages=40, chunk_steps=4)
+        try:
+            got = [chunked.generate(p, max_tokens=m) for p, m in cases]
+        finally:
+            chunked.close()
+        assert got == want
+
+    def test_paged_chunk_falls_back_when_pool_tight(self, params):
+        """With too few free pages to pre-grow a full chunk, the server
+        must fall back to the single-step path (which owns preemption)
+        and still complete every request."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, paged=True,
+                           page_size=8, n_pages=6, chunk_steps=4)
+        try:
+            futs = [server.submit(f"p{i}", max_tokens=10)
+                    for i in range(3)]
+            outs = [f.result(timeout=120) for f in futs]
+            assert all(isinstance(o, str) for o in outs)
+        finally:
+            server.close()
+
     def test_close_fails_pending(self, params):
         """submit() after close fails FAST (no Future left to hang on a
         dead serve loop)."""

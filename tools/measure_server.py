@@ -56,9 +56,13 @@ def main() -> None:
         jax.random.PRNGKey(seed), cfg, bits=4)
     tok = ByteTokenizer(cfg.vocab_size)
 
-    for label, chunk in (("per_step", 1), ("chunk8", 8)):
+    for label, chunk, paged in (("per_step", 1, False),
+                                ("chunk8", 8, False),
+                                ("paged_per_step", 1, True),
+                                ("paged_chunk8", 8, True)):
+        kw = dict(paged=True, page_size=64) if paged else {}
         server = LLMServer(params, cfg, batch_slots=8, tokenizer=tok,
-                           chunk_steps=chunk)
+                           chunk_steps=chunk, **kw)
         try:
             res = run(server, seed)
         finally:

@@ -183,6 +183,37 @@ def decode_step_batch_paged(
     return logits.astype(jnp.float32), new_k, new_v
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def decode_steps_batch_paged(
+    params: Dict[str, Any],
+    cfg: llm_model.LLMConfig,
+    tokens: jnp.ndarray,       # (B,) int32
+    active: jnp.ndarray,       # (B,) bool
+    pool_k: jnp.ndarray,
+    pool_v: jnp.ndarray,
+    tables: jnp.ndarray,       # (B, max_pages) int32
+    lengths: jnp.ndarray,      # (B,) int32
+    n_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``n_steps`` greedy paged batch-decode steps as ONE program
+    (lax.scan over decode_step_batch_paged with on-device argmax
+    feedback) — the paged twin of models/llm.py decode_steps_batch.
+    The caller must have pre-grown every active slot's page table to
+    cover ``lengths + n_steps`` (tables are static inside the program).
+    Returns (produced (n_steps, B), pool_k, pool_v)."""
+    def step(carry, _):
+        toks, pk, pv, lens = carry
+        logits, pk, pv = decode_step_batch_paged(
+            params, cfg, toks, active, pk, pv, tables, lens)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lens = jnp.where(active, lens + 1, lens)
+        return (nxt, pk, pv, lens), nxt
+
+    (_, pool_k, pool_v, _), produced = jax.lax.scan(
+        step, (tokens, pool_k, pool_v, lengths), None, length=n_steps)
+    return produced, pool_k, pool_v
+
+
 class PagedKVPool:
     """Host-side page allocator over device pools.
 
@@ -220,6 +251,26 @@ class PagedKVPool:
                 self._tables[seq_id]):
             self._tables[seq_id].append(self._alloc_page())
 
+    def pages_needed_for(self, seq_ids, n: int) -> int:
+        """Pages the given sequences would need to decode ``n`` more
+        tokens each (chunk admission check; None entries skipped)."""
+        need = 0
+        for s in seq_ids:
+            if s is None:
+                continue
+            covered = len(self._tables[s]) * self.page_size
+            short = self._lengths[s] + n - covered
+            if short > 0:
+                need += (short + self.page_size - 1) // self.page_size
+        return need
+
+    def ensure_capacity_for(self, seq_id: int, n: int) -> None:
+        """Pre-grow the table so ``n`` more tokens fit — required before
+        a multi-step device chunk (tables are static inside it)."""
+        target = self._lengths[seq_id] + n
+        while len(self._tables[seq_id]) * self.page_size < target:
+            self._tables[seq_id].append(self._alloc_page())
+
     def batch_decode_step(self, params, tokens, seq_ids) -> jnp.ndarray:
         """One batched step over the shared pool. ``seq_ids`` may contain
         None for inactive slots. Returns (B, V) logits."""
@@ -243,6 +294,37 @@ class PagedKVPool:
             if a:
                 self._lengths[s] += 1
         return logits
+
+    def batch_decode_steps(self, params, tokens, seq_ids,
+                           n_steps: int) -> jnp.ndarray:
+        """``n_steps`` greedy steps over the shared pool in ONE device
+        program + one host fetch (the server's paged steady-state fast
+        path). Raises DEVICE_OOM before touching the device if the pool
+        cannot pre-grow every active slot (callers fall back to the
+        single-step path, which has preemption handling). Returns
+        produced tokens (n_steps, B) on device."""
+        active = [s is not None for s in seq_ids]
+        if self.pages_needed_for(seq_ids, n_steps) > self.free_pages:
+            raise TrackieError(ErrorCode.DEVICE_OOM,
+                               "KV page pool exhausted")
+        for s, a in zip(seq_ids, active):
+            if a:
+                self.ensure_capacity_for(s, n_steps)
+        max_pages = self.cfg.max_seq // self.page_size
+        tables = jnp.stack([
+            self._table_array(s) if a else jnp.zeros((max_pages,), jnp.int32)
+            for s, a in zip(seq_ids, active)])
+        lengths = jnp.asarray([self._lengths[s] if a else 0
+                               for s, a in zip(seq_ids, active)], jnp.int32)
+        toks = jnp.asarray([t if t is not None else 0 for t in tokens],
+                           jnp.int32)
+        produced, self.pool_k, self.pool_v = decode_steps_batch_paged(
+            params, self.cfg, toks, jnp.asarray(active), self.pool_k,
+            self.pool_v, tables, lengths, n_steps)
+        for s, a in zip(seq_ids, active):
+            if a:
+                self._lengths[s] += n_steps
+        return produced
 
     def _alloc_page(self) -> int:
         if not self._free:

@@ -252,13 +252,14 @@ class LLMServer:
             req.future.set_result(text)
 
     def _can_chunk(self) -> bool:
-        """True when a full chunk_steps device chunk is safe: dense
-        cache, every active request greedy with >= chunk_steps of both
-        token budget and cache room, and nothing waiting to be admitted
-        (a chunk would delay admission by up to chunk_steps steps).
-        Always exactly chunk_steps or nothing — a variable k would
-        compile one program per distinct k."""
-        if self.paged or self.chunk_steps <= 1:
+        """True when a full chunk_steps device chunk is safe: every
+        active request greedy with >= chunk_steps of both token budget
+        and cache room, nothing waiting to be admitted (a chunk would
+        delay admission by up to chunk_steps steps), and — in paged
+        mode — enough free pages to pre-grow every table. Always
+        exactly chunk_steps or nothing — a variable k would compile one
+        program per distinct k."""
+        if self.chunk_steps <= 1:
             return False
         if not self._queue.empty() or self._backlog:
             return False
@@ -271,6 +272,11 @@ class LLMServer:
                     or req.max_tokens - slot.n_emitted < k
                     or self.cfg.max_seq - 1 - slot.host_len < k):
                 return False
+        if self.paged:
+            seq_ids = [s.seq_id if s.active else None for s in self._slots]
+            if (self.pool.pages_needed_for(seq_ids, k)
+                    > self.pool.free_pages):
+                return False  # single-step path owns OOM/preemption
         return True
 
     def _decode_chunk(self) -> None:
@@ -278,12 +284,18 @@ class LLMServer:
         fetch; per-token bookkeeping semantics identical to the
         single-step path (tested against it)."""
         k = self.chunk_steps
-        tokens = jnp.asarray(
-            [s.next_token if s.active else 0 for s in self._slots],
-            jnp.int32)
-        active = jnp.asarray([s.active for s in self._slots])
-        produced, self.cache = llm_model.decode_steps_batch(
-            self.params, self.cfg, tokens, active, self.cache, k)
+        if self.paged:
+            produced = self.pool.batch_decode_steps(
+                self.params,
+                [s.next_token if s.active else None for s in self._slots],
+                [s.seq_id for s in self._slots], k)
+        else:
+            tokens = jnp.asarray(
+                [s.next_token if s.active else 0 for s in self._slots],
+                jnp.int32)
+            active = jnp.asarray([s.active for s in self._slots])
+            produced, self.cache = llm_model.decode_steps_batch(
+                self.params, self.cfg, tokens, active, self.cache, k)
         self.stats["decode_steps"] += k
         prod = np.asarray(produced)  # (k, B) — the one fetch
         for i, slot in enumerate(self._slots):
@@ -337,6 +349,9 @@ class LLMServer:
                 self._ensure_decode_capacity()
                 active_mask = [s.active for s in self._slots]
                 if not any(active_mask):
+                    continue
+                if self._can_chunk():
+                    self._decode_chunk()
                     continue
                 logits = self.pool.batch_decode_step(
                     self.params,
