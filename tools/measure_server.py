@@ -36,7 +36,8 @@ def run(server, seed: int) -> dict:
     prompts = [f"pergunta numero {seed}-{i}: o que ha a minha frente?"
                for i in range(N_REQUESTS)]
     # warmup: compile prefill + decode programs outside the timed window
-    server.generate(prompts[0] + " (warmup)", max_tokens=MAX_TOKENS)
+    server.generate(prompts[0] + " (warmup)", max_tokens=MAX_TOKENS,
+                    timeout=900.0)  # cold paged-chunk compile is minutes
     t0 = time.perf_counter()
     futs = [server.submit(p, max_tokens=MAX_TOKENS) for p in prompts]
     outs = [f.result(timeout=600) for f in futs]
