@@ -55,6 +55,24 @@ class TestBatchedDecode:
                                    rtol=2e-3, atol=2e-3)
         assert batch.lengths.tolist() == [7, 4]
 
+    def test_attn_len_bucket_is_exact(self, params):
+        """Bounding the batched KV attention reads with a static bucket
+        must not change logits (masking already hides rows >= length)."""
+        batch = llm_model.BatchedKVCache.create(CFG, 2, dtype=jnp.float32)
+        for slot, n in ((0, 6), (1, 3)):
+            s = llm_model.KVCache.create(CFG, dtype=jnp.float32)
+            _, s = llm_model.prefill(
+                params, CFG, jnp.arange(n, dtype=jnp.int32), jnp.int32(n), s)
+            batch = llm_model.insert_sequence(batch, CFG, slot, s)
+        toks = jnp.asarray([5, 9], jnp.int32)
+        act = jnp.array([True, True])
+        full, _ = llm_model.decode_step_batch(params, CFG, toks, act, batch)
+        bucket = max(8, CFG.max_seq // 2)
+        lim, _ = llm_model.decode_step_batch(params, CFG, toks, act, batch,
+                                             attn_len=bucket)
+        np.testing.assert_allclose(np.asarray(lim), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_inactive_slot_untouched(self, params):
         batch = llm_model.BatchedKVCache.create(CFG, 2, dtype=jnp.float32)
         s = llm_model.KVCache.create(CFG, dtype=jnp.float32)

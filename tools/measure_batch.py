@@ -42,9 +42,13 @@ def main() -> None:
         tokens = jnp.arange(batch, dtype=jnp.int32) + 7
 
         def run(tokens, cache, n):
+            # attn_len bucket 256 covers 64 prefill + warm + STEPS new
+            # tokens — the same bound LLMServer._attn_bucket picks at
+            # max_seq=512; without it every step streams the full
+            # 512-slot cache.
             for _ in range(n):
                 logits, cache = llm_model.decode_step_batch(
-                    params, cfg, tokens, active, cache)
+                    params, cfg, tokens, active, cache, attn_len=256)
                 tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return tokens, cache
 

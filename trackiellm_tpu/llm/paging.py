@@ -110,7 +110,7 @@ def copy_prefill_into_pages(
     return pool_k, pool_v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_pages"))
 def decode_step_batch_paged(
     params: Dict[str, Any],
     cfg: llm_model.LLMConfig,
@@ -120,10 +120,16 @@ def decode_step_batch_paged(
     pool_v: jnp.ndarray,
     tables: jnp.ndarray,       # (B, max_pages) int32
     lengths: jnp.ndarray,      # (B,) int32
+    attn_pages: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched decode over ONE shared page pool with per-slot tables —
     continuous batching with paged memory (vLLM-style). Inactive slots
-    write nothing. Returns (logits (B, V), pool_k, pool_v)."""
+    write nothing. Returns (logits (B, V), pool_k, pool_v).
+
+    ``attn_pages`` (static) bounds the per-slot page gather (the paged
+    twin of decode_step_batch's attn_len): without it every step
+    gathers max_seq/page_size pages per slot even for short
+    conversations. Must cover max(lengths)+1 tokens."""
     b = tokens.shape[0]
     page_size = pool_k.shape[2]
     pos = lengths
@@ -160,8 +166,9 @@ def decode_step_batch_paged(
         pv_l = pv_l.at[page_idx, slot].set(v.astype(pv_l.dtype))
 
         def one_slot(qq, table, p):
-            k_seq = pk_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
-            v_seq = pv_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+            tv = table[:attn_pages] if attn_pages else table
+            k_seq = pk_l[tv].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+            v_seq = pv_l[tv].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
             return decode_attention(qq, k_seq, v_seq, p + 1, window=window)
 
         attn = jax.vmap(one_slot)(q, tables, pos)
@@ -183,7 +190,8 @@ def decode_step_batch_paged(
     return logits.astype(jnp.float32), new_k, new_v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps",
+                                              "attn_pages"))
 def decode_steps_batch_paged(
     params: Dict[str, Any],
     cfg: llm_model.LLMConfig,
@@ -194,6 +202,7 @@ def decode_steps_batch_paged(
     tables: jnp.ndarray,       # (B, max_pages) int32
     lengths: jnp.ndarray,      # (B,) int32
     n_steps: int,
+    attn_pages: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``n_steps`` greedy paged batch-decode steps as ONE program
     (lax.scan over decode_step_batch_paged with on-device argmax
@@ -204,7 +213,8 @@ def decode_steps_batch_paged(
     def step(carry, _):
         toks, pk, pv, lens = carry
         logits, pk, pv = decode_step_batch_paged(
-            params, cfg, toks, active, pk, pv, tables, lens)
+            params, cfg, toks, active, pk, pv, tables, lens,
+            attn_pages=attn_pages)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         lens = jnp.where(active, lens + 1, lens)
         return (nxt, pk, pv, lens), nxt
@@ -251,6 +261,17 @@ class PagedKVPool:
                 self._tables[seq_id]):
             self._tables[seq_id].append(self._alloc_page())
 
+    def _attn_pages_bucket(self, need_tokens: int):
+        """Smallest power-of-two page count covering ``need_tokens``
+        (per-slot attention gather bound); None = full table (no extra
+        compile variant when the bucket would equal max_pages)."""
+        max_pages = self.cfg.max_seq // self.page_size
+        need = max((need_tokens + self.page_size - 1) // self.page_size, 1)
+        p = 1
+        while p < need:
+            p *= 2
+        return p if p < max_pages else None
+
     def pages_needed_for(self, seq_ids, n: int) -> int:
         """Pages the given sequences would need to decode ``n`` more
         tokens each (chunk admission check; None entries skipped)."""
@@ -287,9 +308,12 @@ class PagedKVPool:
                                for s, a in zip(seq_ids, active)], jnp.int32)
         toks = jnp.asarray([t if t is not None else 0 for t in tokens],
                            jnp.int32)
+        need = max((self._lengths[s] for s, a in zip(seq_ids, active) if a),
+                   default=0) + 1
         logits, self.pool_k, self.pool_v = decode_step_batch_paged(
             params, self.cfg, toks, jnp.asarray(active), self.pool_k,
-            self.pool_v, tables, lengths)
+            self.pool_v, tables, lengths,
+            attn_pages=self._attn_pages_bucket(need))
         for s, a in zip(seq_ids, active):
             if a:
                 self._lengths[s] += 1
@@ -318,9 +342,12 @@ class PagedKVPool:
                                for s, a in zip(seq_ids, active)], jnp.int32)
         toks = jnp.asarray([t if t is not None else 0 for t in tokens],
                            jnp.int32)
+        need = max((self._lengths[s] for s, a in zip(seq_ids, active) if a),
+                   default=0) + n_steps
         produced, self.pool_k, self.pool_v = decode_steps_batch_paged(
             params, self.cfg, toks, jnp.asarray(active), self.pool_k,
-            self.pool_v, tables, lengths, n_steps)
+            self.pool_v, tables, lengths, n_steps,
+            attn_pages=self._attn_pages_bucket(need))
         for s, a in zip(seq_ids, active):
             if a:
                 self._lengths[s] += n_steps

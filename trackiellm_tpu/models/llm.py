@@ -410,14 +410,20 @@ def insert_sequence(cache: BatchedKVCache, cfg: LLMConfig, slot: int,
     return BatchedKVCache(k, v, lengths)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_len"))
 def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
                       tokens: jnp.ndarray, active: jnp.ndarray,
                       cache: BatchedKVCache,
+                      attn_len: Optional[int] = None,
                       ) -> Tuple[jnp.ndarray, BatchedKVCache]:
     """One decode step for every active slot: tokens (B,) -> logits
     (B, V). Inactive slots (active=False) compute but write nothing and
-    do not advance."""
+    do not advance.
+
+    ``attn_len`` (static) bounds every slot's KV attention reads, like
+    decode_step's: without it each step streams the full (B, max_seq)
+    cache even when every conversation is short. Must satisfy
+    attn_len > max(lengths) over active slots."""
     b = tokens.shape[0]
     pos = cache.lengths  # (B,) position of each new token
     freqs = _rope_freqs(cfg)
@@ -448,10 +454,12 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
         k_cache_l = jax.vmap(write_row)(k_cache_l, k, pos, active)
         v_cache_l = jax.vmap(write_row)(v_cache_l, v, pos, active)
 
+        k_view = k_cache_l[:, :attn_len] if attn_len else k_cache_l
+        v_view = v_cache_l[:, :attn_len] if attn_len else v_cache_l
         attn = jax.vmap(
             lambda qq, kc, vc, p: decode_attention(qq, kc, vc, p + 1,
                                                    window=window)
-        )(q, k_cache_l, v_cache_l, pos)
+        )(q, k_view, v_view, pos)
         x = x + _linear(attn.reshape(b, -1).astype(x.dtype), layer["wo"])
 
         x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
@@ -466,10 +474,11 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
     return logits.astype(jnp.float32), BatchedKVCache(new_k, new_v, lengths)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"))
 def decode_steps_batch(params: Dict[str, Any], cfg: LLMConfig,
                        tokens: jnp.ndarray, active: jnp.ndarray,
                        cache: BatchedKVCache, n_steps: int,
+                       attn_len: Optional[int] = None,
                        ) -> Tuple[jnp.ndarray, BatchedKVCache]:
     """``n_steps`` greedy batch-decode steps as ONE compiled program.
 
@@ -486,7 +495,8 @@ def decode_steps_batch(params: Dict[str, Any], cfg: LLMConfig,
     """
     def step(carry, _):
         toks, cache = carry
-        logits, cache = decode_step_batch(params, cfg, toks, active, cache)
+        logits, cache = decode_step_batch(params, cfg, toks, active, cache,
+                                          attn_len=attn_len)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, cache), nxt
 
