@@ -42,13 +42,12 @@ def main() -> None:
         tokens = jnp.arange(batch, dtype=jnp.int32) + 7
 
         def run(tokens, cache, n):
-            # attn_len bucket 256 covers 64 prefill + warm + STEPS new
-            # tokens — the same bound LLMServer._attn_bucket picks at
-            # max_seq=512; without it every step streams the full
-            # 512-slot cache.
+            # attn_len buckets measured SLOWER here (849 vs 1087
+            # tok/s at B=32 with attn_len=256): the slice materializes
+            # per-layer copies. Full masked cache reads stay.
             for _ in range(n):
                 logits, cache = llm_model.decode_step_batch(
-                    params, cfg, tokens, active, cache, attn_len=256)
+                    params, cfg, tokens, active, cache)
                 tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return tokens, cache
 

@@ -261,17 +261,6 @@ class PagedKVPool:
                 self._tables[seq_id]):
             self._tables[seq_id].append(self._alloc_page())
 
-    def _attn_pages_bucket(self, need_tokens: int):
-        """Smallest power-of-two page count covering ``need_tokens``
-        (per-slot attention gather bound); None = full table (no extra
-        compile variant when the bucket would equal max_pages)."""
-        max_pages = self.cfg.max_seq // self.page_size
-        need = max((need_tokens + self.page_size - 1) // self.page_size, 1)
-        p = 1
-        while p < need:
-            p *= 2
-        return p if p < max_pages else None
-
     def pages_needed_for(self, seq_ids, n: int) -> int:
         """Pages the given sequences would need to decode ``n`` more
         tokens each (chunk admission check; None entries skipped)."""
@@ -308,12 +297,9 @@ class PagedKVPool:
                                for s, a in zip(seq_ids, active)], jnp.int32)
         toks = jnp.asarray([t if t is not None else 0 for t in tokens],
                            jnp.int32)
-        need = max((self._lengths[s] for s, a in zip(seq_ids, active) if a),
-                   default=0) + 1
         logits, self.pool_k, self.pool_v = decode_step_batch_paged(
             params, self.cfg, toks, jnp.asarray(active), self.pool_k,
-            self.pool_v, tables, lengths,
-            attn_pages=self._attn_pages_bucket(need))
+            self.pool_v, tables, lengths)
         for s, a in zip(seq_ids, active):
             if a:
                 self._lengths[s] += 1
@@ -342,12 +328,9 @@ class PagedKVPool:
                                for s, a in zip(seq_ids, active)], jnp.int32)
         toks = jnp.asarray([t if t is not None else 0 for t in tokens],
                            jnp.int32)
-        need = max((self._lengths[s] for s, a in zip(seq_ids, active) if a),
-                   default=0) + n_steps
         produced, self.pool_k, self.pool_v = decode_steps_batch_paged(
             params, self.cfg, toks, jnp.asarray(active), self.pool_k,
-            self.pool_v, tables, lengths, n_steps,
-            attn_pages=self._attn_pages_bucket(need))
+            self.pool_v, tables, lengths, n_steps)
         for s, a in zip(seq_ids, active):
             if a:
                 self._lengths[s] += n_steps

@@ -28,8 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from trackiellm_tpu.llm import sampling
-from trackiellm_tpu.llm.runner import (ATTN_BUCKETS,
-                                       PREFILL_BUCKETS, _bucket_for)
+from trackiellm_tpu.llm.runner import PREFILL_BUCKETS, _bucket_for
 from trackiellm_tpu.llm.tokenizer import ByteTokenizer, Tokenizer
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
@@ -252,19 +251,13 @@ class LLMServer:
         if req and not req.future.cancelled():
             req.future.set_result(text)
 
-    def _attn_bucket(self, lookahead: int):
-        """Smallest power-of-two attention bucket covering every active
-        slot's prefix plus ``lookahead`` new tokens; None = full cache
-        (no bucket fits below max_seq). Bounds the per-step KV reads —
-        without it every batched step streams the full (B, max_seq)
-        cache even when all conversations are short."""
-        need = max((s.host_len for s in self._slots if s.active),
-                   default=0) + lookahead
-        for b in ATTN_BUCKETS:
-            if need <= b < self.cfg.max_seq:
-                return b
-        return None
-
+    # NOTE: batched attention buckets (attn_len/attn_pages) were
+    # measured and REVERTED: every server config regressed (dense
+    # chunk8 207->184, paged chunk8 178->114 tok/s at B=8) — slicing
+    # the (B, S) cache / page table inside the per-layer vmap
+    # materializes copies that cost more than the masked full-cache
+    # reads they avoid. The static args remain on the decode functions
+    # (default None) with an exactness test; see PERF_NOTES.md.
     def _can_chunk(self) -> bool:
         """True when a full chunk_steps device chunk is safe: every
         active request greedy with >= chunk_steps of both token budget
@@ -309,8 +302,7 @@ class LLMServer:
                 jnp.int32)
             active = jnp.asarray([s.active for s in self._slots])
             produced, self.cache = llm_model.decode_steps_batch(
-                self.params, self.cfg, tokens, active, self.cache, k,
-                attn_len=self._attn_bucket(k))
+                self.params, self.cfg, tokens, active, self.cache, k)
         self.stats["decode_steps"] += k
         prod = np.asarray(produced)  # (k, B) — the one fetch
         for i, slot in enumerate(self._slots):
@@ -382,8 +374,7 @@ class LLMServer:
                     jnp.int32)
                 active = jnp.asarray(active_mask)
                 logits, self.cache = llm_model.decode_step_batch(
-                    self.params, self.cfg, tokens, active, self.cache,
-                    attn_len=self._attn_bucket(1))
+                    self.params, self.cfg, tokens, active, self.cache)
             self.stats["decode_steps"] += 1
 
             # One device->host fetch for every greedy slot; sampled slots
