@@ -117,6 +117,68 @@ class TestFullLoop:
         # Conversation recorded.
         assert app.cortex.reasoner.get_summary()["turns"] >= 2
 
+    def test_streaming_asr_partials_reach_the_cortex(self):
+        """TrackieApp(streaming_asr=True): mid-utterance stable-prefix
+        partials flow pipeline -> cortex -> LLMRunner.prime, and the
+        final transcription still produces the spoken reply."""
+        spoken = []
+
+        class PrimingStubLLM(StubLLM):
+            def __init__(self):
+                super().__init__()
+                self.primed = []
+
+            def prime(self, prefix):
+                self.primed.append(prefix)
+
+        llm = PrimingStubLLM()
+        cfg = Config()
+        cfg.set("audio.chunk_ms", 10)
+        cfg.set("audio.wake_word", False)  # straight to listening
+        cfg.set("cortex.loop_hz", 50.0)
+
+        calls = {"n": 0}
+
+        def scripted_asr(audio):
+            # Growing hypotheses per pass; stable after two agreements.
+            calls["n"] += 1
+            secs = len(audio) / SR
+            return ("o que voce ve agora" if secs >= 0.3
+                    else "o que voce")
+
+        from trackiellm_tpu.audio.streaming_asr import StreamingTranscriber
+
+        app = TrackieApp(
+            config=cfg,
+            sources=AppSources(
+                microphone=_scripted_mic([
+                    ("loud", 12),   # ~1.2 s logical speech
+                    ("quiet", 7),
+                ]),
+            ),
+            vad_fn=EnergyVAD(1e-3),
+            asr_fn=scripted_asr,
+            streaming_asr=StreamingTranscriber(scripted_asr,
+                                               refresh_s=0.2),
+            tts_fn=lambda text: np.zeros(320, np.float32),
+            llm_runner=llm,
+            on_spoken_audio=lambda wav, p: spoken.append(len(wav)),
+        )
+        app.start()
+        try:
+            deadline = time.monotonic() + 15.0
+            while time.monotonic() < deadline and not spoken:
+                time.sleep(0.05)
+        finally:
+            app.stop()
+
+        assert spoken, "no TTS audio reached the output"
+        assert llm.calls >= 1
+        assert llm.primed, "no partial reached LLMRunner.prime"
+        assert llm.primed[-1].endswith("o que voce ve agora")
+        assert app.cortex.stats.get("partial_primes", 0) >= 1
+        assert calls["n"] >= 3  # partial passes + the final pass
+
     def test_clean_shutdown_under_load(self):
         app = TrackieApp(config=Config(),
                          detector_fn=_stub_detector,
