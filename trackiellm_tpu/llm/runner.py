@@ -332,6 +332,10 @@ class LLMRunner:
                 self._done = True
                 return closure
 
+        if (self._grammar is None and self.gen.temperature <= 0
+                and not self.gen.speculative):
+            return self._greedy_step_pipelined()
+
         mask = None
         if self._grammar is not None:
             mask = jnp.asarray(
@@ -398,6 +402,45 @@ class LLMRunner:
             self._host_len += 1
             self._committed_ids.append(tid)
             self._next_logits = None
+        return piece
+
+    def _greedy_step_pipelined(self) -> Optional[str]:
+        """Greedy unconstrained token with a one-step lookahead: the
+        next decode_step is dispatched with the DEVICE token before the
+        id is fetched, so the (non-pipelining, 15-30 ms) value fetch
+        overlaps the next step's compute instead of serializing with it
+        — the interactive-runner analogue of the batch server's chunk
+        path (measured 26 -> ~2-3x tok/s on the relay; PERF_NOTES.md).
+
+        Terminal reconciliation keeps state byte-identical to the
+        serial path: on EOS the lookahead cache is DISCARDED (the
+        serial path never commits EOS; the speculatively-written KV row
+        sits past ``cache.length``, invisible to masked attention and
+        overwritten by the next real commit). Stop-string and
+        max-token turns commit the final token — exactly what the
+        lookahead already did."""
+        token_dev = sampling.greedy(self._next_logits, None)
+        nxt_logits, nxt_cache = llm_model.decode_step(
+            self.params, self.cfg, token_dev.astype(jnp.int32),
+            self.cache, attn_len=self._attn_bucket())
+        tid = int(token_dev)  # fetch overlaps the dispatched step
+        if tid == self.tokenizer.eos_id:
+            self._done = True
+            return None  # lookahead discarded; cache state unchanged
+        piece = self.tokenizer.decode_token(tid)
+        self._generated_ids.append(tid)
+        self._generated_text += piece
+        self._n_emitted += 1
+        self.cache = nxt_cache
+        self._host_len += 1
+        self._committed_ids.append(tid)
+        self._next_logits = nxt_logits
+        for stop in self.gen.stop_strings:
+            if stop and stop in self._generated_text:
+                self._done = True
+                self._generated_text = self._generated_text.split(stop)[0]
+                self._next_logits = None
+                break
         return piece
 
     # ------------------------------------------------------------------
