@@ -262,6 +262,53 @@ class TestPrefixPriming:
         assert r.generate(prompt) == plain  # full re-prefill, same text
 
 
+class TestPipelinedGreedyEOS:
+    def test_eos_lookahead_discard_preserves_cache_state(self):
+        """The pipelined greedy path dispatches a lookahead step before
+        it knows the sampled token is EOS. On EOS the lookahead must be
+        DISCARDED: cache length, host mirror, and committed ids must
+        equal the pre-EOS state, and a following turn must extend from
+        it exactly as the serial path would."""
+        import jax
+        import jax.numpy as jnp
+
+        from trackiellm_tpu.models import llm as llm_model
+
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        tok = ByteTokenizer(cfg.vocab_size)
+
+        class EOSLogitsRunner(LLMRunner):
+            """Force EOS as the argmax after two emitted tokens by
+            patching the logits the sampler sees."""
+
+            def generate_next_token(self):
+                if (self._n_emitted >= 2 and self._next_logits is not None
+                        and not self._done):
+                    self._next_logits = (self._next_logits.at[:]
+                                         .set(-1e9)
+                                         .at[self.tokenizer.eos_id]
+                                         .set(1e9))
+                return super().generate_next_token()
+
+        r = EOSLogitsRunner(params, cfg, tok,
+                            GenerationConfig(max_tokens=16,
+                                             temperature=0.0),
+                            cache_dtype=jnp.float32)
+        out = r.generate("ola")
+        assert len(r._generated_ids) == 2  # stopped at the forced EOS
+        # EOS was never committed: cache mirrors exactly the emitted
+        # tokens on top of the prompt.
+        prompt_len = len(r._committed_ids) - 2
+        assert int(r.cache.length) == prompt_len + 2
+        assert r._host_len == int(r.cache.length)
+        # The conversation continues cleanly from that state.
+        more = r.chat("tudo bem?")
+        assert isinstance(more, str)
+        assert int(r.cache.length) == r._host_len
+
+
 class TestChatAppendOnly:
     def test_multi_turn_reuses_cache(self):
         cfg = llm_model.LLMConfig.tiny()
