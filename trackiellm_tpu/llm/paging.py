@@ -204,23 +204,51 @@ def decode_steps_batch_paged(
     n_steps: int,
     attn_pages: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """``n_steps`` greedy paged batch-decode steps as ONE program
-    (lax.scan over decode_step_batch_paged with on-device argmax
-    feedback) — the paged twin of models/llm.py decode_steps_batch.
-    The caller must have pre-grown every active slot's page table to
-    cover ``lengths + n_steps`` (tables are static inside the program).
-    Returns (produced (n_steps, B), pool_k, pool_v)."""
-    def step(carry, _):
-        toks, pk, pv, lens = carry
-        logits, pk, pv = decode_step_batch_paged(
-            params, cfg, toks, active, pk, pv, tables, lens,
-            attn_pages=attn_pages)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        lens = jnp.where(active, lens + 1, lens)
-        return (nxt, pk, pv, lens), nxt
+    """``n_steps`` greedy paged batch-decode steps as ONE program —
+    the paged twin of models/llm.py decode_steps_batch.
 
-    (_, pool_k, pool_v, _), produced = jax.lax.scan(
-        step, (tokens, pool_k, pool_v, lengths), None, length=n_steps)
+    Gather-once / scatter-back: each slot's pages are gathered into a
+    contiguous (L, B, S, Hk, D) scratch ONCE, the whole chunk runs as
+    dense batched decode over the scratch, and only the ``n_steps``
+    freshly written KV cells are scattered back into their pages. The
+    scratch is transient chunk memory; the pool remains the system of
+    record. Measured perf-NEUTRAL vs the scan-of-paged-steps version
+    (175.7 vs 177.5 tok/s at B=8 — XLA already pipelined the per-step
+    gathers); kept because it reuses decode_steps_batch instead of
+    duplicating the chunk loop. The caller must have pre-grown every
+    active slot's table to cover ``lengths + n_steps``.
+    ``attn_pages`` is accepted for signature stability but unused (the
+    dense chunk reads the scratch with length-masked attention).
+    Returns (produced (n_steps, B), pool_k, pool_v)."""
+    del attn_pages
+    b, max_pages = tables.shape
+    page = pool_k.shape[2]
+
+    # Gather: (L, P, page, Hk, D)[:, (B, max_pages)] -> contiguous.
+    sk = pool_k[:, tables].reshape(
+        cfg.n_layers, b, max_pages * page, cfg.n_kv_heads, cfg.head_dim)
+    sv = pool_v[:, tables].reshape(
+        cfg.n_layers, b, max_pages * page, cfg.n_kv_heads, cfg.head_dim)
+    scratch = llm_model.BatchedKVCache(sk, sv, lengths)
+
+    produced, scratch = llm_model.decode_steps_batch(
+        params, cfg, tokens, active, scratch, n_steps)
+
+    # Scatter back only the cells this chunk wrote: slot b's step j
+    # landed at contiguous position lengths[b] + j.
+    steps = jnp.arange(n_steps)
+    pos = lengths[:, None] + steps[None, :]                 # (B, k)
+    idx = pos[None, :, :, None, None]                       # broadcast
+    new_k = jnp.take_along_axis(scratch.k, idx, axis=2)     # (L,B,k,Hk,D)
+    new_v = jnp.take_along_axis(scratch.v, idx, axis=2)
+    page_idx = jnp.take_along_axis(tables, pos // page, axis=1)
+    slot_in = pos % page
+    # Inactive slots never advanced; route their (unchanged-garbage)
+    # cells to the reserved trash page 0.
+    page_idx = jnp.where(active[:, None], page_idx, 0)
+    slot_in = jnp.where(active[:, None], slot_in, 0)
+    pool_k = pool_k.at[:, page_idx, slot_in].set(new_k)
+    pool_v = pool_v.at[:, page_idx, slot_in].set(new_v)
     return produced, pool_k, pool_v
 
 
