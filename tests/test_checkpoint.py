@@ -73,3 +73,70 @@ class TestCLI:
         assert self._run("convert", p, "-o", out_dir, "--bits", "0") == 0
         assert self._run("generate", out_dir, "-p", "oi",
                          "--max-tokens", "4") == 0
+
+
+class TestQ4PackingVersion:
+    def test_sidecar_carries_packing_marker(self, tmp_path):
+        import json
+        import jax.numpy as jnp
+        from trackiellm_tpu.ops.quant import quantize_q4
+        from trackiellm_tpu.models import checkpoint as ckpt
+
+        w = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (512, 8)), jnp.float32)
+        d = str(tmp_path / "q4")
+        ckpt.save_checkpoint(d, {"w": quantize_q4(w, group=256)})
+        sidecar = json.loads(open(f"{d}/config.json").read())
+        assert sidecar["format"]["q4_packing"] == "mixed-bias-v2"
+
+    def test_legacy_biased_v1_repacked_on_load(self, tmp_path):
+        """A pre-marker checkpoint (both nibbles biased +8) must load to
+        the same dequantized weights, not silently corrupt the high
+        nibbles (ADVICE round 2, medium)."""
+        import json
+        import jax.numpy as jnp
+        from trackiellm_tpu.ops.quant import quantize_q4, dequantize
+        from trackiellm_tpu.models import checkpoint as ckpt
+
+        w = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (512, 8)), jnp.float32)
+        q = quantize_q4(w, group=256)
+        want = np.asarray(dequantize(q))
+        d = str(tmp_path / "legacy")
+        ckpt.save_checkpoint(d, {"w": q})
+        # Rewrite arrays in the legacy biased-v1 encoding and strip the
+        # format marker, as a round-1 checkpoint would look.
+        with np.load(f"{d}/arrays.npz") as z:
+            arrays = {k: z[k] for k in z.files}
+        packed = arrays["w.values"]
+        lo = packed & 0x0F
+        hi_q = ((packed >> 4).astype(np.int8) << 4 >> 4).astype(np.int16)
+        arrays["w.values"] = (lo | (((hi_q + 8) & 0x0F) << 4).astype(
+            np.uint8)).astype(np.uint8)
+        np.savez(f"{d}/arrays.npz", **arrays)
+        sidecar = json.loads(open(f"{d}/config.json").read())
+        sidecar.pop("format", None)
+        with open(f"{d}/config.json", "w") as f:
+            json.dump(sidecar, f)
+
+        params, _, _ = ckpt.load_checkpoint(d, device_put=False)
+        got = np.asarray(dequantize(jax.tree_util.tree_map(
+            jnp.asarray, params["w"])))
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    def test_unknown_packing_refused(self, tmp_path):
+        import json
+        import jax.numpy as jnp
+        from trackiellm_tpu.ops.quant import quantize_q4
+        from trackiellm_tpu.models import checkpoint as ckpt
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        w = jnp.ones((512, 8), jnp.float32)
+        d = str(tmp_path / "future")
+        ckpt.save_checkpoint(d, {"w": quantize_q4(w, group=256)})
+        sidecar = json.loads(open(f"{d}/config.json").read())
+        sidecar["format"]["q4_packing"] = "martian-v9"
+        with open(f"{d}/config.json", "w") as f:
+            json.dump(sidecar, f)
+        with pytest.raises(TrackieError):
+            ckpt.load_checkpoint(d, device_put=False)

@@ -74,3 +74,62 @@ def test_silero_shape_checkpoint_through_onnx(tmp_path):
                                state["conv1.bias"], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(params["gru_wi"]["w"]),
                                state["gru.weight_ih"].T, rtol=1e-6)
+
+
+def _varint(v: int) -> bytes:
+    # protobuf varint; negatives encode as 64-bit two's complement
+    if v < 0:
+        v += 1 << 64
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _wrap_model(tensor_msg: bytes) -> bytes:
+    graph = _key(5, 2) + _varint(len(tensor_msg)) + tensor_msg
+    return _key(7, 2) + _varint(len(graph)) + graph
+
+
+def test_nonpacked_float_data_entries(tmp_path):
+    """float_data written one entry per field (wire type 5) must keep
+    the real 32-bit patterns (ADVICE round 2: they were zeroed)."""
+    import struct
+
+    vals = [1.5, -2.25, 3.0e-7]
+    t = _key(8, 2) + _varint(1) + b"w"          # name
+    t += _key(2, 0) + _varint(1)                 # data_type = FLOAT
+    t += _key(1, 0) + _varint(3)                 # dims = [3]
+    for v in vals:
+        (bits,) = struct.unpack("<I", struct.pack("<f", v))
+        t += _key(4, 5) + struct.pack("<I", bits)
+    path = str(tmp_path / "nonpacked.onnx")
+    with open(path, "wb") as f:
+        f.write(_wrap_model(t))
+    got = read_onnx_initializers(path)
+    np.testing.assert_array_equal(got["w"], np.asarray(vals, np.float32))
+
+
+def test_negative_int64_varints_sign_fold(tmp_path):
+    """Negative int32/int64_data varints are 64-bit two's-complement on
+    the wire; the reader must sign-fold them (ADVICE round 2)."""
+    vals = [-1, -300, 7]
+    t = _key(8, 2) + _varint(1) + b"i"
+    t += _key(2, 0) + _varint(7)                 # data_type = INT64
+    t += _key(1, 0) + _varint(3)
+    for v in vals:
+        t += _key(7, 0) + _varint(v)
+    path = str(tmp_path / "negint.onnx")
+    with open(path, "wb") as f:
+        f.write(_wrap_model(t))
+    got = read_onnx_initializers(path)
+    assert got["i"].dtype == np.int64
+    np.testing.assert_array_equal(got["i"], np.asarray(vals, np.int64))

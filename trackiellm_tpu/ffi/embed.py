@@ -353,6 +353,11 @@ class NativeContext:
     def unregister_module(self, module_id: int) -> None:
         _check(_lib().tk_context_unregister_module(self._h, module_id),
                "unregister_module")
+        # A queued worker job may have copied the Module struct before
+        # unregistration and could still call the trampoline — drain the
+        # pool before dropping the ctypes trampoline reference (ADVICE
+        # round 2: narrow use-after-free window).
+        _lib().tk_context_drain(self._h)
         self._trampolines.pop(module_id, None)
 
     def execute(self, module_id: int, command: str,
@@ -394,6 +399,12 @@ class NativeContext:
                     t.close()
             if inp is not None:
                 inp.close()  # input had to stay alive until completion
+            # One-shot: release the ctypes ref once fired so _callbacks
+            # doesn't grow without bound (ADVICE round 2).
+            try:
+                self._callbacks.remove(ccb)
+            except ValueError:
+                pass
             callback(status, arr)
 
         ccb = _CALLBACK(cb)

@@ -217,12 +217,18 @@ def decode_steps_batch_paged(
     gathers); kept because it reuses decode_steps_batch instead of
     duplicating the chunk loop. The caller must have pre-grown every
     active slot's table to cover ``lengths + n_steps``.
-    ``attn_pages`` is accepted for signature stability but unused (the
-    dense chunk reads the scratch with length-masked attention).
+    ``attn_pages`` (static) bounds the gather: only the first
+    ``attn_pages`` pages of each table are staged, so the transient
+    scratch scales with live context (attn_pages*page per slot), not
+    max_seq — without it a memory-constrained config could OOM on a
+    scratch the size of B full dense caches (ADVICE round 2). Must
+    cover ``max(lengths) + n_steps`` tokens.
     Returns (produced (n_steps, B), pool_k, pool_v)."""
-    del attn_pages
     b, max_pages = tables.shape
     page = pool_k.shape[2]
+    if attn_pages and attn_pages < max_pages:
+        tables = tables[:, :attn_pages]
+        max_pages = attn_pages
 
     # Gather: (L, P, page, Hk, D)[:, (B, max_pages)] -> contiguous.
     sk = pool_k[:, tables].reshape(
@@ -356,9 +362,19 @@ class PagedKVPool:
                                for s, a in zip(seq_ids, active)], jnp.int32)
         toks = jnp.asarray([t if t is not None else 0 for t in tokens],
                            jnp.int32)
+        # Static page bound for the chunk's gather scratch: cover the
+        # longest active slot + the chunk, bucketed to powers of two so
+        # growth costs O(log) recompiles, capped at the full table.
+        max_len = max((self._lengths[s] for s, a in zip(seq_ids, active)
+                       if a), default=0)
+        need = -(-(max_len + n_steps) // self.page_size)
+        attn_pages = 1
+        while attn_pages < need:
+            attn_pages *= 2
+        attn_pages = min(attn_pages, max_pages)
         produced, self.pool_k, self.pool_v = decode_steps_batch_paged(
             params, self.cfg, toks, jnp.asarray(active), self.pool_k,
-            self.pool_v, tables, lengths, n_steps)
+            self.pool_v, tables, lengths, n_steps, attn_pages=attn_pages)
         for s, a in zip(seq_ids, active):
             if a:
                 self._lengths[s] += n_steps

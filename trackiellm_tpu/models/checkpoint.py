@@ -25,6 +25,22 @@ _CONFIG_FILE = "config.json"
 _TREE_FILE = "tree.json"
 _ARRAYS_FILE = "arrays.npz"
 
+# Q4 packed-nibble encoding version. "mixed-bias-v2" = low nibble biased
+# +8, high nibble two's complement (ops/quant.py quantize_q4). Checkpoints
+# written before this marker existed used "biased-v1" (BOTH nibbles biased
+# +8) and would silently mis-decode under the current kernels — the loader
+# detects and repacks them instead.
+_Q4_PACKING = "mixed-bias-v2"
+
+
+def _repack_q4_biased_v1(packed: np.ndarray) -> np.ndarray:
+    """Convert legacy biased-v1 packed Q4 (both nibbles q+8) to the
+    current mixed-bias-v2 layout (high nibble two's complement)."""
+    lo = packed & 0x0F                        # stays biased
+    hi = ((packed >> 4) & 0x0F).astype(np.int16) - 8   # unbias
+    hi = (hi & 0x0F).astype(np.uint8)         # re-encode two's complement
+    return (lo | (hi << 4)).astype(np.uint8)
+
 
 def _flatten(params: Any) -> Tuple[Dict[str, np.ndarray], Any]:
     """Flatten a pytree into named arrays + a structure descriptor.
@@ -96,7 +112,10 @@ def save_checkpoint(directory: str, params: Any,
     np.savez(os.path.join(directory, _ARRAYS_FILE), **packed)
     Path(os.path.join(directory, _TREE_FILE)).write_text_atomic(
         json.dumps({"tree": tree, "dtypes": dtypes}))
-    sidecar = {"metadata": metadata or {}}
+    has_q4 = any(name.endswith(".values") and leaves[name].dtype == np.uint8
+                 for name in leaves)
+    sidecar = {"metadata": metadata or {},
+               "format": {"q4_packing": _Q4_PACKING} if has_q4 else {}}
     if config is not None:
         sidecar["config"] = dict(config._asdict())
         sidecar["config_class"] = type(config).__name__
@@ -111,17 +130,28 @@ def load_checkpoint(directory: str, device_put: bool = True,
     if not os.path.exists(tree_path):
         raise TrackieError(ErrorCode.FILE_NOT_FOUND, directory)
     spec = json.loads(Path(tree_path).read_text())
+    sidecar = json.loads(Path(os.path.join(directory, _CONFIG_FILE))
+                         .read_text())
+    q4_packing = sidecar.get("format", {}).get("q4_packing")
     with np.load(os.path.join(directory, _ARRAYS_FILE)) as z:
         arrays = {}
         for name in z.files:
             a = z[name]
             if spec["dtypes"].get(name) == "bfloat16":
                 a = a.view(jax.numpy.bfloat16)
+            if (name.endswith(".values") and a.dtype == np.uint8
+                    and q4_packing != _Q4_PACKING):
+                # Legacy (pre-marker) checkpoints used biased-v1 packing;
+                # repack rather than silently mis-decode (ADVICE round 2).
+                if q4_packing in (None, "biased-v1"):
+                    a = _repack_q4_biased_v1(a)
+                else:
+                    raise TrackieError(
+                        ErrorCode.MODEL_METADATA_INVALID,
+                        f"unknown q4_packing {q4_packing!r} in {directory}; "
+                        f"expected {_Q4_PACKING!r} — re-convert the model")
             arrays[name] = a
     params = _unflatten(spec["tree"], arrays, device_put)
-
-    sidecar = json.loads(Path(os.path.join(directory, _CONFIG_FILE))
-                         .read_text())
     cfg = None
     if "config" in sidecar and sidecar.get("config_class") == "LLMConfig":
         cfg = llm_model.LLMConfig(**sidecar["config"])

@@ -99,13 +99,14 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
         elif field == 9:
             raw = val
         elif field == 4:
-            f32s.append(val if wire == 2 else struct.pack("<f", 0))
+            # Non-packed entries (wire 5) carry the raw 32-bit pattern.
+            f32s.append(val if wire == 2 else struct.pack("<I", val))
         elif field == 5:
             i32s.append(val)
         elif field == 7:
             i64s.append(val)
         elif field == 10:
-            f64s.append(val)
+            f64s.append(val if wire == 2 else struct.pack("<Q", val))
     np_dtype = _DTYPES.get(dtype_id)
     if np_dtype is None:
         raise ValueError(f"initializer '{name}': unsupported data_type "
@@ -127,7 +128,10 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
                 while p < len(chunk):
                     v, p = _read_varint(chunk, p)
                     vals.append(v)
-        arr = np.asarray(vals, dtype=np_dtype)
+        # Negative int32/int64 values are varint-encoded as their 64-bit
+        # two's-complement pattern — sign-fold before building the array.
+        vals = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+        arr = np.asarray(vals, dtype=np.int64).astype(np_dtype)
     else:
         arr = np.zeros(shape, np_dtype)
     return name, arr.reshape(shape).astype(np_dtype, copy=False)
