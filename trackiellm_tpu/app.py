@@ -52,6 +52,7 @@ class TrackieApp:
         streaming_asr=False,
         llm_runner=None,
         on_spoken_audio: Optional[Callable] = None,
+        on_speech_end: Optional[Callable] = None,
     ):
         cfg = config or Config()
         self.bus = EventBus(capacity=cfg.get_int("bus.capacity", 256))
@@ -115,6 +116,9 @@ class TrackieApp:
             on_transcription=self._on_transcription,
             on_sound=self._on_sound,
             on_tts_audio=self._on_tts_audio,
+            # End-of-speech decision instant (the e2e latency metric's
+            # t0) — exposed so operators can time the production path.
+            on_speech_end=on_speech_end or (lambda: None),
             # Partial stable transcripts go straight to the cortex so
             # it can prime the LLM mid-utterance (the cortex exists by
             # the time audio flows; capture is deferred via self).

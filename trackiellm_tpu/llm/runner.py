@@ -49,6 +49,15 @@ class GenerationConfig:
     repeat_window: int = 64
     seed: int = 0
     stop_strings: tuple = ()
+    # Greedy unconstrained decode runs as k-token device chunks with
+    # one host fetch per chunk (llm_model.decode_chunk_greedy): the
+    # non-pipelining relay fetch is paid once per k tokens instead of
+    # per token. Output is byte-identical to the serial path — EOS/
+    # stop-string/budget events inside a chunk roll the cache back
+    # (rows past ``length`` are stale-masked). 1 = one-step lookahead.
+    # Measured on the chip (tools/measure_runner_decode.py, 7B Q4):
+    # 33.6 tok/s at k=1 -> 100.8 at k=4, 97.6 at k=8, 91.1 at k=16.
+    lookahead: int = 4
     # Prompt-lookup speculative decoding (llm/speculative.py): greedy
     # (temperature <= 0), unconstrained generations verify n-gram
     # proposals in one extend() pass — emitted text is EXACTLY the
@@ -119,6 +128,12 @@ class LLMRunner:
         self._spec_index = 0
         self._spec_offset = 0
         self._spec_accepted = 0
+        # k-token lookahead chunk state (greedy unconstrained path):
+        # fetched-but-unemitted tokens, and the dispatched-ahead chunk.
+        self._la_buf: List[int] = []
+        self._la_idx = 0
+        self._la_offset = 0
+        self._la_next: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     # Session API (tk_llm_runner parity)
@@ -169,6 +184,7 @@ class LLMRunner:
         budget — the reference's hard 4096 contract,
         tk_cortex_main.c:1334) is middle-cut, with a warning.
         """
+        self._drop_pending_lookahead()
         ids = self.tokenizer.encode(prompt, add_bos=True)
         hard_limit = max(self.cfg.max_seq - self.gen.max_tokens - 1, 16)
         if len(ids) > hard_limit:
@@ -217,6 +233,7 @@ class LLMRunner:
         """Fresh-cache prompt ingestion: bucketed prefill of the head,
         chunked extend of the remainder (shared by prepare_generation
         and prime)."""
+        self._drop_pending_lookahead()
         buckets = ([b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
                    or [self.cfg.max_seq])
         n = len(ids)
@@ -290,6 +307,7 @@ class LLMRunner:
         pass (attn-bucketed over the covered prefix); returns the logits
         at the last appended token and advances the host length."""
         self._drop_pending_spec()  # never extend over buffered tokens
+        self._drop_pending_lookahead()
         bucket = _bucket_for(len(ids), EXTEND_BUCKETS)
         padded = np.zeros(bucket, np.int32)
         padded[: len(ids)] = ids
@@ -307,13 +325,21 @@ class LLMRunner:
         if self._done or (self._next_logits is None
                           and not self._pending_spec):
             return None
+        # With a lookahead chunk buffered, the cache is tentatively
+        # ahead of what was emitted — bound the window check by the
+        # EMITTED position so the tail tokens still stream out.
+        eff_len = (self._la_offset + self._la_idx if self._la_buf
+                   else self._host_len)
         if (self._n_emitted >= self.gen.max_tokens
-                or self._host_len >= self.cfg.max_seq - 1):
+                or eff_len >= self.cfg.max_seq - 1):
             self._done = True
             self._drop_pending_spec()
+            self._drop_pending_lookahead()
             return None
         if self._pending_spec:
             return self._emit_spec_token()
+        if self._la_buf:
+            return self._greedy_chunk_step()
 
         # Budget-forced closure: if a constrained generation is about to
         # exhaust its token budget, emit the grammar's minimal valid
@@ -334,6 +360,8 @@ class LLMRunner:
 
         if (self._grammar is None and self.gen.temperature <= 0
                 and not self.gen.speculative):
+            if self.gen.lookahead > 1:
+                return self._greedy_chunk_step()
             return self._greedy_step_pipelined()
 
         mask = None
@@ -442,6 +470,103 @@ class LLMRunner:
                 self._next_logits = None
                 break
         return piece
+
+    # ------------------------------------------------------------------
+    # k-token lookahead (greedy, unconstrained only)
+    # ------------------------------------------------------------------
+
+    def _dispatch_chunk(self, logits, cache, offset: int) -> None:
+        """Dispatch a k-step greedy chunk from (logits, cache) at host
+        position ``offset`` without fetching its result."""
+        k = self.gen.lookahead
+        toks, lg, new_cache = llm_model.decode_chunk_greedy(
+            self.params, self.cfg, logits, cache, k,
+            attn_len=self._attn_bucket_for(offset + k))
+        self._la_next = (toks, lg, new_cache, offset)
+
+    def _greedy_chunk_step(self) -> Optional[str]:
+        """Emit one token from the k-token lookahead pipeline.
+
+        VERDICT round-2 item 2: the serial greedy path pays the
+        non-pipelining 15-30 ms relay fetch per token (~35 tok/s vs the
+        94 tok/s kernel ceiling). Here k greedy steps run as ONE device
+        program; the k token ids come back in ONE fetch, and the next
+        chunk is dispatched BEFORE that fetch so the fetch overlaps its
+        compute. Chunks are committed tentatively (cache advanced k);
+        terminal events reconcile by rolling ``cache.length`` back —
+        the rows past length are stale-masked, the same proven pattern
+        as the EOS-discard one-step lookahead below. Output text and
+        final cache state are byte-identical to the serial path
+        (tests/test_llm_runner.py pins this)."""
+        k = self.gen.lookahead
+        if not self._la_buf:
+            if self._la_next is None:
+                if self._host_len + k > self.cfg.max_seq - 1:
+                    # Window tail: not enough room for a full chunk.
+                    return self._greedy_step_pipelined()
+                self._dispatch_chunk(self._next_logits, self.cache,
+                                     self._host_len)
+            toks_dev, logits_dev, cache_dev, offset = self._la_next
+            self._la_next = None
+            # Pre-dispatch the successor so the fetch below overlaps
+            # its compute (fetches do not pipeline; dispatches do).
+            if offset + 2 * k <= self.cfg.max_seq - 1:
+                self._dispatch_chunk(logits_dev, cache_dev, offset + k)
+            toks = [int(t) for t in np.asarray(toks_dev)]
+            # Tentative commit of the whole chunk.
+            self.cache = cache_dev
+            self._next_logits = logits_dev
+            self._host_len = offset + k
+            self._committed_ids.extend(toks)
+            self._la_buf = toks
+            self._la_idx = 0
+            self._la_offset = offset
+
+        idx = self._la_idx
+        tid = self._la_buf[idx]
+        self._la_idx += 1
+        if tid == self.tokenizer.eos_id:
+            # Serial path never commits EOS.
+            self._rollback_lookahead(self._la_offset + idx)
+            self._done = True
+            return None
+        piece = self.tokenizer.decode_token(tid)
+        self._generated_ids.append(tid)
+        self._generated_text += piece
+        self._n_emitted += 1
+        for stop in self.gen.stop_strings:
+            if stop and stop in self._generated_text:
+                # Serial path commits the final token (see the
+                # stop-string comment in generate_next_token).
+                self._done = True
+                self._generated_text = self._generated_text.split(stop)[0]
+                self._rollback_lookahead(self._la_offset + idx + 1)
+                break
+        if not self._done and self._la_idx >= len(self._la_buf):
+            self._la_buf = []
+            self._la_idx = 0
+        return piece
+
+    def _rollback_lookahead(self, new_len: int) -> None:
+        """Roll the tentatively-committed chunk back to ``new_len``
+        tokens and discard any dispatched-ahead chunk."""
+        self.cache = self.cache._replace(length=jnp.int32(new_len))
+        self._host_len = new_len
+        del self._committed_ids[new_len:]
+        self._la_buf = []
+        self._la_idx = 0
+        self._la_next = None
+        self._next_logits = None
+
+    def _drop_pending_lookahead(self) -> None:
+        """Reconcile lookahead state to cover exactly the emitted
+        tokens (generation end / external stop / cache mutation)."""
+        if self._la_buf and self._la_idx < len(self._la_buf):
+            self._rollback_lookahead(self._la_offset + self._la_idx)
+        else:
+            self._la_buf = []
+            self._la_idx = 0
+            self._la_next = None
 
     # ------------------------------------------------------------------
     # Prompt-lookup speculative decoding (greedy, unconstrained only)
@@ -585,9 +710,10 @@ class LLMRunner:
             if should_stop is not None and should_stop():
                 self._done = True
                 break
-        # An external stop can land with speculative tokens buffered;
-        # roll the cache back to exactly the emitted text.
+        # An external stop can land with speculative or lookahead tokens
+        # buffered; roll the cache back to exactly the emitted text.
         self._drop_pending_spec()
+        self._drop_pending_lookahead()
         return self._generated_text
 
     def chat(self, user_text: str, system: Optional[str] = None,
@@ -667,3 +793,6 @@ class LLMRunner:
         self._primed_ids = None
         self._pending_spec = []
         self._spec_index = 0
+        self._la_buf = []
+        self._la_idx = 0
+        self._la_next = None

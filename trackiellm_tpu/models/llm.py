@@ -628,3 +628,37 @@ def generate_greedy(params: Dict[str, Any], cfg: LLMConfig,
     (_, cache), tokens = jax.lax.scan(
         body, (first_token.astype(jnp.int32), cache), None, length=n_tokens)
     return tokens, cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_tokens", "attn_len"))
+def decode_chunk_greedy(params: Dict[str, Any], cfg: LLMConfig,
+                        logits: jnp.ndarray, cache: KVCache,
+                        n_tokens: int, attn_len: Optional[int] = None,
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
+    """``n_tokens`` greedy tokens starting from a logits vector, as ONE
+    device program — the interactive runner's k-token lookahead chunk.
+
+    Unlike :func:`generate_greedy` (which takes the first *token*), this
+    takes the *logits* the host loop holds between steps, so
+    ``tokens[0] == argmax(logits)`` and the emitted chain is exactly the
+    serial decode_step path's. Returns ``(tokens (n_tokens,), logits
+    after the last token, cache advanced by n_tokens)``; the host
+    fetches the token array once per chunk instead of once per token
+    (the non-pipelining relay fetch is the measured 35-vs-94 tok/s gap,
+    PERF_NOTES.md). Terminal events (EOS/stop/budget) inside the chunk
+    are reconciled by the caller rolling ``cache.length`` back — rows
+    past ``length`` are stale-masked (llm/runner.py contract).
+
+    ``attn_len`` must cover cache.length + n_tokens."""
+
+    def body(carry, _):
+        lg, cache = carry
+        tok = jnp.argmax(lg).astype(jnp.int32)
+        lg2, cache = decode_step(params, cfg, tok, cache,
+                                 attn_len=attn_len)
+        return (lg2, cache), tok
+
+    (lg, cache), tokens = jax.lax.scan(
+        body, (logits, cache), None, length=n_tokens)
+    return tokens, lg, cache
