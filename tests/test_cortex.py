@@ -650,3 +650,90 @@ class TestFatalEscalation:
         assert c.state is not CortexState.FATAL_ERROR
         c.stop()
         assert llm.calls >= 3
+
+
+import numpy as np
+
+
+class TestEventQueueOrdering:
+    """VERDICT round-2 production-loop fixes: speech events must not
+    wait behind stale camera frames, and frame events coalesce."""
+
+
+    def test_speech_dequeues_before_queued_frames(self):
+        import threading
+
+        from trackiellm_tpu.cortex.main import (
+            CortexConfig, CortexEvent, EventType)
+
+        order = []
+        gate = threading.Event()
+
+        class SlowVision:
+            def process_frame(self, frame, orientation_wxyz=None):
+                order.append("vision")
+                gate.wait(timeout=2.0)  # hold the loop on frame 1
+
+                import dataclasses
+
+                @dataclasses.dataclass
+                class R:
+                    objects: list
+                    scene_graph: object = None
+                return R(objects=[])
+
+        llm = StubLLM(["resposta."])
+        responses = []
+        c = Cortex(config=CortexConfig(main_loop_hz=0.5),
+                   vision_pipeline=SlowVision(), llm_runner=llm,
+                   on_response=responses.append)
+
+        def on_speech(*a, **k):
+            order.append("speech")
+            return ""
+        c._process_user_speech = lambda text: order.append("speech")
+        c.run()
+        c.inject_video_frame(np.zeros((4, 4, 3), np.uint8))
+        # While the loop is stuck in frame 1, queue MORE frames and a
+        # speech final; speech must be handled before those frames.
+        deadline = time.monotonic() + 2.0
+        while not order and time.monotonic() < deadline:
+            time.sleep(0.01)
+        for _ in range(3):
+            c.inject_video_frame(np.zeros((4, 4, 3), np.uint8))
+        c.inject_user_text("oi")
+        gate.set()
+        deadline = time.monotonic() + 3.0
+        while "speech" not in order and time.monotonic() < deadline:
+            time.sleep(0.01)
+        c.stop(timeout=3.0)
+        assert order[0] == "vision"
+        assert "speech" in order
+        # Speech ran before any SECOND vision pass.
+        assert order.index("speech") == 1
+
+    def test_frame_events_coalesce(self):
+        seen = []
+
+        class CountingVision:
+            def process_frame(self, frame, orientation_wxyz=None):
+                import dataclasses
+
+                @dataclasses.dataclass
+                class R:
+                    objects: list
+                    scene_graph: object = None
+                seen.append(1)
+                return R(objects=[])
+
+        c = Cortex(vision_pipeline=CountingVision())
+        # Not running: inject 10 frames; only ONE event may queue.
+        for _ in range(10):
+            c.inject_video_frame(np.zeros((2, 2, 3), np.uint8))
+        assert c._events.qsize() == 1
+        c.run()
+        deadline = time.monotonic() + 3.0
+        while not seen and time.monotonic() < deadline:
+            time.sleep(0.01)
+        c.stop(timeout=2.0)
+        assert len(seen) == 1  # one pass covered all ten frames

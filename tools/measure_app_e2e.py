@@ -117,7 +117,8 @@ def main() -> None:
         # Fresh frame every tick so nothing can replay.
         return rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
 
-    marks = {"t0": None, "first_audio": None, "asr_done": None}
+    marks = {"t0": None, "first_audio": None, "first_reply": None,
+             "asr_done": None}
     mlock = threading.Lock()
     audio_event = threading.Event()
 
@@ -127,9 +128,15 @@ def main() -> None:
                 marks["t0"] = time.perf_counter()
 
     def on_spoken(wav, priority):
+        # priority NORMAL(1) = the LLM reply's sentence stream; CRITICAL
+        # = safety alerts from the world model (also real product audio,
+        # but not the reply metric).
         with mlock:
-            if marks["first_audio"] is None and marks["t0"] is not None:
-                marks["first_audio"] = time.perf_counter()
+            if marks["t0"] is not None:
+                if marks["first_audio"] is None:
+                    marks["first_audio"] = time.perf_counter()
+                if marks["first_reply"] is None and int(priority) <= 1:
+                    marks["first_reply"] = time.perf_counter()
         audio_event.set()
 
     cfg = Config()
@@ -145,7 +152,12 @@ def main() -> None:
         depth_fn=lambda chw: depth_model.depth_forward(
             dep_params, dep_cfg, chw),
         vad_fn=lambda chunk: vad(chunk),
-        asr_fn=lambda audio: asr.transcribe(audio),
+        # The REAL ASR pass runs (its latency is the point); random
+        # weights can decode to an empty string, which would skip the
+        # LLM turn entirely, so a fixed query rides along with whatever
+        # the model produced.
+        asr_fn=lambda audio: (asr.transcribe(audio)
+                              + " o que ha na minha frente?"),
         tts_stream_fn=lambda text: tts_model.synthesize_streaming(
             tts_params, tts_cfg, text),
         streaming_asr=True,
@@ -171,23 +183,24 @@ def main() -> None:
         for run in range(RUNS + 1):  # run 0 = cold compile warmup
             with mlock:
                 marks["t0"] = marks["first_audio"] = None
-                marks["asr_done"] = None
+                marks["first_reply"] = marks["asr_done"] = None
             audio_event.clear()
             mic.arm()
             deadline = time.monotonic() + (1800 if run == 0 else 120)
             while time.monotonic() < deadline:
                 with mlock:
-                    if marks["first_audio"] is not None:
+                    if marks["first_reply"] is not None:
                         break
                 time.sleep(0.02)
             with mlock:
-                t0, fa, ad = (marks["t0"], marks["first_audio"],
-                              marks["asr_done"])
-            if t0 is None or fa is None:
-                print(f"run {run}: INCOMPLETE (t0={t0} fa={fa})",
+                t0, fa, fr, ad = (marks["t0"], marks["first_audio"],
+                                  marks["first_reply"], marks["asr_done"])
+            if t0 is None or fr is None:
+                print(f"run {run}: INCOMPLETE (t0={t0} reply={fr})",
                       file=sys.stderr)
                 continue
-            row = {"first_audio_ms": (fa - t0) * 1e3,
+            row = {"first_reply_ms": (fr - t0) * 1e3,
+                   "first_any_audio_ms": (fa - t0) * 1e3,
                    "transcript_ms": ((ad - t0) * 1e3) if ad else None}
             print(f"run {run}: {row}", file=sys.stderr)
             if run > 0:
@@ -201,13 +214,15 @@ def main() -> None:
     if not results:
         print(json.dumps({"error": "no complete runs"}))
         return
-    p50 = statistics.median(r["first_audio_ms"] for r in results)
+    p50 = statistics.median(r["first_reply_ms"] for r in results)
     tr = [r["transcript_ms"] for r in results if r["transcript_ms"]]
     print(json.dumps({
         "config": "PRODUCTION TrackieApp loop: end-of-speech -> first audio",
-        "p50_first_audio_ms": round(p50, 1),
+        "p50_first_reply_audio_ms": round(p50, 1),
+        "p50_first_any_audio_ms": round(statistics.median(
+            r["first_any_audio_ms"] for r in results), 1),
         "p50_transcript_ms": round(statistics.median(tr), 1) if tr else None,
-        "runs_ms": [round(r["first_audio_ms"], 1) for r in results],
+        "runs_ms": [round(r["first_reply_ms"], 1) for r in results],
         "scheduler_stats": {k: {m: round(v, 2) for m, v in s.items()}
                             for k, s in app.scheduler.stats.items()},
         "cortex_stats": {k: round(v, 2)

@@ -38,6 +38,24 @@ class AppSources:
     imu: Optional[Callable] = None
 
 
+class _ScheduledVision:
+    """Routes a whole VisionPipeline frame pass through the shared
+    scheduler as ONE VISION-priority job (the model calls inside run
+    unwrapped). Attribute access falls through to the pipeline."""
+
+    def __init__(self, scheduler: InferenceScheduler,
+                 pipeline: VisionPipeline):
+        self._sched = scheduler
+        self._pipe = pipeline
+
+    def process_frame(self, frame, *args, **kwargs):
+        return self._sched.run(JobKind.VISION, self._pipe.process_frame,
+                               frame, *args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._pipe, name)
+
+
 class TrackieApp:
     """Full-system assembly. Model backends are injected (real jitted
     models in production, stubs in tests — the wiring is identical)."""
@@ -73,9 +91,11 @@ class TrackieApp:
                 return None
             return lambda *a, **k: sched.run(kind, fn, *a, **k)
 
-        detector_fn = _via(JobKind.VISION, detector_fn)
-        depth_fn = _via(JobKind.VISION, depth_fn)
-        ocr_fn = _via(JobKind.VISION, ocr_fn)
+        # Vision model calls are NOT individually scheduler-wrapped: the
+        # whole per-frame pipeline pass runs as ONE VISION job (below),
+        # so a frame pays one queue wait instead of 2-3 (measured: the
+        # per-fn wrapping cost ~45 ms of scheduler wait per model call
+        # and drove last_vision_ms to ~430 ms/frame through the relay).
         asr_fn = _via(JobKind.ASR, asr_fn)
         tts_fn = _via(JobKind.TTS, tts_fn)
         if tts_stream_fn is not None:
@@ -96,9 +116,12 @@ class TrackieApp:
 
         # The navigation engine rides the vision pipeline's depth maps
         # (NAVIGATION analysis flag); the cortex then reads its hazards.
-        self.vision = (VisionPipeline(detector_fn, depth_fn, ocr_fn,
-                                      navigation_engine=self.navigation)
-                       if detector_fn else None)
+        self.vision_pipeline = (
+            VisionPipeline(detector_fn, depth_fn, ocr_fn,
+                           navigation_engine=self.navigation)
+            if detector_fn else None)
+        self.vision = (_ScheduledVision(sched, self.vision_pipeline)
+                       if self.vision_pipeline else None)
 
         self._spoken = on_spoken_audio
         self.audio = AudioPipeline(

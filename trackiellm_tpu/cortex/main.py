@@ -78,6 +78,29 @@ class CortexEvent:
     payload: Any = None
 
 
+# Dequeue priority (lower = sooner). The reference's queue is FIFO
+# (tk_cortex_main.c:231) but its event *rate* is low; here the 10 Hz
+# camera alone can back the queue up, and a USER_SPEECH_FINAL stuck
+# behind stale NEW_VIDEO_FRAME events adds whole frames of latency to
+# the reply (measured: >1 s p50 through the production loop before
+# this ordering). Same-priority events stay FIFO via a sequence number.
+_EVENT_PRIORITY = {
+    EventType.EMERGENCY: 0,
+    EventType.USER_SPEECH_FINAL: 1,
+    # Partials share the final's class so a queued partial is always
+    # handled BEFORE the final it precedes (FIFO within a priority).
+    EventType.USER_SPEECH_PARTIAL: 1,
+    EventType.AMBIENT_SOUND: 2,
+    EventType.SIGNIFICANT_VISION_CHANGE: 3,
+    EventType.SYSTEM_TIMER: 3,
+    EventType.NEW_VIDEO_FRAME: 4,
+    # Graceful STOP drains last: events already queued (a final speech
+    # turn, a pending alert) are still handled before the loop exits;
+    # EMERGENCY preempts everything via its flag regardless.
+    EventType.STOP: 5,
+}
+
+
 @dataclasses.dataclass
 class CortexConfig:
     """Defaults mirror tk_cortex_main.c / cortex_worker.rs."""
@@ -185,11 +208,17 @@ class Cortex:
 
         self.state = CortexState.UNINITIALIZED
         self._consecutive_failures = 0
-        self._events: "queue.Queue[CortexEvent]" = queue.Queue(
+        self._events: "queue.PriorityQueue" = queue.PriorityQueue(
             maxsize=self.config.event_queue_depth)
+        self._event_seq = 0
         self._frames = collections.deque(
             maxlen=self.config.video_buffer_depth)
         self._frame_lock = threading.Lock()
+        # Coalescing: at most ONE NEW_VIDEO_FRAME event is queued at a
+        # time — frames land in the ring regardless, and the handler
+        # always processes the LATEST one, so queued duplicates are
+        # pure backlog.
+        self._vision_event_pending = False
         self._thread: Optional[threading.Thread] = None
         self._stop_flag = threading.Event()
         self._emergency_flag = threading.Event()
@@ -240,7 +269,10 @@ class Cortex:
 
     def _enqueue(self, event: CortexEvent, drop_ok: bool = False) -> bool:
         try:
-            self._events.put_nowait(event)
+            self._event_seq += 1
+            self._events.put_nowait(
+                (_EVENT_PRIORITY.get(event.type, 3), self._event_seq,
+                 event))
             return True
         except queue.Full:
             if not drop_ok:
@@ -249,9 +281,13 @@ class Cortex:
 
     def inject_video_frame(self, frame) -> None:
         """Parity: tk_cortex_inject_video_frame (:669) — ring-buffer the
-        frame, enqueue NEW_VIDEO_FRAME."""
+        frame, enqueue NEW_VIDEO_FRAME (coalesced: one queued event
+        covers any number of newer frames in the ring)."""
         with self._frame_lock:
             self._frames.append(frame)
+            if self._vision_event_pending:
+                return
+            self._vision_event_pending = True
         self._enqueue(CortexEvent(EventType.NEW_VIDEO_FRAME), drop_ok=True)
 
     def inject_audio_chunk(self, chunk) -> None:
@@ -287,7 +323,10 @@ class Cortex:
     def _main_loop(self) -> None:
         period = 1.0 / self.config.main_loop_hz
         next_tick = time.monotonic()
-        while not self._stop_flag.is_set():
+        while True:
+            stopping = self._stop_flag.is_set()
+            if stopping and self._events.empty():
+                break
             t0 = time.monotonic()
             if self._emergency_flag.is_set():
                 self._handle_emergency()
@@ -296,16 +335,19 @@ class Cortex:
             # The timer has priority when due — a continuous event stream
             # must not starve decision-queue processing / decay / nav
             # analysis (the reference drives these from a dedicated
-            # timer for the same reason).
+            # timer for the same reason). During shutdown no new timer
+            # work starts; only already-queued events drain.
             now = time.monotonic()
-            if now >= next_tick:
+            if now >= next_tick and not stopping:
                 event = CortexEvent(EventType.SYSTEM_TIMER)
                 next_tick = max(next_tick + period, now)
             else:
                 try:
-                    event = self._events.get(timeout=next_tick - now)
+                    _, _, event = self._events.get(
+                        timeout=0.05 if stopping
+                        else max(next_tick - now, 0.0))
                 except queue.Empty:
-                    continue  # timer is now due; handled next iteration
+                    continue  # timer due / shutdown re-check
             try:
                 if event.type is EventType.STOP:
                     break
@@ -361,11 +403,10 @@ class Cortex:
     # ------------------------------------------------------------------
 
     def _process_vision(self) -> None:
-        if self.vision is None:
-            return
         with self._frame_lock:
             frame = self._frames[-1] if self._frames else None
-        if frame is None:
+            self._vision_event_pending = False
+        if self.vision is None or frame is None:
             return
         t0 = time.monotonic()
         orientation = None

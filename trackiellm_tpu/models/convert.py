@@ -42,6 +42,55 @@ from trackiellm_tpu.utils.logging import get_logger
 log = get_logger("models.convert")
 
 
+def apply_name_map(state: Dict[str, Any], mapping: Dict[str, str],
+                   strict: bool = False) -> Dict[str, Any]:
+    """Rename a published checkpoint's tensors onto the layout a
+    ``*_from_torch`` converter expects.
+
+    ``mapping``: {published_name: converter_name}. Names absent from
+    the mapping pass through unchanged (strict=True raises instead).
+    JSON name maps for known published graphs live in
+    ``trackiellm_tpu/models/name_maps/`` — see docs/REAL_WEIGHTS.md for
+    the verification workflow (the maps there are derived from the
+    published model repos' graph structures and marked verified or
+    unverified per file).
+    """
+    out: Dict[str, Any] = {}
+    unmapped = []
+    for k, v in state.items():
+        if k in mapping:
+            out[mapping[k]] = v
+        else:
+            unmapped.append(k)
+            out[k] = v
+    if strict and unmapped:
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"{len(unmapped)} tensors not covered by the name map: "
+            f"{unmapped[:8]}...")
+    return out
+
+
+def load_name_map(name_or_path: str) -> Dict[str, str]:
+    """Load a name map by file path or by bundled name (e.g.
+    'silero_v5', 'piper_vits')."""
+    import json
+    import os
+
+    path = name_or_path
+    if not os.path.exists(path):
+        bundled = os.path.join(os.path.dirname(__file__), "name_maps",
+                               f"{name_or_path}.json")
+        if os.path.exists(bundled):
+            path = bundled
+        else:
+            raise TrackieError(ErrorCode.FILE_NOT_FOUND,
+                               f"name map {name_or_path!r} (not a file, "
+                               f"and no bundled map of that name)")
+    data = json.loads(open(path).read())
+    return {k: v for k, v in data.items() if not k.startswith("_")}
+
+
 def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
     """Derive an LLMConfig from GGUF metadata (llama.cpp key names)."""
     md = gguf.metadata
