@@ -297,3 +297,116 @@ class TestSmallClassifierConverters:
             cfg.n_mels, cfg.n_frames).astype(np.float32)
         score = float(ww.wake_word_score(params, cfg, jnp.asarray(mel)))
         assert 0.0 <= score <= 1.0
+
+
+class TestSileroExactConverter:
+    """Silero-v5-exact topology (models/vad.py::SileroVAD): the
+    converter must consume the REAL published initializer names, and
+    the JAX step must match a torch twin built from torch's own
+    Conv1d/LSTMCell conventions (docs/REAL_WEIGHTS.md name table)."""
+
+    def _torch_state(self, seed=0):
+        import torch
+
+        g = torch.Generator().manual_seed(seed)
+        st = {}
+        st["_model.stft.forward_basis_buffer"] = torch.randn(
+            (258, 1, 256), generator=g) * 0.1
+        cin = 129
+        for i, (cout, _s) in enumerate(
+                zip((128, 64, 64, 128), (1, 2, 2, 1))):
+            st[f"_model.encoder.{i}.reparam_conv.weight"] = torch.randn(
+                (cout, cin, 3), generator=g) * (1.0 / (cin * 3) ** 0.5)
+            st[f"_model.encoder.{i}.reparam_conv.bias"] = torch.randn(
+                (cout,), generator=g) * 0.01
+            cin = cout
+        st["_model.decoder.rnn.weight_ih"] = torch.randn(
+            (512, 128), generator=g) * 0.05
+        st["_model.decoder.rnn.weight_hh"] = torch.randn(
+            (512, 128), generator=g) * 0.05
+        st["_model.decoder.rnn.bias_ih"] = torch.randn(
+            (512,), generator=g) * 0.01
+        st["_model.decoder.rnn.bias_hh"] = torch.randn(
+            (512,), generator=g) * 0.01
+        st["_model.decoder.decoder.2.weight"] = torch.randn(
+            (1, 128, 1), generator=g) * 0.1
+        st["_model.decoder.decoder.2.bias"] = torch.randn(
+            (1,), generator=g) * 0.01
+        return st
+
+    def test_step_matches_torch_twin(self):
+        import torch
+        import torch.nn.functional as F
+        import jax.numpy as jnp
+
+        from trackiellm_tpu.models.convert import silero_from_onnx
+        from trackiellm_tpu.models.vad import (
+            SileroVAD, silero_init_state, silero_step)
+
+        st = self._torch_state(seed=4)
+        params, cfg = silero_from_onnx(
+            {k: v.numpy() for k, v in st.items()})
+        assert cfg.hidden == 128 and cfg.enc_ch == (128, 64, 64, 128)
+
+        chunk = torch.randn((512,), generator=torch.Generator()
+                            .manual_seed(9)) * 0.1
+
+        # --- torch twin of one step, context zero ----------------------
+        with torch.no_grad():
+            x = torch.cat([torch.zeros(64), chunk])
+            x = F.pad(x[None, None], (64, 64), mode="reflect")[0, 0]
+            frames = x.unfold(0, 256, 128)                 # (F, 256)
+            basis = st["_model.stft.forward_basis_buffer"][:, 0, :]
+            spec = frames @ basis.T                        # (F, 258)
+            re, im = spec[:, :129], spec[:, 129:]
+            mag = torch.sqrt(re * re + im * im + 1e-12)
+            feat = mag.T[None]                             # (1, 129, F)
+            for i, s in enumerate((1, 2, 2, 1)):
+                feat = F.conv1d(
+                    feat, st[f"_model.encoder.{i}.reparam_conv.weight"],
+                    st[f"_model.encoder.{i}.reparam_conv.bias"],
+                    stride=s, padding=1)
+                feat = F.relu(feat)
+            feat = feat[0].mean(dim=-1)
+            cell = torch.nn.LSTMCell(128, 128)
+            cell.weight_ih.data = st["_model.decoder.rnn.weight_ih"]
+            cell.weight_hh.data = st["_model.decoder.rnn.weight_hh"]
+            cell.bias_ih.data = st["_model.decoder.rnn.bias_ih"]
+            cell.bias_hh.data = st["_model.decoder.rnn.bias_hh"]
+            h, c = cell(feat[None],
+                        (torch.zeros(1, 128), torch.zeros(1, 128)))
+            w = st["_model.decoder.decoder.2.weight"].reshape(-1)
+            t_prob = torch.sigmoid(
+                h[0] @ w + st["_model.decoder.decoder.2.bias"][0])
+
+        j_prob, (jh, jc, jctx) = silero_step(
+            params, cfg, jnp.asarray(chunk.numpy()),
+            silero_init_state(cfg))
+        np.testing.assert_allclose(float(j_prob), float(t_prob),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jh), h[0].numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        # Context carry: the next chunk sees this chunk's tail.
+        np.testing.assert_allclose(np.asarray(jctx),
+                                   chunk[-64:].numpy(), rtol=1e-6)
+
+    def test_prefixless_names_accepted(self):
+        from trackiellm_tpu.models.convert import silero_from_onnx
+
+        st = {k.replace("_model.", ""): v.numpy()
+              for k, v in self._torch_state(seed=1).items()}
+        params, cfg = silero_from_onnx(st)
+        assert params["lstm_wi"].shape == (512, 128)
+
+    def test_streaming_wrapper_interface(self):
+        import jax
+
+        from trackiellm_tpu.models.vad import (
+            SileroConfig, SileroVAD, init_silero)
+
+        cfg = SileroConfig()
+        vad = SileroVAD(init_silero(jax.random.PRNGKey(0), cfg), cfg)
+        p = vad(np.random.default_rng(0).standard_normal(1600)
+                .astype(np.float32))
+        assert 0.0 <= p <= 1.0
+        vad.reset()

@@ -269,3 +269,32 @@ class TestWhisperFromTorch:
                                       jnp.int32(1), cache)
         assert logits.shape == (cfg.vocab_size,)
         assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+class TestNameMaps:
+    def test_apply_and_load(self, tmp_path):
+        import json as _json
+
+        from trackiellm_tpu.models.convert import (
+            apply_name_map, load_name_map)
+
+        state = {"a.w": 1, "b.w": 2, "keep": 3}
+        out = apply_name_map(state, {"a.w": "x.w", "b.w": "y.w"})
+        assert out == {"x.w": 1, "y.w": 2, "keep": 3}
+
+        p = str(tmp_path / "m.json")
+        with open(p, "w") as f:
+            _json.dump({"_comment": "x", "a": "b"}, f)
+        assert load_name_map(p) == {"a": "b"}
+        # Bundled maps resolve by bare name.
+        m = load_name_map("example")
+        assert "backbone.stem.conv.weight" in m
+
+    def test_strict_rejects_unmapped(self):
+        import pytest as _pytest
+
+        from trackiellm_tpu.models.convert import apply_name_map
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        with _pytest.raises(TrackieError):
+            apply_name_map({"a": 1, "b": 2}, {"a": "x"}, strict=True)

@@ -1,0 +1,199 @@
+"""The accuracy-parity harness (tools/parity_*.py) must be TURNKEY:
+one command against real checkpoint paths produces the metric; a
+missing file fails with a clear message (VERDICT round-2 item 3).
+
+Real checkpoints don't exist in this zero-egress environment, so the
+turnkey property is proven with synthetic checkpoints: each tool runs
+as a subprocess against files written by the test, and self-parity
+(comparing a model's output against itself) must score perfectly —
+exactly what a correct harness reports the day real files appear.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, expect_ok=True):
+    """Missing-file probes run as real subprocesses (they exit before
+    jax loads, so they stay fast even under the axon TPU plugin)."""
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, *args], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=600)
+    if expect_ok and proc.returncode != 0:
+        raise AssertionError(
+            f"exit {proc.returncode}\nstdout: {proc.stdout}\n"
+            f"stderr: {proc.stderr[-3000:]}")
+    return proc
+
+
+def _run_main(tool_module, args, capsys):
+    """Self-parity runs execute the tool's main() in-process so the
+    conftest's CPU pin applies (a subprocess would inherit the axon TPU
+    platform and pay relay compiles)."""
+    import importlib
+
+    mod = importlib.import_module(tool_module)
+    old = sys.argv
+    sys.argv = [tool_module, *args]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    return json.loads(out.strip().splitlines()[-1])
+
+
+class TestMissingFilesFailInformatively:
+    @pytest.mark.parametrize("tool,args", [
+        ("tools/parity_detector.py",
+         ["--checkpoint", "/nope/yolo.pt", "--images", "/nope/imgs"]),
+        ("tools/parity_asr.py",
+         ["--checkpoint", "/nope/whisper.pt", "--audio", "/nope/a",
+          "--refs", "/nope/refs.tsv"]),
+        ("tools/parity_llm.py",
+         ["--gguf", "/nope/model.gguf", "--transcript", "/nope/t.json"]),
+    ])
+    def test_missing_checkpoint(self, tool, args):
+        proc = _run([tool, *args], expect_ok=False)
+        assert proc.returncode == 2
+        assert "not found" in proc.stderr
+
+
+class TestDetectorParity:
+    def test_self_parity_map_is_1(self, tmp_path, capsys):
+        # A tiny synthetic detector in the torch layout the converter
+        # ingests, written as npz (the .pt path shares load_state_dict).
+        sys.path.insert(0, REPO)
+        from tests.test_detector_convert import TV8, _randomize_bn
+        import torch
+
+        from trackiellm_tpu.models.detector import DetectorConfig
+
+        cfg = DetectorConfig.tiny()
+        torch.manual_seed(3)
+        model = TV8(cfg).eval()
+        _randomize_bn(model, torch.Generator().manual_seed(3))
+        state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        ckpt = str(tmp_path / "det.npz")
+        np.savez(ckpt, **state)
+
+        from PIL import Image
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (96, 128, 3), dtype=np.uint8)
+        img_path = str(tmp_path / "scene.png")
+        Image.fromarray(img).save(img_path)
+
+        # Random weights give arbitrary confidence ranges; probe the
+        # model's own max class prob and set the threshold below it so
+        # the dump is guaranteed non-empty.
+        import jax.numpy as jnp
+
+        from trackiellm_tpu.models.convert import detector_from_torch
+        from trackiellm_tpu.models.detector import detector_forward
+        from trackiellm_tpu.ops.preprocess import letterbox_preprocess
+
+        params, pcfg = detector_from_torch(state)
+        chw, _ = letterbox_preprocess(jnp.asarray(img), cfg.img_size,
+                                      cfg.img_size)
+        _, cls_probs = detector_forward(params, pcfg, chw)
+        conf = float(cls_probs.max()) * 0.8
+        assert conf > 0
+
+        # Pass 1: dump detections (no --expected).
+        dump = _run_main("tools.parity_detector",
+                         ["--checkpoint", ckpt, "--images", img_path,
+                          "--conf", str(conf), "--input-size",
+                          str(cfg.img_size), "--no-record"], capsys)
+        dets = dump["detections"]["scene.png"]
+        assert dets, f"no boxes at probed conf {conf}"
+
+        # Pass 2: self-parity — expected == its own detections.
+        expected = {"scene.png": [{"box": d["box"], "cls": d["cls"]}
+                                  for d in dets]}
+        exp_path = str(tmp_path / "expected.json")
+        with open(exp_path, "w") as f:
+            json.dump(expected, f)
+        result = _run_main("tools.parity_detector",
+                           ["--checkpoint", ckpt, "--images", img_path,
+                            "--conf", str(conf), "--input-size",
+                            str(cfg.img_size), "--expected", exp_path,
+                            "--no-record"], capsys)
+        assert result["mAP@0.50"] == pytest.approx(1.0)
+
+
+class TestLLMParity:
+    def test_self_parity_token_match_is_1(self, tmp_path, capsys):
+        sys.path.insert(0, REPO)
+        from tests.test_convert import _make_gguf
+
+        import jax.numpy ### noqa — ensures jax configured by conftest
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+        from trackiellm_tpu.models.convert import gguf_to_llm_params
+
+        gguf_path = str(tmp_path / "tiny.gguf")
+        _make_gguf(gguf_path, seed=11)
+        params, cfg = gguf_to_llm_params(gguf_path, bits=None)
+        runner = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                           GenerationConfig(max_tokens=16, temperature=0.0))
+        runner.generate("ola mundo")
+        transcript = {"prompt": "ola mundo",
+                      "tokens": list(runner._generated_ids)}
+        tr_path = str(tmp_path / "transcript.json")
+        with open(tr_path, "w") as f:
+            json.dump(transcript, f)
+
+        result = _run_main("tools.parity_llm",
+                           ["--gguf", gguf_path, "--transcript", tr_path,
+                            "--quantize", "0", "--no-record"], capsys)
+        assert result["match_rate"] == pytest.approx(1.0)
+        assert result["exact_prefix"] == len(transcript["tokens"])
+
+
+class TestASRParity:
+    def test_self_parity_wer_is_0(self, tmp_path, capsys):
+        sys.path.insert(0, REPO)
+        import jax
+
+        from trackiellm_tpu.audio.asr import WhisperASR
+        from trackiellm_tpu.models import whisper as whisper_model
+        from trackiellm_tpu.models.convert import (
+            whisper_config_from_torch, whisper_from_torch)
+
+        # Build a whisper-shape torch state dict via the inverse mapping
+        # helper the converter roundtrip test uses.
+        from tests.test_convert import TestWhisperFromTorch
+
+        cfg_w = whisper_model.WhisperConfig.test()
+        ref = whisper_model.init_whisper(jax.random.PRNGKey(5), cfg_w)
+        state = TestWhisperFromTorch()._to_torch_state(ref, cfg_w)
+        ckpt = str(tmp_path / "whisper.npz")
+        np.savez(ckpt, **state)
+
+        cfg_w = whisper_config_from_torch(state)
+        params = whisper_from_torch(state)[0]
+        asr = WhisperASR(params, cfg_w, max_tokens=8)
+        audio = (0.1 * np.random.default_rng(2).standard_normal(8000)
+                 ).astype(np.float32)
+        ref = asr.transcribe(audio)
+
+        clip = str(tmp_path / "clip.npy")
+        np.save(clip, audio)
+        refs = str(tmp_path / "refs.tsv")
+        with open(refs, "w") as f:
+            f.write(f"clip.npy\t{ref}\n")
+
+        result = _run_main("tools.parity_asr",
+                           ["--checkpoint", ckpt, "--audio", clip,
+                            "--refs", refs, "--max-tokens", "8",
+                            "--no-record"], capsys)
+        assert result["mean_wer"] == pytest.approx(0.0)

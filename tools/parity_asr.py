@@ -92,7 +92,7 @@ def main() -> None:
     state = load_state_dict(ckpt)
     try:
         cfg = whisper_config_from_torch(state)
-        params = whisper_from_torch(state)
+        params, _ = whisper_from_torch(state)
     except KeyError as e:
         die(f"checkpoint {ckpt!r} missing expected tensor {e}; list "
             "names with tools/inspect_checkpoint.py and check "

@@ -48,6 +48,9 @@ def main() -> None:
                     help="ground-truth boxes JSON (omit to dump detections)")
     ap.add_argument("--iou", type=float, default=0.5)
     ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--input-size", type=int, default=640,
+                    help="letterbox input size (640 for real v8n; the "
+                    "weights don't encode it — fully convolutional)")
     ap.add_argument("--no-record", action="store_true",
                     help="don't append to PARITY-RESULTS.md")
     args = ap.parse_args()
@@ -67,14 +70,12 @@ def main() -> None:
     import jax.numpy as jnp  # deferred: argparse errors stay fast
 
     from trackiellm_tpu.models import detector as det_model
-    from trackiellm_tpu.models.convert import (
-        detector_config_from_torch, detector_from_torch)
+    from trackiellm_tpu.models.convert import detector_from_torch
     from trackiellm_tpu.vision.pipeline import AnalysisFlags, VisionPipeline
 
     state = load_state_dict(ckpt)
     try:
-        cfg = detector_config_from_torch(state)
-        params = detector_from_torch(state)
+        params, cfg = detector_from_torch(state)
     except KeyError as e:
         die(f"checkpoint {ckpt!r} is missing expected tensor {e}; "
             "list its names with tools/inspect_checkpoint.py and check "
@@ -84,6 +85,7 @@ def main() -> None:
         detector_fn=lambda chw: det_model.detector_forward(
             params, cfg, chw))
     pipe.update_thresholds(confidence=args.conf)
+    pipe.config.detector_input = args.input_size
 
     dets = {}
     for p in paths:

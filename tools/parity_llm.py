@@ -39,9 +39,9 @@ def main() -> None:
     ap.add_argument("--gguf", required=True, help="GGUF model file")
     ap.add_argument("--transcript", required=True,
                     help="llama.cpp greedy-run JSON (prompt + tokens)")
-    ap.add_argument("--quantize", type=int, default=None, choices=(4, 8),
-                    help="requantize to Q4/Q8 on load (default: keep "
-                    "the GGUF's own quantization)")
+    ap.add_argument("--quantize", type=int, default=4, choices=(0, 4, 8),
+                    help="requantize to Q4/Q8 on load (0 = keep float; "
+                    "default 4, matching the reference's Q4_0 serving)")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
@@ -62,7 +62,15 @@ def main() -> None:
         tokenizer = tokenizer_from_gguf(read_gguf_header(gguf_path))
     except Exception as e:
         die(f"GGUF tokenizer table unreadable: {e}")
-    params, cfg = gguf_to_llm_params(gguf_path, bits=args.quantize or 4)
+    params, cfg = gguf_to_llm_params(gguf_path,
+                                     bits=args.quantize or None)
+    if tokenizer is None:
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        print("WARNING: GGUF carries no tokenizer.ggml.tokens table; "
+              "using the byte tokenizer (only valid for synthetic "
+              "models)", file=sys.stderr)
+        tokenizer = ByteTokenizer(cfg.vocab_size)
 
     ref_tokens = tr.get("tokens")
     n_gen = len(ref_tokens) if ref_tokens else 256

@@ -662,6 +662,52 @@ def vad_from_torch(state: Dict[str, Any]):
     return params, cfg
 
 
+def silero_from_onnx(state: Dict[str, Any]):
+    """Published Silero VAD v5 ONNX initializers -> (params,
+    SileroConfig) for models/vad.py::SileroVAD.
+
+    Consumes the REAL graph's initializer names (with or without the
+    ``_model.`` prefix — both exports exist); see docs/REAL_WEIGHTS.md
+    for the name/shape table and the flags that still need verification
+    against a real file. Parity: replaces the reference's Silero ONNX
+    session (src/sensors/tk_vad_silero.c:25)."""
+    from trackiellm_tpu.models.vad import SileroConfig
+
+    def get(name):
+        for k in (name, f"_model.{name}"):
+            if k in state:
+                return np.asarray(state[k], np.float32)
+        raise KeyError(name)
+
+    basis = get("stft.forward_basis_buffer")
+    if basis.ndim == 3:          # (258, 1, 256) conv layout
+        basis = basis[:, 0, :]
+    enc_ch = []
+    enc = []
+    for i in range(4):
+        w = get(f"encoder.{i}.reparam_conv.weight")
+        b = get(f"encoder.{i}.reparam_conv.bias")
+        enc_ch.append(w.shape[0])
+        enc.append((w, b))
+    wi = get("decoder.rnn.weight_ih")
+    hidden = wi.shape[0] // 4
+    head_w = get("decoder.decoder.2.weight")
+    cfg = SileroConfig(n_freqs=enc[0][0].shape[1],
+                       enc_ch=tuple(enc_ch), hidden=hidden)
+    params: Dict[str, Any] = {"stft_basis": jnp.asarray(basis)}
+    for i, (w, b) in enumerate(enc):
+        params[f"enc{i}_w"] = jnp.asarray(w)
+        params[f"enc{i}_b"] = jnp.asarray(b)
+    params["lstm_wi"] = jnp.asarray(wi)
+    params["lstm_wh"] = jnp.asarray(get("decoder.rnn.weight_hh"))
+    params["lstm_bi"] = jnp.asarray(get("decoder.rnn.bias_ih"))
+    params["lstm_bh"] = jnp.asarray(get("decoder.rnn.bias_hh"))
+    params["head_w"] = jnp.asarray(head_w.reshape(-1))
+    params["head_b"] = jnp.asarray(
+        get("decoder.decoder.2.bias").reshape(()))
+    return params, cfg
+
+
 def tts_from_torch(state: Dict[str, Any], upsample=(4, 5, 8)):
     """Piper/VITS-shape TTS checkpoint (torch: phoneme Embedding, Conv1d
     encoder/decoder stacks, Linear duration predictor + mel head,

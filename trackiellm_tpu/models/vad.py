@@ -133,6 +133,128 @@ class NeuralVAD:
         self._leftover = np.zeros(0, np.float32)
 
 
+class SileroConfig(NamedTuple):
+    """Topology of the published Silero VAD v5 ONNX graph (16 kHz
+    branch) — see docs/REAL_WEIGHTS.md for the initializer name table.
+    Flags marked UNVERIFIED there: ``stft_pad`` (reflect padding) and
+    the encoder strides."""
+
+    context: int = 64
+    n_fft: int = 256
+    hop: int = 128
+    stft_pad: int = 64
+    n_freqs: int = 129
+    enc_ch: Tuple[int, ...] = (128, 64, 64, 128)
+    enc_strides: Tuple[int, ...] = (1, 2, 2, 1)
+    hidden: int = 128
+
+
+def init_silero(key: jax.Array,
+                cfg: SileroConfig = SileroConfig()) -> Dict[str, Any]:
+    """Random init in the exact published layout (tests / distillation
+    targets)."""
+    ks = iter(jax.random.split(key, 16))
+    cos_b, sin_b = _dft_power_bases(cfg.n_fft)
+    basis = np.concatenate([cos_b.T, sin_b.T], axis=0)  # (258, 256)
+    params: Dict[str, Any] = {"stft_basis": jnp.asarray(basis)}
+    cin = cfg.n_freqs
+    for i, cout in enumerate(cfg.enc_ch):
+        s = 1.0 / math.sqrt(cin * 3)
+        params[f"enc{i}_w"] = jax.random.uniform(
+            next(ks), (cout, cin, 3), jnp.float32, -s, s)
+        params[f"enc{i}_b"] = jnp.zeros((cout,), jnp.float32)
+        cin = cout
+    h = cfg.hidden
+    s = 1.0 / math.sqrt(h)
+    for name, shape in (("lstm_wi", (4 * h, cfg.enc_ch[-1])),
+                        ("lstm_wh", (4 * h, h))):
+        params[name] = jax.random.uniform(next(ks), shape, jnp.float32,
+                                          -s, s)
+    params["lstm_bi"] = jnp.zeros((4 * h,), jnp.float32)
+    params["lstm_bh"] = jnp.zeros((4 * h,), jnp.float32)
+    params["head_w"] = jax.random.uniform(next(ks), (h,), jnp.float32,
+                                          -s, s)
+    params["head_b"] = jnp.zeros((), jnp.float32)
+    return params
+
+
+def silero_init_state(cfg: SileroConfig = SileroConfig()):
+    return (jnp.zeros((cfg.hidden,), jnp.float32),
+            jnp.zeros((cfg.hidden,), jnp.float32),
+            jnp.zeros((cfg.context,), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def silero_step(params: Dict[str, Any], cfg: SileroConfig,
+                chunk: jnp.ndarray, state) -> Tuple[jnp.ndarray, tuple]:
+    """One 512-sample chunk through the Silero-v5 topology:
+    context-carry -> STFT-conv magnitude -> 4 reparam convs -> LSTM
+    cell -> sigmoid head. Returns (prob, (h, c, context))."""
+    h_prev, c_prev, ctx = state
+    x = jnp.concatenate([ctx, chunk])                  # (context+512,)
+    if cfg.stft_pad:
+        x = jnp.pad(x, (cfg.stft_pad, cfg.stft_pad), mode="reflect")
+    n = x.shape[0]
+    n_frames = (n - cfg.n_fft) // cfg.hop + 1
+    idx = (jnp.arange(n_frames) * cfg.hop)[:, None] + jnp.arange(cfg.n_fft)
+    frames = x[idx]                                    # (F, n_fft)
+    spec = frames @ params["stft_basis"].T             # (F, 258)
+    re = spec[:, :cfg.n_freqs]
+    im = spec[:, cfg.n_freqs:]
+    mag = jnp.sqrt(re * re + im * im + 1e-12)          # (F, 129)
+
+    feat = mag.T[None]                                 # (1, C, T)
+    for i, stride in enumerate(cfg.enc_strides):
+        feat = jax.lax.conv_general_dilated(
+            feat, params[f"enc{i}_w"], (stride,), [(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        feat = jax.nn.relu(feat + params[f"enc{i}_b"][None, :, None])
+    feat = jnp.mean(feat[0], axis=-1)                  # (128,)
+
+    hid = cfg.hidden
+    gates = (feat @ params["lstm_wi"].T + params["lstm_bi"]
+             + h_prev @ params["lstm_wh"].T + params["lstm_bh"])
+    i_g = jax.nn.sigmoid(gates[:hid])
+    f_g = jax.nn.sigmoid(gates[hid:2 * hid])
+    g_g = jnp.tanh(gates[2 * hid:3 * hid])
+    o_g = jax.nn.sigmoid(gates[3 * hid:])
+    c_new = f_g * c_prev + i_g * g_g
+    h_new = o_g * jnp.tanh(c_new)
+
+    prob = jax.nn.sigmoid(h_new @ params["head_w"] + params["head_b"])
+    new_ctx = chunk[-cfg.context:]
+    return prob, (h_new, c_new, new_ctx)
+
+
+class SileroVAD:
+    """Streaming wrapper over the Silero-v5-exact topology — same
+    interface as :class:`NeuralVAD` (the pipeline's vad_fn contract)."""
+
+    def __init__(self, params, cfg: SileroConfig = SileroConfig()):
+        self.params = params
+        self.cfg = cfg
+        self.state = silero_init_state(cfg)
+        self._leftover = np.zeros(0, np.float32)
+
+    def __call__(self, chunk) -> float:
+        data = np.concatenate([self._leftover,
+                               np.asarray(chunk, np.float32)])
+        n_frames = len(data) // CHUNK_SAMPLES
+        prob = 0.0
+        for i in range(n_frames):
+            frame = jnp.asarray(
+                data[i * CHUNK_SAMPLES:(i + 1) * CHUNK_SAMPLES])
+            p, self.state = silero_step(self.params, self.cfg, frame,
+                                        self.state)
+            prob = max(prob, float(p))
+        self._leftover = data[n_frames * CHUNK_SAMPLES:]
+        return prob
+
+    def reset(self) -> None:
+        self.state = silero_init_state(self.cfg)
+        self._leftover = np.zeros(0, np.float32)
+
+
 class EnergyVAD:
     """Deterministic fallback VAD (log-energy hysteresis) — used when no
     trained weights are present and by tests that need a *predictable*
