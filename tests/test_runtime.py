@@ -139,7 +139,9 @@ class TestScheduler:
         gate.set()
         for f in (f_dec, f_vis, f_vad):
             f.result(timeout=2.0)
-        assert order == ["vad", "vision", "decode"]
+        # VAD > LLM_DECODE > VISION (the passive camera tick yields to
+        # everything the user is actively waiting on).
+        assert order == ["vad", "decode", "vision"]
         s.close()
 
     def test_stats_recorded(self):

@@ -49,10 +49,16 @@ DEFAULT_PRIORITIES: Dict[JobKind, int] = {
     #                          transcript feeds LLM prefill); one short
     #                          job per utterance, so it cannot starve
     #                          the continuous vision loop below it
-    JobKind.VISION: 3,       # safety path; consumed at context-extend
-    JobKind.LLM_PREFILL: 2,
-    JobKind.TTS: 2,
-    JobKind.LLM_DECODE: 1,
+    JobKind.TTS: 3,          # the user is WAITING to hear this
+    JobKind.LLM_PREFILL: 3,
+    JobKind.LLM_DECODE: 2,
+    JobKind.VISION: 1,       # passive 10 Hz tick: a saturated camera
+    #                          stream above TTS starves the reply's
+    #                          vocoder chunks indefinitely (measured:
+    #                          the production loop never spoke while
+    #                          frames queued at the old priority 3).
+    #                          Safety alerts tolerate one stale tick;
+    #                          an unheard reply is a broken product.
     JobKind.OTHER: 0,
 }
 
