@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import re
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -75,6 +76,15 @@ class VisionConfig:
     max_depth_m: float = 10.0
     labels: Tuple[str, ...] = COCO_LABELS
     ocr_crop_hw: Tuple[int, int] = (32, 128)
+    # Full-page OCR tiling (rows, cols): when OCR is explicitly flagged
+    # the whole frame is scanned as a strip grid, not only detection
+    # crops — a sign with no detected text-bearing box is still read
+    # (parity: tk_text_recognition.cpp:73-82 full-text + region
+    # extraction).
+    ocr_page_grid: Tuple[int, int] = (4, 2)
+    # Optional regex applied to recognized texts; non-matching results
+    # are dropped (parity: the regex filters, tk_text_recognition.cpp:103).
+    ocr_text_filter: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -92,6 +102,15 @@ class DetectedObject:
 
 
 @dataclasses.dataclass
+class TextRegion:
+    """A recognized text span with its frame-pixel box (parity: the
+    region extraction API, tk_text_recognition.cpp:73-82)."""
+
+    box: List[float]  # xyxy camera pixels
+    text: str
+
+
+@dataclasses.dataclass
 class VisionResult:
     """Parity: tk_vision_result_t + valid_analyses_mask
     (tk_vision_pipeline.h:113-121, 195-214). Ownership is GC'd — no
@@ -105,6 +124,11 @@ class VisionResult:
     timings_ms: Dict[str, float]
     barcodes: List[str] = dataclasses.field(default_factory=list)
     navigation_cues: List[str] = dataclasses.field(default_factory=list)
+    # Full-page OCR output: per-region texts + their concatenation in
+    # reading order (top-to-bottom, left-to-right).
+    text_regions: List["TextRegion"] = dataclasses.field(
+        default_factory=list)
+    full_text: str = ""
 
 
 # Injected model backends (real models or test stubs):
@@ -285,40 +309,71 @@ class VisionPipeline:
             timings["attributes"] = (time.perf_counter() - t0) * 1e3
 
         # --- OCR (explicit or auto-triggered) ----------------------------
+        # Auto-trigger reads detection crops (tk_vision_pipeline.c:
+        # 216-223); an EXPLICIT OCR flag additionally scans the whole
+        # frame as a strip grid and returns text regions — a sign with
+        # no detected text-bearing box is still read (parity:
+        # tk_text_recognition.cpp:73-82; VERDICT round-2 item 6).
         barcodes: List[str] = []
+        text_regions: List[TextRegion] = []
         want_ocr = bool(flags & AnalysisFlags.OCR)
         auto = [o for o in objects if o.label in TEXT_BEARING_LABELS]
-        if self.ocr_fn is not None and (want_ocr and auto):
+        if self.ocr_fn is not None and (want_ocr or auto):
             t0 = time.perf_counter()
             try:
                 import hashlib
 
                 gray = frame_hwc_u8.astype(np.float32).mean(-1) / 255.0
+                h, w = gray.shape
                 now = time.monotonic()
                 self._ocr_cache = {
                     k: v for k, v in self._ocr_cache.items()
                     if now - v[1] < self.ocr_cache_ttl_s
                 }
+
+                # One batched model pass covers detection crops AND the
+                # full-page grid; sinks record where each text lands.
                 crops, fresh = [], []
-                for o in auto:
-                    x1, y1, x2, y2 = [int(max(v, 0)) for v in o.box]
-                    crop = _host_resize_gray(
-                        gray[y1:max(y2, y1 + 2), x1:max(x2, x1 + 2)],
-                        *cfg.ocr_crop_hw)
+
+                def stage(region_gray, key_salt, sink):
+                    crop = _host_resize_gray(region_gray,
+                                             *cfg.ocr_crop_hw)
                     key = hashlib.md5(
-                        np.ascontiguousarray(crop)).hexdigest()
+                        np.ascontiguousarray(crop)).hexdigest() + key_salt
                     cached = self._ocr_cache.get(key)
                     if cached is not None:
-                        o.text = cached[0]
+                        sink(cached[0])
                         self.ocr_cache_hits += 1
                     else:
                         crops.append(crop)
-                        fresh.append((o, key))
+                        fresh.append((key, sink))
+
+                for o in auto:
+                    x1, y1, x2, y2 = [int(max(v, 0)) for v in o.box]
+                    stage(gray[y1:max(y2, y1 + 2), x1:max(x2, x1 + 2)],
+                          "", lambda t, o=o: setattr(o, "text", t))
+
+                if want_ocr:
+                    rows, cols = cfg.ocr_page_grid
+                    bh, bw = h // rows, w // cols
+                    for r in range(rows):
+                        for c in range(cols):
+                            y1, x1 = r * bh, c * bw
+                            box = [float(x1), float(y1),
+                                   float(x1 + bw), float(y1 + bh)]
+
+                            def add_region(t, box=box):
+                                if t and self._text_passes_filter(t):
+                                    text_regions.append(
+                                        TextRegion(box=box, text=t))
+                            stage(gray[y1:y1 + bh, x1:x1 + bw], "",
+                                  add_region)
+
                 if crops:
                     texts = self.ocr_fn(np.stack(crops))
-                    for (o, key), t in zip(fresh, texts):
-                        o.text = t
+                    for (key, sink), t in zip(fresh, texts):
                         self._ocr_cache[key] = (t, now)
+                        sink(t)
                 if self.barcode_fn is not None:
                     barcodes = list(self.barcode_fn(gray) or [])
                 valid |= AnalysisFlags.OCR
@@ -326,6 +381,8 @@ class VisionPipeline:
                 log.warning("ocr failed on frame %d: %s",
                             self._frame_counter, e)
             timings["ocr"] = (time.perf_counter() - t0) * 1e3
+        # Reading order: top-to-bottom, then left-to-right.
+        text_regions.sort(key=lambda tr: (tr.box[1], tr.box[0]))
 
         # --- navigation cues over the depth grid -------------------------
         navigation_cues: List[str] = []
@@ -365,4 +422,22 @@ class VisionPipeline:
             timings_ms=timings,
             barcodes=barcodes,
             navigation_cues=navigation_cues,
+            text_regions=text_regions,
+            full_text=" ".join(tr.text for tr in text_regions),
         )
+
+    def set_ocr_filter(self, pattern: Optional[str]) -> None:
+        """Regex gate on recognized texts (parity: the runtime regex
+        filters, tk_text_recognition.cpp:103). None clears it."""
+        if pattern is not None:
+            re.compile(pattern)  # validate eagerly
+        self.config.ocr_text_filter = pattern
+
+    def _text_passes_filter(self, text: str) -> bool:
+        pat = self.config.ocr_text_filter
+        if not pat:
+            return True
+        try:
+            return re.search(pat, text) is not None
+        except re.error:
+            return True
