@@ -27,6 +27,11 @@ native:
 	    -Itrackiellm_tpu/ffi/native -Ltrackiellm_tpu/ffi/native \
 	    -ltrackie_runtime -Wl,-rpath,$(PWD)/trackiellm_tpu/ffi/native
 	/tmp/trackie_embed_demo
+	g++ -O2 -std=c++17 -o /tmp/trackie_embed_demo_cpp \
+	    examples/embed_demo.cpp \
+	    -Itrackiellm_tpu/ffi/native -Ltrackiellm_tpu/ffi/native \
+	    -ltrackie_runtime -Wl,-rpath,$(PWD)/trackiellm_tpu/ffi/native
+	/tmp/trackie_embed_demo_cpp
 
 graft:
 	$(PY) -c "import os; \
