@@ -43,11 +43,15 @@ def _conv_init(key, kh, kw, cin, cout):
 def init_wake_word(key: jax.Array,
                    cfg: WakeWordConfig = WakeWordConfig()) -> Dict[str, Any]:
     ks = jax.random.split(key, 3)
-    s = 1.0 / math.sqrt(cfg.ch)
+    s = 1.0 / math.sqrt(2 * cfg.ch)
     return {
         "conv1": _conv_init(ks[0], 3, 3, 1, cfg.ch // 2),
         "conv2": _conv_init(ks[1], 3, 3, cfg.ch // 2, cfg.ch),
-        "out_w": jax.random.uniform(ks[2], (cfg.ch, 1), jnp.float32, -s, s),
+        # Head reads TWO temporal-half poolings (order sensitivity: a
+        # phrase and its reversal must be separable — a single global
+        # mean pool cannot tell "ba-dum" from "dum-ba").
+        "out_w": jax.random.uniform(ks[2], (2 * cfg.ch, 1), jnp.float32,
+                                    -s, s),
         "out_b": jnp.zeros((1,), jnp.float32),
     }
 
@@ -55,7 +59,11 @@ def init_wake_word(key: jax.Array,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def wake_word_score(params: Dict[str, Any], cfg: WakeWordConfig,
                     log_mel: jnp.ndarray) -> jnp.ndarray:
-    """(n_mels, n_frames) window -> keyword probability scalar."""
+    """(n_mels, n_frames) window -> keyword probability scalar.
+
+    Pooling is over (mel, time) per TIME HALF, concatenated — keeps
+    phrase order visible to the head (out_w is (2*ch, 1); a legacy
+    (ch, 1) head falls back to one global pool)."""
     x = log_mel[None, :, :, None]
     for name in ("conv1", "conv2"):
         p = params[name]
@@ -64,8 +72,46 @@ def wake_word_score(params: Dict[str, Any], cfg: WakeWordConfig,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32) + p["b"]
         x = jax.nn.relu(x)
-    pooled = jnp.mean(x, axis=(1, 2))[0]
+    if params["out_w"].shape[0] == 2 * x.shape[-1]:
+        half = x.shape[2] // 2
+        pooled = jnp.concatenate([
+            jnp.mean(x[:, :, :half], axis=(1, 2))[0],
+            jnp.mean(x[:, :, half:], axis=(1, 2))[0]])
+    else:  # legacy single-pool checkpoints
+        pooled = jnp.mean(x, axis=(1, 2))[0]
     return jax.nn.sigmoid(pooled @ params["out_w"] + params["out_b"])[0]
+
+
+def train_wake_word(params: Dict[str, Any], cfg: WakeWordConfig,
+                    mels: jnp.ndarray, labels: jnp.ndarray,
+                    steps: int = 300, lr: float = 3e-3) -> Dict[str, Any]:
+    """Fit the conv KWS on (B, n_mels, n_frames) log-mel windows with
+    0/1 labels (BCE). The Porcupine replacement has no ingestible
+    published weights (proprietary blob, tk_wake_word_porcupine.c:15),
+    so deployments TRAIN the spotter on recorded keyword/imposter
+    windows; tests/test_wake_word.py validates FA/FR on a synthetic
+    set this way."""
+    import optax
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, batch, y):
+        scores = jax.vmap(lambda m: wake_word_score(p, cfg, m))(batch)
+        eps = 1e-6
+        s = jnp.clip(scores, eps, 1 - eps)
+        return -jnp.mean(y * jnp.log(s) + (1 - y) * jnp.log(1 - s))
+
+    @jax.jit
+    def step(p, o, batch, y):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch, y)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    y = labels.astype(jnp.float32)
+    for _ in range(steps):
+        params, opt_state, _ = step(params, opt_state, mels, y)
+    return params
 
 
 class NeuralWakeWord:
