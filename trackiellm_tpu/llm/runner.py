@@ -128,6 +128,10 @@ class LLMRunner:
         self._spec_index = 0
         self._spec_offset = 0
         self._spec_accepted = 0
+        # Honest speculative accounting (tools/measure_spec_acceptance):
+        # per-session totals of verify passes, proposed and accepted
+        # tokens.
+        self.spec_stats = {"passes": 0, "proposed": 0, "accepted": 0}
         # k-token lookahead chunk state (greedy unconstrained path):
         # fetched-but-unemitted tokens, and the dispatched-ahead chunk.
         self._la_buf: List[int] = []
@@ -606,6 +610,9 @@ class LLMRunner:
         while (accepted < len(proposal)
                and int(greedy[accepted]) == proposal[accepted]):
             accepted += 1
+        self.spec_stats["passes"] += 1
+        self.spec_stats["proposed"] += len(proposal)
+        self.spec_stats["accepted"] += accepted
         # Cache now holds tid + the accepted proposals; the rejected
         # tail past `length` is stale-masked (models/llm.py contract).
         self.cache = cache._replace(
