@@ -109,32 +109,48 @@ class WorldModel:
 
     def run_safety_rules(self) -> List[str]:
         """Evaluate tracked objects against the hard rules; returns
-        URGENTE alert strings (empty when nothing fires / cooled down)."""
+        URGENTE alert strings (empty when nothing fires / cooled down).
+
+        Cooldowns are PER RULE, not per track — the reference keeps one
+        last-alert timestamp per rule (reasoning.rs:351-378). Per-track
+        cooldowns looked stricter but were a flood: every new track id
+        reset the clock, and a noisy detector minted new ids each frame
+        — CRITICAL alerts then saturate the TTS queue and starve the
+        reply the user asked for (measured in the production loop)."""
         alerts: List[str] = []
+        nearest_person = None
+        nearest_obstacle = None
         for tr in self._tracks.values():
             if tr.distance_m is None:
                 continue
             if (tr.label == "person"
-                    and tr.distance_m < PERSON_ALERT_DISTANCE_M
-                    and self._cooldown_ok(f"person:{tr.track_id}",
-                                          PERSON_ALERT_COOLDOWN_S)):
-                alerts.append(
-                    f"URGENTE: pessoa muito próxima, a "
-                    f"{tr.distance_m:.1f} m")
+                    and tr.distance_m < PERSON_ALERT_DISTANCE_M):
+                if (nearest_person is None
+                        or tr.distance_m < nearest_person.distance_m):
+                    nearest_person = tr
             elif (tr.label != "person"
-                    and tr.distance_m < OBSTACLE_ALERT_DISTANCE_M
-                    and self._cooldown_ok(f"obstacle:{tr.track_id}",
-                                          OBSTACLE_ALERT_COOLDOWN_S)):
-                alerts.append(
-                    f"URGENTE: obstáculo ({tr.label}) à frente, a "
-                    f"{tr.distance_m:.1f} m")
+                    and tr.distance_m < OBSTACLE_ALERT_DISTANCE_M):
+                if (nearest_obstacle is None
+                        or tr.distance_m < nearest_obstacle.distance_m):
+                    nearest_obstacle = tr
+        if nearest_person is not None and self._cooldown_ok(
+                "person", PERSON_ALERT_COOLDOWN_S):
+            alerts.append(
+                f"URGENTE: pessoa muito próxima, a "
+                f"{nearest_person.distance_m:.1f} m")
+        if nearest_obstacle is not None and self._cooldown_ok(
+                "obstacle", OBSTACLE_ALERT_COOLDOWN_S):
+            alerts.append(
+                f"URGENTE: obstáculo ({nearest_obstacle.label}) à "
+                f"frente, a {nearest_obstacle.distance_m:.1f} m")
         return alerts
 
     def run_navigation_rules(self, hazards: Sequence[str]) -> List[str]:
-        """Navigation-sourced alerts (step/hole/obstacle strings from the
-        navigation engine), cooled down per hazard text."""
-        alerts = []
-        for h in hazards:
-            if self._cooldown_ok(f"nav:{h}", OBSTACLE_ALERT_COOLDOWN_S):
-                alerts.append(f"URGENTE: {h}")
-        return alerts
+        """Navigation-sourced alerts (step/hole/obstacle strings from
+        the navigation engine). One per-rule cooldown (reference
+        parity, reasoning.rs:391-425): the most urgent hazard is
+        voiced, then the rule cools down — not one alert per distinct
+        hazard string."""
+        if hazards and self._cooldown_ok("nav", OBSTACLE_ALERT_COOLDOWN_S):
+            return [f"URGENTE: {hazards[0]}"]
+        return []
