@@ -315,3 +315,36 @@ class TestPagedPoolPressure:
             assert isinstance(ok, str)
         finally:
             server.close()
+
+
+class TestAutoMemoryMode:
+    """paged='auto' picks dense when the dense KV layout fits the
+    budget (dense chunks measured faster), paged when it wouldn't
+    (VERDICT round-2 item 4's auto-selection)."""
+
+    def _mk(self, **kw):
+        import jax
+
+        from trackiellm_tpu.models import llm as llm_model
+
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        return LLMServer(params, cfg, batch_slots=2,
+                         cache_dtype=jnp.float32, **kw)
+
+    def test_auto_prefers_dense_when_it_fits(self):
+        s = self._mk()
+        try:
+            assert s.paged is False and s.cache is not None
+        finally:
+            s.close()
+
+    def test_auto_pages_under_tight_budget(self):
+        s = self._mk(kv_memory_budget_bytes=1024)
+        try:
+            assert s.paged is True and s.pool is not None
+            out = s.generate("ola", max_tokens=4)
+            assert isinstance(out, str)
+        finally:
+            s.close()

@@ -70,11 +70,22 @@ class LLMServer:
                  batch_slots: int = 4,
                  tokenizer: Optional[Tokenizer] = None,
                  cache_dtype=jnp.bfloat16, seed: int = 0,
-                 paged: bool = False, n_pages: int = 0,
-                 page_size: int = 128, chunk_steps: int = 8):
+                 paged="auto", n_pages: int = 0,
+                 page_size: int = 128, chunk_steps: int = 8,
+                 kv_memory_budget_bytes: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.batch = batch_slots
+        if paged == "auto":
+            # Dense decodes faster (BASELINE.md: chunk8 207 vs 178
+            # tok/s at B=8 — the page gather/scatter is pure overhead
+            # when the dense cache fits); pick paged only when the
+            # dense layout would blow the KV budget.
+            dense_bytes = (2 * cfg.n_layers * batch_slots * cfg.max_seq
+                           * cfg.n_kv_heads * cfg.head_dim
+                           * jnp.dtype(cache_dtype).itemsize)
+            budget = kv_memory_budget_bytes or (8 << 30)  # ~half a v5e
+            paged = dense_bytes > budget
         # Steady-state fast path: when every active request is greedy
         # and no work is waiting, run up to this many decode steps as
         # one device program (models/llm.py decode_steps_batch) — the
