@@ -123,11 +123,15 @@ def main() -> None:
     audio_event = threading.Event()
 
     def on_speech_end():
+        print(f"[ev {time.strftime('%H:%M:%S')}] speech_end",
+              file=sys.stderr, flush=True)
         with mlock:
             if marks["t0"] is None:
                 marks["t0"] = time.perf_counter()
 
     def on_spoken(wav, priority):
+        print(f"[ev {time.strftime('%H:%M:%S')}] audio prio={int(priority)} "
+              f"n={len(wav)}", file=sys.stderr, flush=True)
         # priority NORMAL(1) = the LLM reply's sentence stream; CRITICAL
         # = safety alerts from the world model (also real product audio,
         # but not the reply metric).
@@ -176,6 +180,21 @@ def main() -> None:
         inner_transcription(text)
 
     app.audio._cb["on_transcription"] = on_transcription
+
+    def watchdog():
+        while True:
+            time.sleep(30)
+            with app.audio._queue_lock:
+                qlen = len(app.audio._queue)
+                cur = app.audio._current_priority
+            sched = {k: int(v.get("count", 0))
+                     for k, v in app.scheduler.stats.items()}
+            print(f"[wd {time.strftime('%H:%M:%S')}] tts_queue={qlen} "
+                  f"tts_busy={cur} sched={sched} "
+                  f"llm_ms={app.cortex.stats.get('last_llm_ms', 0):.0f}",
+                  file=sys.stderr, flush=True)
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     app.start()
     results = []
