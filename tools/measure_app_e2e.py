@@ -181,6 +181,24 @@ def main() -> None:
 
     app.audio._cb["on_transcription"] = on_transcription
 
+    # Trace the reply path (diagnosis: reply audio never surfaced).
+    def _trace(name, fn):
+        def wrapped(*a, **k):
+            head = repr(a[0])[:60] if a else ""
+            print(f"[tr {time.strftime('%H:%M:%S')}] {name} {head}",
+                  file=sys.stderr, flush=True)
+            out = fn(*a, **k)
+            print(f"[tr {time.strftime('%H:%M:%S')}] {name} done",
+                  file=sys.stderr, flush=True)
+            return out
+        return wrapped
+
+    app.cortex._speak = _trace("speak", app.cortex._speak)
+    app.cortex.decisions.process_llm_response = _trace(
+        "decide", app.cortex.decisions.process_llm_response)
+    app.cortex._process_user_speech = _trace(
+        "user_speech", app.cortex._process_user_speech)
+
     def watchdog():
         while True:
             time.sleep(30)
