@@ -338,8 +338,9 @@ class TestAudioPipelineStateMachine:
         time.sleep(0.05)  # LOW starts synthesizing
         pipe.say("OBSTACLE AHEAD", TTSPriority.CRITICAL)
         assert pipe.wait_idle(timeout=3.0)
-        # LOW was interrupted (audio dropped); CRITICAL emitted.
-        assert ev_order == [TTSPriority.CRITICAL]
+        # LOW was interrupted pre-emit -> CRITICAL first, then the
+        # re-queued LOW still plays (interruption defers, not drops).
+        assert ev_order == [TTSPriority.CRITICAL, TTSPriority.LOW]
         pipe.close()
 
     def test_tts_queue_ordering(self):
@@ -356,8 +357,9 @@ class TestAudioPipelineStateMachine:
         pipe.say("b", TTSPriority.NORMAL)
         pipe.say("c", TTSPriority.HIGH)
         assert pipe.wait_idle(timeout=3.0)
-        # 'a' interrupted by NORMAL; HIGH then NORMAL emitted in order.
-        assert ev_order == [TTSPriority.HIGH, TTSPriority.NORMAL]
+        # 'a' interrupted pre-emit and re-queued: strict priority order.
+        assert ev_order == [TTSPriority.HIGH, TTSPriority.NORMAL,
+                            TTSPriority.LOW]
         pipe.close()
 
 
@@ -399,3 +401,74 @@ class TestNeuralVADStreaming:
             pipe.process_chunk(_loud())
         assert pipe.state is AudioState.LISTENING_FOR_COMMAND
         pipe.close()
+
+
+class TestInterruptedSpeechRequeues:
+    """A higher-priority interruption must not silently DROP a reply
+    the user is waiting for: an item interrupted before ANY audio
+    played re-queues and plays after the interrupting speech
+    (production-loop finding: replies whose first-chunk synthesis was
+    long always lost to routine CRITICAL alerts)."""
+
+    def test_requeue_after_interrupt(self):
+        import threading
+
+        from trackiellm_tpu.audio.pipeline import (
+            AudioPipeline, AudioPipelineConfig, TTSPriority)
+
+        spoken = []
+        gate = threading.Event()
+
+        def tts_stream(text):
+            if text == "reply" and not gate.is_set():
+                gate.wait(timeout=5.0)  # slow first synthesis
+            yield np.ones(10, np.float32)
+
+        p = AudioPipeline(
+            config=AudioPipelineConfig(wake_word_enabled=False),
+            tts_stream_fn=tts_stream,
+            on_tts_audio=lambda wav, pr: spoken.append(
+                (pr, len(wav))))
+        try:
+            p.say("reply", TTSPriority.NORMAL)
+            time.sleep(0.2)  # worker enters the slow synthesis
+            p.say("ALERTA", TTSPriority.CRITICAL)  # interrupts
+            gate.set()
+            assert p.wait_idle(timeout=10.0)
+            time.sleep(0.2)
+            prios = [pr for pr, _ in spoken]
+            # Alert played, AND the reply still played after it.
+            assert TTSPriority.CRITICAL in prios
+            assert TTSPriority.NORMAL in prios
+        finally:
+            p.close()
+
+    def test_clear_queue_does_not_requeue(self):
+        import threading
+
+        from trackiellm_tpu.audio.pipeline import (
+            AudioPipeline, AudioPipelineConfig, TTSPriority)
+
+        spoken = []
+        started = threading.Event()
+        gate = threading.Event()
+
+        def tts_stream(text):
+            started.set()
+            gate.wait(timeout=5.0)
+            yield np.ones(10, np.float32)
+
+        p = AudioPipeline(
+            config=AudioPipelineConfig(wake_word_enabled=False),
+            tts_stream_fn=tts_stream,
+            on_tts_audio=lambda wav, pr: spoken.append(pr))
+        try:
+            p.say("fala", TTSPriority.NORMAL)
+            assert started.wait(timeout=5.0)
+            p.clear_speech_queue()  # user said stop
+            gate.set()
+            assert p.wait_idle(timeout=10.0)
+            time.sleep(0.3)
+            assert spoken == []  # nothing replayed
+        finally:
+            p.close()

@@ -214,6 +214,16 @@ def main() -> None:
 
     threading.Thread(target=watchdog, daemon=True).start()
 
+    # Warm the TTS latency buckets before the loop starts: a cold
+    # bucket compile (~minutes through the relay) inside the first
+    # reply's synthesis otherwise guarantees alert interruptions.
+    print("warming TTS buckets...", file=sys.stderr, flush=True)
+    for text in ("ha uma mesa a frente.",
+                 "ha uma cadeira e uma pessoa perto da porta da sala."):
+        for _ in tts_model.synthesize_streaming(tts_params, tts_cfg,
+                                                text):
+            pass
+
     app.start()
     results = []
     try:

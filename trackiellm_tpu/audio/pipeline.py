@@ -73,6 +73,7 @@ class _QueuedSpeech:
     text: str = dataclasses.field(compare=False)
     priority: TTSPriority = dataclasses.field(compare=False)
     seq: int = dataclasses.field(compare=False, default=0)
+    retries: int = dataclasses.field(compare=False, default=0)
 
 
 class AudioPipeline:
@@ -135,6 +136,7 @@ class AudioPipeline:
         self._queue_lock = threading.Condition()
         self._seq = itertools.count()
         self._interrupt = threading.Event()
+        self._drop_current = False
         self._current_priority: Optional[TTSPriority] = None
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._tts_worker,
@@ -291,6 +293,7 @@ class AudioPipeline:
     def clear_speech_queue(self) -> None:
         with self._queue_lock:
             self._queue.clear()
+            self._drop_current = True   # cancelled, not preempted
             self._interrupt.set()
 
     def _tts_worker(self) -> None:
@@ -303,26 +306,52 @@ class AudioPipeline:
                 item = heapq.heappop(self._queue)
                 self._current_priority = item.priority
             self._interrupt.clear()
+            interrupted = False
+            emitted = False
             try:
                 if self.tts_stream_fn is not None:
                     for chunk in self.tts_stream_fn(item.text):
                         if self._interrupt.is_set():
                             log.info("speech %r interrupted mid-stream",
                                      item.text[:32])
+                            interrupted = True
                             break
                         self._emit("on_tts_audio", chunk, item.priority)
+                        emitted = True
                 elif self.tts_fn is not None:
                     wav = self.tts_fn(item.text)
                     if not self._interrupt.is_set():
                         self._emit("on_tts_audio", wav, item.priority)
+                        emitted = True
                     else:
                         log.info("speech %r interrupted by higher priority",
                                  item.text[:32])
+                        interrupted = True
             except Exception as e:
                 log.warning("TTS failed for %r: %s", item.text[:32], e)
             finally:
                 with self._queue_lock:
                     self._current_priority = None
+            # An interruption must not silently DROP the utterance:
+            # before any audio played (e.g. a CRITICAL alert landing
+            # during the reply's first-chunk synthesis), re-queue it so
+            # it plays after the interrupting speech. Already-started
+            # speech is not replayed (resuming mid-sentence is worse
+            # than losing the tail), and a retry cap avoids live-lock
+            # under a continuous higher-priority stream.
+            with self._queue_lock:
+                cancelled = self._drop_current or self._stop.is_set()
+                self._drop_current = False
+            if (interrupted and not emitted and not cancelled
+                    and item.retries < 3):
+                with self._queue_lock:
+                    seq = next(self._seq)
+                    heapq.heappush(
+                        self._queue,
+                        _QueuedSpeech((-int(item.priority), seq),
+                                      item.text, item.priority, seq,
+                                      retries=item.retries + 1))
+                    self._queue_lock.notify()
 
     def wait_idle(self, timeout: float = 5.0) -> bool:
         """Block until the speech queue drains (test helper)."""
