@@ -405,3 +405,30 @@ class TestVITSVoice:
                                     max_frames=cfg.max_frames)
         wav2 = v2.synthesize("ola")
         assert len(wav2) > 0 and np.isfinite(wav2).all()
+
+
+class TestSynthCLI:
+    def test_cli_synth_writes_wav(self, tmp_path):
+        import json
+        import subprocess
+        import sys as _sys
+        import wave
+
+        cfg = V.VITSConfig.tiny()
+        st = {k: v.numpy() for k, v in
+              TestConverter()._torch_vits_state(cfg).items()}
+        ckpt = str(tmp_path / "voice.npz")
+        np.savez(ckpt, **st)
+        conf_path = str(tmp_path / "voice.json")
+        with open(conf_path, "w") as f:
+            json.dump({"audio": {"sample_rate": 16000}}, f)
+        out = str(tmp_path / "fala.wav")
+
+        from trackiellm_tpu.__main__ import main
+
+        rc = main(["synth", "-t", "ola", "--voice", ckpt,
+                   "--voice-config", conf_path, "-o", out])
+        assert rc == 0
+        with wave.open(out, "rb") as w:
+            assert w.getframerate() == 16000
+            assert w.getnframes() > 0

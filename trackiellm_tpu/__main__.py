@@ -114,6 +114,30 @@ def _cmd_demo(args) -> int:
     return 0
 
 
+def _cmd_synth(args) -> int:
+    """Synthesize speech (the Piper CLI workflow twin): a real Piper
+    voice (--voice model.onnx --voice-config voice.json) through the
+    VITS graph, written as a 16-bit WAV."""
+    import wave
+
+    import numpy as np
+
+    from trackiellm_tpu.models.vits import VITSVoice
+
+    voice = VITSVoice.from_piper(args.voice, args.voice_config)
+    wav = voice.synthesize(args.text,
+                           length_scale=args.length_scale)
+    pcm = (np.clip(wav, -1.0, 1.0) * 32767).astype(np.int16)
+    with wave.open(args.output, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(voice.cfg.sample_rate)
+        f.writeframes(pcm.tobytes())
+    print(f"wrote {args.output}: {len(pcm)} samples @ "
+          f"{voice.cfg.sample_rate} Hz")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="trackiellm_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -146,6 +170,17 @@ def main(argv=None) -> int:
     p = sub.add_parser("demo", help="assistant demo on mock hardware")
     p.add_argument("seconds", nargs="?", type=float, default=5.0)
     p.set_defaults(fn=_cmd_demo)
+
+    p = sub.add_parser("synth", help="synthesize speech from a Piper "
+                       "voice (VITS) to a WAV file")
+    p.add_argument("-t", "--text", required=True)
+    p.add_argument("--voice", required=True,
+                   help="voice weights (.onnx/.npz)")
+    p.add_argument("--voice-config", required=True,
+                   help="Piper voice .json (phoneme_id_map)")
+    p.add_argument("-o", "--output", default="out.wav")
+    p.add_argument("--length-scale", type=float, default=1.0)
+    p.set_defaults(fn=_cmd_synth)
 
     args = ap.parse_args(argv)
     return args.fn(args)
