@@ -233,7 +233,7 @@ def main() -> None:
                 marks["first_reply"] = marks["asr_done"] = None
             audio_event.clear()
             mic.arm()
-            deadline = time.monotonic() + (1800 if run == 0 else 120)
+            deadline = time.monotonic() + (900 if run == 0 else 120)
             while time.monotonic() < deadline:
                 with mlock:
                     if marks["first_reply"] is not None:
