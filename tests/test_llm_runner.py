@@ -848,3 +848,71 @@ class TestKTokenLookahead:
         while b.generate_next_token() is not None:
             pass
         self._assert_state_equal(a, b)
+
+
+class TestMinTokens:
+    """GenerationConfig.min_tokens suppresses EOS until the floor is
+    reached (HF min_new_tokens semantics) on every decode path, and the
+    k-token lookahead stays byte-identical to the serial path."""
+
+    _mk = TestKTokenLookahead._make
+    _eq = TestKTokenLookahead._assert_state_equal
+
+    def _eos_probe(self, lookahead=1, max_tokens=12):
+        """Find a token the model naturally emits early, to declare as
+        EOS (same trick as TestKTokenLookahead)."""
+        probe = self._mk(lookahead, max_tokens=max_tokens)
+        probe.generate("ola")
+        ids = probe._generated_ids
+        assert len(ids) >= 5
+        pos = next(j for j in range(2, 7) if ids[j] not in ids[:j])
+        return ids, pos
+
+    @staticmethod
+    def _tok_with_eos(eid):
+        t = ByteTokenizer(512)
+        t.eos_id = eid
+        return t
+
+    def test_floor_pushes_past_natural_eos(self):
+        ids, pos = self._eos_probe()
+        tok = lambda: self._tok_with_eos(ids[pos])  # noqa: E731
+        # Without the floor, generation stops at the natural EOS.
+        base = self._mk(1, tok=tok(), max_tokens=16)
+        base.generate("ola")
+        assert len(base._generated_ids) == pos
+        # With the floor, EOS is masked and decode continues.
+        for k in (1, 4, 8):
+            r = self._mk(k, tok=tok(), max_tokens=16, min_tokens=10)
+            r.generate("ola")
+            n = len(r._generated_ids)
+            assert n >= 10, f"lookahead={k}: {n} < min_tokens"
+            eid = ids[pos]
+            assert eid not in r._generated_ids[:10]
+
+    def test_chunked_matches_serial_with_floor(self):
+        ids, pos = self._eos_probe()
+        tok = lambda: self._tok_with_eos(ids[pos])  # noqa: E731
+        # Floor boundary lands mid-chunk for k=8 (min_tokens=10).
+        a = self._mk(8, tok=tok(), max_tokens=20, min_tokens=10)
+        b = self._mk(1, tok=tok(), max_tokens=20, min_tokens=10)
+        ta = a.generate("ola")
+        tb = b.generate("ola")
+        assert ta == tb
+        self._eq(a, b)
+
+    def test_floor_at_budget_means_full_budget(self):
+        ids, pos = self._eos_probe()
+        tok = self._tok_with_eos(ids[pos])
+        r = self._mk(4, tok=tok, max_tokens=12, min_tokens=12)
+        r.generate("ola")
+        assert len(r._generated_ids) == 12
+
+    def test_sampled_path_respects_floor(self):
+        ids, pos = self._eos_probe()
+        tok = self._tok_with_eos(ids[pos])
+        r = self._mk(1, tok=tok, max_tokens=12, min_tokens=8,
+                     temperature=0.7, seed=3)
+        r.generate("ola")
+        assert len(r._generated_ids) >= 8
+        assert ids[pos] not in r._generated_ids[:8]

@@ -62,6 +62,28 @@ RUNS = 5
 N_ANSWER_TOKENS = 12
 
 
+class ScriptedTextTokenizer(ByteTokenizer):
+    """ByteTokenizer whose *generated-token* text is a scripted
+    Portuguese reply: random weights decode to unspeakable byte soup
+    (or instant EOS — see GenerationConfig.min_tokens below), which
+    would silence the TTS leg of the measurement. Device-side decode is
+    untouched; only the emitted id -> text mapping is scripted, so the
+    sentence streamer and TTS run on realistic text (first sentence
+    closes at token 8, like the harness's 8-token first sentence)."""
+
+    WORDS = ("ha", " uma", " mesa", " grande", " perto", " da", " sua",
+             " frente.", " o", " caminho", " esta", " livre.")
+
+    def __init__(self, vocab_size):
+        super().__init__(vocab_size)
+        self._emit_i = 0
+
+    def decode_token(self, tid):
+        word = self.WORDS[self._emit_i % len(self.WORDS)]
+        self._emit_i += 1
+        return word
+
+
 class ScriptedMic:
     """Real-time mic: loud (speech) chunks for SPEECH_SECONDS, then
     silence. `arm()` starts the next utterance; between utterances it
@@ -104,9 +126,16 @@ def main() -> None:
     llm_cfg = llm_model.LLMConfig.mistral_7b()._replace(
         max_seq=1024, sliding_window=1024)
     llm_params = llm_model.init_params_quantized(ks[3], llm_cfg, bits=4)
-    runner = LLMRunner(llm_params, llm_cfg, ByteTokenizer(llm_cfg.vocab_size),
+    # min_tokens == max_tokens: random weights greedy-decode straight
+    # into EOS (observed: `decide ''` -> no reply audio, every run
+    # INCOMPLETE), so the floor forces the full representative decode;
+    # latency is weight-independent. lookahead=4 is the measured sweet
+    # spot (tools/measure_runner_decode.py).
+    runner = LLMRunner(llm_params, llm_cfg,
+                       ScriptedTextTokenizer(llm_cfg.vocab_size),
                        GenerationConfig(max_tokens=N_ANSWER_TOKENS,
-                                        temperature=0.0, lookahead=8))
+                                        min_tokens=N_ANSWER_TOKENS,
+                                        temperature=0.0, lookahead=4))
     tts_cfg = tts_model.TTSConfig.default()
     tts_params = tts_model.init_tts(ks[4], tts_cfg)
 

@@ -65,6 +65,13 @@ class GenerationConfig:
     speculative: bool = False
     spec_max_propose: int = 7
     spec_ngram: int = 3
+    # Suppress EOS until at least this many tokens have been emitted
+    # (HF ``min_new_tokens`` semantics; llama.cpp ``--ignore-eos`` is
+    # the max_tokens-sized special case). The EOS logit is masked to
+    # -inf so sampling/argmax picks the runner-up — on the k-token
+    # lookahead path the mask runs inside the device chunk program
+    # (models/llm.py decode_chunk_greedy suppress_until).
+    min_tokens: int = 0
 
 
 @dataclasses.dataclass
@@ -138,6 +145,22 @@ class LLMRunner:
         self._la_idx = 0
         self._la_offset = 0
         self._la_next: Optional[tuple] = None
+        # min_tokens EOS-ban masks, built lazily (host bool vector for
+        # the sampled path, device copy for the greedy paths).
+        self._eos_ban_np: Optional[np.ndarray] = None
+        self._eos_ban_jnp: Optional[jnp.ndarray] = None
+
+    def _eos_ban_host(self) -> np.ndarray:
+        if self._eos_ban_np is None:
+            ban = np.ones(self.cfg.vocab_size, bool)
+            ban[self.tokenizer.eos_id] = False
+            self._eos_ban_np = ban
+        return self._eos_ban_np
+
+    def _eos_ban_dev(self) -> jnp.ndarray:
+        if self._eos_ban_jnp is None:
+            self._eos_ban_jnp = jnp.asarray(self._eos_ban_host())
+        return self._eos_ban_jnp
 
     # ------------------------------------------------------------------
     # Session API (tk_llm_runner parity)
@@ -370,8 +393,12 @@ class LLMRunner:
 
         mask = None
         if self._grammar is not None:
-            mask = jnp.asarray(
-                np.array(self._grammar.token_mask(self.tokenizer), bool))
+            mask = np.array(self._grammar.token_mask(self.tokenizer), bool)
+        if self._n_emitted < self.gen.min_tokens:
+            ban = self._eos_ban_host()
+            mask = ban if mask is None else (mask & ban)
+        if mask is not None:
+            mask = jnp.asarray(mask)
 
         if self.gen.temperature <= 0:
             token = sampling.greedy(self._next_logits, mask)
@@ -418,6 +445,7 @@ class LLMRunner:
         if not self._done:
             if (self.gen.speculative and self._grammar is None
                     and self.gen.temperature <= 0
+                    and self._n_emitted >= self.gen.min_tokens
                     and self._start_speculative_pass(tid)):
                 return piece
             self._next_logits, self.cache = llm_model.decode_step(
@@ -451,7 +479,9 @@ class LLMRunner:
         overwritten by the next real commit). Stop-string and
         max-token turns commit the final token — exactly what the
         lookahead already did."""
-        token_dev = sampling.greedy(self._next_logits, None)
+        mask = (self._eos_ban_dev()
+                if self._n_emitted < self.gen.min_tokens else None)
+        token_dev = sampling.greedy(self._next_logits, mask)
         nxt_logits, nxt_cache = llm_model.decode_step(
             self.params, self.cfg, token_dev.astype(jnp.int32),
             self.cache, attn_len=self._attn_bucket())
@@ -479,13 +509,23 @@ class LLMRunner:
     # k-token lookahead (greedy, unconstrained only)
     # ------------------------------------------------------------------
 
-    def _dispatch_chunk(self, logits, cache, offset: int) -> None:
+    def _dispatch_chunk(self, logits, cache, offset: int,
+                        emitted_before: int) -> None:
         """Dispatch a k-step greedy chunk from (logits, cache) at host
-        position ``offset`` without fetching its result."""
+        position ``offset`` without fetching its result.
+        ``emitted_before`` = tokens already emitted (or committed ahead
+        of this chunk) this generation — it anchors the min_tokens EOS
+        suppression boundary inside the chunk."""
         k = self.gen.lookahead
+        kw = {}
+        if self.gen.min_tokens > 0:
+            sup = max(0, min(k, self.gen.min_tokens - emitted_before))
+            # Traced scalar: one compiled program for every boundary.
+            kw = dict(eos_id=self.tokenizer.eos_id,
+                      suppress_until=jnp.int32(sup))
         toks, lg, new_cache = llm_model.decode_chunk_greedy(
             self.params, self.cfg, logits, cache, k,
-            attn_len=self._attn_bucket_for(offset + k))
+            attn_len=self._attn_bucket_for(offset + k), **kw)
         self._la_next = (toks, lg, new_cache, offset)
 
     def _greedy_chunk_step(self) -> Optional[str]:
@@ -509,13 +549,17 @@ class LLMRunner:
                     # Window tail: not enough room for a full chunk.
                     return self._greedy_step_pipelined()
                 self._dispatch_chunk(self._next_logits, self.cache,
-                                     self._host_len)
+                                     self._host_len, self._n_emitted)
             toks_dev, logits_dev, cache_dev, offset = self._la_next
             self._la_next = None
             # Pre-dispatch the successor so the fetch below overlaps
             # its compute (fetches do not pipeline; dispatches do).
+            # The in-flight chunk's k tokens precede it; if a terminal
+            # event inside that chunk invalidates the count, the
+            # successor is discarded by the rollback anyway.
             if offset + 2 * k <= self.cfg.max_seq - 1:
-                self._dispatch_chunk(logits_dev, cache_dev, offset + k)
+                self._dispatch_chunk(logits_dev, cache_dev, offset + k,
+                                     self._n_emitted + k)
             toks = [int(t) for t in np.asarray(toks_dev)]
             # Tentative commit of the whole chunk.
             self.cache = cache_dev

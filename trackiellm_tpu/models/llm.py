@@ -631,10 +631,13 @@ def generate_greedy(params: Dict[str, Any], cfg: LLMConfig,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_tokens", "attn_len"))
+                   static_argnames=("cfg", "n_tokens", "attn_len",
+                                    "eos_id"))
 def decode_chunk_greedy(params: Dict[str, Any], cfg: LLMConfig,
                         logits: jnp.ndarray, cache: KVCache,
                         n_tokens: int, attn_len: Optional[int] = None,
+                        eos_id: Optional[int] = None,
+                        suppress_until: Optional[jnp.ndarray] = None,
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """``n_tokens`` greedy tokens starting from a logits vector, as ONE
     device program — the interactive runner's k-token lookahead chunk.
@@ -650,15 +653,26 @@ def decode_chunk_greedy(params: Dict[str, Any], cfg: LLMConfig,
     are reconciled by the caller rolling ``cache.length`` back — rows
     past ``length`` are stale-masked (llm/runner.py contract).
 
-    ``attn_len`` must cover cache.length + n_tokens."""
+    ``attn_len`` must cover cache.length + n_tokens.
 
-    def body(carry, _):
+    ``min_tokens`` support (GenerationConfig.min_tokens): when
+    ``eos_id`` is given, the first ``suppress_until`` steps of the
+    chunk mask the EOS logit to -inf before the argmax — the device
+    picks the runner-up token and the chain conditions on it, exactly
+    the HF ``min_new_tokens`` semantics. ``suppress_until`` is a traced
+    scalar, so one compiled program serves every boundary position."""
+
+    def body(carry, step):
         lg, cache = carry
+        if eos_id is not None:
+            ban = (step < suppress_until) & (
+                jnp.arange(lg.shape[-1]) == eos_id)
+            lg = jnp.where(ban, jnp.float32(-1e30), lg)
         tok = jnp.argmax(lg).astype(jnp.int32)
         lg2, cache = decode_step(params, cfg, tok, cache,
                                  attn_len=attn_len)
         return (lg2, cache), tok
 
     (lg, cache), tokens = jax.lax.scan(
-        body, (logits, cache), None, length=n_tokens)
+        body, (logits, cache), jnp.arange(n_tokens))
     return tokens, lg, cache
