@@ -159,6 +159,51 @@ class TestScheduler:
         s.close()
 
 
+class TestSchedulerFocus:
+    """Conversation focus defers passive kinds so the reply path never
+    launches behind a long vision pass (measured: production reply p50
+    977 ms vs 290 ms harness purely from this contention)."""
+
+    def test_focus_defers_vision_until_expiry(self):
+        s = InferenceScheduler()
+        # A never-completed kind is infinitely stale (bootstrap): prime
+        # one pass so the gate applies.
+        s.run(JobKind.VISION, lambda: None)
+        s.focus(0.35)
+        t0 = time.monotonic()
+        f_vis = s.submit(JobKind.VISION, time.monotonic)
+        f_tts = s.submit(JobKind.TTS, time.monotonic)
+        t_tts = f_tts.result(timeout=2.0)
+        t_vis = f_vis.result(timeout=2.0)
+        assert t_tts - t0 < 0.2           # reply work runs immediately
+        assert t_vis - t0 >= 0.3          # vision waited out the window
+        assert t_vis > t_tts
+        s.close()
+
+    def test_staleness_bound_overrides_focus(self):
+        # With no completed vision pass for >= the stale bound, safety
+        # wins: vision runs even while focus is held.
+        s = InferenceScheduler(focus_max_stale_s=0.2)
+        s.run(JobKind.VISION, lambda: None)   # fresh completion
+        s.focus(5.0)
+        f = s.submit(JobKind.VISION, time.monotonic)
+        t0 = time.monotonic()
+        t = f.result(timeout=3.0)
+        # Deferred at first (fresh), admitted once 0.2 s stale.
+        assert 0.1 <= t - t0 < 1.0
+        s.close()
+
+    def test_focus_expired_is_noop(self):
+        s = InferenceScheduler()
+        assert not s.focus_active
+        s.focus(0.05)
+        assert s.focus_active
+        time.sleep(0.1)
+        assert not s.focus_active
+        assert s.run(JobKind.VISION, lambda: 7) == 7
+        s.close()
+
+
 class TestWatchdog:
     def test_restarts_crashed_worker_then_gives_up(self):
         from trackiellm_tpu.runtime.watchdog import Watchdog

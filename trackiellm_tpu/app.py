@@ -75,7 +75,16 @@ class TrackieApp:
         cfg = config or Config()
         self.bus = EventBus(capacity=cfg.get_int("bus.capacity", 256))
         self.tasks = TaskManager()
-        self.scheduler = InferenceScheduler()
+        # Conversation focus (scheduler.focus): every conversational
+        # signal below refreshes a window during which passive vision is
+        # deferred (staleness-bounded), so the reply path never queues
+        # behind an in-flight 200+ ms frame pass. Measured on-chip: the
+        # production loop's reply p50 was 977 ms against the harness's
+        # 290 ms almost entirely from this contention (ASR wait 63 ms,
+        # TTS wait 160 ms; tools/measure_app_e2e.py).
+        self.scheduler = InferenceScheduler(
+            focus_max_stale_s=cfg.get_float("scheduler.focus_stale_s",
+                                            2.0))
         self.memory = MemoryManager(
             store_path=cfg.get_string("memory.path", "") or None)
         self.sensors = SensorFusion()
@@ -139,14 +148,18 @@ class TrackieApp:
             on_transcription=self._on_transcription,
             on_sound=self._on_sound,
             on_tts_audio=self._on_tts_audio,
+            # A command utterance has begun: hold conversation focus
+            # for its expected span (refreshed by later signals).
+            on_speech_start=lambda: sched.focus(5.0),
             # End-of-speech decision instant (the e2e latency metric's
             # t0) — exposed so operators can time the production path.
-            on_speech_end=on_speech_end or (lambda: None),
+            on_speech_end=self._wrap_speech_end(on_speech_end),
             # Partial stable transcripts go straight to the cortex so
             # it can prime the LLM mid-utterance (the cortex exists by
             # the time audio flows; capture is deferred via self).
-            on_partial_transcription=lambda t:
-                self.cortex.inject_partial_transcript(t),
+            on_partial_transcription=lambda t: (
+                sched.focus(3.0),
+                self.cortex.inject_partial_transcript(t))[-1],
         )
 
         self.cortex = Cortex(
@@ -178,8 +191,16 @@ class TrackieApp:
             return StreamingTranscriber(asr_fn)
         return streaming_asr
 
+    def _wrap_speech_end(self, ext: Optional[Callable]) -> Callable:
+        def on_end():
+            self.scheduler.focus(3.0)  # covers ASR + LLM + first TTS
+            if ext:
+                ext()
+        return on_end
+
     # -- bus glue -----------------------------------------------------------
     def _on_transcription(self, text: str) -> None:
+        self.scheduler.focus(3.0)
         self.bus.publish(EventKind.TRANSCRIPTION_RESULT, text)
         self.cortex.inject_user_text(text)
 
@@ -188,6 +209,7 @@ class TrackieApp:
         self.cortex.inject_ambient_sound(name)
 
     def _on_tts_audio(self, wav, priority) -> None:
+        self.scheduler.focus(1.5)  # rides playback to the last chunk
         self.bus.publish(EventKind.SPEAK, {"samples": len(wav),
                                            "priority": int(priority)})
         if self._spoken:

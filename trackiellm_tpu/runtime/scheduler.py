@@ -77,7 +77,9 @@ class _Job:
 class InferenceScheduler:
     """Priority dispatch of jitted device programs."""
 
-    def __init__(self, priorities: Optional[Dict[JobKind, int]] = None):
+    def __init__(self, priorities: Optional[Dict[JobKind, int]] = None,
+                 focus_kinds=(JobKind.VISION,),
+                 focus_max_stale_s: float = 2.0):
         self._prio = dict(DEFAULT_PRIORITIES)
         if priorities:
             self._prio.update(priorities)
@@ -86,6 +88,18 @@ class InferenceScheduler:
         self._seq = itertools.count()
         self._stop = threading.Event()
         self.stats: Dict[str, Dict[str, float]] = {}
+        # Conversation focus: while the window is live, focus_kinds jobs
+        # are DEFERRED (not launched) so the reply path never queues
+        # behind a 200+ ms passive vision pass already on the device —
+        # priorities alone cannot preempt an in-flight program (measured:
+        # production p50 977 ms vs the 290 ms harness; TTS ema_wait
+        # 160 ms, tools/measure_app_e2e.py). A staleness bound keeps
+        # safety vision alive at >= 1/focus_max_stale_s Hz even while a
+        # conversation holds focus.
+        self._focus_until = 0.0
+        self._focus_kinds = frozenset(focus_kinds)
+        self._focus_max_stale_s = focus_max_stale_s
+        self._last_done: Dict[JobKind, float] = {}
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         name="inference-scheduler",
                                         daemon=True)
@@ -112,16 +126,62 @@ class InferenceScheduler:
         """Submit and wait."""
         return self.submit(kind, fn, *args, **kwargs).result(timeout=timeout)
 
+    def focus(self, hold_s: float) -> None:
+        """Extend the conversation-focus window by ``hold_s`` seconds.
+
+        Callers refresh it on every conversational signal (speech
+        chunks while listening, end-of-speech, spoken-audio chunks), so
+        the window rides the conversation and simply expires afterwards
+        — no acquire/release pairing to leak on an error path."""
+        with self._cv:
+            self._focus_until = max(self._focus_until,
+                                    time.monotonic() + hold_s)
+            self._cv.notify()
+
+    @property
+    def focus_active(self) -> bool:
+        return time.monotonic() < self._focus_until
+
     # ------------------------------------------------------------------
+
+    def _gated(self, kind: JobKind, now: float) -> bool:
+        """True while conversation focus defers this kind (unless its
+        last completion is stale enough that safety wins)."""
+        return (now < self._focus_until
+                and kind in self._focus_kinds
+                and now - self._last_done.get(kind, 0.0)
+                < self._focus_max_stale_s)
+
+    def _pop_eligible(self):
+        """Pop the highest-priority non-gated job, or None if every
+        queued job is gated (deferred jobs stay queued). Caller holds
+        the condition lock."""
+        deferred = []
+        job = None
+        now = time.monotonic()
+        while self._heap:
+            cand = heapq.heappop(self._heap)
+            if not self._gated(cand.kind, now):
+                job = cand
+                break
+            deferred.append(cand)
+        for d in deferred:
+            heapq.heappush(self._heap, d)
+        return job
 
     def _dispatch_loop(self) -> None:
         while not self._stop.is_set():
             with self._cv:
-                while not self._heap and not self._stop.is_set():
-                    self._cv.wait(timeout=0.1)
+                job = None
+                while job is None and not self._stop.is_set():
+                    job = self._pop_eligible()
+                    if job is None:
+                        # Sleep briefly even with gated jobs queued: the
+                        # focus window and staleness clocks advance in
+                        # real time, not on notifications.
+                        self._cv.wait(timeout=0.05)
                 if self._stop.is_set():
                     break
-                job = heapq.heappop(self._heap)
             if job.future.cancelled():
                 continue
             t0 = time.monotonic()
@@ -144,6 +204,8 @@ class InferenceScheduler:
         a = 0.2
         s["ema_ms"] = (1 - a) * s["ema_ms"] + a * dt_ms
         s["ema_wait_ms"] = (1 - a) * s["ema_wait_ms"] + a * wait_ms
+        with self._cv:
+            self._last_done[job.kind] = time.monotonic()
 
     # ------------------------------------------------------------------
 
