@@ -160,37 +160,50 @@ class TestScheduler:
 
 
 class TestSchedulerFocus:
-    """Conversation focus defers passive kinds so the reply path never
-    launches behind a long vision pass (measured: production reply p50
-    977 ms vs 290 ms harness purely from this contention)."""
+    """Conversation focus rejects passive kinds at ADMISSION (run_or_skip
+    -> SKIPPED) so the reply path never launches behind a long vision
+    pass — and the calling cortex thread never blocks behind the focus
+    window (measured: dispatch-time deferral pushed reply p50 from
+    977 ms to 2.8 s by pinning the cortex event loop)."""
 
-    def test_focus_defers_vision_until_expiry(self):
+    def test_focus_skips_vision_at_admission(self):
+        from trackiellm_tpu.runtime.scheduler import SKIPPED
+
         s = InferenceScheduler()
         # A never-completed kind is infinitely stale (bootstrap): prime
         # one pass so the gate applies.
         s.run(JobKind.VISION, lambda: None)
-        s.focus(0.35)
+        s.focus(5.0)
         t0 = time.monotonic()
-        f_vis = s.submit(JobKind.VISION, time.monotonic)
-        f_tts = s.submit(JobKind.TTS, time.monotonic)
-        t_tts = f_tts.result(timeout=2.0)
-        t_vis = f_vis.result(timeout=2.0)
-        assert t_tts - t0 < 0.2           # reply work runs immediately
-        assert t_vis - t0 >= 0.3          # vision waited out the window
-        assert t_vis > t_tts
+        out = s.run_or_skip(JobKind.VISION, lambda: "ran")
+        dt = time.monotonic() - t0
+        assert out is SKIPPED
+        assert dt < 0.1                    # immediate, no queueing
+        # Non-focus kinds are unaffected.
+        assert s.run_or_skip(JobKind.TTS, lambda: "tts") == "tts"
         s.close()
 
     def test_staleness_bound_overrides_focus(self):
-        # With no completed vision pass for >= the stale bound, safety
-        # wins: vision runs even while focus is held.
-        s = InferenceScheduler(focus_max_stale_s=0.2)
+        from trackiellm_tpu.runtime.scheduler import SKIPPED
+
+        # Once the last completed pass is >= the stale bound old,
+        # safety wins: vision is admitted even while focus is held.
+        s = InferenceScheduler(focus_max_stale_s=0.15)
         s.run(JobKind.VISION, lambda: None)   # fresh completion
         s.focus(5.0)
-        f = s.submit(JobKind.VISION, time.monotonic)
-        t0 = time.monotonic()
-        t = f.result(timeout=3.0)
-        # Deferred at first (fresh), admitted once 0.2 s stale.
-        assert 0.1 <= t - t0 < 1.0
+        assert s.run_or_skip(JobKind.VISION, lambda: "ran") is SKIPPED
+        time.sleep(0.2)
+        assert s.run_or_skip(JobKind.VISION, lambda: "ran") == "ran"
+        # ... and that completion re-arms the gate.
+        assert s.run_or_skip(JobKind.VISION, lambda: "ran") is SKIPPED
+        s.close()
+
+    def test_never_run_kind_is_not_gated(self):
+        # Bootstrap: with no completed vision pass at all, focus does
+        # not blind the device.
+        s = InferenceScheduler()
+        s.focus(5.0)
+        assert s.run_or_skip(JobKind.VISION, lambda: "ran") == "ran"
         s.close()
 
     def test_focus_expired_is_noop(self):
@@ -200,7 +213,8 @@ class TestSchedulerFocus:
         assert s.focus_active
         time.sleep(0.1)
         assert not s.focus_active
-        assert s.run(JobKind.VISION, lambda: 7) == 7
+        s.run(JobKind.VISION, lambda: None)
+        assert s.run_or_skip(JobKind.VISION, lambda: 7) == 7
         s.close()
 
 

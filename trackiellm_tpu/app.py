@@ -49,8 +49,15 @@ class _ScheduledVision:
         self._pipe = pipeline
 
     def process_frame(self, frame, *args, **kwargs):
-        return self._sched.run(JobKind.VISION, self._pipe.process_frame,
-                               frame, *args, **kwargs)
+        # run_or_skip: during conversation focus the tick is rejected
+        # at admission (returns None) instead of blocking the calling
+        # cortex thread behind the focus window.
+        from trackiellm_tpu.runtime.scheduler import SKIPPED
+
+        out = self._sched.run_or_skip(JobKind.VISION,
+                                      self._pipe.process_frame,
+                                      frame, *args, **kwargs)
+        return None if out is SKIPPED else out
 
     def __getattr__(self, name):
         return getattr(self._pipe, name)

@@ -420,6 +420,10 @@ class Cortex:
                                                orientation_wxyz=orientation)
         except TypeError:  # stub pipelines without the kwarg
             result = self.vision.process_frame(frame)
+        if result is None:
+            # Tick skipped (conversation focus holds passive vision);
+            # the next tick brings a fresher frame.
+            return
         self.stats["last_vision_ms"] = (time.monotonic() - t0) * 1e3
 
         scene_desc = ""

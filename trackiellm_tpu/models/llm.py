@@ -53,10 +53,29 @@ class LLMConfig(NamedTuple):
     rope_theta: float = 10000.0
     max_seq: int = 4096
     sliding_window: int = 4096
+    # Llama-family variations (the reference's llama.cpp engine is
+    # family-generic; these knobs cover the same GGUF space):
+    # Qwen2-style attention projection biases (blk.N.attn_{q,k,v}.bias).
+    qkv_bias: bool = False
 
     @classmethod
     def mistral_7b(cls) -> "LLMConfig":
         return cls()
+
+    @classmethod
+    def llama3_8b(cls) -> "LLMConfig":
+        """Llama-3-8B: GQA-8, 128k vocab, theta 5e5, no sliding window."""
+        return cls(vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
+                   n_kv_heads=8, head_dim=128, hidden_dim=14336,
+                   rope_theta=500000.0, max_seq=8192, sliding_window=8192)
+
+    @classmethod
+    def qwen2_7b(cls) -> "LLMConfig":
+        """Qwen2-7B: GQA-4, QKV biases, theta 1e6."""
+        return cls(vocab_size=152064, dim=3584, n_layers=28, n_heads=28,
+                   n_kv_heads=4, head_dim=128, hidden_dim=18944,
+                   rope_theta=1e6, max_seq=8192, sliding_window=8192,
+                   qkv_bias=True)
 
     @classmethod
     def tiny(cls) -> "LLMConfig":
@@ -274,6 +293,8 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     def layer_fn(x, layer):
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = _linear(h, layer["wqkv"])
+        if cfg.qkv_bias:
+            qkv = qkv + layer["wqkv_bias"]
         q = qkv[:, :qd].reshape(s_pad, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
@@ -337,6 +358,8 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         kvd = cfg.n_kv_heads * cfg.head_dim
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = _linear(h, layer["wqkv"])
+        if cfg.qkv_bias:
+            qkv = qkv + layer["wqkv_bias"]
         q = qkv[:, :qd].reshape(1, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(1, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(1, cfg.n_kv_heads, cfg.head_dim)
@@ -438,6 +461,8 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
         layer, k_cache_l, v_cache_l = inputs  # caches: (B, S, Hk, D)
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = _linear(h, layer["wqkv"])
+        if cfg.qkv_bias:
+            qkv = qkv + layer["wqkv_bias"]
         q = qkv[:, :qd].reshape(b, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
@@ -550,6 +575,8 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         layer, k_cache_l, v_cache_l = inputs  # (S_max, Hk, D)
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = _linear(h, layer["wqkv"])
+        if cfg.qkv_bias:
+            qkv = qkv + layer["wqkv_bias"]
         q = qkv[:, :qd].reshape(b, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)

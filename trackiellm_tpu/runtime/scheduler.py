@@ -43,6 +43,9 @@ class JobKind(enum.Enum):
     OTHER = "other"
 
 
+# Returned by run_or_skip when conversation focus holds the kind back.
+SKIPPED = object()
+
 DEFAULT_PRIORITIES: Dict[JobKind, int] = {
     JobKind.VAD: 5,          # tiny + gating everything else
     JobKind.ASR: 4,          # gates the whole voice-command path (the
@@ -88,9 +91,9 @@ class InferenceScheduler:
         self._seq = itertools.count()
         self._stop = threading.Event()
         self.stats: Dict[str, Dict[str, float]] = {}
-        # Conversation focus: while the window is live, focus_kinds jobs
-        # are DEFERRED (not launched) so the reply path never queues
-        # behind a 200+ ms passive vision pass already on the device —
+        # Conversation focus: while the window is live, run_or_skip
+        # rejects focus_kinds jobs at ADMISSION so the reply path never
+        # queues behind a 200+ ms passive vision pass on the device —
         # priorities alone cannot preempt an in-flight program (measured:
         # production p50 977 ms vs the 290 ms harness; TTS ema_wait
         # 160 ms, tools/measure_app_e2e.py). A staleness bound keeps
@@ -130,9 +133,9 @@ class InferenceScheduler:
         """Extend the conversation-focus window by ``hold_s`` seconds.
 
         Callers refresh it on every conversational signal (speech
-        chunks while listening, end-of-speech, spoken-audio chunks), so
-        the window rides the conversation and simply expires afterwards
-        — no acquire/release pairing to leak on an error path."""
+        start/end, transcripts, spoken-audio chunks), so the window
+        rides the conversation and simply expires afterwards — no
+        acquire/release pairing to leak on an error path."""
         with self._cv:
             self._focus_until = max(self._focus_until,
                                     time.monotonic() + hold_s)
@@ -142,46 +145,41 @@ class InferenceScheduler:
     def focus_active(self) -> bool:
         return time.monotonic() < self._focus_until
 
+    def run_or_skip(self, kind: JobKind, fn: Callable, *args,
+                    timeout: float = 30.0, **kwargs):
+        """``run()``, unless conversation focus gates this kind right
+        now — then return :data:`SKIPPED` immediately WITHOUT queueing.
+
+        Admission control, not deferral, on purpose: the passive vision
+        tick is submitted from the cortex event-loop thread, which
+        blocks on the result. Deferring the queued job was measured to
+        pin that thread for up to the staleness bound and push reply
+        p50 from 977 ms to 2.8 s (user-speech events queued behind a
+        stuck cortex); a skip costs nothing and the next tick brings a
+        fresher frame anyway."""
+        with self._cv:
+            if self._gated(kind, time.monotonic()):
+                return SKIPPED
+        return self.run(kind, fn, *args, timeout=timeout, **kwargs)
+
     # ------------------------------------------------------------------
 
     def _gated(self, kind: JobKind, now: float) -> bool:
-        """True while conversation focus defers this kind (unless its
-        last completion is stale enough that safety wins)."""
+        """True while conversation focus holds this kind back (unless
+        its last completion is stale enough that safety wins)."""
         return (now < self._focus_until
                 and kind in self._focus_kinds
                 and now - self._last_done.get(kind, 0.0)
                 < self._focus_max_stale_s)
 
-    def _pop_eligible(self):
-        """Pop the highest-priority non-gated job, or None if every
-        queued job is gated (deferred jobs stay queued). Caller holds
-        the condition lock."""
-        deferred = []
-        job = None
-        now = time.monotonic()
-        while self._heap:
-            cand = heapq.heappop(self._heap)
-            if not self._gated(cand.kind, now):
-                job = cand
-                break
-            deferred.append(cand)
-        for d in deferred:
-            heapq.heappush(self._heap, d)
-        return job
-
     def _dispatch_loop(self) -> None:
         while not self._stop.is_set():
             with self._cv:
-                job = None
-                while job is None and not self._stop.is_set():
-                    job = self._pop_eligible()
-                    if job is None:
-                        # Sleep briefly even with gated jobs queued: the
-                        # focus window and staleness clocks advance in
-                        # real time, not on notifications.
-                        self._cv.wait(timeout=0.05)
+                while not self._heap and not self._stop.is_set():
+                    self._cv.wait(timeout=0.1)
                 if self._stop.is_set():
                     break
+                job = heapq.heappop(self._heap)
             if job.future.cancelled():
                 continue
             t0 = time.monotonic()
