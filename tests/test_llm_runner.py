@@ -916,3 +916,64 @@ class TestMinTokens:
         r.generate("ola")
         assert len(r._generated_ids) >= 8
         assert ids[pos] not in r._generated_ids[:8]
+
+
+class TestPrefixCacheReuse:
+    """Cross-turn prefix caching: prepare_generation rolls the cache
+    back to the longest shared token prefix and extends only the delta
+    — output and cache state must be byte-identical to a fresh prefill
+    (the cortex rebuilds its full prompt every turn; reuse removes the
+    ~300 ms full re-prefill per reply)."""
+
+    _mk = TestKTokenLookahead._make
+    _eq = TestKTokenLookahead._assert_state_equal
+
+    def _long_prompt(self, tail):
+        head = "sistema: voce e um assistente de navegacao. " * 3
+        return head + tail
+
+    def test_repeat_prompt_reuses_and_matches_fresh(self):
+        a = self._mk(4, max_tokens=8)
+        b = self._mk(4, max_tokens=8)
+        p = self._long_prompt("o que ha na minha frente?")
+        a.generate(p)          # turn 1 fills the cache
+        ta = a.generate(p)     # turn 2: near-total prefix reuse
+        tb = b.generate(p)
+        tb = b.generate(p)
+        assert ta == tb
+        self._eq(a, b)
+
+    def test_shared_head_different_tail(self):
+        a = self._mk(4, max_tokens=8)
+        b = self._mk(4, max_tokens=8)
+        a.generate(self._long_prompt("primeira pergunta?"))
+        b.generate(self._long_prompt("primeira pergunta?"))
+        # Second turn shares only the system head with turn 1.
+        p2 = self._long_prompt("ha obstaculos a esquerda?")
+        fresh = self._mk(4, max_tokens=8)
+        ta = a.generate(p2)
+        tb = b.generate(p2)
+        tf = fresh.generate(p2)
+        assert ta == tb == tf
+        self._eq(a, b)
+
+    def test_short_prefix_falls_back_to_prefill(self):
+        r = self._mk(4, max_tokens=6)
+        r.generate("oi")
+        fresh = self._mk(4, max_tokens=6)
+        t = r.generate("tchau entao amigo")   # tiny LCP -> fresh path
+        tf = fresh.generate("tchau entao amigo")
+        assert t == tf
+
+    def test_reuse_then_conversation_continues(self):
+        a = self._mk(4, max_tokens=8)
+        b = self._mk(4, max_tokens=8)
+        p = self._long_prompt("como esta o caminho?")
+        a.generate(p)
+        a.generate(p)          # reuse path
+        b.generate(p)
+        b.generate(p)
+        ca = a.chat("e agora?")
+        cb = b.chat("e agora?")
+        assert ca == cb
+        self._eq(a, b)

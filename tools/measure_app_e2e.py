@@ -185,12 +185,14 @@ def main() -> None:
         depth_fn=lambda chw: depth_model.depth_forward(
             dep_params, dep_cfg, chw),
         vad_fn=lambda chunk: vad(chunk),
-        # The REAL ASR pass runs (its latency is the point); random
-        # weights can decode to an empty string, which would skip the
-        # LLM turn entirely, so a fixed query rides along with whatever
-        # the model produced.
-        asr_fn=lambda audio: (asr.transcribe(audio)
-                              + " o que ha na minha frente?"),
+        # The REAL ASR pass runs (its latency is the point); its random-
+        # weight text is discarded for a fixed query so (a) the LLM turn
+        # always happens and (b) streaming partials are true prefixes of
+        # the final transcript — with real weights LocalAgreement yields
+        # exactly that, and appending garbage text was measured to break
+        # every prime ('primed prefix did not match' on all 6 runs).
+        asr_fn=lambda audio: (asr.transcribe(audio),
+                              "o que ha na minha frente?")[1],
         tts_stream_fn=lambda text: tts_model.synthesize_streaming(
             tts_params, tts_cfg, text),
         streaming_asr=True,

@@ -145,6 +145,9 @@ class LLMRunner:
         self._la_idx = 0
         self._la_offset = 0
         self._la_next: Optional[tuple] = None
+        # Cap on per-dispatch prompt tokens while priming mid-utterance
+        # (prime() docstring has the rationale).
+        self._prime_max_dispatch = 256
         # min_tokens EOS-ban masks, built lazily (host bool vector for
         # the sampled path, device copy for the greedy paths).
         self._eos_ban_np: Optional[np.ndarray] = None
@@ -242,8 +245,8 @@ class LLMRunner:
         else:
             if primed:
                 log.info("primed prefix did not match the final prompt; "
-                         "re-prefilling from scratch")
-            self._ingest_ids(ids)
+                         "falling back to prefix-cache reuse")
+            self._prefill_with_prefix_reuse(ids)
         self._generated_ids = []
         self._generated_text = ""
         self._n_emitted = 0
@@ -256,13 +259,67 @@ class LLMRunner:
         else:
             self._grammar = None
 
-    def _ingest_ids(self, ids) -> None:
+    # Minimum shared-prefix length worth rolling back to instead of a
+    # fresh bucketed prefill (below this, prefill() is just as cheap).
+    PREFIX_REUSE_MIN = 32
+
+    def _prefill_with_prefix_reuse(self, ids) -> None:
+        """Prompt ingestion with cross-turn prefix caching: when the new
+        prompt shares a long token prefix with what the cache already
+        holds (system prompt + stable context + conversation history —
+        the cortex rebuilds the full prompt every turn), roll
+        ``cache.length`` back to the shared prefix and extend only the
+        delta. Rows past ``length`` are stale-masked (the same proven
+        rollback contract as the k-token lookahead), so reuse is exact.
+        Measured motivation: the production cortex paid a full ~300 ms
+        7B prefill per reply for a prompt whose head barely changed
+        (tools/measure_app_e2e.py; llm leg 348 of 504 ms)."""
+        committed = self._committed_ids
+        lcp = 0
+        limit = min(len(committed), len(ids))
+        while lcp < limit and committed[lcp] == ids[lcp]:
+            lcp += 1
+        # Keep at least one prompt token to extend: the next-logits for
+        # the final position must be recomputed.
+        lcp = min(lcp, len(ids) - 1)
+        if lcp < self.PREFIX_REUSE_MIN:
+            self._ingest_ids(ids)
+            return
+        self._drop_pending_lookahead()
+        self.cache = self.cache._replace(length=jnp.int32(lcp))
+        self._host_len = lcp
+        del self._committed_ids[lcp:]
+        self._pending_spec = []
+        rest = ids[lcp:]
+        logits = None
+        pos = 0
+        chunk_cap = EXTEND_BUCKETS[-1]
+        while pos < len(rest):
+            chunk = rest[pos: pos + chunk_cap]
+            logits = self._extend_ids(chunk)
+            pos += len(chunk)
+        self._next_logits = logits
+        log.info("prefix-cache reuse: %d/%d prompt tokens already in "
+                 "cache; extended %d", lcp, len(ids), len(rest))
+
+    def _ingest_ids(self, ids, max_dispatch: Optional[int] = None) -> None:
         """Fresh-cache prompt ingestion: bucketed prefill of the head,
         chunked extend of the remainder (shared by prepare_generation
-        and prime)."""
+        and prime).
+
+        ``max_dispatch`` caps the size of each device program. The
+        final-prompt path wants the biggest buckets (fewest launches);
+        ``prime()`` passes a cap so mid-utterance prefill runs as short
+        chunks the final ASR pass can interleave with — one 1024-token
+        prefill program was measured holding the device through
+        end-of-speech and pushing transcript latency past 1 s
+        (tools/measure_app_e2e.py run-to-run outliers)."""
         self._drop_pending_lookahead()
         buckets = ([b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
                    or [self.cfg.max_seq])
+        if max_dispatch is not None:
+            buckets = ([b for b in buckets if b <= max_dispatch]
+                       or buckets[:1])
         n = len(ids)
         first_n = min(n, buckets[-1])
         bucket = _bucket_for(first_n, buckets)
@@ -282,6 +339,8 @@ class LLMRunner:
         self._pending_spec = []
         pos = first_n
         chunk_cap = EXTEND_BUCKETS[-1]
+        if max_dispatch is not None:
+            chunk_cap = min(chunk_cap, max_dispatch)
         while pos < n:
             chunk = ids[pos: pos + chunk_cap]
             logits = self._extend_ids(chunk)
@@ -300,20 +359,25 @@ class LLMRunner:
         speaking. A non-matching final prompt falls back to a full
         re-prefill (correctness never depends on the prime).
         Re-priming with a longer prefix extends incrementally when the
-        previous prime is its prefix."""
+        previous prime is its prefix.
+
+        Dispatches are capped at ``self._prime_max_dispatch`` tokens
+        (default 256): priming happens while speech is still flowing —
+        short device programs keep the final ASR pass interleavable
+        (see _ingest_ids)."""
         ids = self.tokenizer.encode(prompt_prefix, add_bos=True)
         prev = self._primed_ids
         if (prev and len(prev) <= len(ids)
                 and ids[: len(prev)] == prev):
             rest = ids[len(prev):]
             pos = 0
-            chunk_cap = EXTEND_BUCKETS[-1]
+            chunk_cap = min(EXTEND_BUCKETS[-1], self._prime_max_dispatch)
             while pos < len(rest):
                 chunk = rest[pos: pos + chunk_cap]
                 self._next_logits = self._extend_ids(chunk)
                 pos += len(chunk)
         else:
-            self._ingest_ids(ids)
+            self._ingest_ids(ids, max_dispatch=self._prime_max_dispatch)
         self._primed_ids = list(ids)
 
     def _attn_bucket(self) -> Optional[int]:
