@@ -16,7 +16,7 @@ DIM, LAYERS, HEADS, KV, HID, VOCAB = 64, 2, 4, 2, 128, 96
 QD, KVD = HEADS * (DIM // HEADS), KV * (DIM // HEADS)
 
 
-def _make_gguf(path, tied=False, seed=0):
+def _make_gguf(path, tied=False, seed=0, qkv_bias=False, arch="llama"):
     rng = np.random.default_rng(seed)
 
     def m(rows, cols):  # GGUF orientation: (out, in)
@@ -37,23 +37,33 @@ def _make_gguf(path, tied=False, seed=0):
         tensors[f"{p}.attn_q.weight"] = (m(QD, DIM), L.GGML_F32)
         tensors[f"{p}.attn_k.weight"] = (m(KVD, DIM), L.GGML_F32)
         tensors[f"{p}.attn_v.weight"] = (m(KVD, DIM), L.GGML_F32)
+        if qkv_bias:  # Qwen2-style projection biases
+            tensors[f"{p}.attn_q.bias"] = (
+                rng.standard_normal(QD).astype(np.float32) * 0.1,
+                L.GGML_F32)
+            tensors[f"{p}.attn_k.bias"] = (
+                rng.standard_normal(KVD).astype(np.float32) * 0.1,
+                L.GGML_F32)
+            tensors[f"{p}.attn_v.bias"] = (
+                rng.standard_normal(KVD).astype(np.float32) * 0.1,
+                L.GGML_F32)
         tensors[f"{p}.attn_output.weight"] = (m(DIM, QD), L.GGML_F32)
         tensors[f"{p}.ffn_gate.weight"] = (m(HID, DIM), L.GGML_F32)
         tensors[f"{p}.ffn_up.weight"] = (m(HID, DIM), L.GGML_F32)
         tensors[f"{p}.ffn_down.weight"] = (m(DIM, HID), L.GGML_F32)
 
     write_gguf(path, tensors, metadata={
-        "general.architecture": "llama",
+        "general.architecture": arch,
         "general.name": "tiny-test",
-        "llama.embedding_length": DIM,
-        "llama.block_count": LAYERS,
-        "llama.attention.head_count": HEADS,
-        "llama.attention.head_count_kv": KV,
-        "llama.feed_forward_length": HID,
-        "llama.context_length": 128,
-        "llama.attention.layer_norm_rms_epsilon": 1e-5,
-        "llama.rope.freq_base": 10000.0,
-        "llama.vocab_size": VOCAB,
+        f"{arch}.embedding_length": DIM,
+        f"{arch}.block_count": LAYERS,
+        f"{arch}.attention.head_count": HEADS,
+        f"{arch}.attention.head_count_kv": KV,
+        f"{arch}.feed_forward_length": HID,
+        f"{arch}.context_length": 128,
+        f"{arch}.attention.layer_norm_rms_epsilon": 1e-5,
+        f"{arch}.rope.freq_base": 10000.0,
+        f"{arch}.vocab_size": VOCAB,
     })
     return tensors
 
@@ -298,3 +308,86 @@ class TestNameMaps:
 
         with _pytest.raises(TrackieError):
             apply_name_map({"a": 1, "b": 2}, {"a": "x"}, strict=True)
+
+
+class TestQwen2Family:
+    """Qwen2-style GGUFs: arch-prefixed metadata keys, QKV projection
+    biases detected from tensor presence (the llama.cpp optional-tensor
+    convention) and fused into the wqkv column layout."""
+
+    def test_config_detects_bias_and_arch_keys(self, tmp_path):
+        p = str(tmp_path / "q.gguf")
+        _make_gguf(p, qkv_bias=True, arch="qwen2")
+        cfg = C.config_from_gguf(L.read_gguf_header(p))
+        assert cfg.qkv_bias is True
+        assert cfg.dim == DIM and cfg.n_heads == HEADS
+        # Plain llama file: no bias.
+        p2 = str(tmp_path / "l.gguf")
+        _make_gguf(p2)
+        assert C.config_from_gguf(L.read_gguf_header(p2)).qkv_bias is False
+
+    def test_bias_forward_matches_manual(self, tmp_path):
+        p = str(tmp_path / "q.gguf")
+        raw = _make_gguf(p, qkv_bias=True, arch="qwen2")
+        params, cfg = C.gguf_to_llm_params(p, bits=None, dtype=jnp.float32)
+        assert cfg.qkv_bias
+        fused = np.asarray(params["layers"]["wqkv_bias"])
+        for i in range(LAYERS):
+            expect = np.concatenate([raw[f"blk.{i}.attn_q.bias"][0],
+                                     raw[f"blk.{i}.attn_k.bias"][0],
+                                     raw[f"blk.{i}.attn_v.bias"][0]])
+            np.testing.assert_allclose(fused[i], expect, rtol=1e-6)
+
+        # Bias actually changes the forward (guards against a silently
+        # dropped add).
+        import jax
+
+        toks = jnp.arange(8, dtype=jnp.int32) % VOCAB
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        with_bias, _ = llm_model.prefill(params, cfg, toks, jnp.int32(8),
+                                         cache)
+        zeroed = dict(params)
+        zeroed["layers"] = dict(params["layers"])
+        zeroed["layers"]["wqkv_bias"] = jnp.zeros_like(
+            params["layers"]["wqkv_bias"])
+        cache2 = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        without, _ = llm_model.prefill(zeroed, cfg, toks, jnp.int32(8),
+                                       cache2)
+        assert not np.allclose(np.asarray(with_bias), np.asarray(without))
+
+    def test_quantized_conversion_keeps_bias_dense(self, tmp_path):
+        p = str(tmp_path / "q.gguf")
+        _make_gguf(p, qkv_bias=True, arch="qwen2")
+        params, cfg = C.gguf_to_llm_params(p, bits=8, group=32)
+        assert isinstance(params["layers"]["wqkv_bias"], jnp.ndarray)
+        # Decode runs end-to-end with biases + quantized matrices.
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, cfg, jnp.arange(4, dtype=jnp.int32), jnp.int32(4),
+            cache)
+        logits2, cache = llm_model.decode_step(
+            params, cfg, jnp.int32(1), cache)
+        assert np.isfinite(np.asarray(logits2)).all()
+
+    def test_generation_with_bias_config(self):
+        import jax
+        from trackiellm_tpu.llm.runner import (GenerationConfig, LLMRunner)
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        cfg = llm_model.LLMConfig.tiny()._replace(qkv_bias=True)
+        params = llm_model.init_params(jax.random.PRNGKey(3), cfg,
+                                       dtype=jnp.float32)
+        assert "wqkv_bias" in params["layers"]
+        r = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                      GenerationConfig(max_tokens=8, temperature=0.0),
+                      cache_dtype=jnp.float32)
+        out = r.generate("ola")
+        assert isinstance(out, str)
+
+    def test_family_presets(self):
+        l3 = llm_model.LLMConfig.llama3_8b()
+        assert l3.vocab_size == 128256 and l3.rope_theta == 500000.0
+        assert not l3.qkv_bias
+        q2 = llm_model.LLMConfig.qwen2_7b()
+        assert q2.qkv_bias and q2.n_kv_heads == 4
+        assert q2.head_dim == 128 and q2.dim == 3584

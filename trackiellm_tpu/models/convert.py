@@ -106,6 +106,13 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
 
     n_heads = int(key("attention.head_count"))
     dim = int(key("embedding_length"))
+    # head_dim is decoupled from dim//n_heads in some families (the
+    # llama.cpp key is {arch}.attention.key_length); Qwen2-style QKV
+    # projection biases are detected from tensor presence, exactly how
+    # llama.cpp decides (optional-tensor lookup, not metadata).
+    head_dim = int(md.get(f"{arch}.attention.key_length",
+                          dim // n_heads))
+    qkv_bias = "blk.0.attn_q.bias" in gguf.tensors
     return llm_model.LLMConfig(
         vocab_size=int(md.get("tokenizer.ggml.tokens_count",
                               md.get(f"{arch}.vocab_size",
@@ -115,13 +122,14 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         n_layers=int(key("block_count")),
         n_heads=n_heads,
         n_kv_heads=int(key("attention.head_count_kv", n_heads)),
-        head_dim=dim // n_heads,
+        head_dim=head_dim,
         hidden_dim=int(key("feed_forward_length")),
         norm_eps=float(key("attention.layer_norm_rms_epsilon", 1e-5)),
         rope_theta=float(key("rope.freq_base", 10000.0)),
         max_seq=int(key("context_length", 4096)),
         sliding_window=int(md.get(f"{arch}.attention.sliding_window",
                                   key("context_length", 4096))),
+        qkv_bias=qkv_bias,
     )
 
 
@@ -207,6 +215,7 @@ def gguf_to_llm_params(
 
     wqkv, wo, w_gu, w_down = [], [], [], []
     attn_norm, mlp_norm = [], []
+    qkv_bias = []
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
         attn_norm.append(vec(f"{p}.attn_norm.weight"))
@@ -214,6 +223,13 @@ def gguf_to_llm_params(
         qkv = np.concatenate([mat(f"{p}.attn_q.weight"),
                               mat(f"{p}.attn_k.weight"),
                               mat(f"{p}.attn_v.weight")], axis=1)
+        if cfg.qkv_bias:
+            # Qwen2-style projection biases, fused to match wqkv's
+            # [q | k | v] column layout; biases stay high-precision
+            # (llama.cpp never quantizes 1-D tensors either).
+            qkv_bias.append(jnp.concatenate([
+                vec(f"{p}.attn_q.bias"), vec(f"{p}.attn_k.bias"),
+                vec(f"{p}.attn_v.bias")]))
         wqkv.append(maybe_quant(qkv))
         wo.append(maybe_quant(mat(f"{p}.attn_output.weight")))
         gu = np.concatenate([mat(f"{p}.ffn_gate.weight"),
@@ -228,16 +244,19 @@ def gguf_to_llm_params(
     else:  # tied embeddings
         lm_head = np.ascontiguousarray(tok_emb.T)
 
+    layers: Dict[str, Any] = {
+        "attn_norm": jnp.stack(attn_norm),
+        "wqkv": stack(wqkv),
+        "wo": stack(wo),
+        "mlp_norm": jnp.stack(mlp_norm),
+        "w_gu": stack(w_gu),
+        "w_down": stack(w_down),
+    }
+    if cfg.qkv_bias:
+        layers["wqkv_bias"] = jnp.stack(qkv_bias)
     params: Dict[str, Any] = {
         "tok_emb": jnp.asarray(tok_emb, dtype),
-        "layers": {
-            "attn_norm": jnp.stack(attn_norm),
-            "wqkv": stack(wqkv),
-            "wo": stack(wo),
-            "mlp_norm": jnp.stack(mlp_norm),
-            "w_gu": stack(w_gu),
-            "w_down": stack(w_down),
-        },
+        "layers": layers,
         "out_norm": vec("output_norm.weight"),
         "lm_head": maybe_quant(lm_head),
     }

@@ -106,16 +106,20 @@ def init_params(key: jax.Array, cfg: LLMConfig,
     # QKV and gate+up are stored fused: one wide matmul each reads the
     # weight stream once and launches one kernel instead of three/two —
     # decode is launch- and bandwidth-bound (PERF_NOTES.md).
+    layers = {
+        "attn_norm": jnp.ones((l, d), dtype),
+        "wqkv": w(keys[1], l, d, qd + 2 * kvd),
+        "wo": w(keys[4], l, qd, d),
+        "mlp_norm": jnp.ones((l, d), dtype),
+        "w_gu": w(keys[5], l, d, 2 * h),
+        "w_down": w(keys[7], l, h, d),
+    }
+    if cfg.qkv_bias:
+        layers["wqkv_bias"] = (jax.random.normal(
+            keys[9], (l, qd + 2 * kvd), jnp.float32) * 0.02).astype(dtype)
     return {
         "tok_emb": w(keys[0], cfg.vocab_size, d, scale=0.02),
-        "layers": {
-            "attn_norm": jnp.ones((l, d), dtype),
-            "wqkv": w(keys[1], l, d, qd + 2 * kvd),
-            "wo": w(keys[4], l, qd, d),
-            "mlp_norm": jnp.ones((l, d), dtype),
-            "w_gu": w(keys[5], l, d, 2 * h),
-            "w_down": w(keys[7], l, h, d),
-        },
+        "layers": layers,
         "out_norm": jnp.ones((d,), dtype),
         "lm_head": w(keys[8], d, cfg.vocab_size),
     }
@@ -162,6 +166,10 @@ def init_params_quantized(key: jax.Array, cfg: LLMConfig, bits: int = 4,
         "attn_norm": jnp.ones((l, d), dtype),
         "mlp_norm": jnp.ones((l, d), dtype),
     }
+    if cfg.qkv_bias:
+        layers["wqkv_bias"] = (jax.random.normal(
+            jax.random.fold_in(key, 99993), (l, qd + 2 * kvd),
+            jnp.float32) * 0.02).astype(dtype)
     build_one = jax.jit(
         lambda k, kk, nn: quantize(
             jax.random.normal(k, (kk, nn), jnp.float32) / (kk ** 0.5), group),
