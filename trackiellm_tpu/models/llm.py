@@ -597,23 +597,30 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
             v_cache_l, v.astype(v_cache_l.dtype), (offset, 0, 0))
 
         # Each chunk query attends to the prefix + itself (causal),
-        # over the attn_len-bounded cache view.
+        # over the attn_len-bounded cache view. Cache operands stay in
+        # their storage dtype with f32 MXU accumulation — materializing
+        # repeated f32 copies of the (A, Hk, D) views cost ~16 MB of
+        # HBM traffic per layer at A=1024 and made a 759-token extend
+        # measurably slower than a full Pallas prefill
+        # (decode_attention pattern, ops/attention.py).
         k_view = k_cache_l[:attn_len] if attn_len else k_cache_l
         v_view = v_cache_l[:attn_len] if attn_len else v_cache_l
         rep = cfg.n_heads // cfg.n_kv_heads
-        kf = jnp.repeat(k_view.astype(jnp.float32), rep, axis=1)
-        vf = jnp.repeat(v_view.astype(jnp.float32), rep, axis=1)
+        qg = q.reshape(b, cfg.n_kv_heads, rep,
+                       cfg.head_dim).astype(k_view.dtype)
         scores = jnp.einsum(
-            "qhd,shd->hqs", q.astype(jnp.float32), kf
-        ) / (cfg.head_dim ** 0.5)
-        key_idx = jnp.arange(attn_len or s_max)[None, None, :]
-        q_pos = positions[None, :, None]
+            "qgrd,sgd->grqs", qg, k_view,
+            preferred_element_type=jnp.float32) / (cfg.head_dim ** 0.5)
+        key_idx = jnp.arange(attn_len or s_max)[None, None, None, :]
+        q_pos = positions[None, None, :, None]
         mask = key_idx <= q_pos
         if window:
             mask &= key_idx > q_pos - window
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("hqs,shd->qhd", probs, vf).reshape(b, -1)
+        attn = jnp.einsum(
+            "grqs,sgd->qgrd", probs.astype(v_view.dtype), v_view,
+            preferred_element_type=jnp.float32).reshape(b, -1)
         x = x + _linear(attn.astype(x.dtype), layer["wo"])
 
         x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
