@@ -106,6 +106,54 @@ class TestReasonerPriorityOrdering:
         prompt = r.generate_context_string()
         assert "dog" in prompt and "cat" not in prompt
 
+    def test_prefix_stable_layout_same_selection_volatile_last(self):
+        """prefix_stable reorders emission only: the selected line SET
+        is identical to the parity layout, but per-tick volatile
+        categories (vision/nav/motion/sound) and urgent alerts move to
+        the tail, after stable context + conversation history, so the
+        prompt head stays token-identical across perception ticks
+        (cross-turn KV prefix reuse)."""
+        r = ContextualReasoner()
+        r.update_ambient_sound("alarme de incêndio", urgent=True)
+        r.update_vision_context([FakeObj("cup", [0, 0, 10, 10], 1.2)])
+        r.add_context_item("usuário se chama Ana", ContextPriority.HIGH,
+                           category="memory")
+        r.add_conversation_turn("user", "olá")
+        r.add_conversation_turn("assistant", "oi Ana")
+
+        parity = r.generate_context_string(user_query="cadê a xícara?",
+                                           layout="parity")
+        stable = r.generate_context_string(user_query="cadê a xícara?",
+                                           layout="prefix_stable")
+
+        # Identical selection — same lines, different order.
+        assert sorted(parity.splitlines()) == sorted(stable.splitlines())
+        # Stable head: memory + history precede the volatile vision line
+        # and the urgent alert; urgent sits closest to the query.
+        assert stable.index("Ana") < stable.index("cup")
+        assert stable.index("olá") < stable.index("cup")
+        assert stable.index("cup") < stable.index("[URGENTE]")
+        assert (stable.index("[URGENTE]")
+                < stable.rindex("Pergunta do usuário"))
+        # Parity order unchanged: urgent first.
+        assert parity.startswith("[URGENTE]")
+
+    def test_prefix_stable_head_unchanged_across_vision_ticks(self):
+        r = ContextualReasoner()
+        r.add_context_item("usuário se chama Ana", ContextPriority.HIGH,
+                           category="memory")
+        r.add_conversation_turn("user", "olá")
+        r.update_vision_context([FakeObj("cat", [0, 0, 1, 1], 2.0)])
+        p1 = r.generate_context_string(user_query="q",
+                                       layout="prefix_stable")
+        r.update_vision_context([FakeObj("dog", [0, 0, 1, 1], 1.0)])
+        p2 = r.generate_context_string(user_query="q",
+                                       layout="prefix_stable")
+        # Everything before the volatile block is byte-identical.
+        head1 = p1[:p1.index("cat")]
+        head2 = p2[:p2.index("dog")]
+        assert head1 == head2 and "Ana" in head1
+
 
 class TestDecisionEngine:
     def test_parse_text_response(self):

@@ -113,6 +113,11 @@ class CortexConfig:
     # FATAL_ERROR and halts (tk_cortex_main.c:986-989 escalates on
     # critical failure; repeated failures are treated as critical here).
     max_consecutive_failures: int = 3
+    # Context emission order: "prefix_stable" (default) keeps volatile
+    # per-tick categories at the prompt tail so cross-turn KV prefix
+    # reuse covers the head; "parity" is the reference's urgent-first
+    # order (reasoner.generate_context_string docstring).
+    context_layout: str = "prefix_stable"
     system_prompt: str = (
         "Você é o Trackie, um assistente para pessoas com deficiência "
         "visual. Responda de forma curta, clara e útil.")
@@ -485,7 +490,7 @@ class Cortex:
 
             context = self.reasoner.generate_context_string(
                 user_query=stable_text, token_budget=budget,
-                count_fn=count_fn)
+                count_fn=count_fn, layout=self.config.context_layout)
             tools = [ToolDefinition(n, n.replace("_", " "), {})
                      for n in self.decisions.tool_names]
             self._partial_ctx = (context, tools)
@@ -556,7 +561,8 @@ class Cortex:
                             + count_fn(text) + 128)
                 budget = max(min(budget, max_prompt - overhead), 16)
             context = self.reasoner.generate_context_string(
-                user_query=text, token_budget=budget, count_fn=count_fn)
+                user_query=text, token_budget=budget, count_fn=count_fn,
+                layout=self.config.context_layout)
             from trackiellm_tpu.llm.runner import ToolDefinition
 
             tools = [ToolDefinition(n, n.replace("_", " "), {})

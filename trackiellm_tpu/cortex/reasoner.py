@@ -161,14 +161,31 @@ class ContextualReasoner:
     # Prompt context generation
     # ------------------------------------------------------------------
 
+    # Context categories rewritten every perception tick; under the
+    # ``prefix_stable`` layout they are emitted LAST so the prompt's
+    # head stays token-identical across turns (prefix-cache reuse,
+    # llm/runner.py _prefill_with_prefix_reuse).
+    VOLATILE_CATEGORIES = frozenset(
+        {"vision", "navigation", "motion", "sound"})
+
     def generate_context_string(self, user_query: str = "",
                                 token_budget: Optional[int] = None,
-                                count_fn=None) -> str:
+                                count_fn=None,
+                                layout: str = "parity") -> str:
         """Build the LLM context block under the token budget.
 
         Ordering contract (asserted by the reference's full test):
         URGENT items first, marked ``[URGENTE]``; then high->low priority
         context; then recent conversation; the user query LAST.
+
+        ``layout="prefix_stable"`` keeps the SAME selection (budget
+        acceptance is identical line-for-line) but reorders emission
+        for cross-turn KV-prefix reuse: conversation history and stable
+        context first, per-tick volatile categories after, URGENT items
+        right before the query (recency also makes them most salient to
+        the model). Measured motivation: under the parity order the
+        volatile vision block sat at token ~250 of a ~1000-token prompt
+        and capped prefix-cache reuse there (tools/measure_app_e2e.py).
 
         ``count_fn`` overrides the chars/4 token estimate with the real
         tokenizer's count (the cortex passes the LLM runner's).
@@ -176,14 +193,17 @@ class ContextualReasoner:
         budget = token_budget or self.config.token_budget
         count = count_fn or _estimate_tokens
         lines: List[str] = []
+        volatile: List[str] = []
+        urgent_lines: List[str] = []
         used = 0
+        stable_order = layout == "prefix_stable"
 
-        def try_add(line: str) -> bool:
+        def try_add(line: str, sink: List[str]) -> bool:
             nonlocal used
             t = count(line)
             if used + t > budget:
                 return False
-            lines.append(line)
+            sink.append(line)
             used += t
             return True
 
@@ -191,14 +211,16 @@ class ContextualReasoner:
         urgent = [i for i in self._items
                   if i.priority == ContextPriority.URGENT]
         for item in sorted(urgent, key=lambda i: -i.timestamp):
-            try_add(f"[URGENTE] {item.text}")
+            try_add(f"[URGENTE] {item.text}",
+                    urgent_lines if stable_order else lines)
 
         # 2. other context, by (priority desc, relevance*recency desc)
         rest = [i for i in self._items
                 if i.priority < ContextPriority.URGENT]
         for item in sorted(rest, key=lambda i: (-i.priority, -i.relevance,
                                                 -i.timestamp)):
-            try_add(item.text)
+            vol = stable_order and item.category in self.VOLATILE_CATEGORIES
+            try_add(item.text, volatile if vol else lines)
 
         # 3. conversation history (most recent turns that fit)
         convo: List[str] = []
@@ -211,8 +233,14 @@ class ContextualReasoner:
                 break
             convo.append(line)
             c_used += t
+        # Stable layout: history is append-only, so it sits after the
+        # rarely-changing context but before the per-tick volatile
+        # block; urgent alerts land right before the query.
         lines.extend(reversed(convo))
         used += c_used
+        if stable_order:
+            lines.extend(volatile)
+            lines.extend(urgent_lines)
 
         # 4. the user query, always last
         if user_query:
