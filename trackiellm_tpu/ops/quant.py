@@ -470,7 +470,13 @@ def _pick_tile(dim: int, preferred: int, align: int = 128) -> int:
 # environment — the dominant cost for decode matvecs, PERF_NOTES.md),
 # but the x/scale/accumulator footprint grows with M, so the picker
 # estimates the whole working set and shrinks until it fits.
-_VMEM_BUDGET = 11 * 1024 * 1024
+# Mosaic's real scoped-vmem stack runs ~1.5x _vmem_estimate at wide
+# blocks against a 16 MB hard limit, and the compile-OOM boundary was
+# probed on-chip (tools/diag_vmem_tiles.py): est 10.91M compiles, est
+# 11.40M OOMs ("Scoped allocation 16.84M > 16.00M" — the M=256 prime
+# chunk's down-proj). 10.5*1024^2 keeps every probed-OK plan and
+# rejects the failing one; g=256 decode-sized (m<=8) picks unchanged.
+_VMEM_BUDGET = int(10.5 * 1024 * 1024)
 _MAX_TILE_N = 4096
 
 
