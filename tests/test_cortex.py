@@ -615,6 +615,53 @@ class TestVoiceCommandFastPath:
         assert spoken and spoken[0][0] == "A resposta original."
 
 
+class TestContextWindowBudget:
+    def test_long_conversation_never_overflows_window(self, caplog):
+        """Regression (round-3 production-loop run 5): the context
+        budget must be derived from the EXACT empty-context prompt
+        (system + tool block + formatting + user text), not a fixed
+        allowance — a byte tokenizer makes the tool block alone
+        hundreds of tokens. Overflow truncation invalidates the primed
+        prefix and the turn pays a full re-prefill. Six growing
+        conversation turns through the real runner must produce zero
+        window-truncation warnings and zero prime mismatches."""
+        import logging
+
+        import jax
+        import jax.numpy as jnp
+
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+        from trackiellm_tpu.models import llm as llm_model
+
+        # 1024 like the production measurement: the byte-tokenized tool
+        # block alone (~370 tokens) structurally overflows smaller
+        # windows regardless of context budgeting.
+        cfg = llm_model.LLMConfig.tiny()._replace(max_seq=1024,
+                                                  sliding_window=1024)
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        runner = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                           GenerationConfig(max_tokens=8, temperature=0.0),
+                           cache_dtype=jnp.float32)
+        responses = []
+        c = Cortex(llm_runner=runner, on_response=responses.append)
+        with caplog.at_level(logging.INFO, logger="trackiellm.llm.runner"):
+            for i in range(6):
+                c._process_partial_transcript(f"onde esta a {i} coisa")
+                c._process_user_speech(
+                    f"onde esta a {i} coisa que eu deixei na mesa da "
+                    f"sala ontem a noite, numero {i}?")
+        # Random tiny weights sometimes emit tool-call-shaped output
+        # (routed to the decision engine, not on_response) — the
+        # regression signals are the runner logs and the prime counter,
+        # not the response count.
+        assert c.stats.get("partial_primes") == 6
+        msgs = [r.getMessage() for r in caplog.records]
+        assert not [m for m in msgs if "window budget" in m], msgs
+        assert not [m for m in msgs if "did not match" in m], msgs
+
+
 class TestFeedbackDedupInCortex:
     def test_duplicate_alerts_deduped(self):
         spoken = []

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from trackiellm_tpu.models import whisper as whisper_model
 from trackiellm_tpu.llm.tokenizer import ByteTokenizer, Tokenizer
-from trackiellm_tpu.ops.mel import SAMPLE_RATE, log_mel_spectrogram
+from trackiellm_tpu.ops.mel import (HOP_LENGTH, SAMPLE_RATE,
+                                    log_mel_spectrogram)
 from trackiellm_tpu.utils.logging import get_logger
 
 log = get_logger("audio.asr")
@@ -52,13 +53,20 @@ class WhisperASR:
 
             audio = np.asarray(
                 resample_poly(jnp.asarray(audio), SAMPLE_RATE, sample_rate))
-        mel = log_mel_spectrogram(jnp.asarray(audio, jnp.float32))
-        # Pad/trim to the model's fixed audio context (static shapes).
-        t = mel.shape[1]
-        if t < self._mel_frames:
-            mel = jnp.pad(mel, ((0, 0), (0, self._mel_frames - t)))
-        else:
-            mel = mel[:, :self._mel_frames]
+        # Pad/trim the AUDIO to the fixed window before the mel — one
+        # static shape for the whole front-end. Padding the mel instead
+        # compiled a fresh log_mel program per distinct segment length
+        # (VAD endpoints vary in 100 ms steps), a ~1.2 s stall on the
+        # first utterance of each new length (round-3 production-loop
+        # run 1). Zero-sample padding is also OpenAI Whisper's real
+        # semantics (pad_or_trim on samples, openai/whisper audio.py);
+        # the padded frames land on the log-mel silence floor without
+        # moving the global dynamic-range max.
+        n_samples = self._mel_frames * HOP_LENGTH
+        audio = np.asarray(audio, np.float32).ravel()[:n_samples]
+        if audio.shape[0] < n_samples:
+            audio = np.pad(audio, (0, n_samples - audio.shape[0]))
+        mel = log_mel_spectrogram(jnp.asarray(audio))
         tokens = whisper_model.transcribe_tokens(
             self.params, self.cfg, mel, max_tokens=self.max_tokens,
             language=self.language)

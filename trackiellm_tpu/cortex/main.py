@@ -469,6 +469,32 @@ class Cortex:
     # Speech / LLM path (parity: cortex_run_llm_inference :1323)
     # ------------------------------------------------------------------
 
+    def _context_budget(self, user_text: str, tools, margin: int) -> int:
+        """Token budget for the reasoner context, derived from the
+        runner's REAL window and tokenizer: the exact token count of
+        the final prompt built with an EMPTY context (system prompt +
+        tool block + instruction formatting + user text), plus
+        ``margin`` (BOS, the ``Context:`` insert, and — on the priming
+        path — growth of the streaming transcript between the stable
+        prefix and the final one). A fixed allowance undercounts the
+        tool block under byte-level tokenizers: the prompt then
+        overflows the window, truncation invalidates the primed
+        prefix, and the turn pays a full re-prefill (measured 3.2 s on
+        the round-3 production-loop run)."""
+        budget = self.config.llm_token_budget
+        count_fn = getattr(self.llm, "count_tokens", None)
+        max_prompt = getattr(self.llm, "max_prompt_tokens", None)
+        if count_fn is None or max_prompt is None:
+            return budget
+        build = getattr(self.llm, "build_prompt", None)
+        if build is not None:
+            overhead = count_fn(build(self.config.system_prompt, "",
+                                      user_text, tools)) + margin
+        else:
+            overhead = (count_fn(self.config.system_prompt)
+                        + count_fn(user_text) + margin + 128)
+        return max(min(budget, max_prompt - overhead), 16)
+
     def _process_partial_transcript(self, stable_text: str) -> None:
         """Prime the LLM with the prompt-so-far while the user is still
         speaking (streaming-ASR stable prefix). Runs on the cortex
@@ -479,20 +505,17 @@ class Cortex:
                 or not hasattr(self.llm, "prime")):
             return
         if self._partial_ctx is None:
-            budget = self.config.llm_token_budget
-            count_fn = getattr(self.llm, "count_tokens", None)
-            max_prompt = getattr(self.llm, "max_prompt_tokens", None)
-            if count_fn is not None and max_prompt is not None:
-                overhead = (count_fn(self.config.system_prompt)
-                            + count_fn(stable_text) + 160)
-                budget = max(min(budget, max_prompt - overhead), 16)
             from trackiellm_tpu.llm.runner import ToolDefinition
 
-            context = self.reasoner.generate_context_string(
-                user_query=stable_text, token_budget=budget,
-                count_fn=count_fn, layout=self.config.context_layout)
             tools = [ToolDefinition(n, n.replace("_", " "), {})
                      for n in self.decisions.tool_names]
+            # Margin 192: the final transcript grows past this stable
+            # prefix between prime and USER_SPEECH_FINAL.
+            budget = self._context_budget(stable_text, tools, margin=192)
+            context = self.reasoner.generate_context_string(
+                user_query=stable_text, token_budget=budget,
+                count_fn=getattr(self.llm, "count_tokens", None),
+                layout=self.config.context_layout)
             self._partial_ctx = (context, tools)
         context, tools = self._partial_ctx
         prompt = self.llm.build_prompt(self.config.system_prompt, context,
@@ -553,20 +576,15 @@ class Cortex:
             # prefix and waste the primed cache.
             context, tools = frozen
         else:
-            budget = self.config.llm_token_budget
-            count_fn = getattr(self.llm, "count_tokens", None)
-            max_prompt = getattr(self.llm, "max_prompt_tokens", None)
-            if count_fn is not None and max_prompt is not None:
-                overhead = (count_fn(self.config.system_prompt)
-                            + count_fn(text) + 128)
-                budget = max(min(budget, max_prompt - overhead), 16)
-            context = self.reasoner.generate_context_string(
-                user_query=text, token_budget=budget, count_fn=count_fn,
-                layout=self.config.context_layout)
             from trackiellm_tpu.llm.runner import ToolDefinition
 
             tools = [ToolDefinition(n, n.replace("_", " "), {})
                      for n in self.decisions.tool_names]
+            budget = self._context_budget(text, tools, margin=32)
+            context = self.reasoner.generate_context_string(
+                user_query=text, token_budget=budget,
+                count_fn=getattr(self.llm, "count_tokens", None),
+                layout=self.config.context_layout)
         prompt = self.llm.build_prompt(self.config.system_prompt, context,
                                        text, tools)
 

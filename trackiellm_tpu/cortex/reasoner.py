@@ -195,7 +195,14 @@ class ContextualReasoner:
         lines: List[str] = []
         volatile: List[str] = []
         urgent_lines: List[str] = []
-        used = 0
+        # The query line is emitted unconditionally (contract: query
+        # last), so its cost is RESERVED before any item is accepted —
+        # otherwise the returned string overshoots the budget by the
+        # query length and the final prompt can overflow the model
+        # window (observed as a primed-prefix-killing truncation in the
+        # round-3 production-loop measurement).
+        used = count(f"Pergunta do usuário: {user_query}") if user_query \
+            else 0
         stable_order = layout == "prefix_stable"
 
         def try_add(line: str, sink: List[str]) -> bool:
