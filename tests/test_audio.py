@@ -255,6 +255,78 @@ class TestAudioPipelineStateMachine:
         assert pipe.state is AudioState.AWAITING_WAKE_WORD
         pipe.close()
 
+    def test_endpoint_anticipation_uses_tentative(self):
+        """The authoritative ASR starts during the silence window and
+        its result IS the final transcript — exactly one model pass."""
+        calls, transcripts = [], []
+
+        def asr(audio):
+            calls.append(len(audio))
+            return f"heard {len(audio)}"
+
+        pipe = AudioPipeline(
+            config=AudioPipelineConfig(wake_word_enabled=False,
+                                       end_of_speech_silence_ms=300,
+                                       endpoint_anticipation_ms=100),
+            vad_fn=vad_model.EnergyVAD(1e-3), asr_fn=asr,
+            on_transcription=transcripts.append)
+        for _ in range(4):
+            pipe.process_chunk(_loud())
+        n_final = None
+        for _ in range(3):
+            pipe.process_chunk(_quiet())
+        pipe.close()
+        assert len(calls) == 1, calls
+        assert transcripts == [f"heard {calls[0]}"]
+        # The tentative pass saw speech + 1 silence chunk, not the full
+        # 3-chunk silence tail.
+        assert calls[0] < (4 + 3) * 1600
+
+    def test_endpoint_anticipation_discarded_when_speech_resumes(self):
+        calls, transcripts = [], []
+
+        def asr(audio):
+            calls.append(len(audio))
+            return f"heard {len(audio)}"
+
+        pipe = AudioPipeline(
+            config=AudioPipelineConfig(wake_word_enabled=False,
+                                       end_of_speech_silence_ms=300,
+                                       endpoint_anticipation_ms=100),
+            vad_fn=vad_model.EnergyVAD(1e-3), asr_fn=asr,
+            on_transcription=transcripts.append)
+        for _ in range(4):
+            pipe.process_chunk(_loud())
+        pipe.process_chunk(_quiet())   # tentative fires here
+        for _ in range(2):
+            pipe.process_chunk(_loud())  # speech resumes: stale
+        for _ in range(3):
+            pipe.process_chunk(_quiet())
+        pipe.close()
+        assert len(calls) >= 2, calls  # tentative + fresh final pass
+        assert calls[-1] > calls[0]    # final pass saw the full buffer
+        assert transcripts == [f"heard {calls[-1]}"]
+
+    def test_endpoint_anticipation_disabled(self):
+        calls = []
+
+        def asr(audio):
+            calls.append(len(audio))
+            return "ok"
+
+        pipe = AudioPipeline(
+            config=AudioPipelineConfig(wake_word_enabled=False,
+                                       end_of_speech_silence_ms=300,
+                                       endpoint_anticipation_ms=0),
+            vad_fn=vad_model.EnergyVAD(1e-3), asr_fn=asr)
+        for _ in range(4):
+            pipe.process_chunk(_loud())
+        for _ in range(3):
+            pipe.process_chunk(_quiet())
+        pipe.close()
+        assert len(calls) == 1
+        assert calls[0] == (4 + 3) * len(_quiet())  # the full buffer
+
     def test_no_wake_word_mode(self):
         pipe, ev = self._build(wake_word_enabled=False)
         assert pipe.state is AudioState.LISTENING_FOR_COMMAND

@@ -146,6 +146,8 @@ class TrackieApp:
                 vad_threshold=cfg.get_float("audio.vad_threshold", 0.8),
                 end_of_speech_silence_ms=cfg.get_int(
                     "audio.silence_ms", 500),
+                endpoint_anticipation_ms=cfg.get_int(
+                    "audio.endpoint_anticipation_ms", 150),
                 wake_word_enabled=cfg.get_bool("audio.wake_word", True),
             ),
             vad_fn=vad_fn, asr_fn=asr_fn, tts_fn=tts_fn,

@@ -61,6 +61,14 @@ class AudioPipelineConfig:
     chunk_ms: int = 100                      # tk_cortex_main.c:875
     vad_threshold: float = 0.8               # tk_cortex_main.c:882
     end_of_speech_silence_ms: int = 500      # tk_cortex_main.c:881
+    # Endpoint anticipation: once this much silence has accumulated
+    # (but before the end-of-speech threshold), the authoritative ASR
+    # pass starts in the background on the audio captured so far — the
+    # utterance content is already complete when silence BEGINS, so by
+    # the time the endpoint is declared the transcript is usually
+    # ready (~100 ms off end-of-speech -> first-reply latency). If
+    # speech resumes, the tentative result is discarded. 0 disables.
+    endpoint_anticipation_ms: int = 150
     max_command_seconds: float = 15.0
     pre_roll_chunks: int = 3                 # keep audio just before VAD
     passive_sound_window_s: float = 1.0
@@ -130,6 +138,11 @@ class AudioPipeline:
         self._silence_ms = 0.0
         self._in_speech = False
         self._passive_buf: List[np.ndarray] = []
+        # Endpoint anticipation bookkeeping: the tentative holder is
+        # valid only while the speech-chunk count is unchanged (speech
+        # resuming invalidates it).
+        self._n_speech_chunks = 0
+        self._tentative: Optional[dict] = None
 
         # Priority TTS queue + worker thread.
         self._queue: List[_QueuedSpeech] = []
@@ -209,11 +222,20 @@ class AudioPipeline:
                         self._feed_streaming(c)
             self._speech_buf.append(chunk)
             self._silence_ms = 0.0
+            self._n_speech_chunks += 1
+            self._tentative = None  # speech resumed: stale result
             self._feed_streaming(chunk)
         else:
             if self._in_speech:
                 self._speech_buf.append(chunk)
                 self._silence_ms += chunk_ms
+                if (cfg.endpoint_anticipation_ms > 0
+                        and self._tentative is None
+                        and self._silence_ms
+                        >= cfg.endpoint_anticipation_ms
+                        and self._silence_ms
+                        < cfg.end_of_speech_silence_ms):
+                    self._start_tentative_asr()
                 if self._silence_ms >= cfg.end_of_speech_silence_ms:
                     self._finish_utterance()
                     return
@@ -237,10 +259,46 @@ class AudioPipeline:
         if grown:
             self._emit("on_partial_transcription", grown)
 
+    def _start_tentative_asr(self) -> None:
+        """Endpoint anticipation: run the authoritative ASR pass NOW,
+        during the silence window, so the transcript is ready when the
+        endpoint is declared. The tentative audio lacks the last
+        ~(end_of_speech - anticipation) ms of trailing silence the
+        final buffer would carry — pure silence either way (both are
+        padded to the model window downstream), so the pass is
+        equivalent. A daemon thread keeps the real-time chunk loop
+        unblocked; the model call itself serializes through the same
+        scheduler as every other ASR pass."""
+        fn = (self.streaming_asr.asr_fn if self.streaming_asr is not None
+              else self.asr_fn)
+        if fn is None or not self._speech_buf:
+            return
+        audio = np.concatenate(self._speech_buf)
+        holder = {"n_speech": self._n_speech_chunks, "text": None,
+                  "failed": False}
+
+        def run():
+            try:
+                holder["text"] = fn(audio) or ""
+            except Exception as e:
+                log.warning("tentative ASR failed: %s", e)
+                holder["failed"] = True
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="tentative-asr")
+        holder["thread"] = t
+        self._tentative = holder
+        t.start()
+
     def _finish_utterance(self) -> None:
         self._emit("on_speech_end")
         audio = (np.concatenate(self._speech_buf)
                  if self._speech_buf else np.zeros(0, np.float32))
+        tentative = self._tentative
+        if (tentative is not None
+                and tentative["n_speech"] != self._n_speech_chunks):
+            tentative = None
+        self._tentative = None
         self._reset_listening()
         if (self.asr_fn is None and self.streaming_asr is None) \
                 or len(audio) == 0:
@@ -249,14 +307,22 @@ class AudioPipeline:
             self._set_state(self._idle_state())
             return
         self._set_state(AudioState.TRANSCRIBING)
-        try:
+        text = None
+        if tentative is not None:
+            tentative["thread"].join(timeout=10.0)
+            if not tentative["failed"] and tentative["text"] is not None:
+                text = tentative["text"]
             if self.streaming_asr is not None:
-                text = self.streaming_asr.finalize(audio)
-            else:
-                text = self.asr_fn(audio)
-        except Exception as e:
-            log.warning("ASR failed: %s", e)
-            text = ""
+                self.streaming_asr.reset()
+        if text is None:
+            try:
+                if self.streaming_asr is not None:
+                    text = self.streaming_asr.finalize(audio)
+                else:
+                    text = self.asr_fn(audio)
+            except Exception as e:
+                log.warning("ASR failed: %s", e)
+                text = ""
         self._set_state(self._idle_state())
         if text:
             self._emit("on_transcription", text)
@@ -266,6 +332,8 @@ class AudioPipeline:
         self._pre_roll = []
         self._silence_ms = 0.0
         self._in_speech = False
+        self._n_speech_chunks = 0
+        self._tentative = None
 
     def _idle_state(self) -> AudioState:
         return (AudioState.AWAITING_WAKE_WORD
