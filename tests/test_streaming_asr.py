@@ -110,6 +110,42 @@ class TestPipelineIntegration:
         # next utterance starts clean
         assert st.stable_text == ""
 
+    def test_endpoint_anticipation_replaces_finalize(self):
+        """With anticipation on, the authoritative pass runs DURING the
+        silence window (on the streaming transcriber's asr_fn) and
+        finalize() is never called with the full buffer — yet the next
+        utterance starts with clean LocalAgreement state."""
+        seen = []
+
+        def asr(audio):
+            seen.append(len(audio))
+            return f"texto {len(seen)}"
+
+        st = StreamingTranscriber(asr, refresh_s=10.0)  # no refresh passes
+        finals = []
+        pipe = AudioPipeline(
+            config=AudioPipelineConfig(wake_word_enabled=False,
+                                       end_of_speech_silence_ms=300,
+                                       endpoint_anticipation_ms=100),
+            vad_fn=lambda c: 1.0 if np.abs(c).max() > 0.01 else 0.0,
+            streaming_asr=st,
+            on_transcription=finals.append,
+        )
+        loud = np.full(SR // 10, 0.1, np.float32)
+        quiet = np.zeros(SR // 10, np.float32)
+        for utt in range(2):  # two utterances: state resets between
+            for _ in range(5):
+                pipe.process_chunk(loud)
+            for _ in range(4):
+                pipe.process_chunk(quiet)
+        pipe.close()
+        assert finals == ["texto 1", "texto 2"]
+        # Exactly one ASR pass per utterance (the tentative one): the
+        # tentative audio stops short of the full silence tail.
+        assert len(seen) == 2
+        assert all(n < 9 * (SR // 10) for n in seen)
+        assert st.stable_text == ""
+
     def test_streaming_failure_degrades_to_final(self):
         calls = {"n": 0}
 
