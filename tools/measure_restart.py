@@ -28,6 +28,23 @@ import time
 
 T_PROC = time.perf_counter()
 
+
+def _process_age_s() -> float:
+    """Seconds since the OS spawned this process (captures python +
+    sitecustomize/jax import time that ran before T_PROC)."""
+    try:
+        with open("/proc/self/stat") as f:
+            starttime_ticks = float(f.read().split(")")[-1].split()[19])
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        hz = os.sysconf("SC_CLK_TCK")
+        return uptime - starttime_ticks / hz
+    except Exception:
+        return 0.0
+
+
+AGE_AT_T_PROC = _process_age_s()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
@@ -54,27 +71,36 @@ def main() -> None:
     jax.block_until_ready(params["out_norm"])
     t_params = time.perf_counter()
 
+    # min_tokens floor: random weights greedy-decode straight into EOS,
+    # which would leave the first-token mark unfired (n_out=0).
     runner = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
-                       GenerationConfig(max_tokens=8, temperature=0.0))
+                       GenerationConfig(max_tokens=8, min_tokens=8,
+                                        temperature=0.0))
     first_piece = {}
 
     def on_token(piece):
         if "t" not in first_piece:
             first_piece["t"] = time.perf_counter()
 
+    t_runner = time.perf_counter()
     out = runner.generate(f"ola, descreva a cena ({seed})",
                           on_token=on_token)
     t_done = time.perf_counter()
     t_first = first_piece.get("t", t_done)
+    print(f"[stage] runner_init_s={t_runner - t_params:.1f} "
+          f"generate_to_first_s={t_first - t_runner:.1f}",
+          file=sys.stderr)
 
     print(json.dumps({
         "config": "restart_to_ready_7b_q4",
-        "import_s": round(T_JAX - T_PROC, 1),
+        "import_s": round(AGE_AT_T_PROC + (T_JAX - T_PROC), 1),
         "weights_s": round(t_params - T_JAX, 1),
         "first_token_s": round(t_first - t_params, 1),
-        "total_to_first_token_s": round(t_first - T_PROC, 1),
-        "total_to_8_tokens_s": round(t_done - T_PROC, 1),
-        "meets_60s": (t_first - T_PROC) < 60.0,
+        "total_to_first_token_s": round(
+            AGE_AT_T_PROC + (t_first - T_PROC), 1),
+        "total_to_8_tokens_s": round(
+            AGE_AT_T_PROC + (t_done - T_PROC), 1),
+        "meets_60s": (AGE_AT_T_PROC + t_first - T_PROC) < 60.0,
         "n_out": len(out),
     }))
 

@@ -581,15 +581,19 @@ class LLMRunner:
         of this chunk) this generation — it anchors the min_tokens EOS
         suppression boundary inside the chunk."""
         k = self.gen.lookahead
-        kw = {}
-        if self.gen.min_tokens > 0:
-            sup = max(0, min(k, self.gen.min_tokens - emitted_before))
-            # Traced scalar: one compiled program for every boundary.
-            kw = dict(eos_id=self.tokenizer.eos_id,
-                      suppress_until=jnp.int32(sup))
+        # ALWAYS pass eos_id (suppress_until=0 is a no-op mask): eos_id
+        # None vs int forks the compiled program, and the fork was a
+        # measured restart-to-ready cost — the app (min_tokens>0) and a
+        # plain restart (min_tokens=0) each paid a full cold compile of
+        # their own chunk variant. suppress_until is a traced scalar,
+        # so ONE program serves every min_tokens boundary including 0.
+        sup = (max(0, min(k, self.gen.min_tokens - emitted_before))
+               if self.gen.min_tokens > 0 else 0)
         toks, lg, new_cache = llm_model.decode_chunk_greedy(
             self.params, self.cfg, logits, cache, k,
-            attn_len=self._attn_bucket_for(offset + k), **kw)
+            attn_len=self._attn_bucket_for(offset + k),
+            eos_id=self.tokenizer.eos_id,
+            suppress_until=jnp.int32(sup))
         self._la_next = (toks, lg, new_cache, offset)
 
     def _greedy_chunk_step(self) -> Optional[str]:
