@@ -72,8 +72,15 @@ def main() -> None:
     t_params = time.perf_counter()
 
     # min_tokens floor: random weights greedy-decode straight into EOS,
-    # which would leave the first-token mark unfired (n_out=0).
-    runner = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+    # which would leave the first-token mark unfired. The scripted
+    # decode_token makes every emitted id produce visible text (random
+    # argmax ids above the byte range decode to "" and on_token never
+    # fires for empty pieces).
+    class _Audible(ByteTokenizer):
+        def decode_token(self, tid):
+            return super().decode_token(tid) or "x"
+
+    runner = LLMRunner(params, cfg, _Audible(cfg.vocab_size),
                        GenerationConfig(max_tokens=8, min_tokens=8,
                                         temperature=0.0))
     first_piece = {}

@@ -114,6 +114,111 @@ def _cmd_demo(args) -> int:
     return 0
 
 
+def _cmd_precompile(args) -> int:
+    """Warm every production device program into JAX's persistent
+    compile cache, so service restarts are deserialize-only
+    (restart-to-ready story; the reference mmaps a GGUF and serves in
+    seconds, src/ai_models/tk_model_loader.c:199 — here the analogue
+    is paying XLA compiles ONCE per deployment, not per boot).
+
+    Run once after install/upgrade (or after changing model configs);
+    it drives each pipeline's jitted entry points at the production
+    shapes: LLM bucketed prefill + k-token decode chunks + chunked
+    extend/prime, whisper's single-dispatch transcribe, the TTS
+    latency buckets + streaming vocoder, and the vision frame pass.
+    Latency is weight-independent, so random weights compile the same
+    programs real checkpoints execute."""
+    import time
+
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    done = []
+
+    def mark(name):
+        done.append((name, round(time.time() - t0, 1)))
+        print(f"[{time.time() - t0:7.1f}s] {name} warm", flush=True)
+
+    if args.skip not in ("llm",):
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+        from trackiellm_tpu.models import llm as llm_model
+
+        cfg = llm_model.LLMConfig.mistral_7b()._replace(
+            max_seq=args.max_seq, sliding_window=args.max_seq)
+        if args.llm:
+            from trackiellm_tpu.models.checkpoint import load_checkpoint
+            params, cfg, _ = load_checkpoint(args.llm)
+        else:
+            params = llm_model.init_params_quantized(ks[0], cfg, bits=4)
+        runner = LLMRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                           GenerationConfig(max_tokens=12, min_tokens=4,
+                                            temperature=0.0))
+        # Short prompt -> smallest prefill bucket + the decode chunk
+        # (ONE program for all min_tokens values since the eos-ban
+        # unification); prime() walks the chunked-prefill buckets the
+        # streaming-ASR path uses; a long prompt hits the big bucket.
+        runner.generate("ola")
+        mark("llm: small prefill bucket + decode chunks")
+        runner.reset()
+        runner.prime("por favor descreva " * 40)
+        mark("llm: prime/extend chunk buckets")
+        runner.reset()
+        runner.generate("contexto: " + "objeto perto. " * 60)
+        mark("llm: large prefill bucket")
+
+    if args.skip not in ("asr",):
+        from trackiellm_tpu.audio.asr import WhisperASR
+        from trackiellm_tpu.models import whisper as whisper_model
+
+        acfg = whisper_model.WhisperConfig.tiny()._replace(n_audio_ctx=500)
+        asr = WhisperASR(whisper_model.init_whisper(ks[1], acfg), acfg,
+                         max_tokens=16)
+        asr.transcribe(np.zeros(5 * 16000, np.float32))
+        mark("asr: single-dispatch transcribe (5 s window)")
+
+    if args.skip not in ("tts",):
+        from trackiellm_tpu.models import tts as tts_model
+
+        tcfg = tts_model.TTSConfig.default()
+        tparams = tts_model.init_tts(ks[2], tcfg)
+        for text in ("ha uma mesa a frente.",
+                     "ha uma cadeira e uma pessoa perto da porta da "
+                     "sala de estar agora."):
+            for _ in tts_model.synthesize_streaming(tparams, tcfg, text):
+                pass
+        mark("tts: latency buckets + streaming vocoder")
+
+    if args.skip not in ("vision",):
+        from trackiellm_tpu.models import depth as depth_model
+        from trackiellm_tpu.models import detector as det_model
+        from trackiellm_tpu.vision.pipeline import VisionPipeline
+
+        dcfg = det_model.DetectorConfig.v8n()
+        dparams = det_model.init_detector(ks[3], dcfg)
+        pcfg = depth_model.DepthConfig.small()
+        pparams = depth_model.init_depth(ks[4], pcfg)
+        pipe = VisionPipeline(
+            detector_fn=lambda chw: det_model.detector_forward(
+                dparams, dcfg, chw),
+            depth_fn=lambda chw: depth_model.depth_forward(
+                pparams, pcfg, chw))
+        frame = np.zeros((480, 640, 3), np.uint8)
+        pipe.process_frame(frame)
+        mark("vision: letterbox + detector + NMS + depth + fusion")
+
+    print(f"precompile done in {time.time() - t0:.1f}s; cache at "
+          f"{args.cache_dir}; restarts now deserialize instead of "
+          f"compiling.")
+    return 0
+
+
 def _cmd_synth(args) -> int:
     """Synthesize speech (the Piper CLI workflow twin): a real Piper
     voice (--voice model.onnx --voice-config voice.json) through the
@@ -170,6 +275,18 @@ def main(argv=None) -> int:
     p = sub.add_parser("demo", help="assistant demo on mock hardware")
     p.add_argument("seconds", nargs="?", type=float, default=5.0)
     p.set_defaults(fn=_cmd_demo)
+
+    p = sub.add_parser("precompile", help="warm all production device "
+                       "programs into the persistent compile cache")
+    p.add_argument("--llm", default=None,
+                   help="LLM checkpoint (default: random 7B Q4 — "
+                        "programs are weight-independent)")
+    p.add_argument("--max-seq", type=int, default=1024)
+    p.add_argument("--cache-dir", default="/root/.cache/jax_comp")
+    p.add_argument("--skip", default=None,
+                   choices=("llm", "asr", "tts", "vision"),
+                   help="skip one stage")
+    p.set_defaults(fn=_cmd_precompile)
 
     p = sub.add_parser("synth", help="synthesize speech from a Piper "
                        "voice (VITS) to a WAV file")
