@@ -48,7 +48,8 @@ def _quant_q4_0(arr: np.ndarray) -> bytes:
 
 
 def write_gguf(path, tensors, metadata=None):
-    """tensors: {name: (array, ggml_type)}."""
+    """tensors: {name: (array, ggml_type)} or, for pre-quantized raw
+    block data, {name: (raw_uint8, ggml_type, logical_shape)}."""
     metadata = metadata or {}
     align = 32
     body = b"GGUF" + struct.pack("<I", 3)
@@ -66,7 +67,20 @@ def write_gguf(path, tensors, metadata=None):
 
     blobs = []
     offset = 0
-    for name, (arr, gtype) in tensors.items():
+    for name, spec in tensors.items():
+        if len(spec) == 3:  # pre-quantized raw block bytes
+            raw_arr, gtype, shape = spec
+            raw = np.asarray(raw_arr, np.uint8).tobytes()
+            body += _gguf_string(name)
+            dims = tuple(reversed(shape))
+            body += struct.pack("<I", len(dims))
+            body += struct.pack(f"<{len(dims)}Q", *dims)
+            body += struct.pack("<I", gtype)
+            body += struct.pack("<Q", offset)
+            blobs.append(raw)
+            offset += (len(raw) + align - 1) // align * align
+            continue
+        arr, gtype = spec
         if gtype == L.GGML_F32:
             raw = arr.astype(np.float32).tobytes()
         elif gtype == L.GGML_F16:
@@ -194,6 +208,149 @@ class TestGGUF:
         g = L.read_gguf_header(p)
         out = L.load_gguf_tensor(g, "w")
         np.testing.assert_allclose(out, w, atol=np.abs(w).max() / 5)
+
+    def test_k_quant_dequant_vs_scalar_reference(self):
+        """The vectorized K-quant/legacy-quant dequantizers match an
+        independent scalar transcription of ggml-quants.c's
+        dequantize_row_* loops on random block bytes (the formats real
+        Q4_K_M / Q5_K_M GGUF releases ship)."""
+        rng = np.random.default_rng(7)
+
+        def f16(b):  # two raw bytes -> float
+            return float(np.frombuffer(bytes(b), np.float16)[0])
+
+        def scale_min_k4(j, s):
+            if j < 4:
+                return s[j] & 63, s[j + 4] & 63
+            return ((s[j + 4] & 0xF) | ((s[j - 4] >> 6) << 4),
+                    (s[j + 4] >> 4) | ((s[j] >> 6) << 4))
+
+        def ref_q4_1(b):
+            d, m = f16(b[0:2]), f16(b[2:4])
+            y = np.zeros(32)
+            for j in range(16):
+                y[j] = d * (b[4 + j] & 0xF) + m
+                y[j + 16] = d * (b[4 + j] >> 4) + m
+            return y
+
+        def ref_q5_0(b):
+            d = f16(b[0:2])
+            qh = int(np.frombuffer(bytes(b[2:6]), np.uint32)[0])
+            y = np.zeros(32)
+            for j in range(16):
+                q = int(b[6 + j])  # int() everywhere: uint8 - 16 wraps
+                y[j] = d * (((q & 0xF) | (((qh >> j) & 1) << 4)) - 16)
+                y[j + 16] = d * (((q >> 4)
+                                  | (((qh >> (j + 16)) & 1) << 4)) - 16)
+            return y
+
+        def ref_q5_1(b):
+            d, m = f16(b[0:2]), f16(b[2:4])
+            qh = int(np.frombuffer(bytes(b[4:8]), np.uint32)[0])
+            y = np.zeros(32)
+            for j in range(16):
+                y[j] = d * ((b[8 + j] & 0xF)
+                            | (((qh >> j) & 1) << 4)) + m
+                y[j + 16] = d * ((b[8 + j] >> 4)
+                                 | (((qh >> (j + 16)) & 1) << 4)) + m
+            return y
+
+        def ref_q4_k(b):
+            d, dmin = f16(b[0:2]), f16(b[2:4])
+            s = b[4:16]
+            y = np.zeros(256)
+            qs = b[16:]
+            for j in range(4):
+                sc1, m1 = scale_min_k4(2 * j, s)
+                sc2, m2 = scale_min_k4(2 * j + 1, s)
+                for l in range(32):
+                    q = qs[32 * j + l]
+                    y[64 * j + l] = d * sc1 * (q & 0xF) - dmin * m1
+                    y[64 * j + 32 + l] = d * sc2 * (q >> 4) - dmin * m2
+            return y
+
+        def ref_q5_k(b):
+            d, dmin = f16(b[0:2]), f16(b[2:4])
+            s, qh, qs = b[4:16], b[16:48], b[48:]
+            y = np.zeros(256)
+            u1, u2 = 1, 2
+            for j in range(4):
+                sc1, m1 = scale_min_k4(2 * j, s)
+                sc2, m2 = scale_min_k4(2 * j + 1, s)
+                for l in range(32):
+                    q = qs[32 * j + l]
+                    y[64 * j + l] = d * sc1 * (
+                        (q & 0xF) + (16 if qh[l] & u1 else 0)) - dmin * m1
+                    y[64 * j + 32 + l] = d * sc2 * (
+                        (q >> 4) + (16 if qh[l] & u2 else 0)) - dmin * m2
+                u1 <<= 2
+                u2 <<= 2
+            return y
+
+        def ref_q6_k(b):
+            ql, qh = b[:128], b[128:192]
+            sc = np.frombuffer(bytes(b[192:208]), np.int8)
+            d = f16(b[208:210])
+            y = np.zeros(256)
+            for n in range(2):
+                for l in range(32):
+                    is_ = l // 16
+                    lo, hi = int(ql[64 * n + l]), int(ql[64 * n + 32 + l])
+                    h = int(qh[32 * n + l])
+                    q1 = ((lo & 0xF) | (((h >> 0) & 3) << 4)) - 32
+                    q2 = ((hi & 0xF) | (((h >> 2) & 3) << 4)) - 32
+                    q3 = ((lo >> 4) | (((h >> 4) & 3) << 4)) - 32
+                    q4 = ((hi >> 4) | (((h >> 6) & 3) << 4)) - 32
+                    y[128 * n + l] = d * sc[8 * n + is_] * q1
+                    y[128 * n + 32 + l] = d * sc[8 * n + is_ + 2] * q2
+                    y[128 * n + 64 + l] = d * sc[8 * n + is_ + 4] * q3
+                    y[128 * n + 96 + l] = d * sc[8 * n + is_ + 6] * q4
+            return y
+
+        # (vectorized fn, scalar ref, bytes/block, elems/block,
+        #  offsets of f16 scale fields to overwrite with finite values —
+        #  random bytes can form inf/nan halves, which never compare).
+        cases = [
+            (L._dequant_q4_1, ref_q4_1, 20, 32, (0, 2)),
+            (L._dequant_q5_0, ref_q5_0, 22, 32, (0,)),
+            (L._dequant_q5_1, ref_q5_1, 24, 32, (0, 2)),
+            (L._dequant_q4_k, ref_q4_k, 144, 256, (0, 2)),
+            (L._dequant_q5_k, ref_q5_k, 176, 256, (0, 2)),
+            (L._dequant_q6_k, ref_q6_k, 210, 256, (208,)),
+        ]
+        for vec_fn, ref_fn, block_bytes, per_block, f16_offs in cases:
+            n_blocks = 5
+            raw = rng.integers(0, 256, n_blocks * block_bytes,
+                               dtype=np.uint8).reshape(n_blocks, -1)
+            for i in range(n_blocks):
+                for k, off in enumerate(f16_offs):
+                    val = np.float16(rng.uniform(-2.0, 2.0))
+                    raw[i, off:off + 2] = np.frombuffer(
+                        val.tobytes(), np.uint8)
+            raw = raw.reshape(-1)
+            got = vec_fn(raw, n_blocks * per_block)
+            want = np.concatenate([
+                ref_fn(raw[i * block_bytes:(i + 1) * block_bytes])
+                for i in range(n_blocks)])
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                       err_msg=vec_fn.__name__)
+
+    def test_k_quant_gguf_end_to_end(self, tmp_path):
+        """A GGUF carrying raw Q4_K and Q6_K tensor data loads through
+        load_gguf_tensor (the published Q4_K_M tensor mix)."""
+        rng = np.random.default_rng(11)
+        for gtype, block_bytes, fn in ((L.GGML_Q4_K, 144, L._dequant_q4_k),
+                                       (L.GGML_Q6_K, 210, L._dequant_q6_k)):
+            n_blocks = 4  # 1024 elements = (4, 256)
+            raw = rng.integers(0, 128, n_blocks * block_bytes,
+                               dtype=np.uint8)  # <128 keeps f16 finite
+            p = str(tmp_path / f"k{gtype}.gguf")
+            write_gguf(p, {"w": (raw, gtype, (4, 256))})
+            g = L.read_gguf_header(p)
+            out = L.load_gguf_tensor(g, "w")
+            assert out.shape == (4, 256)
+            np.testing.assert_allclose(
+                out.reshape(-1), fn(raw, 1024), rtol=1e-6)
 
     def test_validate(self, tmp_path):
         p = str(tmp_path / "ok.gguf")

@@ -11,7 +11,9 @@ entry points (:1188-1355).
 TPU design: models are parameter pytrees, so "loading" means parsing a
 checkpoint container into numpy/JAX arrays. The GGUF reader is complete
 and self-contained (header, kv metadata, tensor directory, F32/F16/
-Q8_0/Q4_0 tensor data with dequantization or native requantization into
+Q8_0/Q4_0/Q4_1/Q5_0/Q5_1/Q4_K/Q5_K/Q6_K tensor data (the full set
+published llama.cpp releases ship, incl. the Q4_K_M / Q5_K_M mixes)
+with dequantization or native requantization into
 :class:`trackiellm_tpu.ops.quant.QuantizedLinear` layout) — no llama.cpp.
 safetensors and npz load natively; ONNX/TFLite are detected and reported
 with a conversion hint (their graphs are not executed at runtime by
@@ -98,6 +100,11 @@ _GGUF_ARRAY = 9
 
 # ggml tensor types we materialize (id -> name).
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q8_0 = 0, 1, 2, 8
+# The rest of the llama.cpp quant zoo that published checkpoints
+# actually ship (Q4_K_M files mix Q4_K + Q6_K tensors; Q5_K_M mixes
+# Q5_K + Q6_K). Layouts per ggml-quants.c; ids per ggml.h.
+GGML_Q4_1, GGML_Q5_0, GGML_Q5_1 = 3, 6, 7
+GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
 
 
 @dataclasses.dataclass
@@ -201,6 +208,157 @@ def _dequant_q4_0(raw: np.ndarray, n_elems: int) -> np.ndarray:
     return (vals * scales).reshape(-1)[:n_elems]
 
 
+def _dequant_q4_1(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF Q4_1: 20-byte blocks = f16 d + f16 m + 16 packed bytes;
+    x = d*q + m with unsigned nibbles, element order as Q4_0."""
+    blocks = raw.reshape(-1, 20)
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    packed = blocks[:, 4:]
+    q = np.concatenate([packed & 0xF, packed >> 4], axis=1)
+    return (q.astype(np.float32) * d + m).reshape(-1)[:n_elems]
+
+
+def _dequant_q5_0(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF Q5_0: 22-byte blocks = f16 d + u32 qh + 16 packed bytes;
+    element j's 5th bit is qh bit j, value biased by 16."""
+    blocks = raw.reshape(-1, 22)
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    qh = blocks[:, 2:6].copy().view(np.uint32)          # (B, 1)
+    qs = blocks[:, 6:]
+    j = np.arange(16, dtype=np.uint32)
+    hi0 = (((qh >> j) & 1) << 4).astype(np.uint8)       # elements 0-15
+    hi1 = (((qh >> (j + 16)) & 1) << 4).astype(np.uint8)  # 16-31
+    q = np.concatenate([(qs & 0xF) | hi0, (qs >> 4) | hi1],
+                       axis=1).astype(np.float32) - 16.0
+    return (q * d).reshape(-1)[:n_elems]
+
+
+def _dequant_q5_1(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF Q5_1: 24-byte blocks = f16 d + f16 m + u32 qh + 16 bytes;
+    x = d*q + m with unsigned 5-bit values."""
+    blocks = raw.reshape(-1, 24)
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    qh = blocks[:, 4:8].copy().view(np.uint32)
+    qs = blocks[:, 8:]
+    j = np.arange(16, dtype=np.uint32)
+    hi0 = (((qh >> j) & 1) << 4).astype(np.uint8)
+    hi1 = (((qh >> (j + 16)) & 1) << 4).astype(np.uint8)
+    q = np.concatenate([(qs & 0xF) | hi0, (qs >> 4) | hi1],
+                       axis=1).astype(np.float32)
+    return (q * d + m).reshape(-1)[:n_elems]
+
+
+def _unpack_k4_scales(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """The 6-bit scale/min pairs of Q4_K/Q5_K super-blocks
+    (ggml-quants.c get_scale_min_k4): 12 bytes -> 8 scales + 8 mins."""
+    q = packed.astype(np.uint8)
+    sc = np.empty(q.shape[:-1] + (8,), np.float32)
+    mn = np.empty_like(sc)
+    for j in range(4):
+        sc[..., j] = q[..., j] & 63
+        mn[..., j] = q[..., j + 4] & 63
+    for j in range(4, 8):
+        sc[..., j] = (q[..., j + 4] & 0xF) | ((q[..., j - 4] >> 6) << 4)
+        mn[..., j] = (q[..., j + 4] >> 4) | ((q[..., j] >> 6) << 4)
+    return sc, mn
+
+
+def _dequant_q4_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF Q4_K: 144-byte super-blocks of 256 = f16 d + f16 dmin +
+    12 bytes packed 6-bit scales/mins + 128 nibble bytes. Eight 32-wide
+    sub-blocks: x = d*sc[s]*q - dmin*m[s]; chunk j of 32 bytes holds
+    sub-block 2j in its low nibbles and 2j+1 in its high nibbles."""
+    blocks = raw.reshape(-1, 144)
+    nb = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mn = _unpack_k4_scales(blocks[:, 4:16])
+    qs = blocks[:, 16:]
+    out = np.empty((nb, 256), np.float32)
+    for j in range(4):
+        chunk = qs[:, 32 * j:32 * j + 32]
+        out[:, 64 * j:64 * j + 32] = (
+            d * sc[:, 2 * j:2 * j + 1] * (chunk & 0xF)
+            - dmin * mn[:, 2 * j:2 * j + 1])
+        out[:, 64 * j + 32:64 * j + 64] = (
+            d * sc[:, 2 * j + 1:2 * j + 2] * (chunk >> 4)
+            - dmin * mn[:, 2 * j + 1:2 * j + 2])
+    return out.reshape(-1)[:n_elems]
+
+
+def _dequant_q5_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF Q5_K: 176-byte super-blocks = Q4_K layout + 32 bytes qh
+    carrying each element's 5th bit (bit pair 2j/2j+1 of qh byte l
+    serves sub-blocks 2j and 2j+1 at offset l)."""
+    blocks = raw.reshape(-1, 176)
+    nb = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mn = _unpack_k4_scales(blocks[:, 4:16])
+    qh = blocks[:, 16:48]
+    qs = blocks[:, 48:]
+    out = np.empty((nb, 256), np.float32)
+    for j in range(4):
+        chunk = qs[:, 32 * j:32 * j + 32]
+        hi_lo = (((qh >> (2 * j)) & 1) << 4).astype(np.uint8)
+        hi_hi = (((qh >> (2 * j + 1)) & 1) << 4).astype(np.uint8)
+        out[:, 64 * j:64 * j + 32] = (
+            d * sc[:, 2 * j:2 * j + 1] * ((chunk & 0xF) | hi_lo)
+            - dmin * mn[:, 2 * j:2 * j + 1])
+        out[:, 64 * j + 32:64 * j + 64] = (
+            d * sc[:, 2 * j + 1:2 * j + 2] * ((chunk >> 4) | hi_hi)
+            - dmin * mn[:, 2 * j + 1:2 * j + 2])
+    return out.reshape(-1)[:n_elems]
+
+
+def _dequant_q6_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF Q6_K: 210-byte super-blocks of 256 = 128 bytes ql (low 4
+    bits) + 64 bytes qh (high 2 bits) + 16 int8 sub-block scales +
+    f16 d (trailing). x = d * scales[s] * (q - 32), 16 sub-blocks of
+    16 elements; element interleave per dequantize_row_q6_K."""
+    blocks = raw.reshape(-1, 210)
+    nb = blocks.shape[0]
+    ql = blocks[:, :128]
+    qh = blocks[:, 128:192]
+    scales = blocks[:, 192:208].copy().view(np.int8).astype(np.float32)
+    d = blocks[:, 208:210].copy().view(np.float16).astype(np.float32)
+    out = np.empty((nb, 256), np.float32)
+    sub = np.arange(32) // 16  # sub-block selector within a 32-row
+    for n in range(2):  # two independent 128-element halves
+        ql_h = ql[:, 64 * n:64 * n + 64]
+        qh_h = qh[:, 32 * n:32 * n + 32]
+        sc_h = scales[:, 8 * n:8 * n + 8]
+        q1 = ((ql_h[:, :32] & 0xF) | (((qh_h >> 0) & 3) << 4)).astype(
+            np.float32) - 32.0
+        q2 = ((ql_h[:, 32:] & 0xF) | (((qh_h >> 2) & 3) << 4)).astype(
+            np.float32) - 32.0
+        q3 = ((ql_h[:, :32] >> 4) | (((qh_h >> 4) & 3) << 4)).astype(
+            np.float32) - 32.0
+        q4 = ((ql_h[:, 32:] >> 4) | (((qh_h >> 6) & 3) << 4)).astype(
+            np.float32) - 32.0
+        base = 128 * n
+        out[:, base:base + 32] = d * sc_h[:, sub] * q1
+        out[:, base + 32:base + 64] = d * sc_h[:, sub + 2] * q2
+        out[:, base + 64:base + 96] = d * sc_h[:, sub + 4] * q3
+        out[:, base + 96:base + 128] = d * sc_h[:, sub + 6] * q4
+    return out.reshape(-1)[:n_elems]
+
+
+# ggml_type -> (elements per block, bytes per block, dequantizer).
+_GGML_DEQUANT = {
+    GGML_Q8_0: (32, 34, _dequant_q8_0),
+    GGML_Q4_0: (32, 18, _dequant_q4_0),
+    GGML_Q4_1: (32, 20, _dequant_q4_1),
+    GGML_Q5_0: (32, 22, _dequant_q5_0),
+    GGML_Q5_1: (32, 24, _dequant_q5_1),
+    GGML_Q4_K: (256, 144, _dequant_q4_k),
+    GGML_Q5_K: (256, 176, _dequant_q5_k),
+    GGML_Q6_K: (256, 210, _dequant_q6_k),
+}
+
+
 def load_gguf_tensor(gguf: GGUFFile, name: str) -> np.ndarray:
     """Materialize one tensor as f32 numpy (dequantizing as needed)."""
     info = gguf.tensors.get(name)
@@ -213,14 +371,11 @@ def load_gguf_tensor(gguf: GGUFFile, name: str) -> np.ndarray:
             data = np.fromfile(f, np.float32, n_elems)
         elif info.ggml_type == GGML_F16:
             data = np.fromfile(f, np.float16, n_elems).astype(np.float32)
-        elif info.ggml_type == GGML_Q8_0:
-            n_blocks = (n_elems + 31) // 32
-            raw = np.fromfile(f, np.uint8, n_blocks * 34)
-            data = _dequant_q8_0(raw, n_elems)
-        elif info.ggml_type == GGML_Q4_0:
-            n_blocks = (n_elems + 31) // 32
-            raw = np.fromfile(f, np.uint8, n_blocks * 18)
-            data = _dequant_q4_0(raw, n_elems)
+        elif info.ggml_type in _GGML_DEQUANT:
+            per_block, block_bytes, fn = _GGML_DEQUANT[info.ggml_type]
+            n_blocks = (n_elems + per_block - 1) // per_block
+            raw = np.fromfile(f, np.uint8, n_blocks * block_bytes)
+            data = fn(raw, n_elems)
         else:
             raise TrackieError(
                 ErrorCode.QUANT_UNSUPPORTED,
