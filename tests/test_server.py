@@ -143,6 +143,29 @@ class TestLLMServer:
             chunked.close()
         assert got == want
 
+    def test_burst_admission_matches_serial(self, params):
+        """A burst of 2x-slots greedy requests — exercising the
+        vmapped admission-wave prefill (prefill_batch) AND chunking
+        while the backlog is non-empty — produces byte-identical
+        outputs to one-at-a-time serving on the per-step path."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        prompts = [f"pergunta {i} sobre a cena" for i in range(6)]
+        serial = LLMServer(params, CFG, batch_slots=1, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=1)
+        try:
+            want = [serial.generate(p, max_tokens=9) for p in prompts]
+        finally:
+            serial.close()
+        burst = LLMServer(params, CFG, batch_slots=3, tokenizer=tok,
+                          cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            futs = [burst.submit(p, max_tokens=9) for p in prompts]
+            got = [f.result(timeout=120) for f in futs]
+            assert burst.stats["decode_steps"] >= 4  # chunks ran
+        finally:
+            burst.close()
+        assert got == want
+
     def test_decode_steps_batch_matches_loop(self, params):
         """decode_steps_batch == n manual decode_step_batch calls with
         argmax feedback (tokens and final cache lengths)."""

@@ -160,18 +160,45 @@ class LLMServer:
         Paged mode admits only while the pool has pages for the whole
         prompt plus one decode page of headroom; requests that do not
         fit wait in a backlog and retry as pages free up (admission
-        control, not a loop-killing exception)."""
+        control, not a loop-killing exception).
+
+        Greedy first tokens are fetched ONCE per admission wave, after
+        every prefill has been dispatched: the per-request
+        ``int(argmax)`` was a non-pipelining ~30 ms relay round trip
+        that serialized each prefill behind the previous request's
+        fetch (measured 250 ms/admission; the batch wave pays one)."""
+        pending = []  # (slot, greedy logits) awaiting the wave fetch
+
+        def flush():
+            if not pending:
+                return
+            ids = np.asarray(jnp.argmax(
+                jnp.stack([lg for _, lg in pending]), axis=-1))
+            for (slot, _), tid in zip(pending, ids):
+                slot.next_token = int(tid)
+            pending.clear()
+
+        buckets = [b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
+        kv_dtype = (self.pool.pool_k.dtype if self.paged
+                    else self.cache.k.dtype)
+
+        # Phase 1 — gather the admission wave (admission control only,
+        # no device work yet).
+        wave = []  # (slot_idx, slot, req, ids, bucket)
         for slot_idx, slot in enumerate(self._slots):
             if slot.active:
                 continue
             req = self._next_request()
             if req is None:
-                return
+                break
             ids = self.tokenizer.encode(req.prompt, add_bos=True)
             if self.paged:
                 need = (len(ids) + self.pool.page_size - 1
                         ) // self.pool.page_size + 1
-                if self.pool.free_pages < need:
+                reserved = sum(
+                    (len(w[3]) + self.pool.page_size - 1)
+                    // self.pool.page_size + 1 for w in wave)
+                if self.pool.free_pages - reserved < need:
                     if need > self.pool.n_pages - 1:
                         # Can never fit, even in an empty pool: reject.
                         req.future.set_exception(TrackieError(
@@ -180,22 +207,27 @@ class LLMServer:
                             f"{self.pool.n_pages - 1}"))
                         continue
                     self._backlog.insert(0, req)
-                    return
-            buckets = [b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
+                    break
             limit = min(buckets[-1],
                         self.cfg.max_seq - req.max_tokens - 1)
             if len(ids) > limit:
                 head = limit // 4
                 ids = ids[:head] + ids[-(limit - head):]
-            bucket = _bucket_for(len(ids), buckets)
-            padded = np.zeros(bucket, np.int32)
-            padded[: len(ids)] = ids
-            kv_dtype = (self.pool.pool_k.dtype if self.paged
-                        else self.cache.k.dtype)
-            seq_cache = llm_model.KVCache.create(self.cfg, dtype=kv_dtype)
-            logits, seq_cache = llm_model.prefill(
-                self.params, self.cfg, jnp.asarray(padded),
-                jnp.int32(len(ids)), seq_cache)
+            wave.append((slot_idx, slot, req, ids,
+                         _bucket_for(len(ids), buckets)))
+
+        # Phase 2 — prefill. Same-bucket groups of >= 2 run as ONE
+        # vmapped device program (llm_model.prefill_batch): prefill at
+        # small M is weight-bandwidth-heavy, so a burst of admissions
+        # costs ~one prefill instead of len(group). Group size pads to
+        # a power of two (dummy length-0 rows) so the program count
+        # stays log(batch), not batch. Singles keep the plain prefill
+        # program (shared with the interactive runner's cache).
+        by_bucket: Dict[int, list] = {}
+        for item in wave:
+            by_bucket.setdefault(item[4], []).append(item)
+
+        def settle(slot_idx, slot, req, ids, logits, seq_cache):
             if self.paged:
                 slot.seq_id = self.pool.create_sequence(
                     prefill_cache=seq_cache, length=len(ids))
@@ -206,7 +238,35 @@ class LLMServer:
             slot.generated = []
             slot.n_emitted = 0
             slot.host_len = len(ids)
-            slot.next_token = self._sample_one(logits, req, [])
+            if req.temperature <= 0:
+                pending.append((slot, logits))  # fetched by the wave
+            else:
+                slot.next_token = self._sample_one(logits, req, [])
+
+        for bucket, group in by_bucket.items():
+            if len(group) == 1:
+                slot_idx, slot, req, ids, _ = group[0]
+                padded = np.zeros(bucket, np.int32)
+                padded[: len(ids)] = ids
+                logits, seq_cache = llm_model.prefill(
+                    self.params, self.cfg, jnp.asarray(padded),
+                    jnp.int32(len(ids)),
+                    llm_model.KVCache.create(self.cfg, dtype=kv_dtype))
+                settle(slot_idx, slot, req, ids, logits, seq_cache)
+                continue
+            b_pad = 1 << (len(group) - 1).bit_length()
+            padded = np.zeros((b_pad, bucket), np.int32)
+            lengths = np.zeros(b_pad, np.int32)
+            for row, (_, _, _, ids, _) in enumerate(group):
+                padded[row, : len(ids)] = ids
+                lengths[row] = len(ids)
+            logits_b, caches_b = llm_model.prefill_batch(
+                self.params, self.cfg, jnp.asarray(padded),
+                jnp.asarray(lengths), cache_dtype=kv_dtype)
+            for row, (slot_idx, slot, req, ids, _) in enumerate(group):
+                seq_cache = jax.tree.map(lambda x, r=row: x[r], caches_b)
+                settle(slot_idx, slot, req, ids, logits_b[row], seq_cache)
+        flush()
 
     def _sample_one(self, logits: jnp.ndarray, req: Request,
                     recent: List[int]) -> int:
@@ -272,14 +332,19 @@ class LLMServer:
     def _can_chunk(self) -> bool:
         """True when a full chunk_steps device chunk is safe: every
         active request greedy with >= chunk_steps of both token budget
-        and cache room, nothing waiting to be admitted (a chunk would
-        delay admission by up to chunk_steps steps), and — in paged
-        mode — enough free pages to pre-grow every table. Always
-        exactly chunk_steps or nothing — a variable k would compile one
-        program per distinct k."""
+        and cache room, no ADMITTABLE work waiting (waiting requests
+        only block chunking while a slot is free to take them — when
+        all slots are busy, a chunk cannot delay admission except in
+        the early-EOS case, bounded at k steps; requiring an EMPTY
+        backlog instead forced the whole first wave of a 2x-slots burst
+        onto the per-step path, measured 3x slower at 31 ms fetch RTT),
+        and — in paged mode — enough free pages to pre-grow every
+        table. Always exactly chunk_steps or nothing — a variable k
+        would compile one program per distinct k."""
         if self.chunk_steps <= 1:
             return False
-        if not self._queue.empty() or self._backlog:
+        if ((not self._queue.empty() or self._backlog)
+                and any(not s.active for s in self._slots)):
             return False
         k = self.chunk_steps
         for slot in self._slots:

@@ -336,6 +336,77 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     return logits.astype(jnp.float32), new_cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "cache_dtype"))
+def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
+                  tokens: jnp.ndarray, lengths: jnp.ndarray,
+                  cache_dtype=jnp.bfloat16,
+                  ) -> Tuple[jnp.ndarray, KVCache]:
+    """Bucketed prefill of a whole admission wave: ``tokens`` is
+    (B, S_pad), ``lengths`` (B,). Returns ((B, V) last-real-token
+    logits, a KVCache pytree with a leading batch axis — k/v are
+    (B, L, S_max, Hk, D), length is (B,)).
+
+    Prefill at small M is weight-bandwidth-heavy like decode, so the
+    wave's matmuls run FLATTENED to (B*S_pad, D) — each layer streams
+    its (quantized) weights ONCE for every prompt admitted together.
+    A naive jax.vmap over :func:`prefill` does NOT get this: the Pallas
+    dequant-matmul kernels vmap to a batch grid dimension that
+    re-streams the weights per row (measured slower than B serial
+    prefills once the per-row cache zeros/copies are added). Only
+    attention, which has no weights, is vmapped per sequence — rows
+    never attend across sequences. Rows past a request's length hold
+    garbage exactly like single prefill's padded tail (masked by
+    cache.length downstream). Dummy rows (length 0) are legal."""
+    b, s_pad = tokens.shape
+    freqs = _rope_freqs(cfg)
+    positions = jnp.arange(s_pad)
+    x = params["tok_emb"][tokens]  # (B, S, D)
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    window = (cfg.sliding_window
+              if 0 < cfg.sliding_window < cfg.max_seq else 0)
+
+    def layer_fn(x, layer):
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        qkv = _linear(h.reshape(b * s_pad, -1),
+                      layer["wqkv"]).reshape(b, s_pad, -1)
+        if cfg.qkv_bias:
+            qkv = qkv + layer["wqkv_bias"]
+        q = qkv[..., :qd].reshape(b, s_pad, cfg.n_heads, cfg.head_dim)
+        k = qkv[..., qd:qd + kvd].reshape(
+            b, s_pad, cfg.n_kv_heads, cfg.head_dim)
+        v = qkv[..., qd + kvd:].reshape(
+            b, s_pad, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions, freqs)
+        k = apply_rope(k, positions, freqs)
+        attn = jax.vmap(lambda qq, kk, vv: prefill_attention(
+            qq.transpose(1, 0, 2), kk.transpose(1, 0, 2),
+            vv.transpose(1, 0, 2), causal=True, window=window,
+        ).transpose(1, 0, 2))(q, k, v)  # (B, S, H, D)
+        x = x + _linear(
+            attn.reshape(b * s_pad, -1).astype(x.dtype),
+            layer["wo"]).reshape(b, s_pad, -1)
+        x = _mlp_block(x.reshape(b * s_pad, -1), layer["mlp_norm"],
+                       layer["w_gu"], layer["w_down"],
+                       cfg.norm_eps).reshape(b, s_pad, -1)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(layer_fn, x, params["layers"])
+    # ks/vs: (L, B, S, Hk, D) -> per-row caches (B, L, S_max, Hk, D).
+    shape = (b, cfg.n_layers, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim)
+    k_full = jax.lax.dynamic_update_slice(
+        jnp.zeros(shape, cache_dtype),
+        ks.transpose(1, 0, 2, 3, 4).astype(cache_dtype), (0, 0, 0, 0, 0))
+    v_full = jax.lax.dynamic_update_slice(
+        jnp.zeros(shape, cache_dtype),
+        vs.transpose(1, 0, 2, 3, 4).astype(cache_dtype), (0, 0, 0, 0, 0))
+    x_last = x[jnp.arange(b), jnp.maximum(lengths - 1, 0)]  # (B, D)
+    logits = _linear(_rms_norm(x_last, params["out_norm"], cfg.norm_eps),
+                     params["lm_head"])
+    return logits.astype(jnp.float32), KVCache(
+        k=k_full, v=v_full, length=lengths.astype(jnp.int32))
+
+
 # ---------------------------------------------------------------------------
 # Forward: single-token decode
 # ---------------------------------------------------------------------------

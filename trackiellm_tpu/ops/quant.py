@@ -549,8 +549,17 @@ def quantized_matmul(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
     # TRACKIE_PREFILL_XLA_M: route m >= this to XLA dequant-then-matmul
     # (prefill/extend A/B lever; isolated microbenches are meaningless
     # through the relay, so the threshold is set by full-model timing).
-    xla_m = int(os.environ.get("TRACKIE_PREFILL_XLA_M", "257"))
-    if not _on_tpu() or m > 256 or m >= xla_m:
+    # Hard Pallas M cap (VMEM: the (M, tile_k) activation block scales
+    # with M). 512 measured FASTER than the XLA dequant path in-model
+    # (PERF_NOTES round-3: bucket-512 prefill 188 -> 103 ms, and the
+    # batched admission wave rides the same kernels at M = B*bucket).
+    # TRACKIE_PREFILL_XLA_M routes m >= it to XLA dequant-then-matmul
+    # (the A/B lever; isolated microbenches are meaningless through the
+    # relay, so thresholds are set by full-model timing).
+    pallas_max_m = int(os.environ.get("TRACKIE_PALLAS_MAX_M", "512"))
+    xla_m = int(os.environ.get("TRACKIE_PREFILL_XLA_M",
+                               str(pallas_max_m + 1)))
+    if not _on_tpu() or m > pallas_max_m or m >= xla_m:
         out = quantized_matmul_xla(x2, qw)
     elif qw.values.dtype == jnp.int8:
         tile_k, tile_n = _pick_tiles_for(qw.k, qw.n, g, m, halves=1)
