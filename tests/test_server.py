@@ -166,6 +166,96 @@ class TestLLMServer:
             burst.close()
         assert got == want
 
+    def test_pipelined_chunks_match_single_step(self, params):
+        """Long generations drive the speculative chunk pipeline (chunk
+        N+1 dispatched on chunk N's device tokens before N's fetch) —
+        output must stay byte-identical to the per-step loop, including
+        the budget-bounded final chunk."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        cases = [("descreva a cena", 37), ("outra pergunta", 29)]
+        single = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=1)
+        try:
+            want = [single.generate(p, max_tokens=m) for p, m in cases]
+        finally:
+            single.close()
+        piped = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                          cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            futs = [piped.submit(p, max_tokens=m) for p, m in cases]
+            got = [f.result(timeout=120) for f in futs]
+            assert piped.stats["decode_steps"] >= 28
+        finally:
+            piped.close()
+        assert got == want
+
+    def test_pipelined_paged_matches_single_step(self, params):
+        """The paged pipeline (device token row fed across chunks, pool
+        lengths advanced at dispatch) must match the per-step paged
+        loop byte-for-byte across several speculative chunks."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        cases = [("descreva a cena", 37), ("outra pergunta", 29)]
+        single = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=1,
+                           paged=True, page_size=16)
+        try:
+            want = [single.generate(p, max_tokens=m) for p, m in cases]
+        finally:
+            single.close()
+        piped = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                          cache_dtype=jnp.float32, chunk_steps=4,
+                          paged=True, page_size=16)
+        try:
+            futs = [piped.submit(p, max_tokens=m) for p, m in cases]
+            got = [f.result(timeout=120) for f in futs]
+            assert piped.stats["decode_steps"] >= 28
+        finally:
+            piped.close()
+        assert got == want
+
+    def test_pipelined_eos_mid_chunk_matches(self, params):
+        """EOS landing mid-chunk while a speculative chunk is in flight:
+        the finished slot's in-flight rows are junk and must be
+        discarded; the surviving slot's in-flight tokens must be kept.
+        eos_id is picked from the serial run's own token stream so the
+        stop genuinely fires inside a pipelined chunk."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        prompts = ["fala comigo", "conta uma historia"]
+        # Raw greedy token chain for prompt 0 (prefill + decode_step),
+        # to pick an eos that truncates it mid-stream: position 10 is
+        # inside the 3rd k=4 chunk, with the 4th speculatively in
+        # flight when the finish is discovered.
+        ids = tok.encode(prompts[0], add_bos=True)
+        cache = llm_model.KVCache.create(CFG, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, CFG, jnp.asarray(ids, jnp.int32),
+            jnp.int32(len(ids)), cache)
+        chain = []
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+        for _ in range(12):
+            chain.append(int(nxt))
+            logits, cache = llm_model.decode_step(params, CFG, nxt, cache)
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+        eos = chain[10]
+        assert eos not in chain[:10]  # fires exactly at position 10
+        etok = ByteTokenizer(CFG.vocab_size)
+        etok.eos_id = eos
+        single = LLMServer(params, CFG, batch_slots=2, tokenizer=etok,
+                           cache_dtype=jnp.float32, chunk_steps=1)
+        try:
+            want = [single.generate(p, max_tokens=30) for p in prompts]
+        finally:
+            single.close()
+        assert want[0] == tok.decode(chain[:10])  # eos actually fired
+        piped = LLMServer(params, CFG, batch_slots=2, tokenizer=etok,
+                          cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            futs = [piped.submit(p, max_tokens=30) for p in prompts]
+            got = [f.result(timeout=120) for f in futs]
+        finally:
+            piped.close()
+        assert got == want
+
     def test_decode_steps_batch_matches_loop(self, params):
         """decode_steps_batch == n manual decode_step_batch calls with
         argmax feedback (tokens and final cache lengths)."""

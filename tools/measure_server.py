@@ -35,9 +35,14 @@ N_REQUESTS = 16
 def run(server, seed: int) -> dict:
     prompts = [f"pergunta numero {seed}-{i}: o que ha a minha frente?"
                for i in range(N_REQUESTS)]
-    # warmup: compile prefill + decode programs outside the timed window
-    server.generate(prompts[0] + " (warmup)", max_tokens=MAX_TOKENS,
-                    timeout=900.0)  # cold paged-chunk compile is minutes
+    # warmup: compile prefill + decode programs outside the timed
+    # window — a FULL burst, so the admission-wave prefill_batch
+    # program (group sizes up to batch_slots) and the chunk program
+    # compile here, not inside the measurement.
+    warm = [server.submit(p + " (warmup)", max_tokens=MAX_TOKENS)
+            for p in prompts[: server.batch]]
+    for f in warm:
+        f.result(timeout=900.0)  # cold paged-chunk compile is minutes
     t0 = time.perf_counter()
     futs = [server.submit(p, max_tokens=MAX_TOKENS) for p in prompts]
     outs = [f.result(timeout=600) for f in futs]
@@ -61,7 +66,12 @@ def main() -> None:
                                 ("chunk8", 8, False),
                                 ("paged_per_step", 1, True),
                                 ("paged_chunk8", 8, True)):
-        kw = dict(paged=True, page_size=64) if paged else {}
+        # page_size=128 (the server default): the page-size sweep
+        # (tools/measure_paged_sweep.py) measured 128 ~2x faster than
+        # the 64 used in round 2 (fewer table entries, longer
+        # contiguous gather runs), and 256 pathological at max_seq=512
+        # (9-page pool -> preemption thrash).
+        kw = dict(paged=True, page_size=128) if paged else {}
         server = LLMServer(params, cfg, batch_slots=8, tokenizer=tok,
                            chunk_steps=chunk, **kw)
         try:

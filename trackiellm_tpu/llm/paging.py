@@ -346,7 +346,10 @@ class PagedKVPool:
         path). Raises DEVICE_OOM before touching the device if the pool
         cannot pre-grow every active slot (callers fall back to the
         single-step path, which has preemption handling). Returns
-        produced tokens (n_steps, B) on device."""
+        produced tokens (n_steps, B) on device. ``tokens`` may be a
+        host list (ints / None for inactive slots) or a device (B,)
+        int32 row — the pipelined server feeds the previous chunk's
+        last produced row without a host sync."""
         active = [s is not None for s in seq_ids]
         if self.pages_needed_for(seq_ids, n_steps) > self.free_pages:
             raise TrackieError(ErrorCode.DEVICE_OOM,
@@ -360,8 +363,11 @@ class PagedKVPool:
             for s, a in zip(seq_ids, active)])
         lengths = jnp.asarray([self._lengths[s] if a else 0
                                for s, a in zip(seq_ids, active)], jnp.int32)
-        toks = jnp.asarray([t if t is not None else 0 for t in tokens],
-                           jnp.int32)
+        if isinstance(tokens, jnp.ndarray):
+            toks = tokens
+        else:
+            toks = jnp.asarray([t if t is not None else 0 for t in tokens],
+                               jnp.int32)
         # Static page bound for the chunk's gather scratch: cover the
         # longest active slot + the chunk, bucketed to powers of two so
         # growth costs O(log) recompiles, capped at the full table.

@@ -329,7 +329,7 @@ class LLMServer:
     # materializes copies that cost more than the masked full-cache
     # reads they avoid. The static args remain on the decode functions
     # (default None) with an exactness test; see PERF_NOTES.md.
-    def _can_chunk(self) -> bool:
+    def _can_chunk(self, offset: int = 0) -> bool:
         """True when a full chunk_steps device chunk is safe: every
         active request greedy with >= chunk_steps of both token budget
         and cache room, no ADMITTABLE work waiting (waiting requests
@@ -340,7 +340,18 @@ class LLMServer:
         onto the per-step path, measured 3x slower at 31 ms fetch RTT),
         and — in paged mode — enough free pages to pre-grow every
         table. Always exactly chunk_steps or nothing — a variable k
-        would compile one program per distinct k."""
+        would compile one program per distinct k.
+
+        ``offset`` > 0 asks about a SPECULATIVE chunk dispatched while
+        ``offset`` earlier steps are still in flight (pipelined path):
+        token budgets are evaluated as if every active slot survives
+        those steps, i.e. with n_emitted/host_len advanced by offset —
+        the no-EOS assumption. A wrong assumption only wastes the
+        speculative chunk's work on the finished slot (its rows are
+        junk past EOS exactly like the intra-chunk case above). The
+        paged page check does NOT add the offset: pool lengths advance
+        at DISPATCH time (batch_decode_steps), so in-flight chunks are
+        already counted."""
         if self.chunk_steps <= 1:
             return False
         if ((not self._queue.empty() or self._backlog)
@@ -352,8 +363,8 @@ class LLMServer:
                 continue
             req = slot.request
             if (req.temperature > 0
-                    or req.max_tokens - slot.n_emitted < k
-                    or self.cfg.max_seq - 1 - slot.host_len < k):
+                    or req.max_tokens - (slot.n_emitted + offset) < k
+                    or self.cfg.max_seq - 1 - (slot.host_len + offset) < k):
                 return False
         if self.paged:
             seq_ids = [s.seq_id if s.active else None for s in self._slots]
@@ -365,22 +376,65 @@ class LLMServer:
     def _decode_chunk(self) -> None:
         """chunk_steps greedy steps in one device program + ONE host
         fetch; per-token bookkeeping semantics identical to the
-        single-step path (tested against it)."""
+        single-step path (tested against it).
+
+        Chunks PIPELINE in both modes: while chunk N's (k, B) token
+        block is being fetched (a non-pipelining ~20-30 ms relay round
+        trip), chunk N+1 is already dispatched, consuming chunk N's
+        on-device last-token row directly — no host sync between
+        chunks. The speculative dispatch assumes no slot finishes
+        inside chunk N (checked via _can_chunk(offset=k) budgets); when
+        one does (EOS or exact max_tokens), the in-flight chunk's rows
+        are junk for that slot only — consumed-and-discarded exactly
+        like intra-chunk post-EOS positions: a dense slot re-prefills
+        its rows on reuse, a paged slot's junk lands in its OWN pages,
+        and any later reuse of freed pages is a prefill dispatched
+        AFTER the in-flight chunk (device execution is dispatch-
+        ordered). Same trick as the interactive runner's k-token
+        lookahead (llm/runner.py)."""
         k = self.chunk_steps
+        produced = self._dispatch_chunk(
+            [s.next_token if s.active else None for s in self._slots])
+        offset = k
+        while self._can_chunk(offset=offset):
+            in_flight = self._dispatch_chunk(produced[k - 1])
+            survived = self._consume_chunk(np.asarray(produced))
+            if not survived:
+                # A slot finished inside the consumed chunk; the
+                # in-flight chunk is junk for it (skipped naturally:
+                # _consume_chunk ignores inactive slots) but valid for
+                # every survivor. Consume it and fall back to the
+                # non-speculative loop.
+                self._consume_chunk(np.asarray(in_flight))
+                return
+            produced = in_flight
+            offset += k
+        self._consume_chunk(np.asarray(produced))
+
+    def _dispatch_chunk(self, tokens) -> jnp.ndarray:
+        """Dispatch one k-step chunk; returns the (k, B) produced
+        tokens as a DEVICE array (no fetch). ``tokens`` is a host list
+        (first chunk) or a device (B,) row (pipelined follow-up)."""
         if self.paged:
             produced = self.pool.batch_decode_steps(
-                self.params,
-                [s.next_token if s.active else None for s in self._slots],
-                [s.seq_id for s in self._slots], k)
+                self.params, tokens,
+                [s.seq_id for s in self._slots], self.chunk_steps)
         else:
-            tokens = jnp.asarray(
-                [s.next_token if s.active else 0 for s in self._slots],
-                jnp.int32)
+            if not isinstance(tokens, jnp.ndarray):
+                tokens = jnp.asarray([t if t is not None else 0
+                                      for t in tokens], jnp.int32)
             active = jnp.asarray([s.active for s in self._slots])
             produced, self.cache = llm_model.decode_steps_batch(
-                self.params, self.cfg, tokens, active, self.cache, k)
-        self.stats["decode_steps"] += k
-        prod = np.asarray(produced)  # (k, B) — the one fetch
+                self.params, self.cfg, tokens, active, self.cache,
+                self.chunk_steps)
+        self.stats["decode_steps"] += self.chunk_steps
+        return produced
+
+    def _consume_chunk(self, prod: np.ndarray) -> bool:
+        """Host bookkeeping for one fetched (k, B) chunk. Returns False
+        if any slot finished (EOS / budget) inside it."""
+        k = self.chunk_steps
+        survived = True
         for i, slot in enumerate(self._slots):
             if not slot.active:
                 continue
@@ -398,8 +452,10 @@ class LLMServer:
                     # cache rows; the slot is freed and re-prefilled on
                     # reuse, so they are unreachable.
                     self._finish(slot)
+                    survived = False
                     break
                 slot.next_token = nxt
+        return survived
 
     def _serve_loop(self) -> None:
         try:
