@@ -29,9 +29,10 @@ from trackiellm_tpu.models.detector import (
 # --- ultralytics transcription (test-side oracle) -------------------------
 
 class TConv(nn.Module):
-    def __init__(self, c1, c2, k=1, s=1):
+    def __init__(self, c1, c2, k=1, s=1, p=None):
         super().__init__()
-        self.conv = nn.Conv2d(c1, c2, k, s, k // 2, bias=False)
+        self.conv = nn.Conv2d(c1, c2, k, s,
+                              k // 2 if p is None else p, bias=False)
         self.bn = nn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
         self.act = nn.SiLU()
 
@@ -169,6 +170,106 @@ class TV8(nn.Module):
         return torch.cat(boxes, 0), torch.cat(cls, 0)
 
 
+class TBottleneckV5(nn.Module):
+    """v5 Bottleneck (inside C3): cv1 is 1x1, cv2 3x3."""
+
+    def __init__(self, c, shortcut=True):
+        super().__init__()
+        self.cv1 = TConv(c, c, 1)
+        self.cv2 = TConv(c, c, 3)
+        self.add = shortcut
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class TC3(nn.Module):
+    def __init__(self, c1, c2, n=1, shortcut=True):
+        super().__init__()
+        c_ = c2 // 2
+        self.cv1 = TConv(c1, c_, 1)
+        self.cv2 = TConv(c1, c_, 1)
+        self.cv3 = TConv(2 * c_, c2, 1)
+        self.m = nn.Sequential(*(TBottleneckV5(c_, shortcut)
+                                 for _ in range(n)))
+
+    def forward(self, x):
+        return self.cv3(torch.cat([self.m(self.cv1(x)),
+                                   self.cv2(x)], 1))
+
+
+class TV5(nn.Module):
+    """YOLOv5u graph under `model` so the state dict uses the yaml
+    module indices model.0 ... model.24 (Detect at 24)."""
+
+    def __init__(self, cfg: DetectorConfig):
+        super().__init__()
+        ch = cfg.channels
+        d = cfg.depths
+        c2, c3 = cfg.head_box_ch, cfg.head_cls_ch
+        self.cfg = cfg
+
+        def detect_branch(c_in, mid, c_out):
+            return nn.Sequential(TConv(c_in, mid, 3), TConv(mid, mid, 3),
+                                 nn.Conv2d(mid, c_out, 1))
+
+        detect = nn.Module()
+        detect.cv2 = nn.ModuleList(
+            detect_branch(c, c2, 4 * cfg.reg_max)
+            for c in (ch[2], ch[3], ch[4]))
+        detect.cv3 = nn.ModuleList(
+            detect_branch(c, c3, cfg.num_classes)
+            for c in (ch[2], ch[3], ch[4]))
+
+        self.model = nn.ModuleList([
+            TConv(3, ch[0], 6, 2, 2),                   # 0 (6x6, p=2)
+            TConv(ch[0], ch[1], 3, 2),                  # 1
+            TC3(ch[1], ch[1], d[0]),                    # 2
+            TConv(ch[1], ch[2], 3, 2),                  # 3
+            TC3(ch[2], ch[2], d[1]),                    # 4
+            TConv(ch[2], ch[3], 3, 2),                  # 5
+            TC3(ch[3], ch[3], d[2]),                    # 6
+            TConv(ch[3], ch[4], 3, 2),                  # 7
+            TC3(ch[4], ch[4], d[3]),                    # 8
+            TSPPF(ch[4], ch[4]),                        # 9
+            TConv(ch[4], ch[3], 1),                     # 10
+            nn.Upsample(scale_factor=2, mode="nearest"),  # 11
+            nn.Identity(),                              # 12 concat
+            TC3(2 * ch[3], ch[3], d[0], False),         # 13
+            TConv(ch[3], ch[2], 1),                     # 14
+            nn.Upsample(scale_factor=2, mode="nearest"),  # 15
+            nn.Identity(),                              # 16 concat
+            TC3(2 * ch[2], ch[2], d[0], False),         # 17
+            TConv(ch[2], ch[2], 3, 2),                  # 18
+            nn.Identity(),                              # 19 concat
+            TC3(2 * ch[2], ch[3], d[0], False),         # 20
+            TConv(ch[3], ch[3], 3, 2),                  # 21
+            nn.Identity(),                              # 22 concat
+            TC3(2 * ch[3], ch[4], d[0], False),         # 23
+            detect,                                     # 24
+        ])
+
+    def forward(self, x):
+        m = self.model
+        x = m[0](x)
+        x = m[2](m[1](x))
+        p3 = m[4](m[3](x))
+        p4 = m[6](m[5](p3))
+        p5 = m[9](m[8](m[7](p4)))
+        t5 = m[10](p5)
+        u4 = m[13](torch.cat([m[11](t5), p4], 1))
+        t4 = m[14](u4)
+        u3 = m[17](torch.cat([m[15](t4), p3], 1))
+        d4 = m[20](torch.cat([m[18](u3), t4], 1))
+        d5 = m[23](torch.cat([m[21](d4), t5], 1))
+        det = m[24]
+        return [(det.cv2[i](feat), det.cv3[i](feat))
+                for i, feat in enumerate((u3, d4, d5))]
+
+    decode = TV8.decode  # same anchor-free u-head decode
+
+
 def _randomize_bn(module: nn.Module, gen: torch.Generator) -> None:
     """Give every BN layer non-trivial statistics so the folding in the
     converter is actually exercised."""
@@ -211,6 +312,62 @@ class TestDetectorConverter:
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(np.asarray(j_cls), t_cls.numpy(),
                                    rtol=2e-3, atol=2e-3)
+
+    def test_v5nu_state_dict_converts_and_matches(self):
+        """The v5 variant (reference's exact YOLOv5nu family): torch
+        twin with C3 blocks / 6x6 stem / v5 neck converts and matches
+        the JAX forward numerically, variant auto-detected."""
+        cfg = DetectorConfig.tiny_v5()
+        gen = torch.Generator().manual_seed(3)
+        torch.manual_seed(3)
+        model = TV5(cfg).eval()
+        _randomize_bn(model, gen)
+        state = {k: v.numpy() for k, v in model.state_dict().items()}
+        params, inferred = convert.detector_from_torch(state)
+        assert inferred.variant == "v5"
+        assert inferred._replace(img_size=cfg.img_size) == cfg
+
+        img = np.random.RandomState(4).rand(
+            3, cfg.img_size, cfg.img_size).astype(np.float32)
+        with torch.no_grad():
+            t_boxes, t_cls = model.decode(
+                model(torch.from_numpy(img)[None]))
+        j_boxes, j_cls = detector_forward(
+            jax.tree.map(lambda a: a.astype(jnp.float32), params),
+            cfg, jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(j_boxes), t_boxes.numpy(),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(j_cls), t_cls.numpy(),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_config_inference_full_v5nu_shapes(self):
+        """Synthesize the REAL v5nu layout (full widths/depths) and
+        check config inference end-to-end."""
+        cfg = DetectorConfig.v5nu()
+        model = TV5(cfg)
+        state = {k: v.detach().numpy()
+                 for k, v in model.state_dict().items()}
+        inferred = convert.detector_config_from_torch(state)
+        assert inferred.variant == "v5"
+        assert inferred.channels == (16, 32, 64, 128, 256)
+        assert inferred.depths == (1, 2, 3, 1)
+        assert inferred.num_classes == 80
+        assert inferred.reg_max == 16
+
+    def test_v5_init_forward_shapes(self):
+        """init_detector(v5) forward produces the same anchor layout as
+        v8 (A, 4)/(A, nc) — the vision pipeline and NMS are variant-
+        agnostic."""
+        from trackiellm_tpu.models.detector import init_detector
+
+        cfg = DetectorConfig.tiny_v5()
+        params = init_detector(jax.random.PRNGKey(0), cfg)
+        img = jnp.zeros((3, cfg.img_size, cfg.img_size), jnp.float32)
+        boxes, cls = detector_forward(params, cfg, img)
+        s = cfg.img_size
+        n_anchors = (s // 8) ** 2 + (s // 16) ** 2 + (s // 32) ** 2
+        assert boxes.shape == (n_anchors, 4)
+        assert cls.shape == (n_anchors, cfg.num_classes)
 
     def test_config_inference_full_v8n_shapes(self):
         """The converter must read the REAL v8n layout: synthesize a

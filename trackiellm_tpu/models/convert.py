@@ -384,6 +384,13 @@ _YOLO_IDX = {
     "up_c2f1": 12, "up_c2f2": 15, "pan_down1": 16, "pan_c2f1": 18,
     "pan_down2": 19, "pan_c2f2": 21,
 }
+# YOLOv5(u) module indices (yolov5.yaml; Detect at 24).
+_YOLO_V5_IDX = {
+    "stem": 0, "down1": 1, "c3_1": 2, "down2": 3, "c3_2": 4,
+    "down3": 5, "c3_3": 6, "down4": 7, "c3_4": 8, "sppf": 9,
+    "pre_up1": 10, "up_c3_1": 13, "pre_up2": 14, "up_c3_2": 17,
+    "pan_down1": 18, "pan_c3_1": 20, "pan_down2": 21, "pan_c3_2": 23,
+}
 _YOLO_BN_EPS = 1e-3  # ultralytics Conv: BatchNorm2d(c2, eps=0.001)
 
 
@@ -427,14 +434,32 @@ def _c2f_from_torch(state, prefix: str) -> Dict[str, Any]:
             "cv2": _fold_conv_bn(state, f"{prefix}.cv2")}
 
 
+def _c3_from_torch(state, prefix: str) -> Dict[str, Any]:
+    """v5 C3: cv1/cv2 laterals, bottleneck chain, cv3 merge."""
+    m = []
+    j = 0
+    while f"{prefix}.m.{j}.cv1.conv.weight" in state:
+        m.append({"cv1": _fold_conv_bn(state, f"{prefix}.m.{j}.cv1"),
+                  "cv2": _fold_conv_bn(state, f"{prefix}.m.{j}.cv2")})
+        j += 1
+    return {"cv1": _fold_conv_bn(state, f"{prefix}.cv1"),
+            "cv2": _fold_conv_bn(state, f"{prefix}.cv2"),
+            "m": m,
+            "cv3": _fold_conv_bn(state, f"{prefix}.cv3")}
+
+
 def detector_config_from_torch(state: Dict[str, Any],
                                prefix: str = "model.") -> "Any":
-    """Infer DetectorConfig from an ultralytics-layout state dict."""
+    """Infer DetectorConfig from an ultralytics-layout state dict.
+    The variant is detected from the Detect module's index: v8 puts it
+    at model.22, v5(u) at model.24 (and only C3 blocks carry a cv3)."""
     from trackiellm_tpu.models.detector import DetectorConfig
 
     def cout(name):
         return int(np.asarray(state[f"{prefix}{name}.conv.weight"]).shape[0])
 
+    v5 = f"{prefix}24.cv2.0.2.weight" in state
+    det = f"{prefix}24" if v5 else f"{prefix}22"
     channels = (cout("0"), cout("1"), cout("3"), cout("5"), cout("7"))
     depths = []
     for idx in (2, 4, 6, 8):
@@ -442,40 +467,43 @@ def detector_config_from_torch(state: Dict[str, Any],
         while f"{prefix}{idx}.m.{j}.cv1.conv.weight" in state:
             j += 1
         depths.append(j)
-    n_box = int(np.asarray(
-        state[f"{prefix}22.cv2.0.2.weight"]).shape[0])
-    nc = int(np.asarray(state[f"{prefix}22.cv3.0.2.weight"]).shape[0])
+    n_box = int(np.asarray(state[f"{det}.cv2.0.2.weight"]).shape[0])
+    nc = int(np.asarray(state[f"{det}.cv3.0.2.weight"]).shape[0])
     return DetectorConfig(num_classes=nc, channels=channels,
-                          depths=tuple(depths), reg_max=n_box // 4)
+                          depths=tuple(depths), reg_max=n_box // 4,
+                          variant="v5" if v5 else "v8")
 
 
 def detector_from_torch(state: Dict[str, Any], prefix: str = "model."):
-    """ultralytics YOLOv8 state dict (torch tensors or numpy arrays,
-    names "model.<idx>....") -> (params, DetectorConfig) for
-    models/detector. BN is folded into each conv; layouts transpose
-    OIHW -> HWIO. The Detect head's fixed DFL conv (model.22.dfl) is
-    not copied — detector_forward computes the softmax expectation
+    """ultralytics YOLOv8 or YOLOv5u state dict (torch tensors or numpy
+    arrays, names "model.<idx>....") -> (params, DetectorConfig) for
+    models/detector. The variant is auto-detected (Detect at model.22
+    vs model.24). BN is folded into each conv; layouts transpose
+    OIHW -> HWIO. The Detect head's fixed DFL conv (model.{22,24}.dfl)
+    is not copied — detector_forward computes the softmax expectation
     directly.
 
     Parity: replaces the reference's ONNX detector session ingest
-    (src/vision/tk_object_detector.c:83) with a weights-only mapping.
+    (src/vision/tk_object_detector.c:83; the shipped checkpoint is
+    YOLOv5nu, src/workers/src/cortex_worker.rs:110) with a weights-only
+    mapping.
     """
     cfg = detector_config_from_torch(state, prefix)
-
-    def P(name):
-        return f"{prefix}{_YOLO_IDX[name]}"
+    idx_table = _YOLO_V5_IDX if cfg.variant == "v5" else _YOLO_IDX
 
     params: Dict[str, Any] = {}
-    for name, idx in _YOLO_IDX.items():
+    for name, idx in idx_table.items():
         pfx = f"{prefix}{idx}"
         if name == "sppf":
             params[name] = {"cv1": _fold_conv_bn(state, f"{pfx}.cv1"),
                             "cv2": _fold_conv_bn(state, f"{pfx}.cv2")}
         elif "c2f" in name:
             params[name] = _c2f_from_torch(state, pfx)
+        elif "c3" in name:
+            params[name] = _c3_from_torch(state, pfx)
         else:
             params[name] = _fold_conv_bn(state, pfx)
-    det = f"{prefix}22"
+    det = f"{prefix}{24 if cfg.variant == 'v5' else 22}"
     for i in range(3):
         params[f"head{i}_box1"] = _fold_conv_bn(state, f"{det}.cv2.{i}.0")
         params[f"head{i}_box2"] = _fold_conv_bn(state, f"{det}.cv2.{i}.1")

@@ -1,4 +1,4 @@
-"""YOLOv8-family object detector, functional JAX (NHWC).
+"""YOLO-family object detector, functional JAX (NHWC).
 
 Parity target: the reference's ONNX YOLOv5nu/v8n detector session
 (reference: src/vision/tk_object_detector.c:83-375 — ORT Run + decode +
@@ -7,10 +7,18 @@ thing — backbone, neck, head, DFL decode — is one jit region feeding the
 fixed-shape NMS in :mod:`trackiellm_tpu.ops.nms`, so a frame never
 leaves the device between preprocess and final boxes.
 
-Architecture (YOLOv8 shape): CSP backbone with C2f blocks + SPPF, PAN
-neck, decoupled anchor-free head with DFL box regression (reg_max=16).
-Layout is NHWC throughout — the conv layout XLA tiles best on the MXU.
-Weights are fused conv+bias (BN folded), matching exported checkpoints.
+Two variants, selected by ``DetectorConfig.variant``:
+
+- ``"v8"``: CSP backbone with C2f blocks + SPPF, PAN neck.
+- ``"v5"``: the reference's exact named model, YOLOv5nu — v5 backbone
+  (6x6 stem, C3 blocks) + v5 PAN neck (1x1 lateral compressions feeding
+  both the upsample AND the pan concat), with the SAME anchor-free
+  DFL head as v8 (that is what ultralytics' "u" suffix means).
+
+Both share the decoupled anchor-free head with DFL box regression
+(reg_max=16). Layout is NHWC throughout — the conv layout XLA tiles
+best on the MXU. Weights are fused conv+bias (BN folded), matching
+exported checkpoints.
 """
 
 from __future__ import annotations
@@ -32,6 +40,7 @@ class DetectorConfig(NamedTuple):
     depths: Tuple[int, ...] = (1, 2, 2, 1)
     reg_max: int = 16
     img_size: int = 640
+    variant: str = "v8"  # "v8" (C2f) | "v5" (YOLOv5u: C3 + v5 neck)
 
     @property
     def head_box_ch(self) -> int:
@@ -50,11 +59,27 @@ class DetectorConfig(NamedTuple):
         return cls()
 
     @classmethod
+    def v5nu(cls) -> "DetectorConfig":
+        """YOLOv5nu — the reference's exact detector checkpoint
+        (src/workers/src/cortex_worker.rs:110): width 0.25 / depth 0.33
+        of yolov5.yaml -> C3 repeats (1, 2, 3, 1), same channels as
+        v8n, anchor-free u-head."""
+        return cls(depths=(1, 2, 3, 1), variant="v5")
+
+    @classmethod
     def tiny(cls) -> "DetectorConfig":
         """Test-scale config (same topology, 1/4 width, img 160,
         reg_max shrunk so the head widths scale down too)."""
         return cls(num_classes=8, channels=(4, 8, 16, 32, 64),
                    depths=(1, 1, 1, 1), img_size=160, reg_max=4)
+
+    @classmethod
+    def tiny_v5(cls) -> "DetectorConfig":
+        """Test-scale v5 variant (one stage with 2 repeats so the C3
+        bottleneck chain is exercised)."""
+        return cls(num_classes=8, channels=(4, 8, 16, 32, 64),
+                   depths=(1, 1, 2, 1), img_size=160, reg_max=4,
+                   variant="v5")
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +117,27 @@ def _sppf_init(key, c) -> Dict[str, Any]:
             "cv2": _conv_init(k2, 1, 1, c * 2, c)}
 
 
+def _v5_bottleneck_init(key, c) -> Dict[str, Any]:
+    """v5 Bottleneck inside C3: cv1 is 1x1 (v8's C2f uses 3x3)."""
+    k1, k2 = jax.random.split(key)
+    return {"cv1": _conv_init(k1, 1, 1, c, c),
+            "cv2": _conv_init(k2, 3, 3, c, c)}
+
+
+def _c3_init(key, cin, cout, n) -> Dict[str, Any]:
+    keys = jax.random.split(key, n + 3)
+    c = cout // 2
+    return {
+        "cv1": _conv_init(keys[0], 1, 1, cin, c),
+        "cv2": _conv_init(keys[1], 1, 1, cin, c),
+        "m": [_v5_bottleneck_init(keys[i + 2], c) for i in range(n)],
+        "cv3": _conv_init(keys[-1], 1, 1, 2 * c, cout),
+    }
+
+
 def init_detector(key: jax.Array, cfg: DetectorConfig) -> Dict[str, Any]:
+    if cfg.variant == "v5":
+        return _init_detector_v5(key, cfg)
     ch = cfg.channels
     d = cfg.depths
     keys = iter(jax.random.split(key, 64))
@@ -134,22 +179,68 @@ def init_detector(key: jax.Array, cfg: DetectorConfig) -> Dict[str, Any]:
     return params
 
 
+def _init_detector_v5(key: jax.Array, cfg: DetectorConfig) -> Dict[str, Any]:
+    """YOLOv5(u) graph: 6x6 stem, C3 stages, v5 PAN neck whose 1x1
+    lateral compressions (pre_up1/pre_up2 = yaml idx 10/14) feed both
+    the upsample path and the downsample-side concats."""
+    ch = cfg.channels
+    d = cfg.depths
+    keys = iter(jax.random.split(key, 64))
+    nxt = lambda: next(keys)  # noqa: E731
+
+    params: Dict[str, Any] = {
+        "stem": _conv_init(nxt(), 6, 6, 3, ch[0]),
+        "down1": _conv_init(nxt(), 3, 3, ch[0], ch[1]),
+        "c3_1": _c3_init(nxt(), ch[1], ch[1], d[0]),
+        "down2": _conv_init(nxt(), 3, 3, ch[1], ch[2]),
+        "c3_2": _c3_init(nxt(), ch[2], ch[2], d[1]),     # -> P3 (/8)
+        "down3": _conv_init(nxt(), 3, 3, ch[2], ch[3]),
+        "c3_3": _c3_init(nxt(), ch[3], ch[3], d[2]),     # -> P4 (/16)
+        "down4": _conv_init(nxt(), 3, 3, ch[3], ch[4]),
+        "c3_4": _c3_init(nxt(), ch[4], ch[4], d[3]),
+        "sppf": _sppf_init(nxt(), ch[4]),                 # -> P5 (/32)
+        # v5 PAN neck (yaml idx 10-23; repeats = round(3*depth) = d[0]).
+        "pre_up1": _conv_init(nxt(), 1, 1, ch[4], ch[3]),
+        "up_c3_1": _c3_init(nxt(), 2 * ch[3], ch[3], d[0]),
+        "pre_up2": _conv_init(nxt(), 1, 1, ch[3], ch[2]),
+        "up_c3_2": _c3_init(nxt(), 2 * ch[2], ch[2], d[0]),
+        "pan_down1": _conv_init(nxt(), 3, 3, ch[2], ch[2]),
+        "pan_c3_1": _c3_init(nxt(), 2 * ch[2], ch[3], d[0]),
+        "pan_down2": _conv_init(nxt(), 3, 3, ch[3], ch[3]),
+        "pan_c3_2": _c3_init(nxt(), 2 * ch[3], ch[4], d[0]),
+    }
+    c2, c3 = cfg.head_box_ch, cfg.head_cls_ch
+    for i, c in enumerate((ch[2], ch[3], ch[4])):
+        params[f"head{i}_box1"] = _conv_init(nxt(), 3, 3, c, c2)
+        params[f"head{i}_box2"] = _conv_init(nxt(), 3, 3, c2, c2)
+        params[f"head{i}_box3"] = _conv_init(nxt(), 1, 1, c2,
+                                             4 * cfg.reg_max)
+        params[f"head{i}_cls1"] = _conv_init(nxt(), 3, 3, c, c3)
+        params[f"head{i}_cls2"] = _conv_init(nxt(), 3, 3, c3, c3)
+        params[f"head{i}_cls3"] = _conv_init(nxt(), 1, 1, c3,
+                                             cfg.num_classes)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
-def _conv(x, p, stride=1, act=True):
+def _conv(x, p, stride=1, act=True, pad=None):
     """NHWC conv + bias (+ SiLU), f32 accumulation.
 
     Padding is the torch convention (symmetric k//2 on both sides), NOT
     XLA 'SAME': for stride-2 convs SAME pads (0,1) while checkpoints
     trained under torch/ONNX pad (1,1) — the one-pixel shift would
     misalign every downsampling stage against converted weights.
+    ``pad`` overrides (v5's 6x6 stem uses explicit padding 2, not 3).
     """
     kh, kw = p["w"].shape[0], p["w"].shape[1]
+    ph = kh // 2 if pad is None else pad
+    pw = kw // 2 if pad is None else pad
     out = lax.conv_general_dilated(
         x, p["w"].astype(x.dtype), (stride, stride),
-        [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+        [(ph, ph), (pw, pw)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     ) + p["b"]
@@ -169,6 +260,16 @@ def _c2f(x, p, shortcut=True):
     for m in p["m"]:
         outs.append(_bottleneck(outs[-1], m, shortcut))
     return _conv(jnp.concatenate(outs, axis=-1), p["cv2"])
+
+
+def _c3(x, p, shortcut=True):
+    """v5 C3: two 1x1 lateral branches; the bottleneck chain (1x1 then
+    3x3 convs, residual when ``shortcut``) runs on branch 1 only."""
+    a = _conv(x, p["cv1"])
+    for m in p["m"]:
+        a = _bottleneck(a, m, shortcut)
+    b = _conv(x, p["cv2"])
+    return _conv(jnp.concatenate([a, b], axis=-1), p["cv3"])
 
 
 def _sppf(x, p):
@@ -203,23 +304,47 @@ def detector_forward(params: Dict[str, Any], cfg: DetectorConfig,
     """
     x = jnp.transpose(image_chw, (1, 2, 0))[None]  # NHWC, batch 1
 
-    # Backbone
-    x = _conv(x, params["stem"], stride=2)
-    x = _c2f(_conv(x, params["down1"], stride=2), params["c2f1"])
-    p3 = _c2f(_conv(x, params["down2"], stride=2), params["c2f2"])
-    p4 = _c2f(_conv(p3, params["down3"], stride=2), params["c2f3"])
-    p5 = _sppf(_c2f(_conv(p4, params["down4"], stride=2), params["c2f4"]),
-               params["sppf"])
+    if cfg.variant == "v5":
+        # Backbone: 6x6/2 stem (pad 2), C3 stages.
+        x = _conv(x, params["stem"], stride=2, pad=2)
+        x = _c3(_conv(x, params["down1"], stride=2), params["c3_1"])
+        p3 = _c3(_conv(x, params["down2"], stride=2), params["c3_2"])
+        p4 = _c3(_conv(p3, params["down3"], stride=2), params["c3_3"])
+        p5 = _sppf(_c3(_conv(p4, params["down4"], stride=2),
+                       params["c3_4"]), params["sppf"])
+        # v5 PAN: 1x1 compressions feed the upsample AND the pan concat.
+        t5 = _conv(p5, params["pre_up1"])
+        u4 = _c3(jnp.concatenate([_upsample2(t5), p4], -1),
+                 params["up_c3_1"], shortcut=False)
+        t4 = _conv(u4, params["pre_up2"])
+        u3 = _c3(jnp.concatenate([_upsample2(t4), p3], -1),
+                 params["up_c3_2"], shortcut=False)
+        d4 = _c3(jnp.concatenate(
+            [_conv(u3, params["pan_down1"], stride=2), t4], -1),
+            params["pan_c3_1"], shortcut=False)
+        d5 = _c3(jnp.concatenate(
+            [_conv(d4, params["pan_down2"], stride=2), t5], -1),
+            params["pan_c3_2"], shortcut=False)
+    else:
+        # Backbone
+        x = _conv(x, params["stem"], stride=2)
+        x = _c2f(_conv(x, params["down1"], stride=2), params["c2f1"])
+        p3 = _c2f(_conv(x, params["down2"], stride=2), params["c2f2"])
+        p4 = _c2f(_conv(p3, params["down3"], stride=2), params["c2f3"])
+        p5 = _sppf(_c2f(_conv(p4, params["down4"], stride=2),
+                        params["c2f4"]), params["sppf"])
 
-    # PAN neck
-    u4 = _c2f(jnp.concatenate([_upsample2(p5), p4], -1), params["up_c2f1"], shortcut=False)
-    u3 = _c2f(jnp.concatenate([_upsample2(u4), p3], -1), params["up_c2f2"], shortcut=False)
-    d4 = _c2f(jnp.concatenate(
-        [_conv(u3, params["pan_down1"], stride=2), u4], -1),
-        params["pan_c2f1"], shortcut=False)
-    d5 = _c2f(jnp.concatenate(
-        [_conv(d4, params["pan_down2"], stride=2), p5], -1),
-        params["pan_c2f2"], shortcut=False)
+        # PAN neck
+        u4 = _c2f(jnp.concatenate([_upsample2(p5), p4], -1),
+                  params["up_c2f1"], shortcut=False)
+        u3 = _c2f(jnp.concatenate([_upsample2(u4), p3], -1),
+                  params["up_c2f2"], shortcut=False)
+        d4 = _c2f(jnp.concatenate(
+            [_conv(u3, params["pan_down1"], stride=2), u4], -1),
+            params["pan_c2f1"], shortcut=False)
+        d5 = _c2f(jnp.concatenate(
+            [_conv(d4, params["pan_down2"], stride=2), p5], -1),
+            params["pan_c2f2"], shortcut=False)
 
     # Heads + DFL decode per level, concatenated over all anchors.
     boxes_all: List[jnp.ndarray] = []
