@@ -287,6 +287,66 @@ class TestGGUF:
                 u2 <<= 2
             return y
 
+        def ref_q2_k(b):
+            sc, qs = b[:16], b[16:80]
+            d, dmin = f16(b[80:82]), f16(b[82:84])
+            y = np.zeros(256)
+            i = 0
+            is_ = 0
+            for n in range(2):
+                q = qs[32 * n:32 * n + 32]
+                for shift in (0, 2, 4, 6):
+                    s = sc[is_]
+                    is_ += 1
+                    for l in range(16):
+                        y[i] = d * (s & 0xF) * ((q[l] >> shift) & 3) \
+                            - dmin * (s >> 4)
+                        i += 1
+                    s = sc[is_]
+                    is_ += 1
+                    for l in range(16, 32):
+                        y[i] = d * (s & 0xF) * ((q[l] >> shift) & 3) \
+                            - dmin * (s >> 4)
+                        i += 1
+            return y
+
+        def ref_q3_k(b):
+            hm, qs, s12 = b[:32], b[32:96], b[96:108]
+            d = f16(b[108:110])
+            # aux shuffle per dequantize_row_q3_K
+            a, bb, c = (int(np.frombuffer(bytes(s12[j:j + 4]),
+                                          np.uint32)[0])
+                        for j in (0, 4, 8))
+            k1, k2 = 0x03030303, 0x0F0F0F0F
+            aux = [(a & k2) | (((c >> 0) & k1) << 4),
+                   (bb & k2) | (((c >> 2) & k1) << 4),
+                   ((a >> 4) & k2) | (((c >> 4) & k1) << 4),
+                   ((bb >> 4) & k2) | (((c >> 6) & k1) << 4)]
+            sc = np.frombuffer(
+                b"".join(int(x).to_bytes(4, "little") for x in aux),
+                np.int8)
+            y = np.zeros(256)
+            i = 0
+            is_ = 0
+            m = 1
+            for n in range(2):
+                q = qs[32 * n:32 * n + 32]
+                for shift in (0, 2, 4, 6):
+                    dl = d * (int(sc[is_]) - 32)
+                    is_ += 1
+                    for l in range(16):
+                        y[i] = dl * (((int(q[l]) >> shift) & 3)
+                                     - (0 if hm[l] & m else 4))
+                        i += 1
+                    dl = d * (int(sc[is_]) - 32)
+                    is_ += 1
+                    for l in range(16, 32):
+                        y[i] = dl * (((int(q[l]) >> shift) & 3)
+                                     - (0 if hm[l] & m else 4))
+                        i += 1
+                    m <<= 1
+            return y
+
         def ref_q6_k(b):
             ql, qh = b[:128], b[128:192]
             sc = np.frombuffer(bytes(b[192:208]), np.int8)
@@ -314,6 +374,8 @@ class TestGGUF:
             (L._dequant_q4_1, ref_q4_1, 20, 32, (0, 2)),
             (L._dequant_q5_0, ref_q5_0, 22, 32, (0,)),
             (L._dequant_q5_1, ref_q5_1, 24, 32, (0, 2)),
+            (L._dequant_q2_k, ref_q2_k, 84, 256, (80, 82)),
+            (L._dequant_q3_k, ref_q3_k, 110, 256, (108,)),
             (L._dequant_q4_k, ref_q4_k, 144, 256, (0, 2)),
             (L._dequant_q5_k, ref_q5_k, 176, 256, (0, 2)),
             (L._dequant_q6_k, ref_q6_k, 210, 256, (208,)),

@@ -11,9 +11,9 @@ entry points (:1188-1355).
 TPU design: models are parameter pytrees, so "loading" means parsing a
 checkpoint container into numpy/JAX arrays. The GGUF reader is complete
 and self-contained (header, kv metadata, tensor directory, F32/F16/
-Q8_0/Q4_0/Q4_1/Q5_0/Q5_1/Q4_K/Q5_K/Q6_K tensor data (the full set
-published llama.cpp releases ship, incl. the Q4_K_M / Q5_K_M mixes)
-with dequantization or native requantization into
+Q8_0/Q4_0/Q4_1/Q5_0/Q5_1/Q2_K/Q3_K/Q4_K/Q5_K/Q6_K tensor data (the
+full set published llama.cpp releases ship, incl. the Q4_K_M / Q5_K_M /
+Q3_K_M / Q2_K mixes) with dequantization or native requantization into
 :class:`trackiellm_tpu.ops.quant.QuantizedLinear` layout) — no llama.cpp.
 safetensors and npz load natively; ONNX/TFLite are detected and reported
 with a conversion hint (their graphs are not executed at runtime by
@@ -102,8 +102,10 @@ _GGUF_ARRAY = 9
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q8_0 = 0, 1, 2, 8
 # The rest of the llama.cpp quant zoo that published checkpoints
 # actually ship (Q4_K_M files mix Q4_K + Q6_K tensors; Q5_K_M mixes
-# Q5_K + Q6_K). Layouts per ggml-quants.c; ids per ggml.h.
+# Q5_K + Q6_K; Q3_K_M mixes Q3_K/Q4_K/Q5_K; Q2_K mixes Q2_K + Q3_K).
+# Layouts per ggml-quants.c; ids per ggml.h.
 GGML_Q4_1, GGML_Q5_0, GGML_Q5_1 = 3, 6, 7
+GGML_Q2_K, GGML_Q3_K = 10, 11
 GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
 
 
@@ -250,6 +252,77 @@ def _dequant_q5_1(raw: np.ndarray, n_elems: int) -> np.ndarray:
     return (q * d + m).reshape(-1)[:n_elems]
 
 
+def _dequant_q2_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF Q2_K: 84-byte super-blocks of 256 = 16 scale bytes (low
+    nibble: scale, high: min) + 64 quant bytes + f16 d + f16 dmin.
+    x = d*sc*q - dmin*m; 16 sub-blocks of 16. Quant byte l of chunk n
+    (32 bytes) carries elements (128n + 32s + l) in bit pair s."""
+    blocks = raw.reshape(-1, 84)
+    nb = blocks.shape[0]
+    sc_raw = blocks[:, :16]
+    qs = blocks[:, 16:80]
+    d = blocks[:, 80:82].copy().view(np.float16).astype(np.float32)
+    dmin = blocks[:, 82:84].copy().view(np.float16).astype(np.float32)
+    dl = d * (sc_raw & 0xF)       # (nb, 16) per-sub-block scales
+    ml = dmin * (sc_raw >> 4)     # (nb, 16) per-sub-block mins
+    out = np.empty((nb, 256), np.float32)
+    for n in range(2):            # two 128-element halves
+        chunk = qs[:, 32 * n:32 * n + 32]
+        for s in range(4):        # bit-pair shift 0/2/4/6
+            q = ((chunk >> (2 * s)) & 3).astype(np.float32)
+            base = 128 * n + 32 * s
+            i0 = 8 * n + 2 * s
+            out[:, base:base + 16] = dl[:, i0:i0 + 1] * q[:, :16] \
+                - ml[:, i0:i0 + 1]
+            out[:, base + 16:base + 32] = dl[:, i0 + 1:i0 + 2] \
+                * q[:, 16:] - ml[:, i0 + 1:i0 + 2]
+    return out.reshape(-1)[:n_elems]
+
+
+def _unpack_q3k_scales(packed: np.ndarray) -> np.ndarray:
+    """Q3_K's 12 packed bytes -> 16 int8 6-bit scales (pre-offset by
+    -32 by the caller). Transcribed from dequantize_row_q3_K's
+    kmask1/kmask2 aux shuffle."""
+    u = packed.copy().view(np.uint32)  # (nb, 3) little-endian words
+    a, b, c = u[:, 0], u[:, 1], u[:, 2]
+    k1, k2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    aux = np.stack([
+        (a & k2) | (((c >> np.uint32(0)) & k1) << np.uint32(4)),
+        (b & k2) | (((c >> np.uint32(2)) & k1) << np.uint32(4)),
+        ((a >> np.uint32(4)) & k2) | (((c >> np.uint32(4)) & k1)
+                                      << np.uint32(4)),
+        ((b >> np.uint32(4)) & k2) | (((c >> np.uint32(6)) & k1)
+                                      << np.uint32(4)),
+    ], axis=1)  # (nb, 4) uint32
+    return aux.view(np.int8).astype(np.float32)  # (nb, 16)
+
+
+def _dequant_q3_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF Q3_K: 110-byte super-blocks of 256 = 32 hmask bytes + 64
+    quant bytes + 12 packed 6-bit scale bytes + f16 d. Element order as
+    Q2_K; value = (2-bit pair | high bit from hmask) - 4 when the hmask
+    bit is CLEAR (bit index = the (half, shift) group number)."""
+    blocks = raw.reshape(-1, 110)
+    nb = blocks.shape[0]
+    hm = blocks[:, :32]
+    qs = blocks[:, 32:96]
+    scales = _unpack_q3k_scales(blocks[:, 96:108]) - 32.0  # (nb, 16)
+    d = blocks[:, 108:110].copy().view(np.float16).astype(np.float32)
+    out = np.empty((nb, 256), np.float32)
+    for n in range(2):
+        chunk = qs[:, 32 * n:32 * n + 32]
+        for s in range(4):
+            m = 1 << (4 * n + s)  # hmask bit for this group
+            hi = np.where(hm & m, 0.0, 4.0)  # (nb, 32)
+            q = ((chunk >> (2 * s)) & 3).astype(np.float32) - hi
+            base = 128 * n + 32 * s
+            i0 = 8 * n + 2 * s
+            out[:, base:base + 16] = d * scales[:, i0:i0 + 1] * q[:, :16]
+            out[:, base + 16:base + 32] = (
+                d * scales[:, i0 + 1:i0 + 2] * q[:, 16:])
+    return out.reshape(-1)[:n_elems]
+
+
 def _unpack_k4_scales(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """The 6-bit scale/min pairs of Q4_K/Q5_K super-blocks
     (ggml-quants.c get_scale_min_k4): 12 bytes -> 8 scales + 8 mins."""
@@ -353,6 +426,8 @@ _GGML_DEQUANT = {
     GGML_Q4_1: (32, 20, _dequant_q4_1),
     GGML_Q5_0: (32, 22, _dequant_q5_0),
     GGML_Q5_1: (32, 24, _dequant_q5_1),
+    GGML_Q2_K: (256, 84, _dequant_q2_k),
+    GGML_Q3_K: (256, 110, _dequant_q3_k),
     GGML_Q4_K: (256, 144, _dequant_q4_k),
     GGML_Q5_K: (256, 176, _dequant_q5_k),
     GGML_Q6_K: (256, 210, _dequant_q6_k),
