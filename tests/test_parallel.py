@@ -194,3 +194,59 @@ class TestShardedInference:
         np.testing.assert_allclose(np.asarray(logits2),
                                    np.asarray(ref_logits2),
                                    rtol=3e-2, atol=3e-2)
+
+
+class TestShardedServer:
+    """LLMServer(mesh=...) — the whole continuous-batching serve loop
+    tensor-parallel — must produce byte-identical text to the
+    single-device server (same programs, GSPMD-repartitioned)."""
+
+    CFG = TestShardedInference.CFG
+
+    def test_tp_server_chunked_matches_tp_per_step(self):
+        """Byte identity is asserted between the per-step and the
+        pipelined-chunk loops ON THE SAME MESH: the serve-loop
+        semantics under sharding. (Identity vs the single-device
+        server does not hold in general — the tp psum's reduction
+        order legally flips greedy argmax on near-ties of random
+        weights; single-vs-sharded NUMERIC equivalence is pinned at
+        tolerance by TestShardedInference.)"""
+        from trackiellm_tpu.llm.server import LLMServer
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        cfg = self.CFG
+        params = llm_model.quantize_params(
+            llm_model.init_params(jax.random.PRNGKey(7), cfg,
+                                  dtype=jnp.bfloat16),
+            bits=4, group=64)
+        tok = ByteTokenizer(cfg.vocab_size)
+        prompts = [("o que ha a frente", 21), ("descreva", 13)]
+        mesh = build_mesh(jax.devices()[:8])
+        assert mesh.shape["tp"] > 1  # the test must actually shard
+
+        outs = {}
+        for label, chunk in (("per_step", 1), ("chunked", 4)):
+            server = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                               chunk_steps=chunk, mesh=mesh,
+                               cache_dtype=jnp.float32)
+            try:
+                assert not server.paged  # mesh forces dense
+                futs = [server.submit(p, max_tokens=m)
+                        for p, m in prompts]
+                outs[label] = [f.result(timeout=180) for f in futs]
+                if chunk > 1:
+                    assert server.stats["decode_steps"] >= 4
+            finally:
+                server.close()
+        assert outs["chunked"] == outs["per_step"]
+        assert any(outs["per_step"])  # real text came back
+
+    def test_mesh_rejects_paged(self):
+        from trackiellm_tpu.llm.server import LLMServer
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        mesh = build_mesh(jax.devices()[:8])
+        params = llm_model.init_params(jax.random.PRNGKey(0), self.CFG,
+                                       dtype=jnp.bfloat16)
+        with pytest.raises(TrackieError):
+            LLMServer(params, self.CFG, paged=True, mesh=mesh)

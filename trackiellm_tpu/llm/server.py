@@ -72,10 +72,40 @@ class LLMServer:
                  cache_dtype=jnp.bfloat16, seed: int = 0,
                  paged="auto", n_pages: int = 0,
                  page_size: int = 128, chunk_steps: int = 8,
-                 kv_memory_budget_bytes: Optional[int] = None):
+                 kv_memory_budget_bytes: Optional[int] = None,
+                 mesh=None):
+        """``mesh``: a `jax.sharding.Mesh` with a ``tp`` axis shards the
+        whole serve loop tensor-parallel over the chips — params via
+        :func:`trackiellm_tpu.parallel.infer_param_shardings`, the slot
+        cache via :func:`~trackiellm_tpu.parallel.batched_kv_sharding`;
+        the SAME jitted programs then run GSPMD-partitioned (XLA places
+        the psums per the matmul shardings — scaling-book recipe).
+        Tensor-parallel mode is dense-only: the page pool's
+        gather/scatter chunk staging has no sharded formulation yet,
+        and dense is the measured-faster layout wherever it fits."""
         self.params = params
         self.cfg = cfg
         self.batch = batch_slots
+        self.mesh = mesh
+        if mesh is not None:
+            if paged is True:
+                raise TrackieError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    "paged KV is not supported with mesh (dense-only)")
+            paged = False
+            from trackiellm_tpu.ops.quant import QuantizedLinear
+            from trackiellm_tpu.parallel import (batched_kv_sharding,
+                                                 infer_param_shardings)
+
+            quantized = isinstance(params["layers"]["wqkv"],
+                                   QuantizedLinear)
+            shardings = infer_param_shardings(mesh, quantized)
+            if "wqkv_bias" in params["layers"]:
+                from jax.sharding import NamedSharding, PartitionSpec
+                shardings["layers"]["wqkv_bias"] = NamedSharding(
+                    mesh, PartitionSpec(None, None))
+            self.params = jax.device_put(params, shardings)
+            self._batched_cache_sharding = batched_kv_sharding(mesh)
         if paged == "auto":
             # Dense decodes faster (BASELINE.md: chunk8 207 vs 178
             # tok/s at B=8 — the page gather/scatter is pure overhead
@@ -108,6 +138,9 @@ class LLMServer:
             self.pool = None
             self.cache = llm_model.BatchedKVCache.create(
                 cfg, batch_slots, dtype=cache_dtype)
+            if mesh is not None:
+                self.cache = jax.device_put(
+                    self.cache, self._batched_cache_sharding)
         self._slots = [_Slot() for _ in range(batch_slots)]
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._backlog: List[Request] = []  # OOM-deferred, retried first

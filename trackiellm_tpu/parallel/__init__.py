@@ -15,6 +15,7 @@ mesh builder still accepts them for forward compatibility.
 """
 
 from trackiellm_tpu.parallel.infer import (  # noqa: F401
+    batched_kv_sharding,
     infer_param_shardings,
     kv_cache_sharding,
     make_sharded_decode,

@@ -69,6 +69,15 @@ def kv_cache_sharding(mesh: Mesh) -> llm_model.KVCache:
     return llm_model.KVCache(k=kv, v=kv, length=_ns(mesh))
 
 
+def batched_kv_sharding(mesh: Mesh) -> llm_model.BatchedKVCache:
+    """Server-slot cache (L, B, S, Hk, D): KV heads over tp, slots
+    replicated (slots are a latency axis, not a throughput one — the
+    whole batch decodes in one program and each shard needs every
+    slot's rows for its heads)."""
+    kv = _ns(mesh, None, None, None, "tp", None)
+    return llm_model.BatchedKVCache(k=kv, v=kv, lengths=_ns(mesh, None))
+
+
 def make_sharded_prefill(cfg: llm_model.LLMConfig, mesh: Mesh,
                          quantized: bool):
     """jit of llm.prefill with tensor-parallel in/out shardings."""
