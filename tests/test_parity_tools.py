@@ -197,3 +197,118 @@ class TestASRParity:
                             "--refs", refs, "--max-tokens", "8",
                             "--no-record"], capsys)
         assert result["mean_wer"] == pytest.approx(0.0)
+
+
+class TestMissingFilesNewTools:
+    @pytest.mark.parametrize("tool,args", [
+        ("tools/parity_depth.py",
+         ["--checkpoint", "/nope/midas.pt", "--images", "/nope/imgs"]),
+        ("tools/parity_vad.py",
+         ["--checkpoint", "/nope/silero.onnx", "--audio", "/nope/a.wav"]),
+        ("tools/parity_tts.py",
+         ["--voice", "/nope/voice.onnx", "--config", "/nope/v.json",
+          "--text", "ola"]),
+    ])
+    def test_missing_checkpoint(self, tool, args):
+        proc = _run([tool, *args], expect_ok=False)
+        assert proc.returncode == 2
+        assert "not found" in proc.stderr
+
+
+class TestDepthParity:
+    def test_self_parity(self, tmp_path, capsys):
+        sys.path.insert(0, REPO)
+        import torch
+        from tests.test_depth_convert import TMidasSmall, _randomize_bn
+
+        from trackiellm_tpu.models.depth import DepthConfig
+
+        cfg = DepthConfig.tiny()
+        torch.manual_seed(1)
+        model = TMidasSmall(cfg).eval()
+        _randomize_bn(model, torch.Generator().manual_seed(1))
+        ckpt = str(tmp_path / "midas.npz")
+        np.savez(ckpt, **{k: v.numpy()
+                          for k, v in model.state_dict().items()})
+
+        from PIL import Image
+
+        img = np.random.default_rng(2).integers(
+            0, 255, (80, 100, 3), dtype=np.uint8)
+        img_path = str(tmp_path / "scene.png")
+        Image.fromarray(img).save(img_path)
+
+        out = str(tmp_path / "maps.npz")
+        dump = _run_main("tools.parity_depth",
+                         ["--checkpoint", ckpt, "--images", img_path,
+                          "--input-size", str(cfg.img_size),
+                          "--out", out, "--no-record"], capsys)
+        assert dump["images"] == 1 and os.path.exists(out)
+
+        res = _run_main("tools.parity_depth",
+                        ["--checkpoint", ckpt, "--images", img_path,
+                         "--input-size", str(cfg.img_size),
+                         "--expected", out, "--no-record"], capsys)
+        assert res["rmse_norm_mean"] < 1e-5
+        assert res["pearson_mean"] > 0.9999
+
+
+class TestVADParity:
+    def test_self_parity(self, tmp_path, capsys):
+        sys.path.insert(0, REPO)
+        from tests.test_audio_convert import TestSileroExactConverter
+
+        st = TestSileroExactConverter()._torch_state(seed=6)
+        ckpt = str(tmp_path / "silero.npz")
+        np.savez(ckpt, **{k: v.numpy() for k, v in st.items()})
+        audio = (np.random.default_rng(7)
+                 .normal(0, 0.1, 512 * 5).astype(np.float32))
+        wav = str(tmp_path / "a.npy")
+        np.save(wav, audio)
+
+        out = str(tmp_path / "probs.json")
+        dump = _run_main("tools.parity_vad",
+                         ["--checkpoint", ckpt, "--audio", wav,
+                          "--out", out, "--no-record"], capsys)
+        assert dump["chunks"] == 5 and os.path.exists(out)
+
+        res = _run_main("tools.parity_vad",
+                        ["--checkpoint", ckpt, "--audio", wav,
+                         "--expected", out, "--no-record"], capsys)
+        assert res["max_abs_diff"] < 1e-6
+        assert res["decision_agreement"] == 1.0
+
+
+class TestTTSParity:
+    def test_self_parity(self, tmp_path, capsys):
+        sys.path.insert(0, REPO)
+        from tests.test_vits import TestConverter
+
+        from trackiellm_tpu.models import vits as V
+
+        cfg = V.VITSConfig.tiny()
+        st = TestConverter()._torch_vits_state(cfg, seed=5)
+        ckpt = str(tmp_path / "voice.npz")
+        np.savez(ckpt, **{k: v.numpy() for k, v in st.items()})
+        conf = str(tmp_path / "voice.json")
+        with open(conf, "w") as f:
+            json.dump({"audio": {"sample_rate": 16000},
+                       "phoneme_id_map": {
+                           "^": [1], "$": [2], "_": [0],
+                           "o": [3], "l": [4], "a": [5]}}, f)
+
+        out = str(tmp_path / "synth.wav")
+        dump = _run_main("tools.parity_tts",
+                         ["--voice", ckpt, "--config", conf,
+                          "--text", "ola", "--out", out,
+                          "--no-record"], capsys)
+        assert dump["seconds"] > 0 and os.path.exists(out)
+
+        res = _run_main("tools.parity_tts",
+                        ["--voice", ckpt, "--config", conf,
+                         "--text", "ola", "--expected", out,
+                         "--out", str(tmp_path / "synth2.wav"),
+                         "--no-record"], capsys)
+        # 16-bit wav quantization bounds the self-distance.
+        assert res["mel_l1"] < 0.02
+        assert abs(res["duration_ratio"] - 1.0) < 1e-6

@@ -21,8 +21,8 @@ RESULTS_FILE = os.path.join(os.path.dirname(os.path.dirname(
 
 _HEADER = """# PARITY-RESULTS — measured accuracy parity vs the reference stack
 
-Appended by tools/parity_detector.py / parity_asr.py / parity_llm.py
-runs against real checkpoints. Empty table = no real checkpoints have
+Appended by tools/parity_{detector,asr,llm,depth,vad,tts}.py runs
+against real checkpoints. Empty table = no real checkpoints have
 been available yet (zero-egress environment).
 
 | date | tool | checkpoint | metric | value | details |
