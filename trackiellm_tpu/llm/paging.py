@@ -48,14 +48,14 @@ def decode_step_paged(
     x = params["tok_emb"][token][None]
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
-    window = (cfg.sliding_window
-              if 0 < cfg.sliding_window < cfg.max_seq else 0)
 
     def layer_fn(carry, inputs):
         x = carry
-        layer, pk_l, pv_l = inputs  # (P, page, Hk, D)
+        layer, pk_l, pv_l, li = inputs  # (P, page, Hk, D)
         h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = llm_model._linear(h, layer["wqkv"])
+        if cfg.qkv_bias:
+            qkv = qkv + layer["wqkv_bias"]
         q = qkv[:, :qd].reshape(1, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(1, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(1, cfg.n_kv_heads, cfg.head_dim)
@@ -70,23 +70,16 @@ def decode_step_paged(
         # Gather this sequence's pages -> contiguous view.
         k_seq = pk_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
         v_seq = pv_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
-        attn = decode_attention(q[0], k_seq, v_seq, pos + 1, window=window)
-        x = x + llm_model._linear(attn.reshape(1, -1).astype(x.dtype),
-                                  layer["wo"])
-
-        h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + llm_model._linear(
-            (jax.nn.silu(gate) * up).astype(x.dtype), layer["w_down"])
+        attn = llm_model._decode_attn(cfg, li, q[0], k_seq, v_seq, pos + 1)
+        x = llm_model._attn_residual(x, attn.reshape(1, -1), layer, cfg)
+        x = llm_model._mlp(x, layer, cfg)
         return x, (pk_l, pv_l)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, x, (params["layers"], pool_k, pool_v))
-    logits = llm_model._linear(
-        llm_model._rms_norm(x, params["out_norm"], cfg.norm_eps),
-        params["lm_head"])[0]
-    return logits.astype(jnp.float32), new_k, new_v
+        layer_fn, x, (params["layers"], pool_k, pool_v,
+                      jnp.arange(cfg.n_layers)))
+    logits = llm_model._output_logits(params, cfg, x)[0]
+    return logits, new_k, new_v
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -145,14 +138,14 @@ def decode_step_batch_paged(
     x = params["tok_emb"][tokens]
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
-    window = (cfg.sliding_window
-              if 0 < cfg.sliding_window < cfg.max_seq else 0)
 
     def layer_fn(carry, inputs):
         x = carry
-        layer, pk_l, pv_l = inputs
+        layer, pk_l, pv_l, li = inputs
         h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = llm_model._linear(h, layer["wqkv"])
+        if cfg.qkv_bias:
+            qkv = qkv + layer["wqkv_bias"]
         q = qkv[:, :qd].reshape(b, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
@@ -169,25 +162,18 @@ def decode_step_batch_paged(
             tv = table[:attn_pages] if attn_pages else table
             k_seq = pk_l[tv].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
             v_seq = pv_l[tv].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
-            return decode_attention(qq, k_seq, v_seq, p + 1, window=window)
+            return llm_model._decode_attn(cfg, li, qq, k_seq, v_seq, p + 1)
 
         attn = jax.vmap(one_slot)(q, tables, pos)
-        x = x + llm_model._linear(attn.reshape(b, -1).astype(x.dtype),
-                                  layer["wo"])
-
-        h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + llm_model._linear(
-            (jax.nn.silu(gate) * up).astype(x.dtype), layer["w_down"])
+        x = llm_model._attn_residual(x, attn.reshape(b, -1), layer, cfg)
+        x = llm_model._mlp(x, layer, cfg)
         return x, (pk_l, pv_l)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, x, (params["layers"], pool_k, pool_v))
-    logits = llm_model._linear(
-        llm_model._rms_norm(x, params["out_norm"], cfg.norm_eps),
-        params["lm_head"])
-    return logits.astype(jnp.float32), new_k, new_v
+        layer_fn, x, (params["layers"], pool_k, pool_v,
+                      jnp.arange(cfg.n_layers)))
+    logits = llm_model._output_logits(params, cfg, x)
+    return logits, new_k, new_v
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps",

@@ -113,6 +113,25 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
     head_dim = int(md.get(f"{arch}.attention.key_length",
                           dim // n_heads))
     qkv_bias = "blk.0.attn_q.bias" in gguf.tensors
+    # Gemma-2: GeGLU, sandwich norms, softcaps, alternating local
+    # windows. GGUF stores the softcaps as metadata; the (1+w) norm
+    # convention is already folded by the official conversion script
+    # (convert_hf_to_gguf adds 1 to every *norm.weight), and the
+    # sqrt(dim) embedding scale is folded below in gguf_to_llm_params.
+    gemma2 = arch == "gemma2"
+    extra = {}
+    if gemma2:
+        extra = dict(
+            act="gelu",
+            post_norms="blk.0.post_attention_norm.weight" in gguf.tensors,
+            attn_softcap=float(md.get(f"{arch}.attn_logit_softcapping",
+                                      50.0)),
+            logit_softcap=float(md.get(f"{arch}.final_logit_softcapping",
+                                       30.0)),
+            query_pre_attn_scalar=float(md.get(
+                f"{arch}.attention.query_pre_attention_scalar", 256.0)),
+            alt_window=True,
+        )
     return llm_model.LLMConfig(
         vocab_size=int(md.get("tokenizer.ggml.tokens_count",
                               md.get(f"{arch}.vocab_size",
@@ -130,6 +149,7 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         sliding_window=int(md.get(f"{arch}.attention.sliding_window",
                                   key("context_length", 4096))),
         qkv_bias=qkv_bias,
+        **extra,
     )
 
 
@@ -215,11 +235,17 @@ def gguf_to_llm_params(
 
     wqkv, wo, w_gu, w_down = [], [], [], []
     attn_norm, mlp_norm = [], []
+    attn_post_norm, mlp_post_norm = [], []
     qkv_bias = []
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
         attn_norm.append(vec(f"{p}.attn_norm.weight"))
         mlp_norm.append(vec(f"{p}.ffn_norm.weight"))
+        if cfg.post_norms:
+            # Gemma-2 sandwich norms (llama.cpp tensor names); the
+            # (1+w) fold is already baked by convert_hf_to_gguf.
+            attn_post_norm.append(vec(f"{p}.post_attention_norm.weight"))
+            mlp_post_norm.append(vec(f"{p}.post_ffw_norm.weight"))
         qkv = np.concatenate([mat(f"{p}.attn_q.weight"),
                               mat(f"{p}.attn_k.weight"),
                               mat(f"{p}.attn_v.weight")], axis=1)
@@ -243,6 +269,11 @@ def gguf_to_llm_params(
         lm_head = mat("output.weight")
     else:  # tied embeddings
         lm_head = np.ascontiguousarray(tok_emb.T)
+    if (gguf.architecture or "llama") == "gemma2":
+        # Gemma scales embeddings by sqrt(dim) at runtime (llama.cpp
+        # build_gemma2 does the same); fold it into tok_emb AFTER the
+        # tied lm_head took the unscaled copy.
+        tok_emb = tok_emb * float(np.sqrt(cfg.dim))
 
     layers: Dict[str, Any] = {
         "attn_norm": jnp.stack(attn_norm),
@@ -254,11 +285,105 @@ def gguf_to_llm_params(
     }
     if cfg.qkv_bias:
         layers["wqkv_bias"] = jnp.stack(qkv_bias)
+    if cfg.post_norms:
+        layers["attn_post_norm"] = jnp.stack(attn_post_norm)
+        layers["mlp_post_norm"] = jnp.stack(mlp_post_norm)
     params: Dict[str, Any] = {
         "tok_emb": jnp.asarray(tok_emb, dtype),
         "layers": layers,
         "out_norm": vec("output_norm.weight"),
         "lm_head": maybe_quant(lm_head),
+    }
+    return params, cfg
+
+
+def gemma2_from_hf(
+    state: Dict[str, Any],
+    *,
+    head_dim: int = 256,
+    max_seq: int = 8192,
+    sliding_window: int = 4096,
+    attn_softcap: float = 50.0,
+    logit_softcap: float = 30.0,
+    query_pre_attn_scalar: float = 256.0,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 10000.0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Gemma-2 state dict (``model.layers.N...``
+    names) to (params, LLMConfig). Shape-derivable fields are inferred;
+    the non-derivable ones (softcaps, window, query scalar) come from
+    the keyword defaults — the published 2B/9B/27B values, overridable
+    from the checkpoint's config.json.
+
+    The two convention deltas are folded here so the runtime stays
+    branch-free: every RMSNorm weight is stored as (1 + w) (Gemma's
+    norm convention), and tok_emb carries the sqrt(dim) embedding scale
+    while the tied lm_head keeps the unscaled copy.
+    """
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")  # (V, D)
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.mlp.gate_proj.weight").shape[0]
+    # q_proj is (H*Dh, D) / k_proj (Hk*Dh, D): head count is not
+    # shape-derivable on its own — Gemma-2 fixes Dh=256 across the
+    # published sizes; pass head_dim for non-standard checkpoints.
+    hd = head_dim
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=sliding_window, act="gelu", post_norms=True,
+        attn_softcap=attn_softcap, logit_softcap=logit_softcap,
+        query_pre_attn_scalar=query_pre_attn_scalar, alt_window=True)
+
+    def norm1(k):  # (1 + w) fold
+        return jnp.asarray(A(k) + 1.0, dtype)
+
+    wqkv, wo, w_gu, w_down = [], [], [], []
+    attn_norm, mlp_norm, attn_post, mlp_post = [], [], [], []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        attn_norm.append(norm1(f"{pre}.input_layernorm.weight"))
+        attn_post.append(norm1(f"{pre}.post_attention_layernorm.weight"))
+        mlp_norm.append(norm1(f"{pre}.pre_feedforward_layernorm.weight"))
+        mlp_post.append(norm1(f"{pre}.post_feedforward_layernorm.weight"))
+        wqkv.append(jnp.asarray(np.concatenate([
+            A(f"{pre}.self_attn.q_proj.weight").T,
+            A(f"{pre}.self_attn.k_proj.weight").T,
+            A(f"{pre}.self_attn.v_proj.weight").T], axis=1), dtype))
+        wo.append(jnp.asarray(A(f"{pre}.self_attn.o_proj.weight").T,
+                              dtype))
+        w_gu.append(jnp.asarray(np.concatenate([
+            A(f"{pre}.mlp.gate_proj.weight").T,
+            A(f"{pre}.mlp.up_proj.weight").T], axis=1), dtype))
+        w_down.append(jnp.asarray(A(f"{pre}.mlp.down_proj.weight").T,
+                                  dtype))
+
+    lm_head = (A("lm_head.weight").T if "lm_head.weight" in state
+               else np.ascontiguousarray(emb.T))
+    params = {
+        "tok_emb": jnp.asarray(emb * float(np.sqrt(dim)), dtype),
+        "layers": {
+            "attn_norm": jnp.stack(attn_norm),
+            "wqkv": jnp.stack(wqkv),
+            "wo": jnp.stack(wo),
+            "mlp_norm": jnp.stack(mlp_norm),
+            "w_gu": jnp.stack(w_gu),
+            "w_down": jnp.stack(w_down),
+            "attn_post_norm": jnp.stack(attn_post),
+            "mlp_post_norm": jnp.stack(mlp_post),
+        },
+        "out_norm": norm1("model.norm.weight"),
+        "lm_head": jnp.asarray(lm_head, dtype),
     }
     return params, cfg
 

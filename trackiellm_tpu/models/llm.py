@@ -27,6 +27,7 @@ TPU design decisions:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -57,6 +58,17 @@ class LLMConfig(NamedTuple):
     # family-generic; these knobs cover the same GGUF space):
     # Qwen2-style attention projection biases (blk.N.attn_{q,k,v}.bias).
     qkv_bias: bool = False
+    # Gemma-2 family. Two of its deltas are FOLDED at conversion and
+    # need no runtime knob: RMSNorm's (1+w) convention (weights stored
+    # pre-incremented, as GGUF exports already do) and the sqrt(dim)
+    # embedding scale (folded into tok_emb; lm_head keeps the unscaled
+    # tied copy). The rest:
+    act: str = "silu"           # "gelu" = GeGLU (gelu-tanh gate)
+    post_norms: bool = False    # post-attn / post-ffw sandwich norms
+    attn_softcap: float = 0.0   # attention logit soft-capping (50.0)
+    logit_softcap: float = 0.0  # final logit soft-capping (30.0)
+    query_pre_attn_scalar: float = 0.0  # q scale = 1/sqrt(this); 0 = 1/sqrt(head_dim)
+    alt_window: bool = False    # sliding window on EVEN layers only
 
     @classmethod
     def mistral_7b(cls) -> "LLMConfig":
@@ -76,6 +88,26 @@ class LLMConfig(NamedTuple):
                    n_kv_heads=4, head_dim=128, hidden_dim=18944,
                    rope_theta=1e6, max_seq=8192, sliding_window=8192,
                    qkv_bias=True)
+
+    @classmethod
+    def gemma2_2b(cls) -> "LLMConfig":
+        """Gemma-2-2B: GeGLU, sandwich norms, softcaps, alternating
+        local(4096)/global attention, 256k vocab (tied lm_head)."""
+        return cls(vocab_size=256000, dim=2304, n_layers=26, n_heads=8,
+                   n_kv_heads=4, head_dim=256, hidden_dim=9216,
+                   norm_eps=1e-6, rope_theta=10000.0, max_seq=8192,
+                   sliding_window=4096, act="gelu", post_norms=True,
+                   attn_softcap=50.0, logit_softcap=30.0,
+                   query_pre_attn_scalar=256.0, alt_window=True)
+
+    @classmethod
+    def gemma2_9b(cls) -> "LLMConfig":
+        return cls(vocab_size=256000, dim=3584, n_layers=42, n_heads=16,
+                   n_kv_heads=8, head_dim=256, hidden_dim=14336,
+                   norm_eps=1e-6, rope_theta=10000.0, max_seq=8192,
+                   sliding_window=4096, act="gelu", post_norms=True,
+                   attn_softcap=50.0, logit_softcap=30.0,
+                   query_pre_attn_scalar=256.0, alt_window=True)
 
     @classmethod
     def tiny(cls) -> "LLMConfig":
@@ -117,6 +149,9 @@ def init_params(key: jax.Array, cfg: LLMConfig,
     if cfg.qkv_bias:
         layers["wqkv_bias"] = (jax.random.normal(
             keys[9], (l, qd + 2 * kvd), jnp.float32) * 0.02).astype(dtype)
+    if cfg.post_norms:
+        layers["attn_post_norm"] = jnp.ones((l, d), dtype)
+        layers["mlp_post_norm"] = jnp.ones((l, d), dtype)
     return {
         "tok_emb": w(keys[0], cfg.vocab_size, d, scale=0.02),
         "layers": layers,
@@ -216,8 +251,14 @@ def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
-               eps: float) -> jnp.ndarray:
-    """norm -> gate/up -> silu*up -> down -> +residual.
+               eps: float, act: str = "silu",
+               post_norm=None) -> jnp.ndarray:
+    """norm -> gate/up -> act(gate)*up -> down [-> post-norm] -> +residual.
+
+    ``act``: "silu" (Llama/Mistral SwiGLU) or "gelu" (Gemma GeGLU,
+    tanh approximation — what the published checkpoints use).
+    ``post_norm``: Gemma-2 post-feedforward RMSNorm weights (sandwich
+    norm), applied to the branch before the residual add.
 
     Small-M Q4 weights can take the ONE-LAUNCH fused Pallas kernel
     (ops/fused.py) behind the TRACKIE_FUSED_MLP=1 opt-in — measured
@@ -226,13 +267,88 @@ def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
     weights always keep the composable path."""
     from trackiellm_tpu.ops import fused
 
-    if (x.ndim == 2 and fused.use_fused_mlp()
-            and fused._can_fuse(x, w_gu, w_down)):
+    if (x.ndim == 2 and act == "silu" and post_norm is None
+            and fused.use_fused_mlp() and fused._can_fuse(x, w_gu, w_down)):
         return fused.fused_mlp(x, norm_scale, w_gu, w_down, eps)
     h2 = _rms_norm(x, norm_scale, eps)
     gu = _linear(h2, w_gu).astype(jnp.float32)
     gate, up = jnp.split(gu, 2, axis=-1)
-    return x + _linear((jax.nn.silu(gate) * up).astype(x.dtype), w_down)
+    gated = (jax.nn.silu(gate) if act == "silu"
+             else jax.nn.gelu(gate, approximate=True))
+    out = _linear((gated * up).astype(x.dtype), w_down)
+    if post_norm is not None:
+        out = _rms_norm(out, post_norm, eps)
+    return x + out
+
+
+def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
+    """Config-aware wrapper every forward body calls."""
+    return _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
+                      layer["w_down"], cfg.norm_eps, act=cfg.act,
+                      post_norm=layer.get("mlp_post_norm"))
+
+
+def _attn_residual(x: jnp.ndarray, attn_out: jnp.ndarray, layer,
+                   cfg: LLMConfig) -> jnp.ndarray:
+    """wo projection (+ Gemma-2 post-attention norm) + residual."""
+    out = _linear(attn_out.astype(x.dtype), layer["wo"])
+    if cfg.post_norms:
+        out = _rms_norm(out, layer["attn_post_norm"], cfg.norm_eps)
+    return x + out
+
+
+def _attn_extras(cfg: LLMConfig) -> dict:
+    """softcap/scale kwargs shared by every attention call."""
+    return {"softcap": cfg.attn_softcap,
+            "scale": (1.0 / math.sqrt(cfg.query_pre_attn_scalar)
+                      if cfg.query_pre_attn_scalar else 0.0)}
+
+
+def _layer_window(cfg: LLMConfig) -> int:
+    return (cfg.sliding_window
+            if 0 < cfg.sliding_window < cfg.max_seq else 0)
+
+
+def _decode_attn(cfg: LLMConfig, li, q, k_view, v_view, cur_len):
+    """decode_attention with the config's window policy: fixed window,
+    or Gemma-2 alternating local(even)/global(odd) layers — ``li`` is
+    the traced layer index, so both static-window programs compile and
+    lax.cond picks per layer."""
+    kw = _attn_extras(cfg)
+    win = _layer_window(cfg)
+    if cfg.alt_window and win > 0:
+        return jax.lax.cond(
+            li % 2 == 0,
+            lambda: decode_attention(q, k_view, v_view, cur_len,
+                                     window=win, **kw),
+            lambda: decode_attention(q, k_view, v_view, cur_len,
+                                     window=0, **kw))
+    return decode_attention(q, k_view, v_view, cur_len, window=win, **kw)
+
+
+def _prefill_attn(cfg: LLMConfig, li, q, k, v):
+    """prefill_attention ((H, S, D) operands) with the same window
+    policy as :func:`_decode_attn`."""
+    kw = _attn_extras(cfg)
+    win = _layer_window(cfg)
+    if cfg.alt_window and win > 0:
+        return jax.lax.cond(
+            li % 2 == 0,
+            lambda: prefill_attention(q, k, v, causal=True, window=win,
+                                      **kw),
+            lambda: prefill_attention(q, k, v, causal=True, window=0,
+                                      **kw))
+    return prefill_attention(q, k, v, causal=True, window=win, **kw)
+
+
+def _output_logits(params: Dict[str, Any], cfg: LLMConfig,
+                   x: jnp.ndarray) -> jnp.ndarray:
+    """Final norm -> lm_head (-> Gemma-2 logit soft-cap), f32."""
+    logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
+                     params["lm_head"]).astype(jnp.float32)
+    if cfg.logit_softcap > 0.0:
+        logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+    return logits
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +414,8 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
 
-    def layer_fn(x, layer):
+    def layer_fn(x, inputs):
+        layer, li = inputs
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = _linear(h, layer["wqkv"])
         if cfg.qkv_bias:
@@ -309,19 +426,15 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
-        window = (cfg.sliding_window
-                  if 0 < cfg.sliding_window < cfg.max_seq else 0)
-        attn = prefill_attention(
-            q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
-            causal=True, window=window,
-        ).transpose(1, 0, 2).reshape(s_pad, -1)
-        x = x + _linear(attn.astype(x.dtype), layer["wo"])
-
-        x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
-                       layer["w_down"], cfg.norm_eps)
+        attn = _prefill_attn(
+            cfg, li, q.transpose(1, 0, 2), k.transpose(1, 0, 2),
+            v.transpose(1, 0, 2)).transpose(1, 0, 2).reshape(s_pad, -1)
+        x = _attn_residual(x, attn, layer, cfg)
+        x = _mlp(x, layer, cfg)
         return x, (k, v)
 
-    x, (ks, vs) = jax.lax.scan(layer_fn, x, params["layers"])
+    x, (ks, vs) = jax.lax.scan(
+        layer_fn, x, (params["layers"], jnp.arange(cfg.n_layers)))
 
     new_cache = KVCache(
         k=jax.lax.dynamic_update_slice(cache.k, ks.astype(cache.k.dtype),
@@ -331,9 +444,8 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         length=length.astype(jnp.int32),
     )
     x_last = x[jnp.maximum(length - 1, 0)]
-    logits = _linear(_rms_norm(x_last[None], params["out_norm"], cfg.norm_eps),
-                     params["lm_head"])[0]
-    return logits.astype(jnp.float32), new_cache
+    logits = _output_logits(params, cfg, x_last[None])[0]
+    return logits, new_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cache_dtype"))
@@ -363,10 +475,9 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
     x = params["tok_emb"][tokens]  # (B, S, D)
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
-    window = (cfg.sliding_window
-              if 0 < cfg.sliding_window < cfg.max_seq else 0)
 
-    def layer_fn(x, layer):
+    def layer_fn(x, inputs):
+        layer, li = inputs
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = _linear(h.reshape(b * s_pad, -1),
                       layer["wqkv"]).reshape(b, s_pad, -1)
@@ -379,19 +490,17 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
             b, s_pad, cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
-        attn = jax.vmap(lambda qq, kk, vv: prefill_attention(
-            qq.transpose(1, 0, 2), kk.transpose(1, 0, 2),
-            vv.transpose(1, 0, 2), causal=True, window=window,
-        ).transpose(1, 0, 2))(q, k, v)  # (B, S, H, D)
-        x = x + _linear(
-            attn.reshape(b * s_pad, -1).astype(x.dtype),
-            layer["wo"]).reshape(b, s_pad, -1)
-        x = _mlp_block(x.reshape(b * s_pad, -1), layer["mlp_norm"],
-                       layer["w_gu"], layer["w_down"],
-                       cfg.norm_eps).reshape(b, s_pad, -1)
+        attn = jax.vmap(lambda qq, kk, vv: _prefill_attn(
+            cfg, li, qq.transpose(1, 0, 2), kk.transpose(1, 0, 2),
+            vv.transpose(1, 0, 2)).transpose(1, 0, 2))(q, k, v)
+        x = _attn_residual(
+            x.reshape(b * s_pad, -1),
+            attn.reshape(b * s_pad, -1), layer, cfg)
+        x = _mlp(x, layer, cfg).reshape(b, s_pad, -1)
         return x, (k, v)
 
-    x, (ks, vs) = jax.lax.scan(layer_fn, x, params["layers"])
+    x, (ks, vs) = jax.lax.scan(
+        layer_fn, x, (params["layers"], jnp.arange(cfg.n_layers)))
     # ks/vs: (L, B, S, Hk, D) -> per-row caches (B, L, S_max, Hk, D).
     shape = (b, cfg.n_layers, cfg.max_seq, cfg.n_kv_heads, cfg.head_dim)
     k_full = jax.lax.dynamic_update_slice(
@@ -401,9 +510,8 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
         jnp.zeros(shape, cache_dtype),
         vs.transpose(1, 0, 2, 3, 4).astype(cache_dtype), (0, 0, 0, 0, 0))
     x_last = x[jnp.arange(b), jnp.maximum(lengths - 1, 0)]  # (B, D)
-    logits = _linear(_rms_norm(x_last, params["out_norm"], cfg.norm_eps),
-                     params["lm_head"])
-    return logits.astype(jnp.float32), KVCache(
+    logits = _output_logits(params, cfg, x_last)
+    return logits, KVCache(
         k=k_full, v=v_full, length=lengths.astype(jnp.int32))
 
 
@@ -432,7 +540,7 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
 
     def layer_fn(carry, inputs):
         x = carry
-        layer, k_cache_l, v_cache_l = inputs
+        layer, k_cache_l, v_cache_l, li = inputs
         qd = cfg.n_heads * cfg.head_dim
         kvd = cfg.n_kv_heads * cfg.head_dim
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
@@ -450,24 +558,19 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         v_cache_l = jax.lax.dynamic_update_slice(
             v_cache_l, v.astype(v_cache_l.dtype), (pos, 0, 0))
 
-        window = (cfg.sliding_window
-                  if 0 < cfg.sliding_window < cfg.max_seq else 0)
         k_view = k_cache_l[:attn_len] if attn_len else k_cache_l
         v_view = v_cache_l[:attn_len] if attn_len else v_cache_l
-        attn = decode_attention(q[0], k_view, v_view, pos + 1,
-                                window=window)
-        x = x + _linear(attn.reshape(1, -1).astype(x.dtype), layer["wo"])
-
-        x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
-                       layer["w_down"], cfg.norm_eps)
+        attn = _decode_attn(cfg, li, q[0], k_view, v_view, pos + 1)
+        x = _attn_residual(x, attn.reshape(1, -1), layer, cfg)
+        x = _mlp(x, layer, cfg)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v))
+        layer_fn, x, (params["layers"], cache.k, cache.v,
+                      jnp.arange(cfg.n_layers)))
 
-    logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
-                     params["lm_head"])[0]
-    return logits.astype(jnp.float32), KVCache(new_k, new_v, pos + 1)
+    logits = _output_logits(params, cfg, x)[0]
+    return logits, KVCache(new_k, new_v, pos + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -532,12 +635,10 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
     x = params["tok_emb"][tokens]  # (B, D)
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
-    window = (cfg.sliding_window
-              if 0 < cfg.sliding_window < cfg.max_seq else 0)
 
     def layer_fn(carry, inputs):
         x = carry
-        layer, k_cache_l, v_cache_l = inputs  # caches: (B, S, Hk, D)
+        layer, k_cache_l, v_cache_l, li = inputs  # caches: (B, S, Hk, D)
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = _linear(h, layer["wqkv"])
         if cfg.qkv_bias:
@@ -561,21 +662,18 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
         k_view = k_cache_l[:, :attn_len] if attn_len else k_cache_l
         v_view = v_cache_l[:, :attn_len] if attn_len else v_cache_l
         attn = jax.vmap(
-            lambda qq, kc, vc, p: decode_attention(qq, kc, vc, p + 1,
-                                                   window=window)
+            lambda qq, kc, vc, p: _decode_attn(cfg, li, qq, kc, vc, p + 1)
         )(q, k_view, v_view, pos)
-        x = x + _linear(attn.reshape(b, -1).astype(x.dtype), layer["wo"])
-
-        x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
-                       layer["w_down"], cfg.norm_eps)
+        x = _attn_residual(x, attn.reshape(b, -1), layer, cfg)
+        x = _mlp(x, layer, cfg)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v))
-    logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
-                     params["lm_head"])
+        layer_fn, x, (params["layers"], cache.k, cache.v,
+                      jnp.arange(cfg.n_layers)))
+    logits = _output_logits(params, cfg, x)
     lengths = jnp.where(active, pos + 1, pos)
-    return logits.astype(jnp.float32), BatchedKVCache(new_k, new_v, lengths)
+    return logits, BatchedKVCache(new_k, new_v, lengths)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"))
@@ -646,12 +744,13 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     x = params["tok_emb"][tokens.astype(jnp.int32)]  # (B, D)
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
-    window = (cfg.sliding_window
-              if 0 < cfg.sliding_window < cfg.max_seq else 0)
+    window = _layer_window(cfg)
     s_max = cache.k.shape[1]
+    scale = (1.0 / math.sqrt(cfg.query_pre_attn_scalar)
+             if cfg.query_pre_attn_scalar else 1.0 / math.sqrt(cfg.head_dim))
 
     def layer_fn(x, inputs):
-        layer, k_cache_l, v_cache_l = inputs  # (S_max, Hk, D)
+        layer, k_cache_l, v_cache_l, li = inputs  # (S_max, Hk, D)
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         qkv = _linear(h, layer["wqkv"])
         if cfg.qkv_bias:
@@ -681,36 +780,41 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
                        cfg.head_dim).astype(k_view.dtype)
         scores = jnp.einsum(
             "qgrd,sgd->grqs", qg, k_view,
-            preferred_element_type=jnp.float32) / (cfg.head_dim ** 0.5)
+            preferred_element_type=jnp.float32) * scale
+        if cfg.attn_softcap > 0.0:
+            scores = cfg.attn_softcap * jnp.tanh(
+                scores / cfg.attn_softcap)
         key_idx = jnp.arange(attn_len or s_max)[None, None, None, :]
         q_pos = positions[None, None, :, None]
         mask = key_idx <= q_pos
         if window:
-            mask &= key_idx > q_pos - window
+            if cfg.alt_window:
+                # Per-layer window as DATA (traced li), not program
+                # structure: odd layers get an unbounded window.
+                win_l = jnp.where(li % 2 == 0, window, s_max + b)
+            else:
+                win_l = window
+            mask &= key_idx > q_pos - win_l
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum(
             "grqs,sgd->qgrd", probs.astype(v_view.dtype), v_view,
             preferred_element_type=jnp.float32).reshape(b, -1)
-        x = x + _linear(attn.astype(x.dtype), layer["wo"])
-
-        x = _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
-                       layer["w_down"], cfg.norm_eps)
+        x = _attn_residual(x, attn, layer, cfg)
+        x = _mlp(x, layer, cfg)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v))
+        layer_fn, x, (params["layers"], cache.k, cache.v,
+                      jnp.arange(cfg.n_layers)))
     final = KVCache(new_k, new_v, (offset + n_valid).astype(jnp.int32))
     if all_logits:
         # (B, V) logits at every chunk position — the speculative
         # verify pass needs argmax at each proposal offset.
-        logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
-                         params["lm_head"])
-        return logits.astype(jnp.float32), final
+        return _output_logits(params, cfg, x), final
     x_last = x[jnp.maximum(n_valid - 1, 0)]
-    logits = _linear(_rms_norm(x_last[None], params["out_norm"],
-                               cfg.norm_eps), params["lm_head"])[0]
-    return logits.astype(jnp.float32), final
+    logits = _output_logits(params, cfg, x_last[None])[0]
+    return logits, final
 
 
 # ---------------------------------------------------------------------------

@@ -38,23 +38,28 @@ NEG_INF = -1e30
 # XLA reference attention (oracle + CPU path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("causal", "window"))
+@functools.partial(jax.jit,
+                   static_argnames=("causal", "window", "softcap", "scale"))
 def attention_xla(
     q: jnp.ndarray,  # (H, Sq, D)
     k: jnp.ndarray,  # (Hk, Sk, D)
     v: jnp.ndarray,  # (Hk, Sk, D)
     causal: bool = True,
     window: int = 0,  # sliding window; 0 = unbounded (Mistral parity)
+    softcap: float = 0.0,  # Gemma-2 attn logit soft-capping; 0 = off
+    scale: float = 0.0,    # query scale override; 0 = 1/sqrt(D)
 ) -> jnp.ndarray:
     h, sq, d = q.shape
     hk = k.shape[0]
-    scale = 1.0 / math.sqrt(d)
+    scale = scale or 1.0 / math.sqrt(d)
     if hk != h:
         rep = h // hk
         k = jnp.repeat(k, rep, axis=0)
         v = jnp.repeat(v, rep, axis=0)
     s = jnp.einsum("hqd,hkd->hqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
+    if softcap > 0.0:
+        s = softcap * jnp.tanh(s / softcap)
     if causal:
         sk = k.shape[1]
         qi = jnp.arange(sq)[:, None] + (sk - sq)  # align ends
@@ -73,7 +78,7 @@ def attention_xla(
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                   *, scale: float, causal: bool, block_q: int, block_k: int,
-                  window: int = 0):
+                  window: int = 0, softcap: float = 0.0):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -95,6 +100,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         k = k_ref[0].astype(jnp.float32)          # (bk, d)
         v = v_ref[0].astype(jnp.float32)          # (bk, d)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
 
         if causal:
             rows = qi * block_q + jax.lax.broadcasted_iota(
@@ -125,7 +132,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "block_q", "block_k", "interpret", "window"),
+    static_argnames=("causal", "block_q", "block_k", "interpret", "window",
+                     "softcap", "scale"),
 )
 def flash_attention(
     q: jnp.ndarray,  # (H, S, D)
@@ -136,11 +144,13 @@ def flash_attention(
     block_k: int = 256,
     interpret: bool = False,
     window: int = 0,
+    softcap: float = 0.0,
+    scale: float = 0.0,
 ) -> jnp.ndarray:
     h, s, d = q.shape
     hk = k.shape[0]
     rep = h // hk
-    scale = 1.0 / math.sqrt(d)
+    scale = scale or 1.0 / math.sqrt(d)
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     assert s % block_q == 0 and s % block_k == 0, (
@@ -149,7 +159,7 @@ def flash_attention(
     grid = (h, s // block_q, s // block_k)
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, window=window,
+        block_q=block_q, block_k=block_k, window=window, softcap=softcap,
     )
     return pl.pallas_call(
         kernel,
@@ -183,31 +193,36 @@ def flash_attention(
 
 
 def prefill_attention(q, k, v, causal: bool = True,
-                      window: int = 0) -> jnp.ndarray:
+                      window: int = 0, softcap: float = 0.0,
+                      scale: float = 0.0) -> jnp.ndarray:
     """Dispatch: Pallas flash on TPU, XLA oracle elsewhere."""
     from trackiellm_tpu.ops.backend import on_tpu
     s = q.shape[1]
     if on_tpu() and s >= 256 and s % 256 == 0:
-        return flash_attention(q, k, v, causal=causal, window=window)
-    return attention_xla(q, k, v, causal=causal, window=window)
+        return flash_attention(q, k, v, causal=causal, window=window,
+                               softcap=softcap, scale=scale)
+    return attention_xla(q, k, v, causal=causal, window=window,
+                         softcap=softcap, scale=scale)
 
 
 # ---------------------------------------------------------------------------
 # Cached decode attention (single new token, length-masked cache)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("window",))
+@functools.partial(jax.jit, static_argnames=("window", "softcap", "scale"))
 def decode_attention(
     q: jnp.ndarray,        # (H, D) — the new token's query
     k_cache: jnp.ndarray,  # (S_max, Hk, D)
     v_cache: jnp.ndarray,  # (S_max, Hk, D)
     cur_len: jnp.ndarray,  # scalar int32: valid prefix length (incl. new tok)
     window: int = 0,       # sliding window; 0 = attend to everything
+    softcap: float = 0.0,  # Gemma-2 attn logit soft-capping; 0 = off
+    scale: float = 0.0,    # query scale override; 0 = 1/sqrt(D)
 ) -> jnp.ndarray:
     h, d = q.shape
     s_max, hk, _ = k_cache.shape
     rep = h // hk
-    scale = 1.0 / math.sqrt(d)
+    scale = scale or 1.0 / math.sqrt(d)
 
     # Keep the big cache operands in their storage dtype and let the
     # MXU accumulate in f32 (preferred_element_type): materializing f32
@@ -216,6 +231,8 @@ def decode_attention(
     qg = q.reshape(hk, rep, d).astype(k_cache.dtype)
     s = jnp.einsum("grd,sgd->grs", qg, k_cache,
                    preferred_element_type=jnp.float32) * scale  # (Hk,rep,S)
+    if softcap > 0.0:
+        s = softcap * jnp.tanh(s / softcap)
     idx = jnp.arange(s_max)[None, None, :]
     mask = idx < cur_len
     if window > 0:
@@ -227,13 +244,16 @@ def decode_attention(
     return out.reshape(h, d).astype(q.dtype)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("window", "softcap", "scale"))
 def paged_decode_attention(
     q: jnp.ndarray,         # (H, D)
     k_pages: jnp.ndarray,   # (n_pages, page_size, Hk, D) — global page pool
     v_pages: jnp.ndarray,   # (n_pages, page_size, Hk, D)
     page_table: jnp.ndarray,  # (pages_per_seq,) int32 page ids for this seq
     cur_len: jnp.ndarray,     # scalar int32
+    window: int = 0,
+    softcap: float = 0.0,
+    scale: float = 0.0,
 ) -> jnp.ndarray:
     """Decode attention over a paged KV pool: the sequence's pages are
     gathered through ``page_table`` (the paged-KV layout lets the runtime
@@ -243,4 +263,5 @@ def paged_decode_attention(
     k_seq = k_pages[page_table].reshape(-1, *k_pages.shape[2:])
     v_seq = v_pages[page_table].reshape(-1, *v_pages.shape[2:])
     del page_size
-    return decode_attention(q, k_seq, v_seq, cur_len)
+    return decode_attention(q, k_seq, v_seq, cur_len, window=window,
+                            softcap=softcap, scale=scale)
