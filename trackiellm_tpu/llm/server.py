@@ -99,12 +99,8 @@ class LLMServer:
 
             quantized = isinstance(params["layers"]["wqkv"],
                                    QuantizedLinear)
-            shardings = infer_param_shardings(mesh, quantized)
-            if "wqkv_bias" in params["layers"]:
-                from jax.sharding import NamedSharding, PartitionSpec
-                shardings["layers"]["wqkv_bias"] = NamedSharding(
-                    mesh, PartitionSpec(None, None))
-            self.params = jax.device_put(params, shardings)
+            self.params = jax.device_put(
+                params, infer_param_shardings(mesh, quantized, params))
             self._batched_cache_sharding = batched_kv_sharding(mesh)
         if paged == "auto":
             # Dense decodes faster (BASELINE.md: chunk8 207 vs 178

@@ -294,6 +294,11 @@ def gguf_to_llm_params(
         "out_norm": vec("output_norm.weight"),
         "lm_head": maybe_quant(lm_head),
     }
+    if "rope_freqs.weight" in gguf.tensors:
+        # Llama-3.1-style rope scaling: per-frequency divisors baked by
+        # convert_hf_to_gguf (llama.cpp applies them identically).
+        params["rope_factors"] = jnp.asarray(
+            load_gguf_tensor(gguf, "rope_freqs.weight"), jnp.float32)
     return params, cfg
 
 

@@ -360,6 +360,40 @@ def _rope_freqs(cfg: LLMConfig) -> jnp.ndarray:
     return 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
 
 
+def _freqs(params: Dict[str, Any], cfg: LLMConfig) -> jnp.ndarray:
+    """Rope frequencies, divided by the checkpoint's per-frequency
+    factors when present (``params["rope_factors"]`` — Llama-3.1-style
+    rope scaling; real 3.1+ GGUFs ship them as a ``rope_freqs.weight``
+    tensor that llama.cpp applies the same way)."""
+    freqs = _rope_freqs(cfg)
+    rf = params.get("rope_factors")
+    return freqs / rf if rf is not None else freqs
+
+
+def llama3_rope_factors(cfg: LLMConfig, factor: float = 8.0,
+                        low_freq_factor: float = 1.0,
+                        high_freq_factor: float = 4.0,
+                        original_max_seq: int = 8192) -> jnp.ndarray:
+    """Compute Llama-3.1's per-frequency rope scaling DIVISORS (the
+    published smooth-interpolation recipe; matches transformers'
+    llama3 rope init and the rope_freqs tensor convert_hf_to_gguf
+    bakes): long wavelengths divide by ``factor``, short ones stay,
+    the midband interpolates. Store as ``params["rope_factors"]``."""
+    freqs = _rope_freqs(cfg)
+    wavelen = 2.0 * jnp.pi / freqs
+    low_wl = original_max_seq / low_freq_factor
+    high_wl = original_max_seq / high_freq_factor
+    smooth = (original_max_seq / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor)
+    smooth = jnp.clip(smooth, 0.0, 1.0)
+    # scaled_freq = (1-smooth)*freq/factor + smooth*freq
+    # expressed as a divisor d with freq/d:
+    inv = (1.0 - smooth) / factor + smooth
+    d = jnp.where(wavelen > low_wl, factor,
+                  jnp.where(wavelen < high_wl, 1.0, 1.0 / inv))
+    return d.astype(jnp.float32)
+
+
 def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
                freqs: jnp.ndarray) -> jnp.ndarray:
     """Rotate (..., S, H, D) by per-position angles (split-half layout,
@@ -407,7 +441,7 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     — causality means they never contaminate real positions.
     """
     s_pad = tokens.shape[0]
-    freqs = _rope_freqs(cfg)
+    freqs = _freqs(params, cfg)
     positions = jnp.arange(s_pad)
     x = params["tok_emb"][tokens]  # (S, D)
 
@@ -470,7 +504,7 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
     garbage exactly like single prefill's padded tail (masked by
     cache.length downstream). Dummy rows (length 0) are legal."""
     b, s_pad = tokens.shape
-    freqs = _rope_freqs(cfg)
+    freqs = _freqs(params, cfg)
     positions = jnp.arange(s_pad)
     x = params["tok_emb"][tokens]  # (B, S, D)
     qd = cfg.n_heads * cfg.head_dim
@@ -535,7 +569,7 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
     variant). Must satisfy attn_len > cache.length.
     """
     pos = cache.length  # position of this new token
-    freqs = _rope_freqs(cfg)
+    freqs = _freqs(params, cfg)
     x = params["tok_emb"][token][None]  # (1, D)
 
     def layer_fn(carry, inputs):
@@ -631,7 +665,7 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
     attn_len > max(lengths) over active slots."""
     b = tokens.shape[0]
     pos = cache.lengths  # (B,) position of each new token
-    freqs = _rope_freqs(cfg)
+    freqs = _freqs(params, cfg)
     x = params["tok_emb"][tokens]  # (B, D)
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -739,7 +773,7 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     """
     offset = cache.length
     b = tokens.shape[0]
-    freqs = _rope_freqs(cfg)
+    freqs = _freqs(params, cfg)
     positions = offset + jnp.arange(b)
     x = params["tok_emb"][tokens.astype(jnp.int32)]  # (B, D)
     qd = cfg.n_heads * cfg.head_dim

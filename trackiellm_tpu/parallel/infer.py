@@ -41,14 +41,19 @@ def _q(mesh: Mesh, *spec) -> QuantizedLinear:
     return QuantizedLinear(values=_ns(mesh, *spec), scales=_ns(mesh, *spec))
 
 
-def infer_param_shardings(mesh: Mesh, quantized: bool) -> Dict[str, Any]:
-    """Sharding tree for the inference param tree (bf16 or quantized)."""
+def infer_param_shardings(mesh: Mesh, quantized: bool,
+                          params: Dict[str, Any] = None) -> Dict[str, Any]:
+    """Sharding tree for the inference param tree (bf16 or quantized).
+
+    Pass ``params`` to match trees that carry the optional extras —
+    Qwen2 QKV biases, Gemma-2 sandwich norms, Llama-3.1 rope factors —
+    all replicated (vectors; the bias follows wqkv's column split)."""
     col = _q(mesh, None, None, "tp") if quantized else _ns(
         mesh, None, None, "tp")
     row = _q(mesh, None, "tp", None) if quantized else _ns(
         mesh, None, "tp", None)
     head = _q(mesh, None, "tp") if quantized else _ns(mesh, None, "tp")
-    return {
+    tree = {
         "tok_emb": _ns(mesh, "tp", None),
         "layers": {
             "attn_norm": _ns(mesh, None, None),
@@ -61,6 +66,13 @@ def infer_param_shardings(mesh: Mesh, quantized: bool) -> Dict[str, Any]:
         "out_norm": _ns(mesh, None),
         "lm_head": head,
     }
+    if params is not None:
+        for key in ("wqkv_bias", "attn_post_norm", "mlp_post_norm"):
+            if key in params["layers"]:
+                tree["layers"][key] = _ns(mesh, None, None)
+        if "rope_factors" in params:
+            tree["rope_factors"] = _ns(mesh, None)
+    return tree
 
 
 def kv_cache_sharding(mesh: Mesh) -> llm_model.KVCache:
