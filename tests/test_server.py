@@ -189,6 +189,29 @@ class TestLLMServer:
             piped.close()
         assert got == want
 
+    def test_pipeline_offset_stays_constant(self, params):
+        """The speculative budget offset must stay at k (exactly one
+        chunk in flight per check): an accumulating offset exits the
+        pipeline ~halfway through a long generation and pays the
+        non-pipelined fetch stall it exists to hide (regression:
+        round-3 review finding)."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=1, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=4)
+        seen = []
+        orig = server._can_chunk
+        server._can_chunk = lambda offset=0: (
+            seen.append(offset) or orig(offset=offset))
+        try:
+            server.generate("historia longa", max_tokens=41)
+        finally:
+            server.close()
+        spec = [o for o in seen if o > 0]
+        assert spec and max(spec) == 4  # never 2k/3k/...
+        # 41 tokens at k=4 should keep the pipeline live for most
+        # chunks: ~9 speculative checks, all True but the last.
+        assert len(spec) >= 8
+
     def test_pipelined_paged_matches_single_step(self, params):
         """The paged pipeline (device token row fed across chunks, pool
         lengths advanced at dispatch) must match the per-step paged
@@ -316,6 +339,22 @@ class TestLLMServer:
                     for i in range(3)]
             outs = [f.result(timeout=120) for f in futs]
             assert all(isinstance(o, str) for o in outs)
+        finally:
+            server.close()
+
+    def test_oversized_max_tokens_fails_request_not_server(self, params):
+        """max_tokens leaving no prompt room fails ITS future with
+        CONTEXT_OVERFLOW; the serve loop keeps serving others."""
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32)
+        try:
+            bad = server.submit("ola", max_tokens=CFG.max_seq - 1)
+            with pytest.raises(TrackieError):
+                bad.result(timeout=60)
+            assert server.generate("tudo bem", max_tokens=5)  # loop alive
         finally:
             server.close()
 

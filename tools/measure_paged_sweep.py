@@ -26,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from trackiellm_tpu.llm.server import LLMServer  # noqa: E402
 from trackiellm_tpu.llm.tokenizer import ByteTokenizer  # noqa: E402
 from trackiellm_tpu.models import llm as llm_model  # noqa: E402
-from measure_server import run  # noqa: E402
+from tools.measure_server import run  # noqa: E402
 
 
 def main() -> None:

@@ -17,6 +17,7 @@ by this framework's production-serving mandate. Design:
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 import time
@@ -103,10 +104,13 @@ class LLMServer:
                 params, infer_param_shardings(mesh, quantized, params))
             self._batched_cache_sharding = batched_kv_sharding(mesh)
         if paged == "auto":
-            # Dense decodes faster (BASELINE.md: chunk8 207 vs 178
-            # tok/s at B=8 — the page gather/scatter is pure overhead
-            # when the dense cache fits); pick paged only when the
-            # dense layout would blow the KV budget.
+            # With pipelined chunks the chunked paths are equal within
+            # relay noise (BASELINE.md round-3: paged 432-528 vs dense
+            # 434-447 tok/s at B=8 — the attn_pages-bounded gather
+            # offsets its own cost), but the per-step fallback (sampled
+            # requests, tight budgets) stays measurably faster dense
+            # (150-190 vs 100-140): keep dense whenever it fits the KV
+            # budget, paged when memory demands it.
             dense_bytes = (2 * cfg.n_layers * batch_slots * cfg.max_seq
                            * cfg.n_kv_heads * cfg.head_dim
                            * jnp.dtype(cache_dtype).itemsize)
@@ -239,6 +243,17 @@ class LLMServer:
                     break
             limit = min(buckets[-1],
                         self.cfg.max_seq - req.max_tokens - 1)
+            if limit < 1:
+                # max_tokens >= max_seq - 1 leaves no room for even one
+                # prompt token; with limit <= 0 the slicing below would
+                # return the FULL prompt (ids[-0:]) or duplicate it,
+                # and the oversized bucket lookup would kill the serve
+                # loop. Fail the one request, not the server.
+                req.future.set_exception(TrackieError(
+                    ErrorCode.CONTEXT_OVERFLOW,
+                    f"max_tokens={req.max_tokens} leaves no prompt room "
+                    f"in a {self.cfg.max_seq}-token context"))
+                continue
             if len(ids) > limit:
                 head = limit // 4
                 ids = ids[:head] + ids[-(limit - head):]
@@ -424,8 +439,11 @@ class LLMServer:
         k = self.chunk_steps
         produced = self._dispatch_chunk(
             [s.next_token if s.active else None for s in self._slots])
-        offset = k
-        while self._can_chunk(offset=offset):
+        # Exactly ONE chunk (k steps) is in flight at every loop check:
+        # consuming chunk N advances n_emitted/host_len by k in the
+        # same iteration that dispatched N+1, so the speculative budget
+        # offset stays k — it does not accumulate.
+        while self._can_chunk(offset=k):
             in_flight = self._dispatch_chunk(produced[k - 1])
             survived = self._consume_chunk(np.asarray(produced))
             if not survived:
@@ -437,13 +455,23 @@ class LLMServer:
                 self._consume_chunk(np.asarray(in_flight))
                 return
             produced = in_flight
-            offset += k
         self._consume_chunk(np.asarray(produced))
 
     def _dispatch_chunk(self, tokens) -> jnp.ndarray:
         """Dispatch one k-step chunk; returns the (k, B) produced
         tokens as a DEVICE array (no fetch). ``tokens`` is a host list
-        (first chunk) or a device (B,) row (pipelined follow-up)."""
+        (first chunk) or a device (B,) row (pipelined follow-up).
+
+        TRACKIE_DENSE_CHUNK_ATTN=1 bounds dense chunks' KV reads with a
+        power-of-two ``attn_len`` bucket covering every slot's live
+        context + in-flight + this chunk (2k headroom: host_len lags
+        the device lengths by one in-flight chunk when pipelined) — the
+        dense analogue of the paged attn_pages bound. Measured SLOWER
+        at B=8 (393 vs ~440 tok/s unbounded; the per-step slice copies
+        inside the scan cost more than masked full reads — same result
+        as the round-2 attn-bucket revert), so it stays opt-in; the
+        paged path's gather-once-per-chunk is the layout that makes
+        bounded reads pay (432-528, >= dense)."""
         if self.paged:
             produced = self.pool.batch_decode_steps(
                 self.params, tokens,
@@ -453,9 +481,15 @@ class LLMServer:
                 tokens = jnp.asarray([t if t is not None else 0
                                       for t in tokens], jnp.int32)
             active = jnp.asarray([s.active for s in self._slots])
+            attn_len = None
+            if int(os.environ.get("TRACKIE_DENSE_CHUNK_ATTN", "0")):
+                need = max((s.host_len for s in self._slots if s.active),
+                           default=0) + 2 * self.chunk_steps + 1
+                attn_len = 1 << (need - 1).bit_length()
+                attn_len = min(attn_len, self.cfg.max_seq)
             produced, self.cache = llm_model.decode_steps_batch(
                 self.params, self.cfg, tokens, active, self.cache,
-                self.chunk_steps)
+                self.chunk_steps, attn_len=attn_len)
         self.stats["decode_steps"] += self.chunk_steps
         return produced
 

@@ -121,6 +121,11 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
     gemma2 = arch == "gemma2"
     extra = {}
     if gemma2:
+        # query_pre_attn_scalar is not a GGUF key (llama.cpp derives
+        # the scale from the model type): published sizes use
+        # head_dim (2B/9B: 256) except 27B, which uses
+        # dim/n_heads (4608/32 = 144).
+        qpas_default = float(head_dim if dim < 4608 else dim // n_heads)
         extra = dict(
             act="gelu",
             post_norms="blk.0.post_attention_norm.weight" in gguf.tensors,
@@ -129,7 +134,8 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
             logit_softcap=float(md.get(f"{arch}.final_logit_softcapping",
                                        30.0)),
             query_pre_attn_scalar=float(md.get(
-                f"{arch}.attention.query_pre_attention_scalar", 256.0)),
+                f"{arch}.attention.query_pre_attention_scalar",
+                qpas_default)),
             alt_window=True,
         )
     return llm_model.LLMConfig(
@@ -305,21 +311,27 @@ def gguf_to_llm_params(
 def gemma2_from_hf(
     state: Dict[str, Any],
     *,
-    head_dim: int = 256,
+    head_dim: int = 0,
     max_seq: int = 8192,
     sliding_window: int = 4096,
     attn_softcap: float = 50.0,
     logit_softcap: float = 30.0,
-    query_pre_attn_scalar: float = 256.0,
+    query_pre_attn_scalar: float = 0.0,
     norm_eps: float = 1e-6,
     rope_theta: float = 10000.0,
     dtype=jnp.bfloat16,
 ) -> tuple:
     """Convert a transformers Gemma-2 state dict (``model.layers.N...``
     names) to (params, LLMConfig). Shape-derivable fields are inferred;
-    the non-derivable ones (softcaps, window, query scalar) come from
-    the keyword defaults — the published 2B/9B/27B values, overridable
-    from the checkpoint's config.json.
+    the non-derivable ones (softcaps, window) come from the keyword
+    defaults, overridable from the checkpoint's config.json.
+
+    ``head_dim`` / ``query_pre_attn_scalar`` of 0 resolve from the
+    published size table by hidden size — 2B (2304) and 9B (3584) use
+    head_dim 256 with query scalar 256; 27B (4608) uses head_dim 128
+    with query scalar dim/n_heads = 144. Pass both explicitly for a
+    non-published architecture (neither is shape-derivable: q_proj is
+    (H*Dh, D) and only the product is visible).
 
     The two convention deltas are folded here so the runtime stays
     branch-free: every RMSNorm weight is stored as (1 + w) (Gemma's
@@ -336,11 +348,14 @@ def gemma2_from_hf(
     k0 = A("model.layers.0.self_attn.k_proj.weight")
     hidden = A("model.layers.0.mlp.gate_proj.weight").shape[0]
     # q_proj is (H*Dh, D) / k_proj (Hk*Dh, D): head count is not
-    # shape-derivable on its own — Gemma-2 fixes Dh=256 across the
-    # published sizes; pass head_dim for non-standard checkpoints.
-    hd = head_dim
+    # shape-derivable on its own — resolve from the published size
+    # table (see docstring) unless given.
+    hd = head_dim or (128 if dim >= 4608 else 256)
     n_heads = q0.shape[0] // hd
     n_kv = k0.shape[0] // hd
+    if not query_pre_attn_scalar:
+        query_pre_attn_scalar = float(hd if dim < 4608
+                                      else dim // n_heads)
 
     cfg = llm_model.LLMConfig(
         vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
