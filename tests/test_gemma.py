@@ -191,11 +191,17 @@ class TestGemma2:
             query_pre_attn_scalar=QPAS, dtype=jnp.float32)
         tok = ByteTokenizer(cfg.vocab_size)
         outs = {}
-        for label, chunk in (("per_step", 1), ("chunked", 4)):
+        for label, kw in (("per_step", dict(chunk_steps=1)),
+                          ("chunked", dict(chunk_steps=4)),
+                          ("paged", dict(chunk_steps=4, paged=True,
+                                         page_size=16))):
             server = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
-                               cache_dtype=jnp.float32, chunk_steps=chunk)
+                               cache_dtype=jnp.float32, **kw)
             try:
                 outs[label] = server.generate("ola", max_tokens=11)
             finally:
                 server.close()
         assert outs["chunked"] == outs["per_step"]
+        # Paged mode drives the alternating-window cond inside the
+        # paged vmap/scan too.
+        assert outs["paged"] == outs["per_step"]
