@@ -76,7 +76,10 @@ class LLMConfig(NamedTuple):
 
     @classmethod
     def llama3_8b(cls) -> "LLMConfig":
-        """Llama-3-8B: GQA-8, 128k vocab, theta 5e5, no sliding window."""
+        """Llama-3-8B: GQA-8, 128k vocab, theta 5e5, no sliding window.
+        Llama-3.1 needs no separate preset: its rope scaling rides in
+        as params["rope_factors"] (loaded from the GGUF's
+        rope_freqs.weight, or computed via llama3_rope_factors)."""
         return cls(vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
                    n_kv_heads=8, head_dim=128, hidden_dim=14336,
                    rope_theta=500000.0, max_seq=8192, sliding_window=8192)
