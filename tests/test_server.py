@@ -342,6 +342,31 @@ class TestLLMServer:
         finally:
             server.close()
 
+    def test_on_token_streams_full_text(self, params):
+        """on_token pieces concatenate to exactly the future's text on
+        BOTH the chunked (pipelined) and per-step paths, and a raising
+        callback is disarmed without killing the request or the loop."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        for chunk in (1, 4):
+            server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                               cache_dtype=jnp.float32,
+                               chunk_steps=chunk)
+            try:
+                pieces = []
+                fut = server.submit("descreva a cena", max_tokens=13,
+                                    on_token=pieces.append)
+                text = fut.result(timeout=120)
+                assert "".join(pieces) == text
+
+                def boom(_):
+                    raise RuntimeError("client bug")
+
+                fut2 = server.submit("outra", max_tokens=7,
+                                     on_token=boom)
+                assert isinstance(fut2.result(timeout=120), str)
+            finally:
+                server.close()
+
     def test_oversized_max_tokens_fails_request_not_server(self, params):
         """max_tokens leaving no prompt room fails ITS future with
         CONTEXT_OVERFLOW; the serve loop keeps serving others."""

@@ -48,6 +48,16 @@ class Request:
     future: Future = dataclasses.field(default_factory=Future)
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
     preemptions: int = 0  # paged mode: restarts after pool pressure
+    # Streaming: called from the serve thread with each new text piece
+    # as it decodes (chunk granularity on the fast path — the parity
+    # surface for tk_llm_runner_generate_next_token's streaming
+    # contract at server scale). Exceptions are swallowed after
+    # logging; the future still resolves with the full text.
+    on_token: Optional[Any] = None
+    # UTF-8 incremental decoder (byte-level tokenizers split multibyte
+    # characters across tokens; buffering makes streamed pieces
+    # concatenate to exactly the final decode).
+    _decoder: Optional[Any] = None
 
 
 @dataclasses.dataclass
@@ -156,8 +166,13 @@ class LLMServer:
 
     def submit(self, prompt: str, max_tokens: int = 64,
                temperature: float = 0.0,
-               repetition_penalty: float = 1.1) -> Future:
+               repetition_penalty: float = 1.1,
+               on_token=None) -> Future:
         """Enqueue a generation; the Future resolves to the text.
+
+        ``on_token``: optional callable(text_piece) streamed from the
+        serve thread as tokens decode (chunk granularity on the fast
+        path). Keep it cheap — it runs inside the serve loop.
 
         Fails fast (instead of queueing into the void) once the serve
         thread has exited — whether by close() or a fatal loop error."""
@@ -167,7 +182,8 @@ class LLMServer:
         if self._stop.is_set() or not self._thread.is_alive():
             raise RuntimeError("server is closed")
         req = Request(prompt, max_tokens, temperature,
-                      repetition_penalty=repetition_penalty)
+                      repetition_penalty=repetition_penalty,
+                      on_token=on_token)
         self._queue.put(req)
         return req.future
 
@@ -357,6 +373,8 @@ class LLMServer:
 
     def _finish(self, slot: _Slot) -> None:
         req = slot.request
+        if req is not None:
+            self._stream(req, -1, final=True)  # flush decoder tail
         text = self.tokenizer.decode(slot.generated)
         slot.request = None
         if self.paged and slot.seq_id is not None:
@@ -493,6 +511,32 @@ class LLMServer:
         self.stats["decode_steps"] += self.chunk_steps
         return produced
 
+    def _stream(self, req: Request, token_id: int,
+                final: bool = False) -> None:
+        if req.on_token is None:
+            return
+        try:
+            if hasattr(self.tokenizer, "token_bytes"):
+                # Byte-level tokenizer: buffer through an incremental
+                # UTF-8 decoder so multibyte characters split across
+                # tokens stream as whole characters and the pieces
+                # concatenate to exactly tokenizer.decode(generated).
+                if req._decoder is None:
+                    import codecs
+
+                    req._decoder = codecs.getincrementaldecoder(
+                        "utf-8")("replace")
+                data = (self.tokenizer.token_bytes(token_id)
+                        if token_id >= 0 else b"")
+                piece = req._decoder.decode(data, final)
+            else:
+                piece = self.tokenizer.decode_token(token_id)
+            if piece:
+                req.on_token(piece)
+        except Exception as exc:  # noqa: BLE001 — user callback
+            log.warning("on_token callback raised: %s", exc)
+            req.on_token = None  # stop calling a broken callback
+
     def _consume_chunk(self, prod: np.ndarray) -> bool:
         """Host bookkeeping for one fetched (k, B) chunk. Returns False
         if any slot finished (EOS / budget) inside it."""
@@ -504,6 +548,7 @@ class LLMServer:
             req = slot.request
             for j in range(k):
                 slot.generated.append(slot.next_token)
+                self._stream(req, slot.next_token)
                 slot.n_emitted += 1
                 slot.host_len += 1
                 self.stats["tokens"] += 1
@@ -580,6 +625,7 @@ class LLMServer:
                     continue
                 req = slot.request
                 slot.generated.append(slot.next_token)
+                self._stream(req, slot.next_token)
                 slot.n_emitted += 1
                 slot.host_len += 1
                 self.stats["tokens"] += 1
