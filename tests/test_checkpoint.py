@@ -140,3 +140,48 @@ class TestQ4PackingVersion:
             json.dump(sidecar, f)
         with pytest.raises(TrackieError):
             ckpt.load_checkpoint(d, device_put=False)
+
+
+class TestGemma2HFConvertCLI:
+    def test_convert_hf_family(self, tmp_path, capsys):
+        """`convert x.npz --family gemma2-hf` ingests a transformers
+        Gemma-2 state dict through the CLI (published head_dim 256
+        resolution) and saves a loadable checkpoint."""
+        import numpy as np
+
+        from trackiellm_tpu.__main__ import main
+        from trackiellm_tpu.models.checkpoint import load_checkpoint
+
+        rng = np.random.default_rng(0)
+        dim, hd, layers, hidden, vocab = 64, 256, 2, 96, 80
+
+        def w(*shape):
+            return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+        state = {"model.embed_tokens.weight": w(vocab, dim),
+                 "model.norm.weight": w(dim)}
+        for i in range(layers):
+            p = f"model.layers.{i}"
+            state[f"{p}.self_attn.q_proj.weight"] = w(hd, dim)
+            state[f"{p}.self_attn.k_proj.weight"] = w(hd, dim)
+            state[f"{p}.self_attn.v_proj.weight"] = w(hd, dim)
+            state[f"{p}.self_attn.o_proj.weight"] = w(dim, hd)
+            state[f"{p}.mlp.gate_proj.weight"] = w(hidden, dim)
+            state[f"{p}.mlp.up_proj.weight"] = w(hidden, dim)
+            state[f"{p}.mlp.down_proj.weight"] = w(dim, hidden)
+            for n in ("input_layernorm", "post_attention_layernorm",
+                      "pre_feedforward_layernorm",
+                      "post_feedforward_layernorm"):
+                state[f"{p}.{n}.weight"] = w(dim)
+        src = str(tmp_path / "gemma_tiny.npz")
+        np.savez(src, **state)
+
+        out = str(tmp_path / "ckpt")
+        rc = main(["convert", src, "-o", out, "--bits", "0",
+                   "--family", "gemma2-hf"])
+        assert rc == 0
+        params, cfg, meta = load_checkpoint(out)
+        assert cfg.act == "gelu" and cfg.post_norms and cfg.alt_window
+        assert cfg.n_heads == 1 and cfg.head_dim == 256
+        assert cfg.query_pre_attn_scalar == 256.0
+        assert "attn_post_norm" in params["layers"]

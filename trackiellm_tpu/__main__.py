@@ -28,13 +28,27 @@ def _cmd_convert(args) -> int:
     import time
 
     from trackiellm_tpu.models.checkpoint import save_checkpoint
-    from trackiellm_tpu.models.convert import gguf_to_llm_params
-    from trackiellm_tpu.models.loader import read_gguf_header
 
     t0 = time.time()
-    params, cfg = gguf_to_llm_params(args.gguf, bits=args.bits or None)
-    vocab = read_gguf_header(args.gguf).metadata.get(
-        "tokenizer.ggml.tokens")
+    vocab = None
+    if args.family == "gemma2-hf":
+        # transformers Gemma-2 state dict (.pt/.safetensors/.npz).
+        from tools.parity_common import load_state_dict
+
+        from trackiellm_tpu.models.convert import gemma2_from_hf
+
+        params, cfg = gemma2_from_hf(load_state_dict(args.gguf))
+        if args.bits:
+            from trackiellm_tpu.models.llm import quantize_params
+
+            params = quantize_params(params, bits=args.bits)
+    else:
+        from trackiellm_tpu.models.convert import gguf_to_llm_params
+        from trackiellm_tpu.models.loader import read_gguf_header
+
+        params, cfg = gguf_to_llm_params(args.gguf, bits=args.bits or None)
+        vocab = read_gguf_header(args.gguf).metadata.get(
+            "tokenizer.ggml.tokens")
     save_checkpoint(args.output, params, config=cfg,
                     metadata={"source": args.gguf, "bits": args.bits,
                               "vocab_pieces": vocab})
@@ -251,10 +265,15 @@ def main(argv=None) -> int:
     p.add_argument("model")
     p.set_defaults(fn=_cmd_inspect)
 
-    p = sub.add_parser("convert", help="GGUF -> native checkpoint")
-    p.add_argument("gguf")
+    p = sub.add_parser("convert", help="GGUF/HF -> native checkpoint")
+    p.add_argument("gguf", help="checkpoint file (GGUF, or a "
+                   "transformers state dict with --family gemma2-hf)")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--bits", type=int, default=4, choices=(0, 4, 8))
+    p.add_argument("--family", default="gguf",
+                   choices=("gguf", "gemma2-hf"),
+                   help="source layout (default: GGUF metadata-driven, "
+                   "covers llama/mistral/qwen2/gemma2 arches)")
     p.set_defaults(fn=_cmd_convert)
 
     p = sub.add_parser("generate", help="generate from a checkpoint")
