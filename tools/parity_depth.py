@@ -28,7 +28,6 @@ depth session + metric inversion (src/vision/tk_depth_midas.c:176,
 
 import argparse
 import glob
-import json
 import os
 import sys
 

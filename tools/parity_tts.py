@@ -25,7 +25,6 @@ context (src/audio/tk_tts_piper.c:237).
 
 import argparse
 import os
-import struct
 import sys
 import wave
 

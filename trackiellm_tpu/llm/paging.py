@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from trackiellm_tpu.models import llm as llm_model
-from trackiellm_tpu.ops.attention import decode_attention
 from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
 
 
