@@ -468,3 +468,88 @@ class TestLlama31RopeScaling:
         # And decode_step sees them too (same params tree flows in).
         lg, _ = llm_model.decode_step(params, cfg2, jnp.int32(3), c1)
         assert np.isfinite(np.asarray(lg)).all()
+
+
+class TestPhi3FusedTensors:
+    def test_fused_gguf_matches_split_layout(self, tmp_path):
+        """A phi3-style GGUF (pre-fused attn_qkv + ffn_up carrying
+        gate|up) converts to the same forward as the identical weights
+        written in the split llama layout."""
+        rng = np.random.default_rng(3)
+
+        def m(rows, cols):
+            return (rng.standard_normal((rows, cols)) / np.sqrt(cols)
+                    ).astype(np.float32)
+
+        emb = m(VOCAB, DIM) * 0.2
+        out_w = m(VOCAB, DIM)
+        per_layer = []
+        for i in range(LAYERS):
+            per_layer.append(dict(
+                q=m(QD, DIM), k=m(KVD, DIM), v=m(KVD, DIM),
+                o=m(DIM, QD), gate=m(HID, DIM), up=m(HID, DIM),
+                down=m(DIM, HID)))
+
+        def meta(arch):
+            return {
+                "general.architecture": arch,
+                f"{arch}.embedding_length": DIM,
+                f"{arch}.block_count": LAYERS,
+                f"{arch}.attention.head_count": HEADS,
+                f"{arch}.attention.head_count_kv": KV,
+                f"{arch}.feed_forward_length": HID,
+                f"{arch}.context_length": 128,
+                f"{arch}.vocab_size": VOCAB,
+            }
+
+        split = {"token_embd.weight": (emb, L.GGML_F32),
+                 "output_norm.weight": (np.ones(DIM, np.float32),
+                                        L.GGML_F32),
+                 "output.weight": (out_w, L.GGML_F32)}
+        fused = dict(split)
+        for i, t in enumerate(per_layer):
+            p = f"blk.{i}"
+            for d in (split, fused):
+                d[f"{p}.attn_norm.weight"] = (np.ones(DIM, np.float32),
+                                              L.GGML_F32)
+                d[f"{p}.ffn_norm.weight"] = (np.ones(DIM, np.float32),
+                                             L.GGML_F32)
+                d[f"{p}.attn_output.weight"] = (t["o"], L.GGML_F32)
+                d[f"{p}.ffn_down.weight"] = (t["down"], L.GGML_F32)
+            split[f"{p}.attn_q.weight"] = (t["q"], L.GGML_F32)
+            split[f"{p}.attn_k.weight"] = (t["k"], L.GGML_F32)
+            split[f"{p}.attn_v.weight"] = (t["v"], L.GGML_F32)
+            split[f"{p}.ffn_gate.weight"] = (t["gate"], L.GGML_F32)
+            split[f"{p}.ffn_up.weight"] = (t["up"], L.GGML_F32)
+            # Fused rows: [q; k; v] and [gate; up] (HF qkv_proj /
+            # gate_up_proj layouts, preserved by convert_hf_to_gguf).
+            fused[f"{p}.attn_qkv.weight"] = (
+                np.concatenate([t["q"], t["k"], t["v"]], axis=0),
+                L.GGML_F32)
+            fused[f"{p}.ffn_up.weight"] = (
+                np.concatenate([t["gate"], t["up"]], axis=0),
+                L.GGML_F32)
+
+        p1 = str(tmp_path / "split.gguf")
+        p2 = str(tmp_path / "fused.gguf")
+        from tests.test_loader import write_gguf
+        write_gguf(p1, split, metadata=meta("llama"))
+        write_gguf(p2, fused, metadata=meta("phi3"))
+        a_params, a_cfg = C.gguf_to_llm_params(p1, bits=None,
+                                               dtype=jnp.float32)
+        b_params, b_cfg = C.gguf_to_llm_params(p2, bits=None,
+                                               dtype=jnp.float32)
+        assert a_cfg == b_cfg._replace()  # same derived config
+        toks = (jnp.arange(11, dtype=jnp.int32) * 7) % VOCAB
+        ca = llm_model.KVCache.create(a_cfg, dtype=jnp.float32)
+        cb = llm_model.KVCache.create(b_cfg, dtype=jnp.float32)
+        la, _ = llm_model.prefill(a_params, a_cfg, toks, jnp.int32(11), ca)
+        lb, _ = llm_model.prefill(b_params, b_cfg, toks, jnp.int32(11), cb)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_phi3_mini_preset_shapes(self):
+        cfg = llm_model.LLMConfig.phi3_mini()
+        assert cfg.n_heads == cfg.n_kv_heads == 32  # MHA
+        assert cfg.head_dim == 96 and cfg.dim == 3072
+        assert cfg.sliding_window == 2047

@@ -252,9 +252,15 @@ def gguf_to_llm_params(
             # (1+w) fold is already baked by convert_hf_to_gguf.
             attn_post_norm.append(vec(f"{p}.post_attention_norm.weight"))
             mlp_post_norm.append(vec(f"{p}.post_ffw_norm.weight"))
-        qkv = np.concatenate([mat(f"{p}.attn_q.weight"),
-                              mat(f"{p}.attn_k.weight"),
-                              mat(f"{p}.attn_v.weight")], axis=1)
+        if f"{p}.attn_qkv.weight" in gguf.tensors:
+            # Phi-3-style pre-fused QKV ([q; k; v] rows in GGUF ->
+            # [q | k | v] columns transposed — exactly this framework's
+            # wqkv layout).
+            qkv = mat(f"{p}.attn_qkv.weight")
+        else:
+            qkv = np.concatenate([mat(f"{p}.attn_q.weight"),
+                                  mat(f"{p}.attn_k.weight"),
+                                  mat(f"{p}.attn_v.weight")], axis=1)
         if cfg.qkv_bias:
             # Qwen2-style projection biases, fused to match wqkv's
             # [q | k | v] column layout; biases stay high-precision
@@ -264,8 +270,12 @@ def gguf_to_llm_params(
                 vec(f"{p}.attn_v.bias")]))
         wqkv.append(maybe_quant(qkv))
         wo.append(maybe_quant(mat(f"{p}.attn_output.weight")))
-        gu = np.concatenate([mat(f"{p}.ffn_gate.weight"),
-                             mat(f"{p}.ffn_up.weight")], axis=1)
+        if f"{p}.ffn_gate.weight" in gguf.tensors:
+            gu = np.concatenate([mat(f"{p}.ffn_gate.weight"),
+                                 mat(f"{p}.ffn_up.weight")], axis=1)
+        else:
+            # Phi-3-style pre-fused gate_up ([gate; up] rows in GGUF).
+            gu = mat(f"{p}.ffn_up.weight")
         w_gu.append(maybe_quant(gu))
         w_down.append(maybe_quant(mat(f"{p}.ffn_down.weight")))
         log.info("converted layer %d/%d", i + 1, cfg.n_layers)

@@ -93,6 +93,18 @@ class LLMConfig(NamedTuple):
                    qkv_bias=True)
 
     @classmethod
+    def phi3_mini(cls) -> "LLMConfig":
+        """Phi-3-mini-4k: MHA-32 (no GQA), head_dim 96, SwiGLU,
+        sliding window 2047. Its GGUFs ship PRE-FUSED attn_qkv /
+        ffn_up(gate|up) tensors — gguf_to_llm_params maps them straight
+        into this framework's fused layout. (The 128k longrope variant
+        is not covered: dual rope-factor sets are future work.)"""
+        return cls(vocab_size=32064, dim=3072, n_layers=32, n_heads=32,
+                   n_kv_heads=32, head_dim=96, hidden_dim=8192,
+                   rope_theta=10000.0, max_seq=4096,
+                   sliding_window=2047)
+
+    @classmethod
     def gemma2_2b(cls) -> "LLMConfig":
         """Gemma-2-2B: GeGLU, sandwich norms, softcaps, alternating
         local(4096)/global attention, 256k vocab (tied lm_head)."""
