@@ -178,6 +178,30 @@ class TestGemma2:
         assert not np.allclose(np.asarray(logits), ref[SEQ - 1],
                                rtol=2e-3, atol=2e-3)
 
+    def test_runner_lookahead_matches_serial_with_gemma(self, oracle):
+        """The interactive runner's k-token lookahead stays byte-exact
+        on a Gemma config (softcaps/post-norms/alt-window flow through
+        decode_chunk_greedy's scanned steps)."""
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        state, _, _ = oracle
+        params, cfg = C.gemma2_from_hf(
+            state, head_dim=HD, max_seq=64, sliding_window=WINDOW,
+            attn_softcap=ATTN_CAP, logit_softcap=LOGIT_CAP,
+            query_pre_attn_scalar=QPAS, dtype=jnp.float32)
+        tok = ByteTokenizer(cfg.vocab_size)
+        outs = {}
+        for label, k in (("serial", 1), ("lookahead", 4)):
+            runner = LLMRunner(params, cfg, tok,
+                               GenerationConfig(max_tokens=14,
+                                                temperature=0.0,
+                                                lookahead=k),
+                               cache_dtype=jnp.float32)
+            outs[label] = runner.generate("ola")
+        assert outs["lookahead"] == outs["serial"]
+        assert outs["serial"]  # non-empty text
+
     def test_server_generates_with_gemma(self, oracle):
         """The continuous-batching server (chunked + pipelined) runs a
         Gemma-2 config end to end — chunk path byte-matches per-step."""
