@@ -120,3 +120,22 @@ class TestEnginesInPipeline:
         assert pipe.wait_idle(timeout=10.0)
         assert audio_out and len(audio_out[0]) > 0
         pipe.close()
+
+
+class TestWhisper128Mel:
+    def test_large_v3_style_mel_count(self):
+        """A 128-mel config (large-v3 family) flows end to end: the mel
+        front-end takes n_mels from the model config instead of the
+        80-mel default."""
+        import jax
+
+        from trackiellm_tpu.audio.asr import WhisperASR
+        from trackiellm_tpu.models import whisper as whisper_model
+
+        cfg = whisper_model.WhisperConfig.tiny()._replace(n_mels=128)
+        params = whisper_model.init_whisper(jax.random.PRNGKey(5), cfg)
+        asr = WhisperASR(params, cfg, max_tokens=5)
+        text = asr.transcribe(
+            np.random.default_rng(6).normal(0, 0.05, 16000)
+            .astype(np.float32))
+        assert isinstance(text, str)

@@ -66,7 +66,11 @@ class WhisperASR:
         audio = np.asarray(audio, np.float32).ravel()[:n_samples]
         if audio.shape[0] < n_samples:
             audio = np.pad(audio, (0, n_samples - audio.shape[0]))
-        mel = log_mel_spectrogram(jnp.asarray(audio))
+        # n_mels rides the model config: 80 for tiny..medium, 128 for
+        # large-v3-family checkpoints (whisper_config_from_torch reads
+        # it from conv1's shape).
+        mel = log_mel_spectrogram(jnp.asarray(audio),
+                                  n_mels=self.cfg.n_mels)
         tokens = whisper_model.transcribe_tokens(
             self.params, self.cfg, mel, max_tokens=self.max_tokens,
             language=self.language)
