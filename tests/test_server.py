@@ -525,3 +525,29 @@ class TestAutoMemoryMode:
             assert isinstance(out, str)
         finally:
             s.close()
+
+
+class TestQkvBiasPagedParity:
+    def test_paged_matches_dense_with_qkv_bias(self):
+        """Qwen2-style QKV biases must flow through the PAGED decode
+        paths identically to dense (regression: the paged layer bodies
+        skipped the bias add until round 3)."""
+        cfg = CFG._replace(qkv_bias=True)
+        params = llm_model.init_params(jax.random.PRNGKey(4), cfg,
+                                       dtype=jnp.float32)
+        assert "wqkv_bias" in params["layers"]
+        tok = ByteTokenizer(cfg.vocab_size)
+        outs = {}
+        for label, kw in (("dense", {}),
+                          ("paged", dict(paged=True, page_size=16)),
+                          ("paged_chunked", dict(paged=True, page_size=16,
+                                                 chunk_steps=4))):
+            server = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                               cache_dtype=jnp.float32,
+                               **({"chunk_steps": 1} | kw))
+            try:
+                outs[label] = server.generate("ola mundo", max_tokens=9)
+            finally:
+                server.close()
+        assert outs["paged"] == outs["dense"]
+        assert outs["paged_chunked"] == outs["dense"]
