@@ -551,3 +551,38 @@ class TestQkvBiasPagedParity:
                 server.close()
         assert outs["paged"] == outs["dense"]
         assert outs["paged_chunked"] == outs["dense"]
+
+
+class TestCancellation:
+    def test_cancel_frees_slot_midstream(self, params):
+        """Cancelling a future mid-generation frees the slot (no
+        decode-to-budget); queued-then-cancelled requests never admit;
+        other requests are unaffected."""
+        import threading
+
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=1, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=1)
+        try:
+            started = threading.Event()
+            pieces = []
+
+            def first_piece(p):
+                pieces.append(p)
+                started.set()
+
+            long_fut = server.submit("historia muito longa",
+                                     max_tokens=200,
+                                     on_token=first_piece)
+            assert started.wait(timeout=120)
+            queued = server.submit("nunca admitida", max_tokens=50)
+            queued.cancel()
+            long_fut.cancel()
+            # The ONLY slot frees -> this completes promptly.
+            text = server.generate("curta", max_tokens=5, timeout=120)
+            assert isinstance(text, str)
+            assert server.stats["completed"] >= 2  # long (cancelled
+            # mid-stream, finished early) + the short one; the queued
+            # cancel never admitted.
+        finally:
+            server.close()

@@ -238,6 +238,8 @@ class LLMServer:
             if slot.active:
                 continue
             req = self._next_request()
+            while req is not None and req.future.cancelled():
+                req = self._next_request()  # dropped before admission
             if req is None:
                 break
             ids = self.tokenizer.encode(req.prompt, add_bos=True)
@@ -546,6 +548,12 @@ class LLMServer:
             if not slot.active:
                 continue
             req = slot.request
+            if req.future.cancelled():
+                # Client gave up: free the slot now instead of decoding
+                # to budget (its cache rows re-prefill on reuse).
+                self._finish(slot)
+                survived = False
+                continue
             for j in range(k):
                 slot.generated.append(slot.next_token)
                 self._stream(req, slot.next_token)
@@ -624,6 +632,9 @@ class LLMServer:
                 if not slot.active:
                     continue
                 req = slot.request
+                if req.future.cancelled():
+                    self._finish(slot)
+                    continue
                 slot.generated.append(slot.next_token)
                 self._stream(req, slot.next_token)
                 slot.n_emitted += 1
