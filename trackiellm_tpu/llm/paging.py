@@ -43,7 +43,7 @@ def decode_step_paged(
     pos = seq_len
     page_idx = table[pos // page_size]
     slot = pos % page_size
-    freqs = llm_model._freqs(params, cfg)
+    freqs = llm_model._freqs(params, cfg, pos + 1)
     x = params["tok_emb"][token][None]
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -133,7 +133,7 @@ def decode_step_batch_paged(
     # live sequence's cell in the scatter.
     page_idx = jnp.where(active, page_idx, 0)
     slot = jnp.where(active, slot, 0)
-    freqs = llm_model._freqs(params, cfg)
+    freqs = llm_model._freqs(params, cfg, jnp.max(pos) + 1)
     x = params["tok_emb"][tokens]
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim

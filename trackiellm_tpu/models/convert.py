@@ -138,6 +138,21 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
                 qpas_default)),
             alt_window=True,
         )
+    # Phi-3 longrope: original context + attention factor (llama.cpp
+    # stores the factor sets as rope_factors_{short,long}.weight
+    # tensors, loaded by gguf_to_llm_params).
+    orig_ctx = int(md.get(f"{arch}.rope.scaling.original_context_length",
+                          0))
+    if orig_ctx and "rope_factors_long.weight" in gguf.tensors:
+        import math as _math
+
+        max_ctx = int(key("context_length", 4096))
+        att = float(md.get(
+            f"{arch}.rope.scaling.attn_factor",
+            _math.sqrt(1.0 + _math.log(max_ctx / orig_ctx)
+                       / _math.log(orig_ctx))))
+        extra.update(rope_original_max_seq=orig_ctx,
+                     rope_attention_factor=att)
     return llm_model.LLMConfig(
         vocab_size=int(md.get("tokenizer.ggml.tokens_count",
                               md.get(f"{arch}.vocab_size",
@@ -315,6 +330,111 @@ def gguf_to_llm_params(
         # convert_hf_to_gguf (llama.cpp applies them identically).
         params["rope_factors"] = jnp.asarray(
             load_gguf_tensor(gguf, "rope_freqs.weight"), jnp.float32)
+    if "rope_factors_long.weight" in gguf.tensors:
+        # Phi-3 longrope dual factor sets (llama.cpp tensor names).
+        params["rope_factors_short"] = jnp.asarray(
+            load_gguf_tensor(gguf, "rope_factors_short.weight"),
+            jnp.float32)
+        params["rope_factors_long"] = jnp.asarray(
+            load_gguf_tensor(gguf, "rope_factors_long.weight"),
+            jnp.float32)
+    return params, cfg
+
+
+def phi3_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 4096,
+    original_max_seq: int = 0,
+    rope_factors_short=None,
+    rope_factors_long=None,
+    sliding_window: int = 2047,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 10000.0,
+    head_dim: int = 0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Phi-3 state dict (fused qkv_proj /
+    gate_up_proj, untied lm_head) to (params, LLMConfig).
+
+    Longrope (the 128k variants): pass the config.json's
+    rope_scaling short_factor/long_factor lists plus
+    original_max_position_embeddings; the attention factor
+    sqrt(1 + log(max/orig)/log(orig)) is computed here and folded into
+    the attention scale (exact — see LLMConfig). head_dim defaults to
+    dim // n_heads (the published minis); kv head count is inferred
+    from the fused qkv width.
+    """
+    import math as _math
+
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    qkv0 = A("model.layers.0.self_attn.qkv_proj.weight")  # (Q+2KV, D)
+    o0 = A("model.layers.0.self_attn.o_proj.weight")      # (D, Q)
+    hidden = A("model.layers.0.mlp.gate_up_proj.weight").shape[0] // 2
+    qd = o0.shape[1]
+    # head count is not shape-derivable from fused projections alone;
+    # published Phi-3 minis use 32 heads (head_dim 96 at dim 3072).
+    hd = head_dim or (96 if dim == 3072 else dim // 32)
+    n_heads = qd // hd
+    kvd = (qkv0.shape[0] - qd) // 2
+    n_kv = kvd // hd
+
+    att = 1.0
+    if original_max_seq and max_seq > original_max_seq:
+        att = _math.sqrt(1.0 + _math.log(max_seq / original_max_seq)
+                         / _math.log(original_max_seq))
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=sliding_window,
+        rope_original_max_seq=(original_max_seq
+                               if rope_factors_long is not None else 0),
+        rope_attention_factor=(att if rope_factors_long is not None
+                               else 1.0))
+
+    wqkv, wo, w_gu, w_down = [], [], [], []
+    attn_norm, mlp_norm = [], []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        attn_norm.append(jnp.asarray(
+            A(f"{pre}.input_layernorm.weight"), dtype))
+        mlp_norm.append(jnp.asarray(
+            A(f"{pre}.post_attention_layernorm.weight"), dtype))
+        wqkv.append(jnp.asarray(
+            A(f"{pre}.self_attn.qkv_proj.weight").T, dtype))
+        wo.append(jnp.asarray(A(f"{pre}.self_attn.o_proj.weight").T,
+                              dtype))
+        w_gu.append(jnp.asarray(
+            A(f"{pre}.mlp.gate_up_proj.weight").T, dtype))
+        w_down.append(jnp.asarray(A(f"{pre}.mlp.down_proj.weight").T,
+                                  dtype))
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {
+            "attn_norm": jnp.stack(attn_norm),
+            "wqkv": jnp.stack(wqkv),
+            "wo": jnp.stack(wo),
+            "mlp_norm": jnp.stack(mlp_norm),
+            "w_gu": jnp.stack(w_gu),
+            "w_down": jnp.stack(w_down),
+        },
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    if rope_factors_long is not None:
+        params["rope_factors_short"] = jnp.asarray(
+            rope_factors_short, jnp.float32)
+        params["rope_factors_long"] = jnp.asarray(
+            rope_factors_long, jnp.float32)
     return params, cfg
 
 

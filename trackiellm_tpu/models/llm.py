@@ -69,6 +69,15 @@ class LLMConfig(NamedTuple):
     logit_softcap: float = 0.0  # final logit soft-capping (30.0)
     query_pre_attn_scalar: float = 0.0  # q scale = 1/sqrt(this); 0 = 1/sqrt(head_dim)
     alt_window: bool = False    # sliding window on EVEN layers only
+    # Phi-3 longrope (the 128k variants): params carry
+    # rope_factors_short/long divisor sets; the per-dispatch choice is
+    # long when the TOTAL sequence length exceeds this (0 = off), and
+    # the published attention factor sqrt(1+log(max/orig)/log(orig))
+    # folds into the attention scale (it scales cos/sin of BOTH q and
+    # k, i.e. scores x factor^2 — exact, since the factor is the same
+    # in both regimes).
+    rope_original_max_seq: int = 0
+    rope_attention_factor: float = 1.0
 
     @classmethod
     def mistral_7b(cls) -> "LLMConfig":
@@ -97,8 +106,10 @@ class LLMConfig(NamedTuple):
         """Phi-3-mini-4k: MHA-32 (no GQA), head_dim 96, SwiGLU,
         sliding window 2047. Its GGUFs ship PRE-FUSED attn_qkv /
         ffn_up(gate|up) tensors — gguf_to_llm_params maps them straight
-        into this framework's fused layout. (The 128k longrope variant
-        is not covered: dual rope-factor sets are future work.)"""
+        into this framework's fused layout. The 128k longrope variants
+        ride in via rope_factors_short/long params (loaded from the
+        GGUF's rope_factors_{short,long}.weight, or passed to
+        convert.phi3_from_hf) + rope_original_max_seq."""
         return cls(vocab_size=32064, dim=3072, n_layers=32, n_heads=32,
                    n_kv_heads=32, head_dim=96, hidden_dim=8192,
                    rope_theta=10000.0, max_seq=4096,
@@ -312,11 +323,22 @@ def _attn_residual(x: jnp.ndarray, attn_out: jnp.ndarray, layer,
     return x + out
 
 
+def _attn_scale(cfg: LLMConfig) -> float:
+    """The actual attention score scale: 1/sqrt(query scalar or
+    head_dim), times the longrope attention factor squared."""
+    base = 1.0 / math.sqrt(cfg.query_pre_attn_scalar
+                           or cfg.head_dim)
+    return base * cfg.rope_attention_factor ** 2
+
+
 def _attn_extras(cfg: LLMConfig) -> dict:
-    """softcap/scale kwargs shared by every attention call."""
-    return {"softcap": cfg.attn_softcap,
-            "scale": (1.0 / math.sqrt(cfg.query_pre_attn_scalar)
-                      if cfg.query_pre_attn_scalar else 0.0)}
+    """softcap/scale kwargs shared by every attention call (scale 0.0
+    = the kernels' own 1/sqrt(head_dim) default)."""
+    scale = _attn_scale(cfg)
+    if (not cfg.query_pre_attn_scalar
+            and cfg.rope_attention_factor == 1.0):
+        scale = 0.0
+    return {"softcap": cfg.attn_softcap, "scale": scale}
 
 
 def _layer_window(cfg: LLMConfig) -> int:
@@ -375,12 +397,26 @@ def _rope_freqs(cfg: LLMConfig) -> jnp.ndarray:
     return 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
 
 
-def _freqs(params: Dict[str, Any], cfg: LLMConfig) -> jnp.ndarray:
+def _freqs(params: Dict[str, Any], cfg: LLMConfig,
+           total_len=None) -> jnp.ndarray:
     """Rope frequencies, divided by the checkpoint's per-frequency
-    factors when present (``params["rope_factors"]`` — Llama-3.1-style
-    rope scaling; real 3.1+ GGUFs ship them as a ``rope_freqs.weight``
-    tensor that llama.cpp applies the same way)."""
+    factors when present:
+
+    - ``params["rope_factors"]`` — Llama-3.1-style static divisors
+      (real 3.1+ GGUFs ship them as a ``rope_freqs.weight`` tensor
+      that llama.cpp applies the same way);
+    - ``params["rope_factors_short"/"rope_factors_long"]`` — Phi-3
+      longrope: the long set engages when ``total_len`` (the total
+      sequence length this dispatch reaches, traced) exceeds
+      cfg.rope_original_max_seq — matching transformers' per-forward
+      choice (cached KV keeps the rotation it was written with, the
+      reference semantics)."""
     freqs = _rope_freqs(cfg)
+    if "rope_factors_short" in params:
+        ext = jnp.where(
+            jnp.asarray(total_len) > cfg.rope_original_max_seq,
+            params["rope_factors_long"], params["rope_factors_short"])
+        return freqs / ext
     rf = params.get("rope_factors")
     return freqs / rf if rf is not None else freqs
 
@@ -456,7 +492,7 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     — causality means they never contaminate real positions.
     """
     s_pad = tokens.shape[0]
-    freqs = _freqs(params, cfg)
+    freqs = _freqs(params, cfg, length)
     positions = jnp.arange(s_pad)
     x = params["tok_emb"][tokens]  # (S, D)
 
@@ -519,7 +555,7 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
     garbage exactly like single prefill's padded tail (masked by
     cache.length downstream). Dummy rows (length 0) are legal."""
     b, s_pad = tokens.shape
-    freqs = _freqs(params, cfg)
+    freqs = _freqs(params, cfg, jnp.max(lengths))
     positions = jnp.arange(s_pad)
     x = params["tok_emb"][tokens]  # (B, S, D)
     qd = cfg.n_heads * cfg.head_dim
@@ -584,7 +620,7 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
     variant). Must satisfy attn_len > cache.length.
     """
     pos = cache.length  # position of this new token
-    freqs = _freqs(params, cfg)
+    freqs = _freqs(params, cfg, pos + 1)
     x = params["tok_emb"][token][None]  # (1, D)
 
     def layer_fn(carry, inputs):
@@ -680,7 +716,7 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
     attn_len > max(lengths) over active slots."""
     b = tokens.shape[0]
     pos = cache.lengths  # (B,) position of each new token
-    freqs = _freqs(params, cfg)
+    freqs = _freqs(params, cfg, jnp.max(pos) + 1)
     x = params["tok_emb"][tokens]  # (B, D)
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -788,7 +824,7 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     """
     offset = cache.length
     b = tokens.shape[0]
-    freqs = _freqs(params, cfg)
+    freqs = _freqs(params, cfg, offset + n_valid)
     positions = offset + jnp.arange(b)
     x = params["tok_emb"][tokens.astype(jnp.int32)]  # (B, D)
     qd = cfg.n_heads * cfg.head_dim

@@ -33,7 +33,7 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     backward pass.
     """
     b, s = tokens.shape
-    freqs = llm_model._freqs(params, cfg)
+    freqs = llm_model._freqs(params, cfg, s)
     positions = jnp.arange(s)
     x = params["tok_emb"][tokens]  # (B, S, D)
     x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
