@@ -586,3 +586,65 @@ class TestCancellation:
             # cancel never admitted.
         finally:
             server.close()
+
+
+class TestServedToolCalls:
+    def test_grammar_constrained_request(self, params):
+        """submit(tool_names=...) yields VALID tool-call JSON naming a
+        known tool — including under a tight budget (budget-forced
+        closure) — while a plain greedy request shares the batch."""
+        import json
+
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            plain_want = server.generate("ola", max_tokens=8)
+            futs = [server.submit("Navegue ate a porta", max_tokens=60,
+                                  tool_names=["navigate", "describe"]),
+                    server.submit("ola", max_tokens=8)]
+            tool_text = futs[0].result(timeout=180)
+            plain = futs[1].result(timeout=180)
+            obj = json.loads(tool_text)
+            assert obj["tool_call"]["name"] in ("navigate", "describe")
+            assert isinstance(obj["tool_call"]["arguments"], dict)
+            assert plain == plain_want  # greedy slot unaffected
+
+            tight = server.generate("va", max_tokens=7,
+                                    tool_names=["navigate"])
+            obj2 = json.loads(tight)  # closure keeps it valid JSON
+            assert "tool_call" in obj2
+        finally:
+            server.close()
+
+    def test_grammar_contract_matches_runner(self, params):
+        """Served constrained output honors the SAME contract as the
+        interactive runner's force_tool_call: parseable JSON with a
+        known tool name and a dict of arguments. (Byte identity does
+        not apply — the runner renders tool descriptions into its
+        prompt, so the logits differ and the grammar's whitespace
+        freedom diverges.)"""
+        import json
+
+        from trackiellm_tpu.llm.runner import (GenerationConfig,
+                                               LLMRunner, ToolDefinition)
+
+        tok = ByteTokenizer(CFG.vocab_size)
+        tools = [ToolDefinition("go", "move", {}),
+                 ToolDefinition("stop", "halt", {})]
+        runner = LLMRunner(params, CFG, tok,
+                           GenerationConfig(max_tokens=50,
+                                            temperature=0.0),
+                           cache_dtype=jnp.float32)
+        want = json.loads(runner.generate("Navigate", tools=tools,
+                                          force_tool_call=True))
+        server = LLMServer(params, CFG, batch_slots=1, tokenizer=tok,
+                           cache_dtype=jnp.float32)
+        try:
+            got = json.loads(server.generate(
+                "Navigate", max_tokens=50, tool_names=["go", "stop"]))
+        finally:
+            server.close()
+        for obj in (want, got):
+            assert obj["tool_call"]["name"] in ("go", "stop")
+            assert isinstance(obj["tool_call"]["arguments"], dict)

@@ -58,6 +58,12 @@ class Request:
     # characters across tokens; buffering makes streamed pieces
     # concatenate to exactly the final decode).
     _decoder: Optional[Any] = None
+    # Structured output: constrain generation to a valid tool-call JSON
+    # naming one of these tools (llm/grammar.py ToolCallGrammar — the
+    # same GBNF-contract acceptor the interactive runner uses, at
+    # server scale). Grammar slots decode on the per-step path (masks
+    # are host-applied per token).
+    tool_names: Optional[List[str]] = None
 
 
 @dataclasses.dataclass
@@ -68,6 +74,8 @@ class _Slot:
     next_token: int = 0
     host_len: int = 0  # mirrors cache.lengths[slot] (no device sync)
     seq_id: Optional[int] = None  # paged mode: pool sequence handle
+    grammar: Optional[Any] = None  # ToolCallGrammar for constrained slots
+    finish_next: bool = False  # grammar closed: emit next_token, then end
 
     @property
     def active(self) -> bool:
@@ -167,7 +175,7 @@ class LLMServer:
     def submit(self, prompt: str, max_tokens: int = 64,
                temperature: float = 0.0,
                repetition_penalty: float = 1.1,
-               on_token=None) -> Future:
+               on_token=None, tool_names=None) -> Future:
         """Enqueue a generation; the Future resolves to the text.
 
         ``on_token``: optional callable(text_piece) streamed from the
@@ -183,15 +191,17 @@ class LLMServer:
             raise RuntimeError("server is closed")
         req = Request(prompt, max_tokens, temperature,
                       repetition_penalty=repetition_penalty,
-                      on_token=on_token)
+                      on_token=on_token, tool_names=tool_names)
         self._queue.put(req)
         return req.future
 
     def generate(self, prompt: str, max_tokens: int = 64,
                  temperature: float = 0.0, timeout: float = 300.0,
-                 repetition_penalty: float = 1.1) -> str:
+                 repetition_penalty: float = 1.1,
+                 tool_names=None) -> str:
         return self.submit(prompt, max_tokens, temperature,
-                           repetition_penalty).result(timeout)
+                           repetition_penalty,
+                           tool_names=tool_names).result(timeout)
 
     # ------------------------------------------------------------------
 
@@ -300,7 +310,14 @@ class LLMServer:
             slot.generated = []
             slot.n_emitted = 0
             slot.host_len = len(ids)
-            if req.temperature <= 0:
+            slot.grammar = None
+            slot.finish_next = False
+            if req.tool_names:
+                from trackiellm_tpu.llm.grammar import ToolCallGrammar
+
+                slot.grammar = ToolCallGrammar(list(req.tool_names))
+                slot.next_token = self._pick_constrained(slot, logits)
+            elif req.temperature <= 0:
                 pending.append((slot, logits))  # fetched by the wave
             else:
                 slot.next_token = self._sample_one(logits, req, [])
@@ -329,6 +346,24 @@ class LLMServer:
                 seq_cache = jax.tree.map(lambda x, r=row: x[r], caches_b)
                 settle(slot_idx, slot, req, ids, logits_b[row], seq_cache)
         flush()
+
+    def _pick_constrained(self, slot: _Slot, logits: jnp.ndarray) -> int:
+        """Choose the next token under the slot's grammar mask (greedy
+        or sampled), feed its text into the acceptor, and arm
+        finish_next when the grammar closes."""
+        mask = jnp.asarray(np.array(
+            slot.grammar.token_mask(self.tokenizer), bool))
+        req = slot.request
+        if req.temperature <= 0:
+            tid = int(sampling.greedy(logits, mask))
+        else:
+            self._key, sub = jax.random.split(self._key)
+            tid = int(sampling.sample(
+                logits, sub, jnp.float32(req.temperature), mask=mask))
+        slot.grammar.feed_text(self.tokenizer.decode_token(tid))
+        if slot.grammar.done:
+            slot.finish_next = True
+        return tid
 
     def _sample_one(self, logits: jnp.ndarray, req: Request,
                     recent: List[int]) -> int:
@@ -378,6 +413,16 @@ class LLMServer:
         if req is not None:
             self._stream(req, -1, final=True)  # flush decoder tail
         text = self.tokenizer.decode(slot.generated)
+        if slot.grammar is not None and not slot.grammar.done:
+            # Budget exhausted mid-structure: emit the grammar's
+            # minimal valid closure so the contract (never-invalid
+            # JSON) holds — same semantics as the runner's
+            # budget-forced closure.
+            closure = slot.grammar.closure()
+            if closure and slot.grammar.feed_text(closure):
+                text += closure
+        slot.grammar = None
+        slot.finish_next = False
         slot.request = None
         if self.paged and slot.seq_id is not None:
             self.pool.free_sequence(slot.seq_id)  # pages return instantly
@@ -427,6 +472,7 @@ class LLMServer:
                 continue
             req = slot.request
             if (req.temperature > 0
+                    or slot.grammar is not None
                     or req.max_tokens - (slot.n_emitted + offset) < k
                     or self.cfg.max_seq - 1 - (slot.host_len + offset) < k):
                 return False
@@ -640,6 +686,21 @@ class LLMServer:
                 slot.n_emitted += 1
                 slot.host_len += 1
                 self.stats["tokens"] += 1
+                if slot.finish_next:
+                    # The grammar closed on the token just committed.
+                    self._finish(slot)
+                    continue
+                if slot.grammar is not None:
+                    # Budget check BEFORE picking: the acceptor feeds
+                    # at pick time, so a picked-but-never-committed
+                    # token would desync the closure by one character.
+                    if (slot.n_emitted >= req.max_tokens
+                            or slot.host_len >= self.cfg.max_seq - 1):
+                        self._finish(slot)  # budget-forced closure
+                    else:
+                        slot.next_token = self._pick_constrained(
+                            slot, logits[i])
+                    continue
                 if req.temperature <= 0:
                     nxt = int(greedy_all[i])
                 else:
