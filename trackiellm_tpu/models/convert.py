@@ -170,6 +170,8 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         sliding_window=int(md.get(f"{arch}.attention.sliding_window",
                                   key("context_length", 4096))),
         qkv_bias=qkv_bias,
+        n_experts=int(md.get(f"{arch}.expert_count", 0)),
+        n_experts_used=int(md.get(f"{arch}.expert_used_count", 2)),
         **extra,
     )
 
@@ -245,6 +247,18 @@ def gguf_to_llm_params(
             return jnp.asarray(w, dtype)
         return quantize(jnp.asarray(w, jnp.float32), group)
 
+    def maybe_quant_experts(w: np.ndarray):
+        """(E, K, N) expert bank -> per-expert quantized stack."""
+        if quantize is None:
+            return jnp.asarray(w, dtype)
+        from trackiellm_tpu.ops.quant import QuantizedLinear
+
+        qs = [quantize(jnp.asarray(w[e], jnp.float32), group)
+              for e in range(w.shape[0])]
+        return QuantizedLinear(
+            values=jnp.stack([q.values for q in qs]),
+            scales=jnp.stack([q.scales for q in qs]))
+
     def stack(items):
         if quantize is None:
             return jnp.stack(items)
@@ -258,6 +272,7 @@ def gguf_to_llm_params(
     attn_norm, mlp_norm = [], []
     attn_post_norm, mlp_post_norm = [], []
     qkv_bias = []
+    moe_gate = []
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
         attn_norm.append(vec(f"{p}.attn_norm.weight"))
@@ -285,14 +300,30 @@ def gguf_to_llm_params(
                 vec(f"{p}.attn_v.bias")]))
         wqkv.append(maybe_quant(qkv))
         wo.append(maybe_quant(mat(f"{p}.attn_output.weight")))
-        if f"{p}.ffn_gate.weight" in gguf.tensors:
-            gu = np.concatenate([mat(f"{p}.ffn_gate.weight"),
-                                 mat(f"{p}.ffn_up.weight")], axis=1)
+        if cfg.n_experts:
+            # Mixtral expert banks (llama.cpp 3D tensors, expert-major):
+            # ffn_{gate,up}_exps (E, H, D) -> (E, D, 2H) fused;
+            # ffn_down_exps (E, D, H) -> (E, H, D); router (E, D) -> (D, E).
+            moe_gate.append(jnp.asarray(
+                load_gguf_tensor(gguf, f"{p}.ffn_gate_inp.weight").T,
+                dtype))
+            g = load_gguf_tensor(gguf, f"{p}.ffn_gate_exps.weight")
+            u = load_gguf_tensor(gguf, f"{p}.ffn_up_exps.weight")
+            dn = load_gguf_tensor(gguf, f"{p}.ffn_down_exps.weight")
+            gu = np.concatenate([g.transpose(0, 2, 1),
+                                 u.transpose(0, 2, 1)], axis=2)
+            w_gu.append(maybe_quant_experts(np.ascontiguousarray(gu)))
+            w_down.append(maybe_quant_experts(
+                np.ascontiguousarray(dn.transpose(0, 2, 1))))
         else:
-            # Phi-3-style pre-fused gate_up ([gate; up] rows in GGUF).
-            gu = mat(f"{p}.ffn_up.weight")
-        w_gu.append(maybe_quant(gu))
-        w_down.append(maybe_quant(mat(f"{p}.ffn_down.weight")))
+            if f"{p}.ffn_gate.weight" in gguf.tensors:
+                gu = np.concatenate([mat(f"{p}.ffn_gate.weight"),
+                                     mat(f"{p}.ffn_up.weight")], axis=1)
+            else:
+                # Phi-3-style pre-fused gate_up ([gate; up] rows).
+                gu = mat(f"{p}.ffn_up.weight")
+            w_gu.append(maybe_quant(gu))
+            w_down.append(maybe_quant(mat(f"{p}.ffn_down.weight")))
         log.info("converted layer %d/%d", i + 1, cfg.n_layers)
 
     tok_emb = load_gguf_tensor(gguf, "token_embd.weight")  # (V, D)
@@ -319,6 +350,8 @@ def gguf_to_llm_params(
     if cfg.post_norms:
         layers["attn_post_norm"] = jnp.stack(attn_post_norm)
         layers["mlp_post_norm"] = jnp.stack(mlp_post_norm)
+    if cfg.n_experts:
+        layers["moe_gate"] = jnp.stack(moe_gate)
     params: Dict[str, Any] = {
         "tok_emb": jnp.asarray(tok_emb, dtype),
         "layers": layers,
@@ -435,6 +468,89 @@ def phi3_from_hf(
             rope_factors_short, jnp.float32)
         params["rope_factors_long"] = jnp.asarray(
             rope_factors_long, jnp.float32)
+    return params, cfg
+
+
+def mixtral_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 1e6,
+    head_dim: int = 0,
+    n_experts_used: int = 2,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Mixtral state dict (block_sparse_moe:
+    gate + experts.N.{w1,w2,w3}) to (params, LLMConfig). w1 = gate,
+    w3 = up (fused into the expert w_gu bank), w2 = down; the router
+    transposes to (D, E)."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.block_sparse_moe.experts.0.w1.weight"
+               ).shape[0]
+    n_experts = len({k.split(".")[5] for k in state
+                     if ".block_sparse_moe.experts." in k})
+    # Head count is not shape-derivable from fused widths alone; the
+    # published Mixtrals use head_dim 128 — pass head_dim otherwise.
+    hd = head_dim or (128 if dim % 128 == 0 else dim // 32)
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, n_experts=n_experts,
+        n_experts_used=n_experts_used)
+
+    wqkv, wo, w_gu, w_down = [], [], [], []
+    attn_norm, mlp_norm, moe_gate = [], [], []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        attn_norm.append(jnp.asarray(
+            A(f"{pre}.input_layernorm.weight"), dtype))
+        mlp_norm.append(jnp.asarray(
+            A(f"{pre}.post_attention_layernorm.weight"), dtype))
+        wqkv.append(jnp.asarray(np.concatenate([
+            A(f"{pre}.self_attn.q_proj.weight").T,
+            A(f"{pre}.self_attn.k_proj.weight").T,
+            A(f"{pre}.self_attn.v_proj.weight").T], axis=1), dtype))
+        wo.append(jnp.asarray(A(f"{pre}.self_attn.o_proj.weight").T,
+                              dtype))
+        moe_gate.append(jnp.asarray(
+            A(f"{pre}.block_sparse_moe.gate.weight").T, dtype))
+        gus, downs = [], []
+        for e in range(n_experts):
+            ep = f"{pre}.block_sparse_moe.experts.{e}"
+            gus.append(np.concatenate([A(f"{ep}.w1.weight").T,
+                                       A(f"{ep}.w3.weight").T], axis=1))
+            downs.append(A(f"{ep}.w2.weight").T)
+        w_gu.append(jnp.asarray(np.stack(gus), dtype))
+        w_down.append(jnp.asarray(np.stack(downs), dtype))
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {
+            "attn_norm": jnp.stack(attn_norm),
+            "wqkv": jnp.stack(wqkv),
+            "wo": jnp.stack(wo),
+            "mlp_norm": jnp.stack(mlp_norm),
+            "moe_gate": jnp.stack(moe_gate),
+            "w_gu": jnp.stack(w_gu),
+            "w_down": jnp.stack(w_down),
+        },
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
     return params, cfg
 
 

@@ -78,6 +78,13 @@ class LLMConfig(NamedTuple):
     # in both regimes).
     rope_original_max_seq: int = 0
     rope_attention_factor: float = 1.0
+    # Mixtral-style sparse MoE MLP: n_experts > 0 replaces the dense
+    # SwiGLU with per-layer expert banks (layers.w_gu/w_down grow a
+    # leading expert axis; layers.moe_gate is the router) and top-k
+    # routing with renormalized softmax weights. Inference-only; the
+    # fine-tuning path (parallel/train.py) stays dense.
+    n_experts: int = 0
+    n_experts_used: int = 2
 
     @classmethod
     def mistral_7b(cls) -> "LLMConfig":
@@ -114,6 +121,15 @@ class LLMConfig(NamedTuple):
                    n_kv_heads=32, head_dim=96, hidden_dim=8192,
                    rope_theta=10000.0, max_seq=4096,
                    sliding_window=2047)
+
+    @classmethod
+    def mixtral_8x7b(cls) -> "LLMConfig":
+        """Mixtral-8x7B: Mistral attention geometry + 8-expert top-2
+        sparse MoE MLP, theta 1e6, no sliding window."""
+        return cls(vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+                   n_kv_heads=8, head_dim=128, hidden_dim=14336,
+                   rope_theta=1e6, max_seq=8192, sliding_window=8192,
+                   n_experts=8, n_experts_used=2)
 
     @classmethod
     def gemma2_2b(cls) -> "LLMConfig":
@@ -169,9 +185,14 @@ def init_params(key: jax.Array, cfg: LLMConfig,
         "wqkv": w(keys[1], l, d, qd + 2 * kvd),
         "wo": w(keys[4], l, qd, d),
         "mlp_norm": jnp.ones((l, d), dtype),
-        "w_gu": w(keys[5], l, d, 2 * h),
-        "w_down": w(keys[7], l, h, d),
     }
+    if cfg.n_experts:
+        layers["moe_gate"] = w(keys[8], l, d, cfg.n_experts)
+        layers["w_gu"] = w(keys[5], l, cfg.n_experts, d, 2 * h)
+        layers["w_down"] = w(keys[7], l, cfg.n_experts, h, d)
+    else:
+        layers["w_gu"] = w(keys[5], l, d, 2 * h)
+        layers["w_down"] = w(keys[7], l, h, d)
     if cfg.qkv_bias:
         layers["wqkv_bias"] = (jax.random.normal(
             keys[9], (l, qd + 2 * kvd), jnp.float32) * 0.02).astype(dtype)
@@ -197,7 +218,19 @@ def quantize_params(params: Dict[str, Any], bits: int = 4,
     out = dict(params)
     layers = dict(params["layers"])
     for name in _QUANTIZABLE:
-        stacked = layers[name]  # (L, K, N)
+        stacked = layers[name]  # (L, K, N) or MoE (L, E, K, N)
+        if stacked.ndim == 4:
+            per_l = []
+            for i in range(stacked.shape[0]):
+                qs = [quantize(stacked[i, e], group)
+                      for e in range(stacked.shape[1])]
+                per_l.append(QuantizedLinear(
+                    values=jnp.stack([q.values for q in qs]),
+                    scales=jnp.stack([q.scales for q in qs])))
+            layers[name] = QuantizedLinear(
+                values=jnp.stack([q.values for q in per_l]),
+                scales=jnp.stack([q.scales for q in per_l]))
+            continue
         qs = [quantize(stacked[i], group) for i in range(stacked.shape[0])]
         layers[name] = QuantizedLinear(
             values=jnp.stack([q.values for q in qs]),
@@ -307,8 +340,54 @@ def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
     return x + out
 
 
+def _expert_slice(w, e: int):
+    """Static expert slice of a stacked (E, ...) weight (bf16 array or
+    QuantizedLinear whose values/scales carry the expert axis)."""
+    if isinstance(w, QuantizedLinear):
+        return QuantizedLinear(values=w.values[e], scales=w.scales[e])
+    return w[e]
+
+
+def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
+    """Mixtral sparse-MoE MLP: softmax router -> top-k -> renormalized
+    weights -> weighted expert SwiGLUs -> +residual.
+
+    All experts compute, weighted by a (tokens, E) matrix that is zero
+    off the top-k (static shapes, no data-dependent gathers — the
+    XLA-friendly formulation; a top-k-only weight gather would make
+    every matmul's operand data-dependent). At n_experts=8 / top-2 the
+    dense-all-experts MLP costs 4x the FLOPs/bandwidth of the routed
+    minimum — acceptable at serving batch sizes where expert hit-rate
+    approaches 1 anyway; a sort-by-expert prefill path is future work.
+    """
+    h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    logits = _linear(h2, layer["moe_gate"]).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)                 # (T, E)
+    topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    weights = jnp.sum(
+        jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
+        * topv[..., None], axis=-2)                          # (T, E)
+    out = jnp.zeros(x.shape, jnp.float32)
+    for e in range(cfg.n_experts):
+        gu = _linear(h2, _expert_slice(layer["w_gu"], e)).astype(
+            jnp.float32)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        gated = (jax.nn.silu(gate) if cfg.act == "silu"
+                 else jax.nn.gelu(gate, approximate=True))
+        y = _linear((gated * up).astype(x.dtype),
+                    _expert_slice(layer["w_down"], e))
+        out = out + weights[:, e:e + 1] * y.astype(jnp.float32)
+    out = out.astype(x.dtype)
+    if cfg.post_norms:
+        out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
+    return x + out
+
+
 def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     """Config-aware wrapper every forward body calls."""
+    if cfg.n_experts:
+        return _moe_block(x, layer, cfg)
     return _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
                       layer["w_down"], cfg.norm_eps, act=cfg.act,
                       post_norm=layer.get("mlp_post_norm"))
