@@ -171,3 +171,40 @@ class TestMixtral:
             finally:
                 server.close()
         assert outs["chunked"] == outs["per_step"]
+
+
+class TestMoEOnMesh:
+    def test_tp_server_serves_moe(self):
+        """LLMServer(mesh=...) on a MoE config: expert banks split
+        Megatron-style within each expert (experts replicated), and the
+        tp serve loop byte-matches itself per-step vs chunked. (A
+        small-vocab config so ByteTokenizer yields real text; vs-
+        single-device identity cannot hold — psum reduction order
+        legally flips greedy near-ties.)"""
+        from jax.sharding import Mesh
+
+        from trackiellm_tpu.llm.server import LLMServer
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        cfg = llm_model.LLMConfig.tiny()._replace(n_experts=4,
+                                                  n_experts_used=2)
+        params = llm_model.init_params(jax.random.PRNGKey(11), cfg,
+                                       dtype=jnp.float32)
+        assert params["layers"]["w_gu"].ndim == 4
+        # tp=2: the tiny config has 2 KV heads (tp must divide them).
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                    ("dp", "fsdp", "tp"))
+        prompts = ["ola", "descreva a cena"]
+        outs = {}
+        for label, chunk in (("per_step", 1), ("chunked", 4)):
+            server = LLMServer(params, cfg, batch_slots=2,
+                               tokenizer=ByteTokenizer(cfg.vocab_size),
+                               cache_dtype=jnp.float32,
+                               chunk_steps=chunk, mesh=mesh)
+            try:
+                outs[label] = [server.generate(p, max_tokens=9)
+                               for p in prompts]
+            finally:
+                server.close()
+        assert outs["chunked"] == outs["per_step"]
+        assert any(outs["per_step"])

@@ -70,8 +70,21 @@ def infer_param_shardings(mesh: Mesh, quantized: bool,
         for key in ("wqkv_bias", "attn_post_norm", "mlp_post_norm"):
             if key in params["layers"]:
                 tree["layers"][key] = _ns(mesh, None, None)
-        if "rope_factors" in params:
-            tree["rope_factors"] = _ns(mesh, None)
+        for key in ("rope_factors", "rope_factors_short",
+                    "rope_factors_long"):
+            if key in params:
+                tree[key] = _ns(mesh, None)
+        if "moe_gate" in params["layers"]:
+            # MoE banks (L, E, K, N): Megatron-style split WITHIN each
+            # expert (experts replicated — the expert loop slices the E
+            # axis statically, which must stay local). Router replicated.
+            tree["layers"]["moe_gate"] = _ns(mesh, None, None, None)
+            tree["layers"]["w_gu"] = (
+                _q(mesh, None, None, None, "tp") if quantized
+                else _ns(mesh, None, None, None, "tp"))
+            tree["layers"]["w_down"] = (
+                _q(mesh, None, None, "tp", None) if quantized
+                else _ns(mesh, None, None, "tp", None))
     return tree
 
 
