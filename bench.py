@@ -12,9 +12,14 @@ device — as the stand-in until a measured reference lands.
 
 Method: random-init Q4 weights with a time-derived seed (decode speed is
 weight-value-independent; fresh weights defeat any execution memoization
-in the serving stack), prefill a 128-token bucket, then time a host-driven
-greedy decode loop where every step's inputs differ (token feedback +
-growing cache), so every step genuinely executes on the chip.
+in the serving stack), prefill a 128-token bucket, then time the
+PRODUCTION decode path: k-token greedy lookahead chunks
+(``decode_chunk_greedy``, k=4 — LLMRunner.generate's default), with the
+token array value-fetched once per chunk. The emitted chain is byte-
+identical to the serial decode_step loop (tested,
+tests/test_llm_runner.py); the chunk program just stops paying the
+non-pipelining ~2.6 ms relay fetch per token (PERF_NOTES.md round-3:
+per-step loop ~94 tok/s, chunked ~101).
 """
 
 import json
@@ -49,22 +54,22 @@ def main() -> None:
                                       cache)
     logits.block_until_ready()
 
-    # Bucketed attention: the live prefix (128 prompt + <40 generated)
+    import numpy as np
+
+    # Bucketed attention: the live prefix (128 prompt + <56 generated)
     # fits the 256 bucket, so decode reads 34 MB of cache instead of
     # 134 MB per token (the runner picks this bucket automatically).
-    tok = jnp.argmax(logits).astype(jnp.int32)
+    K = 4  # GenerationConfig.lookahead default
     for _ in range(N_WARMUP):
-        logits, cache = llm_model.decode_step(params, cfg, tok, cache,
-                                              attn_len=256)
-        tok = jnp.argmax(logits).astype(jnp.int32)
-    int(tok)  # value fetch = the only trustworthy sync through this stack
+        toks, logits, cache = llm_model.decode_chunk_greedy(
+            params, cfg, logits, cache, n_tokens=K, attn_len=256)
+        np.asarray(toks)  # value fetch = the only trustworthy sync here
 
     t0 = time.perf_counter()
-    for _ in range(N_DECODE):
-        logits, cache = llm_model.decode_step(params, cfg, tok, cache,
-                                              attn_len=256)
-        tok = jnp.argmax(logits).astype(jnp.int32)
-    int(tok)  # forces completion of the full dependency chain
+    for _ in range(N_DECODE // K):
+        toks, logits, cache = llm_model.decode_chunk_greedy(
+            params, cfg, logits, cache, n_tokens=K, attn_len=256)
+        np.asarray(toks)  # per-chunk fetch, exactly the runner's cadence
     dt = time.perf_counter() - t0
 
     toks_per_s = N_DECODE / dt

@@ -208,3 +208,48 @@ class TestMoEOnMesh:
                 server.close()
         assert outs["chunked"] == outs["per_step"]
         assert any(outs["per_step"])
+
+
+class TestRoutedMoE:
+    """The sorted grouped-matmul (ragged_dot) path is mathematically the
+    same top-k mixture as the dense-all-experts loop — assert it
+    numerically, eager (env lever is read at trace time, so eager
+    execution keeps both variants out of any jit cache)."""
+
+    def _logits(self, monkeypatch, mode, T=48):
+        monkeypatch.setenv("TRACKIE_MOE_ROUTED", mode)
+        cfg = llm_model.LLMConfig.tiny()._replace(n_experts=4,
+                                                  n_experts_used=2)
+        params = llm_model.init_params(jax.random.PRNGKey(5), cfg,
+                                       dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(6), (T,), 0,
+                                    cfg.vocab_size)
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        with jax.disable_jit():
+            logits, _ = llm_model.prefill(
+                params, cfg, tokens.astype(jnp.int32), jnp.int32(T),
+                cache)
+        return np.asarray(logits, np.float64)
+
+    def test_routed_matches_dense(self, monkeypatch):
+        dense = self._logits(monkeypatch, "0")
+        routed = self._logits(monkeypatch, "1")
+        np.testing.assert_allclose(routed, dense, rtol=2e-4, atol=2e-4)
+
+    def test_auto_threshold(self, monkeypatch):
+        """auto keys on dense-MLP FLOP volume: on for Mixtral-scale
+        prefill, off for small models / decode-sized batches /
+        quantized banks (the measured crossover, PERF_NOTES round-3)."""
+        monkeypatch.setenv("TRACKIE_MOE_ROUTED", "auto")
+        big = jax.ShapeDtypeStruct((8, 4096, 28672), jnp.bfloat16)
+        small = jax.ShapeDtypeStruct((8, 1024, 7168), jnp.bfloat16)
+        assert llm_model._moe_use_routed(512, big)      # Mixtral prefill
+        assert not llm_model._moe_use_routed(2, big)    # decode batch
+        assert not llm_model._moe_use_routed(512, small)
+        cfg = llm_model.LLMConfig.tiny()._replace(n_experts=4,
+                                                  n_experts_used=2)
+        params = llm_model.init_params(jax.random.PRNGKey(5), cfg,
+                                       dtype=jnp.float32)
+        from trackiellm_tpu.ops.quant import quantize_q8
+        qw = quantize_q8(np.asarray(params["layers"]["w_gu"][0][0]))
+        assert not llm_model._moe_use_routed(4096, qw)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -348,23 +349,94 @@ def _expert_slice(w, e: int):
     return w[e]
 
 
+def _moe_use_routed(n_tokens: int, w_gu) -> bool:
+    """Pick the sorted grouped-matmul path where it measured faster.
+
+    ``TRACKIE_MOE_ROUTED``: "1" forces it, "0" disables, default
+    "auto" keys on the dense-all-experts MLP FLOP volume: per-process
+    v5e A/Bs (PERF_NOTES round-3) showed routed 1.29x faster at
+    D=2048/H=7168/E=8/T=2048 (1.4e12 dense FLOPs/layer) but ~8% SLOWER
+    at D=1024/H=3584/T<=512 (<=9e10) where the sort/gather/scatter and
+    ragged-lowering overheads beat the saving — the crossover sits
+    between, so auto enables above 5e11. Quantized/LoRA expert banks
+    stay on the dense loop (``lax.ragged_dot`` needs a dense (E, K, N)
+    rhs; at decode batch sizes the packed-weight read is the bound
+    anyway)."""
+    if isinstance(w_gu, QuantizedLinear) or hasattr(w_gu, "base"):
+        return False
+    mode = os.environ.get("TRACKIE_MOE_ROUTED", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    n_experts, d, n2 = w_gu.shape
+    dense_mlp_flops = 2 * n_tokens * n_experts * d * n2 * 1.5
+    return dense_mlp_flops >= 5e11
+
+
+def _grouped_dot(xs: jnp.ndarray, bank: jnp.ndarray,
+                 group_sizes: jnp.ndarray) -> jnp.ndarray:
+    """rows [off_g : off_g+size_g] @ bank[g] for each group, f32 out.
+
+    ``lax.ragged_dot`` on every backend. Measured per-process on the
+    v5e (PERF_NOTES round-3, D=2048/H=7168/E=8/K=2/L=8, T=2048 bf16
+    prefill): dense-all-experts 115.9 ms, ragged_dot-routed 90.0 ms
+    (1.29x), MegaBlocks-style Pallas gmm
+    (jax.experimental.pallas.ops.tpu.megablox) 399 ms — the shipped
+    gmm kernel is 3.4x SLOWER than dense through this stack, so the
+    XLA ragged HLO is the winner, not the Pallas path."""
+    return jax.lax.ragged_dot(xs, bank, group_sizes.astype(jnp.int32),
+                              preferred_element_type=jnp.float32)
+
+
+def _moe_routed(h2: jnp.ndarray, topv: jnp.ndarray, topi: jnp.ndarray,
+                layer, cfg: LLMConfig) -> jnp.ndarray:
+    """Dropless routed MoE: stable-sort the (T*K) token-slot list by
+    expert, grouped-matmul each contiguous expert run against its bank,
+    and scatter-add the weighted outputs back. Exact top-k semantics at
+    K/E of the dense-all-experts FLOPs; every shape static."""
+    T = h2.shape[0]
+    K = cfg.n_experts_used
+    flat_expert = topi.reshape(-1)                           # (T*K,)
+    order = jnp.argsort(flat_expert, stable=True)
+    src_tok = order // K                                     # (T*K,)
+    xs = jnp.take(h2, src_tok, axis=0)                       # (T*K, D)
+    group_sizes = jnp.bincount(flat_expert, length=cfg.n_experts)
+    gu = _grouped_dot(xs, layer["w_gu"], group_sizes)        # (T*K, 2H)
+    gate, up = jnp.split(gu, 2, axis=-1)
+    gated = (jax.nn.silu(gate) if cfg.act == "silu"
+             else jax.nn.gelu(gate, approximate=True))
+    ys = _grouped_dot((gated * up).astype(h2.dtype), layer["w_down"],
+                      group_sizes)                           # (T*K, D)
+    wts = jnp.take(topv.reshape(-1), order)                  # (T*K,)
+    return jnp.zeros((T, h2.shape[1]), jnp.float32).at[src_tok].add(
+        ys * wts[:, None])
+
+
 def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     """Mixtral sparse-MoE MLP: softmax router -> top-k -> renormalized
     weights -> weighted expert SwiGLUs -> +residual.
 
-    All experts compute, weighted by a (tokens, E) matrix that is zero
-    off the top-k (static shapes, no data-dependent gathers — the
-    XLA-friendly formulation; a top-k-only weight gather would make
-    every matmul's operand data-dependent). At n_experts=8 / top-2 the
-    dense-all-experts MLP costs 4x the FLOPs/bandwidth of the routed
-    minimum — acceptable at serving batch sizes where expert hit-rate
-    approaches 1 anyway; a sort-by-expert prefill path is future work.
+    Two formulations, same math (exactness-tested against each other):
+
+    - **dense-all-experts** (decode / quantized banks): every expert
+      computes, weighted by a (T, E) matrix that is zero off the
+      top-k. No data-dependent gathers; at decode batch sizes the
+      weight read dominates so the extra FLOPs are free.
+    - **routed** (prefill-sized T, bf16 banks): sort token-slots by
+      expert and grouped-matmul via ``lax.ragged_dot`` — K/E of the
+      dense FLOPs (4x at Mixtral's 8/top-2). See _moe_routed.
     """
     h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
     logits = _linear(h2, layer["moe_gate"]).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)                 # (T, E)
     topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
     topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if _moe_use_routed(x.shape[0], layer["w_gu"]):
+        out = _moe_routed(h2, topv, topi, layer, cfg).astype(x.dtype)
+        if cfg.post_norms:
+            out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
+        return x + out
     weights = jnp.sum(
         jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
         * topv[..., None], axis=-2)                          # (T, E)
