@@ -253,3 +253,31 @@ class TestRoutedMoE:
         from trackiellm_tpu.ops.quant import quantize_q8
         qw = quantize_q8(np.asarray(params["layers"]["w_gu"][0][0]))
         assert not llm_model._moe_use_routed(4096, qw)
+
+
+class TestMoEPaged:
+    def test_paged_serving_matches_dense(self, oracle):
+        """MoE through the PAGED KV path (llm/paging.py reuses the same
+        MoE-aware _mlp layer body) byte-matches dense serving, per-step
+        and chunked."""
+        from trackiellm_tpu.llm.server import LLMServer
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        state, _, _ = oracle
+        params, cfg = C.mixtral_from_hf(state, head_dim=HD, max_seq=64,
+                                        rope_theta=10000.0,
+                                        dtype=jnp.float32)
+        tok = ByteTokenizer(cfg.vocab_size)
+        outs = {}
+        for label, paged, chunk in (("dense", False, 4),
+                                    ("paged", True, 1),
+                                    ("paged_chunked", True, 4)):
+            server = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                               cache_dtype=jnp.float32, paged=paged,
+                               page_size=16, chunk_steps=chunk)
+            try:
+                outs[label] = server.generate("ola", max_tokens=11)
+            finally:
+                server.close()
+        assert outs["paged"] == outs["dense"]
+        assert outs["paged_chunked"] == outs["dense"]
