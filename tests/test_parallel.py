@@ -62,6 +62,29 @@ class TestShardedTraining:
         assert np.isfinite(first) and np.isfinite(last)
         assert last < first * 0.5, (first, last)
 
+    def test_sequence_parallel_loss_matches(self):
+        """Megatron SP (residuals sharded over tp along the sequence)
+        is a layout change, not a math change: the loss must match the
+        replicated-activation layout on a tp=4 mesh."""
+        mesh = build_mesh(jax.devices()[:8], tp=4)
+        with mesh:
+            params, opt_state, opt = init_train_state(
+                jax.random.PRNGKey(1), TRAIN_CFG, mesh, lr=1e-3)
+            batch = jax.device_put(
+                jnp.tile(jnp.arange(64, dtype=jnp.int32)
+                         % TRAIN_CFG.vocab_size, (8, 1)),
+                data_sharding(mesh))
+            losses = {}
+            for sp in (False, True):
+                step = make_train_step(TRAIN_CFG, mesh, opt,
+                                       sequence_parallel=sp)
+                _, _, loss = step(jax.tree.map(jnp.copy, params),
+                                  jax.tree.map(jnp.copy, opt_state),
+                                  batch)
+                losses[sp] = float(loss)
+        np.testing.assert_allclose(losses[True], losses[False],
+                                   rtol=1e-5)
+
     def test_batched_forward_matches_unbatched_prefill(self):
         """The training forward and the inference prefill must agree on
         logits for the same weights."""

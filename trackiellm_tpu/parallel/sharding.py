@@ -53,6 +53,19 @@ def activation_spec() -> P:
     return P(("dp", "fsdp"), None, None)
 
 
+def sequence_spec() -> P:
+    """Megatron sequence parallelism: (B, S, D) residual activations
+    shard the SEQUENCE axis over tp in the norm/residual regions
+    between matmul blocks. Constraining the row-parallel matmul's
+    output to this spec makes GSPMD lower its psum as reduce-scatter
+    (and all-gather back at the next column-parallel matmul), so the
+    RMSNorm/residual math runs on 1/tp of the tokens and remat holds
+    1/tp of the residual bytes per chip — the standard Megatron-LM SP
+    recipe, expressed as a sharding constraint instead of manual
+    collectives."""
+    return P(("dp", "fsdp"), "tp", None)
+
+
 def heads_spec() -> P:
     """(B, S, H, D) attention tensors: heads sharded over tp."""
     return P(("dp", "fsdp"), None, "tp", None)

@@ -24,19 +24,29 @@ from trackiellm_tpu.parallel import sharding as shd
 
 
 def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
-                       tokens: jnp.ndarray) -> jnp.ndarray:
+                       tokens: jnp.ndarray,
+                       sequence_parallel: bool = False) -> jnp.ndarray:
     """Batched causal LM forward: (B, S) int32 -> (B, S, V) f32 logits.
 
     Layer-scanned like the inference path, with explicit sharding
     constraints on activations and attention heads, and rematerialization
     per layer (``jax.checkpoint``) to trade FLOPs for HBM during the
     backward pass.
+
+    ``sequence_parallel``: shard the residual stream's SEQUENCE axis
+    over tp in the norm/residual regions (:func:`shd.sequence_spec`) —
+    Megatron SP. GSPMD then lowers the row-parallel psums as
+    reduce-scatter and all-gathers back before each column-parallel
+    matmul; same math (loss equality tested on the virtual mesh),
+    1/tp the norm compute and residual remat bytes per chip.
     """
     b, s = tokens.shape
+    res_spec = (shd.sequence_spec() if sequence_parallel
+                else shd.activation_spec())
     freqs = llm_model._freqs(params, cfg, s)
     positions = jnp.arange(s)
     x = params["tok_emb"][tokens]  # (B, S, D)
-    x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
+    x = jax.lax.with_sharding_constraint(x, res_spec)
 
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -66,14 +76,14 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs,
                           vh.astype(jnp.float32)).reshape(b, s, -1)
         x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
-        x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
+        x = jax.lax.with_sharding_constraint(x, res_spec)
 
         h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
         gate, up = jnp.split(gu, 2, axis=-1)
         x = x + llm_model._linear((jax.nn.silu(gate) * up).astype(x.dtype),
                                   layer["w_down"])
-        x = jax.lax.with_sharding_constraint(x, shd.activation_spec())
+        x = jax.lax.with_sharding_constraint(x, res_spec)
         return x, None
 
     x, _ = jax.lax.scan(layer_fn, x, params["layers"])
@@ -81,9 +91,11 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     return llm_model._linear(x, params["lm_head"]).astype(jnp.float32)
 
 
-def lm_loss(params, cfg, tokens) -> jnp.ndarray:
+def lm_loss(params, cfg, tokens,
+            sequence_parallel: bool = False) -> jnp.ndarray:
     """Next-token cross-entropy over (B, S) tokens (shifted)."""
-    logits = lm_forward_batched(params, cfg, tokens)  # (B, S, V)
+    logits = lm_forward_batched(params, cfg, tokens,
+                                sequence_parallel)  # (B, S, V)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -115,13 +127,19 @@ def init_train_state(key: jax.Array, cfg: llm_model.LLMConfig, mesh: Mesh,
 
 
 def make_train_step(cfg: llm_model.LLMConfig, mesh: Mesh,
-                    opt: optax.GradientTransformation):
-    """Build the jitted, fully-sharded train step."""
+                    opt: optax.GradientTransformation,
+                    sequence_parallel: bool = True):
+    """Build the jitted, fully-sharded train step.
+
+    ``sequence_parallel`` defaults on: with tp=1 meshes the constraint
+    is a no-op, and with tp>1 it is the strictly better layout (see
+    lm_forward_batched)."""
     p_shard = shd.param_shardings(mesh)
     d_shard = shd.data_sharding(mesh)
 
     def train_step(params, opt_state, tokens):
-        loss, grads = jax.value_and_grad(lm_loss)(params, cfg, tokens)
+        loss, grads = jax.value_and_grad(lm_loss)(
+            params, cfg, tokens, sequence_parallel=sequence_parallel)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
