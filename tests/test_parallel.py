@@ -85,6 +85,52 @@ class TestShardedTraining:
         np.testing.assert_allclose(losses[True], losses[False],
                                    rtol=1e-5)
 
+    def test_moe_training_loss_decreases(self):
+        """Mixtral-style MoE fine-tuning on the mesh: expert banks
+        Megatron-split within each expert, router trained jointly,
+        load-balancing aux loss applied — loss must fall on a
+        memorizable batch and the router must stay un-collapsed."""
+        from trackiellm_tpu.parallel.train import (
+            lm_forward_batched, moe_load_balancing_loss)
+
+        cfg = TRAIN_CFG._replace(n_experts=4, n_experts_used=2)
+        mesh = build_mesh(jax.devices()[:8])
+        with mesh:
+            params, opt_state, opt = init_train_state(
+                jax.random.PRNGKey(2), cfg, mesh, lr=3e-3)
+            assert params["layers"]["w_gu"].ndim == 4
+            step = make_train_step(cfg, mesh, opt)
+            batch = jax.device_put(
+                jnp.tile(jnp.arange(64, dtype=jnp.int32)
+                         % cfg.vocab_size, (8, 1)),
+                data_sharding(mesh))
+            first = None
+            for _ in range(20):
+                params, opt_state, loss = step(params, opt_state, batch)
+                if first is None:
+                    first = float(loss)
+            last = float(loss)
+            _, aux = lm_forward_batched(params, cfg, batch)
+            balance = float(moe_load_balancing_loss(aux, cfg))
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first * 0.5, (first, last)
+        # 1.0 = perfectly uniform; a collapsed router approaches E/K.
+        assert balance < 1.5, balance
+
+    def test_moe_aux_loss_uniform_is_one(self):
+        from trackiellm_tpu.parallel.train import moe_load_balancing_loss
+
+        cfg = TRAIN_CFG._replace(n_experts=4, n_experts_used=2)
+        T, E = 64, 4
+        probs = jnp.full((2, T, E), 1.0 / E)
+        # Round-robin dispatch: each token's top-2 spread uniformly.
+        w = np.zeros((2, T, E), np.float32)
+        for t in range(T):
+            w[:, t, t % E] = 0.5
+            w[:, t, (t + 1) % E] = 0.5
+        val = float(moe_load_balancing_loss((probs, jnp.asarray(w)), cfg))
+        np.testing.assert_allclose(val, 1.0, rtol=1e-6)
+
     def test_batched_forward_matches_unbatched_prefill(self):
         """The training forward and the inference prefill must agree on
         logits for the same weights."""

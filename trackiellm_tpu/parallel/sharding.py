@@ -27,7 +27,7 @@ def param_shardings(mesh: Mesh) -> Dict[str, Any]:
     def ns(*spec) -> NamedSharding:
         return NamedSharding(mesh, P(*spec))
 
-    return {
+    tree = {
         "tok_emb": ns("tp", "fsdp"),
         "layers": {
             "attn_norm": ns(None, None),
@@ -40,6 +40,24 @@ def param_shardings(mesh: Mesh) -> Dict[str, Any]:
         "out_norm": ns(None),
         "lm_head": ns("fsdp", "tp"),           # vocab-column-parallel
     }
+    return tree
+
+
+def param_shardings_moe(mesh: Mesh) -> Dict[str, Any]:
+    """MoE variant: expert banks (L, E, K, N) split Megatron-style
+    WITHIN each expert (same scheme as inference,
+    parallel/infer.py) — experts stay whole per shard because the
+    train forward's expert loop slices the E axis statically. The
+    router is replicated."""
+    base = param_shardings(mesh)
+
+    def ns(*spec) -> NamedSharding:
+        return NamedSharding(mesh, P(*spec))
+
+    base["layers"]["moe_gate"] = ns(None, None, None)
+    base["layers"]["w_gu"] = ns(None, None, "fsdp", "tp")
+    base["layers"]["w_down"] = ns(None, None, "tp", "fsdp")
+    return base
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -79,27 +79,79 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
         x = jax.lax.with_sharding_constraint(x, res_spec)
 
         h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + llm_model._linear((jax.nn.silu(gate) * up).astype(x.dtype),
-                                  layer["w_down"])
+        if cfg.n_experts:
+            # Sparse MoE MLP, dense-all-experts formulation — every
+            # expert computes, weighted by the zero-off-top-k (T, E)
+            # matrix. Differentiable end to end (top-k renormalized
+            # weights carry the router gradient), static shapes, and
+            # each expert matmul stays Megatron-sharded. Also collect
+            # the router probs for the Mixtral load-balancing aux loss.
+            flat = h2.reshape(b * s, -1)
+            logits_r = llm_model._linear(
+                flat, layer["moe_gate"]).astype(jnp.float32)
+            probs = jax.nn.softmax(logits_r, axis=-1)        # (T, E)
+            topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
+            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+            weights = jnp.sum(
+                jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
+                * topv[..., None], axis=-2)                  # (T, E)
+            out = jnp.zeros(flat.shape, jnp.float32)
+            for e in range(cfg.n_experts):
+                gu = llm_model._linear(
+                    flat, layer["w_gu"][e]).astype(jnp.float32)
+                gate, up = jnp.split(gu, 2, axis=-1)
+                y = llm_model._linear(
+                    (jax.nn.silu(gate) * up).astype(x.dtype),
+                    layer["w_down"][e])
+                out = out + weights[:, e:e + 1] * y.astype(jnp.float32)
+            x = x + out.astype(x.dtype).reshape(b, s, -1)
+            aux = (probs, weights)
+        else:
+            gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + llm_model._linear(
+                (jax.nn.silu(gate) * up).astype(x.dtype), layer["w_down"])
+            aux = None
         x = jax.lax.with_sharding_constraint(x, res_spec)
-        return x, None
+        return x, aux
 
-    x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+    x, aux = jax.lax.scan(layer_fn, x, params["layers"])
     x = llm_model._rms_norm(x, params["out_norm"], cfg.norm_eps)
-    return llm_model._linear(x, params["lm_head"]).astype(jnp.float32)
+    logits = llm_model._linear(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.n_experts:
+        return logits, aux
+    return logits
 
 
-def lm_loss(params, cfg, tokens,
-            sequence_parallel: bool = False) -> jnp.ndarray:
-    """Next-token cross-entropy over (B, S) tokens (shifted)."""
-    logits = lm_forward_batched(params, cfg, tokens,
-                                sequence_parallel)  # (B, S, V)
+def moe_load_balancing_loss(aux, cfg: llm_model.LLMConfig) -> jnp.ndarray:
+    """Mixtral/Switch load-balancing auxiliary loss, averaged over
+    layers: E * sum_e( frac_tokens_dispatched_e * mean_router_prob_e ).
+    1.0 at a perfectly uniform router; grows as experts collapse."""
+    probs, weights = aux                 # each (L, T, E)
+    dispatch = (weights > 0).astype(jnp.float32)
+    # Fraction of (token, k)-assignments landing on each expert —
+    # normalized by K so it sums to 1 over experts (the HF Mixtral
+    # convention, where uniform routing scores exactly 1.0).
+    frac = jnp.mean(dispatch, axis=1) / cfg.n_experts_used   # (L, E)
+    imp = jnp.mean(probs, axis=1)        # (L, E) mean router prob
+    return jnp.mean(cfg.n_experts * jnp.sum(frac * imp, axis=-1))
+
+
+def lm_loss(params, cfg, tokens, sequence_parallel: bool = False,
+            moe_aux_coef: float = 0.02) -> jnp.ndarray:
+    """Next-token cross-entropy over (B, S) tokens (shifted). MoE
+    configs add ``moe_aux_coef`` x the load-balancing loss (Mixtral's
+    router_aux_loss_coef default)."""
+    out = lm_forward_batched(params, cfg, tokens,
+                             sequence_parallel)  # (B, S, V)
+    logits, aux = out if cfg.n_experts else (out, None)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    loss = jnp.mean(nll)
+    if aux is not None and moe_aux_coef:
+        loss = loss + moe_aux_coef * moe_load_balancing_loss(aux, cfg)
+    return loss
 
 
 def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
@@ -111,7 +163,8 @@ def init_train_state(key: jax.Array, cfg: llm_model.LLMConfig, mesh: Mesh,
                      dtype=jnp.float32) -> Tuple[Dict, Any, Any]:
     """Sharded param + optimizer state init (params materialize directly
     in their shards via jit out_shardings — no full replica ever exists)."""
-    p_shard = shd.param_shardings(mesh)
+    p_shard = (shd.param_shardings_moe(mesh) if cfg.n_experts
+               else shd.param_shardings(mesh))
     opt = make_optimizer(lr)
 
     with mesh:
@@ -134,7 +187,8 @@ def make_train_step(cfg: llm_model.LLMConfig, mesh: Mesh,
     ``sequence_parallel`` defaults on: with tp=1 meshes the constraint
     is a no-op, and with tp>1 it is the strictly better layout (see
     lm_forward_batched)."""
-    p_shard = shd.param_shardings(mesh)
+    p_shard = (shd.param_shardings_moe(mesh) if cfg.n_experts
+               else shd.param_shardings(mesh))
     d_shard = shd.data_sharding(mesh)
 
     def train_step(params, opt_state, tokens):
