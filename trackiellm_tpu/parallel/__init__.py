@@ -9,9 +9,11 @@ shardings, let the compiler place psum/all-gather).
 
 Axes: ``dp`` (data parallel over batch), ``fsdp`` (parameter/optimizer
 sharding, also folded into the batch axis), ``tp`` (tensor parallel over
-attention heads / MLP hidden). Pipeline and expert axes do not apply to
-a dense single-tower Mistral (no MoE, depth scanned on one chip); the
-mesh builder still accepts them for forward compatibility.
+attention heads / MLP hidden, with Megatron sequence-parallel residuals
+in the train step), and ``pp`` (GPipe pipeline stages via shard_map +
+ppermute, `parallel/pipeline.py`). Expert parallelism is deliberately
+NOT an axis: MoE banks shard within-expert over tp instead — exact,
+one psum, no load-balance pathology (docs/ARCHITECTURE.md).
 """
 
 from trackiellm_tpu.parallel.infer import (  # noqa: F401
@@ -25,6 +27,11 @@ from trackiellm_tpu.parallel.mesh import build_mesh  # noqa: F401
 from trackiellm_tpu.parallel.sharding import (  # noqa: F401
     data_sharding,
     param_shardings,
+)
+from trackiellm_tpu.parallel.pipeline import (  # noqa: F401
+    init_pp_train_state,
+    make_pp_train_step,
+    pp_loss,
 )
 from trackiellm_tpu.parallel.train import (  # noqa: F401
     init_train_state,
