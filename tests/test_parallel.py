@@ -369,3 +369,42 @@ class TestPipelineParallel:
             last = float(loss)
         assert np.isfinite(first) and np.isfinite(last)
         assert last < first * 0.5, (first, last)
+
+
+class TestShardedCheckpoint:
+    def test_sharded_checkpoint_roundtrip(self, tmp_path):
+        """save_train_state/restore_train_state: sharded params AND
+        optimizer state survive a round trip onto the mesh, shardings
+        intact, and training continues identically from the restored
+        step."""
+        from trackiellm_tpu.parallel.train import (
+            restore_train_state, save_train_state)
+
+        mesh = build_mesh(jax.devices()[:8])
+        with mesh:
+            params, opt_state, opt = init_train_state(
+                jax.random.PRNGKey(7), TRAIN_CFG, mesh, lr=3e-3)
+            step = make_train_step(TRAIN_CFG, mesh, opt)
+            batch = jax.device_put(
+                jnp.tile(jnp.arange(64, dtype=jnp.int32)
+                         % TRAIN_CFG.vocab_size, (8, 1)),
+                data_sharding(mesh))
+            for _ in range(3):
+                params, opt_state, loss = step(params, opt_state, batch)
+            path = str(tmp_path / "ckpt")
+            save_train_state(path, params, opt_state, step=3)
+            p2, o2, opt2, at = restore_train_state(
+                path, TRAIN_CFG, mesh, lr=3e-3)
+            assert at == 3
+            jax.tree.map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)), params, p2)
+            assert (p2["layers"]["wqkv"].sharding
+                    == params["layers"]["wqkv"].sharding)
+            # Same state + same batch => the restored trajectory's next
+            # loss equals the original's.
+            step2 = make_train_step(TRAIN_CFG, mesh, opt2)
+            _, _, loss2 = step2(p2, o2, batch)
+            _, _, loss_ref = step(params, opt_state, batch)
+        np.testing.assert_allclose(float(loss2), float(loss_ref),
+                                   rtol=1e-6)

@@ -204,3 +204,55 @@ def make_train_step(cfg: llm_model.LLMConfig, mesh: Mesh,
         out_shardings=(p_shard, None, None),
         donate_argnums=(0, 1),
     )
+
+
+def save_train_state(path: str, params, opt_state, step: int = 0) -> None:
+    """Persist a (possibly sharded) train state with orbax — each host
+    writes its shards; restore re-places them on any compatible mesh.
+    The reference's persistence story is single-file model artifacts
+    (SURVEY.md section 5.4); this is the distributed-training analogue
+    the rebuild adds on top."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": params, "opt_state": opt_state,
+                      "step": jnp.int32(step)})
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, cfg: llm_model.LLMConfig, mesh: Mesh,
+                        lr: float = 1e-4, dtype=jnp.float32):
+    """Restore (params, opt_state, opt, step) sharded onto ``mesh``.
+
+    The abstract target (shapes + shardings for every leaf, including
+    the optimizer tree) comes from materializing a throwaway fresh
+    state via :func:`init_train_state` — simple and always consistent
+    with how training would lay the state out; the transient costs one
+    extra state's memory during restore."""
+    import orbax.checkpoint as ocp
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    params0, opt_state0, opt = init_train_state(
+        jax.random.PRNGKey(0), cfg, mesh, lr=lr, dtype=dtype)
+    # Leaves the init jit left on one device (optimizer scalars) are
+    # UNCOMMITTED there, so training jits reshard them freely — but a
+    # restored array is committed, so map those to replicated-on-mesh.
+    shardings = jax.tree.map(
+        lambda a: (a.sharding if isinstance(a.sharding, NamedSharding)
+                   else NamedSharding(mesh, PartitionSpec())),
+        {"params": params0, "opt_state": opt_state0})
+    target = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                       sharding=a.sharding),
+        {"params": params0, "opt_state": opt_state0,
+         "step": jnp.int32(0)})
+    del params0, opt_state0
+    restored = ocp.StandardCheckpointer().restore(path, target)
+    # Re-place explicitly: orbax can restore scalar leaves onto a single
+    # device even when the abstract target names a mesh sharding, and a
+    # mixed device set fails the next jitted step.
+    placed = jax.device_put({"params": restored["params"],
+                             "opt_state": restored["opt_state"]}, shardings)
+    return (placed["params"], placed["opt_state"], opt,
+            int(restored["step"]))
