@@ -33,6 +33,10 @@ from trackiellm_tpu.parallel.pipeline import (  # noqa: F401
     make_pp_train_step,
     pp_loss,
 )
+from trackiellm_tpu.parallel.ring import (  # noqa: F401
+    cp_lm_forward,
+    ring_attention,
+)
 from trackiellm_tpu.parallel.train import (  # noqa: F401
     init_train_state,
     lm_forward_batched,

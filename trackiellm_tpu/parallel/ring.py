@@ -1,0 +1,138 @@
+"""Context parallelism: exact ring attention over a ``cp`` mesh axis.
+
+Long-context prefill is quadratic in sequence and linear in activation
+memory — the axis that saturates one chip first. Here the SEQUENCE is
+sharded: each device holds an S/P block of Q, K and V, and K/V blocks
+rotate around the ring with ``jax.lax.ppermute`` (one neighbor hop per
+step, the cheapest ICI collective) while each device folds the visiting
+block into its queries' attention with an online-softmax accumulator
+(the flash-attention recurrence: running row-max m, normalizer l,
+weighted accumulator). After P hops every (q, k) pair has been scored
+exactly once — bit-for-the-same-math as single-device causal attention,
+tested against it.
+
+Causality falls out of the GLOBAL position mask computed per hop from
+the block offsets; blocks strictly in the future contribute nothing
+(their scores mask to -inf) — the simple schedule computes them anyway,
+which costs 2x the minimal causal FLOPs; a load-balanced zig-zag block
+assignment is the known fix and a later optimization.
+
+`cp_lm_forward` runs the full dense-model forward with the sequence
+sharded end to end (embedding lookup through lm_head) — activations
+per chip scale 1/P, so max context scales P-fold. Differentiable
+(ppermute/scan transpose cleanly), so it also serves long-context
+fine-tuning.
+
+The reference has no distributed compute (SURVEY.md section 2.10);
+this module is part of the rebuild's beyond-reference scaling story.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from trackiellm_tpu.models import llm as llm_model
+
+
+def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   axis_name: str, scale: float) -> jnp.ndarray:
+    """Exact causal attention with S sharded over ``axis_name``.
+
+    q, k, v: LOCAL blocks (Sb, H, Dh) — call inside shard_map. k/v
+    must already be repeated to the full head count (GQA upstream).
+    Returns the local (Sb, H, Dh) attention output in f32.
+    """
+    n_dev = jax.lax.psum(1, axis_name)
+    me = jax.lax.axis_index(axis_name)
+    sb = q.shape[0]
+    q32 = q.astype(jnp.float32) * scale
+    q_pos = me * sb + jnp.arange(sb)                       # global rows
+
+    def hop(carry, r):
+        kb, vb, m, l, acc = carry
+        src = (me - r) % n_dev                              # block origin
+        k_pos = src * sb + jnp.arange(sb)
+        scores = jnp.einsum("qhd,khd->hqk", q32, kb.astype(jnp.float32))
+        causal = q_pos[None, :, None] >= k_pos[None, None, :]
+        scores = jnp.where(causal, scores, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))    # (H, Sb)
+        # exp(-inf - -inf) guards: a fully-masked row keeps m = -inf;
+        # correction exp(m - m_new) with both -inf must be 1.
+        corr = jnp.exp(jnp.where(m == m_new, 0.0, m - m_new))
+        p = jnp.exp(scores - m_new[..., None])              # (H, Sb, Sk)
+        p = jnp.where(causal, p, 0.0)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = (acc * corr[..., None]
+               + jnp.einsum("hqk,khd->hqd", p, vb.astype(jnp.float32)))
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        return (kb, vb, m_new, l, acc), None
+
+    h = q.shape[1]
+    m0 = jnp.full((h, sb), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((h, sb), jnp.float32)
+    acc0 = jnp.zeros((h, sb, q.shape[2]), jnp.float32)
+    (_, _, _, l, acc), _ = jax.lax.scan(
+        hop, (k, v, m0, l0, acc0), jnp.arange(n_dev))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]            # (H, Sb, Dh)
+    return out.transpose(1, 0, 2)                           # (Sb, H, Dh)
+
+
+def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
+                  mesh: Mesh, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Full dense-model forward, (S,) tokens -> (S, V) logits, with the
+    sequence sharded over the mesh's ``cp`` axis end to end."""
+    assert not cfg.n_experts, "cp forward is dense-only for now"
+    (s,) = tokens.shape
+    n_dev = mesh.shape["cp"]
+    assert s % n_dev == 0, (s, n_dev)
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    rep = cfg.n_heads // cfg.n_kv_heads
+    scale = cfg.head_dim ** -0.5
+
+    from jax.experimental.shard_map import shard_map
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), params), P("cp")),
+        out_specs=P("cp", None), check_rep=False)
+    def run(prm, toks):
+        me = jax.lax.axis_index("cp")
+        sb = toks.shape[0]
+        positions = me * sb + jnp.arange(sb)
+        freqs = llm_model._freqs(prm, cfg, s)
+        x = prm["tok_emb"][toks]
+
+        def layer_fn(x, layer):
+            h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+            qkv = llm_model._linear(h, layer["wqkv"])
+            q = qkv[..., :qd].reshape(sb, cfg.n_heads, cfg.head_dim)
+            k = qkv[..., qd:qd + kvd].reshape(sb, cfg.n_kv_heads,
+                                              cfg.head_dim)
+            v = qkv[..., qd + kvd:].reshape(sb, cfg.n_kv_heads,
+                                            cfg.head_dim)
+            q = llm_model.apply_rope(q, positions, freqs)
+            k = llm_model.apply_rope(k, positions, freqs)
+            kh = jnp.repeat(k, rep, axis=1)
+            vh = jnp.repeat(v, rep, axis=1)
+            attn = ring_attention(q, kh, vh, "cp", scale).reshape(sb, -1)
+            x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
+            h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+            gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + llm_model._linear(
+                (jax.nn.silu(gate) * up).astype(x.dtype), layer["w_down"])
+            return x, None
+
+        x, _ = jax.lax.scan(layer_fn, x, prm["layers"])
+        x = llm_model._rms_norm(x, prm["out_norm"], cfg.norm_eps)
+        return llm_model._linear(x, prm["lm_head"]).astype(jnp.float32)
+
+    return run(params, tokens)
