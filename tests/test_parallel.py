@@ -413,9 +413,11 @@ class TestShardedCheckpoint:
 class TestRingAttention:
     """Context parallelism (parallel/ring.py): exact ring attention."""
 
-    def test_cp_forward_matches_single_device(self):
+    @pytest.mark.parametrize("zigzag", [True, False])
+    def test_cp_forward_matches_single_device(self, zigzag):
         """Full forward with the sequence sharded over cp=4 must equal
-        the plain batched forward (same weights, all S positions)."""
+        the plain batched forward (same weights, all S positions), in
+        both the load-balanced zig-zag and contiguous layouts."""
         from jax.sharding import Mesh
         from trackiellm_tpu.parallel.ring import cp_lm_forward
 
@@ -428,7 +430,7 @@ class TestRingAttention:
             ref = lm_forward_batched(params, cfg, tokens[None])[0]
         mesh = Mesh(np.array(jax.devices()[:4]), ("cp",))
         with mesh:
-            got = cp_lm_forward(params, cfg, mesh, tokens)
+            got = cp_lm_forward(params, cfg, mesh, tokens, zigzag=zigzag)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 

@@ -11,11 +11,13 @@ weighted accumulator). After P hops every (q, k) pair has been scored
 exactly once — bit-for-the-same-math as single-device causal attention,
 tested against it.
 
-Causality falls out of the GLOBAL position mask computed per hop from
-the block offsets; blocks strictly in the future contribute nothing
-(their scores mask to -inf) — the simple schedule computes them anyway,
-which costs 2x the minimal causal FLOPs; a load-balanced zig-zag block
-assignment is the known fix and a later optimization.
+Causality falls out of the GLOBAL position mask, computed per hop from
+position vectors that ride the ring with their K/V blocks — so ANY
+token-to-device assignment is exact. The default assignment is the
+load-balanced zig-zag (:func:`zigzag_permutation`): each device owns a
+front half-block plus its mirrored tail half-block, equalizing causal
+work per hop (contiguous blocks waste 2x — the first device masks off
+nearly everything it receives while the last computes it all).
 
 `cp_lm_forward` runs the full dense-model forward with the sequence
 sharded end to end (embedding lookup through lm_head) — activations
@@ -40,23 +42,36 @@ from trackiellm_tpu.models import llm as llm_model
 
 
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   axis_name: str, scale: float) -> jnp.ndarray:
+                   axis_name: str, scale: float,
+                   q_pos: jnp.ndarray = None,
+                   k_pos: jnp.ndarray = None) -> jnp.ndarray:
     """Exact causal attention with S sharded over ``axis_name``.
 
     q, k, v: LOCAL blocks (Sb, H, Dh) — call inside shard_map. k/v
     must already be repeated to the full head count (GQA upstream).
     Returns the local (Sb, H, Dh) attention output in f32.
+
+    ``q_pos``/``k_pos`` (local (Sb,) global position vectors) support
+    ARBITRARY token-to-device assignments: the causal mask is computed
+    from the actual positions, and k_pos rides the ring with its K/V
+    block. Default: contiguous blocks in device order. The zig-zag
+    assignment (:func:`zigzag_permutation`) balances causal work across
+    devices — with contiguous blocks device 0 masks off almost
+    everything it receives while the last device computes almost all
+    of it (2x the minimal FLOPs end to end); zig-zag gives every
+    device an equal mix of early and late rows.
     """
     n_dev = jax.lax.psum(1, axis_name)
     me = jax.lax.axis_index(axis_name)
     sb = q.shape[0]
     q32 = q.astype(jnp.float32) * scale
-    q_pos = me * sb + jnp.arange(sb)                       # global rows
+    if q_pos is None:
+        q_pos = me * sb + jnp.arange(sb)                   # global rows
+    if k_pos is None:
+        k_pos = q_pos
 
     def hop(carry, r):
-        kb, vb, m, l, acc = carry
-        src = (me - r) % n_dev                              # block origin
-        k_pos = src * sb + jnp.arange(sb)
+        kb, vb, k_pos, m, l, acc = carry
         scores = jnp.einsum("qhd,khd->hqk", q32, kb.astype(jnp.float32))
         causal = q_pos[None, :, None] >= k_pos[None, None, :]
         scores = jnp.where(causal, scores, -jnp.inf)
@@ -72,30 +87,56 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         kb = jax.lax.ppermute(kb, axis_name, perm)
         vb = jax.lax.ppermute(vb, axis_name, perm)
-        return (kb, vb, m_new, l, acc), None
+        k_pos = jax.lax.ppermute(k_pos, axis_name, perm)
+        return (kb, vb, k_pos, m_new, l, acc), None
 
     h = q.shape[1]
     m0 = jnp.full((h, sb), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((h, sb), jnp.float32)
     acc0 = jnp.zeros((h, sb, q.shape[2]), jnp.float32)
-    (_, _, _, l, acc), _ = jax.lax.scan(
-        hop, (k, v, m0, l0, acc0), jnp.arange(n_dev))
+    (_, _, _, _, l, acc), _ = jax.lax.scan(
+        hop, (k, v, k_pos, m0, l0, acc0), jnp.arange(n_dev))
     out = acc / jnp.maximum(l, 1e-30)[..., None]            # (H, Sb, Dh)
     return out.transpose(1, 0, 2)                           # (Sb, H, Dh)
 
 
+def zigzag_permutation(s: int, n_dev: int) -> jnp.ndarray:
+    """Token order that gives device d rows [d*h, (d+1)*h) AND the
+    mirrored tail [s-(d+1)*h, s-d*h), h = s/(2*cp) — every device then
+    owns an equal mix of early (cheap) and late (expensive) causal
+    rows, so ring hops do balanced useful work instead of device 0
+    masking everything off."""
+    half = s // (2 * n_dev)
+    parts = []
+    for d in range(n_dev):
+        parts.append(jnp.arange(d * half, (d + 1) * half))
+        parts.append(jnp.arange(s - (d + 1) * half, s - d * half))
+    return jnp.concatenate(parts)
+
+
 def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
-                  mesh: Mesh, tokens: jnp.ndarray) -> jnp.ndarray:
+                  mesh: Mesh, tokens: jnp.ndarray,
+                  zigzag: bool = True) -> jnp.ndarray:
     """Full dense-model forward, (S,) tokens -> (S, V) logits, with the
-    sequence sharded over the mesh's ``cp`` axis end to end."""
+    sequence sharded over the mesh's ``cp`` axis end to end.
+
+    ``zigzag`` (default): load-balanced block assignment via
+    :func:`zigzag_permutation`; logits come back in natural order
+    either way."""
     assert not cfg.n_experts, "cp forward is dense-only for now"
     (s,) = tokens.shape
     n_dev = mesh.shape["cp"]
     assert s % n_dev == 0, (s, n_dev)
+    if zigzag and s % (2 * n_dev):
+        zigzag = False
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
     rep = cfg.n_heads // cfg.n_kv_heads
     scale = cfg.head_dim ** -0.5
+    half = s // (2 * n_dev)
+    if zigzag:
+        perm = zigzag_permutation(s, n_dev)
+        tokens = tokens[perm]
 
     from jax.experimental.shard_map import shard_map
 
@@ -106,7 +147,12 @@ def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     def run(prm, toks):
         me = jax.lax.axis_index("cp")
         sb = toks.shape[0]
-        positions = me * sb + jnp.arange(sb)
+        if zigzag:
+            positions = jnp.concatenate([
+                me * half + jnp.arange(half),
+                s - (me + 1) * half + jnp.arange(half)])
+        else:
+            positions = me * sb + jnp.arange(sb)
         freqs = llm_model._freqs(prm, cfg, s)
         x = prm["tok_emb"][toks]
 
@@ -122,7 +168,9 @@ def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
             k = llm_model.apply_rope(k, positions, freqs)
             kh = jnp.repeat(k, rep, axis=1)
             vh = jnp.repeat(v, rep, axis=1)
-            attn = ring_attention(q, kh, vh, "cp", scale).reshape(sb, -1)
+            attn = ring_attention(q, kh, vh, "cp", scale,
+                                  q_pos=positions,
+                                  k_pos=positions).reshape(sb, -1)
             x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
             h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
             gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
@@ -135,4 +183,7 @@ def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
         x = llm_model._rms_norm(x, prm["out_norm"], cfg.norm_eps)
         return llm_model._linear(x, prm["lm_head"]).astype(jnp.float32)
 
-    return run(params, tokens)
+    out = run(params, tokens)
+    if zigzag:
+        out = jnp.zeros_like(out).at[perm].set(out)
+    return out
