@@ -468,3 +468,44 @@ class TestRingAttention:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4),
             g_cp, g_ref)
+
+
+class TestMoEOnPipelineAndRing:
+    def test_pp_loss_matches_single_device_moe(self):
+        """MoE configs flow through the pipeline (the stage block uses
+        the shared config-aware _mlp); loss equals the single-device
+        loss with the aux term off."""
+        from jax.sharding import Mesh
+        from trackiellm_tpu.parallel.pipeline import pp_loss
+        from trackiellm_tpu.parallel.train import lm_loss
+
+        cfg = TRAIN_CFG._replace(n_layers=4, n_experts=4,
+                                 n_experts_used=2)
+        params = llm_model.init_params(jax.random.PRNGKey(11), cfg,
+                                       dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(12), (8, 32), 0,
+                                    cfg.vocab_size).astype(jnp.int32)
+        with build_mesh(jax.devices()[:1]):
+            ref = float(lm_loss(params, cfg, tokens, moe_aux_coef=0.0))
+        mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+        with mesh:
+            got = float(pp_loss(params, cfg, mesh, tokens,
+                                n_microbatches=4))
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    def test_cp_forward_matches_single_device_moe(self):
+        from jax.sharding import Mesh
+        from trackiellm_tpu.parallel.ring import cp_lm_forward
+
+        cfg = TRAIN_CFG._replace(n_experts=4, n_experts_used=2)
+        params = llm_model.init_params(jax.random.PRNGKey(13), cfg,
+                                       dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(14), (32,), 0,
+                                    cfg.vocab_size).astype(jnp.int32)
+        with build_mesh(jax.devices()[:1]):
+            ref = lm_forward_batched(params, cfg, tokens[None])[0][0]
+        mesh = Mesh(np.array(jax.devices()[:4]), ("cp",))
+        with mesh:
+            got = cp_lm_forward(params, cfg, mesh, tokens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

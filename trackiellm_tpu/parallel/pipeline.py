@@ -92,11 +92,10 @@ def _dense_layer(x: jnp.ndarray, layer, cfg: llm_model.LLMConfig,
     attn = jnp.einsum("bhqk,bkhd->bqhd", probs,
                       vh.astype(jnp.float32)).reshape(b, s, -1)
     x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
-    h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-    gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
-    gate, up = jnp.split(gu, 2, axis=-1)
-    return x + llm_model._linear((jax.nn.silu(gate) * up).astype(x.dtype),
-                                 layer["w_down"])
+    # Config-aware MLP (dense SwiGLU/GeGLU or sparse MoE) on flattened
+    # tokens — the same body every inference path uses.
+    return llm_model._mlp(x.reshape(b * s, -1), layer,
+                          cfg).reshape(b, s, -1)
 
 
 def pp_loss(params: Dict[str, Any], cfg: llm_model.LLMConfig, mesh: Mesh,
@@ -104,9 +103,10 @@ def pp_loss(params: Dict[str, Any], cfg: llm_model.LLMConfig, mesh: Mesh,
     """Pipeline-parallel LM loss over (B, S) tokens, B = n_micro x mb.
 
     Equals the single-device :func:`parallel.train.lm_loss` up to
-    collective reduction order (equality tested on the virtual mesh).
+    collective reduction order (equality tested on the virtual mesh,
+    dense AND MoE — expert banks replicate per stage here; the router
+    aux loss is a train.lm_loss concern, not a pipeline one).
     """
-    assert not cfg.n_experts, "pipeline path is dense-only for now"
     n_stages = mesh.shape["pp"]
     assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
     b, s = tokens.shape

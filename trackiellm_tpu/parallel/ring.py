@@ -122,8 +122,8 @@ def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
 
     ``zigzag`` (default): load-balanced block assignment via
     :func:`zigzag_permutation`; logits come back in natural order
-    either way."""
-    assert not cfg.n_experts, "cp forward is dense-only for now"
+    either way. MoE configs work (the MLP is token-local, so sequence
+    sharding does not touch the router)."""
     (s,) = tokens.shape
     n_dev = mesh.shape["cp"]
     assert s % n_dev == 0, (s, n_dev)
@@ -172,11 +172,9 @@ def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
                                   q_pos=positions,
                                   k_pos=positions).reshape(sb, -1)
             x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
-            h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-            gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
-            gate, up = jnp.split(gu, 2, axis=-1)
-            x = x + llm_model._linear(
-                (jax.nn.silu(gate) * up).astype(x.dtype), layer["w_down"])
+            # Config-aware MLP (dense or sparse MoE), token-local so it
+            # needs no cross-device exchange under sequence sharding.
+            x = llm_model._mlp(x, layer, cfg)
             return x, None
 
         x, _ = jax.lax.scan(layer_fn, x, prm["layers"])
