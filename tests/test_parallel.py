@@ -509,3 +509,30 @@ class TestMoEOnPipelineAndRing:
             got = cp_lm_forward(params, cfg, mesh, tokens)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestVocabParallelCE:
+    def test_matches_dense_cross_entropy(self):
+        """vocab_parallel_ce (head column-sharded over tp, two-psum
+        softmax stats, masked target lookup) equals the plain
+        full-logits cross-entropy."""
+        from trackiellm_tpu.parallel.train import vocab_parallel_ce
+
+        B, S, D, V = 8, 16, 32, 128
+        key = jax.random.PRNGKey(15)
+        x = jax.random.normal(key, (B, S, D), jnp.float32)
+        head = jax.random.normal(jax.random.fold_in(key, 1), (D, V),
+                                 jnp.float32)
+        tokens = jax.random.randint(jax.random.fold_in(key, 2), (B, S),
+                                    0, V).astype(jnp.int32)
+        logits = np.einsum("bsd,dv->bsv", np.asarray(x[:, :-1]),
+                           np.asarray(head))
+        m = logits.max(-1, keepdims=True)
+        lse = np.log(np.exp(logits - m).sum(-1)) + m[..., 0]
+        tgt = np.take_along_axis(
+            logits, np.asarray(tokens[:, 1:])[..., None], axis=-1)[..., 0]
+        ref = float((lse - tgt).mean())
+        mesh = build_mesh(jax.devices()[:8], tp=4)
+        with mesh:
+            got = float(vocab_parallel_ce(x, head, tokens, mesh))
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
