@@ -141,7 +141,8 @@ class TestShardedTraining:
         # The batched forward carries sharding constraints (PartitionSpec)
         # and therefore needs a mesh in context.
         with build_mesh(jax.devices()[:1]):
-            logits_b = lm_forward_batched(params, TRAIN_CFG, toks[None])
+            logits_b, _ = lm_forward_batched(params, TRAIN_CFG,
+                                             toks[None])
         cache = llm_model.KVCache.create(TRAIN_CFG, dtype=jnp.float32)
         logits_p, _ = llm_model.prefill(params, TRAIN_CFG, toks,
                                         jnp.int32(12), cache)
@@ -427,7 +428,7 @@ class TestRingAttention:
         tokens = jax.random.randint(jax.random.PRNGKey(10), (32,), 0,
                                     cfg.vocab_size).astype(jnp.int32)
         with build_mesh(jax.devices()[:1]):
-            ref = lm_forward_batched(params, cfg, tokens[None])[0]
+            ref = lm_forward_batched(params, cfg, tokens[None])[0][0]
         mesh = Mesh(np.array(jax.devices()[:4]), ("cp",))
         with mesh:
             got = cp_lm_forward(params, cfg, mesh, tokens, zigzag=zigzag)
@@ -455,7 +456,7 @@ class TestRingAttention:
                 logp, tokens[1:, None], axis=-1))
 
         def loss_ref(p):
-            lg = lm_forward_batched(p, cfg, tokens[None])[0]
+            lg = lm_forward_batched(p, cfg, tokens[None])[0][0]
             logp = jax.nn.log_softmax(lg[:-1], axis=-1)
             return -jnp.mean(jnp.take_along_axis(
                 logp, tokens[1:, None], axis=-1))
@@ -536,3 +537,69 @@ class TestVocabParallelCE:
         with mesh:
             got = float(vocab_parallel_ce(x, head, tokens, mesh))
         np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+class TestReviewRound3Fixes:
+    def test_pp_grads_match_single_device(self):
+        """Gradients THROUGH the pipeline (scan + ppermute + masked
+        psum transpose under check_rep=False) equal the single-device
+        gradients — catches any collective-transpose scaling that the
+        loss-decreases test can't (AdamW is scale-invariant)."""
+        from jax.sharding import Mesh
+        from trackiellm_tpu.parallel.pipeline import pp_loss
+        from trackiellm_tpu.parallel.train import lm_loss
+
+        cfg = TRAIN_CFG._replace(n_layers=4)
+        params = llm_model.init_params(jax.random.PRNGKey(21), cfg,
+                                       dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(22), (8, 32), 0,
+                                    cfg.vocab_size).astype(jnp.int32)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+        with mesh:
+            g_pp = jax.grad(
+                lambda p: pp_loss(p, cfg, mesh, tokens,
+                                  n_microbatches=4))(params)
+        with build_mesh(jax.devices()[:1]):
+            g_ref = jax.grad(lambda p: lm_loss(p, cfg, tokens))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5),
+            g_pp, g_ref)
+
+    def test_unsupported_attention_configs_rejected(self):
+        """The train/pp/cp forwards implement plain GQA attention and
+        must REFUSE configs they would silently mis-compute (softcaps,
+        sandwich norms, q-scale overrides, live sliding windows)."""
+        from jax.sharding import Mesh
+        from trackiellm_tpu.parallel.pipeline import pp_loss
+        from trackiellm_tpu.parallel.ring import cp_lm_forward
+
+        gemma2ish = TRAIN_CFG._replace(attn_softcap=50.0,
+                                       query_pre_attn_scalar=256.0,
+                                       post_norms=True)
+        params = llm_model.init_params(jax.random.PRNGKey(23), gemma2ish,
+                                       dtype=jnp.float32)
+        tokens = jnp.zeros((4, 32), jnp.int32)
+        with pytest.raises(NotImplementedError, match="softcap"):
+            lm_forward_batched(params, gemma2ish, tokens)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+        with pytest.raises(NotImplementedError, match="post_norms"):
+            with mesh:
+                pp_loss(params, gemma2ish, mesh, tokens,
+                        n_microbatches=2)
+        windowed = TRAIN_CFG._replace(sliding_window=8)
+        with pytest.raises(NotImplementedError, match="sliding_window"):
+            cp_mesh = Mesh(np.array(jax.devices()[:4]), ("cp",))
+            with cp_mesh:
+                cp_lm_forward(params, windowed, cp_mesh, tokens[0])
+
+    def test_pp_train_step_rejects_moe(self):
+        from jax.sharding import Mesh
+        from trackiellm_tpu.parallel.pipeline import make_pp_train_step
+
+        cfg = TRAIN_CFG._replace(n_experts=4, n_experts_used=2)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+        import optax
+        with pytest.raises(AssertionError, match="load-balancing"):
+            make_pp_train_step(cfg, mesh, optax.adamw(1e-4),
+                               n_microbatches=2)

@@ -52,7 +52,9 @@ def run_one(mode: str, dim: int, hidden: int, seq: int) -> None:
     times = []
     for _ in range(6):
         t0 = time.perf_counter()
-        float(run(params, tokens + int(time.perf_counter_ns()) % 3))
+        float(run(params,
+                  (tokens + int(time.perf_counter_ns()) % 3)
+                  % cfg.vocab_size))
         times.append(time.perf_counter() - t0)
     label = {"0": "dense-all-experts", "1": "routed"}[mode]
     print(f"mode={label} T={seq} D={dim} H={hidden} "

@@ -362,7 +362,11 @@ def _moe_use_routed(n_tokens: int, w_gu) -> bool:
     stay on the dense loop (``lax.ragged_dot`` needs a dense (E, K, N)
     rhs; at decode batch sizes the packed-weight read is the bound
     anyway)."""
-    if isinstance(w_gu, QuantizedLinear) or hasattr(w_gu, "base"):
+    if isinstance(w_gu, QuantizedLinear) or (
+            hasattr(w_gu, "base") and hasattr(w_gu, "a")):
+        # LoraLinear structural check — both attrs, because np.ndarray
+        # exposes a .base of its own (review round-3 catch: hasattr
+        # "base" alone silently forced numpy banks onto the dense loop).
         return False
     mode = os.environ.get("TRACKIE_MOE_ROUTED", "auto")
     if mode == "0":

@@ -41,4 +41,7 @@ from trackiellm_tpu.parallel.train import (  # noqa: F401
     init_train_state,
     lm_forward_batched,
     make_train_step,
+    restore_train_state,
+    save_train_state,
+    vocab_parallel_ce,
 )

@@ -20,7 +20,10 @@ def evaluate_perplexity(params, cfg: llm_model.LLMConfig,
     total_nll = 0.0
     n_batches = 0
     for batch in batches:
-        total_nll += float(lm_loss(params, cfg, jnp.asarray(batch)))
+        # moe_aux_coef=0: perplexity is a pure cross-entropy — the MoE
+        # load-balancing term is a TRAINING regularizer, not NLL.
+        total_nll += float(lm_loss(params, cfg, jnp.asarray(batch),
+                                   moe_aux_coef=0.0))
         n_batches += 1
     if n_batches == 0:
         return {"nll": float("nan"), "perplexity": float("nan"),

@@ -107,9 +107,12 @@ def pp_loss(params: Dict[str, Any], cfg: llm_model.LLMConfig, mesh: Mesh,
     dense AND MoE — expert banks replicate per stage here; the router
     aux loss is a train.lm_loss concern, not a pipeline one).
     """
+    from trackiellm_tpu.parallel.train import _require_plain_attention
+
     n_stages = mesh.shape["pp"]
     assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
     b, s = tokens.shape
+    _require_plain_attention(cfg, params, s, "pp_loss")
     assert b % n_microbatches == 0, (b, n_microbatches)
     mb = b // n_microbatches
     micros = tokens.reshape(n_microbatches, mb, s)
@@ -199,7 +202,17 @@ def init_pp_train_state(key: jax.Array, cfg: llm_model.LLMConfig,
 def make_pp_train_step(cfg: llm_model.LLMConfig, mesh: Mesh,
                        opt: optax.GradientTransformation,
                        n_microbatches: int):
-    """Jitted pipeline-parallel AdamW train step (donated state)."""
+    """Jitted pipeline-parallel AdamW train step (donated state).
+
+    MoE configs are refused: pp_loss carries no router load-balancing
+    term (the stage scan drops the per-layer router stats), so pipeline
+    MoE TRAINING would silently collapse the router — use
+    :func:`parallel.train.make_train_step` (dp/fsdp/tp + aux loss) for
+    MoE fine-tuning. pp_loss itself still accepts MoE for evaluation.
+    """
+    assert not cfg.n_experts, (
+        "pipeline-parallel TRAINING lacks the MoE load-balancing aux "
+        "loss; use parallel.train.make_train_step for MoE fine-tuning")
 
     def train_step(params, opt_state, tokens):
         loss, grads = jax.value_and_grad(pp_loss)(

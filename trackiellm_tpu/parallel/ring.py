@@ -44,12 +44,17 @@ from trackiellm_tpu.models import llm as llm_model
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    axis_name: str, scale: float,
                    q_pos: jnp.ndarray = None,
-                   k_pos: jnp.ndarray = None) -> jnp.ndarray:
+                   k_pos: jnp.ndarray = None,
+                   gqa_rep: int = 1) -> jnp.ndarray:
     """Exact causal attention with S sharded over ``axis_name``.
 
-    q, k, v: LOCAL blocks (Sb, H, Dh) — call inside shard_map. k/v
-    must already be repeated to the full head count (GQA upstream).
-    Returns the local (Sb, H, Dh) attention output in f32.
+    q: LOCAL (Sb, Hq, Dh) block; k, v: LOCAL (Sb, Hkv, Dh) blocks —
+    call inside shard_map. ``gqa_rep`` = Hq/Hkv: K/V ride the ring in
+    their NARROW kv-head form and repeat to the full head count inside
+    each hop, so ICI bytes per hop stay 1/gqa_rep of the naive
+    pre-repeated layout (review round-3 catch — K/V rotation bandwidth
+    is the dominant cost of exactly the long-context regime this
+    module exists for). Returns the local (Sb, Hq, Dh) output in f32.
 
     ``q_pos``/``k_pos`` (local (Sb,) global position vectors) support
     ARBITRARY token-to-device assignments: the causal mask is computed
@@ -72,7 +77,9 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     def hop(carry, r):
         kb, vb, k_pos, m, l, acc = carry
-        scores = jnp.einsum("qhd,khd->hqk", q32, kb.astype(jnp.float32))
+        kbh = jnp.repeat(kb, gqa_rep, axis=1) if gqa_rep > 1 else kb
+        vbh = jnp.repeat(vb, gqa_rep, axis=1) if gqa_rep > 1 else vb
+        scores = jnp.einsum("qhd,khd->hqk", q32, kbh.astype(jnp.float32))
         causal = q_pos[None, :, None] >= k_pos[None, None, :]
         scores = jnp.where(causal, scores, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1))    # (H, Sb)
@@ -83,7 +90,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         p = jnp.where(causal, p, 0.0)
         l = l * corr + jnp.sum(p, axis=-1)
         acc = (acc * corr[..., None]
-               + jnp.einsum("hqk,khd->hqd", p, vb.astype(jnp.float32)))
+               + jnp.einsum("hqk,khd->hqd", p, vbh.astype(jnp.float32)))
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         kb = jax.lax.ppermute(kb, axis_name, perm)
         vb = jax.lax.ppermute(vb, axis_name, perm)
@@ -124,7 +131,10 @@ def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     :func:`zigzag_permutation`; logits come back in natural order
     either way. MoE configs work (the MLP is token-local, so sequence
     sharding does not touch the router)."""
+    from trackiellm_tpu.parallel.train import _require_plain_attention
+
     (s,) = tokens.shape
+    _require_plain_attention(cfg, params, s, "cp_lm_forward")
     n_dev = mesh.shape["cp"]
     assert s % n_dev == 0, (s, n_dev)
     if zigzag and s % (2 * n_dev):
@@ -166,11 +176,9 @@ def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
                                             cfg.head_dim)
             q = llm_model.apply_rope(q, positions, freqs)
             k = llm_model.apply_rope(k, positions, freqs)
-            kh = jnp.repeat(k, rep, axis=1)
-            vh = jnp.repeat(v, rep, axis=1)
-            attn = ring_attention(q, kh, vh, "cp", scale,
-                                  q_pos=positions,
-                                  k_pos=positions).reshape(sb, -1)
+            attn = ring_attention(q, k, v, "cp", scale,
+                                  q_pos=positions, k_pos=positions,
+                                  gqa_rep=rep).reshape(sb, -1)
             x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
             # Config-aware MLP (dense or sparse MoE), token-local so it
             # needs no cross-device exchange under sequence sharding.

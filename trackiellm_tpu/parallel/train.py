@@ -23,10 +23,38 @@ from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.parallel import sharding as shd
 
 
+def _require_plain_attention(cfg: llm_model.LLMConfig, params,
+                             seq_len: int, where: str) -> None:
+    """The training/pipeline/ring forwards implement plain GQA causal
+    attention (1/sqrt(head_dim) scale, full window, no softcaps, no
+    sandwich norms, no QKV biases). The inference paths in models/llm.py
+    support the full family zoo; these paths refuse configs they would
+    silently mis-compute (review round-3 catch) instead of diverging."""
+    bad = []
+    if cfg.attn_softcap or cfg.logit_softcap:
+        bad.append("softcaps")
+    if cfg.query_pre_attn_scalar:
+        bad.append("query_pre_attn_scalar")
+    if cfg.post_norms:
+        bad.append("post_norms")
+    if cfg.alt_window or cfg.sliding_window < seq_len:
+        bad.append(f"sliding_window<{seq_len}")
+    if "wqkv_bias" in params.get("layers", {}):
+        bad.append("wqkv_bias")
+    if bad:
+        raise NotImplementedError(
+            f"{where} implements plain GQA attention; unsupported config "
+            f"features: {', '.join(bad)} (use the models/llm.py inference "
+            "paths for this family)")
+
+
 def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
                        tokens: jnp.ndarray,
                        sequence_parallel: bool = False) -> jnp.ndarray:
-    """Batched causal LM forward: (B, S) int32 -> (B, S, V) f32 logits.
+    """Batched causal LM forward: (B, S) int32 tokens ->
+    ``(logits (B, S, V) f32, aux)`` — ``aux`` is the per-layer router
+    stats tuple for MoE configs and None for dense ones (a single
+    return contract; callers no longer branch on cfg.n_experts).
 
     Layer-scanned like the inference path, with explicit sharding
     constraints on activations and attention heads, and rematerialization
@@ -41,6 +69,7 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     1/tp the norm compute and residual remat bytes per chip.
     """
     b, s = tokens.shape
+    _require_plain_attention(cfg, params, s, "lm_forward_batched")
     res_spec = (shd.sequence_spec() if sequence_parallel
                 else shd.activation_spec())
     freqs = llm_model._freqs(params, cfg, s)
@@ -118,9 +147,7 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     x, aux = jax.lax.scan(layer_fn, x, params["layers"])
     x = llm_model._rms_norm(x, params["out_norm"], cfg.norm_eps)
     logits = llm_model._linear(x, params["lm_head"]).astype(jnp.float32)
-    if cfg.n_experts:
-        return logits, aux
-    return logits
+    return logits, aux
 
 
 def moe_load_balancing_loss(aux, cfg: llm_model.LLMConfig) -> jnp.ndarray:
@@ -142,9 +169,8 @@ def lm_loss(params, cfg, tokens, sequence_parallel: bool = False,
     """Next-token cross-entropy over (B, S) tokens (shifted). MoE
     configs add ``moe_aux_coef`` x the load-balancing loss (Mixtral's
     router_aux_loss_coef default)."""
-    out = lm_forward_batched(params, cfg, tokens,
-                             sequence_parallel)  # (B, S, V)
-    logits, aux = out if cfg.n_experts else (out, None)
+    logits, aux = lm_forward_batched(params, cfg, tokens,
+                                     sequence_parallel)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
