@@ -186,11 +186,12 @@ class TestMoEOnMesh:
         from trackiellm_tpu.llm.server import LLMServer
         from trackiellm_tpu.llm.tokenizer import ByteTokenizer
 
-        cfg = llm_model.LLMConfig.tiny()._replace(n_experts=4,
-                                                  n_experts_used=2)
+        cfg = llm_model.LLMConfig.tiny()._replace(
+            n_experts=4, n_experts_used=2, moe_shared_hidden=24)
         params = llm_model.init_params(jax.random.PRNGKey(11), cfg,
                                        dtype=jnp.float32)
         assert params["layers"]["w_gu"].ndim == 4
+        assert "shared_gu" in params["layers"]
         # tp=2: the tiny config has 2 KV heads (tp must divide them).
         mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
                     ("dp", "fsdp", "tp"))

@@ -1,0 +1,121 @@
+"""Qwen2-MoE correctness against the transformers oracle.
+
+The Qwen2-MoE block extends Mixtral-style routing with two deltas this
+framework must reproduce exactly: top-k router weights are NOT
+renormalized (norm_topk_prob=False in the published configs), and an
+always-active SHARED expert (sigmoid-gated by a scalar projection) adds
+to the routed mixture. A tiny random-weight ``Qwen2MoeForCausalLM`` is
+the ground truth through prefill and teacher-forced decode.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from trackiellm_tpu.models import convert as C
+from trackiellm_tpu.models import llm as llm_model
+
+VOCAB, DIM, LAYERS, HEADS, KV, HD = 1000, 64, 2, 4, 2, 16
+MOE_HID, SHARED_HID, EXPERTS, TOPK = 48, 96, 4, 2
+SEQ = 17
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    torch.manual_seed(3)
+    hf_cfg = Qwen2MoeConfig(
+        vocab_size=VOCAB, hidden_size=DIM, intermediate_size=128,
+        moe_intermediate_size=MOE_HID,
+        shared_expert_intermediate_size=SHARED_HID,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=KV, num_experts=EXPERTS,
+        num_experts_per_tok=TOPK, decoder_sparse_step=1,
+        mlp_only_layers=[], norm_topk_prob=False,
+        max_position_embeddings=64, rope_theta=10000.0,
+        rms_norm_eps=1e-6, use_sliding_window=False,
+        router_aux_loss_coef=0.0)
+    hf_cfg._attn_implementation = "eager"
+    model = Qwen2MoeForCausalLM(hf_cfg).eval()
+    gen = torch.Generator().manual_seed(4)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "norm" in name:
+                p.copy_(torch.rand(p.shape, generator=gen) + 0.5)
+    tokens = torch.randint(0, VOCAB, (1, SEQ + 3),
+                           generator=torch.Generator().manual_seed(5))
+    with torch.no_grad():
+        ref = model(tokens).logits[0].numpy()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    return state, tokens[0].numpy(), ref
+
+
+class TestQwen2Moe:
+    def test_hf_convert_matches_oracle(self, oracle):
+        state, tokens, ref = oracle
+        params, cfg = C.qwen2_moe_from_hf(
+            state, head_dim=HD, max_seq=64, rope_theta=10000.0,
+            norm_eps=1e-6, n_experts_used=TOPK, dtype=jnp.float32)
+        assert cfg.n_experts == EXPERTS
+        assert cfg.moe_shared_hidden == SHARED_HID
+        assert not cfg.moe_norm_topk
+        assert cfg.qkv_bias
+        assert params["layers"]["shared_gu"].shape == (
+            LAYERS, DIM, 2 * SHARED_HID)
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   rtol=2e-3, atol=2e-3)
+        for j in range(3):
+            logits, cache = llm_model.decode_step(
+                params, cfg, jnp.int32(int(tokens[SEQ + j])), cache)
+            np.testing.assert_allclose(np.asarray(logits), ref[SEQ + j],
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"decode step {j}")
+
+    def test_routed_matches_dense_with_shared(self, monkeypatch):
+        """The sorted grouped-matmul path must stay exact with the
+        shared expert and un-renormalized top-k weights in play."""
+        cfg = llm_model.LLMConfig.tiny()._replace(
+            n_experts=4, n_experts_used=2, moe_norm_topk=False,
+            moe_shared_hidden=24)
+        params = llm_model.init_params(jax.random.PRNGKey(6), cfg,
+                                       dtype=jnp.float32)
+        T = 48
+        tokens = jax.random.randint(jax.random.PRNGKey(7), (T,), 0,
+                                    cfg.vocab_size).astype(jnp.int32)
+        outs = {}
+        for mode in ("0", "1"):
+            monkeypatch.setenv("TRACKIE_MOE_ROUTED", mode)
+            cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+            with jax.disable_jit():
+                lg, _ = llm_model.prefill(params, cfg, tokens,
+                                          jnp.int32(T), cache)
+            outs[mode] = np.asarray(lg, np.float64)
+        np.testing.assert_allclose(outs["1"], outs["0"],
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_q8_requant_runs(self, oracle):
+        """Per-expert + shared-expert Q8 requantization stays in the
+        quantizer's error envelope (top-5 containment)."""
+        from trackiellm_tpu.ops.quant import QuantizedLinear
+
+        state, tokens, ref = oracle
+        params, cfg = C.qwen2_moe_from_hf(
+            state, head_dim=HD, max_seq=64, rope_theta=10000.0,
+            norm_eps=1e-6, n_experts_used=TOPK, dtype=jnp.float32)
+        qparams = llm_model.quantize_params(params, bits=8, group=16)
+        assert isinstance(qparams["layers"]["shared_gu"], QuantizedLinear)
+        cache = llm_model.KVCache.create(cfg)
+        lg, _ = llm_model.prefill(
+            qparams, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        assert np.isfinite(np.asarray(lg)).all()
+        assert int(np.argmax(ref[SEQ - 1])) in np.argsort(
+            np.asarray(lg))[-5:]

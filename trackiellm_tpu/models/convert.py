@@ -1505,3 +1505,91 @@ def wake_word_from_torch(state: Dict[str, Any], n_mels: int = 40,
     }
     return params, WakeWordConfig(n_mels=n_mels, n_frames=n_frames,
                                   ch=ch, sensitivity=sensitivity)
+
+
+def qwen2_moe_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 1e6,
+    head_dim: int = 0,
+    n_experts_used: int = 4,
+    norm_topk: bool = False,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Qwen2-MoE state dict to (params, cfg).
+
+    The Qwen2-MoE block (also the DeepSeek-MoE shape) = Qwen2 attention
+    (QKV biases) + top-k routed experts (``mlp.experts.N``) + an
+    always-active SHARED expert scaled by sigmoid of a scalar gate
+    (``mlp.shared_expert`` / ``mlp.shared_expert_gate``). Router top-k
+    weights are NOT renormalized (norm_topk_prob=False in the published
+    configs) — ``norm_topk`` mirrors that flag."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.mlp.experts.0.gate_proj.weight").shape[0]
+    shared_hidden = A(
+        "model.layers.0.mlp.shared_expert.gate_proj.weight").shape[0]
+    n_experts = len({k.split(".")[5] for k in state
+                     if ".mlp.experts." in k})
+    hd = head_dim or (128 if q0.shape[0] % 128 == 0 else dim // 16)
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, qkv_bias=True, n_experts=n_experts,
+        n_experts_used=n_experts_used, moe_norm_topk=norm_topk,
+        moe_shared_hidden=shared_hidden)
+
+    L = {"attn_norm": [], "wqkv": [], "wqkv_bias": [], "wo": [],
+         "mlp_norm": [], "moe_gate": [], "w_gu": [], "w_down": [],
+         "shared_gu": [], "shared_down": [], "shared_gate": []}
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        L["mlp_norm"].append(A(f"{pre}.post_attention_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.weight").T
+             for p in ("q", "k", "v")], axis=1))
+        L["wqkv_bias"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.bias")
+             for p in ("q", "k", "v")]))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["moe_gate"].append(A(f"{pre}.mlp.gate.weight").T)
+        gus, downs = [], []
+        for e in range(n_experts):
+            ep = f"{pre}.mlp.experts.{e}"
+            gus.append(np.concatenate([A(f"{ep}.gate_proj.weight").T,
+                                       A(f"{ep}.up_proj.weight").T],
+                                      axis=1))
+            downs.append(A(f"{ep}.down_proj.weight").T)
+        L["w_gu"].append(np.stack(gus))
+        L["w_down"].append(np.stack(downs))
+        sp = f"{pre}.mlp.shared_expert"
+        L["shared_gu"].append(np.concatenate(
+            [A(f"{sp}.gate_proj.weight").T,
+             A(f"{sp}.up_proj.weight").T], axis=1))
+        L["shared_down"].append(A(f"{sp}.down_proj.weight").T)
+        L["shared_gate"].append(
+            A(f"{pre}.mlp.shared_expert_gate.weight").T)
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg

@@ -82,10 +82,18 @@ class LLMConfig(NamedTuple):
     # Mixtral-style sparse MoE MLP: n_experts > 0 replaces the dense
     # SwiGLU with per-layer expert banks (layers.w_gu/w_down grow a
     # leading expert axis; layers.moe_gate is the router) and top-k
-    # routing with renormalized softmax weights. Inference-only; the
-    # fine-tuning path (parallel/train.py) stays dense.
+    # routing. parallel/train.py fine-tunes MoE too (dense-all
+    # formulation + load-balancing aux loss).
     n_experts: int = 0
     n_experts_used: int = 2
+    moe_norm_topk: bool = True  # renormalize top-k weights (Mixtral
+                                # does; Qwen2-MoE ships norm_topk_prob
+                                # = False)
+    moe_shared_hidden: int = 0  # Qwen2-MoE/DeepSeek SHARED expert MLP
+                                # hidden size (0 = none): an
+                                # always-active SwiGLU whose output is
+                                # scaled by sigmoid(shared_gate(x)) and
+                                # added to the routed sum
 
     @classmethod
     def mistral_7b(cls) -> "LLMConfig":
@@ -191,6 +199,11 @@ def init_params(key: jax.Array, cfg: LLMConfig,
         layers["moe_gate"] = w(keys[8], l, d, cfg.n_experts)
         layers["w_gu"] = w(keys[5], l, cfg.n_experts, d, 2 * h)
         layers["w_down"] = w(keys[7], l, cfg.n_experts, h, d)
+        if cfg.moe_shared_hidden:
+            hs = cfg.moe_shared_hidden
+            layers["shared_gu"] = w(keys[2], l, d, 2 * hs)
+            layers["shared_down"] = w(keys[3], l, hs, d)
+            layers["shared_gate"] = w(keys[6], l, d, 1)
     else:
         layers["w_gu"] = w(keys[5], l, d, 2 * h)
         layers["w_down"] = w(keys[7], l, h, d)
@@ -208,7 +221,8 @@ def init_params(key: jax.Array, cfg: LLMConfig,
     }
 
 
-_QUANTIZABLE = ("wqkv", "wo", "w_gu", "w_down")
+_QUANTIZABLE = ("wqkv", "wo", "w_gu", "w_down",
+                "shared_gu", "shared_down")
 
 
 def quantize_params(params: Dict[str, Any], bits: int = 4,
@@ -219,6 +233,8 @@ def quantize_params(params: Dict[str, Any], bits: int = 4,
     out = dict(params)
     layers = dict(params["layers"])
     for name in _QUANTIZABLE:
+        if name not in layers:  # shared_gu/_down exist only on Qwen2-MoE
+            continue
         stacked = layers[name]  # (L, K, N) or MoE (L, E, K, N)
         if stacked.ndim == 4:
             per_l = []
@@ -417,6 +433,23 @@ def _moe_routed(h2: jnp.ndarray, topv: jnp.ndarray, topi: jnp.ndarray,
         ys * wts[:, None])
 
 
+def _moe_shared(h2: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
+    """Qwen2-MoE/DeepSeek shared expert: an always-active SwiGLU scaled
+    by sigmoid(shared_gate(h2)), added to the routed mixture. Returns
+    zeros((T, D)) f32 when the config has no shared expert (so callers
+    can use it as the routed accumulator's initial value)."""
+    if not cfg.moe_shared_hidden:
+        return jnp.zeros(h2.shape, jnp.float32)
+    gu = _linear(h2, layer["shared_gu"]).astype(jnp.float32)
+    gate, up = jnp.split(gu, 2, axis=-1)
+    gated = (jax.nn.silu(gate) if cfg.act == "silu"
+             else jax.nn.gelu(gate, approximate=True))
+    y = _linear((gated * up).astype(h2.dtype), layer["shared_down"])
+    g = jax.nn.sigmoid(_linear(h2, layer["shared_gate"])
+                       .astype(jnp.float32))                 # (T, 1)
+    return g * y.astype(jnp.float32)
+
+
 def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     """Mixtral sparse-MoE MLP: softmax router -> top-k -> renormalized
     weights -> weighted expert SwiGLUs -> +residual.
@@ -435,16 +468,18 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     logits = _linear(h2, layer["moe_gate"]).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)                 # (T, E)
     topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.moe_norm_topk:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     if _moe_use_routed(x.shape[0], layer["w_gu"]):
-        out = _moe_routed(h2, topv, topi, layer, cfg).astype(x.dtype)
+        out = _moe_routed(h2, topv, topi, layer, cfg)
+        out = (out + _moe_shared(h2, layer, cfg)).astype(x.dtype)
         if cfg.post_norms:
             out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
         return x + out
     weights = jnp.sum(
         jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
         * topv[..., None], axis=-2)                          # (T, E)
-    out = jnp.zeros(x.shape, jnp.float32)
+    out = _moe_shared(h2, layer, cfg)
     for e in range(cfg.n_experts):
         gu = _linear(h2, _expert_slice(layer["w_gu"], e)).astype(
             jnp.float32)

@@ -85,6 +85,16 @@ def infer_param_shardings(mesh: Mesh, quantized: bool,
             tree["layers"]["w_down"] = (
                 _q(mesh, None, None, "tp", None) if quantized
                 else _ns(mesh, None, None, "tp", None))
+        if "shared_gu" in params["layers"]:
+            # Qwen2-MoE shared expert: plain Megatron column/row split;
+            # the scalar gate is replicated.
+            tree["layers"]["shared_gu"] = (
+                _q(mesh, None, None, "tp") if quantized
+                else _ns(mesh, None, None, "tp"))
+            tree["layers"]["shared_down"] = (
+                _q(mesh, None, "tp", None) if quantized
+                else _ns(mesh, None, "tp", None))
+            tree["layers"]["shared_gate"] = _ns(mesh, None, None, None)
     return tree
 
 
