@@ -119,3 +119,85 @@ class TestQwen2Moe:
         assert np.isfinite(np.asarray(lg)).all()
         assert int(np.argmax(ref[SEQ - 1])) in np.argsort(
             np.asarray(lg))[-5:]
+
+
+class TestQwen2MoeGGUF:
+    def test_gguf_twin_matches_oracle(self, oracle, tmp_path):
+        """The same weights through llama.cpp's qwen2moe GGUF layout:
+        expert banks + *_shexp shared-expert tensors + the scalar
+        ffn_gate_inp_shexp gate, with the arch's no-renorm routing and
+        expert_feed_forward_length metadata."""
+        from tests.test_loader import write_gguf
+        from trackiellm_tpu.models import loader as L
+
+        state, tokens, ref = oracle
+
+        def t(name):
+            return np.asarray(state[name], np.float32)
+
+        tensors = {
+            "token_embd.weight": (t("model.embed_tokens.weight"),
+                                  L.GGML_F32),
+            "output_norm.weight": (t("model.norm.weight"), L.GGML_F32),
+            "output.weight": (t("lm_head.weight"), L.GGML_F32),
+        }
+        for i in range(LAYERS):
+            hp, gp = f"model.layers.{i}", f"blk.{i}"
+            tensors[f"{gp}.attn_norm.weight"] = (
+                t(f"{hp}.input_layernorm.weight"), L.GGML_F32)
+            tensors[f"{gp}.ffn_norm.weight"] = (
+                t(f"{hp}.post_attention_layernorm.weight"), L.GGML_F32)
+            for g, h in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                         ("attn_v", "v_proj")):
+                tensors[f"{gp}.{g}.weight"] = (
+                    t(f"{hp}.self_attn.{h}.weight"), L.GGML_F32)
+                tensors[f"{gp}.{g}.bias"] = (
+                    t(f"{hp}.self_attn.{h}.bias"), L.GGML_F32)
+            tensors[f"{gp}.attn_output.weight"] = (
+                t(f"{hp}.self_attn.o_proj.weight"), L.GGML_F32)
+            tensors[f"{gp}.ffn_gate_inp.weight"] = (
+                t(f"{hp}.mlp.gate.weight"), L.GGML_F32)
+            for g, h in (("gate", "gate_proj"), ("up", "up_proj"),
+                         ("down", "down_proj")):
+                tensors[f"{gp}.ffn_{g}_exps.weight"] = (np.stack(
+                    [t(f"{hp}.mlp.experts.{e}.{h}.weight")
+                     for e in range(EXPERTS)]), L.GGML_F32)
+                tensors[f"{gp}.ffn_{g}_shexp.weight"] = (
+                    t(f"{hp}.mlp.shared_expert.{h}.weight"), L.GGML_F32)
+            tensors[f"{gp}.ffn_gate_inp_shexp.weight"] = (
+                t(f"{hp}.mlp.shared_expert_gate.weight"), L.GGML_F32)
+        p = str(tmp_path / "qwen2moe.gguf")
+        write_gguf(p, tensors, metadata={
+            "general.architecture": "qwen2moe",
+            "qwen2moe.embedding_length": DIM,
+            "qwen2moe.block_count": LAYERS,
+            "qwen2moe.attention.head_count": HEADS,
+            "qwen2moe.attention.head_count_kv": KV,
+            "qwen2moe.attention.key_length": HD,
+            "qwen2moe.feed_forward_length": 128,
+            "qwen2moe.expert_feed_forward_length": MOE_HID,
+            "qwen2moe.expert_shared_feed_forward_length": SHARED_HID,
+            "qwen2moe.context_length": 64,
+            "qwen2moe.attention.layer_norm_rms_epsilon": 1e-6,
+            "qwen2moe.rope.freq_base": 10000.0,
+            "qwen2moe.vocab_size": VOCAB,
+            "qwen2moe.expert_count": EXPERTS,
+            "qwen2moe.expert_used_count": TOPK,
+        })
+        params, cfg = C.gguf_to_llm_params(p, bits=None,
+                                           dtype=jnp.float32)
+        assert cfg.n_experts == EXPERTS
+        assert cfg.hidden_dim == MOE_HID
+        assert cfg.moe_shared_hidden == SHARED_HID
+        assert not cfg.moe_norm_topk
+        assert cfg.qkv_bias
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   rtol=2e-3, atol=2e-3)
+        logits, cache = llm_model.decode_step(
+            params, cfg, jnp.int32(int(tokens[SEQ])), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ],
+                                   rtol=2e-3, atol=2e-3)

@@ -163,7 +163,8 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         n_heads=n_heads,
         n_kv_heads=int(key("attention.head_count_kv", n_heads)),
         head_dim=head_dim,
-        hidden_dim=int(key("feed_forward_length")),
+        hidden_dim=int(md.get(f"{arch}.expert_feed_forward_length",
+                           key("feed_forward_length"))),
         norm_eps=float(key("attention.layer_norm_rms_epsilon", 1e-5)),
         rope_theta=float(key("rope.freq_base", 10000.0)),
         max_seq=int(key("context_length", 4096)),
@@ -172,6 +173,12 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         qkv_bias=qkv_bias,
         n_experts=int(md.get(f"{arch}.expert_count", 0)),
         n_experts_used=int(md.get(f"{arch}.expert_used_count", 2)),
+        # Qwen2-MoE (llama.cpp arch "qwen2moe"): the shared expert has
+        # its own size key, and top-k weights are NOT renormalized
+        # (llama.cpp's build_qwen2moe matches).
+        moe_shared_hidden=int(md.get(
+            f"{arch}.expert_shared_feed_forward_length", 0)),
+        moe_norm_topk=arch != "qwen2moe",
         **extra,
     )
 
@@ -273,6 +280,7 @@ def gguf_to_llm_params(
     attn_post_norm, mlp_post_norm = [], []
     qkv_bias = []
     moe_gate = []
+    shared_gu, shared_down, shared_gate = [], [], []
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
         attn_norm.append(vec(f"{p}.attn_norm.weight"))
@@ -315,6 +323,19 @@ def gguf_to_llm_params(
             w_gu.append(maybe_quant_experts(np.ascontiguousarray(gu)))
             w_down.append(maybe_quant_experts(
                 np.ascontiguousarray(dn.transpose(0, 2, 1))))
+            if cfg.moe_shared_hidden:
+                # Qwen2-MoE shared expert (llama.cpp *_shexp tensors):
+                # ffn_{gate,up}_shexp -> fused (D, 2Hs); ffn_down_shexp
+                # -> (Hs, D); scalar gate ffn_gate_inp_shexp -> (D, 1).
+                sgu = np.concatenate(
+                    [mat(f"{p}.ffn_gate_shexp.weight"),
+                     mat(f"{p}.ffn_up_shexp.weight")], axis=1)
+                shared_gu.append(maybe_quant(sgu))
+                shared_down.append(
+                    maybe_quant(mat(f"{p}.ffn_down_shexp.weight")))
+                shared_gate.append(jnp.asarray(
+                    load_gguf_tensor(
+                        gguf, f"{p}.ffn_gate_inp_shexp.weight").T, dtype))
         else:
             if f"{p}.ffn_gate.weight" in gguf.tensors:
                 gu = np.concatenate([mat(f"{p}.ffn_gate.weight"),
@@ -352,6 +373,10 @@ def gguf_to_llm_params(
         layers["mlp_post_norm"] = jnp.stack(mlp_post_norm)
     if cfg.n_experts:
         layers["moe_gate"] = jnp.stack(moe_gate)
+        if cfg.moe_shared_hidden:
+            layers["shared_gu"] = stack(shared_gu)
+            layers["shared_down"] = stack(shared_down)
+            layers["shared_gate"] = jnp.stack(shared_gate)
     params: Dict[str, Any] = {
         "tok_emb": jnp.asarray(tok_emb, dtype),
         "layers": layers,
