@@ -201,3 +201,10 @@ class TestQwen2MoeGGUF:
             params, cfg, jnp.int32(int(tokens[SEQ])), cache)
         np.testing.assert_allclose(np.asarray(logits), ref[SEQ],
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_published_preset_geometry():
+    cfg = llm_model.LLMConfig.qwen15_moe_a27b()
+    assert cfg.n_experts == 60 and cfg.n_experts_used == 4
+    assert cfg.moe_shared_hidden == 5632 and not cfg.moe_norm_topk
+    assert cfg.qkv_bias and cfg.dim == 2048

@@ -141,6 +141,18 @@ class LLMConfig(NamedTuple):
                    n_experts=8, n_experts_used=2)
 
     @classmethod
+    def qwen15_moe_a27b(cls) -> "LLMConfig":
+        """Qwen1.5-MoE-A2.7B: the published shared-expert MoE — 60
+        experts top-4 (un-renormalized), 1408-wide experts, a
+        5632-wide always-active shared expert, Qwen2 attention with
+        QKV biases."""
+        return cls(vocab_size=151936, dim=2048, n_layers=24, n_heads=16,
+                   n_kv_heads=16, head_dim=128, hidden_dim=1408,
+                   rope_theta=1e6, max_seq=8192, sliding_window=8192,
+                   qkv_bias=True, n_experts=60, n_experts_used=4,
+                   moe_norm_topk=False, moe_shared_hidden=5632)
+
+    @classmethod
     def gemma2_2b(cls) -> "LLMConfig":
         """Gemma-2-2B: GeGLU, sandwich norms, softcaps, alternating
         local(4096)/global attention, 256k vocab (tied lm_head)."""
