@@ -208,3 +208,25 @@ def test_published_preset_geometry():
     assert cfg.n_experts == 60 and cfg.n_experts_used == 4
     assert cfg.moe_shared_hidden == 5632 and not cfg.moe_norm_topk
     assert cfg.qkv_bias and cfg.dim == 2048
+
+
+def test_cli_convert_qwen2moe_hf(tmp_path, oracle):
+    """`python -m trackiellm_tpu convert --family qwen2moe-hf` round-
+    trips the oracle's weights through the native checkpoint (bits 0 —
+    the tiny dims don't divide the CLI's real-model quant group; Q8
+    banks are covered by test_q8_requant_runs)."""
+    from trackiellm_tpu.__main__ import main
+    from trackiellm_tpu.models.checkpoint import load_checkpoint
+
+    state, _, _ = oracle
+    src = str(tmp_path / "qwen2moe_tiny.npz")
+    np.savez(src, **state)
+    out = str(tmp_path / "ckpt")
+    rc = main(["convert", src, "-o", out, "--bits", "0",
+               "--family", "qwen2moe-hf"])
+    assert rc == 0
+    params, cfg, meta = load_checkpoint(out)
+    assert cfg.n_experts == EXPERTS and not cfg.moe_norm_topk
+    assert cfg.moe_shared_hidden == SHARED_HID
+    assert params["layers"]["w_gu"].ndim == 4
+    assert params["layers"]["shared_gate"].shape == (LAYERS, DIM, 1)

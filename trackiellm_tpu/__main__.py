@@ -31,13 +31,16 @@ def _cmd_convert(args) -> int:
 
     t0 = time.time()
     vocab = None
-    if args.family == "gemma2-hf":
-        # transformers Gemma-2 state dict (.pt/.safetensors/.npz).
+    if args.family in ("gemma2-hf", "mixtral-hf", "qwen2moe-hf"):
+        # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
-        from trackiellm_tpu.models.convert import gemma2_from_hf
+        from trackiellm_tpu.models import convert as _C
 
-        params, cfg = gemma2_from_hf(load_state_dict(args.gguf))
+        fn = {"gemma2-hf": _C.gemma2_from_hf,
+              "mixtral-hf": _C.mixtral_from_hf,
+              "qwen2moe-hf": _C.qwen2_moe_from_hf}[args.family]
+        params, cfg = fn(load_state_dict(args.gguf))
         if args.bits:
             from trackiellm_tpu.models.llm import quantize_params
 
@@ -271,9 +274,11 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--bits", type=int, default=4, choices=(0, 4, 8))
     p.add_argument("--family", default="gguf",
-                   choices=("gguf", "gemma2-hf"),
+                   choices=("gguf", "gemma2-hf", "mixtral-hf",
+                            "qwen2moe-hf"),
                    help="source layout (default: GGUF metadata-driven, "
-                   "covers llama/mistral/qwen2/gemma2 arches)")
+                   "covers llama/mistral/qwen2/gemma2/mixtral/qwen2moe "
+                   "arches)")
     p.set_defaults(fn=_cmd_convert)
 
     p = sub.add_parser("generate", help="generate from a checkpoint")
