@@ -230,3 +230,29 @@ def test_cli_convert_qwen2moe_hf(tmp_path, oracle):
     assert cfg.moe_shared_hidden == SHARED_HID
     assert params["layers"]["w_gu"].ndim == 4
     assert params["layers"]["shared_gate"].shape == (LAYERS, DIM, 1)
+
+
+def test_quantized_moe_checkpoint_roundtrip(tmp_path):
+    """Q8 4D expert banks + shared expert survive the native checkpoint
+    byte-exactly and the loaded params still run."""
+    from trackiellm_tpu.models.checkpoint import (load_checkpoint,
+                                                  save_checkpoint)
+    from trackiellm_tpu.ops.quant import QuantizedLinear
+
+    cfg = llm_model.LLMConfig.tiny()._replace(
+        n_experts=4, n_experts_used=2, moe_shared_hidden=32)
+    params = llm_model.init_params(jax.random.PRNGKey(8), cfg,
+                                   dtype=jnp.float32)
+    q = llm_model.quantize_params(params, bits=8, group=16)
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, q, config=cfg)
+    p2, cfg2, _ = load_checkpoint(d)
+    assert isinstance(p2["layers"]["w_gu"], QuantizedLinear)
+    np.testing.assert_array_equal(
+        np.asarray(q["layers"]["w_gu"].values),
+        np.asarray(p2["layers"]["w_gu"].values))
+    assert cfg2.moe_shared_hidden == 32
+    cache = llm_model.KVCache.create(cfg2)
+    lg, _ = llm_model.prefill(p2, cfg2, jnp.zeros((8,), jnp.int32),
+                              jnp.int32(8), cache)
+    assert np.isfinite(np.asarray(lg)).all()
