@@ -62,6 +62,23 @@ def write_gguf(path, tensors, metadata=None):
             body += struct.pack("<I", 4) + struct.pack("<I", v)
         elif isinstance(v, float):
             body += struct.pack("<I", 6) + struct.pack("<f", v)
+        elif isinstance(v, (list, tuple)):
+            # GGUF array value: type 9, then (elem_type, count, items).
+            body += struct.pack("<I", 9)
+            if all(isinstance(x, str) for x in v):
+                body += struct.pack("<IQ", 8, len(v))
+                for x in v:
+                    body += _gguf_string(x)
+            elif all(isinstance(x, int) for x in v):
+                body += struct.pack("<IQ", 5, len(v))  # int32 elems
+                for x in v:
+                    body += struct.pack("<i", x)
+            elif all(isinstance(x, float) for x in v):
+                body += struct.pack("<IQ", 6, len(v))
+                for x in v:
+                    body += struct.pack("<f", x)
+            else:
+                raise TypeError(v)
         else:
             raise TypeError(v)
 

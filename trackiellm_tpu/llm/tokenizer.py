@@ -18,8 +18,9 @@ implementations:
 
 from __future__ import annotations
 
+import functools
 import heapq
-from typing import Dict, List, Optional, Protocol, Sequence
+from typing import Dict, List, Optional, Protocol, Sequence, Tuple
 
 _SPACE_MARKER = "▁"  # SentencePiece '▁'
 
@@ -288,3 +289,219 @@ class VocabTokenizer:
             b = int(raw[1:5], 16)
             return chr(b) if b < 0x80 else ""
         return self.pieces[token_id]
+
+
+# ---------------------------------------------------------------------------
+# GPT-2-style byte-level BPE (llama.cpp llm_tokenizer_bpe)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def _bytes_to_unicode() -> Dict[int, str]:
+    """The GPT-2 byte<->printable-unicode bijection: every possible byte
+    maps to a visible codepoint so BPE vocab pieces are plain strings.
+    (Identical table to the published GPT-2 encoder and llama.cpp's
+    unicode_byte_to_utf8.)"""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+def _cat(ch: str) -> str:
+    """Unicode major category: 'L' letter, 'N' number, 'Z'/'C' spaces."""
+    import unicodedata
+
+    return unicodedata.category(ch)[0]
+
+
+def _is_ws(ch: str) -> bool:
+    return ch.isspace()
+
+
+def _pretokenize(text: str, digit_run: int) -> List[str]:
+    """Hand-rolled scanner for the llama-bpe / qwen2 pre-tokenizer
+    pattern (llama.cpp unicode_regex_split equivalent — Python's `re`
+    lacks \\p{L}/\\p{N}, so the alternation is scanned directly):
+
+      (?i:'s|'t|'re|'ve|'m|'ll|'d)
+    | [^\\r\\n\\p{L}\\p{N}]?\\p{L}+
+    | \\p{N}{1,digit_run}
+    |  ?[^\\s\\p{L}\\p{N}]+[\\r\\n]*
+    | \\s*[\\r\\n]+
+    | \\s+(?!\\S)
+    | \\s+
+
+    digit_run: 3 for llama-bpe (Llama-3/GPT-4 style), 1 for qwen2.
+    Exactness is pinned against the `tokenizers` Rust regex engine in
+    tests/test_bpe_tokenizer.py."""
+    out: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        # 1. English contractions (case-insensitive).
+        if c == "'" and i + 1 < n:
+            two = text[i:i + 2].lower()
+            three = text[i:i + 3].lower()
+            if three in ("'re", "'ve", "'ll"):
+                out.append(text[i:i + 3]); i += 3; continue
+            if two in ("'s", "'t", "'m", "'d"):
+                out.append(text[i:i + 2]); i += 2; continue
+        # 2. [^\r\n L N]? L+
+        k = i
+        if (c not in "\r\n" and _cat(c) not in ("L", "N")
+                and i + 1 < n and _cat(text[i + 1]) == "L"):
+            k = i + 1
+        if k < n and _cat(text[k]) == "L":
+            j = k
+            while j < n and _cat(text[j]) == "L":
+                j += 1
+            out.append(text[i:j]); i = j; continue
+        # 3. N{1,digit_run}
+        if _cat(c) == "N":
+            j = i
+            while j < n and j - i < digit_run and _cat(text[j]) == "N":
+                j += 1
+            out.append(text[i:j]); i = j; continue
+        # 4. ' '? [^ ws L N]+ [\r\n]*
+        k = i + 1 if (c == " " and i + 1 < n) else i
+        if (k < n and not _is_ws(text[k])
+                and _cat(text[k]) not in ("L", "N")):
+            j = k
+            while (j < n and not _is_ws(text[j])
+                   and _cat(text[j]) not in ("L", "N")):
+                j += 1
+            while j < n and text[j] in "\r\n":
+                j += 1
+            out.append(text[i:j]); i = j; continue
+        # 5-7. whitespace runs.
+        if _is_ws(c):
+            j = i
+            while j < n and _is_ws(text[j]):
+                j += 1
+            # \s*[\r\n]+ : a run whose TAIL is newlines keeps them.
+            last_nl = -1
+            for t in range(i, j):
+                if text[t] in "\r\n":
+                    last_nl = t
+            if last_nl >= 0 and all(_is_ws(text[t])
+                                    for t in range(i, last_nl)):
+                # trailing non-newline ws after the last newline splits off
+                if last_nl + 1 == j:
+                    out.append(text[i:j]); i = j; continue
+                out.append(text[i:last_nl + 1]); i = last_nl + 1; continue
+            # \s+(?!\S): all but the last ws char when a non-ws follows.
+            if j < n and j - i > 1:
+                out.append(text[i:j - 1]); i = j - 1; continue
+            out.append(text[i:j]); i = j; continue
+        # Fallback: single char (no alternative matched).
+        out.append(c); i += 1
+    return out
+
+
+class BpeTokenizer:
+    """GPT-2-style byte-level BPE over a GGUF vocab + merge list — the
+    tokenizer family of Llama-3, Qwen2/Qwen2-MoE, and every other
+    ``tokenizer.ggml.model == "gpt2"`` checkpoint (llama.cpp:
+    llm_tokenizer_bpe; reference inherits it via llama.cpp).
+
+    ``tokens``: vocab strings in the GPT-2 byte-repr space ("Ġ" =
+    space). ``merges``: "left right" strings, rank = list index.
+    ``pre``: "llama-bpe" (default, 1-3 digit runs) or "qwen2" (single
+    digits). Control tokens (``token_types`` 3, e.g. <|im_start|>) are
+    matched literally before pre-tokenization, exactly like llama.cpp's
+    special-token scan."""
+
+    def __init__(self, tokens: Sequence[str],
+                 merges: Sequence[str],
+                 pre: str = "llama-bpe",
+                 token_types: Optional[Sequence[int]] = None,
+                 bos_id: int = 0, eos_id: int = 0, pad_id: int = 0):
+        self._pieces = [str(t) for t in tokens]
+        self._ids = {t: i for i, t in enumerate(self._pieces)}
+        self._ranks: Dict[Tuple[str, str], int] = {}
+        for r, m in enumerate(merges):
+            left, _, right = str(m).partition(" ")
+            self._ranks[(left, right)] = r
+        self.vocab_size = len(self._pieces)
+        self.bos_id, self.eos_id, self.pad_id = bos_id, eos_id, pad_id
+        self._digit_run = 1 if pre == "qwen2" else 3
+        self._b2u = _bytes_to_unicode()
+        self._u2b = {c: b for b, c in self._b2u.items()}
+        self._specials = sorted(
+            (self._pieces[i] for i in range(len(self._pieces))
+             if token_types is not None and int(token_types[i]) == 3
+             and self._pieces[i]),
+            key=len, reverse=True)
+
+    def _bpe(self, piece: str) -> List[int]:
+        """Merge-by-rank on one pre-token (already byte-repr chars)."""
+        if piece in self._ids:        # whole-piece fast path
+            return [self._ids[piece]]
+        parts = list(piece)
+        while len(parts) > 1:
+            best, best_i = None, -1
+            for i in range(len(parts) - 1):
+                r = self._ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        out = []
+        for p in parts:
+            if p in self._ids:
+                out.append(self._ids[p])
+            else:  # unmergeable multi-char fragment: per-char ids
+                out.extend(self._ids[c] for c in p if c in self._ids)
+        return out
+
+    def _encode_span(self, text: str, out: List[int]) -> None:
+        for pre_tok in _pretokenize(text, self._digit_run):
+            repr_str = "".join(self._b2u[b] for b in pre_tok.encode("utf-8"))
+            out.extend(self._bpe(repr_str))
+
+    def encode(self, text: str, add_bos: bool = False) -> List[int]:
+        out: List[int] = [self.bos_id] if add_bos else []
+        spans = [text]
+        for sp in self._specials:
+            nxt: List[str] = []
+            for s in spans:
+                if isinstance(s, int) or sp not in s:
+                    nxt.append(s)
+                    continue
+                parts = s.split(sp)
+                for j, part in enumerate(parts):
+                    if part:
+                        nxt.append(part)
+                    if j < len(parts) - 1:
+                        nxt.append(self._ids[sp])
+            spans = nxt
+        for s in spans:
+            if isinstance(s, int):
+                out.append(s)
+            else:
+                self._encode_span(s, out)
+        return out
+
+    def token_bytes(self, token_id: int) -> bytes:
+        piece = self._pieces[token_id]
+        try:
+            return bytes(self._u2b[c] for c in piece)
+        except KeyError:  # control/special tokens are literal text
+            return piece.encode("utf-8")
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return b"".join(self.token_bytes(int(i)) for i in ids
+                        if 0 <= int(i) < self.vocab_size).decode(
+                            "utf-8", errors="replace")
+
+    def decode_token(self, token_id: int) -> str:
+        return self.token_bytes(token_id).decode("utf-8",
+                                                 errors="replace")

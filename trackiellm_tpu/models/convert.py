@@ -213,6 +213,21 @@ def tokenizer_from_gguf(gguf: GGUFFile):
     tokens = gguf.metadata.get("tokenizer.ggml.tokens")
     if not tokens:
         return None
+    if gguf.metadata.get("tokenizer.ggml.model") == "gpt2":
+        # Byte-level BPE (Llama-3 / Qwen2 / Qwen2-MoE GGUFs): vocab in
+        # the GPT-2 byte-repr space + ranked merges + a pre-tokenizer
+        # id (llama.cpp tokenizer.ggml.pre).
+        from trackiellm_tpu.llm.tokenizer import BpeTokenizer
+
+        md = gguf.metadata
+        return BpeTokenizer(
+            tokens,
+            merges=md.get("tokenizer.ggml.merges", []),
+            pre=str(md.get("tokenizer.ggml.pre", "llama-bpe")),
+            token_types=md.get("tokenizer.ggml.token_type"),
+            bos_id=int(md.get("tokenizer.ggml.bos_token_id", 0)),
+            eos_id=int(md.get("tokenizer.ggml.eos_token_id", 0)),
+            pad_id=int(md.get("tokenizer.ggml.padding_token_id", 0)))
     return tokenizer_from_pieces(
         tokens,
         pad_id=int(gguf.metadata.get("tokenizer.ggml.padding_token_id", 0)),
