@@ -137,3 +137,38 @@ def test_gguf_gpt2_tokenizer_wiring(tmp_path, trained):
     text = "ola, descreva 123 it's"
     assert tok.encode(text) == oracle.encode(text).ids
     assert tok.decode(tok.encode(text)) == text
+
+
+def test_tokenizer_spec_json_roundtrip(tmp_path, trained):
+    """The checkpoint-persisted tokenizer spec (convert CLI metadata)
+    survives JSON and rebuilds an id-identical BpeTokenizer."""
+    import numpy as np
+
+    from tests.test_loader import write_gguf
+    from trackiellm_tpu.models import loader as L
+    from trackiellm_tpu.models.convert import (tokenizer_from_spec,
+                                               tokenizer_spec_from_gguf)
+
+    oracle, mine = trained
+    merges = [f"{a} {b}" for (a, b) in sorted(
+        mine._ranks, key=mine._ranks.get)]
+    p = str(tmp_path / "bpe.gguf")
+    write_gguf(p, {"token_embd.weight": (
+        np.zeros((4, 4), np.float32), L.GGML_F32)}, metadata={
+        "general.architecture": "llama",
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.pre": "qwen2",
+        "tokenizer.ggml.tokens": mine._pieces,
+        "tokenizer.ggml.merges": merges,
+        "tokenizer.ggml.eos_token_id": 2,
+    })
+    spec = tokenizer_spec_from_gguf(L.read_gguf_header(p))
+    spec = json.loads(json.dumps(spec))      # the sidecar round trip
+    tok = tokenizer_from_spec(spec)
+    assert tok.eos_id == 2
+    # qwen2 pre: digits split individually.
+    a = tok.encode("ano 2026 ok")
+    b = BpeTokenizer(mine._pieces, merges, pre="qwen2").encode(
+        "ano 2026 ok")
+    assert a == b
+    assert tok.decode(a) == "ano 2026 ok"

@@ -31,6 +31,7 @@ def _cmd_convert(args) -> int:
 
     t0 = time.time()
     vocab = None
+    tok_spec = None
     if args.family in ("gemma2-hf", "mixtral-hf", "qwen2moe-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
@@ -49,12 +50,16 @@ def _cmd_convert(args) -> int:
         from trackiellm_tpu.models.convert import gguf_to_llm_params
         from trackiellm_tpu.models.loader import read_gguf_header
 
+        from trackiellm_tpu.models.convert import tokenizer_spec_from_gguf
+
         params, cfg = gguf_to_llm_params(args.gguf, bits=args.bits or None)
-        vocab = read_gguf_header(args.gguf).metadata.get(
-            "tokenizer.ggml.tokens")
+        hdr = read_gguf_header(args.gguf)
+        vocab = hdr.metadata.get("tokenizer.ggml.tokens")
+        tok_spec = tokenizer_spec_from_gguf(hdr)
     save_checkpoint(args.output, params, config=cfg,
                     metadata={"source": args.gguf, "bits": args.bits,
-                              "vocab_pieces": vocab})
+                              "vocab_pieces": vocab,
+                              "tokenizer_spec": tok_spec})
     print(f"converted + saved to {args.output} "
           f"in {time.time() - t0:.1f}s; config: {cfg}")
     return 0
@@ -69,7 +74,11 @@ def _cmd_generate(args) -> int:
         print("checkpoint has no LLMConfig sidecar", file=sys.stderr)
         return 1
     tokenizer = None
-    if meta.get("vocab_pieces"):
+    if meta.get("tokenizer_spec"):
+        from trackiellm_tpu.models.convert import tokenizer_from_spec
+
+        tokenizer = tokenizer_from_spec(meta["tokenizer_spec"])
+    elif meta.get("vocab_pieces"):  # pre-round-3 checkpoints
         from trackiellm_tpu.models.convert import tokenizer_from_pieces
 
         tokenizer = tokenizer_from_pieces(meta["vocab_pieces"])

@@ -201,40 +201,63 @@ def tokenizer_from_pieces(pieces, pad_id: int = 0, scores=None,
     return tok
 
 
-def tokenizer_from_gguf(gguf: GGUFFile):
-    """Build a tokenizer from the GGUF's embedded vocabulary
-    (``tokenizer.ggml.tokens`` — SentencePiece pieces with the U+2581
-    space marker). Returns None when the file carries no vocab.
-
-    llama.cpp reads the same table (the reference inherits it); here it
-    feeds :class:`trackiellm_tpu.llm.tokenizer.VocabTokenizer` so a
-    converted checkpoint generates real text with zero extra files.
-    """
-    tokens = gguf.metadata.get("tokenizer.ggml.tokens")
+def tokenizer_spec_from_gguf(gguf: GGUFFile):
+    """JSON-serializable tokenizer description from GGUF metadata —
+    persisted into native checkpoints so a converted model rebuilds the
+    SAME tokenizer with zero extra files. None when no vocab."""
+    md = gguf.metadata
+    tokens = md.get("tokenizer.ggml.tokens")
     if not tokens:
         return None
-    if gguf.metadata.get("tokenizer.ggml.model") == "gpt2":
-        # Byte-level BPE (Llama-3 / Qwen2 / Qwen2-MoE GGUFs): vocab in
-        # the GPT-2 byte-repr space + ranked merges + a pre-tokenizer
-        # id (llama.cpp tokenizer.ggml.pre).
+    if md.get("tokenizer.ggml.model") == "gpt2":
+        return {"model": "gpt2",
+                "tokens": list(tokens),
+                "merges": list(md.get("tokenizer.ggml.merges", [])),
+                "pre": str(md.get("tokenizer.ggml.pre", "llama-bpe")),
+                "token_types": md.get("tokenizer.ggml.token_type"),
+                "bos_id": int(md.get("tokenizer.ggml.bos_token_id", 0)),
+                "eos_id": int(md.get("tokenizer.ggml.eos_token_id", 0)),
+                "pad_id": int(md.get("tokenizer.ggml.padding_token_id",
+                                     0))}
+    return {"model": "spm",
+            "tokens": list(tokens),
+            "scores": md.get("tokenizer.ggml.scores"),
+            "token_types": md.get("tokenizer.ggml.token_type"),
+            "pad_id": int(md.get("tokenizer.ggml.padding_token_id", 0)),
+            "add_space_prefix": bool(md.get(
+                "tokenizer.ggml.add_space_prefix", True))}
+
+
+def tokenizer_from_spec(spec):
+    """Rebuild a tokenizer from :func:`tokenizer_spec_from_gguf`."""
+    if spec.get("model") == "gpt2":
         from trackiellm_tpu.llm.tokenizer import BpeTokenizer
 
-        md = gguf.metadata
         return BpeTokenizer(
-            tokens,
-            merges=md.get("tokenizer.ggml.merges", []),
-            pre=str(md.get("tokenizer.ggml.pre", "llama-bpe")),
-            token_types=md.get("tokenizer.ggml.token_type"),
-            bos_id=int(md.get("tokenizer.ggml.bos_token_id", 0)),
-            eos_id=int(md.get("tokenizer.ggml.eos_token_id", 0)),
-            pad_id=int(md.get("tokenizer.ggml.padding_token_id", 0)))
+            spec["tokens"], merges=spec.get("merges", []),
+            pre=spec.get("pre", "llama-bpe"),
+            token_types=spec.get("token_types"),
+            bos_id=spec.get("bos_id", 0), eos_id=spec.get("eos_id", 0),
+            pad_id=spec.get("pad_id", 0))
     return tokenizer_from_pieces(
-        tokens,
-        pad_id=int(gguf.metadata.get("tokenizer.ggml.padding_token_id", 0)),
-        scores=gguf.metadata.get("tokenizer.ggml.scores"),
-        token_types=gguf.metadata.get("tokenizer.ggml.token_type"),
-        add_space_prefix=bool(gguf.metadata.get(
-            "tokenizer.ggml.add_space_prefix", True)))
+        spec["tokens"], pad_id=spec.get("pad_id", 0),
+        scores=spec.get("scores"),
+        token_types=spec.get("token_types"),
+        add_space_prefix=spec.get("add_space_prefix", True))
+
+
+def tokenizer_from_gguf(gguf: GGUFFile):
+    """Build a tokenizer from the GGUF's embedded vocabulary. Handles
+    both llama.cpp tokenizer families: SentencePiece score-merge BPE
+    ("llama"/spm) and byte-level BPE ("gpt2" — Llama-3/Qwen2). Returns
+    None when the file carries no vocab.
+
+    llama.cpp reads the same tables (the reference inherits them); here
+    they feed VocabTokenizer / BpeTokenizer so a converted checkpoint
+    generates real text with zero extra files.
+    """
+    spec = tokenizer_spec_from_gguf(gguf)
+    return None if spec is None else tokenizer_from_spec(spec)
 
 
 def gguf_to_llm_params(
