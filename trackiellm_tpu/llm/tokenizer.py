@@ -431,6 +431,17 @@ class BpeTokenizer:
             self._ranks[(left, right)] = r
         self.vocab_size = len(self._pieces)
         self.bos_id, self.eos_id, self.pad_id = bos_id, eos_id, pad_id
+        # llama.cpp defines dozens of "pre" ids; the two implemented
+        # scanners cover the framework's LLM families (Llama-3 and the
+        # Qwen2 line). Anything else gets the llama-bpe scanner with a
+        # warning — ids will be close but not guaranteed exact.
+        if pre not in ("llama-bpe", "qwen2", "default", "gpt-2"):
+            import logging
+
+            logging.getLogger("trackiellm.tokenizer").warning(
+                "unknown BPE pre-tokenizer %r: falling back to the "
+                "llama-bpe scanner (token ids may differ from "
+                "llama.cpp for this family)", pre)
         self._digit_run = 1 if pre == "qwen2" else 3
         self._b2u = _bytes_to_unicode()
         self._u2b = {c: b for b, c in self._b2u.items()}
