@@ -214,3 +214,49 @@ class TestRunnerSpeculative:
         n = len(r._generated_ids)
         passes = calls["decode"] + calls["extend"]
         assert passes < n, (passes, n, out)
+
+
+class TestDraftModel:
+    """Two-model speculative decoding (speculative_generate_draft)."""
+
+    @pytest.mark.parametrize("prompt", PROMPTS)
+    def test_matches_plain_decode_weak_draft(self, prompt):
+        """A different-weights draft (low/erratic acceptance) must
+        still produce byte-identical target output."""
+        from trackiellm_tpu.llm.speculative import (
+            speculative_generate_draft)
+
+        cfg, params = _setup(0)
+        draft_cfg = cfg._replace(n_layers=1)
+        draft_params = llm_model.init_params(jax.random.PRNGKey(9),
+                                             draft_cfg,
+                                             dtype=jnp.float32)
+        n = 24
+        first, cache_a = _prefill(params, cfg, prompt)
+        want, cache_a = _plain_greedy(params, cfg, first, cache_a, n)
+        _, cache_b = _prefill(params, cfg, prompt)
+        got, cache_b, stats = speculative_generate_draft(
+            params, cfg, draft_params, draft_cfg, prompt, first,
+            cache_b, n)
+        assert got == want, stats.as_dict()
+        assert int(cache_b.length) == int(cache_a.length)
+
+    def test_self_draft_accepts_everything(self):
+        """Target-as-draft: every proposal must be accepted (the two
+        greedy chains are the same chain), so rounds emit k+1 tokens
+        and the pass count collapses."""
+        from trackiellm_tpu.llm.speculative import (
+            speculative_generate_draft)
+
+        cfg, params = _setup(0)
+        prompt = [5, 9, 11, 5, 9, 11, 5, 9]
+        n = 24
+        first, cache_a = _prefill(params, cfg, prompt)
+        want, _ = _plain_greedy(params, cfg, first, cache_a, n)
+        _, cache = _prefill(params, cfg, prompt)
+        got, cache, stats = speculative_generate_draft(
+            params, cfg, params, cfg, prompt, first, cache, n,
+            max_propose=7)
+        assert got == want
+        assert stats.acceptance == 1.0, stats.as_dict()
+        assert stats.passes == 3  # ceil(24 / (7+1))

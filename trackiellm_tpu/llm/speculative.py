@@ -143,3 +143,92 @@ def speculative_generate(
         hist.extend(emitted)
         tok = emitted[-1] if emitted else tok
     return out, cache, stats
+
+
+def speculative_generate_draft(
+    params: Dict[str, Any],
+    cfg: llm_model.LLMConfig,
+    draft_params: Dict[str, Any],
+    draft_cfg: llm_model.LLMConfig,
+    history: Sequence[int],
+    first_token: int,
+    cache: llm_model.KVCache,
+    n_tokens: int,
+    draft_cache: Optional[llm_model.KVCache] = None,
+    attn_len: Optional[int] = None,
+    draft_attn_len: Optional[int] = None,
+    max_propose: int = 7,
+) -> Tuple[List[int], llm_model.KVCache, SpecStats]:
+    """Two-model speculative decoding: a small DRAFT model proposes
+    ``max_propose`` greedy tokens per round (ONE device dispatch via
+    ``decode_chunk_greedy``), the target verifies them all in ONE
+    bucketed ``extend`` pass, and both caches roll back rejected tails
+    by just lowering ``length`` (stale-row contract). Output is
+    byte-identical to the target's plain greedy loop (tested); the
+    speedup is acceptance-dependent — at acceptance ``a`` each round
+    emits ``a*k + 1`` tokens for one draft chunk + one target pass
+    instead of ``a*k + 1`` full target steps.
+
+    ``history``: the token ids already in the target ``cache`` (the
+    prompt); the draft cache is primed with the same ids when
+    ``draft_cache`` is None. The two models must share a tokenizer /
+    vocab (assert below) — e.g. a GGUF loaded twice, once with
+    ``max_layers`` truncation as the draft.
+    """
+    assert cfg.vocab_size == draft_cfg.vocab_size, (
+        "draft and target must share a vocabulary")
+    bucket = max_propose + 1
+    if draft_cache is None:
+        draft_cache = llm_model.KVCache.create(
+            draft_cfg, dtype=cache.k.dtype)
+        if len(history):
+            _, draft_cache = llm_model.prefill(
+                draft_params, draft_cfg,
+                jnp.asarray(list(history), jnp.int32),
+                jnp.int32(len(history)), draft_cache)
+    out: List[int] = []
+    stats = SpecStats()
+    tok = int(first_token)  # pending: emitted but not yet in any cache
+
+    while len(out) < n_tokens:
+        k = min(max_propose, n_tokens - len(out))
+        # Draft: ingest the pending token, then k greedy tokens in one
+        # chunk program. (k < max_propose only on the final round —
+        # decode_chunk_greedy compiles per n_tokens, so rounds reuse
+        # the max_propose variant until the tail.)
+        d_logits, draft_cache = llm_model.decode_step(
+            draft_params, draft_cfg, jnp.int32(tok), draft_cache,
+            attn_len=draft_attn_len)
+        d_offset = int(draft_cache.length)
+        proposal_arr, _, draft_cache = llm_model.decode_chunk_greedy(
+            draft_params, draft_cfg, d_logits, draft_cache,
+            n_tokens=k, attn_len=draft_attn_len)
+        proposal = [int(t) for t in np.asarray(proposal_arr)]
+
+        chunk = [tok] + proposal
+        n_valid = len(chunk)
+        padded = np.zeros((bucket,), np.int32)
+        padded[:n_valid] = chunk
+        offset = int(cache.length)
+        logits, cache = llm_model.extend(
+            params, cfg, jnp.asarray(padded), jnp.int32(n_valid),
+            cache, attn_len=attn_len, all_logits=True)
+        greedy = np.asarray(jnp.argmax(logits, axis=-1))
+        stats.passes += 1
+        stats.proposed += len(proposal)
+        accepted = 0
+        while (accepted < len(proposal)
+               and int(greedy[accepted]) == proposal[accepted]):
+            accepted += 1
+        stats.accepted += accepted
+        emitted = [int(g) for g in greedy[:accepted + 1]]
+        emitted = emitted[: n_tokens - len(out)]
+        # Target cache: offset + len(emitted) real entries (the last
+        # emitted token stays pending). Draft cache: the ingested tok +
+        # the accepted proposals = the same count past ITS offset.
+        cache = cache._replace(length=jnp.int32(offset + len(emitted)))
+        draft_cache = draft_cache._replace(
+            length=jnp.int32(d_offset - 1 + len(emitted)))
+        out.extend(emitted)
+        tok = emitted[-1]
+    return out, cache, stats
