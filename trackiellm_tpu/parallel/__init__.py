@@ -11,9 +11,11 @@ Axes: ``dp`` (data parallel over batch), ``fsdp`` (parameter/optimizer
 sharding, also folded into the batch axis), ``tp`` (tensor parallel over
 attention heads / MLP hidden, with Megatron sequence-parallel residuals
 in the train step), and ``pp`` (GPipe pipeline stages via shard_map +
-ppermute, `parallel/pipeline.py`). Expert parallelism is deliberately
-NOT an axis: MoE banks shard within-expert over tp instead — exact,
-one psum, no load-balance pathology (docs/ARCHITECTURE.md).
+ppermute, `parallel/pipeline.py`). MoE has two layouts: the default
+shards banks within-expert over tp (exact, one psum, no load-balance
+pathology — docs/ARCHITECTURE.md); past ~8 experts an optional ``ep``
+axis shards whole experts with GShard capacity-based dispatch
+(`parallel/moe.py`, ``build_mesh(..., ep=N)``).
 """
 
 from trackiellm_tpu.parallel.infer import (  # noqa: F401
@@ -24,6 +26,11 @@ from trackiellm_tpu.parallel.infer import (  # noqa: F401
     make_sharded_prefill,
 )
 from trackiellm_tpu.parallel.mesh import build_mesh  # noqa: F401
+from trackiellm_tpu.parallel.moe import (  # noqa: F401
+    dispatch_combine,
+    ep_moe_mlp,
+    ep_param_shardings,
+)
 from trackiellm_tpu.parallel.sharding import (  # noqa: F401
     data_sharding,
     param_shardings,

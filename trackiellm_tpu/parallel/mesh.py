@@ -30,10 +30,26 @@ def build_mesh(
     tp: Optional[int] = None,
     max_tp: int = 4,
     axis_names: tuple = ("dp", "fsdp", "tp"),
+    ep: Optional[int] = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh over the given (or all) devices."""
+    """Build a (dp, fsdp, tp) mesh over the given (or all) devices.
+
+    ``ep``: insert an expert-parallel axis — the mesh becomes
+    (dp, fsdp, ep, tp) and MoE expert banks shard whole-expert over it
+    (``parallel.moe``). ep sits between fsdp and tp so the dispatch
+    collectives ride an inner (fast) ICI dimension while tp keeps the
+    innermost ring."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if ep is not None:
+        assert n % ep == 0, f"{n} devices not divisible by ep={ep}"
+        rem = n // ep
+        if tp is None:
+            _, _, tp = _factor(rem, max_tp)
+        assert rem % tp == 0, f"{rem} devices not divisible by tp={tp}"
+        dp, fsdp, _ = _factor(rem // tp, 1)
+        arr = np.array(devices).reshape(dp, fsdp, ep, tp)
+        return Mesh(arr, ("dp", "fsdp", "ep", "tp"))
     if tp is not None:
         assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
         _, fsdp, _ = _factor(n // tp, 1)

@@ -43,12 +43,13 @@ def param_shardings(mesh: Mesh) -> Dict[str, Any]:
     return tree
 
 
-def param_shardings_moe(mesh: Mesh) -> Dict[str, Any]:
+def param_shardings_moe(mesh: Mesh, shared: bool = False) -> Dict[str, Any]:
     """MoE variant: expert banks (L, E, K, N) split Megatron-style
     WITHIN each expert (same scheme as inference,
     parallel/infer.py) — experts stay whole per shard because the
     train forward's expert loop slices the E axis statically. The
-    router is replicated."""
+    router is replicated. ``shared``: add the Qwen2-MoE shared-expert
+    weights (one dense SwiGLU, Megatron-split like the dense MLP)."""
     base = param_shardings(mesh)
 
     def ns(*spec) -> NamedSharding:
@@ -57,6 +58,10 @@ def param_shardings_moe(mesh: Mesh) -> Dict[str, Any]:
     base["layers"]["moe_gate"] = ns(None, None, None)
     base["layers"]["w_gu"] = ns(None, None, "fsdp", "tp")
     base["layers"]["w_down"] = ns(None, None, "tp", "fsdp")
+    if shared:
+        base["layers"]["shared_gu"] = ns(None, "fsdp", "tp")
+        base["layers"]["shared_down"] = ns(None, "tp", "fsdp")
+        base["layers"]["shared_gate"] = ns(None, None, None)
     return base
 
 

@@ -50,7 +50,9 @@ def _require_plain_attention(cfg: llm_model.LLMConfig, params,
 
 def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
                        tokens: jnp.ndarray,
-                       sequence_parallel: bool = False) -> jnp.ndarray:
+                       sequence_parallel: bool = False,
+                       expert_parallel: bool = False,
+                       moe_capacity_factor: float = 2.0) -> jnp.ndarray:
     """Batched causal LM forward: (B, S) int32 tokens ->
     ``(logits (B, S, V) f32, aux)`` — ``aux`` is the per-layer router
     stats tuple for MoE configs and None for dense ones (a single
@@ -67,9 +69,20 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     reduce-scatter and all-gathers back before each column-parallel
     matmul; same math (loss equality tested on the virtual mesh),
     1/tp the norm compute and residual remat bytes per chip.
+
+    ``expert_parallel``: route MoE layers through the GShard
+    capacity-based dispatch (:mod:`trackiellm_tpu.parallel.moe`) so
+    expert banks shard whole-expert over an ``ep`` mesh axis;
+    ``moe_capacity_factor`` sets the static per-expert queue bound
+    (over-capacity tokens ride the residual — Switch drop semantics,
+    so the loss is only dense-equal at a drop-free factor >= E/k).
     """
     b, s = tokens.shape
     _require_plain_attention(cfg, params, s, "lm_forward_batched")
+    if expert_parallel and cfg.n_experts:
+        from trackiellm_tpu.parallel import moe as ep_moe
+        moe_cap = ep_moe.capacity(b * s, cfg.n_experts,
+                                  cfg.n_experts_used, moe_capacity_factor)
     res_spec = (shd.sequence_spec() if sequence_parallel
                 else shd.activation_spec())
     freqs = llm_model._freqs(params, cfg, s)
@@ -116,25 +129,29 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
             # each expert matmul stays Megatron-sharded. Also collect
             # the router probs for the Mixtral load-balancing aux loss.
             flat = h2.reshape(b * s, -1)
-            logits_r = llm_model._linear(
-                flat, layer["moe_gate"]).astype(jnp.float32)
-            probs = jax.nn.softmax(logits_r, axis=-1)        # (T, E)
-            topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
-            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-            weights = jnp.sum(
-                jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
-                * topv[..., None], axis=-2)                  # (T, E)
-            out = jnp.zeros(flat.shape, jnp.float32)
-            for e in range(cfg.n_experts):
-                gu = llm_model._linear(
-                    flat, layer["w_gu"][e]).astype(jnp.float32)
-                gate, up = jnp.split(gu, 2, axis=-1)
-                y = llm_model._linear(
-                    (jax.nn.silu(gate) * up).astype(x.dtype),
-                    layer["w_down"][e])
-                out = out + weights[:, e:e + 1] * y.astype(jnp.float32)
+            if expert_parallel:
+                out, aux = ep_moe.ep_moe_mlp(flat, layer, cfg, moe_cap)
+            else:
+                logits_r = llm_model._linear(
+                    flat, layer["moe_gate"]).astype(jnp.float32)
+                probs = jax.nn.softmax(logits_r, axis=-1)    # (T, E)
+                topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
+                if cfg.moe_norm_topk:
+                    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+                weights = jnp.sum(
+                    jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
+                    * topv[..., None], axis=-2)              # (T, E)
+                out = llm_model._moe_shared(flat, layer, cfg)
+                for e in range(cfg.n_experts):
+                    gu = llm_model._linear(
+                        flat, layer["w_gu"][e]).astype(jnp.float32)
+                    gate, up = jnp.split(gu, 2, axis=-1)
+                    y = llm_model._linear(
+                        (jax.nn.silu(gate) * up).astype(x.dtype),
+                        layer["w_down"][e])
+                    out = out + weights[:, e:e + 1] * y.astype(jnp.float32)
+                aux = (probs, weights)
             x = x + out.astype(x.dtype).reshape(b, s, -1)
-            aux = (probs, weights)
         else:
             gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
             gate, up = jnp.split(gu, 2, axis=-1)
@@ -165,12 +182,15 @@ def moe_load_balancing_loss(aux, cfg: llm_model.LLMConfig) -> jnp.ndarray:
 
 
 def lm_loss(params, cfg, tokens, sequence_parallel: bool = False,
-            moe_aux_coef: float = 0.02) -> jnp.ndarray:
+            moe_aux_coef: float = 0.02, expert_parallel: bool = False,
+            moe_capacity_factor: float = 2.0) -> jnp.ndarray:
     """Next-token cross-entropy over (B, S) tokens (shifted). MoE
     configs add ``moe_aux_coef`` x the load-balancing loss (Mixtral's
     router_aux_loss_coef default)."""
-    logits, aux = lm_forward_batched(params, cfg, tokens,
-                                     sequence_parallel)
+    logits, aux = lm_forward_batched(
+        params, cfg, tokens, sequence_parallel,
+        expert_parallel=expert_parallel,
+        moe_capacity_factor=moe_capacity_factor)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -184,13 +204,24 @@ def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
     return optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=0.01)
 
 
+def _pick_param_shardings(cfg: llm_model.LLMConfig, mesh: Mesh):
+    """Dense tree, within-expert MoE tree, or whole-expert ``ep`` tree —
+    chosen by the config and whether the mesh carries an ep axis."""
+    if not cfg.n_experts:
+        return shd.param_shardings(mesh)
+    shared = bool(cfg.moe_shared_hidden)
+    if "ep" in mesh.axis_names:
+        from trackiellm_tpu.parallel import moe as ep_moe
+        return ep_moe.ep_param_shardings(mesh, shared=shared)
+    return shd.param_shardings_moe(mesh, shared=shared)
+
+
 def init_train_state(key: jax.Array, cfg: llm_model.LLMConfig, mesh: Mesh,
                      lr: float = 1e-4,
                      dtype=jnp.float32) -> Tuple[Dict, Any, Any]:
     """Sharded param + optimizer state init (params materialize directly
     in their shards via jit out_shardings — no full replica ever exists)."""
-    p_shard = (shd.param_shardings_moe(mesh) if cfg.n_experts
-               else shd.param_shardings(mesh))
+    p_shard = _pick_param_shardings(cfg, mesh)
     opt = make_optimizer(lr)
 
     with mesh:
@@ -207,19 +238,24 @@ def init_train_state(key: jax.Array, cfg: llm_model.LLMConfig, mesh: Mesh,
 
 def make_train_step(cfg: llm_model.LLMConfig, mesh: Mesh,
                     opt: optax.GradientTransformation,
-                    sequence_parallel: bool = True):
+                    sequence_parallel: bool = True,
+                    moe_capacity_factor: float = 2.0):
     """Build the jitted, fully-sharded train step.
 
     ``sequence_parallel`` defaults on: with tp=1 meshes the constraint
     is a no-op, and with tp>1 it is the strictly better layout (see
-    lm_forward_batched)."""
-    p_shard = (shd.param_shardings_moe(mesh) if cfg.n_experts
-               else shd.param_shardings(mesh))
+    lm_forward_batched). MoE configs on a mesh with an ``ep`` axis
+    automatically use the expert-parallel GShard dispatch
+    (whole-expert sharding, ``moe_capacity_factor`` queue bound)."""
+    p_shard = _pick_param_shardings(cfg, mesh)
     d_shard = shd.data_sharding(mesh)
+    expert_parallel = bool(cfg.n_experts) and "ep" in mesh.axis_names
 
     def train_step(params, opt_state, tokens):
         loss, grads = jax.value_and_grad(lm_loss)(
-            params, cfg, tokens, sequence_parallel=sequence_parallel)
+            params, cfg, tokens, sequence_parallel=sequence_parallel,
+            expert_parallel=expert_parallel,
+            moe_capacity_factor=moe_capacity_factor)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
