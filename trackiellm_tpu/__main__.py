@@ -32,7 +32,8 @@ def _cmd_convert(args) -> int:
     t0 = time.time()
     vocab = None
     tok_spec = None
-    if args.family in ("gemma2-hf", "mixtral-hf", "qwen2moe-hf"):
+    if args.family in ("gemma2-hf", "mixtral-hf", "qwen2moe-hf",
+                       "qwen3-hf", "qwen3moe-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -40,7 +41,9 @@ def _cmd_convert(args) -> int:
 
         fn = {"gemma2-hf": _C.gemma2_from_hf,
               "mixtral-hf": _C.mixtral_from_hf,
-              "qwen2moe-hf": _C.qwen2_moe_from_hf}[args.family]
+              "qwen2moe-hf": _C.qwen2_moe_from_hf,
+              "qwen3-hf": _C.qwen3_from_hf,
+              "qwen3moe-hf": _C.qwen3_moe_from_hf}[args.family]
         params, cfg = fn(load_state_dict(args.gguf))
         if args.bits:
             from trackiellm_tpu.models.llm import quantize_params
@@ -284,7 +287,7 @@ def main(argv=None) -> int:
     p.add_argument("--bits", type=int, default=4, choices=(0, 4, 8))
     p.add_argument("--family", default="gguf",
                    choices=("gguf", "gemma2-hf", "mixtral-hf",
-                            "qwen2moe-hf"),
+                            "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/mixtral/qwen2moe "
                    "arches)")

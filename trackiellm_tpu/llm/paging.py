@@ -58,6 +58,7 @@ def decode_step_paged(
         q = qkv[:, :qd].reshape(1, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(1, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(1, cfg.n_kv_heads, cfg.head_dim)
+        q, k = llm_model._qk_norm(q, k, layer, cfg)
         q = llm_model.apply_rope(q, pos[None], freqs)
         k = llm_model.apply_rope(k, pos[None], freqs)
 
@@ -148,6 +149,7 @@ def decode_step_batch_paged(
         q = qkv[:, :qd].reshape(b, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        q, k = llm_model._qk_norm(q, k, layer, cfg)
         q = jax.vmap(lambda qq, p: llm_model.apply_rope(
             qq[None], p[None], freqs)[0])(q, pos)
         k = jax.vmap(lambda kk, p: llm_model.apply_rope(

@@ -113,6 +113,9 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
     head_dim = int(md.get(f"{arch}.attention.key_length",
                           dim // n_heads))
     qkv_bias = "blk.0.attn_q.bias" in gguf.tensors
+    # Qwen3 per-head QK RMSNorm: detected from tensor presence like the
+    # biases (llama.cpp's build_qwen3 loads attn_{q,k}_norm the same way).
+    qk_norm = "blk.0.attn_q_norm.weight" in gguf.tensors
     # Gemma-2: GeGLU, sandwich norms, softcaps, alternating local
     # windows. GGUF stores the softcaps as metadata; the (1+w) norm
     # convention is already folded by the official conversion script
@@ -171,6 +174,7 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         sliding_window=int(md.get(f"{arch}.attention.sliding_window",
                                   key("context_length", 4096))),
         qkv_bias=qkv_bias,
+        qk_norm=qk_norm,
         n_experts=int(md.get(f"{arch}.expert_count", 0)),
         n_experts_used=int(md.get(f"{arch}.expert_used_count", 2)),
         # Qwen2-MoE (llama.cpp arch "qwen2moe"): the shared expert has
@@ -316,6 +320,7 @@ def gguf_to_llm_params(
     wqkv, wo, w_gu, w_down = [], [], [], []
     attn_norm, mlp_norm = [], []
     attn_post_norm, mlp_post_norm = [], []
+    q_norm, k_norm = [], []
     qkv_bias = []
     moe_gate = []
     shared_gu, shared_down, shared_gate = [], [], []
@@ -328,6 +333,10 @@ def gguf_to_llm_params(
             # (1+w) fold is already baked by convert_hf_to_gguf.
             attn_post_norm.append(vec(f"{p}.post_attention_norm.weight"))
             mlp_post_norm.append(vec(f"{p}.post_ffw_norm.weight"))
+        if cfg.qk_norm:
+            # Qwen3 per-head QK norms (llama.cpp attn_{q,k}_norm).
+            q_norm.append(vec(f"{p}.attn_q_norm.weight"))
+            k_norm.append(vec(f"{p}.attn_k_norm.weight"))
         if f"{p}.attn_qkv.weight" in gguf.tensors:
             # Phi-3-style pre-fused QKV ([q; k; v] rows in GGUF ->
             # [q | k | v] columns transposed — exactly this framework's
@@ -409,6 +418,9 @@ def gguf_to_llm_params(
     if cfg.post_norms:
         layers["attn_post_norm"] = jnp.stack(attn_post_norm)
         layers["mlp_post_norm"] = jnp.stack(mlp_post_norm)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.stack(q_norm)
+        layers["k_norm"] = jnp.stack(k_norm)
     if cfg.n_experts:
         layers["moe_gate"] = jnp.stack(moe_gate)
         if cfg.moe_shared_hidden:
@@ -1645,6 +1657,138 @@ def qwen2_moe_from_hf(
         L["shared_down"].append(A(f"{sp}.down_proj.weight").T)
         L["shared_gate"].append(
             A(f"{pre}.mlp.shared_expert_gate.weight").T)
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg
+
+
+def qwen3_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 32768,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 1e6,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Qwen3 (dense) state dict to (params, cfg).
+
+    Qwen3's attention delta vs Qwen2: the QKV biases are gone, replaced
+    by per-head RMSNorm on Q and K over head_dim
+    (``self_attn.{q,k}_norm.weight``), applied before rope — mapped to
+    ``layers.q_norm/k_norm`` and cfg.qk_norm. head_dim is read off the
+    q_norm weight (decoupled from dim//n_heads in several sizes)."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    hd = A("model.layers.0.self_attn.q_norm.weight").shape[0]
+    n_heads = A("model.layers.0.self_attn.q_proj.weight").shape[0] // hd
+    n_kv = A("model.layers.0.self_attn.k_proj.weight").shape[0] // hd
+    hidden = A("model.layers.0.mlp.gate_proj.weight").shape[0]
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, qk_norm=True)
+
+    L = {"attn_norm": [], "wqkv": [], "wo": [], "mlp_norm": [],
+         "w_gu": [], "w_down": [], "q_norm": [], "k_norm": []}
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        L["mlp_norm"].append(A(f"{pre}.post_attention_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.weight").T
+             for p in ("q", "k", "v")], axis=1))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["q_norm"].append(A(f"{pre}.self_attn.q_norm.weight"))
+        L["k_norm"].append(A(f"{pre}.self_attn.k_norm.weight"))
+        L["w_gu"].append(np.concatenate(
+            [A(f"{pre}.mlp.gate_proj.weight").T,
+             A(f"{pre}.mlp.up_proj.weight").T], axis=1))
+        L["w_down"].append(A(f"{pre}.mlp.down_proj.weight").T)
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg
+
+
+def qwen3_moe_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 32768,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 1e6,
+    n_experts_used: int = 8,
+    norm_topk: bool = True,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Qwen3-MoE state dict to (params, cfg).
+
+    Qwen3-MoE = Qwen3 attention (QK-norm, no biases) + top-k routed
+    experts with RENORMALIZED weights (norm_topk_prob=True) and NO
+    shared expert — both reversals of Qwen2-MoE's choices."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    hd = A("model.layers.0.self_attn.q_norm.weight").shape[0]
+    n_heads = A("model.layers.0.self_attn.q_proj.weight").shape[0] // hd
+    n_kv = A("model.layers.0.self_attn.k_proj.weight").shape[0] // hd
+    hidden = A("model.layers.0.mlp.experts.0.gate_proj.weight").shape[0]
+    n_experts = len({k.split(".")[5] for k in state
+                     if ".mlp.experts." in k})
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, qk_norm=True, n_experts=n_experts,
+        n_experts_used=n_experts_used, moe_norm_topk=norm_topk)
+
+    L = {"attn_norm": [], "wqkv": [], "wo": [], "mlp_norm": [],
+         "moe_gate": [], "w_gu": [], "w_down": [],
+         "q_norm": [], "k_norm": []}
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        L["mlp_norm"].append(A(f"{pre}.post_attention_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.weight").T
+             for p in ("q", "k", "v")], axis=1))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["q_norm"].append(A(f"{pre}.self_attn.q_norm.weight"))
+        L["k_norm"].append(A(f"{pre}.self_attn.k_norm.weight"))
+        L["moe_gate"].append(A(f"{pre}.mlp.gate.weight").T)
+        gus, downs = [], []
+        for e in range(n_experts):
+            ep = f"{pre}.mlp.experts.{e}"
+            gus.append(np.concatenate([A(f"{ep}.gate_proj.weight").T,
+                                       A(f"{ep}.up_proj.weight").T],
+                                      axis=1))
+            downs.append(A(f"{ep}.down_proj.weight").T)
+        L["w_gu"].append(np.stack(gus))
+        L["w_down"].append(np.stack(downs))
 
     params = {
         "tok_emb": jnp.asarray(emb, dtype),

@@ -94,6 +94,10 @@ class LLMConfig(NamedTuple):
                                 # always-active SwiGLU whose output is
                                 # scaled by sigmoid(shared_gate(x)) and
                                 # added to the routed sum
+    # Qwen3 family: per-head RMSNorm on Q and K (over head_dim, after
+    # the projection reshape, BEFORE rope — transformers' Qwen3Attention
+    # order). Params carry layers.q_norm/k_norm (L, head_dim).
+    qk_norm: bool = False
 
     @classmethod
     def mistral_7b(cls) -> "LLMConfig":
@@ -173,6 +177,26 @@ class LLMConfig(NamedTuple):
                    query_pre_attn_scalar=256.0, alt_window=True)
 
     @classmethod
+    def qwen3_8b(cls) -> "LLMConfig":
+        """Qwen3-8B: GQA-8, per-head QK-norm (replaces Qwen2's QKV
+        biases), theta 1e6, 151k vocab."""
+        return cls(vocab_size=151936, dim=4096, n_layers=36, n_heads=32,
+                   n_kv_heads=8, head_dim=128, hidden_dim=12288,
+                   norm_eps=1e-6, rope_theta=1e6, max_seq=32768,
+                   sliding_window=32768, qk_norm=True)
+
+    @classmethod
+    def qwen3_moe_30b_a3b(cls) -> "LLMConfig":
+        """Qwen3-30B-A3B: 128 experts top-8 (renormalized, NO shared
+        expert — unlike Qwen1.5/2-MoE), QK-norm attention, 768-wide
+        experts."""
+        return cls(vocab_size=151936, dim=2048, n_layers=48, n_heads=32,
+                   n_kv_heads=4, head_dim=128, hidden_dim=768,
+                   norm_eps=1e-6, rope_theta=1e6, max_seq=32768,
+                   sliding_window=32768, qk_norm=True, n_experts=128,
+                   n_experts_used=8, moe_norm_topk=True)
+
+    @classmethod
     def tiny(cls) -> "LLMConfig":
         """Small config for tests / compile checks."""
         return cls(vocab_size=512, dim=256, n_layers=2, n_heads=4,
@@ -225,6 +249,9 @@ def init_params(key: jax.Array, cfg: LLMConfig,
     if cfg.post_norms:
         layers["attn_post_norm"] = jnp.ones((l, d), dtype)
         layers["mlp_post_norm"] = jnp.ones((l, d), dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((l, cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((l, cfg.head_dim), dtype)
     return {
         "tok_emb": w(keys[0], cfg.vocab_size, d, scale=0.02),
         "layers": layers,
@@ -293,6 +320,9 @@ def init_params_quantized(key: jax.Array, cfg: LLMConfig, bits: int = 4,
         layers["wqkv_bias"] = (jax.random.normal(
             jax.random.fold_in(key, 99993), (l, qd + 2 * kvd),
             jnp.float32) * 0.02).astype(dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((l, cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((l, cfg.head_dim), dtype)
     build_one = jax.jit(
         lambda k, kk, nn: quantize(
             jax.random.normal(k, (kk, nn), jnp.float32) / (kk ** 0.5), group),
@@ -331,6 +361,18 @@ def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
     if isinstance(w, QuantizedLinear):
         return quantized_matmul(x, w).astype(x.dtype)
     return jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _qk_norm(q: jnp.ndarray, k: jnp.ndarray, layer,
+             cfg: LLMConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Qwen3 per-head QK RMSNorm: normalize the head_dim axis of the
+    reshaped (..., H, head_dim) Q and K, scaled by the per-layer
+    (head_dim,) weights — applied BEFORE rope, matching transformers'
+    Qwen3Attention. No-op for configs without ``qk_norm``."""
+    if not cfg.qk_norm:
+        return q, k
+    return (_rms_norm(q, layer["q_norm"], cfg.norm_eps),
+            _rms_norm(k, layer["k_norm"], cfg.norm_eps))
 
 
 def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -710,6 +752,7 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         q = qkv[:, :qd].reshape(s_pad, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
+        q, k = _qk_norm(q, k, layer, cfg)
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
@@ -775,6 +818,7 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
             b, s_pad, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[..., qd + kvd:].reshape(
             b, s_pad, cfg.n_kv_heads, cfg.head_dim)
+        q, k = _qk_norm(q, k, layer, cfg)
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
         attn = jax.vmap(lambda qq, kk, vv: _prefill_attn(
@@ -837,6 +881,7 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         q = qkv[:, :qd].reshape(1, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(1, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(1, cfg.n_kv_heads, cfg.head_dim)
+        q, k = _qk_norm(q, k, layer, cfg)
         q = apply_rope(q, pos[None], freqs)
         k = apply_rope(k, pos[None], freqs)
 
@@ -933,6 +978,7 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
         q = qkv[:, :qd].reshape(b, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        q, k = _qk_norm(q, k, layer, cfg)
         q = jax.vmap(lambda qq, p: apply_rope(qq[None], p[None], freqs)[0]
                      )(q, pos)
         k = jax.vmap(lambda kk, p: apply_rope(kk[None], p[None], freqs)[0]
@@ -1045,6 +1091,7 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         q = qkv[:, :qd].reshape(b, cfg.n_heads, cfg.head_dim)
         k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        q, k = _qk_norm(q, k, layer, cfg)
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 

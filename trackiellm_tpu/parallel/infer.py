@@ -67,7 +67,8 @@ def infer_param_shardings(mesh: Mesh, quantized: bool,
         "lm_head": head,
     }
     if params is not None:
-        for key in ("wqkv_bias", "attn_post_norm", "mlp_post_norm"):
+        for key in ("wqkv_bias", "attn_post_norm", "mlp_post_norm",
+                    "q_norm", "k_norm"):
             if key in params["layers"]:
                 tree["layers"][key] = _ns(mesh, None, None)
         for key in ("rope_factors", "rope_factors_short",
