@@ -566,33 +566,6 @@ class TestReviewRound3Fixes:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5),
             g_pp, g_ref)
 
-    def test_unsupported_attention_configs_rejected(self):
-        """The train/pp/cp forwards implement plain GQA attention and
-        must REFUSE configs they would silently mis-compute (softcaps,
-        sandwich norms, q-scale overrides, live sliding windows)."""
-        from jax.sharding import Mesh
-        from trackiellm_tpu.parallel.pipeline import pp_loss
-        from trackiellm_tpu.parallel.ring import cp_lm_forward
-
-        gemma2ish = TRAIN_CFG._replace(attn_softcap=50.0,
-                                       query_pre_attn_scalar=256.0,
-                                       post_norms=True)
-        params = llm_model.init_params(jax.random.PRNGKey(23), gemma2ish,
-                                       dtype=jnp.float32)
-        tokens = jnp.zeros((4, 32), jnp.int32)
-        with pytest.raises(NotImplementedError, match="softcap"):
-            lm_forward_batched(params, gemma2ish, tokens)
-        mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
-        with pytest.raises(NotImplementedError, match="post_norms"):
-            with mesh:
-                pp_loss(params, gemma2ish, mesh, tokens,
-                        n_microbatches=2)
-        windowed = TRAIN_CFG._replace(sliding_window=8)
-        with pytest.raises(NotImplementedError, match="sliding_window"):
-            cp_mesh = Mesh(np.array(jax.devices()[:4]), ("cp",))
-            with cp_mesh:
-                cp_lm_forward(params, windowed, cp_mesh, tokens[0])
-
     def test_pp_train_step_rejects_moe(self):
         from jax.sharding import Mesh
         from trackiellm_tpu.parallel.pipeline import make_pp_train_step
@@ -701,3 +674,94 @@ class TestExpertParallel:
             last = float(loss)
         assert np.isfinite(first) and np.isfinite(last)
         assert last < first * 0.5, (first, last)
+
+
+ZOO_CFG = TRAIN_CFG._replace(
+    # Every family feature at once (superset of Gemma-2 + Qwen2):
+    # QKV biases, GeGLU, sandwich norms, attn+logit softcaps, query
+    # scaling, alternating sliding windows (16 < max_seq -> active).
+    qkv_bias=True, act="gelu", post_norms=True, attn_softcap=50.0,
+    logit_softcap=30.0, query_pre_attn_scalar=48.0,
+    sliding_window=16, alt_window=True)
+
+
+class TestFamilyZooParallel:
+    """The parallel forwards share one config-aware layer body
+    (parallel/layers.py) and must match the inference paths on the
+    FULL family zoo — not just plain GQA (which they used to refuse)."""
+
+    def test_zoo_batched_forward_matches_prefill(self):
+        params = llm_model.init_params(jax.random.PRNGKey(31), ZOO_CFG,
+                                       dtype=jnp.float32)
+        toks = jax.random.randint(jax.random.PRNGKey(32), (24,), 0,
+                                  ZOO_CFG.vocab_size, jnp.int32)
+        with build_mesh(jax.devices()[:1]):
+            logits_b, _ = lm_forward_batched(params, ZOO_CFG, toks[None])
+        cache = llm_model.KVCache.create(ZOO_CFG, dtype=jnp.float32)
+        logits_p, _ = llm_model.prefill(params, ZOO_CFG, toks,
+                                        jnp.int32(24), cache)
+        np.testing.assert_allclose(np.asarray(logits_b[0, 23]),
+                                   np.asarray(logits_p),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_zoo_pp_loss_matches_lm_loss(self):
+        """4 pipeline stages x 1 layer each: the alternating-window
+        policy must key on the GLOBAL layer index across stages."""
+        from jax.sharding import Mesh
+        from trackiellm_tpu.parallel.pipeline import pp_loss
+        from trackiellm_tpu.parallel.train import lm_loss
+
+        cfg = ZOO_CFG._replace(n_layers=4)
+        params = llm_model.init_params(jax.random.PRNGKey(33), cfg,
+                                       dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(34), (8, 32), 0,
+                                    cfg.vocab_size).astype(jnp.int32)
+        with build_mesh(jax.devices()[:1]):
+            ref = float(lm_loss(params, cfg, tokens))
+        mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+        with mesh:
+            got = float(pp_loss(params, cfg, mesh, tokens,
+                                n_microbatches=4))
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    @pytest.mark.parametrize("zigzag", [True, False])
+    def test_zoo_cp_forward_matches_single_device(self, zigzag):
+        """Ring attention with softcap + per-layer sliding windows
+        (masked from GLOBAL positions, so both token-to-device
+        layouts stay exact)."""
+        from jax.sharding import Mesh
+        from trackiellm_tpu.parallel.ring import cp_lm_forward
+
+        params = llm_model.init_params(jax.random.PRNGKey(35), ZOO_CFG,
+                                       dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(36), (32,), 0,
+                                    ZOO_CFG.vocab_size).astype(jnp.int32)
+        with build_mesh(jax.devices()[:1]):
+            ref = lm_forward_batched(params, ZOO_CFG, tokens[None])[0][0]
+        mesh = Mesh(np.array(jax.devices()[:4]), ("cp",))
+        with mesh:
+            got = cp_lm_forward(params, ZOO_CFG, mesh, tokens,
+                                zigzag=zigzag)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_zoo_trainable(self):
+        """Gradients flow through every zoo feature on the sharded
+        train step (loss falls on a memorizable batch)."""
+        mesh = build_mesh(jax.devices()[:8])
+        with mesh:
+            params, opt_state, opt = init_train_state(
+                jax.random.PRNGKey(37), ZOO_CFG, mesh, lr=3e-3)
+            step = make_train_step(ZOO_CFG, mesh, opt)
+            batch = jax.device_put(
+                jnp.tile(jnp.arange(64, dtype=jnp.int32)
+                         % ZOO_CFG.vocab_size, (8, 1)),
+                data_sharding(mesh))
+            first = None
+            for _ in range(20):
+                params, opt_state, loss = step(params, opt_state, batch)
+                if first is None:
+                    first = float(loss)
+            last = float(loss)
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first * 0.6, (first, last)

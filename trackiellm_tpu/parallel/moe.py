@@ -132,7 +132,8 @@ def ep_moe_mlp(h2: jnp.ndarray, layer: Dict[str, Any],
     return out, (probs, weights)
 
 
-def ep_param_shardings(mesh, shared: bool = False) -> Dict[str, Any]:
+def ep_param_shardings(mesh, shared: bool = False,
+                       cfg=None) -> Dict[str, Any]:
     """MoE param tree with expert banks sharded over ``ep`` (whole
     experts per shard) AND within-expert over fsdp/tp — composes with
     the dense tree from ``param_shardings``. Requires an ``ep`` axis in
@@ -147,7 +148,7 @@ def ep_param_shardings(mesh, shared: bool = False) -> Dict[str, Any]:
         raise ValueError(
             f"mesh {mesh.axis_names} has no 'ep' axis — build it with "
             "build_mesh(devices, ep=N)")
-    base = shd.param_shardings(mesh)
+    base = shd.param_shardings(mesh, cfg=cfg)
 
     def ns(*spec) -> NamedSharding:
         return NamedSharding(mesh, P(*spec))

@@ -67,35 +67,21 @@ def pp_param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
                         is_leaf=lambda x: isinstance(x, P))
 
 
-def _dense_layer(x: jnp.ndarray, layer, cfg: llm_model.LLMConfig,
+def _dense_layer(x: jnp.ndarray, layer, li, cfg: llm_model.LLMConfig,
                  freqs: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
-    """One dense transformer layer on a (B, S, D) microbatch — same
-    math as parallel.train.lm_forward_batched's layer body."""
-    b, s, _ = x.shape
-    qd = cfg.n_heads * cfg.head_dim
-    kvd = cfg.n_kv_heads * cfg.head_dim
-    h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    qkv = llm_model._linear(h, layer["wqkv"])
-    q = qkv[..., :qd].reshape(b, s, cfg.n_heads, cfg.head_dim)
-    k = qkv[..., qd:qd + kvd].reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-    v = qkv[..., qd + kvd:].reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-    q = llm_model.apply_rope(q, positions, freqs)
-    k = llm_model.apply_rope(k, positions, freqs)
-    rep = cfg.n_heads // cfg.n_kv_heads
-    kh = jnp.repeat(k, rep, axis=2)
-    vh = jnp.repeat(v, rep, axis=2)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                        kh.astype(jnp.float32)) / (cfg.head_dim ** 0.5)
-    mask = jnp.tril(jnp.ones((s, s), bool))
-    scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
-    attn = jnp.einsum("bhqk,bkhd->bqhd", probs,
-                      vh.astype(jnp.float32)).reshape(b, s, -1)
-    x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
-    # Config-aware MLP (dense SwiGLU/GeGLU or sparse MoE) on flattened
-    # tokens — the same body every inference path uses.
-    return llm_model._mlp(x.reshape(b * s, -1), layer,
-                          cfg).reshape(b, s, -1)
+    """One transformer layer on a (B, S, D) microbatch — the SHARED
+    config-aware body (`parallel/layers.py`: full family zoo incl.
+    Gemma-2 softcaps/sandwich norms/alternating windows, QKV biases),
+    same math as parallel.train.lm_forward_batched's layer. ``li`` is
+    the GLOBAL layer index (stage offset + local position), which the
+    alternating-window policy keys on."""
+    from trackiellm_tpu.parallel import layers as shared_layers
+
+    y, _ = shared_layers.transformer_layer(
+        x, layer, li, cfg, freqs, positions,
+        attn_core=lambda q, k, v, li2: shared_layers.dense_attn_core(
+            cfg, li2, q, k, v, positions))
+    return y
 
 
 def pp_loss(params: Dict[str, Any], cfg: llm_model.LLMConfig, mesh: Mesh,
@@ -107,12 +93,9 @@ def pp_loss(params: Dict[str, Any], cfg: llm_model.LLMConfig, mesh: Mesh,
     dense AND MoE — expert banks replicate per stage here; the router
     aux loss is a train.lm_loss concern, not a pipeline one).
     """
-    from trackiellm_tpu.parallel.train import _require_plain_attention
-
     n_stages = mesh.shape["pp"]
     assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
     b, s = tokens.shape
-    _require_plain_attention(cfg, params, s, "pp_loss")
     assert b % n_microbatches == 0, (b, n_microbatches)
     mb = b // n_microbatches
     micros = tokens.reshape(n_microbatches, mb, s)
@@ -131,12 +114,16 @@ def pp_loss(params: Dict[str, Any], cfg: llm_model.LLMConfig, mesh: Mesh,
         freqs = llm_model._freqs(local_params, cfg, s)
         positions = jnp.arange(s)
         layers = local_params["layers"]  # leaves (L/pp, ...)
+        l_per = cfg.n_layers // n_stages
 
         def stage_block(x):
-            def body(x, layer):
-                return _dense_layer(x, layer, cfg, freqs, positions), None
+            def body(x, inputs):
+                layer, li_local = inputs
+                li = stage * l_per + li_local  # global layer index
+                return _dense_layer(x, layer, li, cfg, freqs,
+                                    positions), None
 
-            y, _ = jax.lax.scan(body, x, layers)
+            y, _ = jax.lax.scan(body, x, (layers, jnp.arange(l_per)))
             return y
 
         def ce(logits, tgt_tokens):
@@ -156,10 +143,7 @@ def pp_loss(params: Dict[str, Any], cfg: llm_model.LLMConfig, mesh: Mesh,
             y = stage_block(x_in)
             # Last stage: head + loss for microbatch t - (pp - 1).
             m_out = t - (n_stages - 1)
-            h = llm_model._rms_norm(y, local_params["out_norm"],
-                                    cfg.norm_eps)
-            logits = llm_model._linear(
-                h, local_params["lm_head"]).astype(jnp.float32)
+            logits = llm_model._output_logits(local_params, cfg, y)
             toks_out = jax.lax.dynamic_index_in_dim(
                 micros, jnp.clip(m_out, 0, n_microbatches - 1), axis=0,
                 keepdims=False)

@@ -45,7 +45,9 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    axis_name: str, scale: float,
                    q_pos: jnp.ndarray = None,
                    k_pos: jnp.ndarray = None,
-                   gqa_rep: int = 1) -> jnp.ndarray:
+                   gqa_rep: int = 1,
+                   softcap: float = 0.0,
+                   window=None) -> jnp.ndarray:
     """Exact causal attention with S sharded over ``axis_name``.
 
     q: LOCAL (Sb, Hq, Dh) block; k, v: LOCAL (Sb, Hkv, Dh) blocks —
@@ -65,6 +67,13 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     everything it receives while the last device computes almost all
     of it (2x the minimal FLOPs end to end); zig-zag gives every
     device an equal mix of early and late rows.
+
+    ``softcap``: Gemma-2 attention logit soft-capping (0 = off), applied
+    to raw scores before masking — identical placement to
+    ops/attention. ``window``: sliding window (0/None = unbounded;
+    may be a TRACED scalar so alternating-window configs can select it
+    per layer inside a scan), masked as ``q_pos - k_pos < window`` from
+    the global position vectors, so it is assignment-exact too.
     """
     n_dev = jax.lax.psum(1, axis_name)
     me = jax.lax.axis_index(axis_name)
@@ -80,7 +89,13 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kbh = jnp.repeat(kb, gqa_rep, axis=1) if gqa_rep > 1 else kb
         vbh = jnp.repeat(vb, gqa_rep, axis=1) if gqa_rep > 1 else vb
         scores = jnp.einsum("qhd,khd->hqk", q32, kbh.astype(jnp.float32))
+        if softcap > 0.0:
+            scores = softcap * jnp.tanh(scores / softcap)
         causal = q_pos[None, :, None] >= k_pos[None, None, :]
+        if window is not None:
+            win = jnp.int32(window)
+            causal &= (win == 0) | (
+                q_pos[None, :, None] - k_pos[None, None, :] < win)
         scores = jnp.where(causal, scores, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1))    # (H, Sb)
         # exp(-inf - -inf) guards: a fully-masked row keeps m = -inf;
@@ -131,18 +146,15 @@ def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     :func:`zigzag_permutation`; logits come back in natural order
     either way. MoE configs work (the MLP is token-local, so sequence
     sharding does not touch the router)."""
-    from trackiellm_tpu.parallel.train import _require_plain_attention
+    from trackiellm_tpu.parallel import layers as shared_layers
 
     (s,) = tokens.shape
-    _require_plain_attention(cfg, params, s, "cp_lm_forward")
     n_dev = mesh.shape["cp"]
     assert s % n_dev == 0, (s, n_dev)
     if zigzag and s % (2 * n_dev):
         zigzag = False
-    qd = cfg.n_heads * cfg.head_dim
-    kvd = cfg.n_kv_heads * cfg.head_dim
     rep = cfg.n_heads // cfg.n_kv_heads
-    scale = cfg.head_dim ** -0.5
+    scale = llm_model._attn_scale(cfg)
     half = s // (2 * n_dev)
     if zigzag:
         perm = zigzag_permutation(s, n_dev)
@@ -166,28 +178,28 @@ def cp_lm_forward(params: Dict[str, Any], cfg: llm_model.LLMConfig,
         freqs = llm_model._freqs(prm, cfg, s)
         x = prm["tok_emb"][toks]
 
-        def layer_fn(x, layer):
-            h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-            qkv = llm_model._linear(h, layer["wqkv"])
-            q = qkv[..., :qd].reshape(sb, cfg.n_heads, cfg.head_dim)
-            k = qkv[..., qd:qd + kvd].reshape(sb, cfg.n_kv_heads,
-                                              cfg.head_dim)
-            v = qkv[..., qd + kvd:].reshape(sb, cfg.n_kv_heads,
-                                            cfg.head_dim)
-            q = llm_model.apply_rope(q, positions, freqs)
-            k = llm_model.apply_rope(k, positions, freqs)
-            attn = ring_attention(q, k, v, "cp", scale,
+        def ring_core(q, k, v, li):
+            # Per-layer (possibly alternating) window rides the traced
+            # layer index; the hop mask applies it from GLOBAL
+            # positions, so zig-zag assignments stay exact.
+            win = shared_layers.layer_windows(cfg, li)
+            return ring_attention(q, k, v, "cp", scale,
                                   q_pos=positions, k_pos=positions,
-                                  gqa_rep=rep).reshape(sb, -1)
-            x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
-            # Config-aware MLP (dense or sparse MoE), token-local so it
-            # needs no cross-device exchange under sequence sharding.
-            x = llm_model._mlp(x, layer, cfg)
+                                  gqa_rep=rep, softcap=cfg.attn_softcap,
+                                  window=win)
+
+        def layer_fn(x, inputs):
+            layer, li = inputs
+            # Shared config-aware body (family zoo); the MLP is
+            # token-local so it needs no cross-device exchange under
+            # sequence sharding.
+            x, _ = shared_layers.transformer_layer(
+                x, layer, li, cfg, freqs, positions, attn_core=ring_core)
             return x, None
 
-        x, _ = jax.lax.scan(layer_fn, x, prm["layers"])
-        x = llm_model._rms_norm(x, prm["out_norm"], cfg.norm_eps)
-        return llm_model._linear(x, prm["lm_head"]).astype(jnp.float32)
+        x, _ = jax.lax.scan(layer_fn, x,
+                            (prm["layers"], jnp.arange(cfg.n_layers)))
+        return llm_model._output_logits(prm, cfg, x)
 
     out = run(params, tokens)
     if zigzag:

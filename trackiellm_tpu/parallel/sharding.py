@@ -21,8 +21,12 @@ from typing import Any, Dict
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def param_shardings(mesh: Mesh) -> Dict[str, Any]:
-    """NamedSharding tree matching models.llm.init_params structure."""
+def param_shardings(mesh: Mesh, cfg=None) -> Dict[str, Any]:
+    """NamedSharding tree matching models.llm.init_params structure.
+
+    Pass ``cfg`` to cover the optional family-zoo leaves the config
+    creates — Qwen2 QKV biases and Gemma-2 sandwich norms, replicated
+    (small vectors, same convention as infer_param_shardings)."""
 
     def ns(*spec) -> NamedSharding:
         return NamedSharding(mesh, P(*spec))
@@ -40,17 +44,27 @@ def param_shardings(mesh: Mesh) -> Dict[str, Any]:
         "out_norm": ns(None),
         "lm_head": ns("fsdp", "tp"),           # vocab-column-parallel
     }
+    if cfg is not None:
+        if cfg.qkv_bias:
+            tree["layers"]["wqkv_bias"] = ns(None, None)
+        if cfg.post_norms:
+            tree["layers"]["attn_post_norm"] = ns(None, None)
+            tree["layers"]["mlp_post_norm"] = ns(None, None)
+        if cfg.qk_norm:
+            tree["layers"]["q_norm"] = ns(None, None)
+            tree["layers"]["k_norm"] = ns(None, None)
     return tree
 
 
-def param_shardings_moe(mesh: Mesh, shared: bool = False) -> Dict[str, Any]:
+def param_shardings_moe(mesh: Mesh, shared: bool = False,
+                        cfg=None) -> Dict[str, Any]:
     """MoE variant: expert banks (L, E, K, N) split Megatron-style
     WITHIN each expert (same scheme as inference,
     parallel/infer.py) — experts stay whole per shard because the
     train forward's expert loop slices the E axis statically. The
     router is replicated. ``shared``: add the Qwen2-MoE shared-expert
     weights (one dense SwiGLU, Megatron-split like the dense MLP)."""
-    base = param_shardings(mesh)
+    base = param_shardings(mesh, cfg=cfg)
 
     def ns(*spec) -> NamedSharding:
         return NamedSharding(mesh, P(*spec))

@@ -23,31 +23,6 @@ from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.parallel import sharding as shd
 
 
-def _require_plain_attention(cfg: llm_model.LLMConfig, params,
-                             seq_len: int, where: str) -> None:
-    """The training/pipeline/ring forwards implement plain GQA causal
-    attention (1/sqrt(head_dim) scale, full window, no softcaps, no
-    sandwich norms, no QKV biases). The inference paths in models/llm.py
-    support the full family zoo; these paths refuse configs they would
-    silently mis-compute (review round-3 catch) instead of diverging."""
-    bad = []
-    if cfg.attn_softcap or cfg.logit_softcap:
-        bad.append("softcaps")
-    if cfg.query_pre_attn_scalar:
-        bad.append("query_pre_attn_scalar")
-    if cfg.post_norms:
-        bad.append("post_norms")
-    if cfg.alt_window or cfg.sliding_window < seq_len:
-        bad.append(f"sliding_window<{seq_len}")
-    if "wqkv_bias" in params.get("layers", {}):
-        bad.append("wqkv_bias")
-    if bad:
-        raise NotImplementedError(
-            f"{where} implements plain GQA attention; unsupported config "
-            f"features: {', '.join(bad)} (use the models/llm.py inference "
-            "paths for this family)")
-
-
 def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
                        tokens: jnp.ndarray,
                        sequence_parallel: bool = False,
@@ -58,10 +33,14 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     stats tuple for MoE configs and None for dense ones (a single
     return contract; callers no longer branch on cfg.n_experts).
 
-    Layer-scanned like the inference path, with explicit sharding
-    constraints on activations and attention heads, and rematerialization
-    per layer (``jax.checkpoint``) to trade FLOPs for HBM during the
-    backward pass.
+    Layer-scanned like the inference path through the SHARED
+    config-aware layer body (:mod:`trackiellm_tpu.parallel.layers` —
+    the full family zoo: QKV biases, Gemma-2 softcaps/sandwich
+    norms/alternating windows, query scaling, GeGLU), with explicit
+    sharding constraints on activations and attention heads, and
+    rematerialization per layer (``jax.checkpoint``) to trade FLOPs
+    for HBM during the backward pass. Per-row equality with
+    models/llm.py prefill is tested for plain AND zoo configs.
 
     ``sequence_parallel``: shard the residual stream's SEQUENCE axis
     over tp in the norm/residual regions (:func:`shd.sequence_spec`) —
@@ -77,8 +56,9 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     (over-capacity tokens ride the residual — Switch drop semantics,
     so the loss is only dense-equal at a drop-free factor >= E/k).
     """
+    from trackiellm_tpu.parallel import layers as shared_layers
+
     b, s = tokens.shape
-    _require_plain_attention(cfg, params, s, "lm_forward_batched")
     if expert_parallel and cfg.n_experts:
         from trackiellm_tpu.parallel import moe as ep_moe
         moe_cap = ep_moe.capacity(b * s, cfg.n_experts,
@@ -90,44 +70,23 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
     x = params["tok_emb"][tokens]  # (B, S, D)
     x = jax.lax.with_sharding_constraint(x, res_spec)
 
-    qd = cfg.n_heads * cfg.head_dim
-    kvd = cfg.n_kv_heads * cfg.head_dim
+    def res_con(t):
+        return jax.lax.with_sharding_constraint(t, res_spec)
 
-    @functools.partial(jax.checkpoint, policy=None)
-    def layer_fn(x, layer):
-        h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        qkv = llm_model._linear(h, layer["wqkv"])
-        q = qkv[..., :qd].reshape(b, s, cfg.n_heads, cfg.head_dim)
-        k = qkv[..., qd:qd + kvd].reshape(
-            b, s, cfg.n_kv_heads, cfg.head_dim)
-        v = qkv[..., qd + kvd:].reshape(
-            b, s, cfg.n_kv_heads, cfg.head_dim)
-        q = jax.lax.with_sharding_constraint(q, shd.heads_spec())
-        q = llm_model.apply_rope(q, positions, freqs)
-        k = llm_model.apply_rope(k, positions, freqs)
+    def q_con(t):
+        return jax.lax.with_sharding_constraint(t, shd.heads_spec())
 
-        # (B, H, S, D) causal attention; kv heads repeat over the group.
-        rep = cfg.n_heads // cfg.n_kv_heads
-        kh = jnp.repeat(k, rep, axis=2)
-        vh = jnp.repeat(v, rep, axis=2)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                            kh.astype(jnp.float32)) / (cfg.head_dim ** 0.5)
-        mask = jnp.tril(jnp.ones((s, s), bool))
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs,
-                          vh.astype(jnp.float32)).reshape(b, s, -1)
-        x = x + llm_model._linear(attn.astype(x.dtype), layer["wo"])
-        x = jax.lax.with_sharding_constraint(x, res_spec)
-
-        h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        if cfg.n_experts:
-            # Sparse MoE MLP, dense-all-experts formulation — every
-            # expert computes, weighted by the zero-off-top-k (T, E)
-            # matrix. Differentiable end to end (top-k renormalized
-            # weights carry the router gradient), static shapes, and
-            # each expert matmul stays Megatron-sharded. Also collect
-            # the router probs for the Mixtral load-balancing aux loss.
+    mlp_fn = None
+    if cfg.n_experts:
+        def mlp_fn(x, layer):
+            # Sparse MoE MLP with router-aux collection for the
+            # load-balancing loss. Two formulations: the GShard
+            # expert-parallel dispatch (whole experts over ep), or the
+            # dense all-experts one — every expert computes, weighted
+            # by the zero-off-top-k (T, E) matrix. Both differentiable
+            # end to end (the kept weights carry the router gradient),
+            # static shapes, expert matmuls Megatron-sharded.
+            h2 = llm_model._rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
             flat = h2.reshape(b * s, -1)
             if expert_parallel:
                 out, aux = ep_moe.ep_moe_mlp(flat, layer, cfg, moe_cap)
@@ -151,19 +110,20 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
                         layer["w_down"][e])
                     out = out + weights[:, e:e + 1] * y.astype(jnp.float32)
                 aux = (probs, weights)
-            x = x + out.astype(x.dtype).reshape(b, s, -1)
-        else:
-            gu = llm_model._linear(h2, layer["w_gu"]).astype(jnp.float32)
-            gate, up = jnp.split(gu, 2, axis=-1)
-            x = x + llm_model._linear(
-                (jax.nn.silu(gate) * up).astype(x.dtype), layer["w_down"])
-            aux = None
-        x = jax.lax.with_sharding_constraint(x, res_spec)
-        return x, aux
+            return x + out.astype(x.dtype).reshape(b, s, -1), aux
 
-    x, aux = jax.lax.scan(layer_fn, x, params["layers"])
-    x = llm_model._rms_norm(x, params["out_norm"], cfg.norm_eps)
-    logits = llm_model._linear(x, params["lm_head"]).astype(jnp.float32)
+    @functools.partial(jax.checkpoint, policy=None)
+    def layer_fn(x, inputs):
+        layer, li = inputs
+        return shared_layers.transformer_layer(
+            x, layer, li, cfg, freqs, positions,
+            attn_core=lambda q, k, v, li2: shared_layers.dense_attn_core(
+                cfg, li2, q, k, v, positions),
+            mlp_fn=mlp_fn, q_constrain=q_con, res_constrain=res_con)
+
+    x, aux = jax.lax.scan(layer_fn, x,
+                          (params["layers"], jnp.arange(cfg.n_layers)))
+    logits = llm_model._output_logits(params, cfg, x)
     return logits, aux
 
 
@@ -208,12 +168,12 @@ def _pick_param_shardings(cfg: llm_model.LLMConfig, mesh: Mesh):
     """Dense tree, within-expert MoE tree, or whole-expert ``ep`` tree —
     chosen by the config and whether the mesh carries an ep axis."""
     if not cfg.n_experts:
-        return shd.param_shardings(mesh)
+        return shd.param_shardings(mesh, cfg=cfg)
     shared = bool(cfg.moe_shared_hidden)
     if "ep" in mesh.axis_names:
         from trackiellm_tpu.parallel import moe as ep_moe
-        return ep_moe.ep_param_shardings(mesh, shared=shared)
-    return shd.param_shardings_moe(mesh, shared=shared)
+        return ep_moe.ep_param_shardings(mesh, shared=shared, cfg=cfg)
+    return shd.param_shardings_moe(mesh, shared=shared, cfg=cfg)
 
 
 def init_train_state(key: jax.Array, cfg: llm_model.LLMConfig, mesh: Mesh,
