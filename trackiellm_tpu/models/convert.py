@@ -156,6 +156,20 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
                        / _math.log(orig_ctx))))
         extra.update(rope_original_max_seq=orig_ctx,
                      rope_attention_factor=att)
+    # YaRN context extension (rope.scaling.type=yarn — Qwen/DeepSeek
+    # long-context GGUFs): llama.cpp derives freq_scale = 1/factor and
+    # an attention mscale from the same keys; here the per-frequency
+    # divisors are computed into params["rope_factors"] by
+    # gguf_to_llm_params and the mscale rides cfg.rope_attention_factor
+    # (attn_factor metadata multiplies it, llama.cpp's convention).
+    stype = str(md.get(f"{arch}.rope.scaling.type", "") or "")
+    sfactor = float(md.get(f"{arch}.rope.scaling.factor", 0.0) or 0.0)
+    if stype == "yarn" and sfactor > 1.0:
+        attf = float(md.get(f"{arch}.rope.scaling.attn_factor", 1.0))
+        extra.update(
+            rope_original_max_seq=orig_ctx,
+            rope_attention_factor=attf
+            * llm_model.yarn_attention_factor(sfactor))
     return llm_model.LLMConfig(
         vocab_size=int(md.get("tokenizer.ggml.tokens_count",
                               md.get(f"{arch}.vocab_size",
@@ -446,6 +460,24 @@ def gguf_to_llm_params(
         params["rope_factors_long"] = jnp.asarray(
             load_gguf_tensor(gguf, "rope_factors_long.weight"),
             jnp.float32)
+    if "rope_factors" not in params:
+        # Metadata-driven scaling (no baked factor tensor): yarn ramp
+        # or uniform linear interpolation — llama.cpp computes both
+        # from these keys at rope time; here they become the same
+        # static divisor vector the Llama-3.1 path uses.
+        md = gguf.metadata
+        arch = md["general.architecture"]
+        stype = str(md.get(f"{arch}.rope.scaling.type", "") or "")
+        sfactor = float(md.get(f"{arch}.rope.scaling.factor", 0.0) or 0.0)
+        if stype == "yarn" and sfactor > 1.0:
+            orig = int(md.get(
+                f"{arch}.rope.scaling.original_context_length",
+                cfg.max_seq))
+            params["rope_factors"] = llm_model.yarn_rope_factors(
+                cfg, sfactor, orig)
+        elif stype == "linear" and sfactor > 1.0:
+            params["rope_factors"] = jnp.full(
+                (cfg.head_dim // 2,), sfactor, jnp.float32)
     return params, cfg
 
 

@@ -689,6 +689,50 @@ def llama3_rope_factors(cfg: LLMConfig, factor: float = 8.0,
     return d.astype(jnp.float32)
 
 
+def yarn_rope_factors(cfg: LLMConfig, factor: float,
+                      original_max_seq: int,
+                      beta_fast: float = 32.0,
+                      beta_slow: float = 1.0) -> jnp.ndarray:
+    """YaRN per-frequency rope DIVISORS (transformers'
+    ``_compute_yarn_parameters`` / llama.cpp's ggml yarn ramp, the
+    scheme llama.cpp engages for GGUFs with
+    ``rope.scaling.type=yarn`` — the reference's long-context path,
+    src/ai_models/tk_model_loader.c loads such models via llama.cpp):
+    high-frequency dims (more than ``beta_fast`` rotations over the
+    original context) extrapolate unchanged, low-frequency dims (fewer
+    than ``beta_slow`` rotations) interpolate — divide by ``factor`` —
+    and the band between blends linearly by dim index. Store as
+    ``params["rope_factors"]`` and pair with
+    ``cfg.rope_attention_factor = yarn_attention_factor(factor)``."""
+    half = cfg.head_dim // 2
+
+    def corr_dim(n_rot: float) -> float:
+        # Dim index whose frequency completes n_rot rotations over the
+        # original context: solve orig * freq_i = 2*pi*n_rot.
+        return (cfg.head_dim
+                * math.log(original_max_seq / (n_rot * 2.0 * math.pi))
+                / (2.0 * math.log(cfg.rope_theta)))
+
+    low = max(math.floor(corr_dim(beta_fast)), 0)
+    high = min(math.ceil(corr_dim(beta_slow)), cfg.head_dim - 1)
+    if high == low:
+        high += 0.001                    # transformers' singularity guard
+    ramp = jnp.clip(
+        (jnp.arange(half, dtype=jnp.float32) - low) / (high - low),
+        0.0, 1.0)
+    ext = 1.0 - ramp                     # 1 = extrapolate, 0 = interpolate
+    d = 1.0 / (ext + (1.0 - ext) / factor)
+    return d.astype(jnp.float32)
+
+
+def yarn_attention_factor(factor: float) -> float:
+    """YaRN mscale ``0.1*ln(s) + 1``: the reference implementations
+    multiply cos/sin by it, which equals scaling attention scores by
+    its square — this framework's ``cfg.rope_attention_factor`` hook
+    (see :func:`_attn_scale`)."""
+    return 0.1 * math.log(factor) + 1.0 if factor > 1.0 else 1.0
+
+
 def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
                freqs: jnp.ndarray) -> jnp.ndarray:
     """Rotate (..., S, H, D) by per-position angles (split-half layout,
