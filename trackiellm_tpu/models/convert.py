@@ -1832,3 +1832,147 @@ def qwen3_moe_from_hf(
              else np.ascontiguousarray(emb.T)), dtype),
     }
     return params, cfg
+
+
+def deepseek_v2_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 10000.0,
+    n_experts_used: int = 6,
+    norm_topk: bool = False,
+    routed_scale: float = 1.0,
+    n_groups: int = 1,
+    topk_groups: int = 1,
+    qk_nope_head_dim: int = 128,
+    qk_rope_head_dim: int = 64,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers DeepSeek-V2 state dict to
+    (params, MLAConfig) for :mod:`models.mla`.
+
+    Covers both the V2-Lite shape (full ``q_proj``) and the V2 shape
+    (``q_a_proj``/``q_b_proj`` LoRA query with its own RMSNorm), dense
+    first-k layers, routed + shared experts. No weight permutation is
+    needed: models/mla.py uses the same adjacent-pair rope convention
+    as transformers' DeepseekV2 (parity ref: llama.cpp's ``deepseek2``
+    arch, which the reference loads via tk_model_loader.c:296)."""
+    from trackiellm_tpu.models import mla as mla_model
+
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    kv_a = A("model.layers.0.self_attn.kv_a_proj_with_mqa.weight")
+    r = A("model.layers.0.self_attn.kv_a_layernorm.weight").shape[0]
+    rope = kv_a.shape[0] - r
+    if rope != qk_rope_head_dim:
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"kv_a_proj implies qk_rope_head_dim={rope}, "
+            f"got {qk_rope_head_dim}")
+    q_lora = ("model.layers.0.self_attn.q_a_proj.weight" in state)
+    q_out = A("model.layers.0.self_attn."
+              + ("q_b_proj" if q_lora else "q_proj")
+              + ".weight").shape[0]
+    qk_head = qk_nope_head_dim + qk_rope_head_dim
+    n_heads = q_out // qk_head
+    kv_b_out = A("model.layers.0.self_attn.kv_b_proj.weight").shape[0]
+    v_head = kv_b_out // n_heads - qk_nope_head_dim
+    dense_idx = [i for i in range(n_layers)
+                 if f"model.layers.{i}.mlp.gate_proj.weight" in state]
+    first_k = len(dense_idx)
+    if dense_idx != list(range(first_k)):
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"non-prefix dense layers {dense_idx}")
+    n_experts = len({k.split(".")[5] for k in state
+                     if ".mlp.experts." in k})
+    moe_hidden = (A(f"model.layers.{first_k}.mlp.experts.0."
+                    "gate_proj.weight").shape[0] if n_experts else 0)
+    shared_key = f"model.layers.{first_k}.mlp.shared_experts.gate_proj.weight"
+    shared_hidden = A(shared_key).shape[0] if shared_key in state else 0
+    hidden = (A("model.layers.0.mlp.gate_proj.weight").shape[0]
+              if first_k else moe_hidden)
+
+    cfg = mla_model.MLAConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        hidden_dim=hidden,
+        q_lora_rank=(A("model.layers.0.self_attn.q_a_proj.weight")
+                     .shape[0] if q_lora else 0),
+        kv_lora_rank=r, qk_nope_head_dim=qk_nope_head_dim,
+        qk_rope_head_dim=qk_rope_head_dim, v_head_dim=v_head,
+        n_experts=n_experts, n_experts_used=n_experts_used,
+        moe_hidden_dim=moe_hidden, moe_norm_topk=norm_topk,
+        moe_shared_hidden=shared_hidden, moe_routed_scale=routed_scale,
+        moe_n_groups=n_groups, moe_topk_groups=topk_groups,
+        first_k_dense=first_k if n_experts else n_layers,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq)
+
+    attn = {"attn_norm": [], "mlp_norm": [], "wkv_a": [],
+            "kv_a_norm": [], "wkv_b": [], "wo": []}
+    if q_lora:
+        attn.update(wq_a=[], q_a_norm=[], wq_b=[])
+    else:
+        attn.update(wq=[])
+    dense_mlp = {"w_gu": [], "w_down": []}
+    moe_mlp = {"moe_gate": [], "w_gu": [], "w_down": []}
+    if shared_hidden:
+        moe_mlp.update(shared_gu=[], shared_down=[])
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        sa = f"{pre}.self_attn"
+        attn["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        attn["mlp_norm"].append(
+            A(f"{pre}.post_attention_layernorm.weight"))
+        attn["wkv_a"].append(A(f"{sa}.kv_a_proj_with_mqa.weight").T)
+        attn["kv_a_norm"].append(A(f"{sa}.kv_a_layernorm.weight"))
+        attn["wkv_b"].append(A(f"{sa}.kv_b_proj.weight").T)
+        attn["wo"].append(A(f"{sa}.o_proj.weight").T)
+        if q_lora:
+            attn["wq_a"].append(A(f"{sa}.q_a_proj.weight").T)
+            attn["q_a_norm"].append(A(f"{sa}.q_a_layernorm.weight"))
+            attn["wq_b"].append(A(f"{sa}.q_b_proj.weight").T)
+        else:
+            attn["wq"].append(A(f"{sa}.q_proj.weight").T)
+        if i < cfg.first_k_dense or not n_experts:
+            dense_mlp["w_gu"].append(np.concatenate(
+                [A(f"{pre}.mlp.gate_proj.weight").T,
+                 A(f"{pre}.mlp.up_proj.weight").T], axis=1))
+            dense_mlp["w_down"].append(A(f"{pre}.mlp.down_proj.weight").T)
+        else:
+            moe_mlp["moe_gate"].append(A(f"{pre}.mlp.gate.weight").T)
+            gus, downs = [], []
+            for e in range(n_experts):
+                ep = f"{pre}.mlp.experts.{e}"
+                gus.append(np.concatenate(
+                    [A(f"{ep}.gate_proj.weight").T,
+                     A(f"{ep}.up_proj.weight").T], axis=1))
+                downs.append(A(f"{ep}.down_proj.weight").T)
+            moe_mlp["w_gu"].append(np.stack(gus))
+            moe_mlp["w_down"].append(np.stack(downs))
+            if shared_hidden:
+                sp = f"{pre}.mlp.shared_experts"
+                moe_mlp["shared_gu"].append(np.concatenate(
+                    [A(f"{sp}.gate_proj.weight").T,
+                     A(f"{sp}.up_proj.weight").T], axis=1))
+                moe_mlp["shared_down"].append(
+                    A(f"{sp}.down_proj.weight").T)
+
+    def stack(d):
+        return {k: jnp.asarray(np.stack(v), dtype)
+                for k, v in d.items() if v}
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "attn": stack(attn),
+        "dense_mlp": stack(dense_mlp),
+        "moe_mlp": stack(moe_mlp),
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg

@@ -98,6 +98,16 @@ class LLMConfig(NamedTuple):
     # the projection reshape, BEFORE rope — transformers' Qwen3Attention
     # order). Params carry layers.q_norm/k_norm (L, head_dim).
     qk_norm: bool = False
+    # DeepSeek MoE deltas (models/mla.py drives these through the same
+    # _moe_block): top-k weights multiply routed_scaling_factor, the
+    # shared expert adds UNGATED (no sigmoid(shared_gate)), and
+    # group-limited routing (n_group/topk_group: experts partition into
+    # groups, only the top-scoring groups stay selectable — DeepSeek's
+    # device-limited dispatch).
+    moe_routed_scale: float = 1.0
+    moe_shared_gated: bool = True
+    moe_n_groups: int = 1
+    moe_topk_groups: int = 1
 
     @classmethod
     def mistral_7b(cls) -> "LLMConfig":
@@ -499,6 +509,9 @@ def _moe_shared(h2: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     gated = (jax.nn.silu(gate) if cfg.act == "silu"
              else jax.nn.gelu(gate, approximate=True))
     y = _linear((gated * up).astype(h2.dtype), layer["shared_down"])
+    if not cfg.moe_shared_gated:
+        # DeepSeek-style shared experts: always-on, no gate.
+        return y.astype(jnp.float32)
     g = jax.nn.sigmoid(_linear(h2, layer["shared_gate"])
                        .astype(jnp.float32))                 # (T, 1)
     return g * y.astype(jnp.float32)
@@ -521,9 +534,22 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
     logits = _linear(h2, layer["moe_gate"]).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)                 # (T, E)
+    if cfg.moe_n_groups > 1:
+        # DeepSeek group-limited greedy: keep only the topk_groups
+        # groups with the best per-group max score (transformers'
+        # DeepseekV2MoEGate group_limited_greedy, zeroing the rest).
+        t = probs.shape[0]
+        gsz = cfg.n_experts // cfg.moe_n_groups
+        gscore = jnp.max(probs.reshape(t, cfg.moe_n_groups, gsz), -1)
+        gtop = jax.lax.top_k(gscore, cfg.moe_topk_groups)[1]  # (T, Gk)
+        gmask = jnp.sum(jax.nn.one_hot(gtop, cfg.moe_n_groups,
+                                       dtype=probs.dtype), axis=-2)
+        probs = probs * jnp.repeat(gmask, gsz, axis=-1)
     topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
     if cfg.moe_norm_topk:
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.moe_routed_scale != 1.0:
+        topv = topv * cfg.moe_routed_scale
     if _moe_use_routed(x.shape[0], layer["w_gu"]):
         out = _moe_routed(h2, topv, topi, layer, cfg)
         out = (out + _moe_shared(h2, layer, cfg)).astype(x.dtype)

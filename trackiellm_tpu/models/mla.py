@@ -1,0 +1,413 @@
+"""DeepSeek-V2 family: Multi-head Latent Attention (MLA), TPU-native.
+
+Parity: the reference serves GGUF checkpoints through llama.cpp
+(src/ai_models/tk_model_loader.c:296), whose ``deepseek2`` arch covers
+DeepSeek-V2 / V2-Lite; transformers' ``DeepseekV2ForCausalLM`` is the
+numeric oracle (tests/test_deepseek.py). The MoE side (softmax scores,
+greedy or group-limited top-k, routed scaling, ungated shared experts,
+first-k-dense layers) rides :mod:`models.llm`'s expert machinery via
+LLMConfig's moe_* fields; this module owns the attention.
+
+TPU-first design — the cache stores the COMPRESSED latent:
+
+- Per token per layer the cache holds ``kv_lora_rank + qk_rope_head_dim``
+  values (576 for V2) instead of the decompressed
+  ``n_heads * (qk_head_dim + v_head_dim)`` (10,240 for V2-Lite, 40,960
+  for V2) — an 18-71x smaller KV cache, the architecture's whole point.
+- Decode runs the ABSORBED form: q_nope is projected through the
+  per-head K-up matrix once (one einsum against the (r, H, nope) bank),
+  scores read the shared latent like MQA, and the V-up projection is
+  applied to the (H, r) weighted latent AFTER attention. No per-token
+  decompression, all MXU-shaped einsums, HBM traffic ~= the latent
+  cache size.
+- Prefill decompresses K/V per chunk (compute-bound; flash/XLA
+  attention reuses ops/attention with V zero-padded to qk_head_dim)
+  but still WRITES only the latent.
+
+Known gaps (round-4): GGUF ``deepseek2`` tensor ingestion, quantized
+MLA banks, and the V2 yarn mscale_all_dim attention factor (the
+``attn_scale_mult`` hook is in place; rope divisors ride
+``params["rope_factors"]`` like models/llm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trackiellm_tpu.models.llm import (
+    _linear,
+    _mlp_block,
+    _moe_block,
+    _rms_norm,
+)
+from trackiellm_tpu.ops.attention import prefill_attention
+
+
+class MLAConfig(NamedTuple):
+    """DeepSeek-V2 geometry. The moe_*/act/norm fields intentionally
+    mirror LLMConfig's names so models.llm's MoE helpers accept this
+    config unchanged (duck-typed NamedTuple)."""
+    vocab_size: int
+    dim: int
+    n_layers: int
+    n_heads: int
+    hidden_dim: int              # dense-layer MLP width
+    q_lora_rank: int = 0         # 0 = full q_proj (V2-Lite)
+    kv_lora_rank: int = 512
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
+    # MoE (0 experts = fully dense model). Field names shared with
+    # LLMConfig — _moe_block reads them directly.
+    n_experts: int = 0
+    n_experts_used: int = 6
+    moe_hidden_dim: int = 0      # routed expert width
+    moe_norm_topk: bool = False
+    moe_shared_hidden: int = 0   # n_shared_experts * moe_hidden_dim
+    moe_shared_gated: bool = False
+    moe_routed_scale: float = 1.0
+    moe_n_groups: int = 1
+    moe_topk_groups: int = 1
+    first_k_dense: int = 1
+    act: str = "silu"
+    post_norms: bool = False     # read by _mlp helpers; always False here
+    norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    max_seq: int = 4096
+    attn_scale_mult: float = 1.0  # yarn mscale^2 hook (V2 long-context)
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @property
+    def attn_scale(self) -> float:
+        return self.attn_scale_mult / math.sqrt(self.qk_head_dim)
+
+    @classmethod
+    def deepseek_v2_lite(cls) -> "MLAConfig":
+        """DeepSeek-V2-Lite 16B-A2.4B (published geometry; full q_proj,
+        27 layers with layer 0 dense, 64 routed + 2 shared experts)."""
+        return cls(vocab_size=102400, dim=2048, n_layers=27, n_heads=16,
+                   hidden_dim=10944, q_lora_rank=0, kv_lora_rank=512,
+                   n_experts=64, n_experts_used=6, moe_hidden_dim=1408,
+                   moe_shared_hidden=2816, first_k_dense=1,
+                   rope_theta=10000.0, max_seq=8192)
+
+    @classmethod
+    def deepseek_v2(cls) -> "MLAConfig":
+        """DeepSeek-V2 236B-A21B: q LoRA rank 1536, 160 routed experts
+        in 8 groups (top-3 groups, top-6 experts), 2 shared,
+        routed_scaling_factor 16."""
+        return cls(vocab_size=102400, dim=5120, n_layers=60, n_heads=128,
+                   hidden_dim=12288, q_lora_rank=1536, kv_lora_rank=512,
+                   n_experts=160, n_experts_used=6, moe_hidden_dim=1536,
+                   moe_shared_hidden=3072, moe_routed_scale=16.0,
+                   moe_n_groups=8, moe_topk_groups=3, first_k_dense=1,
+                   rope_theta=10000.0, max_seq=8192)
+
+    @classmethod
+    def tiny(cls) -> "MLAConfig":
+        return cls(vocab_size=256, dim=32, n_layers=3, n_heads=2,
+                   hidden_dim=64, q_lora_rank=0, kv_lora_rank=16,
+                   qk_nope_head_dim=16, qk_rope_head_dim=8,
+                   v_head_dim=12, n_experts=4, n_experts_used=2,
+                   moe_hidden_dim=24, moe_shared_hidden=48,
+                   first_k_dense=1, max_seq=128)
+
+
+def init_params(key: jax.Array, cfg: MLAConfig,
+                dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random params in the stacked-layer layout the scans expect:
+    ``attn`` stacks all n_layers; ``dense_mlp`` stacks the
+    first_k_dense layers; ``moe_mlp`` stacks the rest."""
+    keys = jax.random.split(key, 24)
+
+    def w(k, *shape, scale=None):
+        fan_in = shape[-2] if len(shape) > 1 else shape[-1]
+        scale = scale or (1.0 / math.sqrt(fan_in))
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(
+            dtype)
+
+    l, d, h = cfg.n_layers, cfg.dim, cfg.n_heads
+    r, rope, nope, vd = (cfg.kv_lora_rank, cfg.qk_rope_head_dim,
+                         cfg.qk_nope_head_dim, cfg.v_head_dim)
+    attn: Dict[str, Any] = {
+        "attn_norm": jnp.ones((l, d), dtype),
+        "mlp_norm": jnp.ones((l, d), dtype),
+        "wkv_a": w(keys[0], l, d, r + rope),
+        "kv_a_norm": jnp.ones((l, r), dtype),
+        "wkv_b": w(keys[1], l, r, h * (nope + vd)),
+        "wo": w(keys[2], l, h * vd, d),
+    }
+    if cfg.q_lora_rank:
+        attn["wq_a"] = w(keys[3], l, d, cfg.q_lora_rank)
+        attn["q_a_norm"] = jnp.ones((l, cfg.q_lora_rank), dtype)
+        attn["wq_b"] = w(keys[4], l, cfg.q_lora_rank, h * cfg.qk_head_dim)
+    else:
+        attn["wq"] = w(keys[3], l, d, h * cfg.qk_head_dim)
+
+    k_dense = cfg.first_k_dense if cfg.n_experts else cfg.n_layers
+    dense_mlp = {
+        "w_gu": w(keys[5], k_dense, d, 2 * cfg.hidden_dim),
+        "w_down": w(keys[6], k_dense, cfg.hidden_dim, d),
+    } if k_dense else {}
+    m = cfg.n_layers - k_dense
+    moe_mlp = {
+        "moe_gate": w(keys[7], m, d, cfg.n_experts),
+        "w_gu": w(keys[8], m, cfg.n_experts, d, 2 * cfg.moe_hidden_dim),
+        "w_down": w(keys[9], m, cfg.n_experts, cfg.moe_hidden_dim, d),
+    } if m else {}
+    if m and cfg.moe_shared_hidden:
+        moe_mlp["shared_gu"] = w(keys[10], m, d,
+                                 2 * cfg.moe_shared_hidden)
+        moe_mlp["shared_down"] = w(keys[11], m, cfg.moe_shared_hidden, d)
+    return {
+        "tok_emb": w(keys[12], cfg.vocab_size, d, scale=0.02),
+        "attn": attn,
+        "dense_mlp": dense_mlp,
+        "moe_mlp": moe_mlp,
+        "out_norm": jnp.ones((d,), dtype),
+        "lm_head": w(keys[13], d, cfg.vocab_size),
+    }
+
+
+class MLACache(NamedTuple):
+    """Compressed latent cache: per layer per token the NORMED kv
+    latent (kv_lora_rank) plus the rotated shared rope key
+    (qk_rope_head_dim)."""
+    ckv: jnp.ndarray   # (L, S_max, r)
+    kpe: jnp.ndarray   # (L, S_max, rope)
+    length: jnp.ndarray  # scalar int32
+
+    @classmethod
+    def create(cls, cfg: MLAConfig, dtype: jnp.dtype = jnp.bfloat16,
+               max_seq: Optional[int] = None) -> "MLACache":
+        s = max_seq or cfg.max_seq
+        return cls(
+            ckv=jnp.zeros((cfg.n_layers, s, cfg.kv_lora_rank), dtype),
+            kpe=jnp.zeros((cfg.n_layers, s, cfg.qk_rope_head_dim), dtype),
+            length=jnp.int32(0))
+
+
+def _rope_freqs(cfg: MLAConfig) -> jnp.ndarray:
+    half = cfg.qk_rope_head_dim // 2
+    return 1.0 / (cfg.rope_theta
+                  ** (jnp.arange(half, dtype=jnp.float32) / half))
+
+
+def _freqs(params: Dict[str, Any], cfg: MLAConfig) -> jnp.ndarray:
+    freqs = _rope_freqs(cfg)
+    rf = params.get("rope_factors")
+    return freqs / rf if rf is not None else freqs
+
+
+def apply_rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray,
+                           freqs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate (S, H, Dr) with ADJACENT-PAIR (complex) layout — the
+    DeepSeek convention (transformers apply_rotary_emb views pairs as
+    complex), unlike llm.apply_rope's split-half layout."""
+    ang = positions[:, None].astype(jnp.float32) * freqs    # (S, Dr/2)
+    cos = jnp.cos(ang)[:, None, :]
+    sin = jnp.sin(ang)[:, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., 0::2], xf[..., 1::2]
+    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def _project_q(h: jnp.ndarray, layer: Dict[str, Any],
+               cfg: MLAConfig) -> jnp.ndarray:
+    """(T, D) -> (T, H, qk_head_dim): full q_proj or the LoRA pair."""
+    if cfg.q_lora_rank:
+        qa = _rms_norm(_linear(h, layer["wq_a"]), layer["q_a_norm"],
+                       cfg.norm_eps)
+        q = _linear(qa, layer["wq_b"])
+    else:
+        q = _linear(h, layer["wq"])
+    return q.reshape(h.shape[0], cfg.n_heads, cfg.qk_head_dim)
+
+
+def _latent(h: jnp.ndarray, layer: Dict[str, Any], cfg: MLAConfig,
+            positions: jnp.ndarray, freqs: jnp.ndarray,
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(T, D) -> normed latent (T, r) + rotated shared rope key
+    (T, rope) — exactly what the cache stores."""
+    ckv = _linear(h, layer["wkv_a"])                         # (T, r+rope)
+    c = _rms_norm(ckv[:, :cfg.kv_lora_rank], layer["kv_a_norm"],
+                  cfg.norm_eps)
+    kpe = apply_rope_interleaved(
+        ckv[:, None, cfg.kv_lora_rank:], positions, freqs)[:, 0]
+    return c, kpe
+
+
+def _mlp_for(x: jnp.ndarray, layer: Dict[str, Any], cfg: MLAConfig,
+             dense: bool) -> jnp.ndarray:
+    if dense:
+        return _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
+                          layer["w_down"], cfg.norm_eps, act=cfg.act)
+    return _moe_block(x, layer, cfg)
+
+
+def _split_rows(tree: Dict[str, Any], lo: int, hi: int) -> Dict[str, Any]:
+    return jax.tree.map(lambda a: a[lo:hi], tree)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(params: Dict[str, Any], cfg: MLAConfig, tokens: jnp.ndarray,
+            length: jnp.ndarray, cache: MLACache,
+            ) -> Tuple[jnp.ndarray, MLACache]:
+    """Prompt pass. Decompressed attention (per-chunk K/V
+    materialization, V zero-padded to qk_head_dim for the shared
+    flash/XLA kernel), compressed cache writes. Same bucketed-length /
+    garbage-past-length contract as llm.prefill."""
+    s_pad = tokens.shape[0]
+    freqs = _freqs(params, cfg)
+    positions = jnp.arange(s_pad)
+    x = params["tok_emb"][tokens]                            # (S, D)
+    h_, nope, vd = cfg.n_heads, cfg.qk_nope_head_dim, cfg.v_head_dim
+
+    def layer_fn(dense: bool):
+        def fn(x, layer):
+            h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+            q = _project_q(h, layer, cfg)                    # (S, H, qk)
+            q = q.at[..., nope:].set(
+                apply_rope_interleaved(q[..., nope:], positions, freqs))
+            c, kpe = _latent(h, layer, cfg, positions, freqs)
+            kv = _linear(c, layer["wkv_b"]).reshape(
+                s_pad, h_, nope + vd)
+            k = jnp.concatenate(
+                [kv[..., :nope],
+                 jnp.broadcast_to(kpe[:, None, :],
+                                  (s_pad, h_, cfg.qk_rope_head_dim))],
+                axis=-1)                                     # (S, H, qk)
+            v = kv[..., nope:]                               # (S, H, v)
+            v_pad = jnp.pad(v, ((0, 0), (0, 0),
+                                (0, cfg.qk_head_dim - vd)))
+            attn = prefill_attention(
+                q.transpose(1, 0, 2), k.transpose(1, 0, 2),
+                v_pad.transpose(1, 0, 2), causal=True,
+                scale=cfg.attn_scale).transpose(1, 0, 2)[..., :vd]
+            x = x + _linear(attn.reshape(s_pad, h_ * vd).astype(x.dtype),
+                            layer["wo"])
+            x = _mlp_for(x, layer, cfg, dense)
+            return x, (c, kpe)
+
+        return fn
+
+    k_dense = cfg.first_k_dense if cfg.n_experts else cfg.n_layers
+    cs, kps = [], []
+    if k_dense:
+        x, (c0, kp0) = jax.lax.scan(
+            layer_fn(dense=True), x,
+            {**_split_rows(params["attn"], 0, k_dense),
+             **params["dense_mlp"]})
+        cs.append(c0)
+        kps.append(kp0)
+    if k_dense < cfg.n_layers:
+        x, (c1, kp1) = jax.lax.scan(
+            layer_fn(dense=False), x,
+            {**_split_rows(params["attn"], k_dense, cfg.n_layers),
+             **params["moe_mlp"]})
+        cs.append(c1)
+        kps.append(kp1)
+    ckv = jnp.concatenate(cs, axis=0)                        # (L, S, r)
+    kpe = jnp.concatenate(kps, axis=0)
+    new_cache = MLACache(
+        ckv=jax.lax.dynamic_update_slice(
+            cache.ckv, ckv.astype(cache.ckv.dtype), (0, 0, 0)),
+        kpe=jax.lax.dynamic_update_slice(
+            cache.kpe, kpe.astype(cache.kpe.dtype), (0, 0, 0)),
+        length=length.astype(jnp.int32))
+    x_last = x[jnp.maximum(length - 1, 0)]
+    logits = _linear(_rms_norm(x_last[None], params["out_norm"],
+                               cfg.norm_eps),
+                     params["lm_head"]).astype(jnp.float32)[0]
+    return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_len"))
+def decode_step(params: Dict[str, Any], cfg: MLAConfig,
+                token: jnp.ndarray, cache: MLACache,
+                attn_len: Optional[int] = None,
+                ) -> Tuple[jnp.ndarray, MLACache]:
+    """One ABSORBED decode step: scores hit the shared latent cache
+    MQA-style (q_nope pre-projected through the per-head K-up bank),
+    the V-up projection applies after attention. Exactly equal to the
+    decompressed form because kv_a_layernorm sits BEFORE kv_b: both
+    K-up and V-up are linear in the cached (normed) latent."""
+    pos = cache.length
+    freqs = _freqs(params, cfg)
+    x = params["tok_emb"][token][None]                       # (1, D)
+    h_, nope, vd, r = (cfg.n_heads, cfg.qk_nope_head_dim, cfg.v_head_dim,
+                       cfg.kv_lora_rank)
+
+    def layer_fn(dense: bool):
+        def fn(x, inputs):
+            layer, ckv_l, kpe_l = inputs
+            h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+            q = _project_q(h, layer, cfg)                    # (1, H, qk)
+            q_nope = q[..., :nope]
+            q_pe = apply_rope_interleaved(q[..., nope:], pos[None],
+                                          freqs)[0]          # (H, rope)
+            c, kpe = _latent(h, layer, cfg, pos[None], freqs)
+            ckv_l = jax.lax.dynamic_update_slice(
+                ckv_l, c.astype(ckv_l.dtype), (pos, 0))
+            kpe_l = jax.lax.dynamic_update_slice(
+                kpe_l, kpe.astype(kpe_l.dtype), (pos, 0))
+            ckv_v = ckv_l[:attn_len] if attn_len else ckv_l
+            kpe_v = kpe_l[:attn_len] if attn_len else kpe_l
+
+            wkv_b = layer["wkv_b"].reshape(r, h_, nope + vd)
+            w_uk = wkv_b[..., :nope]                         # (r, H, nope)
+            w_uv = wkv_b[..., nope:]                         # (r, H, v)
+            q_abs = jnp.einsum("hn,rhn->hr", q_nope[0].astype(jnp.float32),
+                               w_uk.astype(jnp.float32))     # (H, r)
+            scores = (
+                jnp.einsum("hr,sr->hs", q_abs,
+                           ckv_v.astype(jnp.float32))
+                + jnp.einsum("hd,sd->hs", q_pe.astype(jnp.float32),
+                             kpe_v.astype(jnp.float32))
+            ) * cfg.attn_scale                               # (H, S)
+            s_len = ckv_v.shape[0]
+            mask = jnp.arange(s_len) <= pos
+            scores = jnp.where(mask[None, :], scores, -jnp.inf)
+            w = jax.nn.softmax(scores, axis=-1)
+            out_c = jnp.einsum("hs,sr->hr", w,
+                               ckv_v.astype(jnp.float32))    # (H, r)
+            out = jnp.einsum("hr,rhv->hv", out_c,
+                             w_uv.astype(jnp.float32))       # (H, v)
+            x = x + _linear(out.reshape(1, h_ * vd).astype(x.dtype),
+                            layer["wo"])
+            x = _mlp_for(x, layer, cfg, dense)
+            return x, (ckv_l, kpe_l)
+
+        return fn
+
+    k_dense = cfg.first_k_dense if cfg.n_experts else cfg.n_layers
+    new_ckv, new_kpe = [], []
+    if k_dense:
+        x, (c0, kp0) = jax.lax.scan(
+            layer_fn(dense=True), x,
+            ({**_split_rows(params["attn"], 0, k_dense),
+              **params["dense_mlp"]},
+             cache.ckv[:k_dense], cache.kpe[:k_dense]))
+        new_ckv.append(c0)
+        new_kpe.append(kp0)
+    if k_dense < cfg.n_layers:
+        x, (c1, kp1) = jax.lax.scan(
+            layer_fn(dense=False), x,
+            ({**_split_rows(params["attn"], k_dense, cfg.n_layers),
+              **params["moe_mlp"]},
+             cache.ckv[k_dense:], cache.kpe[k_dense:]))
+        new_ckv.append(c1)
+        new_kpe.append(kp1)
+    logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
+                     params["lm_head"]).astype(jnp.float32)[0]
+    return logits, MLACache(jnp.concatenate(new_ckv, axis=0),
+                            jnp.concatenate(new_kpe, axis=0), pos + 1)
