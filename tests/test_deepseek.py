@@ -140,6 +140,49 @@ class TestDeepseekV2Big:
     # and Qwen3-MoE suites through the same _moe_block.
 
 
+class TestRunnerIntegration:
+    """DeepSeek serves through the PRODUCTION session API: LLMRunner
+    with model=models.mla drives prefill, the k-token greedy lookahead
+    chunks, extend (tool re-injection), and reset over the latent
+    cache."""
+
+    def _runner(self, lookahead):
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        cfg = mla_model.MLAConfig.tiny()._replace(max_seq=256)
+        params = mla_model.init_params(jax.random.PRNGKey(2), cfg,
+                                       dtype=jnp.float32)
+        return LLMRunner(
+            params, cfg, ByteTokenizer(n_special_pad_to=cfg.vocab_size),
+            GenerationConfig(max_tokens=24, temperature=0.0,
+                             lookahead=lookahead),
+            cache_dtype=jnp.float32, model=mla_model)
+
+    def test_greedy_generate_lookahead_equals_serial(self):
+        out_chunked = self._runner(lookahead=4).generate("Hello robot")
+        out_serial = self._runner(lookahead=1).generate("Hello robot")
+        assert out_chunked == out_serial
+        assert len(out_chunked) > 0
+
+    def test_tool_reinjection_extend(self):
+        r = self._runner(lookahead=4)
+        r.generate("What time is it?")
+        before = int(r.cache.length)
+        r.add_tool_response("clock", "12:00")
+        assert int(r.cache.length) > before
+        piece = r.generate_next_token()
+        assert piece is None or isinstance(piece, str)
+
+    def test_reset_reuses_latent_buffers(self):
+        r = self._runner(lookahead=4)
+        r.generate("abc")
+        buf = r.cache.ckv
+        r.reset()
+        assert int(r.cache.length) == 0
+        assert r.cache.ckv.shape == buf.shape
+
+
 class TestPresets:
     def test_published_geometry(self):
         lite = mla_model.MLAConfig.deepseek_v2_lite()

@@ -108,14 +108,22 @@ class LLMRunner:
         tokenizer: Optional[Tokenizer] = None,
         gen_config: Optional[GenerationConfig] = None,
         cache_dtype=jnp.bfloat16,
+        model=None,
     ):
+        """``model``: the model module driving this session — any
+        module exposing the llm.py forward surface (prefill /
+        decode_step / extend / decode_chunk_greedy / KVCache). Defaults
+        to models.llm; pass models.mla for DeepSeek-V2 checkpoints
+        (convert.deepseek_v2_from_hf), whose MLACache plays the KVCache
+        role."""
         self.params = params
         self.cfg = cfg
+        self._m = model or llm_model
         self.tokenizer = tokenizer or ByteTokenizer(
             n_special_pad_to=cfg.vocab_size)
         self.gen = gen_config or GenerationConfig()
         self._cache_dtype = cache_dtype
-        self.cache = llm_model.KVCache.create(cfg, dtype=cache_dtype)
+        self.cache = self._m.KVCache.create(cfg, dtype=cache_dtype)
         self._key = jax.random.PRNGKey(self.gen.seed)
         self._grammar: Optional[ToolCallGrammar] = None
         self._next_logits: Optional[jnp.ndarray] = None
@@ -329,9 +337,8 @@ class LLMRunner:
         # masks any stale entries) — re-creating the cache zero-fills
         # ~1 GB per turn at 7B scale, a measurable chunk of the
         # frame->response latency.
-        self.cache = llm_model.KVCache(self.cache.k, self.cache.v,
-                                       jnp.int32(0))
-        logits, self.cache = llm_model.prefill(
+        self.cache = self.cache._replace(length=jnp.int32(0))
+        logits, self.cache = self._m.prefill(
             self.params, self.cfg, jnp.asarray(padded), jnp.int32(first_n),
             self.cache)
         self._host_len = first_n  # host mirror of cache.length
@@ -402,7 +409,7 @@ class LLMRunner:
         bucket = _bucket_for(len(ids), EXTEND_BUCKETS)
         padded = np.zeros(bucket, np.int32)
         padded[: len(ids)] = ids
-        logits, self.cache = llm_model.extend(
+        logits, self.cache = self._m.extend(
             self.params, self.cfg, jnp.asarray(padded),
             jnp.int32(len(ids)), self.cache,
             attn_len=self._attn_bucket_for(self._host_len + bucket))
@@ -512,7 +519,7 @@ class LLMRunner:
                     and self._n_emitted >= self.gen.min_tokens
                     and self._start_speculative_pass(tid)):
                 return piece
-            self._next_logits, self.cache = llm_model.decode_step(
+            self._next_logits, self.cache = self._m.decode_step(
                 self.params, self.cfg, jnp.int32(tid), self.cache,
                 attn_len=self._attn_bucket())
             self._host_len += 1
@@ -520,7 +527,7 @@ class LLMRunner:
         else:
             # Commit the final token to the cache so the conversation can
             # continue (e.g. tool response after a tool call).
-            _, self.cache = llm_model.decode_step(
+            _, self.cache = self._m.decode_step(
                 self.params, self.cfg, jnp.int32(tid), self.cache,
                 attn_len=self._attn_bucket())
             self._host_len += 1
@@ -546,7 +553,7 @@ class LLMRunner:
         mask = (self._eos_ban_dev()
                 if self._n_emitted < self.gen.min_tokens else None)
         token_dev = sampling.greedy(self._next_logits, mask)
-        nxt_logits, nxt_cache = llm_model.decode_step(
+        nxt_logits, nxt_cache = self._m.decode_step(
             self.params, self.cfg, token_dev.astype(jnp.int32),
             self.cache, attn_len=self._attn_bucket())
         tid = int(token_dev)  # fetch overlaps the dispatched step
@@ -589,7 +596,7 @@ class LLMRunner:
         # so ONE program serves every min_tokens boundary including 0.
         sup = (max(0, min(k, self.gen.min_tokens - emitted_before))
                if self.gen.min_tokens > 0 else 0)
-        toks, lg, new_cache = llm_model.decode_chunk_greedy(
+        toks, lg, new_cache = self._m.decode_chunk_greedy(
             self.params, self.cfg, logits, cache, k,
             attn_len=self._attn_bucket_for(offset + k),
             eos_id=self.tokenizer.eos_id,
@@ -712,7 +719,7 @@ class LLMRunner:
         padded = np.zeros(bucket, np.int32)
         padded[: len(chunk)] = chunk
         offset = self._host_len
-        logits, cache = llm_model.extend(
+        logits, cache = self._m.extend(
             self.params, self.cfg, jnp.asarray(padded),
             jnp.int32(len(chunk)), self.cache,
             attn_len=self._attn_bucket_for(offset + bucket),
@@ -780,7 +787,7 @@ class LLMRunner:
                 self._host_len = new_len
                 del self._committed_ids[new_len:]
             else:  # bonus token: commit via decode_step
-                _, self.cache = llm_model.decode_step(
+                _, self.cache = self._m.decode_step(
                     self.params, self.cfg, jnp.int32(tid), self.cache,
                     attn_len=self._attn_bucket())
                 self._host_len += 1
@@ -794,7 +801,7 @@ class LLMRunner:
             self._pending_spec = []
             self._spec_index = 0
             if not self._start_speculative_pass(tid):
-                self._next_logits, self.cache = llm_model.decode_step(
+                self._next_logits, self.cache = self._m.decode_step(
                     self.params, self.cfg, jnp.int32(tid), self.cache,
                     attn_len=self._attn_bucket())
                 self._host_len += 1
@@ -899,7 +906,7 @@ class LLMRunner:
     def reset(self) -> None:
         """Clear the conversation (parity: llama_kv_cache_clear via
         tk_llm_runner reset, tk_runner_helpers.c:128-133)."""
-        self.cache = llm_model.KVCache.create(self.cfg,
+        self.cache = self._m.KVCache.create(self.cfg,
                                               dtype=self._cache_dtype)
         self._next_logits = None
         self._host_len = 0

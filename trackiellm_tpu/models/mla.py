@@ -411,3 +411,131 @@ def decode_step(params: Dict[str, Any], cfg: MLAConfig,
                      params["lm_head"]).astype(jnp.float32)[0]
     return logits, MLACache(jnp.concatenate(new_ckv, axis=0),
                             jnp.concatenate(new_kpe, axis=0), pos + 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "attn_len", "all_logits"))
+def extend(params: Dict[str, Any], cfg: MLAConfig, tokens: jnp.ndarray,
+           n_valid: jnp.ndarray, cache: MLACache,
+           attn_len: Optional[int] = None, all_logits: bool = False,
+           ) -> Tuple[jnp.ndarray, MLACache]:
+    """Append a (bucketed, padded) chunk after ``cache.length`` — the
+    chunked-prefill / tool-re-injection pass (same contract as
+    llm.extend). Runs the ABSORBED form over the whole chunk: the
+    chunk's queries score the latent cache (prefix + chunk, causal)
+    without ever decompressing the prefix — MLA's chunked prefill
+    reads ``attn_len * (r + rope)`` values per layer, not
+    ``attn_len * H * (qk + v)``."""
+    offset = cache.length
+    b = tokens.shape[0]
+    freqs = _freqs(params, cfg)
+    positions = offset + jnp.arange(b)
+    x = params["tok_emb"][tokens.astype(jnp.int32)]          # (B, D)
+    h_, nope, vd, r = (cfg.n_heads, cfg.qk_nope_head_dim, cfg.v_head_dim,
+                       cfg.kv_lora_rank)
+    s_max = cache.ckv.shape[1]
+
+    def layer_fn(dense: bool):
+        def fn(x, inputs):
+            layer, ckv_l, kpe_l = inputs
+            h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+            q = _project_q(h, layer, cfg)                    # (B, H, qk)
+            q_nope = q[..., :nope]
+            q_pe = apply_rope_interleaved(q[..., nope:], positions,
+                                          freqs)             # (B, H, rope)
+            c, kpe = _latent(h, layer, cfg, positions, freqs)
+            ckv_l = jax.lax.dynamic_update_slice(
+                ckv_l, c.astype(ckv_l.dtype), (offset, 0))
+            kpe_l = jax.lax.dynamic_update_slice(
+                kpe_l, kpe.astype(kpe_l.dtype), (offset, 0))
+            ckv_v = ckv_l[:attn_len] if attn_len else ckv_l
+            kpe_v = kpe_l[:attn_len] if attn_len else kpe_l
+
+            wkv_b = layer["wkv_b"].reshape(r, h_, nope + vd)
+            w_uk = wkv_b[..., :nope]
+            w_uv = wkv_b[..., nope:]
+            q_abs = jnp.einsum("bhn,rhn->bhr",
+                               q_nope.astype(jnp.float32),
+                               w_uk.astype(jnp.float32))     # (B, H, r)
+            scores = (
+                jnp.einsum("bhr,sr->bhs", q_abs,
+                           ckv_v.astype(jnp.float32))
+                + jnp.einsum("bhd,sd->bhs", q_pe.astype(jnp.float32),
+                             kpe_v.astype(jnp.float32))
+            ) * cfg.attn_scale                               # (B, H, S)
+            key_idx = jnp.arange(attn_len or s_max)[None, None, :]
+            mask = key_idx <= positions[:, None, None]
+            scores = jnp.where(mask, scores, -1e30)
+            w = jax.nn.softmax(scores, axis=-1)
+            out_c = jnp.einsum("bhs,sr->bhr", w,
+                               ckv_v.astype(jnp.float32))    # (B, H, r)
+            out = jnp.einsum("bhr,rhv->bhv", out_c,
+                             w_uv.astype(jnp.float32))       # (B, H, v)
+            x = x + _linear(out.reshape(b, h_ * vd).astype(x.dtype),
+                            layer["wo"])
+            x = _mlp_for(x, layer, cfg, dense)
+            return x, (ckv_l, kpe_l)
+
+        return fn
+
+    k_dense = cfg.first_k_dense if cfg.n_experts else cfg.n_layers
+    new_ckv, new_kpe = [], []
+    if k_dense:
+        x, (c0, kp0) = jax.lax.scan(
+            layer_fn(dense=True), x,
+            ({**_split_rows(params["attn"], 0, k_dense),
+              **params["dense_mlp"]},
+             cache.ckv[:k_dense], cache.kpe[:k_dense]))
+        new_ckv.append(c0)
+        new_kpe.append(kp0)
+    if k_dense < cfg.n_layers:
+        x, (c1, kp1) = jax.lax.scan(
+            layer_fn(dense=False), x,
+            ({**_split_rows(params["attn"], k_dense, cfg.n_layers),
+              **params["moe_mlp"]},
+             cache.ckv[k_dense:], cache.kpe[k_dense:]))
+        new_ckv.append(c1)
+        new_kpe.append(kp1)
+    final = MLACache(jnp.concatenate(new_ckv, axis=0),
+                     jnp.concatenate(new_kpe, axis=0),
+                     (offset + n_valid).astype(jnp.int32))
+
+    def out_logits(rows):
+        return _linear(_rms_norm(rows, params["out_norm"], cfg.norm_eps),
+                       params["lm_head"]).astype(jnp.float32)
+
+    if all_logits:
+        return out_logits(x), final
+    return out_logits(x[jnp.maximum(n_valid - 1, 0)][None])[0], final
+
+
+def decode_chunk_greedy(params: Dict[str, Any], cfg: MLAConfig,
+                        logits: jnp.ndarray, cache: MLACache,
+                        n_tokens: int, attn_len: Optional[int] = None,
+                        eos_id: Optional[int] = None,
+                        suppress_until: Optional[jnp.ndarray] = None,
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, MLACache]:
+    """k-token greedy lookahead chunk — same contract as
+    llm.decode_chunk_greedy (tokens[0] == argmax(logits), caller
+    reconciles terminal events by rolling cache.length back)."""
+
+    def body(carry, step):
+        lg, cache = carry
+        if eos_id is not None:
+            ban = (step < suppress_until) & (
+                jnp.arange(lg.shape[-1]) == eos_id)
+            lg = jnp.where(ban, jnp.float32(-1e30), lg)
+        tok = jnp.argmax(lg).astype(jnp.int32)
+        lg2, cache = decode_step(params, cfg, tok, cache,
+                                 attn_len=attn_len)
+        return (lg2, cache), tok
+
+    (lg, cache), tokens = jax.lax.scan(
+        body, (logits, cache), jnp.arange(n_tokens))
+    return tokens, lg, cache
+
+
+# The production LLMRunner drives any model module exposing this
+# surface (llm/runner.py's ``model=`` parameter); MLACache plays the
+# KVCache role.
+KVCache = MLACache
