@@ -148,6 +148,29 @@ class TestSampling:
             seen.add(int(t))
         assert seen <= {13, 14, 15}
 
+    def test_min_p_prunes_unlikely_tokens(self, rng):
+        """min_p keeps only tokens with prob >= min_p * max_prob
+        (llama.cpp min-p semantics, pre-temperature)."""
+        # probs ~ softmax([4, 0, 3.9, ...]) — token 1's ratio to the
+        # max is e^-4 ~= 0.018 < 0.1; token 2's is e^-0.1 ~= 0.90.
+        logits = jnp.zeros(8).at[0].set(4.0).at[2].set(3.9)
+        seen = set()
+        for i in range(64):
+            t = sampling.sample(logits, jax.random.fold_in(rng, i),
+                                jnp.float32(5.0), top_k=0, top_p=1.0,
+                                min_p=0.1)
+            seen.add(int(t))
+        assert seen <= {0, 2}
+        assert seen == {0, 2}  # high temp would spread without min_p
+
+    def test_min_p_zero_is_off(self, rng):
+        logits = jnp.zeros(8)
+        seen = {int(sampling.sample(logits, jax.random.fold_in(rng, i),
+                                    jnp.float32(1.0), top_k=0,
+                                    top_p=1.0, min_p=0.0))
+                for i in range(64)}
+        assert len(seen) > 4
+
     def test_repetition_penalty_shifts_distribution(self, rng):
         logits = jnp.zeros(8).at[3].set(2.0)
         recent = jnp.full((4,), -1, jnp.int32).at[0].set(3)

@@ -45,6 +45,9 @@ class GenerationConfig:
     temperature: float = 0.7
     top_k: int = 40
     top_p: float = 0.95
+    # llama.cpp min-p filter: drop tokens with prob < min_p * max_prob
+    # (pre-temperature, llama.cpp's default chain position). 0 = off.
+    min_p: float = 0.0
     repetition_penalty: float = 1.1
     repeat_window: int = 64
     seed: int = 0
@@ -482,6 +485,7 @@ class LLMRunner:
                 self._next_logits, sub,
                 jnp.float32(self.gen.temperature),
                 top_k=self.gen.top_k, top_p=self.gen.top_p,
+                min_p=self.gen.min_p,
                 mask=mask, recent_tokens=jnp.asarray(recent),
                 repetition_penalty=self.gen.repetition_penalty,
             )

@@ -11,6 +11,7 @@ sampled int32 crosses back to the host.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -20,19 +21,26 @@ NEG_INF = -1e30
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "top_p", "repetition_penalty"))
+    jax.jit,
+    static_argnames=("top_k", "top_p", "min_p", "repetition_penalty"))
 def sample(
     logits: jnp.ndarray,       # (V,) f32
     key: jax.Array,
     temperature: jnp.ndarray,  # scalar; <= 0 handled by greedy() on host
     top_k: int = 40,
     top_p: float = 0.95,
+    min_p: float = 0.0,
     mask: Optional[jnp.ndarray] = None,          # (V,) bool — grammar mask
     recent_tokens: Optional[jnp.ndarray] = None,  # (W,) int32, -1 padded
     repetition_penalty: float = 1.0,
 ) -> jnp.ndarray:
     """Sample one token id. Order of operations matches llama.cpp:
-    repetition penalty -> grammar mask -> temperature -> top-k -> top-p."""
+    repetition penalty -> grammar mask -> min-p -> temperature ->
+    top-k -> top-p. min-p (llama.cpp's modern default filter) drops
+    tokens whose probability is below ``min_p * max_prob``, evaluated
+    on the PRE-temperature distribution — llama.cpp's default sampler
+    chain places min_p before the temperature stage, and the ratio
+    test is not temperature-invariant."""
     v = logits.shape[0]
 
     if recent_tokens is not None and repetition_penalty != 1.0:
@@ -46,6 +54,12 @@ def sample(
 
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
+
+    if min_p > 0.0:
+        # prob_i / prob_max = exp(logit_i - logit_max): no softmax
+        # normalizer needed for the ratio test.
+        keep = (logits - jnp.max(logits)) >= math.log(min_p)
+        logits = jnp.where(keep, logits, NEG_INF)
 
     logits = logits / jnp.maximum(temperature, 1e-6)
 
