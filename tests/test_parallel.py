@@ -266,6 +266,64 @@ class TestShardedInference:
                                    rtol=3e-2, atol=3e-2)
 
 
+class TestShardedMLA:
+    """Tensor-parallel DeepSeek-V2 MLA: head-parallel projections over
+    a replicated latent cache must match the single-device absorbed
+    path exactly in semantics."""
+
+    def _cfg_params(self, q_lora=0):
+        from trackiellm_tpu.models import mla as mla_model
+
+        cfg = mla_model.MLAConfig.tiny()._replace(
+            n_heads=4, q_lora_rank=q_lora, max_seq=64)
+        params = mla_model.init_params(jax.random.PRNGKey(11), cfg,
+                                       dtype=jnp.float32)
+        return cfg, params
+
+    def test_tp_matches_single_device(self):
+        from trackiellm_tpu.models import mla as mla_model
+        from trackiellm_tpu.parallel import (
+            make_sharded_mla, mla_cache_sharding, mla_param_shardings,
+        )
+
+        cfg, params = self._cfg_params()
+        toks = jax.random.randint(jax.random.PRNGKey(12), (32,), 0,
+                                  cfg.vocab_size, jnp.int32)
+        length = jnp.int32(23)
+
+        cache0 = mla_model.MLACache.create(cfg, dtype=jnp.float32)
+        ref_logits, ref_cache = mla_model.prefill(
+            params, cfg, toks, length, cache0)
+        ref_tok = jnp.argmax(ref_logits).astype(jnp.int32)
+        ref_logits2, _ = mla_model.decode_step(
+            params, cfg, ref_tok, ref_cache, attn_len=cfg.max_seq)
+
+        mesh = build_mesh(jax.devices()[:8])          # tp=4
+        sp = jax.device_put(params, mla_param_shardings(mesh, params))
+        sc = jax.device_put(
+            mla_model.MLACache.create(cfg, dtype=jnp.float32),
+            mla_cache_sharding(mesh))
+        prefill_fn, decode_fn = make_sharded_mla(
+            cfg, mesh, params, attn_len=cfg.max_seq)
+        logits, cache = prefill_fn(sp, toks, length, sc)
+        tok = jnp.argmax(logits).astype(jnp.int32)
+        logits2, _ = decode_fn(sp, tok, cache)
+
+        assert int(tok) == int(ref_tok)
+        np.testing.assert_allclose(np.asarray(logits2),
+                                   np.asarray(ref_logits2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_q_lora_tree_shards(self):
+        from trackiellm_tpu.parallel import mla_param_shardings
+
+        cfg, params = self._cfg_params(q_lora=24)
+        tree = mla_param_shardings(
+            build_mesh(jax.devices()[:8]), params)
+        assert "wq_b" in tree["attn"] and "wq" not in tree["attn"]
+        jax.device_put(params, tree)  # placement must succeed
+
+
 class TestShardedServer:
     """LLMServer(mesh=...) — the whole continuous-batching serve loop
     tensor-parallel — must produce byte-identical text to the

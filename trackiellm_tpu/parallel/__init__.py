@@ -23,7 +23,10 @@ from trackiellm_tpu.parallel.infer import (  # noqa: F401
     infer_param_shardings,
     kv_cache_sharding,
     make_sharded_decode,
+    make_sharded_mla,
     make_sharded_prefill,
+    mla_cache_sharding,
+    mla_param_shardings,
 )
 from trackiellm_tpu.parallel.mesh import build_mesh  # noqa: F401
 from trackiellm_tpu.parallel.moe import (  # noqa: F401

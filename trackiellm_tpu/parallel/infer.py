@@ -105,6 +105,68 @@ def kv_cache_sharding(mesh: Mesh) -> llm_model.KVCache:
     return llm_model.KVCache(k=kv, v=kv, length=_ns(mesh))
 
 
+def mla_param_shardings(mesh: Mesh, params: Dict[str, Any],
+                        ) -> Dict[str, Any]:
+    """Sharding tree for a models.mla (DeepSeek-V2) param tree.
+
+    Head-parallel MLA: the per-head projections split over ``tp``
+    (``wq``/``wq_b`` and ``wkv_b`` column-wise — whole heads per shard,
+    since both stack head-major — ``wo`` row-wise, psum by GSPMD).
+    The latent projections (``wkv_a``/``wq_a``) and the latent cache
+    stay REPLICATED: every shard's heads score the same shared latent,
+    the architecture's MQA-style trade (DeepSeek's own serving keeps
+    attention data-parallel for the same reason). MoE banks split
+    within each expert, the dense first-k MLP Megatron-style — the
+    same scheme as infer_param_shardings. Requires n_heads and the
+    MLP/expert hidden dims divisible by the tp degree."""
+    rep2 = _ns(mesh, None, None)
+    attn = {
+        "attn_norm": rep2, "mlp_norm": rep2, "kv_a_norm": rep2,
+        "wkv_a": _ns(mesh, None, None, None),
+        "wkv_b": _ns(mesh, None, None, "tp"),
+        "wo": _ns(mesh, None, "tp", None),
+    }
+    if "wq" in params["attn"]:
+        attn["wq"] = _ns(mesh, None, None, "tp")
+    else:
+        attn["wq_a"] = _ns(mesh, None, None, None)
+        attn["q_a_norm"] = rep2
+        attn["wq_b"] = _ns(mesh, None, None, "tp")
+    dense_mlp = {} if not params["dense_mlp"] else {
+        "w_gu": _ns(mesh, None, None, "tp"),
+        "w_down": _ns(mesh, None, "tp", None),
+    }
+    moe_mlp = {} if not params["moe_mlp"] else {
+        "moe_gate": _ns(mesh, None, None, None),
+        "w_gu": _ns(mesh, None, None, None, "tp"),
+        "w_down": _ns(mesh, None, None, "tp", None),
+    }
+    if "shared_gu" in params["moe_mlp"]:
+        moe_mlp["shared_gu"] = _ns(mesh, None, None, "tp")
+        moe_mlp["shared_down"] = _ns(mesh, None, "tp", None)
+    tree = {
+        "tok_emb": _ns(mesh, "tp", None),
+        "attn": attn,
+        "dense_mlp": dense_mlp,
+        "moe_mlp": moe_mlp,
+        "out_norm": _ns(mesh, None),
+        "lm_head": _ns(mesh, None, "tp"),
+    }
+    if "rope_factors" in params:
+        tree["rope_factors"] = _ns(mesh, None)
+    return tree
+
+
+def mla_cache_sharding(mesh: Mesh):
+    """MLA latent cache: replicated (shared across all heads — see
+    mla_param_shardings)."""
+    from trackiellm_tpu.models import mla as mla_model
+
+    return mla_model.MLACache(ckv=_ns(mesh, None, None, None),
+                              kpe=_ns(mesh, None, None, None),
+                              length=_ns(mesh))
+
+
 def batched_kv_sharding(mesh: Mesh) -> llm_model.BatchedKVCache:
     """Server-slot cache (L, B, S, Hk, D): KV heads over tp, slots
     replicated (slots are a latency axis, not a throughput one — the
@@ -112,6 +174,33 @@ def batched_kv_sharding(mesh: Mesh) -> llm_model.BatchedKVCache:
     slot's rows for its heads)."""
     kv = _ns(mesh, None, None, None, "tp", None)
     return llm_model.BatchedKVCache(k=kv, v=kv, lengths=_ns(mesh, None))
+
+
+def make_sharded_mla(cfg, mesh: Mesh, params: Dict[str, Any],
+                     attn_len: int):
+    """(prefill_fn, decode_fn) for a models.mla tree, tensor-parallel
+    over ``tp`` (see mla_param_shardings for the layout)."""
+    from trackiellm_tpu.models import mla as mla_model
+
+    p_shard = mla_param_shardings(mesh, params)
+    c_shard = mla_cache_sharding(mesh)
+
+    def pf(params, tokens, length, cache):
+        return mla_model.prefill(params, cfg, tokens, length, cache)
+
+    def step(params, token, cache):
+        return mla_model.decode_step(params, cfg, token, cache,
+                                     attn_len=attn_len)
+
+    prefill_fn = jax.jit(
+        pf,
+        in_shardings=(p_shard, _ns(mesh, None), _ns(mesh), c_shard),
+        out_shardings=(_ns(mesh, "tp"), c_shard))
+    decode_fn = jax.jit(
+        step,
+        in_shardings=(p_shard, _ns(mesh), c_shard),
+        out_shardings=(_ns(mesh, "tp"), c_shard))
+    return prefill_fn, decode_fn
 
 
 def make_sharded_prefill(cfg: llm_model.LLMConfig, mesh: Mesh,
