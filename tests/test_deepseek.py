@@ -140,6 +140,70 @@ class TestDeepseekV2Big:
     # and Qwen3-MoE suites through the same _moe_block.
 
 
+class TestDeepseekV3:
+    """V3/R1 deltas vs V2: sigmoid routing, top-2-sum group scores,
+    renormalized top-k, and the aux-loss-free selection bias (added to
+    scores for SELECTION only). Attention is V2's MLA unchanged
+    (rope_interleave checkpoints are score-equivalent — see
+    convert.deepseek_v3_from_hf)."""
+
+    def _oracle(self):
+        from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+        torch.manual_seed(40)
+        hf_cfg = DeepseekV3Config(
+            vocab_size=VOCAB, hidden_size=DIM, intermediate_size=HID,
+            moe_intermediate_size=MOE_HID, num_hidden_layers=LAYERS,
+            num_attention_heads=HEADS, num_key_value_heads=HEADS,
+            q_lora_rank=24, kv_lora_rank=R, qk_nope_head_dim=NOPE,
+            qk_rope_head_dim=ROPE, v_head_dim=VD,
+            n_routed_experts=EXPERTS, num_experts_per_tok=TOPK,
+            n_shared_experts=1, first_k_dense_replace=1,
+            norm_topk_prob=True, routed_scaling_factor=2.5,
+            n_group=2, topk_group=1, rope_interleave=True,
+            max_position_embeddings=64, rope_theta=10000.0,
+            rms_norm_eps=1e-6, attention_bias=False,
+            attention_dropout=0.0, tie_word_embeddings=False)
+        hf_cfg._attn_implementation = "eager"
+        model = DeepseekV3ForCausalLM(hf_cfg).eval()
+        gen = torch.Generator().manual_seed(41)
+        with torch.no_grad():
+            for name, p in model.named_parameters():
+                if "layernorm" in name or name.endswith("norm.weight"):
+                    p.copy_(torch.rand(p.shape, generator=gen) + 0.5)
+            # Non-zero selection bias so a bias-ignoring router picks
+            # DIFFERENT experts and fails loudly.
+            for i in range(1, LAYERS):
+                model.model.layers[i].mlp.gate.e_score_correction_bias \
+                    .copy_(torch.randn(EXPERTS, generator=gen) * 0.5)
+        tokens = torch.randint(
+            0, VOCAB, (1, SEQ + 3),
+            generator=torch.Generator().manual_seed(42))
+        with torch.no_grad():
+            ref = model(tokens).logits[0].numpy()
+        state = {k: v.numpy() for k, v in model.state_dict().items()}
+        return state, tokens[0].numpy(), ref
+
+    def test_v3_matches_oracle(self):
+        state, tokens, ref = self._oracle()
+        assert "model.layers.1.mlp.gate.e_score_correction_bias" in state
+        params, cfg = C.deepseek_v3_from_hf(
+            state, max_seq=64, n_experts_used=TOPK, n_groups=2,
+            topk_groups=1, qk_nope_head_dim=NOPE, qk_rope_head_dim=ROPE,
+            dtype=jnp.float32)
+        assert cfg.moe_score_func == "sigmoid"
+        assert cfg.moe_group_score == "top2sum"
+        assert cfg.moe_norm_topk and cfg.moe_routed_scale == 2.5
+        assert "moe_gate_bias" in params["moe_mlp"]
+        _assert_matches(params, cfg, tokens, ref)
+
+    def test_v3_preset_geometry(self):
+        v3 = mla_model.MLAConfig.deepseek_v3()
+        assert v3.n_experts == 256 and v3.n_experts_used == 8
+        assert v3.moe_score_func == "sigmoid"
+        assert v3.first_k_dense == 3 and v3.moe_topk_groups == 4
+
+
 class TestRunnerIntegration:
     """DeepSeek serves through the PRODUCTION session API: LLMRunner
     with model=models.mla drives prefill, the k-token greedy lookahead

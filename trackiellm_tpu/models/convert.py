@@ -1847,6 +1847,8 @@ def deepseek_v2_from_hf(
     topk_groups: int = 1,
     qk_nope_head_dim: int = 128,
     qk_rope_head_dim: int = 64,
+    score_func: str = "softmax",
+    group_score: str = "max",
     dtype=jnp.bfloat16,
 ) -> tuple:
     """Convert a transformers DeepSeek-V2 state dict to
@@ -1908,6 +1910,7 @@ def deepseek_v2_from_hf(
         moe_hidden_dim=moe_hidden, moe_norm_topk=norm_topk,
         moe_shared_hidden=shared_hidden, moe_routed_scale=routed_scale,
         moe_n_groups=n_groups, moe_topk_groups=topk_groups,
+        moe_score_func=score_func, moe_group_score=group_score,
         first_k_dense=first_k if n_experts else n_layers,
         norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq)
 
@@ -1919,6 +1922,10 @@ def deepseek_v2_from_hf(
         attn.update(wq=[])
     dense_mlp = {"w_gu": [], "w_down": []}
     moe_mlp = {"moe_gate": [], "w_gu": [], "w_down": []}
+    bias_key = (f"model.layers.{first_k}.mlp.gate."
+                "e_score_correction_bias")
+    if bias_key in state:
+        moe_mlp["moe_gate_bias"] = []
     if shared_hidden:
         moe_mlp.update(shared_gu=[], shared_down=[])
     for i in range(n_layers):
@@ -1944,6 +1951,9 @@ def deepseek_v2_from_hf(
             dense_mlp["w_down"].append(A(f"{pre}.mlp.down_proj.weight").T)
         else:
             moe_mlp["moe_gate"].append(A(f"{pre}.mlp.gate.weight").T)
+            if "moe_gate_bias" in moe_mlp:
+                moe_mlp["moe_gate_bias"].append(
+                    A(f"{pre}.mlp.gate.e_score_correction_bias"))
             gus, downs = [], []
             for e in range(n_experts):
                 ep = f"{pre}.mlp.experts.{e}"
@@ -1976,3 +1986,29 @@ def deepseek_v2_from_hf(
              else np.ascontiguousarray(emb.T)), dtype),
     }
     return params, cfg
+
+
+def deepseek_v3_from_hf(
+    state: Dict[str, Any],
+    *,
+    n_experts_used: int = 8,
+    routed_scale: float = 2.5,
+    n_groups: int = 8,
+    topk_groups: int = 4,
+    **kw,
+) -> tuple:
+    """Convert a transformers DeepSeek-V3/R1 state dict.
+
+    Attention is V2's MLA unchanged (rope_interleave=True checkpoints:
+    HF de-interleaves then split-half-rotates, which is
+    score-equivalent to models/mla.py's adjacent-pair rotation — both
+    sides of the q.k dot carry the same permutation and V is never
+    roped). Routing deltas vs V2: sigmoid scores, top-2-sum group
+    scores, renormalized weights, and the aux-loss-free selection bias
+    (``mlp.gate.e_score_correction_bias`` -> moe_mlp.moe_gate_bias,
+    selection-only)."""
+    kw.setdefault("norm_topk", True)
+    return deepseek_v2_from_hf(
+        state, n_experts_used=n_experts_used, routed_scale=routed_scale,
+        n_groups=n_groups, topk_groups=topk_groups,
+        score_func="sigmoid", group_score="top2sum", **kw)

@@ -108,6 +108,13 @@ class LLMConfig(NamedTuple):
     moe_shared_gated: bool = True
     moe_n_groups: int = 1
     moe_topk_groups: int = 1
+    # DeepSeek-V3 routing deltas: sigmoid expert scores (vs softmax),
+    # group score = sum of each group's top-2 (vs max), and an
+    # optional aux-loss-free balancing bias (layers.moe_gate_bias,
+    # (L, E)) added to the scores for SELECTION ONLY — the combine
+    # weights stay the raw scores at the selected indices.
+    moe_score_func: str = "softmax"      # "softmax" | "sigmoid"
+    moe_group_score: str = "max"         # "max" | "top2sum"
 
     @classmethod
     def mistral_7b(cls) -> "LLMConfig":
@@ -533,21 +540,36 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     """
     h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
     logits = _linear(h2, layer["moe_gate"]).astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)                 # (T, E)
+    scores = (jax.nn.sigmoid(logits) if cfg.moe_score_func == "sigmoid"
+              else jax.nn.softmax(logits, axis=-1))         # (T, E)
+    # Selection may differ from combination: DeepSeek-V3's
+    # aux-loss-free balancing bias shifts WHICH experts win, never the
+    # combine weights (transformers DeepseekV3TopkRouter).
+    select = scores
+    if "moe_gate_bias" in layer:
+        select = scores + layer["moe_gate_bias"].astype(jnp.float32)
     if cfg.moe_n_groups > 1:
-        # DeepSeek group-limited greedy: keep only the topk_groups
-        # groups with the best per-group max score (transformers'
-        # DeepseekV2MoEGate group_limited_greedy, zeroing the rest).
-        t = probs.shape[0]
+        # DeepSeek group-limited routing: keep only the topk_groups
+        # groups with the best group score — per-group max (V2
+        # group_limited_greedy) or sum of the group's top-2 (V3),
+        # zeroing the rest before the expert top-k.
+        t = select.shape[0]
         gsz = cfg.n_experts // cfg.moe_n_groups
-        gscore = jnp.max(probs.reshape(t, cfg.moe_n_groups, gsz), -1)
+        g = select.reshape(t, cfg.moe_n_groups, gsz)
+        gscore = (jnp.sum(jax.lax.top_k(g, 2)[0], -1)
+                  if cfg.moe_group_score == "top2sum"
+                  else jnp.max(g, -1))
         gtop = jax.lax.top_k(gscore, cfg.moe_topk_groups)[1]  # (T, Gk)
         gmask = jnp.sum(jax.nn.one_hot(gtop, cfg.moe_n_groups,
-                                       dtype=probs.dtype), axis=-2)
-        probs = probs * jnp.repeat(gmask, gsz, axis=-1)
-    topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
+                                       dtype=select.dtype), axis=-2)
+        select = select * jnp.repeat(gmask, gsz, axis=-1)
+    topi = jax.lax.top_k(select, cfg.n_experts_used)[1]
+    topv = jnp.take_along_axis(scores, topi, axis=-1)
     if cfg.moe_norm_topk:
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        denom = jnp.sum(topv, axis=-1, keepdims=True)
+        if cfg.moe_score_func == "sigmoid":
+            denom = denom + 1e-20      # V3's guard: sums can be ~0
+        topv = topv / denom
     if cfg.moe_routed_scale != 1.0:
         topv = topv * cfg.moe_routed_scale
     if _moe_use_routed(x.shape[0], layer["w_gu"]):

@@ -73,6 +73,8 @@ class MLAConfig(NamedTuple):
     moe_routed_scale: float = 1.0
     moe_n_groups: int = 1
     moe_topk_groups: int = 1
+    moe_score_func: str = "softmax"   # V3: "sigmoid"
+    moe_group_score: str = "max"      # V3: "top2sum"
     first_k_dense: int = 1
     act: str = "silu"
     post_norms: bool = False     # read by _mlp helpers; always False here
@@ -110,6 +112,22 @@ class MLAConfig(NamedTuple):
                    moe_shared_hidden=3072, moe_routed_scale=16.0,
                    moe_n_groups=8, moe_topk_groups=3, first_k_dense=1,
                    rope_theta=10000.0, max_seq=8192)
+
+    @classmethod
+    def deepseek_v3(cls) -> "MLAConfig":
+        """DeepSeek-V3/R1 671B-A37B: sigmoid routing with the
+        aux-loss-free selection bias (params carry
+        moe_mlp.moe_gate_bias), top-2-sum group scores over 8 groups
+        (top-4), 256 routed + 1 shared expert, renormalized top-8,
+        routed scaling 2.5, 3 dense layers."""
+        return cls(vocab_size=129280, dim=7168, n_layers=61,
+                   n_heads=128, hidden_dim=18432, q_lora_rank=1536,
+                   kv_lora_rank=512, n_experts=256, n_experts_used=8,
+                   moe_hidden_dim=2048, moe_shared_hidden=2048,
+                   moe_norm_topk=True, moe_routed_scale=2.5,
+                   moe_n_groups=8, moe_topk_groups=4,
+                   moe_score_func="sigmoid", moe_group_score="top2sum",
+                   first_k_dense=3, rope_theta=10000.0, max_seq=8192)
 
     @classmethod
     def tiny(cls) -> "MLAConfig":

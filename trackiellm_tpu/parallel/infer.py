@@ -141,6 +141,8 @@ def mla_param_shardings(mesh: Mesh, params: Dict[str, Any],
         "w_gu": _ns(mesh, None, None, None, "tp"),
         "w_down": _ns(mesh, None, None, "tp", None),
     }
+    if "moe_gate_bias" in params["moe_mlp"]:
+        moe_mlp["moe_gate_bias"] = rep2
     if "shared_gu" in params["moe_mlp"]:
         moe_mlp["shared_gu"] = _ns(mesh, None, None, "tp")
         moe_mlp["shared_down"] = _ns(mesh, None, "tp", None)
