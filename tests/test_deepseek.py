@@ -238,6 +238,28 @@ class TestRunnerIntegration:
         piece = r.generate_next_token()
         assert piece is None or isinstance(piece, str)
 
+    def test_quantized_runs_and_agrees(self):
+        """Q8 MLA banks: the quantized forward stays finite and keeps
+        the f32 argmax in its top-5 (wkv_b stays bf16 for the absorb
+        reshape — see mla.quantize_params)."""
+        cfg = mla_model.MLAConfig.tiny()._replace(max_seq=64)
+        params = mla_model.init_params(jax.random.PRNGKey(5), cfg,
+                                       dtype=jnp.float32)
+        qparams = mla_model.quantize_params(params, bits=8, group=8)
+        assert not hasattr(qparams["attn"]["wkv_b"], "values")
+        toks = jnp.arange(9, dtype=jnp.int32)
+        ref, _ = mla_model.prefill(
+            params, cfg, toks, jnp.int32(9),
+            mla_model.MLACache.create(cfg, dtype=jnp.float32))
+        lg, cache = mla_model.prefill(
+            qparams, cfg, toks, jnp.int32(9),
+            mla_model.MLACache.create(cfg, dtype=jnp.float32))
+        assert np.isfinite(np.asarray(lg)).all()
+        assert int(np.argmax(np.asarray(ref))) in np.argsort(
+            np.asarray(lg))[-5:]
+        lg2, _ = mla_model.decode_step(qparams, cfg, jnp.int32(3), cache)
+        assert np.isfinite(np.asarray(lg2)).all()
+
     def test_reset_reuses_latent_buffers(self):
         r = self._runner(lookahead=4)
         r.generate("abc")

@@ -46,6 +46,11 @@ from trackiellm_tpu.models.llm import (
     _rms_norm,
 )
 from trackiellm_tpu.ops.attention import prefill_attention
+from trackiellm_tpu.ops.quant import (
+    QuantizedLinear,
+    quantize_q4,
+    quantize_q8,
+)
 
 
 class MLAConfig(NamedTuple):
@@ -193,6 +198,50 @@ def init_params(key: jax.Array, cfg: MLAConfig,
         "out_norm": jnp.ones((d,), dtype),
         "lm_head": w(keys[13], d, cfg.vocab_size),
     }
+
+
+def quantize_params(params: Dict[str, Any], bits: int = 4,
+                    group: int = 64) -> Dict[str, Any]:
+    """Quantize the big MLA matrices (Q4/Q8 group quant, same kernels
+    as models.llm). ``wkv_b`` intentionally stays bf16: the absorbed
+    decode reshapes it into the per-head K-up/V-up banks
+    ((r, H, nope+v) einsums), and at r=512 it is ~2M params/layer —
+    the V2-Lite total is ~120 MB bf16, noise next to the expert banks.
+    Embeddings, norms, and the latent down-projection stay
+    high-precision like the GGUF convention."""
+    quantize = (quantize_q4 if bits == 4 else quantize_q8)
+
+    def qstack(w):
+        # (L, K, N) stacked matrices or (L, E, K, N) expert banks.
+        if w.ndim == 4:
+            per_l = []
+            for i in range(w.shape[0]):
+                qs = [quantize(w[i, e], group) for e in range(w.shape[1])]
+                per_l.append(QuantizedLinear(
+                    values=jnp.stack([q.values for q in qs]),
+                    scales=jnp.stack([q.scales for q in qs])))
+            return QuantizedLinear(
+                values=jnp.stack([q.values for q in per_l]),
+                scales=jnp.stack([q.scales for q in per_l]))
+        qs = [quantize(w[i], group) for i in range(w.shape[0])]
+        return QuantizedLinear(
+            values=jnp.stack([q.values for q in qs]),
+            scales=jnp.stack([q.scales for q in qs]))
+
+    out = dict(params)
+    attn = dict(params["attn"])
+    for name in ("wq", "wq_b", "wo"):
+        if name in attn:
+            attn[name] = qstack(attn[name])
+    out["attn"] = attn
+    for part in ("dense_mlp", "moe_mlp"):
+        tree = dict(params[part])
+        for name in ("w_gu", "w_down", "shared_gu", "shared_down"):
+            if name in tree:
+                tree[name] = qstack(tree[name])
+        out[part] = tree
+    out["lm_head"] = quantize(params["lm_head"], group)
+    return out
 
 
 class MLACache(NamedTuple):
