@@ -269,6 +269,33 @@ class TestRunnerIntegration:
         assert r.cache.ckv.shape == buf.shape
 
 
+class TestCheckpointRoundtrip:
+    def test_quantized_mla_checkpoint_and_cli_generate(self, tmp_path,
+                                                       capsys):
+        """convert -> save_checkpoint -> __main__ generate drives the
+        MLA model end-to-end from disk (MLAConfig sidecar class)."""
+        from trackiellm_tpu.models.checkpoint import (load_checkpoint,
+                                                      save_checkpoint)
+
+        cfg = mla_model.MLAConfig.tiny()._replace(max_seq=256)
+        params = mla_model.init_params(jax.random.PRNGKey(6), cfg,
+                                       dtype=jnp.float32)
+        qparams = mla_model.quantize_params(params, bits=8, group=8)
+        d = str(tmp_path / "ck")
+        save_checkpoint(d, qparams, config=cfg)
+        p2, cfg2, _ = load_checkpoint(d, device_put=False)
+        assert cfg2 == cfg
+        assert type(cfg2).__name__ == "MLAConfig"
+        assert hasattr(p2["attn"]["wq"], "values")
+
+        from trackiellm_tpu import __main__ as cli
+
+        rc = cli.main(["generate", d, "--prompt", "hi",
+                       "--max-tokens", "8", "--temperature", "0"])
+        assert rc == 0
+        assert capsys.readouterr().out is not None
+
+
 class TestPresets:
     def test_published_geometry(self):
         lite = mla_model.MLAConfig.deepseek_v2_lite()

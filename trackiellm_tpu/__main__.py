@@ -33,7 +33,8 @@ def _cmd_convert(args) -> int:
     vocab = None
     tok_spec = None
     if args.family in ("gemma2-hf", "mixtral-hf", "qwen2moe-hf",
-                       "qwen3-hf", "qwen3moe-hf"):
+                       "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
+                       "deepseekv3-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -43,10 +44,15 @@ def _cmd_convert(args) -> int:
               "mixtral-hf": _C.mixtral_from_hf,
               "qwen2moe-hf": _C.qwen2_moe_from_hf,
               "qwen3-hf": _C.qwen3_from_hf,
-              "qwen3moe-hf": _C.qwen3_moe_from_hf}[args.family]
+              "qwen3moe-hf": _C.qwen3_moe_from_hf,
+              "deepseekv2-hf": _C.deepseek_v2_from_hf,
+              "deepseekv3-hf": _C.deepseek_v3_from_hf}[args.family]
         params, cfg = fn(load_state_dict(args.gguf))
         if args.bits:
-            from trackiellm_tpu.models.llm import quantize_params
+            if args.family.startswith("deepseek"):
+                from trackiellm_tpu.models.mla import quantize_params
+            else:
+                from trackiellm_tpu.models.llm import quantize_params
 
             params = quantize_params(params, bits=args.bits)
     else:
@@ -85,10 +91,14 @@ def _cmd_generate(args) -> int:
         from trackiellm_tpu.models.convert import tokenizer_from_pieces
 
         tokenizer = tokenizer_from_pieces(meta["vocab_pieces"])
+    model = None
+    if type(cfg).__name__ == "MLAConfig":
+        from trackiellm_tpu.models import mla as model  # noqa: F811
     runner = LLMRunner(params, cfg, tokenizer,
                        gen_config=GenerationConfig(
                            max_tokens=args.max_tokens,
-                           temperature=args.temperature))
+                           temperature=args.temperature),
+                       model=model)
     runner.generate(args.prompt,
                     on_token=lambda s: print(s, end="", flush=True))
     print()
@@ -287,7 +297,8 @@ def main(argv=None) -> int:
     p.add_argument("--bits", type=int, default=4, choices=(0, 4, 8))
     p.add_argument("--family", default="gguf",
                    choices=("gguf", "gemma2-hf", "mixtral-hf",
-                            "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf"),
+                            "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf",
+                            "deepseekv2-hf", "deepseekv3-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/mixtral/qwen2moe "
                    "arches)")

@@ -155,4 +155,8 @@ def load_checkpoint(directory: str, device_put: bool = True,
     cfg = None
     if "config" in sidecar and sidecar.get("config_class") == "LLMConfig":
         cfg = llm_model.LLMConfig(**sidecar["config"])
+    elif "config" in sidecar and sidecar.get("config_class") == "MLAConfig":
+        from trackiellm_tpu.models import mla as mla_model
+
+        cfg = mla_model.MLAConfig(**sidecar["config"])
     return params, cfg, sidecar.get("metadata", {})
