@@ -26,7 +26,7 @@ HID, MOE_HID, EXPERTS, TOPK, SHARED = 64, 24, 4, 2, 2
 SEQ = 13
 
 
-def _hf_model(**overrides):
+def _hf_model(n_tokens=SEQ + 3, **overrides):
     from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
 
     torch.manual_seed(30)
@@ -53,7 +53,7 @@ def _hf_model(**overrides):
         for name, p in model.named_parameters():
             if "layernorm" in name or name.endswith("norm.weight"):
                 p.copy_(torch.rand(p.shape, generator=gen) + 0.5)
-    tokens = torch.randint(0, VOCAB, (1, SEQ + 3),
+    tokens = torch.randint(0, VOCAB, (1, n_tokens),
                            generator=torch.Generator().manual_seed(32))
     with torch.no_grad():
         ref = model(tokens).logits[0].numpy()
@@ -138,6 +138,34 @@ class TestDeepseekV2Big:
     # published V2/V2-Lite checkpoint ships norm_topk_prob=False —
     # top-k renormalization itself is oracle-covered by the Mixtral
     # and Qwen3-MoE suites through the same _moe_block.
+
+
+class TestDeepseekYarn:
+    def test_yarn_long_context_matches_oracle(self):
+        """DeepSeek yarn (factor 4 over an original 16-token window,
+        mscale == mscale_all_dim like every published config) evaluated
+        PAST the original window."""
+        state, tokens, ref = _hf_model(n_tokens=30, rope_scaling={
+            "rope_type": "yarn", "factor": 4.0,
+            "original_max_position_embeddings": 16,
+            "mscale": 0.707, "mscale_all_dim": 0.707})
+        params, cfg = C.deepseek_v2_from_hf(
+            state, max_seq=64, n_experts_used=TOPK, routed_scale=2.0,
+            qk_nope_head_dim=NOPE, qk_rope_head_dim=ROPE,
+            yarn_factor=4.0, yarn_original_max_seq=16,
+            dtype=jnp.float32)
+        assert "rope_factors" in params
+        s = 25  # > original 16: the extended band is exercised
+        cache = mla_model.MLACache.create(cfg, dtype=jnp.float32)
+        logits, cache = mla_model.prefill(
+            params, cfg, jnp.asarray(tokens[:s], jnp.int32),
+            jnp.int32(s), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[s - 1],
+                                   rtol=2e-3, atol=2e-3)
+        logits, _ = mla_model.decode_step(
+            params, cfg, jnp.int32(int(tokens[s])), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[s],
+                                   rtol=2e-3, atol=2e-3)
 
 
 class TestDeepseekV3:

@@ -1849,6 +1849,8 @@ def deepseek_v2_from_hf(
     qk_rope_head_dim: int = 64,
     score_func: str = "softmax",
     group_score: str = "max",
+    yarn_factor: float = 0.0,
+    yarn_original_max_seq: int = 0,
     dtype=jnp.bfloat16,
 ) -> tuple:
     """Convert a transformers DeepSeek-V2 state dict to
@@ -1985,6 +1987,12 @@ def deepseek_v2_from_hf(
             (A("lm_head.weight").T if "lm_head.weight" in state
              else np.ascontiguousarray(emb.T)), dtype),
     }
+    if yarn_factor > 1.0:
+        # DeepSeek long-context yarn (published configs carry
+        # mscale == mscale_all_dim -> attention factor exactly 1.0,
+        # see mla.yarn_rope_factors).
+        params["rope_factors"] = mla_model.yarn_rope_factors(
+            cfg, yarn_factor, yarn_original_max_seq)
     return params, cfg
 
 

@@ -274,6 +274,26 @@ def _freqs(params: Dict[str, Any], cfg: MLAConfig) -> jnp.ndarray:
     return freqs / rf if rf is not None else freqs
 
 
+def yarn_rope_factors(cfg: MLAConfig, factor: float,
+                      original_max_seq: int,
+                      beta_fast: float = 32.0,
+                      beta_slow: float = 1.0) -> jnp.ndarray:
+    """YaRN divisors over the ROPE dims (qk_rope_head_dim) — store as
+    ``params["rope_factors"]`` for DeepSeek long-context checkpoints.
+    Published V2/V3 configs ship ``mscale == mscale_all_dim``, making
+    the yarn attention factor exactly 1.0 (transformers
+    ``get_mscale(f, m) / get_mscale(f, m_all)``), so the divisors alone
+    reproduce the oracle and ``attn_scale_mult`` stays 1."""
+    import types
+
+    from trackiellm_tpu.models import llm as llm_model
+
+    shim = types.SimpleNamespace(head_dim=cfg.qk_rope_head_dim,
+                                 rope_theta=cfg.rope_theta)
+    return llm_model.yarn_rope_factors(shim, factor, original_max_seq,
+                                       beta_fast, beta_slow)
+
+
 def apply_rope_interleaved(x: jnp.ndarray, positions: jnp.ndarray,
                            freqs: jnp.ndarray) -> jnp.ndarray:
     """Rotate (S, H, Dr) with ADJACENT-PAIR (complex) layout — the
