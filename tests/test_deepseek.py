@@ -266,6 +266,28 @@ class TestRunnerIntegration:
         piece = r.generate_next_token()
         assert piece is None or isinstance(piece, str)
 
+    def test_speculative_is_greedy_identical(self):
+        """Prompt-lookup speculative decoding rides mla.extend's
+        all_logits verify pass — output must be byte-identical to
+        plain greedy."""
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        cfg = mla_model.MLAConfig.tiny()._replace(max_seq=256)
+        params = mla_model.init_params(jax.random.PRNGKey(2), cfg,
+                                       dtype=jnp.float32)
+
+        def run(spec):
+            r = LLMRunner(
+                params, cfg,
+                ByteTokenizer(n_special_pad_to=cfg.vocab_size),
+                GenerationConfig(max_tokens=24, temperature=0.0,
+                                 lookahead=1, speculative=spec),
+                cache_dtype=jnp.float32, model=mla_model)
+            return r.generate("abc abc abc abc")
+
+        assert run(True) == run(False)
+
     def test_quantized_runs_and_agrees(self):
         """Q8 MLA banks: the quantized forward stays finite and keeps
         the f32 argmax in its top-5 (wkv_b stays bf16 for the absorb
