@@ -266,6 +266,29 @@ class TestRunnerIntegration:
         piece = r.generate_next_token()
         assert piece is None or isinstance(piece, str)
 
+    def test_grammar_forced_tool_call(self):
+        """The cortex's tool-call path (grammar-constrained sampling)
+        over an MLA session must emit valid tool-call JSON."""
+        import json
+
+        from trackiellm_tpu.llm.runner import (GenerationConfig,
+                                               LLMRunner, ToolDefinition)
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        cfg = mla_model.MLAConfig.tiny()._replace(max_seq=256,
+                                                  vocab_size=260)
+        params = mla_model.init_params(jax.random.PRNGKey(3), cfg,
+                                       dtype=jnp.float32)
+        r = LLMRunner(params, cfg,
+                      ByteTokenizer(n_special_pad_to=cfg.vocab_size),
+                      GenerationConfig(max_tokens=60, seed=1),
+                      cache_dtype=jnp.float32, model=mla_model)
+        out = r.generate("Navigate",
+                         tools=[ToolDefinition("go", "move", {})],
+                         force_tool_call=True)
+        obj = json.loads(out)
+        assert "tool_call" in obj and "name" in obj["tool_call"]
+
     def test_speculative_is_greedy_identical(self):
         """Prompt-lookup speculative decoding rides mla.extend's
         all_logits verify pass — output must be byte-identical to
