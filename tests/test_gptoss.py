@@ -1,0 +1,191 @@
+"""gpt-oss family correctness against the transformers oracle.
+
+A tiny random-weight ``GptOssForCausalLM`` is the ground truth; the
+same weights convert through ``convert.gpt_oss_from_hf`` and the JAX
+forward must match teacher-forced logits through prefill, decode AND
+the chunked-extend path — exercising every gpt-oss delta at once:
+per-head attention sinks, biases on all four attention projections,
+router bias + softmax-AFTER-top-k combine weights, expert biases, the
+clamped (up+1)*glu activation, and alternating sliding windows.
+
+Parity ref: the reference loads this checkpoint family through
+llama.cpp's ``gpt-oss`` arch (src/ai_models/tk_model_loader.c:199).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from trackiellm_tpu.models import convert as C
+from trackiellm_tpu.models import llm as llm_model
+from trackiellm_tpu.ops import attention as A
+
+VOCAB, DIM, LAYERS, HEADS, KV, HD, HID = 3210, 64, 2, 4, 2, 16, 48
+EXPERTS, TOPK = 4, 2
+WINDOW = 8
+SEQ = 18
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = GptOssConfig(
+        vocab_size=VOCAB, hidden_size=DIM, intermediate_size=HID,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=KV, head_dim=HD,
+        num_local_experts=EXPERTS, num_experts_per_tok=TOPK,
+        sliding_window=WINDOW, max_position_embeddings=64,
+        rope_theta=10000.0, rms_norm_eps=1e-5, rope_scaling=None,
+        tie_word_embeddings=False)
+    hf_cfg._attn_implementation = "eager"
+    model = GptOssForCausalLM(hf_cfg).eval()
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            p.copy_((torch.rand(p.shape, generator=gen) - 0.5)
+                    * (1.0 if "norm" not in name else 0.0)
+                    + (1.0 if "norm" in name else 0.0))
+        # Structured inits would make the router degenerate; keep the
+        # projections small-random instead of rand-uniform.
+        for name, p in model.named_parameters():
+            if "norm" in name:
+                continue
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        # Distinct sink magnitudes so the sink path is load-bearing.
+        for i in range(LAYERS):
+            model.model.layers[i].self_attn.sinks.copy_(
+                torch.randn(HEADS, generator=gen) * 2.0)
+    tokens = torch.randint(0, VOCAB, (1, SEQ + 3),
+                           generator=torch.Generator().manual_seed(2))
+    with torch.no_grad():
+        ref = model(tokens).logits[0].float().numpy()
+    state = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    return state, tokens[0].numpy(), ref
+
+
+@pytest.fixture(scope="module")
+def converted(oracle):
+    state, tokens, ref = oracle
+    params, cfg = C.gpt_oss_from_hf(
+        state, head_dim=HD, max_seq=64, sliding_window=WINDOW,
+        rope_theta=10000.0, n_experts_used=TOPK, rope_scaling_factor=0.0,
+        dtype=jnp.float32)
+    return params, cfg, tokens, ref
+
+
+class TestGptOss:
+    def test_convert_shapes(self, converted):
+        params, cfg, _, _ = converted
+        assert cfg.attn_sinks and cfg.moe_bias and cfg.out_bias
+        assert cfg.act == "gptoss" and cfg.moe_score_func == "softmax_topk"
+        assert cfg.alt_window and cfg.sliding_window == WINDOW
+        lay = params["layers"]
+        assert lay["attn_sink"].shape == (LAYERS, HEADS)
+        assert lay["w_gu"].shape == (LAYERS, EXPERTS, DIM, 2 * HID)
+        assert lay["w_gu_b"].shape == (LAYERS, EXPERTS, 2 * HID)
+        assert lay["moe_gate_b"].shape == (LAYERS, EXPERTS)
+
+    def test_prefill_and_decode_match_oracle(self, converted):
+        params, cfg, tokens, ref = converted
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   rtol=2e-3, atol=2e-3)
+        for j in range(3):
+            logits, cache = llm_model.decode_step(
+                params, cfg, jnp.int32(int(tokens[SEQ + j])), cache)
+            np.testing.assert_allclose(np.asarray(logits), ref[SEQ + j],
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"decode step {j}")
+
+    def test_extend_matches_oracle(self, converted):
+        """The chunked-prefill path must carry sinks + windows too
+        (it inlines its own attention instead of _prefill_attn)."""
+        params, cfg, tokens, ref = converted
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        split = 10
+        _, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:split], jnp.int32),
+            jnp.int32(split), cache)
+        chunk = jnp.asarray(tokens[split:SEQ], jnp.int32)
+        logits, cache = llm_model.extend(
+            params, cfg, chunk, jnp.int32(SEQ - split), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_batched_decode_matches_single(self, converted):
+        """decode_step_batch carries sinks through its vmapped body."""
+        params, cfg, tokens, ref = converted
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        _, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        bcache = llm_model.BatchedKVCache.create(cfg, 2, jnp.float32)
+        bcache = llm_model.insert_sequence(bcache, cfg, 0, cache)
+        toks = jnp.asarray([int(tokens[SEQ]), 0], jnp.int32)
+        active = jnp.asarray([True, False])
+        blogits, _ = llm_model.decode_step_batch(
+            params, cfg, toks, active, bcache)
+        np.testing.assert_allclose(np.asarray(blogits[0]), ref[SEQ],
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_preset_geometry(self):
+        cfg = llm_model.LLMConfig.gpt_oss_20b()
+        assert cfg.n_layers == 24 and cfg.n_experts == 32
+        assert cfg.n_heads == 64 and cfg.n_kv_heads == 8
+        assert cfg.attn_sinks and cfg.qkv_bias and cfg.out_bias
+        big = llm_model.LLMConfig.gpt_oss_120b()
+        assert big.n_layers == 36 and big.n_experts == 128
+        # The published yarn attention factor (0.1*ln(32)+1).
+        assert abs(cfg.rope_attention_factor
+                   - (0.1 * np.log(32.0) + 1.0)) < 1e-9
+
+
+class TestSinkAttentionKernels:
+    """The Pallas flash finalization must equal the XLA sink softmax."""
+
+    def _qkv(self, h, hk, s, d, seed):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        q = jax.random.normal(ks[0], (h, s, d), jnp.float32)
+        k = jax.random.normal(ks[1], (hk, s, d), jnp.float32)
+        v = jax.random.normal(ks[2], (hk, s, d), jnp.float32)
+        sinks = jax.random.normal(ks[3], (h,), jnp.float32) * 2.0
+        return q, k, v, sinks
+
+    @pytest.mark.parametrize("window", [0, 192])
+    def test_flash_sinks_match_xla(self, window):
+        q, k, v, sinks = self._qkv(4, 2, 256, 32, 0)
+        want = A.attention_xla(q, k, v, causal=True, window=window,
+                               sinks=sinks)
+        got = A.flash_attention(q, k, v, causal=True, window=window,
+                                sinks=sinks, block_q=128, block_k=128,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_sinks_shrink_attention_mass(self):
+        """A huge sink drains probability mass from every real key."""
+        q, k, v, _ = self._qkv(4, 2, 64, 32, 1)
+        base = A.attention_xla(q, k, v, causal=True)
+        sunk = A.attention_xla(q, k, v, causal=True,
+                               sinks=jnp.full((4,), 25.0, jnp.float32))
+        assert float(jnp.max(jnp.abs(sunk))) < 1e-6
+        assert float(jnp.max(jnp.abs(base))) > 1e-2
+
+    def test_decode_attention_sinks(self):
+        """Cached decode with sinks == XLA attention's last row."""
+        h, hk, s, d = 4, 2, 16, 32
+        q, k, v, sinks = self._qkv(h, hk, s, d, 2)
+        want = A.attention_xla(q, k, v, causal=True, sinks=sinks)[:, -1]
+        got = A.decode_attention(
+            q[:, -1], k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+            jnp.int32(s), sinks=sinks)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

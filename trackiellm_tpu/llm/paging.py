@@ -70,7 +70,8 @@ def decode_step_paged(
         # Gather this sequence's pages -> contiguous view.
         k_seq = pk_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
         v_seq = pv_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
-        attn = llm_model._decode_attn(cfg, li, q[0], k_seq, v_seq, pos + 1)
+        attn = llm_model._decode_attn(cfg, li, q[0], k_seq, v_seq, pos + 1,
+                                      layer=layer)
         x = llm_model._attn_residual(x, attn.reshape(1, -1), layer, cfg)
         x = llm_model._mlp(x, layer, cfg)
         return x, (pk_l, pv_l)
@@ -163,7 +164,8 @@ def decode_step_batch_paged(
             tv = table[:attn_pages] if attn_pages else table
             k_seq = pk_l[tv].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
             v_seq = pv_l[tv].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
-            return llm_model._decode_attn(cfg, li, qq, k_seq, v_seq, p + 1)
+            return llm_model._decode_attn(cfg, li, qq, k_seq, v_seq, p + 1,
+                                          layer=layer)
 
         attn = jax.vmap(one_slot)(q, tables, pos)
         x = llm_model._attn_residual(x, attn.reshape(b, -1), layer, cfg)

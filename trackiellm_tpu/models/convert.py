@@ -2020,3 +2020,116 @@ def deepseek_v3_from_hf(
         state, n_experts_used=n_experts_used, routed_scale=routed_scale,
         n_groups=n_groups, topk_groups=topk_groups,
         score_func="sigmoid", group_score="top2sum", **kw)
+
+
+def gpt_oss_from_hf(
+    state: Dict[str, Any],
+    *,
+    head_dim: int = 64,
+    max_seq: int = 131072,
+    sliding_window: int = 128,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 150000.0,
+    n_experts_used: int = 4,
+    rope_scaling_factor: float = 32.0,
+    rope_original_max_seq: int = 4096,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers gpt-oss state dict to (params, LLMConfig).
+
+    gpt-oss (OpenAI's 2025 open-weight MoE; the same checkpoint family
+    llama.cpp ingests as arch ``gpt-oss`` for the reference's loader,
+    src/ai_models/tk_model_loader.c:199) deltas handled here:
+
+    - ``self_attn.sinks`` (H,) -> layers.attn_sink (kept f32);
+    - biases on all four attention projections (q/k/v fuse into
+      wqkv_bias, o -> wo_bias);
+    - expert banks stored as parameters in OUR orientation already —
+      ``mlp.experts.gate_up_proj`` is (E, D, 2I) — but with gate/up
+      INTERLEAVED (even columns gate, odd up; GptOssExperts); this
+      de-interleaves into the framework's [gate | up] halves;
+    - router ``mlp.router.{weight,bias}`` -> moe_gate/moe_gate_b with
+      softmax-after-top-k combine (cfg.moe_score_func="softmax_topk");
+    - non-truncated YaRN (factor 32 from a 4096 window) baked into
+      params["rope_factors"] + cfg.rope_attention_factor; pass
+      ``rope_scaling_factor=0`` for a no-scaling (test) checkpoint.
+    """
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    gup0 = A("model.layers.0.mlp.experts.gate_up_proj")
+    n_experts, _, two_h = gup0.shape
+    hidden = two_h // 2
+    n_heads = q0.shape[0] // head_dim
+    n_kv = k0.shape[0] // head_dim
+
+    attn_factor = (llm_model.yarn_attention_factor(rope_scaling_factor)
+                   if rope_scaling_factor > 1.0 else 1.0)
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=head_dim, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=sliding_window, alt_window=True,
+        n_experts=n_experts, n_experts_used=n_experts_used,
+        moe_score_func="softmax_topk", moe_norm_topk=False,
+        moe_bias=True, attn_sinks=True, qkv_bias=True, out_bias=True,
+        act="gptoss", rope_attention_factor=attn_factor)
+
+    def deinterleave(gu):  # (..., 2I) even=gate / odd=up -> [gate | up]
+        return np.concatenate([gu[..., 0::2], gu[..., 1::2]], axis=-1)
+
+    L = {"attn_norm": [], "wqkv": [], "wqkv_bias": [], "wo": [],
+         "wo_bias": [], "attn_sink": [], "mlp_norm": [], "moe_gate": [],
+         "moe_gate_b": [], "w_gu": [], "w_gu_b": [], "w_down": [],
+         "w_down_b": []}
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(jnp.asarray(
+            A(f"{pre}.input_layernorm.weight"), dtype))
+        L["mlp_norm"].append(jnp.asarray(
+            A(f"{pre}.post_attention_layernorm.weight"), dtype))
+        L["wqkv"].append(jnp.asarray(np.concatenate([
+            A(f"{pre}.self_attn.q_proj.weight").T,
+            A(f"{pre}.self_attn.k_proj.weight").T,
+            A(f"{pre}.self_attn.v_proj.weight").T], axis=1), dtype))
+        L["wqkv_bias"].append(jnp.asarray(np.concatenate([
+            A(f"{pre}.self_attn.q_proj.bias"),
+            A(f"{pre}.self_attn.k_proj.bias"),
+            A(f"{pre}.self_attn.v_proj.bias")]), dtype))
+        L["wo"].append(jnp.asarray(
+            A(f"{pre}.self_attn.o_proj.weight").T, dtype))
+        L["wo_bias"].append(jnp.asarray(
+            A(f"{pre}.self_attn.o_proj.bias"), dtype))
+        L["attn_sink"].append(jnp.asarray(
+            A(f"{pre}.self_attn.sinks"), jnp.float32))
+        L["moe_gate"].append(jnp.asarray(
+            A(f"{pre}.mlp.router.weight").T, dtype))
+        L["moe_gate_b"].append(jnp.asarray(
+            A(f"{pre}.mlp.router.bias"), dtype))
+        L["w_gu"].append(jnp.asarray(deinterleave(
+            A(f"{pre}.mlp.experts.gate_up_proj")), dtype))
+        L["w_gu_b"].append(jnp.asarray(deinterleave(
+            A(f"{pre}.mlp.experts.gate_up_proj_bias")), dtype))
+        L["w_down"].append(jnp.asarray(
+            A(f"{pre}.mlp.experts.down_proj"), dtype))
+        L["w_down_b"].append(jnp.asarray(
+            A(f"{pre}.mlp.experts.down_proj_bias"), dtype))
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.stack(v) for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    if rope_scaling_factor > 1.0:
+        params["rope_factors"] = llm_model.yarn_rope_factors(
+            cfg, rope_scaling_factor, rope_original_max_seq,
+            truncate=False)
+    return params, cfg

@@ -113,8 +113,27 @@ class LLMConfig(NamedTuple):
     # optional aux-loss-free balancing bias (layers.moe_gate_bias,
     # (L, E)) added to the scores for SELECTION ONLY — the combine
     # weights stay the raw scores at the selected indices.
-    moe_score_func: str = "softmax"      # "softmax" | "sigmoid"
+    # "softmax_topk" = gpt-oss: select on RAW router logits, combine
+    # weights = softmax over just the selected logits
+    # (transformers GptOssTopKRouter).
+    moe_score_func: str = "softmax"      # "softmax" | "sigmoid" | "softmax_topk"
     moe_group_score: str = "max"         # "max" | "top2sum"
+    # gpt-oss family deltas (OpenAI's 2025 open-weight MoE):
+    # - attn_sinks: learned per-head sink logits (layers.attn_sink,
+    #   (L, H)) join every attention softmax as one always-visible
+    #   extra column and are dropped after normalization.
+    # - out_bias: biases on the o_proj (layers.wo_bias) — gpt-oss sets
+    #   attention_bias on all four attention projections (q/k/v ride
+    #   the existing qkv_bias).
+    # - moe_bias: router + expert biases (layers.moe_gate_b /
+    #   w_gu_b / w_down_b).
+    # - act="gptoss": clamped SwiGLU variant — gate clamped at
+    #   act_limit, up clamped to ±act_limit, glu = gate *
+    #   sigmoid(1.702 * gate), output (up + 1) * glu.
+    attn_sinks: bool = False
+    out_bias: bool = False
+    moe_bias: bool = False
+    act_limit: float = 7.0
 
     @classmethod
     def mistral_7b(cls) -> "LLMConfig":
@@ -214,6 +233,28 @@ class LLMConfig(NamedTuple):
                    n_experts_used=8, moe_norm_topk=True)
 
     @classmethod
+    def gpt_oss_20b(cls) -> "LLMConfig":
+        """gpt-oss-20b: 24 layers, 32 experts top-4, 64 q / 8 kv heads
+        at head_dim 64, sinks + full attention biases, clamped-SwiGLU
+        experts, sliding window 128 on even layers, theta 150k with
+        32x non-truncated YaRN from a 4096 original window (pair params
+        with ``yarn_rope_factors(cfg, 32.0, 4096, truncate=False)`` and
+        the ``yarn_attention_factor(32.0)`` already baked in here)."""
+        return cls(vocab_size=201088, dim=2880, n_layers=24, n_heads=64,
+                   n_kv_heads=8, head_dim=64, hidden_dim=2880,
+                   rope_theta=150000.0, max_seq=131072, sliding_window=128,
+                   alt_window=True, n_experts=32, n_experts_used=4,
+                   moe_score_func="softmax_topk", moe_norm_topk=False,
+                   moe_bias=True, attn_sinks=True, qkv_bias=True,
+                   out_bias=True, act="gptoss",
+                   rope_attention_factor=yarn_attention_factor(32.0))
+
+    @classmethod
+    def gpt_oss_120b(cls) -> "LLMConfig":
+        """gpt-oss-120b: same geometry, 36 layers / 128 experts."""
+        return cls.gpt_oss_20b()._replace(n_layers=36, n_experts=128)
+
+    @classmethod
     def tiny(cls) -> "LLMConfig":
         """Small config for tests / compile checks."""
         return cls(vocab_size=512, dim=256, n_layers=2, n_heads=4,
@@ -252,6 +293,16 @@ def init_params(key: jax.Array, cfg: LLMConfig,
         layers["moe_gate"] = w(keys[8], l, d, cfg.n_experts)
         layers["w_gu"] = w(keys[5], l, cfg.n_experts, d, 2 * h)
         layers["w_down"] = w(keys[7], l, cfg.n_experts, h, d)
+        if cfg.moe_bias:
+            layers["moe_gate_b"] = (jax.random.normal(
+                jax.random.fold_in(keys[8], 1), (l, cfg.n_experts),
+                jnp.float32) * 0.02).astype(dtype)
+            layers["w_gu_b"] = (jax.random.normal(
+                jax.random.fold_in(keys[5], 1), (l, cfg.n_experts, 2 * h),
+                jnp.float32) * 0.02).astype(dtype)
+            layers["w_down_b"] = (jax.random.normal(
+                jax.random.fold_in(keys[7], 1), (l, cfg.n_experts, d),
+                jnp.float32) * 0.02).astype(dtype)
         if cfg.moe_shared_hidden:
             hs = cfg.moe_shared_hidden
             layers["shared_gu"] = w(keys[2], l, d, 2 * hs)
@@ -263,6 +314,14 @@ def init_params(key: jax.Array, cfg: LLMConfig,
     if cfg.qkv_bias:
         layers["wqkv_bias"] = (jax.random.normal(
             keys[9], (l, qd + 2 * kvd), jnp.float32) * 0.02).astype(dtype)
+    if cfg.out_bias:
+        layers["wo_bias"] = (jax.random.normal(
+            jax.random.fold_in(keys[4], 1), (l, d),
+            jnp.float32) * 0.02).astype(dtype)
+    if cfg.attn_sinks:
+        layers["attn_sink"] = (jax.random.normal(
+            jax.random.fold_in(keys[1], 1), (l, cfg.n_heads),
+            jnp.float32) * 0.5).astype(jnp.float32)
     if cfg.post_norms:
         layers["attn_post_norm"] = jnp.ones((l, d), dtype)
         layers["mlp_post_norm"] = jnp.ones((l, d), dtype)
@@ -397,6 +456,25 @@ def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (x.astype(jnp.float32) * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * scale
 
 
+def _act_combine(gate: jnp.ndarray, up: jnp.ndarray, act: str,
+                 limit: float = 7.0) -> jnp.ndarray:
+    """Combine the gate/up halves of a GLU projection (f32 in/out).
+
+    - "silu": SwiGLU (Llama/Mistral/Qwen/DeepSeek).
+    - "gelu": GeGLU, tanh approximation (Gemma).
+    - "gptoss": transformers GptOssExperts — gate clamped from above at
+      ``limit``, up clamped to ±limit, glu = gate * sigmoid(1.702 *
+      gate), combined as (up + 1) * glu.
+    """
+    if act == "gptoss":
+        gate = jnp.minimum(gate, limit)
+        up = jnp.clip(up, -limit, limit)
+        return (up + 1.0) * (gate * jax.nn.sigmoid(gate * 1.702))
+    gated = (jax.nn.silu(gate) if act == "silu"
+             else jax.nn.gelu(gate, approximate=True))
+    return gated * up
+
+
 def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
                eps: float, act: str = "silu",
                post_norm=None) -> jnp.ndarray:
@@ -420,9 +498,7 @@ def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
     h2 = _rms_norm(x, norm_scale, eps)
     gu = _linear(h2, w_gu).astype(jnp.float32)
     gate, up = jnp.split(gu, 2, axis=-1)
-    gated = (jax.nn.silu(gate) if act == "silu"
-             else jax.nn.gelu(gate, approximate=True))
-    out = _linear((gated * up).astype(x.dtype), w_down)
+    out = _linear(_act_combine(gate, up, act).astype(x.dtype), w_down)
     if post_norm is not None:
         out = _rms_norm(out, post_norm, eps)
     return x + out
@@ -490,15 +566,21 @@ def _moe_routed(h2: jnp.ndarray, topv: jnp.ndarray, topi: jnp.ndarray,
     K = cfg.n_experts_used
     flat_expert = topi.reshape(-1)                           # (T*K,)
     order = jnp.argsort(flat_expert, stable=True)
+    sorted_expert = jnp.take(flat_expert, order)             # (T*K,)
     src_tok = order // K                                     # (T*K,)
     xs = jnp.take(h2, src_tok, axis=0)                       # (T*K, D)
     group_sizes = jnp.bincount(flat_expert, length=cfg.n_experts)
     gu = _grouped_dot(xs, layer["w_gu"], group_sizes)        # (T*K, 2H)
+    if cfg.moe_bias:
+        gu = gu + jnp.take(layer["w_gu_b"], sorted_expert,
+                           axis=0).astype(jnp.float32)
     gate, up = jnp.split(gu, 2, axis=-1)
-    gated = (jax.nn.silu(gate) if cfg.act == "silu"
-             else jax.nn.gelu(gate, approximate=True))
-    ys = _grouped_dot((gated * up).astype(h2.dtype), layer["w_down"],
-                      group_sizes)                           # (T*K, D)
+    ys = _grouped_dot(
+        _act_combine(gate, up, cfg.act, cfg.act_limit).astype(h2.dtype),
+        layer["w_down"], group_sizes)                        # (T*K, D)
+    if cfg.moe_bias:
+        ys = ys + jnp.take(layer["w_down_b"], sorted_expert,
+                           axis=0).astype(jnp.float32)
     wts = jnp.take(topv.reshape(-1), order)                  # (T*K,)
     return jnp.zeros((T, h2.shape[1]), jnp.float32).at[src_tok].add(
         ys * wts[:, None])
@@ -513,9 +595,8 @@ def _moe_shared(h2: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
         return jnp.zeros(h2.shape, jnp.float32)
     gu = _linear(h2, layer["shared_gu"]).astype(jnp.float32)
     gate, up = jnp.split(gu, 2, axis=-1)
-    gated = (jax.nn.silu(gate) if cfg.act == "silu"
-             else jax.nn.gelu(gate, approximate=True))
-    y = _linear((gated * up).astype(h2.dtype), layer["shared_down"])
+    y = _linear(_act_combine(gate, up, cfg.act, cfg.act_limit)
+                .astype(h2.dtype), layer["shared_down"])
     if not cfg.moe_shared_gated:
         # DeepSeek-style shared experts: always-on, no gate.
         return y.astype(jnp.float32)
@@ -540,8 +621,19 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     """
     h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
     logits = _linear(h2, layer["moe_gate"]).astype(jnp.float32)
-    scores = (jax.nn.sigmoid(logits) if cfg.moe_score_func == "sigmoid"
-              else jax.nn.softmax(logits, axis=-1))         # (T, E)
+    if cfg.moe_bias:
+        # gpt-oss router bias: a true linear bias on the logits (it
+        # shifts selection AND combine weights — unlike DeepSeek-V3's
+        # selection-only moe_gate_bias below).
+        logits = logits + layer["moe_gate_b"].astype(jnp.float32)
+    if cfg.moe_score_func == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    elif cfg.moe_score_func == "softmax_topk":
+        # gpt-oss: select on raw logits; softmax happens AFTER top-k,
+        # over just the selected logits (GptOssTopKRouter).
+        scores = logits
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)             # (T, E)
     # Selection may differ from combination: DeepSeek-V3's
     # aux-loss-free balancing bias shifts WHICH experts win, never the
     # combine weights (transformers DeepseekV3TopkRouter).
@@ -565,6 +657,8 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
         select = select * jnp.repeat(gmask, gsz, axis=-1)
     topi = jax.lax.top_k(select, cfg.n_experts_used)[1]
     topv = jnp.take_along_axis(scores, topi, axis=-1)
+    if cfg.moe_score_func == "softmax_topk":
+        topv = jax.nn.softmax(topv, axis=-1)
     if cfg.moe_norm_topk:
         denom = jnp.sum(topv, axis=-1, keepdims=True)
         if cfg.moe_score_func == "sigmoid":
@@ -585,12 +679,15 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     for e in range(cfg.n_experts):
         gu = _linear(h2, _expert_slice(layer["w_gu"], e)).astype(
             jnp.float32)
+        if cfg.moe_bias:
+            gu = gu + layer["w_gu_b"][e].astype(jnp.float32)
         gate, up = jnp.split(gu, 2, axis=-1)
-        gated = (jax.nn.silu(gate) if cfg.act == "silu"
-                 else jax.nn.gelu(gate, approximate=True))
-        y = _linear((gated * up).astype(x.dtype),
-                    _expert_slice(layer["w_down"], e))
-        out = out + weights[:, e:e + 1] * y.astype(jnp.float32)
+        y = _linear(_act_combine(gate, up, cfg.act, cfg.act_limit)
+                    .astype(x.dtype), _expert_slice(layer["w_down"], e))
+        y = y.astype(jnp.float32)
+        if cfg.moe_bias:
+            y = y + layer["w_down_b"][e].astype(jnp.float32)
+        out = out + weights[:, e:e + 1] * y
     out = out.astype(x.dtype)
     if cfg.post_norms:
         out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
@@ -608,8 +705,11 @@ def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
 
 def _attn_residual(x: jnp.ndarray, attn_out: jnp.ndarray, layer,
                    cfg: LLMConfig) -> jnp.ndarray:
-    """wo projection (+ Gemma-2 post-attention norm) + residual."""
+    """wo projection (+ optional gpt-oss bias / Gemma-2 post-attention
+    norm) + residual."""
     out = _linear(attn_out.astype(x.dtype), layer["wo"])
+    if cfg.out_bias:
+        out = out + layer["wo_bias"]
     if cfg.post_norms:
         out = _rms_norm(out, layer["attn_post_norm"], cfg.norm_eps)
     return x + out
@@ -638,12 +738,17 @@ def _layer_window(cfg: LLMConfig) -> int:
             if 0 < cfg.sliding_window < cfg.max_seq else 0)
 
 
-def _decode_attn(cfg: LLMConfig, li, q, k_view, v_view, cur_len):
+def _decode_attn(cfg: LLMConfig, li, q, k_view, v_view, cur_len,
+                 layer=None):
     """decode_attention with the config's window policy: fixed window,
     or Gemma-2 alternating local(even)/global(odd) layers — ``li`` is
     the traced layer index, so both static-window programs compile and
-    lax.cond picks per layer."""
+    lax.cond picks per layer. ``layer`` (the scanned per-layer param
+    slice) supplies the gpt-oss attention sinks when the config has
+    them."""
     kw = _attn_extras(cfg)
+    if cfg.attn_sinks:
+        kw["sinks"] = layer["attn_sink"]
     win = _layer_window(cfg)
     if cfg.alt_window and win > 0:
         return jax.lax.cond(
@@ -655,10 +760,12 @@ def _decode_attn(cfg: LLMConfig, li, q, k_view, v_view, cur_len):
     return decode_attention(q, k_view, v_view, cur_len, window=win, **kw)
 
 
-def _prefill_attn(cfg: LLMConfig, li, q, k, v):
+def _prefill_attn(cfg: LLMConfig, li, q, k, v, layer=None):
     """prefill_attention ((H, S, D) operands) with the same window
     policy as :func:`_decode_attn`."""
     kw = _attn_extras(cfg)
+    if cfg.attn_sinks:
+        kw["sinks"] = layer["attn_sink"]
     win = _layer_window(cfg)
     if cfg.alt_window and win > 0:
         return jax.lax.cond(
@@ -740,7 +847,8 @@ def llama3_rope_factors(cfg: LLMConfig, factor: float = 8.0,
 def yarn_rope_factors(cfg: LLMConfig, factor: float,
                       original_max_seq: int,
                       beta_fast: float = 32.0,
-                      beta_slow: float = 1.0) -> jnp.ndarray:
+                      beta_slow: float = 1.0,
+                      truncate: bool = True) -> jnp.ndarray:
     """YaRN per-frequency rope DIVISORS (transformers'
     ``_compute_yarn_parameters`` / llama.cpp's ggml yarn ramp, the
     scheme llama.cpp engages for GGUFs with
@@ -761,8 +869,14 @@ def yarn_rope_factors(cfg: LLMConfig, factor: float,
                 * math.log(original_max_seq / (n_rot * 2.0 * math.pi))
                 / (2.0 * math.log(cfg.rope_theta)))
 
-    low = max(math.floor(corr_dim(beta_fast)), 0)
-    high = min(math.ceil(corr_dim(beta_slow)), cfg.head_dim - 1)
+    # ``truncate`` (rope_scaling["truncate"], default True) floors/ceils
+    # the correction range to whole dims; gpt-oss ships truncate=False
+    # (continuous bounds), matching transformers' find_correction_range.
+    low_f, high_f = corr_dim(beta_fast), corr_dim(beta_slow)
+    if truncate:
+        low_f, high_f = math.floor(low_f), math.ceil(high_f)
+    low = max(low_f, 0)
+    high = min(high_f, cfg.head_dim - 1)
     if high == low:
         high += 0.001                    # transformers' singularity guard
     ramp = jnp.clip(
@@ -850,7 +964,8 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
 
         attn = _prefill_attn(
             cfg, li, q.transpose(1, 0, 2), k.transpose(1, 0, 2),
-            v.transpose(1, 0, 2)).transpose(1, 0, 2).reshape(s_pad, -1)
+            v.transpose(1, 0, 2), layer=layer
+        ).transpose(1, 0, 2).reshape(s_pad, -1)
         x = _attn_residual(x, attn, layer, cfg)
         x = _mlp(x, layer, cfg)
         return x, (k, v)
@@ -915,7 +1030,7 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
         k = apply_rope(k, positions, freqs)
         attn = jax.vmap(lambda qq, kk, vv: _prefill_attn(
             cfg, li, qq.transpose(1, 0, 2), kk.transpose(1, 0, 2),
-            vv.transpose(1, 0, 2)).transpose(1, 0, 2))(q, k, v)
+            vv.transpose(1, 0, 2), layer=layer).transpose(1, 0, 2))(q, k, v)
         x = _attn_residual(
             x.reshape(b * s_pad, -1),
             attn.reshape(b * s_pad, -1), layer, cfg)
@@ -984,7 +1099,8 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
 
         k_view = k_cache_l[:attn_len] if attn_len else k_cache_l
         v_view = v_cache_l[:attn_len] if attn_len else v_cache_l
-        attn = _decode_attn(cfg, li, q[0], k_view, v_view, pos + 1)
+        attn = _decode_attn(cfg, li, q[0], k_view, v_view, pos + 1,
+                            layer=layer)
         x = _attn_residual(x, attn.reshape(1, -1), layer, cfg)
         x = _mlp(x, layer, cfg)
         return x, (k_cache_l, v_cache_l)
@@ -1087,7 +1203,8 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
         k_view = k_cache_l[:, :attn_len] if attn_len else k_cache_l
         v_view = v_cache_l[:, :attn_len] if attn_len else v_cache_l
         attn = jax.vmap(
-            lambda qq, kc, vc, p: _decode_attn(cfg, li, qq, kc, vc, p + 1)
+            lambda qq, kc, vc, p: _decode_attn(cfg, li, qq, kc, vc, p + 1,
+                                               layer=layer)
         )(q, k_view, v_view, pos)
         x = _attn_residual(x, attn.reshape(b, -1), layer, cfg)
         x = _mlp(x, layer, cfg)
@@ -1171,8 +1288,11 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     kvd = cfg.n_kv_heads * cfg.head_dim
     window = _layer_window(cfg)
     s_max = cache.k.shape[1]
-    scale = (1.0 / math.sqrt(cfg.query_pre_attn_scalar)
-             if cfg.query_pre_attn_scalar else 1.0 / math.sqrt(cfg.head_dim))
+    # _attn_scale, not a local 1/sqrt: the inline formula used to drop
+    # rope_attention_factor**2, silently diverging the chunked-prefill
+    # path from decode_step on longrope/YaRN-mscale configs (Phi-3
+    # 128k, gpt-oss) — caught during the gpt-oss integration.
+    scale = _attn_scale(cfg)
 
     def layer_fn(x, inputs):
         layer, k_cache_l, v_cache_l, li = inputs  # (S_max, Hk, D)
@@ -1222,7 +1342,15 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
                 win_l = window
             mask &= key_idx > q_pos - win_l
         scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
+        if cfg.attn_sinks:
+            col = jnp.broadcast_to(
+                layer["attn_sink"].astype(jnp.float32).reshape(
+                    cfg.n_kv_heads, rep, 1, 1),
+                (*scores.shape[:3], 1))
+            probs = jax.nn.softmax(
+                jnp.concatenate([scores, col], axis=-1), axis=-1)[..., :-1]
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum(
             "grqs,sgd->qgrd", probs.astype(v_view.dtype), v_view,
             preferred_element_type=jnp.float32).reshape(b, -1)

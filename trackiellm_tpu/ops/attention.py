@@ -48,6 +48,7 @@ def attention_xla(
     window: int = 0,  # sliding window; 0 = unbounded (Mistral parity)
     softcap: float = 0.0,  # Gemma-2 attn logit soft-capping; 0 = off
     scale: float = 0.0,    # query scale override; 0 = 1/sqrt(D)
+    sinks=None,            # gpt-oss attention sinks: (H,) per-head logit
 ) -> jnp.ndarray:
     h, sq, d = q.shape
     hk = k.shape[0]
@@ -68,7 +69,17 @@ def attention_xla(
         if window > 0:
             mask &= ki > qi - window
         s = jnp.where(mask, s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
+    if sinks is not None:
+        # gpt-oss attention sinks (transformers GptOssAttention
+        # eager_attention_forward): one extra per-head logit joins the
+        # softmax and is dropped after — its probability mass simply
+        # shrinks every real weight.
+        col = jnp.broadcast_to(
+            sinks.astype(jnp.float32)[:, None, None], (h, sq, 1))
+        p = jax.nn.softmax(jnp.concatenate([s, col], axis=-1),
+                           axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("hqk,hkd->hqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
@@ -78,9 +89,18 @@ def attention_xla(
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                   *, scale: float, causal: bool, block_q: int, block_k: int,
-                  window: int = 0, softcap: float = 0.0):
+                  window: int = 0, softcap: float = 0.0, sinks_ref=None):
+    """Flash-attention grid body. When ``sinks_ref`` is bound (the
+    gpt-oss variant routes the extra (1,) per-head sink logit in as a
+    trailing SMEM input), the finalization step folds it into the
+    softmax denominator — mathematically the same as appending one
+    always-visible column before the online softmax."""
     qi = pl.program_id(1)
     ki = pl.program_id(2)
+    # Read outside the pl.when bodies: program_id inside a when-branch
+    # falls to plain-XLA lowering under interpret mode, which has no
+    # rule for it.
+    sink = sinks_ref[pl.program_id(0)] if sinks_ref is not None else None
 
     @pl.when(ki == 0)
     def _():
@@ -126,8 +146,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(ki == pl.num_programs(2) - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(
-            o_ref.dtype)
+        acc = acc_ref[:]
+        denom = l_ref[:, :1]
+        if sinks_ref is not None:
+            m = m_ref[:, :1]
+            m_tot = jnp.maximum(m, sink)
+            alpha = jnp.exp(m - m_tot)
+            denom = denom * alpha + jnp.exp(sink - m_tot)
+            acc = acc * alpha
+        o_ref[0] = (acc / jnp.maximum(denom, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_kernel_sinks(q_ref, k_ref, v_ref, sinks_ref, o_ref,
+                        m_ref, l_ref, acc_ref, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  sinks_ref=sinks_ref, **kw)
 
 
 @functools.partial(
@@ -146,6 +179,7 @@ def flash_attention(
     window: int = 0,
     softcap: float = 0.0,
     scale: float = 0.0,
+    sinks=None,       # (H,) gpt-oss per-head sink logits
 ) -> jnp.ndarray:
     h, s, d = q.shape
     hk = k.shape[0]
@@ -157,21 +191,31 @@ def flash_attention(
         "pad seq to a multiple of the attention block size")
 
     grid = (h, s // block_q, s // block_k)
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, window=window, softcap=softcap,
-    )
+    kw = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+              window=window, softcap=softcap)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh // rep, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh // rep, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [q, k, v]
+    if sinks is not None:
+        kernel = functools.partial(_flash_kernel_sinks, **kw)
+        # The whole (H,) sink vector rides in SMEM (Mosaic requires
+        # rank-1 blocks to cover the array or tile by 128); the
+        # finalization step reads sinks_ref[program_id(0)].
+        in_specs.append(pl.BlockSpec((h,), lambda hh, qi, ki: (0,),
+                                     memory_space=pltpu.SMEM))
+        operands.append(sinks.astype(jnp.float32))
+    else:
+        kernel = functools.partial(_flash_kernel, **kw)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh // rep, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh // rep, ki, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -189,20 +233,20 @@ def flash_attention(
             transcendentals=h * s * s,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*operands)
 
 
 def prefill_attention(q, k, v, causal: bool = True,
                       window: int = 0, softcap: float = 0.0,
-                      scale: float = 0.0) -> jnp.ndarray:
+                      scale: float = 0.0, sinks=None) -> jnp.ndarray:
     """Dispatch: Pallas flash on TPU, XLA oracle elsewhere."""
     from trackiellm_tpu.ops.backend import on_tpu
     s = q.shape[1]
     if on_tpu() and s >= 256 and s % 256 == 0:
         return flash_attention(q, k, v, causal=causal, window=window,
-                               softcap=softcap, scale=scale)
+                               softcap=softcap, scale=scale, sinks=sinks)
     return attention_xla(q, k, v, causal=causal, window=window,
-                         softcap=softcap, scale=scale)
+                         softcap=softcap, scale=scale, sinks=sinks)
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +262,7 @@ def decode_attention(
     window: int = 0,       # sliding window; 0 = attend to everything
     softcap: float = 0.0,  # Gemma-2 attn logit soft-capping; 0 = off
     scale: float = 0.0,    # query scale override; 0 = 1/sqrt(D)
+    sinks=None,            # gpt-oss attention sinks: (H,) per-head logit
 ) -> jnp.ndarray:
     h, d = q.shape
     s_max, hk, _ = k_cache.shape
@@ -238,7 +283,12 @@ def decode_attention(
     if window > 0:
         mask &= idx >= cur_len - window
     s = jnp.where(mask, s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
+    if sinks is not None:
+        col = sinks.astype(jnp.float32).reshape(hk, rep, 1)
+        p = jax.nn.softmax(jnp.concatenate([s, col], axis=-1),
+                           axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("grs,sgd->grd", p.astype(v_cache.dtype), v_cache,
                      preferred_element_type=jnp.float32)
     return out.reshape(h, d).astype(q.dtype)
@@ -254,6 +304,7 @@ def paged_decode_attention(
     window: int = 0,
     softcap: float = 0.0,
     scale: float = 0.0,
+    sinks=None,
 ) -> jnp.ndarray:
     """Decode attention over a paged KV pool: the sequence's pages are
     gathered through ``page_table`` (the paged-KV layout lets the runtime
@@ -264,4 +315,4 @@ def paged_decode_attention(
     v_seq = v_pages[page_table].reshape(-1, *v_pages.shape[2:])
     del page_size
     return decode_attention(q, k_seq, v_seq, cur_len, window=window,
-                            softcap=softcap, scale=scale)
+                            softcap=softcap, scale=scale, sinks=sinks)
