@@ -1,6 +1,8 @@
 """Batched serving tests: batched decode correctness vs single-sequence
 decode, slot insertion, and the continuous-batching server."""
 
+import time
+
 import numpy as np
 import pytest
 import jax
@@ -428,6 +430,237 @@ class TestPagedServer:
             assert server.pool.free_pages == 32  # everything released
         finally:
             server.close()
+
+
+class TestServerPrefixCache:
+    def test_prefix_cache_matches_uncached_greedy(self, params):
+        """Requests sharing a long prompt prefix through the prefix
+        cache must produce byte-identical greedy output to a server
+        with the cache off. The second prompt's 25-token unmatched
+        suffix also regression-tests the staged-capacity sizing: a
+        naive bucket (64 rows at offset 32 over a 64-capacity stage)
+        would clamp the write and corrupt the shared prefix."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        base = "sistema: voce ajuda pessoas cegas. "  # 35 chars + BOS
+        prompts = [base + "primeiro", base + "segundo caminho la",
+                   base + "primeiro"]
+        plain = LLMServer(params, CFG, batch_slots=1, tokenizer=tok,
+                          cache_dtype=jnp.float32, paged=True,
+                          page_size=16, n_pages=33, prefix_cache=False)
+        try:
+            expected = [plain.generate(p, max_tokens=6) for p in prompts]
+        finally:
+            plain.close()
+        cached = LLMServer(params, CFG, batch_slots=1, tokenizer=tok,
+                           cache_dtype=jnp.float32, paged=True,
+                           page_size=16, n_pages=33)
+        try:
+            got = [cached.generate(p, max_tokens=6) for p in prompts]
+            stats = cached.pool.prefix_stats
+            assert stats["hits"] >= 2  # 2nd and 3rd requests matched
+            assert stats["tokens_reused"] >= 64
+        finally:
+            cached.close()
+        assert got == expected
+
+    def test_prefix_cache_concurrent_same_prompt(self, params):
+        """A burst of identical prompts: the first registers, later
+        admissions share pages; all complete and the pool drains back
+        to fully allocatable (cache-resident pages count as free)."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, paged=True,
+                           page_size=16, n_pages=33)
+        prompt = "a" * 40
+        try:
+            futures = [server.submit(prompt, max_tokens=5)
+                       for _ in range(4)]
+            results = [f.result(timeout=120) for f in futures]
+            assert len(set(results)) == 1  # greedy: all identical
+            assert server.pool.free_pages == 32
+        finally:
+            server.close()
+
+
+class TestChunkedPrefill:
+    def test_chunked_admission_matches_whole_prompt(self, params):
+        """Sarathi-style chunked-prefill admission (prefill_chunk>0)
+        must be byte-identical to whole-prompt admission for a mix of
+        long and short prompts, dense AND paged."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        prompts = ["p" * 90 + " primeira pergunta longa",
+                   "curta",
+                   "q" * 70 + " segunda longa"]
+        for paged in (False, True):
+            kw = dict(paged=True, page_size=16, n_pages=65) if paged \
+                else dict(paged=False)
+            ref = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                            cache_dtype=jnp.float32, **kw)
+            try:
+                expected = [ref.generate(p, max_tokens=6)
+                            for p in prompts]
+            finally:
+                ref.close()
+            chunked = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                                cache_dtype=jnp.float32,
+                                prefill_chunk=64, **kw)
+            try:
+                futs = [chunked.submit(p, max_tokens=6) for p in prompts]
+                got = [f.result(timeout=120) for f in futs]
+                assert chunked.stats.get("prefill_chunks", 0) >= 2, \
+                    "long prompts should have taken the job path"
+            finally:
+                chunked.close()
+            assert got == expected, f"paged={paged}"
+
+    def test_chunked_prefill_with_prefix_cache(self, params):
+        """A long shared prefix through the job path: the prefix cache
+        stages matched pages and the job chunk-prefills only the
+        suffix; output identical to the uncached whole-prompt server."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        base = "s" * 80
+        prompts = [base + " rota um", base + " rota dois bem diferente"]
+        ref = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                        cache_dtype=jnp.float32, paged=True,
+                        page_size=16, n_pages=65, prefix_cache=False)
+        try:
+            expected = [ref.generate(p, max_tokens=6) for p in prompts]
+        finally:
+            ref.close()
+        srv = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                        cache_dtype=jnp.float32, paged=True,
+                        page_size=16, n_pages=65, prefill_chunk=64)
+        try:
+            got = [srv.generate(p, max_tokens=6) for p in prompts]
+            assert srv.pool.prefix_stats["hits"] >= 1
+        finally:
+            srv.close()
+        assert got == expected
+
+    def test_decode_progresses_between_job_chunks(self, params):
+        """An active stream must keep emitting tokens while a long
+        prompt admits through the job path (the whole point of chunked
+        prefill): with a 300-char prompt split into >= 4 chunks, the
+        already-running request's stream callback must fire between
+        job chunks, not only after admission completes."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, paged=True,
+                           page_size=16, n_pages=65, prefill_chunk=16,
+                           chunk_steps=1)
+        events = []
+        try:
+            first = server.submit("fluxo ativo", max_tokens=48,
+                                  on_token=lambda t: events.append("tok"))
+            while not events:  # first request is decoding
+                time.sleep(0.005)
+            events.append("admit")
+            long_fut = server.submit("z" * 220, max_tokens=2)
+            long_fut.add_done_callback(lambda f: events.append("done"))
+            long_fut.result(timeout=120)
+            first.result(timeout=120)
+        finally:
+            server.close()
+        # The long prompt is ~14 16-token chunks; with one decode step
+        # interleaved per chunk, the active stream emits ~a-token-per-
+        # chunk between the long submit ("admit") and its completion
+        # ("done", fired from the serve thread). A whole-prompt
+        # admission stall would leave only the ~3 tokens of the
+        # pickup + shared-decode window there.
+        window = events[events.index("admit") + 1:events.index("done")]
+        assert window.count("tok") >= 8, events
+        assert server.stats.get("prefill_chunks", 0) >= 10
+
+
+class TestMLAServer:
+    """DeepSeek-class MLA through the continuous-batching server: the
+    batched absorbed-decode twin must match the single-sequence MLA
+    session byte for byte (ref: the reference serves one llama.cpp
+    context per process — batched MLA serving is beyond-parity)."""
+
+    @pytest.fixture(scope="class")
+    def mla_setup(self):
+        from trackiellm_tpu.models import mla
+        cfg = mla.MLAConfig.tiny()
+        params = mla.init_params(jax.random.PRNGKey(3), cfg,
+                                 dtype=jnp.float32)
+        return mla, cfg, params
+
+    def test_mla_server_matches_runner_greedy(self, mla_setup):
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        mla, cfg, params = mla_setup
+        tok = ByteTokenizer(cfg.vocab_size)
+        prompts = ["ola deepseek", "segunda conversa aqui"]
+        expected = []
+        for p in prompts:
+            runner = LLMRunner(params, cfg, tok,
+                               GenerationConfig(max_tokens=6,
+                                                temperature=0.0),
+                               cache_dtype=jnp.float32, model=mla)
+            expected.append(runner.generate(p))
+        server = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, model=mla)
+        try:
+            futs = [server.submit(p, max_tokens=6) for p in prompts]
+            got = [f.result(timeout=180) for f in futs]
+        finally:
+            server.close()
+        assert got == expected
+
+    def test_mla_chunked_matches_per_step(self, mla_setup):
+        mla, cfg, params = mla_setup
+        tok = ByteTokenizer(cfg.vocab_size)
+        single = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, model=mla,
+                           chunk_steps=1)
+        try:
+            expected = [single.generate(f"q{i}", max_tokens=9)
+                        for i in range(2)]
+        finally:
+            single.close()
+        chunked = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                            cache_dtype=jnp.float32, model=mla,
+                            chunk_steps=3)
+        try:
+            futs = [chunked.submit(f"q{i}", max_tokens=9)
+                    for i in range(2)]
+            got = [f.result(timeout=180) for f in futs]
+        finally:
+            chunked.close()
+        assert got == expected
+
+    def test_mla_rejects_paged_and_mesh(self, mla_setup):
+        from trackiellm_tpu.utils.errors import TrackieError
+        mla, cfg, params = mla_setup
+        with pytest.raises(TrackieError):
+            LLMServer(params, cfg, batch_slots=1, model=mla, paged=True)
+
+
+class TestQuantizedKVServer:
+    def test_int8_kv_serves(self, params):
+        """cache_dtype=int8 forces paged mode, stores the pool
+        quantized, and serves concurrent requests end to end (compute
+        in f32 via compute_dtype for CPU determinism)."""
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.int8, page_size=32,
+                           n_pages=33)
+        server.pool.compute_dtype = jnp.float32
+        try:
+            assert server.paged and server.pool.quantized
+            futs = [server.submit(f"pergunta {i}", max_tokens=5)
+                    for i in range(3)]
+            outs = [f.result(timeout=120) for f in futs]
+            assert all(isinstance(o, str) for o in outs)
+            assert server.pool.free_pages == 32
+        finally:
+            server.close()
+
+    def test_int8_rejects_dense(self, params):
+        from trackiellm_tpu.utils.errors import TrackieError
+        with pytest.raises(TrackieError):
+            LLMServer(params, CFG, batch_slots=1, cache_dtype=jnp.int8,
+                      paged=False)
 
 
 class TestRepetitionPenalty:

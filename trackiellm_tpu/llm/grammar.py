@@ -77,6 +77,7 @@ class JsonAcceptor:
         self.expect = "root_value"
         self.in_string: Optional[str] = None  # 'key' | 'value'
         self.escape = False
+        self.u_rest = 0  # hex digits still owed to a \\u escape
         self.num_state: Optional[str] = None  # JSON number DFA state
         self.lit_rest = ""  # remainder of true/false/null
         self.done = False
@@ -110,9 +111,17 @@ class JsonAcceptor:
 
     def _feed(self, ch: str) -> bool:
         if self.in_string is not None:
+            if self.u_rest:
+                if ch in "0123456789abcdefABCDEF":
+                    self.u_rest -= 1
+                    return True
+                return False
             if self.escape:
                 self.escape = False
-                return True
+                if ch == "u":
+                    self.u_rest = 4
+                    return True
+                return ch in '"\\/bfnrt'  # the legal JSON escapes only
             if ch == "\\":
                 self.escape = True
                 return True
@@ -239,6 +248,8 @@ class JsonAcceptor:
 
         if probe.escape:
             push("n")
+        if probe.u_rest:
+            push("0" * probe.u_rest)
         if probe.in_string is not None:
             push('"')
         if probe.lit_rest:
@@ -271,18 +282,43 @@ class JsonAcceptor:
                 raise AssertionError(f"unexpected state {e}")
         return "".join(out)
 
+    def state_key(self) -> tuple:
+        """Hashable signature of the acceptor state (mask caching)."""
+        return (tuple(self.containers), self.expect, self.in_string,
+                self.escape, self.u_rest, self.num_state, self.lit_rest,
+                self.done, self.failed)
+
+    def at_end(self) -> bool:
+        """True if the input so far forms a complete JSON value — a
+        root-level number has no trailing delimiter to pop it, so
+        ``done`` alone under-reports at end-of-input."""
+        if self.done:
+            return True
+        if self.failed or self.containers or self.in_string is not None:
+            return False
+        return self.num_state in _NUM_TERMINAL
+
 
 class ToolCallGrammar:
     """Acceptor for ``{"tool_call":{"name":"<tool>","arguments":<obj>}}``.
 
     Stateful per generation: ``feed_text`` advances; ``allowed`` probes a
     candidate continuation without committing (used for token masking).
+
+    ``tool_schemas`` optionally maps tool names to JSON Schemas for their
+    arguments: once the generated name is closed, the arguments acceptor
+    for a schema'd tool is a :class:`~trackiellm_tpu.llm.schema.
+    SchemaAcceptor` (typed tool calls — llama.cpp
+    ``json_schema_to_grammar`` parity) instead of the generic
+    :class:`JsonAcceptor`.
     """
 
-    def __init__(self, tool_names: Sequence[str]):
+    def __init__(self, tool_names: Sequence[str],
+                 tool_schemas: Optional[dict] = None):
         if not tool_names:
             raise ValueError("ToolCallGrammar needs at least one tool name")
         self.tool_names = list(tool_names)
+        self.tool_schemas = dict(tool_schemas or {})
         self._pre = '{"tool_call":{"name":"'
         self._mid = '","arguments":'
         self._post = "}}"
@@ -293,6 +329,27 @@ class ToolCallGrammar:
         self.pos = 0          # position within current literal phase
         self.name_buf = ""
         self.json = JsonAcceptor(root_object_only=True)
+
+    def _args_acceptor(self, name: str):
+        """The arguments acceptor for ``name`` (schema-typed if given)."""
+        schema = self.tool_schemas.get(name)
+        if schema is not None:
+            from trackiellm_tpu.llm.schema import SchemaAcceptor
+
+            return SchemaAcceptor(schema)
+        return JsonAcceptor(root_object_only=True)
+
+    def _min_args(self, name: str) -> str:
+        """Minimal valid arguments text for ``name`` (closures that fire
+        before the arguments acceptor exists — "{}" is wrong for a
+        schema with required properties)."""
+        schema = self.tool_schemas.get(name)
+        if schema is None:
+            return "{}"
+        from trackiellm_tpu.llm.schema import (_min_value_text,
+                                               compile_schema)
+
+        return _min_value_text(compile_schema(schema))
 
     # -- state snapshot (cheap, for probing) ---------------------------------
     def _snapshot(self):
@@ -320,6 +377,7 @@ class ToolCallGrammar:
             if ch == '"':
                 if self.name_buf in self.tool_names:
                     self.phase, self.pos = "mid", 1  # '"' consumed = mid[0]
+                    self.json = self._args_acceptor(self.name_buf)
                     return True
                 return False
             if any(n.startswith(cand) for n in self.tool_names):
@@ -376,7 +434,7 @@ class ToolCallGrammar:
             out.append(self._pre[self.pos:])
             out.append(self.tool_names[0])
             out.append(self._mid)
-            out.append("{}")
+            out.append(self._min_args(self.tool_names[0]))
             out.append(self._post)
         elif self.phase == "name":
             name = next(n for n in self.tool_names
@@ -384,11 +442,11 @@ class ToolCallGrammar:
             out.append(name[len(self.name_buf):])
             out.append('"')
             out.append(self._mid[1:])
-            out.append("{}")
+            out.append(self._min_args(name))
             out.append(self._post)
         elif self.phase == "mid":
             out.append(self._mid[self.pos:])
-            out.append("{}")
+            out.append(self._min_args(self.name_buf))
             out.append(self._post)
         elif self.phase == "args":
             out.append(self.json.closure())
@@ -404,10 +462,8 @@ class ToolCallGrammar:
         string the accumulated content is irrelevant to what may come
         next, so the state space during generation is small — masks
         cache extremely well."""
-        j = self.json
         return (self.phase, self.pos, self.name_buf,
-                tuple(j.containers), j.expect, j.in_string, j.escape,
-                j.num_state, j.lit_rest, j.done, j.failed)
+                self.json.state_key())
 
     def token_mask(self, tokenizer, extra_allowed: Sequence[int] = ()) -> "list[bool]":
         """Boolean vocab mask of tokens whose text keeps the prefix valid.

@@ -18,13 +18,49 @@ list and tables.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional, Tuple
+from collections import OrderedDict
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
+
+
+class QuantPool(NamedTuple):
+    """int8-quantized page pool: values + per-(cell, head) f32 scales.
+
+    The TPU analogue of llama.cpp's quantized KV cache (`-ctk q8_0`,
+    ggml type GGML_TYPE_Q8_0 KV cells): each (token-cell, kv-head) row
+    of D values stores int8 with one f32 amax/127 scale — 2x the
+    conversations per pool byte, and every page gather reads HALF the
+    HBM bytes (the dequant multiply is VPU-cheap next to the
+    bandwidth). Scale overhead: 4/(D) per value (~0.8% at D=128).
+    Construct via ``PagedKVPool(..., dtype=jnp.int8)``."""
+    vals: jnp.ndarray   # int8 (L, P, page, Hk, D)
+    scale: jnp.ndarray  # f32  (L, P, page, Hk)
+
+
+def _quant_cells(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8: (..., D) -> (int8 (..., D), f32 scale
+    (...,)). Round-to-nearest; amax/127 keeps the codebook symmetric
+    (no zero-point — K/V are zero-centered post-RMSNorm/rope)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0 + 1e-8
+    q = jnp.round(xf / scale[..., None])
+    return q.astype(jnp.int8), scale
+
+
+def _dequant_cells(vals: jnp.ndarray, scale: jnp.ndarray,
+                   dtype) -> jnp.ndarray:
+    return (vals.astype(jnp.float32)
+            * scale[..., None].astype(jnp.float32)).astype(dtype)
+
+
+def _pool_vals(pool) -> jnp.ndarray:
+    """The (L, P, page, Hk, D) value array of either pool layout."""
+    return pool.vals if isinstance(pool, QuantPool) else pool
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -39,7 +75,7 @@ def decode_step_paged(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step over a paged pool. Returns (logits, pool_k,
     pool_v); the caller advances its host-side length."""
-    page_size = pool_k.shape[2]
+    page_size = _pool_vals(pool_k).shape[2]
     pos = seq_len
     page_idx = table[pos // page_size]
     slot = pos % page_size
@@ -62,14 +98,34 @@ def decode_step_paged(
         q = llm_model.apply_rope(q, pos[None], freqs)
         k = llm_model.apply_rope(k, pos[None], freqs)
 
-        pk_l = jax.lax.dynamic_update_slice(
-            pk_l, k[None].astype(pk_l.dtype), (page_idx, slot, 0, 0))
-        pv_l = jax.lax.dynamic_update_slice(
-            pv_l, v[None].astype(pv_l.dtype), (page_idx, slot, 0, 0))
+        if isinstance(pk_l, QuantPool):
+            kq, ks = _quant_cells(k[None])   # (1,1,Hk,D)/(1,1,Hk)
+            vq, vs = _quant_cells(v[None])
+            pk_l = QuantPool(
+                jax.lax.dynamic_update_slice(pk_l.vals, kq,
+                                             (page_idx, slot, 0, 0)),
+                jax.lax.dynamic_update_slice(pk_l.scale, ks,
+                                             (page_idx, slot, 0)))
+            pv_l = QuantPool(
+                jax.lax.dynamic_update_slice(pv_l.vals, vq,
+                                             (page_idx, slot, 0, 0)),
+                jax.lax.dynamic_update_slice(pv_l.scale, vs,
+                                             (page_idx, slot, 0)))
+            k_seq = _dequant_cells(pk_l.vals[table], pk_l.scale[table],
+                                   x.dtype).reshape(-1, cfg.n_kv_heads,
+                                                    cfg.head_dim)
+            v_seq = _dequant_cells(pv_l.vals[table], pv_l.scale[table],
+                                   x.dtype).reshape(-1, cfg.n_kv_heads,
+                                                    cfg.head_dim)
+        else:
+            pk_l = jax.lax.dynamic_update_slice(
+                pk_l, k[None].astype(pk_l.dtype), (page_idx, slot, 0, 0))
+            pv_l = jax.lax.dynamic_update_slice(
+                pv_l, v[None].astype(pv_l.dtype), (page_idx, slot, 0, 0))
 
-        # Gather this sequence's pages -> contiguous view.
-        k_seq = pk_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
-        v_seq = pv_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+            # Gather this sequence's pages -> contiguous view.
+            k_seq = pk_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+            v_seq = pv_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
         attn = llm_model._decode_attn(cfg, li, q[0], k_seq, v_seq, pos + 1,
                                       layer=layer)
         x = llm_model._attn_residual(x, attn.reshape(1, -1), layer, cfg)
@@ -91,7 +147,7 @@ def copy_prefill_into_pages(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scatter a prefilled contiguous cache into this sequence's pages.
     Copies whole pages (padded tail slots are length-masked later)."""
-    page_size = pool_k.shape[2]
+    page_size = _pool_vals(pool_k).shape[2]
     max_pages = table.shape[0]
     s_pad = max_pages * page_size
     # Pad/trim the contiguous cache to the table's capacity.
@@ -99,9 +155,44 @@ def copy_prefill_into_pages(
         cfg.n_layers, max_pages, page_size, cfg.n_kv_heads, cfg.head_dim)
     v_src = seq_cache.v[:, :s_pad].reshape(
         cfg.n_layers, max_pages, page_size, cfg.n_kv_heads, cfg.head_dim)
-    pool_k = pool_k.at[:, table].set(k_src.astype(pool_k.dtype))
-    pool_v = pool_v.at[:, table].set(v_src.astype(pool_v.dtype))
+    if isinstance(pool_k, QuantPool):
+        kq, ks = _quant_cells(k_src)
+        vq, vs = _quant_cells(v_src)
+        pool_k = QuantPool(pool_k.vals.at[:, table].set(kq),
+                           pool_k.scale.at[:, table].set(ks))
+        pool_v = QuantPool(pool_v.vals.at[:, table].set(vq),
+                           pool_v.scale.at[:, table].set(vs))
+    else:
+        pool_k = pool_k.at[:, table].set(k_src.astype(pool_k.dtype))
+        pool_v = pool_v.at[:, table].set(v_src.astype(pool_v.dtype))
     return pool_k, pool_v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def gather_pages_to_cache(
+    cfg: llm_model.LLMConfig,
+    pool_k: jnp.ndarray, pool_v: jnp.ndarray,
+    table: jnp.ndarray,        # (W,) int32 — pages to stage, pad = trash 0
+    length: jnp.ndarray,       # scalar int32 — valid tokens in the prefix
+    dtype=None,                # static: scratch dtype (quantized pools)
+) -> llm_model.KVCache:
+    """Stage a page chain into a contiguous :class:`KVCache` (capacity
+    ``W * page_size``) so :func:`models.llm.extend` can chunk-prefill a
+    suffix after a SHARED cached prefix (prefix caching). One bandwidth
+    copy replaces the prefix's prefill FLOPs entirely. Quantized pools
+    dequantize into a ``dtype`` scratch."""
+    page = _pool_vals(pool_k).shape[2]
+    w = table.shape[0]
+    if isinstance(pool_k, QuantPool):
+        k = _dequant_cells(pool_k.vals[:, table], pool_k.scale[:, table],
+                           dtype)
+        v = _dequant_cells(pool_v.vals[:, table], pool_v.scale[:, table],
+                           dtype)
+    else:
+        k, v = pool_k[:, table], pool_v[:, table]
+    k = k.reshape(cfg.n_layers, w * page, cfg.n_kv_heads, cfg.head_dim)
+    v = v.reshape(cfg.n_layers, w * page, cfg.n_kv_heads, cfg.head_dim)
+    return llm_model.KVCache(k=k, v=v, length=length)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "attn_pages"))
@@ -125,7 +216,7 @@ def decode_step_batch_paged(
     gathers max_seq/page_size pages per slot even for short
     conversations. Must cover max(lengths)+1 tokens."""
     b = tokens.shape[0]
-    page_size = pool_k.shape[2]
+    page_size = _pool_vals(pool_k).shape[2]
     pos = lengths
     page_idx = jnp.take_along_axis(
         tables, (pos // page_size)[:, None], axis=1)[:, 0]  # (B,)
@@ -157,13 +248,28 @@ def decode_step_batch_paged(
             kk[None], p[None], freqs)[0])(k, pos)
 
         # Scatter each active slot's KV into its (page, slot) cell.
-        pk_l = pk_l.at[page_idx, slot].set(k.astype(pk_l.dtype))
-        pv_l = pv_l.at[page_idx, slot].set(v.astype(pv_l.dtype))
+        if isinstance(pk_l, QuantPool):
+            kq, ks = _quant_cells(k)   # (B,Hk,D)/(B,Hk)
+            vq, vs = _quant_cells(v)
+            pk_l = QuantPool(pk_l.vals.at[page_idx, slot].set(kq),
+                             pk_l.scale.at[page_idx, slot].set(ks))
+            pv_l = QuantPool(pv_l.vals.at[page_idx, slot].set(vq),
+                             pv_l.scale.at[page_idx, slot].set(vs))
+        else:
+            pk_l = pk_l.at[page_idx, slot].set(k.astype(pk_l.dtype))
+            pv_l = pv_l.at[page_idx, slot].set(v.astype(pv_l.dtype))
 
         def one_slot(qq, table, p):
             tv = table[:attn_pages] if attn_pages else table
-            k_seq = pk_l[tv].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
-            v_seq = pv_l[tv].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+            if isinstance(pk_l, QuantPool):
+                k_seq = _dequant_cells(pk_l.vals[tv], pk_l.scale[tv],
+                                       x.dtype)
+                v_seq = _dequant_cells(pv_l.vals[tv], pv_l.scale[tv],
+                                       x.dtype)
+            else:
+                k_seq, v_seq = pk_l[tv], pv_l[tv]
+            k_seq = k_seq.reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+            v_seq = v_seq.reshape(-1, cfg.n_kv_heads, cfg.head_dim)
             return llm_model._decode_attn(cfg, li, qq, k_seq, v_seq, p + 1,
                                           layer=layer)
 
@@ -214,15 +320,24 @@ def decode_steps_batch_paged(
     cover ``max(lengths) + n_steps`` tokens.
     Returns (produced (n_steps, B), pool_k, pool_v)."""
     b, max_pages = tables.shape
-    page = pool_k.shape[2]
+    page = _pool_vals(pool_k).shape[2]
     if attn_pages and attn_pages < max_pages:
         tables = tables[:, :attn_pages]
         max_pages = attn_pages
 
     # Gather: (L, P, page, Hk, D)[:, (B, max_pages)] -> contiguous.
-    sk = pool_k[:, tables].reshape(
+    quantized = isinstance(pool_k, QuantPool)
+    if quantized:
+        dt = params["tok_emb"].dtype
+        sk = _dequant_cells(pool_k.vals[:, tables],
+                            pool_k.scale[:, tables], dt)
+        sv = _dequant_cells(pool_v.vals[:, tables],
+                            pool_v.scale[:, tables], dt)
+    else:
+        sk, sv = pool_k[:, tables], pool_v[:, tables]
+    sk = sk.reshape(
         cfg.n_layers, b, max_pages * page, cfg.n_kv_heads, cfg.head_dim)
-    sv = pool_v[:, tables].reshape(
+    sv = sv.reshape(
         cfg.n_layers, b, max_pages * page, cfg.n_kv_heads, cfg.head_dim)
     scratch = llm_model.BatchedKVCache(sk, sv, lengths)
 
@@ -230,7 +345,9 @@ def decode_steps_batch_paged(
         params, cfg, tokens, active, scratch, n_steps)
 
     # Scatter back only the cells this chunk wrote: slot b's step j
-    # landed at contiguous position lengths[b] + j.
+    # landed at contiguous position lengths[b] + j. (Quantized pools
+    # re-quantize ONLY these freshly written rows — settled cells never
+    # round-trip, so there is no accumulation drift.)
     steps = jnp.arange(n_steps)
     pos = lengths[:, None] + steps[None, :]                 # (B, k)
     idx = pos[None, :, :, None, None]                       # broadcast
@@ -242,8 +359,16 @@ def decode_steps_batch_paged(
     # cells to the reserved trash page 0.
     page_idx = jnp.where(active[:, None], page_idx, 0)
     slot_in = jnp.where(active[:, None], slot_in, 0)
-    pool_k = pool_k.at[:, page_idx, slot_in].set(new_k)
-    pool_v = pool_v.at[:, page_idx, slot_in].set(new_v)
+    if quantized:
+        kq, ks = _quant_cells(new_k)
+        vq, vs = _quant_cells(new_v)
+        pool_k = QuantPool(pool_k.vals.at[:, page_idx, slot_in].set(kq),
+                           pool_k.scale.at[:, page_idx, slot_in].set(ks))
+        pool_v = QuantPool(pool_v.vals.at[:, page_idx, slot_in].set(vq),
+                           pool_v.scale.at[:, page_idx, slot_in].set(vs))
+    else:
+        pool_k = pool_k.at[:, page_idx, slot_in].set(new_k)
+        pool_v = pool_v.at[:, page_idx, slot_in].set(new_v)
     return produced, pool_k, pool_v
 
 
@@ -256,25 +381,53 @@ class PagedKVPool:
     """
 
     def __init__(self, cfg: llm_model.LLMConfig, n_pages: int = 64,
-                 page_size: int = 128, dtype=jnp.bfloat16):
+                 page_size: int = 128, dtype=jnp.bfloat16,
+                 compute_dtype=None):
+        """``dtype=jnp.int8`` stores the pool quantized (:class:`
+        QuantPool` — symmetric per-(cell, head) int8, the llama.cpp
+        `-ctk q8_0` parity feature): half the pool bytes, half the
+        gather bandwidth. ``compute_dtype`` is the dequantized scratch/
+        attention dtype (default bfloat16 for quantized pools, else
+        ``dtype`` itself)."""
         self.cfg = cfg
         self.page_size = page_size
         self.n_pages = n_pages
+        self.quantized = jnp.dtype(dtype) == jnp.int8
+        self.compute_dtype = compute_dtype or (
+            jnp.bfloat16 if self.quantized else dtype)
         shape = (cfg.n_layers, n_pages, page_size, cfg.n_kv_heads,
                  cfg.head_dim)
-        self.pool_k = jnp.zeros(shape, dtype)
-        self.pool_v = jnp.zeros(shape, dtype)
+        if self.quantized:
+            self.pool_k = QuantPool(jnp.zeros(shape, jnp.int8),
+                                    jnp.zeros(shape[:-1], jnp.float32))
+            self.pool_v = QuantPool(jnp.zeros(shape, jnp.int8),
+                                    jnp.zeros(shape[:-1], jnp.float32))
+        else:
+            self.pool_k = jnp.zeros(shape, dtype)
+            self.pool_v = jnp.zeros(shape, dtype)
         # Page 0 is reserved as the trash page for inactive batch slots.
         self._free: List[int] = list(range(1, n_pages))
         self._tables: Dict[int, List[int]] = {}
         self._lengths: Dict[int, int] = {}
         self._next_seq = 1
+        # Prefix cache (vLLM-style): FULL prompt pages are registered
+        # under an exact token hash-chain key; later sequences whose
+        # prompt starts with the same token pages SHARE those physical
+        # pages (refcounted) and only prefill the suffix. A registered
+        # page whose refcount drops to 0 stays resident as LRU-evictable
+        # cache — reclaimed only when the free list empties.
+        self._hash_to_page: Dict[Any, int] = {}
+        self._page_to_key: Dict[int, Any] = {}
+        self._page_refs: Dict[int, int] = {}      # registered pages only
+        self._evictable: "OrderedDict[int, None]" = OrderedDict()
+        self.prefix_stats = {"hits": 0, "tokens_reused": 0, "evictions": 0}
 
     # -- allocation ---------------------------------------------------------
 
     @property
     def free_pages(self) -> int:
-        return len(self._free)
+        """Allocatable pages: truly free + cache-resident evictables."""
+        return len(self._free) + len(self._evictable)
 
     def ensure_capacity(self, seq_id: int) -> None:
         """Grow the sequence's table if the next token crosses a page
@@ -376,32 +529,161 @@ class PagedKVPool:
         return produced
 
     def _alloc_page(self) -> int:
-        if not self._free:
-            raise TrackieError(ErrorCode.DEVICE_OOM,
-                               "KV page pool exhausted")
-        return self._free.pop()
+        if self._free:
+            return self._free.pop()
+        if self._evictable:
+            # Reclaim the least-recently-cached page: its prefix-cache
+            # entry dies with it (no sequence references it — only
+            # ref==0 pages enter the evictable list).
+            page, _ = self._evictable.popitem(last=False)
+            key = self._page_to_key.pop(page, None)
+            if key is not None:
+                self._hash_to_page.pop(key, None)
+            self._page_refs.pop(page, None)
+            self.prefix_stats["evictions"] += 1
+            return page
+        raise TrackieError(ErrorCode.DEVICE_OOM,
+                           "KV page pool exhausted")
+
+    # -- prefix cache ---------------------------------------------------------
+
+    @staticmethod
+    def _chain_key(prev: Any, chunk: Sequence[int]) -> Any:
+        # Exact nested-tuple keys (not hashes): a hash collision would
+        # silently share WRONG pages; tuples cost O(cached tokens) host
+        # memory and guarantee correctness.
+        return (prev, tuple(int(t) for t in chunk))
+
+    def acquire_prefix(self, ids: Sequence[int]) -> Tuple[List[int], int]:
+        """Longest cached full-page prefix of ``ids``; the matched pages'
+        refcounts are taken IMMEDIATELY (removed from the evictable
+        list) so no allocation between match and sequence creation can
+        reclaim them. Returns ``(pages, matched_tokens)``; the caller
+        owns the refs — pass the pages to :meth:`create_sequence` as
+        ``shared_pages`` or give them back via :meth:`release_prefix`.
+
+        At least one token is always left to prefill (the admission
+        needs last-token logits), so a fully cached prompt matches all
+        but its final page."""
+        limit = (len(ids) - 1) // self.page_size
+        pages: List[int] = []
+        key: Any = None
+        for i in range(limit):
+            key = self._chain_key(
+                key, ids[i * self.page_size:(i + 1) * self.page_size])
+            page = self._hash_to_page.get(key)
+            if page is None:
+                break
+            self._page_refs[page] = self._page_refs.get(page, 0) + 1
+            self._evictable.pop(page, None)
+            pages.append(page)
+        if pages:
+            self.prefix_stats["hits"] += 1
+            self.prefix_stats["tokens_reused"] += len(pages) * self.page_size
+        return pages, len(pages) * self.page_size
+
+    def release_prefix(self, pages: Sequence[int]) -> None:
+        """Give back refs taken by :meth:`acquire_prefix` without having
+        created a sequence (rejected / backlogged admission)."""
+        for page in pages:
+            self._decref(page)
+
+    def _decref(self, page: int) -> None:
+        refs = self._page_refs.get(page)
+        if refs is None:
+            self._free.append(page)  # plain owned page
+            return
+        refs -= 1
+        self._page_refs[page] = refs
+        if refs <= 0:
+            # Stays resident as cache; reclaimable under pressure.
+            self._evictable[page] = None
+            self._evictable.move_to_end(page)
+
+    def _register_prompt_pages(self, table: List[int], n_shared: int,
+                               ids: Sequence[int]) -> None:
+        """Register this sequence's FULL prompt pages in the prefix
+        cache. Shared pages (already registered) only refresh the chain
+        key; fresh full pages become cached (ref 1 held by this
+        sequence). Duplicate content registered concurrently by another
+        sequence keeps the first page (this one stays plain-owned)."""
+        key: Any = None
+        full = len(ids) // self.page_size
+        for i in range(full):
+            key = self._chain_key(
+                key, ids[i * self.page_size:(i + 1) * self.page_size])
+            if i < n_shared:
+                continue  # matched page — already registered
+            page = table[i]
+            if key in self._hash_to_page or page in self._page_to_key:
+                continue
+            self._hash_to_page[key] = page
+            self._page_to_key[page] = key
+            self._page_refs[page] = self._page_refs.get(page, 0) + 1
 
     def create_sequence(self, prefill_cache: Optional[llm_model.KVCache]
-                        = None, length: int = 0) -> int:
-        """New sequence; optionally seeded from a contiguous prefill."""
+                        = None, length: int = 0,
+                        shared_pages: Optional[List[int]] = None,
+                        register_ids: Optional[Sequence[int]] = None) -> int:
+        """New sequence; optionally seeded from a contiguous prefill.
+
+        ``shared_pages``: refs from :meth:`acquire_prefix` covering the
+        first ``len(shared_pages) * page_size`` tokens — the sequence
+        reads them but never writes them (decode writes land at
+        positions >= length, i.e. in its own fresh pages). Only the
+        suffix region of ``prefill_cache`` is scattered; the shared
+        region of the scatter routes to the trash page.
+
+        ``register_ids``: the prompt token ids; full prompt pages are
+        registered in the prefix cache for future sequences."""
+        shared = list(shared_pages or [])
+        n_shared = len(shared)
         seq_id = self._next_seq
         self._next_seq += 1
         n_pages = max((length + self.page_size - 1) // self.page_size, 1)
-        if len(self._free) < n_pages:
+        n_fresh = n_pages - n_shared
+        if self.free_pages < n_fresh:
             raise TrackieError(ErrorCode.DEVICE_OOM,
                                "KV page pool exhausted")
-        pages = [self._alloc_page() for _ in range(n_pages)]
+        fresh = [self._alloc_page() for _ in range(n_fresh)]
+        pages = shared + fresh
         self._tables[seq_id] = pages
         self._lengths[seq_id] = length
         if prefill_cache is not None and length > 0:
+            # Scatter only the fresh suffix pages: shared positions
+            # route to trash page 0 (their cache region is a replay of
+            # what the pool already holds). Table width = this
+            # sequence's pages, so the copy scales with the sequence,
+            # not the cache capacity.
+            write = [0] * n_shared + fresh
             self.pool_k, self.pool_v = copy_prefill_into_pages(
                 self.cfg, self.pool_k, self.pool_v,
-                jnp.asarray(pages, jnp.int32), prefill_cache)
+                jnp.asarray(write, jnp.int32), prefill_cache)
+        if register_ids is not None:
+            self._register_prompt_pages(pages, n_shared, register_ids)
         return seq_id
+
+    def gathered_prefix_cache(self, pages: Sequence[int], matched_len: int,
+                              total_len: int) -> llm_model.KVCache:
+        """Stage a shared prefix into a contiguous cache sized (in
+        power-of-two page buckets) to also hold ``total_len`` tokens —
+        the input to a suffix :func:`models.llm.extend`."""
+        max_pages = self.cfg.max_seq // self.page_size
+        need = max(-(-total_len // self.page_size), 1)
+        w = 1
+        while w < need:
+            w *= 2
+        w = min(w, max_pages)
+        table = list(pages) + [0] * (w - len(pages))
+        return gather_pages_to_cache(
+            self.cfg, self.pool_k, self.pool_v,
+            jnp.asarray(table[:w], jnp.int32), jnp.int32(matched_len),
+            dtype=self.compute_dtype)
 
     def free_sequence(self, seq_id: int) -> None:
         pages = self._tables.pop(seq_id, [])
-        self._free.extend(pages)
+        for page in pages:
+            self._decref(page)
         self._lengths.pop(seq_id, None)
 
     def length(self, seq_id: int) -> int:

@@ -85,6 +85,11 @@ class ToolDefinition:
     name: str
     description: str
     parameters: Dict[str, str]  # arg name -> description
+    # Optional JSON Schema for the arguments object: when set, the
+    # tool-call grammar forces arguments that CONFORM to it (typed tool
+    # calls — llama.cpp json_schema_to_grammar parity; see
+    # trackiellm_tpu/llm/schema.py), not just any JSON object.
+    schema: Optional[Dict[str, Any]] = None
 
     def render(self) -> str:
         args = ", ".join(f"{k}: {v}" for k, v in self.parameters.items())
@@ -163,6 +168,35 @@ class LLMRunner:
         # the sampled path, device copy for the greedy paths).
         self._eos_ban_np: Optional[np.ndarray] = None
         self._eos_ban_jnp: Optional[jnp.ndarray] = None
+        # Incremental UTF-8 assembly for byte-level tokenizers: a
+        # multibyte character split across byte tokens must not decode
+        # each byte separately (that yields U+FFFD replacements;
+        # pieces must concatenate to exactly tokenizer.decode(ids)).
+        self._utf8 = None
+
+    def _piece(self, tid: int) -> str:
+        """One token's text piece. Byte-level tokenizers buffer through
+        an incremental UTF-8 decoder; others decode directly."""
+        if hasattr(self.tokenizer, "token_bytes"):
+            if self._utf8 is None:
+                import codecs
+
+                self._utf8 = codecs.getincrementaldecoder(
+                    "utf-8")("replace")
+            return self._utf8.decode(self.tokenizer.token_bytes(tid))
+        return self.tokenizer.decode_token(tid)
+
+    def _flush_text(self) -> str:
+        """Flush the UTF-8 assembler at end of generation (a trailing
+        incomplete multibyte becomes U+FFFD, matching
+        ``tokenizer.decode``'s errors='replace'). Returns the tail
+        piece, already appended to the generated text."""
+        if self._utf8 is None:
+            return ""
+        tail = self._utf8.decode(b"", True)
+        if tail:
+            self._generated_text += tail
+        return tail
 
     def _eos_ban_host(self) -> np.ndarray:
         if self._eos_ban_np is None:
@@ -262,11 +296,15 @@ class LLMRunner:
         self._generated_text = ""
         self._n_emitted = 0
         self._done = False
+        self._utf8 = None
         if force_tool_call:
             if not tools:
                 raise TrackieError(ErrorCode.TOOL_CALL_INVALID,
                                    "force_tool_call requires tools")
-            self._grammar = ToolCallGrammar([t.name for t in tools])
+            self._grammar = ToolCallGrammar(
+                [t.name for t in tools],
+                {t.name: t.schema for t in tools
+                 if t.schema is not None})
         else:
             self._grammar = None
 
@@ -452,12 +490,22 @@ class LLMRunner:
             remaining = self.gen.max_tokens - self._n_emitted
             if closure and len(closure_ids) >= remaining - 1:
                 assert self._grammar.feed_text(closure)
-                self._generated_text += closure
+                # Route through the incremental UTF-8 assembler so a
+                # pending partial multibyte (buffered from earlier byte
+                # tokens) surfaces as U+FFFD *before* the closure, in
+                # stream order — bypassing it would make the pending
+                # bytes pop out at final flush, AFTER the closing
+                # braces (invalid JSON trailing data).
+                if self._utf8 is not None:
+                    piece = self._utf8.decode(closure.encode("utf-8"))
+                else:
+                    piece = closure
+                self._generated_text += piece
                 self._generated_ids.extend(closure_ids)
                 self._n_emitted = self.gen.max_tokens
                 self._extend_ids(closure_ids)
                 self._done = True
-                return closure
+                return piece
 
         if (self._grammar is None and self.gen.temperature <= 0
                 and not self.gen.speculative):
@@ -495,7 +543,7 @@ class LLMRunner:
             self._done = True
             return None
 
-        piece = self.tokenizer.decode_token(tid)
+        piece = self._piece(tid)
         if self._grammar is not None:
             self._grammar.feed_text(piece)
             if self._grammar.done:
@@ -564,7 +612,7 @@ class LLMRunner:
         if tid == self.tokenizer.eos_id:
             self._done = True
             return None  # lookahead discarded; cache state unchanged
-        piece = self.tokenizer.decode_token(tid)
+        piece = self._piece(tid)
         self._generated_ids.append(tid)
         self._generated_text += piece
         self._n_emitted += 1
@@ -657,7 +705,7 @@ class LLMRunner:
             self._rollback_lookahead(self._la_offset + idx)
             self._done = True
             return None
-        piece = self.tokenizer.decode_token(tid)
+        piece = self._piece(tid)
         self._generated_ids.append(tid)
         self._generated_text += piece
         self._n_emitted += 1
@@ -771,7 +819,7 @@ class LLMRunner:
             self._done = True
             return None
 
-        piece = self.tokenizer.decode_token(tid)
+        piece = self._piece(tid)
         self._generated_ids.append(tid)
         self._generated_text += piece
         self._n_emitted += 1
@@ -844,6 +892,9 @@ class LLMRunner:
         # buffered; roll the cache back to exactly the emitted text.
         self._drop_pending_spec()
         self._drop_pending_lookahead()
+        tail = self._flush_text()
+        if tail and on_token:
+            on_token(tail)
         return self._generated_text
 
     def chat(self, user_text: str, system: Optional[str] = None,
@@ -875,9 +926,13 @@ class LLMRunner:
             self._n_emitted = 0
             self._done = False
             self._grammar = None
+            self._utf8 = None
         while (piece := self.generate_next_token()) is not None:
             if on_token:
                 on_token(piece)
+        tail = self._flush_text()
+        if tail and on_token:
+            on_token(tail)
         self._chat_turns.append((user_text, self._generated_text))
         return self._generated_text
 
@@ -919,6 +974,7 @@ class LLMRunner:
         self._generated_text = ""
         self._done = False
         self._grammar = None
+        self._utf8 = None
         self._committed_ids = []
         self._primed_ids = None
         self._pending_spec = []

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from trackiellm_tpu.llm import sampling
-from trackiellm_tpu.llm.runner import PREFILL_BUCKETS, _bucket_for
+from trackiellm_tpu.llm.runner import (EXTEND_BUCKETS, PREFILL_BUCKETS,
+                                       _bucket_for)
 from trackiellm_tpu.llm.tokenizer import ByteTokenizer, Tokenizer
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
@@ -76,10 +77,28 @@ class _Slot:
     seq_id: Optional[int] = None  # paged mode: pool sequence handle
     grammar: Optional[Any] = None  # ToolCallGrammar for constrained slots
     finish_next: bool = False  # grammar closed: emit next_token, then end
+    reserved: bool = False  # held by an in-flight chunked-prefill job
 
     @property
     def active(self) -> bool:
         return self.request is not None
+
+
+@dataclasses.dataclass
+class _PrefillJob:
+    """An admission whose prompt prefills one extend-chunk per serve
+    iteration (Sarathi-style chunked prefill), so active slots keep
+    decoding between chunks instead of stalling for the whole prompt."""
+    slot_idx: int
+    slot: _Slot
+    req: Request
+    ids: List[int]
+    cache: Any              # contiguous scratch KVCache
+    attn_len: Optional[int]
+    plan: List[Any]         # remaining (take, bucket) chunks
+    pos: int                # tokens ingested so far
+    shared: List[int]       # prefix-cache page refs (paged mode)
+    logits: Any = None
 
 
 class LLMServer:
@@ -92,7 +111,8 @@ class LLMServer:
                  paged="auto", n_pages: int = 0,
                  page_size: int = 128, chunk_steps: int = 8,
                  kv_memory_budget_bytes: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, prefix_cache: bool = True,
+                 prefill_chunk: int = 0, model=None):
         """``mesh``: a `jax.sharding.Mesh` with a ``tp`` axis shards the
         whole serve loop tensor-parallel over the chips — params via
         :func:`trackiellm_tpu.parallel.infer_param_shardings`, the slot
@@ -106,6 +126,33 @@ class LLMServer:
         self.cfg = cfg
         self.batch = batch_slots
         self.mesh = mesh
+        # ``model``: the model module serving these checkpoints — any
+        # module exposing the llm.py forward surface (prefill / extend
+        # / decode_step_batch / decode_steps_batch / KVCache /
+        # BatchedKVCache / insert_sequence). Defaults to models.llm;
+        # pass models.mla to serve DeepSeek-V2/V3 over the compressed
+        # latent cache (the same ``model=`` contract as LLMRunner).
+        # Custom modules are dense-only: the page pool's gather/scatter
+        # is written against the (S, Hk, D) KV layout.
+        self._m = model or llm_model
+        if model is not None and model is not llm_model:
+            if paged is True:
+                raise TrackieError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    "paged KV supports the default models.llm only")
+            if mesh is not None:
+                raise TrackieError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    "mesh serving supports the default models.llm only")
+            paged = False
+        if jnp.dtype(cache_dtype) == jnp.int8:
+            # Quantized KV (llama.cpp -ctk q8_0 parity) lives in the
+            # page pool only; there is no dense int8 slot cache.
+            if paged is False or mesh is not None:
+                raise TrackieError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    "int8 KV requires paged mode (no mesh)")
+            paged = True
         if mesh is not None:
             if paged is True:
                 raise TrackieError(
@@ -144,6 +191,19 @@ class LLMServer:
         # Memory layout: dense per-slot caches (default) or one shared
         # paged pool (memory scales with live tokens; llm/paging.py).
         self.paged = paged
+        # Prefix caching (paged mode only): FULL prompt pages register
+        # in the pool's hash chain; later requests sharing the same
+        # prompt prefix reuse those physical pages (refcounted) and
+        # only prefill the suffix — a shared system prompt costs its
+        # prefill ONCE per pool lifetime, not once per request.
+        self.prefix_cache = bool(prefix_cache) and bool(paged)
+        # Chunked prefill (Sarathi-style): prompts longer than this
+        # admit via a _PrefillJob that runs one extend chunk per serve
+        # iteration, interleaved with decode — active streams' inter-
+        # token latency is bounded by one chunk instead of one full
+        # prompt prefill. 0 = off (whole-prompt admission waves).
+        self.prefill_chunk = max(0, int(prefill_chunk))
+        self._prefill_job: Optional[_PrefillJob] = None
         if paged:
             from trackiellm_tpu.llm.paging import PagedKVPool
 
@@ -154,7 +214,7 @@ class LLMServer:
             self.cache = None
         else:
             self.pool = None
-            self.cache = llm_model.BatchedKVCache.create(
+            self.cache = self._m.BatchedKVCache.create(
                 cfg, batch_slots, dtype=cache_dtype)
             if mesh is not None:
                 self.cache = jax.device_put(
@@ -238,14 +298,14 @@ class LLMServer:
             pending.clear()
 
         buckets = [b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
-        kv_dtype = (self.pool.pool_k.dtype if self.paged
-                    else self.cache.k.dtype)
+        kv_dtype = (self.pool.compute_dtype if self.paged
+                    else jax.tree.leaves(self.cache)[0].dtype)
 
         # Phase 1 — gather the admission wave (admission control only,
         # no device work yet).
         wave = []  # (slot_idx, slot, req, ids, bucket)
         for slot_idx, slot in enumerate(self._slots):
-            if slot.active:
+            if slot.active or slot.reserved:
                 continue
             req = self._next_request()
             while req is not None and req.future.cancelled():
@@ -285,6 +345,13 @@ class LLMServer:
             if len(ids) > limit:
                 head = limit // 4
                 ids = ids[:head] + ids[-(limit - head):]
+            # Long prompts take the chunked-prefill job (one at a
+            # time; interleaves with decode) when enabled; everything
+            # else admits via the whole-prompt wave below.
+            if (self.prefill_chunk and self._prefill_job is None
+                    and len(ids) > self.prefill_chunk
+                    and self._start_prefill_job(slot_idx, slot, req, ids)):
+                continue
             wave.append((slot_idx, slot, req, ids,
                          _bucket_for(len(ids), buckets)))
 
@@ -295,43 +362,46 @@ class LLMServer:
         # a power of two (dummy length-0 rows) so the program count
         # stays log(batch), not batch. Singles keep the plain prefill
         # program (shared with the interactive runner's cache).
+        def settle(slot_idx, slot, req, ids, logits, seq_cache,
+                   shared=()):
+            self._settle(slot_idx, slot, req, ids, logits, seq_cache,
+                         shared=shared, pending=pending)
+
+        # Prefix-cache hits leave the grouped-prefill path: the shared
+        # pages are staged once and only the suffix runs (extend).
         by_bucket: Dict[int, list] = {}
         for item in wave:
-            by_bucket.setdefault(item[4], []).append(item)
-
-        def settle(slot_idx, slot, req, ids, logits, seq_cache):
-            if self.paged:
-                slot.seq_id = self.pool.create_sequence(
-                    prefill_cache=seq_cache, length=len(ids))
-            else:
-                self.cache = llm_model.insert_sequence(
-                    self.cache, self.cfg, slot_idx, seq_cache)
-            slot.request = req
-            slot.generated = []
-            slot.n_emitted = 0
-            slot.host_len = len(ids)
-            slot.grammar = None
-            slot.finish_next = False
-            if req.tool_names:
-                from trackiellm_tpu.llm.grammar import ToolCallGrammar
-
-                slot.grammar = ToolCallGrammar(list(req.tool_names))
-                slot.next_token = self._pick_constrained(slot, logits)
-            elif req.temperature <= 0:
-                pending.append((slot, logits))  # fetched by the wave
-            else:
-                slot.next_token = self._sample_one(logits, req, [])
+            slot_idx, slot, req, ids, bucket = item
+            if self.prefix_cache:
+                shared, matched = self.pool.acquire_prefix(ids)
+                if shared:
+                    try:
+                        staged = self._prefill_suffix(ids, shared, matched)
+                        if staged is not None:
+                            logits, seq_cache = staged
+                            settle(slot_idx, slot, req, ids, logits,
+                                   seq_cache, shared=shared)
+                            continue
+                        # Padded suffix writes can't fit the context:
+                        # give the refs back, take the plain path.
+                        self.pool.release_prefix(shared)
+                    except TrackieError:
+                        self.pool.release_prefix(shared)
+                        raise
+            by_bucket.setdefault(bucket, []).append(item)
 
         for bucket, group in by_bucket.items():
-            if len(group) == 1:
-                slot_idx, slot, req, ids, _ = group[0]
-                padded = np.zeros(bucket, np.int32)
-                padded[: len(ids)] = ids
-                logits, seq_cache = llm_model.prefill(
-                    self.params, self.cfg, jnp.asarray(padded),
-                    jnp.int32(len(ids)),
-                    llm_model.KVCache.create(self.cfg, dtype=kv_dtype))
-                settle(slot_idx, slot, req, ids, logits, seq_cache)
+            # Modules without a vmapped prefill_batch (e.g. models.mla)
+            # admit one prefill per request.
+            if len(group) == 1 or not hasattr(self._m, "prefill_batch"):
+                for slot_idx, slot, req, ids, _ in group:
+                    padded = np.zeros(bucket, np.int32)
+                    padded[: len(ids)] = ids
+                    logits, seq_cache = self._m.prefill(
+                        self.params, self.cfg, jnp.asarray(padded),
+                        jnp.int32(len(ids)),
+                        self._m.KVCache.create(self.cfg, dtype=kv_dtype))
+                    settle(slot_idx, slot, req, ids, logits, seq_cache)
                 continue
             b_pad = 1 << (len(group) - 1).bit_length()
             padded = np.zeros((b_pad, bucket), np.int32)
@@ -339,13 +409,186 @@ class LLMServer:
             for row, (_, _, _, ids, _) in enumerate(group):
                 padded[row, : len(ids)] = ids
                 lengths[row] = len(ids)
-            logits_b, caches_b = llm_model.prefill_batch(
+            logits_b, caches_b = self._m.prefill_batch(
                 self.params, self.cfg, jnp.asarray(padded),
                 jnp.asarray(lengths), cache_dtype=kv_dtype)
             for row, (slot_idx, slot, req, ids, _) in enumerate(group):
                 seq_cache = jax.tree.map(lambda x, r=row: x[r], caches_b)
                 settle(slot_idx, slot, req, ids, logits_b[row], seq_cache)
         flush()
+
+    def _settle(self, slot_idx, slot, req, ids, logits, seq_cache,
+                shared=(), pending=None):
+        """Bind a completed prefill to its slot: paged-mode sequence
+        creation (scatter + prefix registration) or dense slot insert,
+        then bookkeeping + first-token pick. ``pending`` (admission
+        waves): greedy logits queue for ONE batched wave fetch instead
+        of a ~30 ms per-request round trip; None fetches immediately
+        (chunked-prefill job completion — one fetch per job)."""
+        if self.paged:
+            slot.seq_id = self.pool.create_sequence(
+                prefill_cache=seq_cache, length=len(ids),
+                shared_pages=list(shared),
+                register_ids=ids if self.prefix_cache else None)
+        else:
+            self.cache = self._m.insert_sequence(
+                self.cache, self.cfg, slot_idx, seq_cache)
+        slot.request = req
+        slot.generated = []
+        slot.n_emitted = 0
+        slot.host_len = len(ids)
+        slot.grammar = None
+        slot.finish_next = False
+        if req.tool_names:
+            from trackiellm_tpu.llm.grammar import ToolCallGrammar
+
+            slot.grammar = ToolCallGrammar(list(req.tool_names))
+            slot.next_token = self._pick_constrained(slot, logits)
+        elif req.temperature <= 0:
+            if pending is None:
+                slot.next_token = int(jnp.argmax(logits))
+            else:
+                pending.append((slot, logits))  # fetched by the wave
+        else:
+            slot.next_token = self._sample_one(logits, req, [])
+
+    def _suffix_chunk_plan(self, matched: int, total: int,
+                           cap: int = 0):
+        """Exact-fill extend-chunk plan for prefilling ``[matched,
+        total)``: each chunk takes the largest EXTEND bucket that fits
+        the remainder (so only the FINAL chunk pads), optionally capped
+        at ``cap`` tokens per chunk. Returns ``(plan, required)`` where
+        plan is [(take, bucket)...] and required is the max padded
+        write end — the minimum staged-cache capacity that keeps
+        extend()'s dynamic_update_slice from clamping backward into
+        the prefix."""
+        buckets = ([b for b in EXTEND_BUCKETS if b <= cap] if cap
+                   else list(EXTEND_BUCKETS))
+        if not buckets:
+            buckets = [EXTEND_BUCKETS[0]]
+        plan = []
+        pos = matched
+        while pos < total:
+            remaining = total - pos
+            take = max((b for b in buckets if b <= remaining),
+                       default=remaining)
+            plan.append((take, _bucket_for(take, buckets)))
+            pos += take
+        required = matched
+        pos = matched
+        for take, bucket in plan:
+            required = max(required, pos + bucket)
+            pos += take
+        return plan, required
+
+    def _prefill_suffix(self, ids, shared, matched_len):
+        """Prefix-cache admission: stage the shared pages into a
+        contiguous scratch cache (one bandwidth copy — no FLOPs) and
+        chunk-prefill only the un-cached suffix over it via
+        models/llm.py ``extend``. Returns (last-valid logits, cache)
+        with the same contract as ``prefill``, or ``None`` if the
+        padded chunk writes cannot fit the context (caller falls back
+        to a plain prefill); the cache's suffix region is what
+        ``create_sequence`` scatters into fresh pages."""
+        plan, required = self._suffix_chunk_plan(matched_len, len(ids))
+        if required > self.cfg.max_seq:
+            return None
+        cache = self.pool.gathered_prefix_cache(shared, matched_len,
+                                                required)
+        attn_len = cache.k.shape[1]  # page-bucketed capacity
+        logits = None
+        pos = matched_len
+        for take, bucket in plan:
+            padded = np.zeros(bucket, np.int32)
+            padded[:take] = ids[pos:pos + take]
+            logits, cache = self._m.extend(
+                self.params, self.cfg, jnp.asarray(padded),
+                jnp.int32(take), cache, attn_len=attn_len)
+            pos += take
+        return logits, cache
+
+    # -- chunked prefill (Sarathi-style admission) -----------------------
+
+    def _start_prefill_job(self, slot_idx: int, slot: _Slot, req: Request,
+                           ids: List[int]) -> bool:
+        """Reserve ``slot`` and stage a chunked-prefill job for a long
+        prompt. Returns False when the padded chunk writes cannot fit
+        the context (the caller admits via the whole-prompt wave)."""
+        shared: List[int] = []
+        matched = 0
+        if self.prefix_cache:
+            shared, matched = self.pool.acquire_prefix(ids)
+        plan, required = self._suffix_chunk_plan(
+            matched, len(ids), cap=self.prefill_chunk)
+        if required > self.cfg.max_seq:
+            if shared:
+                self.pool.release_prefix(shared)
+            return False
+        if self.paged:
+            # Stages the shared prefix (or a zeroed length-0 scratch on
+            # a miss: the all-trash-page gather) in one copy.
+            cache = self.pool.gathered_prefix_cache(shared, matched,
+                                                    required)
+            attn_len = cache.k.shape[1]
+        else:
+            cache = self._m.KVCache.create(
+                self.cfg, dtype=jax.tree.leaves(self.cache)[0].dtype)
+            attn_len = min(1 << (max(required, 1) - 1).bit_length(),
+                           self.cfg.max_seq)
+        slot.reserved = True
+        self._prefill_job = _PrefillJob(slot_idx, slot, req, ids, cache,
+                                        attn_len, plan, matched, shared)
+        return True
+
+    def _abort_prefill_job(self, exc: Optional[Exception]) -> None:
+        """Drop the in-flight job: unreserve its slot, give back prefix
+        refs, and fail the future with ``exc`` (None = cancelled)."""
+        job = self._prefill_job
+        self._prefill_job = None
+        if job is None:
+            return
+        job.slot.reserved = False
+        if job.shared and self.paged:
+            self.pool.release_prefix(job.shared)
+        if exc is not None and not job.req.future.cancelled():
+            job.req.future.set_exception(exc)
+
+    def _advance_prefill(self) -> None:
+        """Run ONE extend chunk of the in-flight job (called once per
+        serve iteration, between decode work — the chunked-prefill
+        interleave). Settles the slot when the plan completes."""
+        job = self._prefill_job
+        if job.req.future.cancelled():
+            self._abort_prefill_job(None)
+            return
+        take, bucket = job.plan[0]
+        padded = np.zeros(bucket, np.int32)
+        padded[:take] = job.ids[job.pos:job.pos + take]
+        job.logits, job.cache = self._m.extend(
+            self.params, self.cfg, jnp.asarray(padded), jnp.int32(take),
+            job.cache, attn_len=job.attn_len)
+        job.pos += take
+        job.plan = job.plan[1:]
+        self.stats["prefill_chunks"] = self.stats.get("prefill_chunks",
+                                                      0) + 1
+        if job.plan:
+            return
+        self._prefill_job = None
+        job.slot.reserved = False
+        try:
+            self._settle(job.slot_idx, job.slot, job.req, job.ids,
+                         job.logits, job.cache, shared=job.shared)
+        except TrackieError as exc:
+            # Pool pressure at sequence creation (decode grew tables
+            # while the job ran): same retry contract as decode
+            # preemption — back off to the backlog, fail after 3.
+            if job.shared:
+                self.pool.release_prefix(job.shared)
+            job.req.preemptions += 1
+            if job.req.preemptions > 3:
+                job.req.future.set_exception(exc)
+            else:
+                self._backlog.append(job.req)
 
     def _pick_constrained(self, slot: _Slot, logits: jnp.ndarray) -> int:
         """Choose the next token under the slot's grammar mask (greedy
@@ -464,7 +707,8 @@ class LLMServer:
         if self.chunk_steps <= 1:
             return False
         if ((not self._queue.empty() or self._backlog)
-                and any(not s.active for s in self._slots)):
+                and any(not s.active and not s.reserved
+                        for s in self._slots)):
             return False
         k = self.chunk_steps
         for slot in self._slots:
@@ -508,8 +752,11 @@ class LLMServer:
         # Exactly ONE chunk (k steps) is in flight at every loop check:
         # consuming chunk N advances n_emitted/host_len by k in the
         # same iteration that dispatched N+1, so the speculative budget
-        # offset stays k — it does not accumulate.
-        while self._can_chunk(offset=k):
+        # offset stays k — it does not accumulate. An in-flight
+        # chunked-prefill job disables the pipelined stay-in-loop so
+        # the serve iteration comes back around to advance the job
+        # (the decode-chunk/prefill-chunk interleave).
+        while self._prefill_job is None and self._can_chunk(offset=k):
             in_flight = self._dispatch_chunk(produced[k - 1])
             survived = self._consume_chunk(np.asarray(produced))
             if not survived:
@@ -553,7 +800,7 @@ class LLMServer:
                            default=0) + 2 * self.chunk_steps + 1
                 attn_len = 1 << (need - 1).bit_length()
                 attn_len = min(attn_len, self.cfg.max_seq)
-            produced, self.cache = llm_model.decode_steps_batch(
+            produced, self.cache = self._m.decode_steps_batch(
                 self.params, self.cfg, tokens, active, self.cache,
                 self.chunk_steps, attn_len=attn_len)
         self.stats["decode_steps"] += self.chunk_steps
@@ -625,6 +872,7 @@ class LLMServer:
         except Exception as exc:  # noqa: BLE001 — fail futures, not hang
             log.error("serve loop died: %s", exc)
             self._fatal = exc  # submit() fails fast from here on
+            self._abort_prefill_job(exc)
             for slot in self._slots:
                 if slot.active:
                     slot.request.future.set_exception(exc)
@@ -641,9 +889,15 @@ class LLMServer:
     def _serve_loop_inner(self) -> None:
         while not self._stop.is_set():
             self._admit()
+            if self._prefill_job is not None:
+                # One prompt chunk per iteration, between decode work:
+                # active streams' stall is bounded by one chunk, not
+                # one whole prompt prefill.
+                self._advance_prefill()
             active_mask = [s.active for s in self._slots]
             if not any(active_mask):
-                time.sleep(0.005)
+                if self._prefill_job is None:
+                    time.sleep(0.005)
                 continue
 
             if self.paged:
@@ -667,7 +921,7 @@ class LLMServer:
                     [s.next_token if s.active else 0 for s in self._slots],
                     jnp.int32)
                 active = jnp.asarray(active_mask)
-                logits, self.cache = llm_model.decode_step_batch(
+                logits, self.cache = self._m.decode_step_batch(
                     self.params, self.cfg, tokens, active, self.cache)
             self.stats["decode_steps"] += 1
 
@@ -720,6 +974,7 @@ class LLMServer:
         if self._thread.is_alive():
             log.warning("serve loop did not stop within 30 s")
         # Fail any stragglers.
+        self._abort_prefill_job(RuntimeError("server closed"))
         for req in self._backlog:
             req.future.set_exception(RuntimeError("server closed"))
         self._backlog.clear()

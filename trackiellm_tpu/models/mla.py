@@ -626,7 +626,161 @@ def decode_chunk_greedy(params: Dict[str, Any], cfg: MLAConfig,
     return tokens, lg, cache
 
 
-# The production LLMRunner drives any model module exposing this
-# surface (llm/runner.py's ``model=`` parameter); MLACache plays the
-# KVCache role.
+# ---------------------------------------------------------------------------
+# Batched decode (continuous-batching server)
+# ---------------------------------------------------------------------------
+
+class BatchedMLACache(NamedTuple):
+    """Per-slot latent caches for the batching server — the MLA twin of
+    llm.BatchedKVCache, at (r + rope) values per token per layer
+    instead of 2*Hk*D (DeepSeek-V2-Lite: 576 vs 8192; the whole point
+    of serving MLA natively)."""
+    ckv: jnp.ndarray      # (L, B, S, r)
+    kpe: jnp.ndarray      # (L, B, S, rope)
+    lengths: jnp.ndarray  # (B,) int32
+
+    @classmethod
+    def create(cls, cfg: MLAConfig, batch: int,
+               dtype: jnp.dtype = jnp.bfloat16,
+               max_seq: Optional[int] = None) -> "BatchedMLACache":
+        s = max_seq or cfg.max_seq
+        return cls(
+            ckv=jnp.zeros((cfg.n_layers, batch, s, cfg.kv_lora_rank),
+                          dtype),
+            kpe=jnp.zeros((cfg.n_layers, batch, s, cfg.qk_rope_head_dim),
+                          dtype),
+            lengths=jnp.zeros((batch,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slot"))
+def insert_sequence(cache: BatchedMLACache, cfg: MLAConfig, slot: int,
+                    seq_cache: MLACache) -> BatchedMLACache:
+    """Copy a single-sequence latent cache (from prefill) into batch
+    slot ``slot`` — same contract as llm.insert_sequence."""
+    ckv = jax.lax.dynamic_update_slice(
+        cache.ckv, seq_cache.ckv[:, None].astype(cache.ckv.dtype),
+        (0, slot, 0, 0))
+    kpe = jax.lax.dynamic_update_slice(
+        cache.kpe, seq_cache.kpe[:, None].astype(cache.kpe.dtype),
+        (0, slot, 0, 0))
+    lengths = cache.lengths.at[slot].set(seq_cache.length)
+    return BatchedMLACache(ckv, kpe, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_len"))
+def decode_step_batch(params: Dict[str, Any], cfg: MLAConfig,
+                      tokens: jnp.ndarray, active: jnp.ndarray,
+                      cache: BatchedMLACache,
+                      attn_len: Optional[int] = None,
+                      ) -> Tuple[jnp.ndarray, BatchedMLACache]:
+    """One ABSORBED decode step for every active slot: tokens (B,) ->
+    logits (B, V). Inactive slots compute but write nothing and do not
+    advance — same semantics as llm.decode_step_batch, over the
+    compressed latent cache (each slot's scores hit its own latent
+    MQA-style; V-up applies post-attention)."""
+    b = tokens.shape[0]
+    pos = cache.lengths                                      # (B,)
+    freqs = _freqs(params, cfg)
+    x = params["tok_emb"][tokens]                            # (B, D)
+    h_, nope, vd, r = (cfg.n_heads, cfg.qk_nope_head_dim, cfg.v_head_dim,
+                       cfg.kv_lora_rank)
+
+    def layer_fn(dense: bool):
+        def fn(x, inputs):
+            layer, ckv_l, kpe_l = inputs     # (B, S, r) / (B, S, rope)
+            h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+            q = _project_q(h, layer, cfg)                    # (B, H, qk)
+            q_nope = q[..., :nope]
+            q_pe = jax.vmap(lambda qq, p: apply_rope_interleaved(
+                qq[None], p[None], freqs)[0])(q[..., nope:], pos)
+            c, kpe = _latent(h, layer, cfg, pos, freqs)      # (B,r)/(B,rope)
+
+            def write_row(row, val, p, act):
+                new = jax.lax.dynamic_update_slice(
+                    row, val[None].astype(row.dtype), (p, 0))
+                return jnp.where(act, new, row)
+
+            ckv_l = jax.vmap(write_row)(ckv_l, c, pos, active)
+            kpe_l = jax.vmap(write_row)(kpe_l, kpe, pos, active)
+            ckv_v = ckv_l[:, :attn_len] if attn_len else ckv_l
+            kpe_v = kpe_l[:, :attn_len] if attn_len else kpe_l
+
+            wkv_b = layer["wkv_b"].reshape(r, h_, nope + vd)
+            w_uk = wkv_b[..., :nope]
+            w_uv = wkv_b[..., nope:]
+            q_abs = jnp.einsum("bhn,rhn->bhr",
+                               q_nope.astype(jnp.float32),
+                               w_uk.astype(jnp.float32))
+            scores = (
+                jnp.einsum("bhr,bsr->bhs", q_abs,
+                           ckv_v.astype(jnp.float32))
+                + jnp.einsum("bhd,bsd->bhs", q_pe.astype(jnp.float32),
+                             kpe_v.astype(jnp.float32))
+            ) * cfg.attn_scale                               # (B, H, S)
+            s_len = ckv_v.shape[1]
+            mask = jnp.arange(s_len)[None, :] <= pos[:, None]
+            scores = jnp.where(mask[:, None, :], scores, -jnp.inf)
+            w = jax.nn.softmax(scores, axis=-1)
+            out_c = jnp.einsum("bhs,bsr->bhr", w,
+                               ckv_v.astype(jnp.float32))
+            out = jnp.einsum("bhr,rhv->bhv", out_c,
+                             w_uv.astype(jnp.float32))
+            x = x + _linear(out.reshape(b, h_ * vd).astype(x.dtype),
+                            layer["wo"])
+            x = _mlp_for(x, layer, cfg, dense)
+            return x, (ckv_l, kpe_l)
+
+        return fn
+
+    k_dense = cfg.first_k_dense if cfg.n_experts else cfg.n_layers
+    new_ckv, new_kpe = [], []
+    if k_dense:
+        x, (c0, kp0) = jax.lax.scan(
+            layer_fn(dense=True), x,
+            ({**_split_rows(params["attn"], 0, k_dense),
+              **params["dense_mlp"]},
+             cache.ckv[:k_dense], cache.kpe[:k_dense]))
+        new_ckv.append(c0)
+        new_kpe.append(kp0)
+    if k_dense < cfg.n_layers:
+        x, (c1, kp1) = jax.lax.scan(
+            layer_fn(dense=False), x,
+            ({**_split_rows(params["attn"], k_dense, cfg.n_layers),
+              **params["moe_mlp"]},
+             cache.ckv[k_dense:], cache.kpe[k_dense:]))
+        new_ckv.append(c1)
+        new_kpe.append(kp1)
+    logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
+                     params["lm_head"]).astype(jnp.float32)
+    lengths = jnp.where(active, pos + 1, pos)
+    return logits, BatchedMLACache(jnp.concatenate(new_ckv, axis=0),
+                                   jnp.concatenate(new_kpe, axis=0),
+                                   lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps",
+                                              "attn_len"))
+def decode_steps_batch(params: Dict[str, Any], cfg: MLAConfig,
+                       tokens: jnp.ndarray, active: jnp.ndarray,
+                       cache: BatchedMLACache, n_steps: int,
+                       attn_len: Optional[int] = None,
+                       ) -> Tuple[jnp.ndarray, BatchedMLACache]:
+    """``n_steps`` greedy batch-decode steps as ONE program — the MLA
+    twin of llm.decode_steps_batch (the server's chunked fast path)."""
+    def step(carry, _):
+        toks, cache = carry
+        logits, cache = decode_step_batch(params, cfg, toks, active,
+                                          cache, attn_len=attn_len)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (_, cache), produced = jax.lax.scan(
+        step, (tokens, cache), None, length=n_steps)
+    return produced, cache
+
+
+# The production LLMRunner and LLMServer drive any model module
+# exposing this surface (their ``model=`` parameter); MLACache /
+# BatchedMLACache play the KVCache / BatchedKVCache roles.
 KVCache = MLACache
+BatchedKVCache = BatchedMLACache
