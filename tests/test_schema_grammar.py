@@ -298,3 +298,94 @@ class TestJsonAcceptorEscapes:
         for ch in '"x\\u1':
             assert a.feed(ch)
         json.loads('"x\\u1' + a.closure())
+
+
+class TestJsonResponseMode:
+    """llama.cpp response_format parity: constrain a FREE reply (no
+    tool-call skeleton) to valid JSON, optionally schema-conforming."""
+
+    def test_runner_json_mode(self):
+        cfg = llm_model.LLMConfig.tiny()._replace(vocab_size=260)
+        params = llm_model.init_params(jax.random.PRNGKey(1), cfg,
+                                       dtype=jnp.float32)
+        r = LLMRunner(params, cfg, ByteTokenizer(n_special_pad_to=260),
+                      GenerationConfig(max_tokens=48, seed=5),
+                      cache_dtype=jnp.float32)
+        out = r.generate("Describe the scene", json_mode=True)
+        obj = json.loads(out)
+        assert isinstance(obj, dict)
+
+    def test_runner_response_schema(self):
+        cfg = llm_model.LLMConfig.tiny()._replace(vocab_size=260)
+        params = llm_model.init_params(jax.random.PRNGKey(2), cfg,
+                                       dtype=jnp.float32)
+        schema = {"type": "object",
+                  "properties": {"risk": {"enum": ["low", "high"]},
+                                 "obstacles": {"type": "array",
+                                               "items": {"type": "string"},
+                                               "maxItems": 2}},
+                  "required": ["risk"]}
+        r = LLMRunner(params, cfg, ByteTokenizer(n_special_pad_to=260),
+                      GenerationConfig(max_tokens=56, seed=6),
+                      cache_dtype=jnp.float32)
+        out = r.generate("Assess", response_schema=schema)
+        obj = json.loads(out)
+        assert obj["risk"] in ("low", "high")
+        if "obstacles" in obj:
+            assert isinstance(obj["obstacles"], list)
+            assert len(obj["obstacles"]) <= 2
+            assert all(isinstance(x, str) for x in obj["obstacles"])
+
+    def test_runner_exclusive_with_force_tool_call(self):
+        cfg = llm_model.LLMConfig.tiny()._replace(vocab_size=260)
+        params = llm_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.float32)
+        r = LLMRunner(params, cfg, ByteTokenizer(n_special_pad_to=260),
+                      GenerationConfig(max_tokens=8, seed=0),
+                      cache_dtype=jnp.float32)
+        with pytest.raises(Exception):
+            r.generate("x", tools=[ToolDefinition("go", "m", {})],
+                       force_tool_call=True, json_mode=True)
+
+    def test_server_json_mode_and_schema(self):
+        from trackiellm_tpu.llm.server import LLMServer
+
+        cfg = llm_model.LLMConfig.tiny()._replace(vocab_size=260)
+        params = llm_model.init_params(jax.random.PRNGKey(4), cfg,
+                                       dtype=jnp.float32)
+        tok = ByteTokenizer(n_special_pad_to=260)
+        server = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            schema = {"type": "object",
+                      "properties": {"ok": {"type": "boolean"}},
+                      "required": ["ok"]}
+            f1 = server.submit("status", max_tokens=32, json_mode=True)
+            f2 = server.submit("status", max_tokens=32,
+                               response_schema=schema)
+            obj1 = json.loads(f1.result(timeout=300))
+            obj2 = json.loads(f2.result(timeout=300))
+            assert isinstance(obj1, dict)
+            assert isinstance(obj2["ok"], bool)
+        finally:
+            server.close()
+
+    def test_server_typed_tool_schemas(self):
+        from trackiellm_tpu.llm.server import LLMServer
+
+        cfg = llm_model.LLMConfig.tiny()._replace(vocab_size=260)
+        params = llm_model.init_params(jax.random.PRNGKey(4), cfg,
+                                       dtype=jnp.float32)
+        tok = ByteTokenizer(n_special_pad_to=260)
+        server = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            text = server.generate("go", max_tokens=72,
+                                   tool_names=["navigate"],
+                                   tool_schemas={"navigate": NAV})
+            obj = json.loads(text)
+            args = obj["tool_call"]["arguments"]
+            assert args["direction"] in ("left", "right", "forward")
+            assert isinstance(args["distance_m"], (int, float))
+        finally:
+            server.close()

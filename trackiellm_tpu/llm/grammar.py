@@ -299,7 +299,88 @@ class JsonAcceptor:
         return self.num_state in _NUM_TERMINAL
 
 
-class ToolCallGrammar:
+class CharGrammar:
+    """Shared machinery for character-incremental constrained-decoding
+    grammars: probing (``allows``), text feeding, and the per-state
+    cached token mask. Subclasses provide ``feed_char``, ``done``,
+    ``closure``, ``_snapshot``/``_restore`` and ``_state_key``;
+    ``at_end`` marks states where generation may legally STOP even
+    though more characters could extend the value (a root-level JSON
+    number, for instance) — the mask adds EOS there."""
+
+    def feed_text(self, text: str) -> bool:
+        for ch in text:
+            if not self.feed_char(ch):
+                return False
+        return True
+
+    def allows(self, text: str) -> bool:
+        """Probe: would feeding ``text`` keep the prefix valid?"""
+        if not text:
+            return False
+        snap = self._snapshot()
+        ok = self.feed_text(text)
+        self._restore(snap)
+        return ok
+
+    def at_end(self) -> bool:
+        return False
+
+    def token_mask(self, tokenizer, extra_allowed: Sequence[int] = ()) -> "list[bool]":
+        """Boolean vocab mask of tokens whose text keeps the prefix valid.
+        Once the grammar is complete only EOS (and ``extra_allowed``) pass.
+
+        Masks are cached per acceptor state (and the tokenizer's decoded
+        pieces per vocab): at a 32k vocab an uncached build walks every
+        piece through the acceptor (~tens of ms), which would dominate
+        tool-call decode; cached steady-state cost is a dict lookup.
+        Returned lists are shared — treat them as read-only.
+        """
+        v = tokenizer.vocab_size
+        if self.done:
+            mask = [False] * v
+            mask[tokenizer.eos_id] = True
+            for t in extra_allowed:
+                mask[t] = True
+            return mask
+
+        cache = getattr(self, "_mask_cache", None)
+        if cache is None or self._mask_tok is not tokenizer:
+            cache = {}
+            self._mask_cache = cache
+            self._mask_tok = tokenizer
+            # Group pieces by first character: if feeding a single char
+            # fails, every piece starting with it fails — one probe per
+            # distinct first char prunes the whole group. In skeleton
+            # states (one legal char) this cuts a 32k-piece walk to
+            # ~|alphabet| probes + one group's full checks.
+            by_first: dict = {}
+            for t in range(v):
+                piece = tokenizer.decode_token(t)
+                if piece:
+                    by_first.setdefault(piece[0], []).append((t, piece))
+            self._by_first = by_first
+        key = self._state_key()
+        mask = cache.get(key)
+        if mask is None:
+            mask = [False] * v
+            for ch, group in self._by_first.items():
+                if not self.allows(ch):
+                    continue
+                for t, piece in group:
+                    if len(piece) == 1 or self.allows(piece):
+                        mask[t] = True
+            if self.at_end():
+                mask[tokenizer.eos_id] = True
+            cache[key] = mask
+        if extra_allowed:
+            mask = list(mask)
+            for t in extra_allowed:
+                mask[t] = True
+        return mask
+
+
+class ToolCallGrammar(CharGrammar):
     """Acceptor for ``{"tool_call":{"name":"<tool>","arguments":<obj>}}``.
 
     Stateful per generation: ``feed_text`` advances; ``allowed`` probes a
@@ -409,21 +490,6 @@ class ToolCallGrammar:
 
         return False  # done: no more characters
 
-    def feed_text(self, text: str) -> bool:
-        for ch in text:
-            if not self.feed_char(ch):
-                return False
-        return True
-
-    def allows(self, text: str) -> bool:
-        """Probe: would feeding ``text`` keep the prefix valid?"""
-        if not text:
-            return False
-        snap = self._snapshot()
-        ok = self.feed_text(text)
-        self._restore(snap)
-        return ok
-
     def closure(self) -> str:
         """Minimal completion of the current prefix into a full valid
         tool call (budget-forced close; see JsonAcceptor.closure)."""
@@ -465,53 +531,52 @@ class ToolCallGrammar:
         return (self.phase, self.pos, self.name_buf,
                 self.json.state_key())
 
-    def token_mask(self, tokenizer, extra_allowed: Sequence[int] = ()) -> "list[bool]":
-        """Boolean vocab mask of tokens whose text keeps the prefix valid.
-        Once the grammar is complete only EOS (and ``extra_allowed``) pass.
 
-        Masks are cached per acceptor state (and the tokenizer's decoded
-        pieces per vocab): at a 32k vocab an uncached build walks every
-        piece through the acceptor (~tens of ms), which would dominate
-        tool-call decode; cached steady-state cost is a dict lookup.
-        Returned lists are shared — treat them as read-only.
-        """
-        v = tokenizer.vocab_size
-        if self.done:
-            mask = [False] * v
-            mask[tokenizer.eos_id] = True
-            for t in extra_allowed:
-                mask[t] = True
-            return mask
+class JsonGrammar(CharGrammar):
+    """Constrain a free response to valid JSON — optionally conforming
+    to a JSON Schema (llama.cpp's ``response_format: json_object`` /
+    ``json_schema`` parity, over the same acceptor machinery as the
+    tool-call grammar).
 
-        cache = getattr(self, "_mask_cache", None)
-        if cache is None or self._mask_tok is not tokenizer:
-            cache = {}
-            self._mask_cache = cache
-            self._mask_tok = tokenizer
-            # Group pieces by first character: if feeding a single char
-            # fails, every piece starting with it fails — one probe per
-            # distinct first char prunes the whole group. In skeleton
-            # states (one legal char) this cuts a 32k-piece walk to
-            # ~|alphabet| probes + one group's full checks.
-            by_first: dict = {}
-            for t in range(v):
-                piece = tokenizer.decode_token(t)
-                if piece:
-                    by_first.setdefault(piece[0], []).append((t, piece))
-            self._by_first = by_first
-        key = self._state_key()
-        mask = cache.get(key)
-        if mask is None:
-            mask = [False] * v
-            for ch, group in self._by_first.items():
-                if not self.allows(ch):
-                    continue
-                for t, piece in group:
-                    if len(piece) == 1 or self.allows(piece):
-                        mask[t] = True
-            cache[key] = mask
-        if extra_allowed:
-            mask = list(mask)
-            for t in extra_allowed:
-                mask[t] = True
-        return mask
+    ``schema=None`` forces *some* JSON object (``json_object`` mode);
+    with a schema the response must conform (root may be any schema'd
+    type, including scalars and arrays).
+    """
+
+    def __init__(self, schema=None):
+        self.schema = schema
+        self.reset()
+
+    def reset(self) -> None:
+        if self.schema is not None:
+            from trackiellm_tpu.llm.schema import SchemaAcceptor
+
+            self.json = SchemaAcceptor(self.schema)
+        else:
+            self.json = JsonAcceptor(root_object_only=True)
+
+    @property
+    def done(self) -> bool:
+        return self.json.done
+
+    def at_end(self) -> bool:
+        # Root-level numbers / ambiguous enum literals can stop here
+        # even though more characters could extend them: allow EOS.
+        return self.json.at_end()
+
+    def feed_char(self, ch: str) -> bool:
+        return self.json.feed(ch)
+
+    def _snapshot(self):
+        return self.json.copy()
+
+    def _restore(self, snap) -> None:
+        self.json = snap
+
+    def _state_key(self):
+        return ("json", self.json.state_key())
+
+    def closure(self) -> str:
+        if self.done or self.at_end():
+            return ""
+        return self.json.closure()

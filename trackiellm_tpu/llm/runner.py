@@ -25,7 +25,7 @@ import numpy as np
 
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.llm import sampling
-from trackiellm_tpu.llm.grammar import ToolCallGrammar
+from trackiellm_tpu.llm.grammar import JsonGrammar, ToolCallGrammar
 from trackiellm_tpu.llm.tokenizer import ByteTokenizer, Tokenizer
 from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
 from trackiellm_tpu.utils.logging import get_logger
@@ -247,7 +247,9 @@ class LLMRunner:
 
     def prepare_generation(self, prompt: str,
                            tools: Sequence[ToolDefinition] = (),
-                           force_tool_call: bool = False) -> None:
+                           force_tool_call: bool = False,
+                           response_schema: Optional[Dict[str, Any]] = None,
+                           json_mode: bool = False) -> None:
         """Tokenize + prefill the prompt; arm the tool grammar if asked.
 
         Prompts larger than the biggest prefill bucket run as
@@ -301,10 +303,19 @@ class LLMRunner:
             if not tools:
                 raise TrackieError(ErrorCode.TOOL_CALL_INVALID,
                                    "force_tool_call requires tools")
+            if response_schema is not None or json_mode:
+                raise TrackieError(
+                    ErrorCode.INVALID_ARGUMENT,
+                    "force_tool_call and JSON response mode are exclusive")
             self._grammar = ToolCallGrammar(
                 [t.name for t in tools],
                 {t.name: t.schema for t in tools
                  if t.schema is not None})
+        elif response_schema is not None or json_mode:
+            # JSON response mode (llama.cpp response_format parity):
+            # the reply itself must be valid JSON — conforming to
+            # ``response_schema`` when given, else any JSON object.
+            self._grammar = JsonGrammar(response_schema)
         else:
             self._grammar = None
 
@@ -876,12 +887,18 @@ class LLMRunner:
     def generate(self, prompt: str, tools: Sequence[ToolDefinition] = (),
                  force_tool_call: bool = False,
                  on_token: Optional[Callable[[str], None]] = None,
-                 should_stop: Optional[Callable[[], bool]] = None) -> str:
+                 should_stop: Optional[Callable[[], bool]] = None,
+                 response_schema: Optional[Dict[str, Any]] = None,
+                 json_mode: bool = False) -> str:
         """Run a full generation, streaming pieces to ``on_token``.
         ``should_stop`` is polled between tokens — a shutting-down host
         (cortex stop flag) cancels mid-generation instead of blocking
-        its caller for the rest of the reply."""
-        self.prepare_generation(prompt, tools, force_tool_call)
+        its caller for the rest of the reply. ``json_mode`` /
+        ``response_schema`` constrain the reply to valid (schema'd)
+        JSON (llama.cpp response_format parity)."""
+        self.prepare_generation(prompt, tools, force_tool_call,
+                                response_schema=response_schema,
+                                json_mode=json_mode)
         while (piece := self.generate_next_token()) is not None:
             if on_token:
                 on_token(piece)

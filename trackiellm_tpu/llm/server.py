@@ -63,8 +63,15 @@ class Request:
     # naming one of these tools (llm/grammar.py ToolCallGrammar — the
     # same GBNF-contract acceptor the interactive runner uses, at
     # server scale). Grammar slots decode on the per-step path (masks
-    # are host-applied per token).
+    # are host-applied per token). ``tool_schemas`` optionally types
+    # each named tool's arguments (name -> JSON Schema).
     tool_names: Optional[List[str]] = None
+    tool_schemas: Optional[Dict[str, Any]] = None
+    # JSON response mode (llama.cpp response_format parity): the reply
+    # must be valid JSON — conforming to ``response_schema`` when set,
+    # else any JSON object when ``json_mode`` is true.
+    response_schema: Optional[Dict[str, Any]] = None
+    json_mode: bool = False
 
 
 @dataclasses.dataclass
@@ -235,7 +242,8 @@ class LLMServer:
     def submit(self, prompt: str, max_tokens: int = 64,
                temperature: float = 0.0,
                repetition_penalty: float = 1.1,
-               on_token=None, tool_names=None) -> Future:
+               on_token=None, tool_names=None, tool_schemas=None,
+               response_schema=None, json_mode: bool = False) -> Future:
         """Enqueue a generation; the Future resolves to the text.
 
         ``on_token``: optional callable(text_piece) streamed from the
@@ -251,17 +259,22 @@ class LLMServer:
             raise RuntimeError("server is closed")
         req = Request(prompt, max_tokens, temperature,
                       repetition_penalty=repetition_penalty,
-                      on_token=on_token, tool_names=tool_names)
+                      on_token=on_token, tool_names=tool_names,
+                      tool_schemas=tool_schemas,
+                      response_schema=response_schema, json_mode=json_mode)
         self._queue.put(req)
         return req.future
 
     def generate(self, prompt: str, max_tokens: int = 64,
                  temperature: float = 0.0, timeout: float = 300.0,
                  repetition_penalty: float = 1.1,
-                 tool_names=None) -> str:
+                 tool_names=None, tool_schemas=None,
+                 response_schema=None, json_mode: bool = False) -> str:
         return self.submit(prompt, max_tokens, temperature,
                            repetition_penalty,
-                           tool_names=tool_names).result(timeout)
+                           tool_names=tool_names, tool_schemas=tool_schemas,
+                           response_schema=response_schema,
+                           json_mode=json_mode).result(timeout)
 
     # ------------------------------------------------------------------
 
@@ -442,7 +455,13 @@ class LLMServer:
         if req.tool_names:
             from trackiellm_tpu.llm.grammar import ToolCallGrammar
 
-            slot.grammar = ToolCallGrammar(list(req.tool_names))
+            slot.grammar = ToolCallGrammar(list(req.tool_names),
+                                           req.tool_schemas)
+            slot.next_token = self._pick_constrained(slot, logits)
+        elif req.response_schema is not None or req.json_mode:
+            from trackiellm_tpu.llm.grammar import JsonGrammar
+
+            slot.grammar = JsonGrammar(req.response_schema)
             slot.next_token = self._pick_constrained(slot, logits)
         elif req.temperature <= 0:
             if pending is None:
