@@ -56,13 +56,19 @@ def _cmd_convert(args) -> int:
 
             params = quantize_params(params, bits=args.bits)
     else:
-        from trackiellm_tpu.models.convert import gguf_to_llm_params
+        from trackiellm_tpu.models.convert import (gguf_to_llm_params,
+                                                   gguf_to_mla_params,
+                                                   tokenizer_spec_from_gguf)
         from trackiellm_tpu.models.loader import read_gguf_header
 
-        from trackiellm_tpu.models.convert import tokenizer_spec_from_gguf
-
-        params, cfg = gguf_to_llm_params(args.gguf, bits=args.bits or None)
         hdr = read_gguf_header(args.gguf)
+        if (hdr.architecture or "") == "deepseek2":
+            # DeepSeek GGUFs load as MLA params (models/mla.py).
+            params, cfg = gguf_to_mla_params(args.gguf,
+                                             bits=args.bits or None)
+        else:
+            params, cfg = gguf_to_llm_params(args.gguf,
+                                             bits=args.bits or None)
         vocab = hdr.metadata.get("tokenizer.ggml.tokens")
         tok_spec = tokenizer_spec_from_gguf(hdr)
     save_checkpoint(args.output, params, config=cfg,

@@ -2022,6 +2022,289 @@ def deepseek_v3_from_hf(
         score_func="sigmoid", group_score="top2sum", **kw)
 
 
+def _neox_to_interleaved_cols(w: np.ndarray, start: int,
+                              rope: int) -> np.ndarray:
+    """Re-order ``rope`` columns of ``w`` (starting at ``start``) from
+    neox half-split order [x0..x_{R/2-1} | y0..y_{R/2-1}] to the
+    adjacent-pair order [x0,y0,x1,y1,...] models/mla.py rotates."""
+    half = rope // 2
+    perm = np.empty(rope, np.int64)
+    perm[0::2] = np.arange(half)
+    perm[1::2] = np.arange(half) + half
+    w = w.copy()
+    w[..., start:start + rope] = w[..., start:start + rope][..., perm]
+    return w
+
+
+def mla_config_from_gguf(gguf: GGUFFile) -> "Any":
+    """MLAConfig from llama.cpp ``deepseek2`` GGUF metadata.
+
+    Shape-derivable fields prefer tensor shapes over metadata (the
+    same stance config_from_gguf takes for qkv_bias/qk_norm), so the
+    reader stays correct even if a key string drifts between llama.cpp
+    versions."""
+    from trackiellm_tpu.models import mla as mla_model
+
+    md = gguf.metadata
+    arch = "deepseek2"
+
+    def key(suffix: str, default=None):
+        v = md.get(f"{arch}.{suffix}", default)
+        if v is None:
+            raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                               f"missing GGUF key {arch}.{suffix}")
+        return v
+
+    t = gguf.tensors
+    dim = int(key("embedding_length"))
+    n_heads = int(key("attention.head_count"))
+    n_layers = int(key("block_count"))
+    r = t["blk.0.attn_kv_a_norm.weight"].shape[0]
+    # GGUF stores (out, in) row-major: kv_a_mqa's out rows = r + rope.
+    rope = t["blk.0.attn_kv_a_mqa.weight"].shape[0] - r
+    qk_head = int(md.get(f"{arch}.attention.key_length", 0))
+    nope = (qk_head - rope) if qk_head else 0
+    q_lora = ("blk.0.attn_q_a.weight" in t)
+    if not nope:
+        q_out = t["blk.0." + ("attn_q_b" if q_lora else "attn_q")
+                  + ".weight"].shape[0]
+        nope = q_out // n_heads - rope
+    v_head = int(md.get(f"{arch}.attention.value_length", 0))
+    if not v_head and "blk.0.attn_kv_b.weight" in t:
+        v_head = t["blk.0.attn_kv_b.weight"].shape[0] // n_heads - nope
+    if not v_head and "blk.0.attn_v_b.weight" in t:
+        shp = t["blk.0.attn_v_b.weight"].shape
+        v_head = int(np.prod(shp)) // (n_heads * r)
+    n_experts = int(md.get(f"{arch}.expert_count", 0))
+    first_k = int(md.get(f"{arch}.leading_dense_block_count", -1))
+    if first_k < 0:  # derive: dense layers carry plain ffn_gate
+        first_k = sum(1 for i in range(n_layers)
+                      if f"blk.{i}.ffn_gate.weight" in t)
+    shex = "blk.%d.ffn_gate_shexp.weight" % (first_k if n_experts else 0)
+    shared_hidden = t[shex].shape[0] if shex in t else 0
+    hidden = (t["blk.0.ffn_gate.weight"].shape[0]
+              if "blk.0.ffn_gate.weight" in t
+              else int(key("feed_forward_length")))
+    # V3 routing deltas ride metadata: expert_gating_func (1=softmax,
+    # 2=sigmoid — llama.cpp LLAMA_EXPERT_GATING_FUNC_*), weight norm,
+    # and group-limited selection counts.
+    gating = int(md.get(f"{arch}.expert_gating_func", 1))
+    score = "sigmoid" if gating == 2 else "softmax"
+    n_groups = int(md.get(f"{arch}.expert_group_count", 1) or 1)
+    topk_groups = int(md.get(f"{arch}.expert_group_used_count", 1) or 1)
+    return mla_model.MLAConfig(
+        vocab_size=int(md.get("tokenizer.ggml.tokens_count",
+                              md.get(f"{arch}.vocab_size",
+                                     t["token_embd.weight"].shape[0]))),
+        dim=dim, n_layers=n_layers, n_heads=n_heads, hidden_dim=hidden,
+        q_lora_rank=(t["blk.0.attn_q_a.weight"].shape[0]
+                     if q_lora else 0),
+        kv_lora_rank=r, qk_nope_head_dim=nope, qk_rope_head_dim=rope,
+        v_head_dim=v_head,
+        n_experts=n_experts,
+        n_experts_used=int(md.get(f"{arch}.expert_used_count", 6)),
+        moe_hidden_dim=int(md.get(f"{arch}.expert_feed_forward_length",
+                                  0)),
+        moe_norm_topk=bool(md.get(f"{arch}.expert_weights_norm", False)),
+        moe_shared_hidden=shared_hidden,
+        moe_routed_scale=float(md.get(f"{arch}.expert_weights_scale",
+                                      1.0)),
+        moe_n_groups=n_groups, moe_topk_groups=topk_groups,
+        moe_score_func=score,
+        moe_group_score="top2sum" if score == "sigmoid" else "max",
+        first_k_dense=first_k if n_experts else n_layers,
+        norm_eps=float(key("attention.layer_norm_rms_epsilon", 1e-6)),
+        rope_theta=float(key("rope.freq_base", 10000.0)),
+        max_seq=int(key("context_length", 4096)))
+
+
+def gguf_to_mla_params(
+    path: str,
+    bits: Optional[int] = None,
+    group: int = 64,
+    dtype=jnp.bfloat16,
+    max_layers: Optional[int] = None,
+    neox_rope: Optional[bool] = None,
+) -> tuple:
+    """Convert a llama.cpp ``deepseek2`` GGUF to (params, MLAConfig)
+    for :mod:`models.mla` (parity ref: the reference loads DeepSeek
+    GGUFs through llama.cpp, tk_model_loader.c:199).
+
+    ``neox_rope``: llama.cpp's convert_hf_to_gguf re-orders the rope
+    sub-dimensions of ``q(_b)`` and ``kv_a_mqa`` from the HF
+    checkpoint's adjacent-pair layout to neox half-split order (ggml
+    applies NEOX rope to deepseek2); models/mla.py rotates adjacent
+    pairs, so those columns are permuted back on ingest. Default True;
+    set False (or TRACKIE_DEEPSEEK2_GGUF_ROPE=interleaved) for GGUFs
+    written pair-ordered — this is the one deepseek2 convention that
+    cannot be validated without a real GGUF in a zero-egress round, so
+    it is a flag, not a constant.
+
+    Handles both kv_b layouts in the wild: a single ``attn_kv_b``
+    tensor, or the MLA-split ``attn_k_b``/``attn_v_b`` pair (newer
+    llama.cpp), which is re-fused here (orientation disambiguated
+    against kv_lora_rank).
+
+    ``bits``: 4/8 quantizes via mla.quantize_params (wkv_b stays
+    high-precision for the absorbed decode reshape)."""
+    import os
+
+    from trackiellm_tpu.models import mla as mla_model
+
+    if neox_rope is None:
+        env = os.environ.get("TRACKIE_DEEPSEEK2_GGUF_ROPE", "neox")
+        neox_rope = env != "interleaved"
+    gguf = read_gguf_header(path)
+    if (gguf.architecture or "") != "deepseek2":
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"not a deepseek2 GGUF: {gguf.architecture}")
+    cfg = mla_config_from_gguf(gguf)
+    if max_layers is not None:
+        n = min(cfg.n_layers, max_layers)
+        cfg = cfg._replace(n_layers=n,
+                           first_k_dense=min(cfg.first_k_dense, n))
+
+    def mat(name: str) -> np.ndarray:
+        return np.ascontiguousarray(load_gguf_tensor(gguf, name).T)
+
+    def vec(name: str) -> np.ndarray:
+        return load_gguf_tensor(gguf, name)
+
+    h, r = cfg.n_heads, cfg.kv_lora_rank
+    nope, rope, vd = (cfg.qk_nope_head_dim, cfg.qk_rope_head_dim,
+                      cfg.v_head_dim)
+
+    def fix_q_rope(w: np.ndarray) -> np.ndarray:
+        """Per-head rope columns of a (in, h*qk_head) q projection."""
+        if not neox_rope:
+            return w
+        for head in range(h):
+            w = _neox_to_interleaved_cols(
+                w, head * cfg.qk_head_dim + nope, rope)
+        return w
+
+    def kv_b_for(i: int) -> np.ndarray:
+        name = f"blk.{i}.attn_kv_b.weight"
+        if name in gguf.tensors:
+            return mat(name)  # (r, h*(nope+vd))
+        # MLA-split pair: re-fuse per head as [nope rows; vd rows].
+        kb = load_gguf_tensor(gguf, f"blk.{i}.attn_k_b.weight")
+        vb = load_gguf_tensor(gguf, f"blk.{i}.attn_v_b.weight")
+
+        def as3(x: np.ndarray, per: int) -> np.ndarray:
+            """-> (h, r, per) regardless of stored orientation."""
+            x = x.reshape(h, -1) if x.ndim == 1 else x
+            if x.ndim == 2:  # (h*per, r) or (r, h*per)
+                if x.shape == (h * per, r):
+                    return x.reshape(h, per, r).transpose(0, 2, 1)
+                if x.shape == (r, h * per):
+                    return x.reshape(r, h, per).transpose(1, 0, 2)
+            elif x.ndim == 3:  # (h, per, r) or (h, r, per)
+                if x.shape == (h, per, r):
+                    return x.transpose(0, 2, 1)
+                if x.shape == (h, r, per):
+                    return x
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"cannot orient MLA split tensor of shape {x.shape} "
+                f"(h={h}, r={r}, per={per})")
+
+        fused = np.concatenate([as3(kb, nope), as3(vb, vd)], axis=2)
+        return np.ascontiguousarray(
+            fused.transpose(1, 0, 2).reshape(r, h * (nope + vd)))
+
+    attn = {"attn_norm": [], "mlp_norm": [], "wkv_a": [],
+            "kv_a_norm": [], "wkv_b": [], "wo": []}
+    if cfg.q_lora_rank:
+        attn.update(wq_a=[], q_a_norm=[], wq_b=[])
+    else:
+        attn.update(wq=[])
+    dense_mlp = {"w_gu": [], "w_down": []}
+    moe_mlp = {"moe_gate": [], "w_gu": [], "w_down": []}
+    if cfg.moe_shared_hidden:
+        moe_mlp.update(shared_gu=[], shared_down=[])
+    bias_name = f"blk.{cfg.first_k_dense}.exp_probs_b.bias"
+    if cfg.n_experts and bias_name in gguf.tensors:
+        moe_mlp["moe_gate_bias"] = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}"
+        attn["attn_norm"].append(vec(f"{p}.attn_norm.weight"))
+        attn["mlp_norm"].append(vec(f"{p}.ffn_norm.weight"))
+        kv_a = mat(f"{p}.attn_kv_a_mqa.weight")  # (d, r+rope)
+        if neox_rope:
+            kv_a = _neox_to_interleaved_cols(kv_a, r, rope)
+        attn["wkv_a"].append(kv_a)
+        attn["kv_a_norm"].append(vec(f"{p}.attn_kv_a_norm.weight"))
+        attn["wkv_b"].append(kv_b_for(i))
+        attn["wo"].append(mat(f"{p}.attn_output.weight"))
+        if cfg.q_lora_rank:
+            attn["wq_a"].append(mat(f"{p}.attn_q_a.weight"))
+            attn["q_a_norm"].append(vec(f"{p}.attn_q_a_norm.weight"))
+            attn["wq_b"].append(fix_q_rope(mat(f"{p}.attn_q_b.weight")))
+        else:
+            attn["wq"].append(fix_q_rope(mat(f"{p}.attn_q.weight")))
+        if i < cfg.first_k_dense or not cfg.n_experts:
+            dense_mlp["w_gu"].append(np.concatenate(
+                [mat(f"{p}.ffn_gate.weight"),
+                 mat(f"{p}.ffn_up.weight")], axis=1))
+            dense_mlp["w_down"].append(mat(f"{p}.ffn_down.weight"))
+        else:
+            moe_mlp["moe_gate"].append(
+                load_gguf_tensor(gguf, f"{p}.ffn_gate_inp.weight").T)
+            if "moe_gate_bias" in moe_mlp:
+                moe_mlp["moe_gate_bias"].append(
+                    vec(f"{p}.exp_probs_b.bias"))
+            g = load_gguf_tensor(gguf, f"{p}.ffn_gate_exps.weight")
+            u = load_gguf_tensor(gguf, f"{p}.ffn_up_exps.weight")
+            dn = load_gguf_tensor(gguf, f"{p}.ffn_down_exps.weight")
+            moe_mlp["w_gu"].append(np.concatenate(
+                [g.transpose(0, 2, 1), u.transpose(0, 2, 1)], axis=2))
+            moe_mlp["w_down"].append(
+                np.ascontiguousarray(dn.transpose(0, 2, 1)))
+            if cfg.moe_shared_hidden:
+                moe_mlp["shared_gu"].append(np.concatenate(
+                    [mat(f"{p}.ffn_gate_shexp.weight"),
+                     mat(f"{p}.ffn_up_shexp.weight")], axis=1))
+                moe_mlp["shared_down"].append(
+                    mat(f"{p}.ffn_down_shexp.weight"))
+        log.info("converted MLA layer %d/%d", i + 1, cfg.n_layers)
+
+    def stack(d):
+        return {k: jnp.asarray(np.stack(v), dtype)
+                for k, v in d.items() if v}
+
+    tok_emb = load_gguf_tensor(gguf, "token_embd.weight")
+    lm_head = (mat("output.weight") if "output.weight" in gguf.tensors
+               else np.ascontiguousarray(tok_emb.T))
+    params = {
+        "tok_emb": jnp.asarray(tok_emb, dtype),
+        "attn": stack(attn),
+        "dense_mlp": stack(dense_mlp),
+        "moe_mlp": stack(moe_mlp),
+        "out_norm": jnp.asarray(vec("output_norm.weight"), dtype),
+        "lm_head": jnp.asarray(lm_head, dtype),
+    }
+    md = gguf.metadata
+    stype = str(md.get("deepseek2.rope.scaling.type", "") or "")
+    sfactor = float(md.get("deepseek2.rope.scaling.factor", 0.0) or 0.0)
+    if stype == "yarn" and sfactor > 1.0:
+        orig = int(md.get(
+            "deepseek2.rope.scaling.original_context_length", 0))
+        params["rope_factors"] = mla_model.yarn_rope_factors(
+            cfg, sfactor, orig)
+        # llama.cpp GGUFs carry 0.1 * mscale_all_dim as
+        # yarn_log_multiplier; every published DeepSeek config has
+        # mscale == mscale_all_dim, where the NET attention factor is
+        # exactly 1.0 (the transformers-oracle-validated HF path,
+        # mla.yarn_rope_factors docstring) — so the key is deliberately
+        # NOT applied here, keeping both ingestion paths of the same
+        # checkpoint identical. cfg.attn_scale_mult remains the hook
+        # should a non-equal-mscale checkpoint ever appear.
+    if bits is not None:
+        params = mla_model.quantize_params(params, bits=bits, group=group)
+    return params, cfg
+
+
 def gpt_oss_from_hf(
     state: Dict[str, Any],
     *,
