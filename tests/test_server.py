@@ -881,3 +881,65 @@ class TestServedToolCalls:
         for obj in (want, got):
             assert obj["tool_call"]["name"] in ("go", "stop")
             assert isinstance(obj["tool_call"]["arguments"], dict)
+
+
+class TestStopSequences:
+    """llama.cpp server "stop" parity: generation ends at the first
+    occurrence of any stop string; the result truncates BEFORE the
+    match; streamed pieces never leak a stop fragment and concatenate
+    to exactly the final text."""
+
+    def _full_text(self, server, prompt, n=48):
+        return server.generate(prompt, max_tokens=n)
+
+    def test_stop_truncates_and_streams_exactly(self, params):
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            full = self._full_text(server, "ola")
+            assert len(full) > 10
+            stop = full[6:9]  # guaranteed to occur
+            expect = full[: full.find(stop)]
+            pieces = []
+            text = server.generate("ola", max_tokens=48, stop=[stop],
+                                   top_k=40)
+            assert text == expect
+            fut = server.submit("ola", max_tokens=48, stop=[stop],
+                                on_token=pieces.append)
+            streamed_result = fut.result(timeout=300)
+            assert streamed_result == expect
+            assert "".join(pieces) == expect
+            for p in pieces:
+                assert stop not in p
+        finally:
+            server.close()
+
+    def test_stop_absent_is_identity(self, params):
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            full = self._full_text(server, "bom dia")
+            pieces = []
+            fut = server.submit("bom dia", max_tokens=48,
+                                stop=["ZQX_NEVER"],
+                                on_token=pieces.append)
+            assert fut.result(timeout=300) == full
+            assert "".join(pieces) == full
+        finally:
+            server.close()
+
+    def test_multiple_stops_first_wins(self, params):
+        tok = ByteTokenizer(CFG.vocab_size)
+        server = LLMServer(params, CFG, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, chunk_steps=4)
+        try:
+            full = self._full_text(server, "x")
+            s_late, s_early = full[12:15], full[4:7]
+            want_cut = min(full.find(s_late), full.find(s_early))
+            text = server.generate("x", max_tokens=48,
+                                   stop=[s_late, s_early])
+            assert text == full[:want_cut]
+        finally:
+            server.close()

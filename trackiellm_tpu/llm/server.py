@@ -72,6 +72,15 @@ class Request:
     # else any JSON object when ``json_mode`` is true.
     response_schema: Optional[Dict[str, Any]] = None
     json_mode: bool = False
+    # Stop sequences (llama.cpp server "stop" parity): generation ends
+    # at the first occurrence of any string; the result is truncated
+    # BEFORE the match. Streaming holds back max(len(stop))-1 chars so
+    # a match spanning a chunk boundary is never streamed.
+    stop: Optional[List[str]] = None
+    # Sampling knobs for temperature>0 slots (llama.cpp defaults).
+    top_k: int = 40
+    top_p: float = 0.95
+    min_p: float = 0.0
 
 
 @dataclasses.dataclass
@@ -85,6 +94,13 @@ class _Slot:
     grammar: Optional[Any] = None  # ToolCallGrammar for constrained slots
     finish_next: bool = False  # grammar closed: emit next_token, then end
     reserved: bool = False  # held by an in-flight chunked-prefill job
+    # Stop-sequence state (only maintained when request.stop is set):
+    # incrementally decoded text, the char index to truncate at on a
+    # match, chars already streamed, and the slot's own UTF-8 decoder.
+    text: str = ""
+    stop_cut: Optional[int] = None
+    streamed: int = 0
+    _decoder: Optional[Any] = None
 
     @property
     def active(self) -> bool:
@@ -243,7 +259,9 @@ class LLMServer:
                temperature: float = 0.0,
                repetition_penalty: float = 1.1,
                on_token=None, tool_names=None, tool_schemas=None,
-               response_schema=None, json_mode: bool = False) -> Future:
+               response_schema=None, json_mode: bool = False,
+               stop=None, top_k: int = 40, top_p: float = 0.95,
+               min_p: float = 0.0) -> Future:
         """Enqueue a generation; the Future resolves to the text.
 
         ``on_token``: optional callable(text_piece) streamed from the
@@ -257,11 +275,14 @@ class LLMServer:
                 f"server serve loop died: {self._fatal}") from self._fatal
         if self._stop.is_set() or not self._thread.is_alive():
             raise RuntimeError("server is closed")
+        stop = [s for s in (stop or []) if s]
         req = Request(prompt, max_tokens, temperature,
                       repetition_penalty=repetition_penalty,
                       on_token=on_token, tool_names=tool_names,
                       tool_schemas=tool_schemas,
-                      response_schema=response_schema, json_mode=json_mode)
+                      response_schema=response_schema, json_mode=json_mode,
+                      stop=stop or None, top_k=top_k, top_p=top_p,
+                      min_p=min_p)
         self._queue.put(req)
         return req.future
 
@@ -269,12 +290,15 @@ class LLMServer:
                  temperature: float = 0.0, timeout: float = 300.0,
                  repetition_penalty: float = 1.1,
                  tool_names=None, tool_schemas=None,
-                 response_schema=None, json_mode: bool = False) -> str:
+                 response_schema=None, json_mode: bool = False,
+                 stop=None, top_k: int = 40, top_p: float = 0.95,
+                 min_p: float = 0.0) -> str:
         return self.submit(prompt, max_tokens, temperature,
                            repetition_penalty,
                            tool_names=tool_names, tool_schemas=tool_schemas,
                            response_schema=response_schema,
-                           json_mode=json_mode).result(timeout)
+                           json_mode=json_mode, stop=stop, top_k=top_k,
+                           top_p=top_p, min_p=min_p).result(timeout)
 
     # ------------------------------------------------------------------
 
@@ -452,6 +476,10 @@ class LLMServer:
         slot.host_len = len(ids)
         slot.grammar = None
         slot.finish_next = False
+        slot.text = ""
+        slot.stop_cut = None
+        slot.streamed = 0
+        slot._decoder = None
         if req.tool_names:
             from trackiellm_tpu.llm.grammar import ToolCallGrammar
 
@@ -621,7 +649,8 @@ class LLMServer:
         else:
             self._key, sub = jax.random.split(self._key)
             tid = int(sampling.sample(
-                logits, sub, jnp.float32(req.temperature), mask=mask))
+                logits, sub, jnp.float32(req.temperature), mask=mask,
+                top_k=req.top_k, top_p=req.top_p, min_p=req.min_p))
         slot.grammar.feed_text(self.tokenizer.decode_token(tid))
         if slot.grammar.done:
             slot.finish_next = True
@@ -639,6 +668,7 @@ class LLMServer:
         window[: len(tail)] = tail
         return int(sampling.sample(
             logits, sub, jnp.float32(req.temperature),
+            top_k=req.top_k, top_p=req.top_p, min_p=req.min_p,
             recent_tokens=jnp.asarray(window),
             repetition_penalty=req.repetition_penalty))
 
@@ -673,8 +703,12 @@ class LLMServer:
     def _finish(self, slot: _Slot) -> None:
         req = slot.request
         if req is not None:
-            self._stream(req, -1, final=True)  # flush decoder tail
+            self._commit_token(slot, req, -1, final=True)  # flush tail
         text = self.tokenizer.decode(slot.generated)
+        if slot.stop_cut is not None:
+            # Stop sequence: truncate BEFORE the match (llama.cpp
+            # server semantics).
+            text = text[: slot.stop_cut]
         if slot.grammar is not None and not slot.grammar.done:
             # Budget exhausted mid-structure: emit the grammar's
             # minimal valid closure so the contract (never-invalid
@@ -851,6 +885,60 @@ class LLMServer:
             log.warning("on_token callback raised: %s", exc)
             req.on_token = None  # stop calling a broken callback
 
+    def _commit_token(self, slot: _Slot, req: Request, token_id: int,
+                      final: bool = False) -> bool:
+        """Commit one token's text for a slot. Plain requests stream
+        straight through; stop-armed requests assemble per-slot text,
+        scan the tail window for a match, and stream with a
+        max(len(stop))-1 hold-back so no stop fragment escapes.
+        Returns True when a stop sequence fired."""
+        if not req.stop:
+            self._stream(req, token_id, final)
+            return False
+        if slot._decoder is None and hasattr(self.tokenizer,
+                                             "token_bytes"):
+            import codecs
+
+            slot._decoder = codecs.getincrementaldecoder(
+                "utf-8")("replace")
+        if slot._decoder is not None:
+            data = (self.tokenizer.token_bytes(token_id)
+                    if token_id >= 0 else b"")
+            piece = slot._decoder.decode(data, final)
+        else:
+            piece = (self.tokenizer.decode_token(token_id)
+                     if token_id >= 0 else "")
+        max_stop = max(len(s) for s in req.stop)
+        hit = False
+        if piece:
+            slot.text += piece
+            if slot.stop_cut is None:
+                start = max(0, len(slot.text) - len(piece)
+                            - max_stop + 1)
+                best = None
+                for s in req.stop:
+                    idx = slot.text.find(s, start)
+                    if idx >= 0 and (best is None or idx < best):
+                        best = idx
+                if best is not None:
+                    slot.stop_cut = best
+                    hit = True
+        if req.on_token is not None:
+            if slot.stop_cut is not None:
+                limit = slot.stop_cut
+            elif final:
+                limit = len(slot.text)
+            else:
+                limit = len(slot.text) - (max_stop - 1)
+            if limit > slot.streamed:
+                try:
+                    req.on_token(slot.text[slot.streamed:limit])
+                except Exception as exc:  # noqa: BLE001 — user callback
+                    log.warning("on_token callback raised: %s", exc)
+                    req.on_token = None
+                slot.streamed = limit
+        return hit
+
     def _consume_chunk(self, prod: np.ndarray) -> bool:
         """Host bookkeeping for one fetched (k, B) chunk. Returns False
         if any slot finished (EOS / budget) inside it."""
@@ -868,12 +956,13 @@ class LLMServer:
                 continue
             for j in range(k):
                 slot.generated.append(slot.next_token)
-                self._stream(req, slot.next_token)
+                stop_hit = self._commit_token(slot, req, slot.next_token)
                 slot.n_emitted += 1
                 slot.host_len += 1
                 self.stats["tokens"] += 1
                 nxt = int(prod[j, i])
-                if (nxt == self.tokenizer.eos_id
+                if (stop_hit
+                        or nxt == self.tokenizer.eos_id
                         or slot.n_emitted >= req.max_tokens
                         or slot.host_len >= self.cfg.max_seq - 1):
                     # Later chunk positions wrote junk into this slot's
@@ -955,10 +1044,13 @@ class LLMServer:
                     self._finish(slot)
                     continue
                 slot.generated.append(slot.next_token)
-                self._stream(req, slot.next_token)
+                stop_hit = self._commit_token(slot, req, slot.next_token)
                 slot.n_emitted += 1
                 slot.host_len += 1
                 self.stats["tokens"] += 1
+                if stop_hit:
+                    self._finish(slot)
+                    continue
                 if slot.finish_next:
                     # The grammar closed on the token just committed.
                     self._finish(slot)
