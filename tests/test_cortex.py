@@ -832,3 +832,35 @@ class TestEventQueueOrdering:
             time.sleep(0.01)
         c.stop(timeout=2.0)
         assert len(seen) == 1  # one pass covered all ten frames
+
+
+class TestTypedTools:
+    """Registered tool schemas flow into grammar-typed ToolDefinitions
+    (llm/schema.py; llama.cpp json_schema_to_grammar parity)."""
+
+    def test_register_tool_stores_metadata(self):
+        d = DecisionEngine()
+        schema = {"type": "object",
+                  "properties": {"q": {"type": "string"}},
+                  "required": ["q"]}
+        d.register_tool("search", lambda a: "ok",
+                        description="busca", schema=schema)
+        d.register_tool("plain", lambda a: "ok")
+        specs = dict((n, (desc, sch)) for n, desc, sch in d.tool_specs)
+        assert specs["search"] == ("busca", schema)
+        assert specs["plain"] == (None, None)
+
+    def test_cortex_tool_definitions_carry_schemas(self):
+        c = Cortex()
+        defs = {t.name: t for t in c._tool_definitions()}
+        # Default tools are schema-typed.
+        sm = defs["save_memory"]
+        assert sm.schema["required"] == ["text"]
+        assert "text" in sm.parameters
+        # No-arg tools force exactly {} (strict empty properties).
+        from trackiellm_tpu.llm.schema import SchemaAcceptor
+
+        acc = SchemaAcceptor(defs["describe_scene"].schema)
+        assert acc.feed_text("{}") and acc.done
+        acc2 = SchemaAcceptor(defs["describe_scene"].schema)
+        assert not acc2.feed_text('{"x":1}')

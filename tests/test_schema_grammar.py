@@ -389,3 +389,19 @@ class TestJsonResponseMode:
             assert isinstance(args["distance_m"], (int, float))
         finally:
             server.close()
+
+
+class TestStrictEmptyObject:
+    def test_explicit_empty_properties(self):
+        s = {"type": "object", "properties": {}}
+        assert accepts(s, "{}")
+        assert accepts(s, "{ \n }")
+        assert not accepts(s, '{"a":1}')
+        acc = SchemaAcceptor(s)
+        assert acc.feed_text("{")
+        assert acc.closure() == "}"
+
+    def test_absent_properties_is_any_object(self):
+        s = {"type": "object"}
+        assert accepts(s, '{"anything":[1,2]}')
+        assert accepts(s, "{}")

@@ -94,6 +94,9 @@ class DecisionEngine:
     def __init__(self, speak_fn: Optional[Callable[[str, int], None]] = None):
         # Registered tool executors: name -> fn(arguments) -> result.
         self._executors: Dict[str, Callable[[Dict[str, Any]], Any]] = {}
+        # name -> (description, JSON Schema for arguments) — both may
+        # be None; the schema types the tool-call grammar.
+        self._tool_meta: Dict[str, tuple] = {}
         self._speak = speak_fn
         self._pending: List = []  # heap of (-priority, seq, Action)
         self._seq = itertools.count()
@@ -102,12 +105,24 @@ class DecisionEngine:
 
     # ------------------------------------------------------------------
     def register_tool(self, name: str,
-                      fn: Callable[[Dict[str, Any]], Any]) -> None:
+                      fn: Callable[[Dict[str, Any]], Any],
+                      description: Optional[str] = None,
+                      schema: Optional[Dict[str, Any]] = None) -> None:
+        """Register an executor. ``schema`` (JSON Schema for the
+        arguments object) makes grammar-forced calls to this tool emit
+        TYPED arguments (llm/schema.py)."""
         self._executors[name] = fn
+        self._tool_meta[name] = (description, schema)
 
     @property
     def tool_names(self) -> List[str]:
         return list(self._executors)
+
+    @property
+    def tool_specs(self) -> List[tuple]:
+        """(name, description, schema) for every registered tool."""
+        return [(n, *self._tool_meta.get(n, (None, None)))
+                for n in self._executors]
 
     # ------------------------------------------------------------------
     # Response handling (parity: _process_llm_response + _execute_response)

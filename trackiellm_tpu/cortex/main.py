@@ -505,10 +505,7 @@ class Cortex:
                 or not hasattr(self.llm, "prime")):
             return
         if self._partial_ctx is None:
-            from trackiellm_tpu.llm.runner import ToolDefinition
-
-            tools = [ToolDefinition(n, n.replace("_", " "), {})
-                     for n in self.decisions.tool_names]
+            tools = self._tool_definitions()
             # Margin 192: the final transcript grows past this stable
             # prefix between prime and USER_SPEECH_FINAL.
             budget = self._context_budget(stable_text, tools, margin=192)
@@ -576,10 +573,7 @@ class Cortex:
             # prefix and waste the primed cache.
             context, tools = frozen
         else:
-            from trackiellm_tpu.llm.runner import ToolDefinition
-
-            tools = [ToolDefinition(n, n.replace("_", " "), {})
-                     for n in self.decisions.tool_names]
+            tools = self._tool_definitions()
             budget = self._context_budget(text, tools, margin=32)
             context = self.reasoner.generate_context_string(
                 user_query=text, token_budget=budget,
@@ -688,6 +682,26 @@ class Cortex:
         if self._on_response:
             self._on_response(text)
 
+    def _tool_definitions(self):
+        """ToolDefinitions for every registered tool, carrying each
+        tool's argument schema so grammar-forced calls emit TYPED
+        arguments (llm/schema.py; llama.cpp json_schema_to_grammar
+        parity over the reference's GBNF contract)."""
+        from trackiellm_tpu.llm.runner import ToolDefinition
+
+        defs = []
+        for name, desc, schema in self.decisions.tool_specs:
+            params = {}
+            if schema and isinstance(schema.get("properties"), dict):
+                params = {k: str(v.get("description")
+                                 or v.get("type") or "")
+                          for k, v in schema["properties"].items()
+                          if isinstance(v, dict)}
+            defs.append(ToolDefinition(
+                name, desc or name.replace("_", " "), params,
+                schema=schema))
+        return defs
+
     def _register_default_tools(self) -> None:
         """Default tool set executing against the reasoner / memory /
         navigation (parity: the decision engine's action handlers)."""
@@ -715,8 +729,32 @@ class Cortex:
                 return "navegação indisponível"
             return self.navigation.describe_clear_path()
 
-        d.register_tool("describe_scene", describe_scene)
-        d.register_tool("save_memory", save_memory)
-        d.register_tool("set_fact", set_fact)
-        d.register_tool("recall_memory", recall)
-        d.register_tool("find_clear_path", find_clear_path)
+        S = {"type": "string"}
+        d.register_tool(
+            "describe_scene", describe_scene,
+            description="descreve a cena atual",
+            schema={"type": "object", "properties": {}})
+        d.register_tool(
+            "save_memory", save_memory,
+            description="guarda uma informação na memória",
+            schema={"type": "object",
+                    "properties": {"text": {**S, "description":
+                                            "o que lembrar"}},
+                    "required": ["text"]})
+        d.register_tool(
+            "set_fact", set_fact,
+            description="guarda um fato chave/valor",
+            schema={"type": "object",
+                    "properties": {"key": S, "value": S},
+                    "required": ["key", "value"]})
+        d.register_tool(
+            "recall_memory", recall,
+            description="busca memórias relevantes",
+            schema={"type": "object",
+                    "properties": {"query": {**S, "description":
+                                             "termo de busca"}},
+                    "required": ["query"]})
+        d.register_tool(
+            "find_clear_path", find_clear_path,
+            description="procura um caminho livre",
+            schema={"type": "object", "properties": {}})

@@ -73,12 +73,15 @@ def compile_schema(schema: Any) -> tuple:
         else:
             return ("any",)  # union of types: unconstrained fallback
     if typ == "object":
-        props_spec = schema.get("properties") or {}
+        props_spec = schema.get("properties")
         required = set(schema.get("required") or ())
+        if props_spec is None:
+            # No property list at all: any JSON object conforms.
+            return ("any_obj",)
         props = tuple((k, compile_schema(v), k in required)
                       for k, v in props_spec.items())
-        if not props:
-            return ("any_obj",) if not required else ("any_obj",)
+        # NB an explicit empty ``properties: {}`` forces exactly "{}"
+        # (a no-argument tool costs two grammar-forced tokens).
         return ("obj", props)
     if typ == "array":
         item = compile_schema(schema.get("items"))
@@ -340,6 +343,8 @@ class SchemaAcceptor:
                 return False
             if phase in ("key_or_end", "key"):
                 if ch == '"':
+                    if f[3] >= len(props):
+                        return False  # no property may still appear
                     f[2], f[4] = "in_key", ""
                     return True
                 if ch == "}" and phase == "key_or_end":
