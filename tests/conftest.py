@@ -35,3 +35,18 @@ def rng():
     import jax
 
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_executable_pool():
+    """Release compiled executables between test modules.
+
+    The full suite compiles many hundreds of distinct XLA:CPU programs in
+    one process; with all of them held live by the pjit caches, the
+    accumulated JIT code eventually segfaults inside LLVM
+    (backend_compile_and_load) late in the run — individual files always
+    pass.  Dropping the caches per module bounds the live-code footprint;
+    jitted functions simply recompile on next use.
+    """
+    yield
+    jax.clear_caches()
