@@ -762,6 +762,28 @@ class TestFamilyZooParallel:
                                    np.asarray(logits_p),
                                    rtol=2e-3, atol=2e-3)
 
+    def test_zoo_gemma3_dual_rope_matches_prefill(self):
+        """Gemma-3 flavor through the shared parallel layer body:
+        N:1 window pattern + DUAL rope (local theta on sliding layers,
+        linearly-scaled global elsewhere) + per-head QK norms must
+        match the inference prefill exactly."""
+        cfg = ZOO_CFG._replace(
+            alt_window=False, window_pattern=3, qk_norm=True,
+            rope_local_theta=500.0, attn_softcap=0.0, logit_softcap=0.0)
+        params = llm_model.init_params(jax.random.PRNGKey(33), cfg,
+                                       dtype=jnp.float32)
+        params["rope_factors"] = llm_model.linear_rope_factors(cfg, 4.0)
+        toks = jax.random.randint(jax.random.PRNGKey(34), (24,), 0,
+                                  cfg.vocab_size, jnp.int32)
+        with build_mesh(jax.devices()[:1]):
+            logits_b, _ = lm_forward_batched(params, cfg, toks[None])
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits_p, _ = llm_model.prefill(params, cfg, toks,
+                                        jnp.int32(24), cache)
+        np.testing.assert_allclose(np.asarray(logits_b[0, 23]),
+                                   np.asarray(logits_p),
+                                   rtol=2e-3, atol=2e-3)
+
     def test_zoo_pp_loss_matches_lm_loss(self):
         """4 pipeline stages x 1 layer each: the alternating-window
         policy must key on the GLOBAL layer index across stages."""

@@ -32,15 +32,16 @@ def _cmd_convert(args) -> int:
     t0 = time.time()
     vocab = None
     tok_spec = None
-    if args.family in ("gemma2-hf", "mixtral-hf", "qwen2moe-hf",
-                       "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
-                       "deepseekv3-hf"):
+    if args.family in ("gemma2-hf", "gemma3-hf", "mixtral-hf",
+                       "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf",
+                       "deepseekv2-hf", "deepseekv3-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
         from trackiellm_tpu.models import convert as _C
 
         fn = {"gemma2-hf": _C.gemma2_from_hf,
+              "gemma3-hf": _C.gemma3_from_hf,
               "mixtral-hf": _C.mixtral_from_hf,
               "qwen2moe-hf": _C.qwen2_moe_from_hf,
               "qwen3-hf": _C.qwen3_from_hf,
@@ -302,9 +303,10 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--bits", type=int, default=4, choices=(0, 4, 8))
     p.add_argument("--family", default="gguf",
-                   choices=("gguf", "gemma2-hf", "mixtral-hf",
-                            "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf",
-                            "deepseekv2-hf", "deepseekv3-hf"),
+                   choices=("gguf", "gemma2-hf", "gemma3-hf",
+                            "mixtral-hf", "qwen2moe-hf", "qwen3-hf",
+                            "qwen3moe-hf", "deepseekv2-hf",
+                            "deepseekv3-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/mixtral/qwen2moe "
                    "arches)")

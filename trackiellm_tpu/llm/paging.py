@@ -95,8 +95,9 @@ def decode_step_paged(
         k = qkv[:, qd:qd + kvd].reshape(1, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(1, cfg.n_kv_heads, cfg.head_dim)
         q, k = llm_model._qk_norm(q, k, layer, cfg)
-        q = llm_model.apply_rope(q, pos[None], freqs)
-        k = llm_model.apply_rope(k, pos[None], freqs)
+        freqs_li = llm_model._layer_freqs(cfg, li, freqs)
+        q = llm_model.apply_rope(q, pos[None], freqs_li)
+        k = llm_model.apply_rope(k, pos[None], freqs_li)
 
         if isinstance(pk_l, QuantPool):
             kq, ks = _quant_cells(k[None])   # (1,1,Hk,D)/(1,1,Hk)
@@ -242,10 +243,11 @@ def decode_step_batch_paged(
         k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         q, k = llm_model._qk_norm(q, k, layer, cfg)
+        freqs_li = llm_model._layer_freqs(cfg, li, freqs)
         q = jax.vmap(lambda qq, p: llm_model.apply_rope(
-            qq[None], p[None], freqs)[0])(q, pos)
+            qq[None], p[None], freqs_li)[0])(q, pos)
         k = jax.vmap(lambda kk, p: llm_model.apply_rope(
-            kk[None], p[None], freqs)[0])(k, pos)
+            kk[None], p[None], freqs_li)[0])(k, pos)
 
         # Scatter each active slot's KV into its (page, slot) cell.
         if isinstance(pk_l, QuantPool):

@@ -123,6 +123,26 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
     # sqrt(dim) embedding scale is folded below in gguf_to_llm_params.
     gemma2 = arch == "gemma2"
     extra = {}
+    if arch == "gemma3":
+        # Gemma-3 (llama.cpp LLM_ARCH_GEMMA3): GeGLU + sandwich norms
+        # like Gemma-2, no softcaps (per-head QK norms instead —
+        # detected from tensor presence above), a FIXED 5:1
+        # sliding/global pattern, and a dual rope: sliding layers at
+        # the local base (llama.cpp hardcodes 10k when the key is
+        # absent), global layers at rope.freq_base with the generic
+        # linear/yarn scaling below. Published query scalars: 256
+        # (1B/4B/12B, = head_dim), dim/n_heads = 168 for 27B.
+        qpas_default = float(head_dim if dim < 5376 else dim // n_heads)
+        extra = dict(
+            act="gelu",
+            post_norms="blk.0.post_attention_norm.weight" in gguf.tensors,
+            query_pre_attn_scalar=float(md.get(
+                f"{arch}.attention.query_pre_attention_scalar",
+                qpas_default)),
+            window_pattern=6,
+            rope_local_theta=float(md.get(
+                f"{arch}.rope.local_freq_base", 10000.0)),
+        )
     if gemma2:
         # query_pre_attn_scalar is not a GGUF key (llama.cpp derives
         # the scale from the model type): published sizes use
@@ -413,9 +433,9 @@ def gguf_to_llm_params(
         lm_head = mat("output.weight")
     else:  # tied embeddings
         lm_head = np.ascontiguousarray(tok_emb.T)
-    if (gguf.architecture or "llama") == "gemma2":
+    if (gguf.architecture or "llama") in ("gemma2", "gemma3"):
         # Gemma scales embeddings by sqrt(dim) at runtime (llama.cpp
-        # build_gemma2 does the same); fold it into tok_emb AFTER the
+        # build_gemma2/3 do the same); fold it into tok_emb AFTER the
         # tied lm_head took the unscaled copy.
         tok_emb = tok_emb * float(np.sqrt(cfg.dim))
 
@@ -758,6 +778,110 @@ def gemma2_from_hf(
         "out_norm": norm1("model.norm.weight"),
         "lm_head": jnp.asarray(lm_head, dtype),
     }
+    return params, cfg
+
+
+def gemma3_from_hf(
+    state: Dict[str, Any],
+    *,
+    head_dim: int = 0,
+    max_seq: int = 32768,
+    sliding_window: int = 512,
+    window_pattern: int = 6,
+    query_pre_attn_scalar: float = 256.0,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 1e6,
+    rope_local_theta: float = 10000.0,
+    rope_linear_factor: float = 0.0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Gemma-3 text state dict to
+    (params, LLMConfig).
+
+    Gemma-3 vs Gemma-2 (transformers modeling_gemma3.py): the attn /
+    final logit softcaps are GONE, replaced by per-head Q/K RMSNorm
+    (``self_attn.q_norm/k_norm``, Gemma (1+w) convention — folded here
+    like every other Gemma norm); the 1:1 alternating windows become a
+    5:1 sliding/global pattern (``window_pattern=6``); and the rope is
+    DUAL — sliding layers rotate at ``rope_local_base_freq`` (10k),
+    global layers at ``rope_theta`` (1M) with optional linear scaling
+    (``rope_linear_factor``; the published 4B/12B/27B ship factor 8,
+    the 1B ships none). Everything else (GeGLU, sandwich norms,
+    sqrt(dim) embedding scale, tied head) matches Gemma-2 and reuses
+    its folds. Reference analogue: llama.cpp's gemma3 arch, loaded by
+    the reference via tk_model_loader.c:199.
+    """
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")  # (V, D)
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.mlp.gate_proj.weight").shape[0]
+    # Per-head norms make head_dim shape-derivable (q_norm is (Dh,)).
+    hd = head_dim or A("model.layers.0.self_attn.q_norm.weight").shape[0]
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=sliding_window, act="gelu", post_norms=True,
+        query_pre_attn_scalar=query_pre_attn_scalar, qk_norm=True,
+        window_pattern=window_pattern,
+        rope_local_theta=rope_local_theta)
+
+    def norm1(k):  # (1 + w) fold
+        return jnp.asarray(A(k) + 1.0, dtype)
+
+    wqkv, wo, w_gu, w_down = [], [], [], []
+    attn_norm, mlp_norm, attn_post, mlp_post = [], [], [], []
+    q_norm, k_norm = [], []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        attn_norm.append(norm1(f"{pre}.input_layernorm.weight"))
+        attn_post.append(norm1(f"{pre}.post_attention_layernorm.weight"))
+        mlp_norm.append(norm1(f"{pre}.pre_feedforward_layernorm.weight"))
+        mlp_post.append(norm1(f"{pre}.post_feedforward_layernorm.weight"))
+        q_norm.append(norm1(f"{pre}.self_attn.q_norm.weight"))
+        k_norm.append(norm1(f"{pre}.self_attn.k_norm.weight"))
+        wqkv.append(jnp.asarray(np.concatenate([
+            A(f"{pre}.self_attn.q_proj.weight").T,
+            A(f"{pre}.self_attn.k_proj.weight").T,
+            A(f"{pre}.self_attn.v_proj.weight").T], axis=1), dtype))
+        wo.append(jnp.asarray(A(f"{pre}.self_attn.o_proj.weight").T,
+                              dtype))
+        w_gu.append(jnp.asarray(np.concatenate([
+            A(f"{pre}.mlp.gate_proj.weight").T,
+            A(f"{pre}.mlp.up_proj.weight").T], axis=1), dtype))
+        w_down.append(jnp.asarray(A(f"{pre}.mlp.down_proj.weight").T,
+                                  dtype))
+
+    lm_head = (A("lm_head.weight").T if "lm_head.weight" in state
+               else np.ascontiguousarray(emb.T))
+    params = {
+        "tok_emb": jnp.asarray(emb * float(np.sqrt(dim)), dtype),
+        "layers": {
+            "attn_norm": jnp.stack(attn_norm),
+            "wqkv": jnp.stack(wqkv),
+            "wo": jnp.stack(wo),
+            "mlp_norm": jnp.stack(mlp_norm),
+            "w_gu": jnp.stack(w_gu),
+            "w_down": jnp.stack(w_down),
+            "attn_post_norm": jnp.stack(attn_post),
+            "mlp_post_norm": jnp.stack(mlp_post),
+            "q_norm": jnp.stack(q_norm),
+            "k_norm": jnp.stack(k_norm),
+        },
+        "out_norm": norm1("model.norm.weight"),
+        "lm_head": jnp.asarray(lm_head, dtype),
+    }
+    if rope_linear_factor > 1.0:
+        params["rope_factors"] = llm_model.linear_rope_factors(
+            cfg, rope_linear_factor)
     return params, cfg
 
 

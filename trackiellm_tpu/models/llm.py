@@ -70,6 +70,15 @@ class LLMConfig(NamedTuple):
     logit_softcap: float = 0.0  # final logit soft-capping (30.0)
     query_pre_attn_scalar: float = 0.0  # q scale = 1/sqrt(this); 0 = 1/sqrt(head_dim)
     alt_window: bool = False    # sliding window on EVEN layers only
+    # Gemma-3 layer-type pattern: every ``window_pattern``-th layer is
+    # GLOBAL (li % pattern == pattern-1), the rest slide (transformers
+    # Gemma3TextConfig.layer_types; 6 for every published Gemma-3).
+    # 0 = off (alt_window covers the 1:1 gpt-oss/Gemma-2 case).
+    window_pattern: int = 0
+    # Gemma-3 dual rope: sliding layers rotate with this base and NO
+    # rope_factors scaling; global layers use rope_theta (+ factors).
+    # 0 = single rope for all layers.
+    rope_local_theta: float = 0.0
     # Phi-3 longrope (the 128k variants): params carry
     # rope_factors_short/long divisor sets; the per-dispatch choice is
     # long when the TOTAL sequence length exceeds this (0 = off), and
@@ -211,6 +220,49 @@ class LLMConfig(NamedTuple):
                    sliding_window=4096, act="gelu", post_norms=True,
                    attn_softcap=50.0, logit_softcap=30.0,
                    query_pre_attn_scalar=256.0, alt_window=True)
+
+    @classmethod
+    def gemma3_1b(cls) -> "LLMConfig":
+        """Gemma-3-1B: QK-norm replaces Gemma-2's softcaps, 5:1
+        sliding(512)/global layer pattern, dual rope (local theta 10k
+        on sliding layers, 1M global — the 1B ships NO linear scaling
+        on the global rope; 4B+ do, see :meth:`gemma3_4b`)."""
+        return cls(vocab_size=262144, dim=1152, n_layers=26, n_heads=4,
+                   n_kv_heads=1, head_dim=256, hidden_dim=6912,
+                   norm_eps=1e-6, rope_theta=1e6, max_seq=32768,
+                   sliding_window=512, act="gelu", post_norms=True,
+                   query_pre_attn_scalar=256.0, qk_norm=True,
+                   window_pattern=6, rope_local_theta=10000.0)
+
+    @classmethod
+    def gemma3_4b(cls) -> "LLMConfig":
+        """Gemma-3-4B (text tower): window 1024, 131k context. Pair
+        params with uniform ``rope_factors`` of 8.0 (the published
+        linear rope scaling on GLOBAL layers; sliding layers ignore it
+        by construction — see ``_layer_freqs``):
+        ``params["rope_factors"] = linear_rope_factors(cfg, 8.0)``."""
+        return cls(vocab_size=262208, dim=2560, n_layers=34, n_heads=8,
+                   n_kv_heads=4, head_dim=256, hidden_dim=10240,
+                   norm_eps=1e-6, rope_theta=1e6, max_seq=131072,
+                   sliding_window=1024, act="gelu", post_norms=True,
+                   query_pre_attn_scalar=256.0, qk_norm=True,
+                   window_pattern=6, rope_local_theta=10000.0)
+
+    @classmethod
+    def gemma3_12b(cls) -> "LLMConfig":
+        return cls.gemma3_4b()._replace(
+            dim=3840, n_layers=48, n_heads=16, n_kv_heads=8,
+            hidden_dim=15360)
+
+    @classmethod
+    def gemma3_27b(cls) -> "LLMConfig":
+        """27B drops head_dim to 128 and scales queries by
+        dim/n_heads = 168 (the published config's
+        query_pre_attn_scalar), like Gemma-2-27B did."""
+        return cls.gemma3_4b()._replace(
+            dim=5376, n_layers=62, n_heads=32, n_kv_heads=16,
+            head_dim=128, hidden_dim=21504,
+            query_pre_attn_scalar=168.0)
 
     @classmethod
     def qwen3_8b(cls) -> "LLMConfig":
@@ -738,6 +790,20 @@ def _layer_window(cfg: LLMConfig) -> int:
             if 0 < cfg.sliding_window < cfg.max_seq else 0)
 
 
+def _per_layer_windows(cfg: LLMConfig) -> bool:
+    """True when the window applies to only SOME layers."""
+    return cfg.alt_window or cfg.window_pattern > 1
+
+
+def _is_sliding(cfg: LLMConfig, li) -> jnp.ndarray:
+    """Traced bool: layer ``li`` uses the sliding window. Gemma-2 /
+    gpt-oss slide the even layers; Gemma-3's pattern makes every
+    ``window_pattern``-th layer global and slides the rest."""
+    if cfg.window_pattern > 1:
+        return (li % cfg.window_pattern) != (cfg.window_pattern - 1)
+    return li % 2 == 0
+
+
 def _decode_attn(cfg: LLMConfig, li, q, k_view, v_view, cur_len,
                  layer=None):
     """decode_attention with the config's window policy: fixed window,
@@ -750,9 +816,9 @@ def _decode_attn(cfg: LLMConfig, li, q, k_view, v_view, cur_len,
     if cfg.attn_sinks:
         kw["sinks"] = layer["attn_sink"]
     win = _layer_window(cfg)
-    if cfg.alt_window and win > 0:
+    if _per_layer_windows(cfg) and win > 0:
         return jax.lax.cond(
-            li % 2 == 0,
+            _is_sliding(cfg, li),
             lambda: decode_attention(q, k_view, v_view, cur_len,
                                      window=win, **kw),
             lambda: decode_attention(q, k_view, v_view, cur_len,
@@ -767,9 +833,9 @@ def _prefill_attn(cfg: LLMConfig, li, q, k, v, layer=None):
     if cfg.attn_sinks:
         kw["sinks"] = layer["attn_sink"]
     win = _layer_window(cfg)
-    if cfg.alt_window and win > 0:
+    if _per_layer_windows(cfg) and win > 0:
         return jax.lax.cond(
-            li % 2 == 0,
+            _is_sliding(cfg, li),
             lambda: prefill_attention(q, k, v, causal=True, window=win,
                                       **kw),
             lambda: prefill_attention(q, k, v, causal=True, window=0,
@@ -818,6 +884,33 @@ def _freqs(params: Dict[str, Any], cfg: LLMConfig,
         return freqs / ext
     rf = params.get("rope_factors")
     return freqs / rf if rf is not None else freqs
+
+
+def _local_rope_freqs(cfg: LLMConfig) -> jnp.ndarray:
+    """Gemma-3 sliding-layer rope base (rope_local_base_freq) —
+    NEVER scaled by rope_factors (transformers pins the local rotary
+    to rope_type=default regardless of rope_scaling)."""
+    half = cfg.head_dim // 2
+    return 1.0 / (cfg.rope_local_theta
+                  ** (jnp.arange(half, dtype=jnp.float32) / half))
+
+
+def _layer_freqs(cfg: LLMConfig, li, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Per-layer rope frequency select inside the layer scan: with
+    ``rope_local_theta`` set (Gemma-3), sliding layers rotate with the
+    local base and global layers with ``freqs`` (the scaled global
+    set). ``li`` is traced, so this is one jnp.where — not a cond."""
+    if not cfg.rope_local_theta:
+        return freqs
+    return jnp.where(_is_sliding(cfg, li), _local_rope_freqs(cfg), freqs)
+
+
+def linear_rope_factors(cfg: LLMConfig, factor: float) -> jnp.ndarray:
+    """Uniform linear rope scaling as a divisor vector (transformers'
+    rope_type=linear / llama.cpp rope.scaling.type=linear): every
+    frequency divides by ``factor``. Gemma-3 4B+ ship factor 8 on the
+    GLOBAL rope; store as ``params["rope_factors"]``."""
+    return jnp.full((cfg.head_dim // 2,), float(factor), jnp.float32)
 
 
 def llama3_rope_factors(cfg: LLMConfig, factor: float = 8.0,
@@ -959,8 +1052,9 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         k = qkv[:, qd:qd + kvd].reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(s_pad, cfg.n_kv_heads, cfg.head_dim)
         q, k = _qk_norm(q, k, layer, cfg)
-        q = apply_rope(q, positions, freqs)
-        k = apply_rope(k, positions, freqs)
+        freqs_li = _layer_freqs(cfg, li, freqs)
+        q = apply_rope(q, positions, freqs_li)
+        k = apply_rope(k, positions, freqs_li)
 
         attn = _prefill_attn(
             cfg, li, q.transpose(1, 0, 2), k.transpose(1, 0, 2),
@@ -1026,8 +1120,9 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
         v = qkv[..., qd + kvd:].reshape(
             b, s_pad, cfg.n_kv_heads, cfg.head_dim)
         q, k = _qk_norm(q, k, layer, cfg)
-        q = apply_rope(q, positions, freqs)
-        k = apply_rope(k, positions, freqs)
+        freqs_li = _layer_freqs(cfg, li, freqs)
+        q = apply_rope(q, positions, freqs_li)
+        k = apply_rope(k, positions, freqs_li)
         attn = jax.vmap(lambda qq, kk, vv: _prefill_attn(
             cfg, li, qq.transpose(1, 0, 2), kk.transpose(1, 0, 2),
             vv.transpose(1, 0, 2), layer=layer).transpose(1, 0, 2))(q, k, v)
@@ -1089,8 +1184,9 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         k = qkv[:, qd:qd + kvd].reshape(1, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(1, cfg.n_kv_heads, cfg.head_dim)
         q, k = _qk_norm(q, k, layer, cfg)
-        q = apply_rope(q, pos[None], freqs)
-        k = apply_rope(k, pos[None], freqs)
+        freqs_li = _layer_freqs(cfg, li, freqs)
+        q = apply_rope(q, pos[None], freqs_li)
+        k = apply_rope(k, pos[None], freqs_li)
 
         k_cache_l = jax.lax.dynamic_update_slice(
             k_cache_l, k.astype(k_cache_l.dtype), (pos, 0, 0))
@@ -1187,10 +1283,11 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
         k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         q, k = _qk_norm(q, k, layer, cfg)
-        q = jax.vmap(lambda qq, p: apply_rope(qq[None], p[None], freqs)[0]
-                     )(q, pos)
-        k = jax.vmap(lambda kk, p: apply_rope(kk[None], p[None], freqs)[0]
-                     )(k, pos)
+        freqs_li = _layer_freqs(cfg, li, freqs)
+        q = jax.vmap(lambda qq, p: apply_rope(qq[None], p[None],
+                                              freqs_li)[0])(q, pos)
+        k = jax.vmap(lambda kk, p: apply_rope(kk[None], p[None],
+                                              freqs_li)[0])(k, pos)
 
         def write_row(cache_row, val, p, act):
             new = jax.lax.dynamic_update_slice(
@@ -1304,8 +1401,9 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         k = qkv[:, qd:qd + kvd].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         q, k = _qk_norm(q, k, layer, cfg)
-        q = apply_rope(q, positions, freqs)
-        k = apply_rope(k, positions, freqs)
+        freqs_li = _layer_freqs(cfg, li, freqs)
+        q = apply_rope(q, positions, freqs_li)
+        k = apply_rope(k, positions, freqs_li)
 
         k_cache_l = jax.lax.dynamic_update_slice(
             k_cache_l, k.astype(k_cache_l.dtype), (offset, 0, 0))
@@ -1334,10 +1432,10 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         q_pos = positions[None, None, :, None]
         mask = key_idx <= q_pos
         if window:
-            if cfg.alt_window:
+            if _per_layer_windows(cfg):
                 # Per-layer window as DATA (traced li), not program
-                # structure: odd layers get an unbounded window.
-                win_l = jnp.where(li % 2 == 0, window, s_max + b)
+                # structure: global layers get an unbounded window.
+                win_l = jnp.where(_is_sliding(cfg, li), window, s_max + b)
             else:
                 win_l = window
             mask &= key_idx > q_pos - win_l

@@ -45,8 +45,9 @@ def layer_windows(cfg: llm_model.LLMConfig, li) -> jnp.ndarray:
     local(even li)/global(odd li). 0 = unbounded — same convention as
     ops/attention (models/llm.py `_decode_attn`)."""
     win = llm_model._layer_window(cfg)
-    if win and cfg.alt_window:
-        return jnp.where(li % 2 == 0, jnp.int32(win), jnp.int32(0))
+    if win and llm_model._per_layer_windows(cfg):
+        return jnp.where(llm_model._is_sliding(cfg, li),
+                         jnp.int32(win), jnp.int32(0))
     return jnp.int32(win)
 
 
@@ -119,8 +120,9 @@ def transformer_layer(
                                     cfg.head_dim)
     q = q_constrain(q)
     q, k = llm_model._qk_norm(q, k, layer, cfg)
-    q = llm_model.apply_rope(q, positions, freqs)
-    k = llm_model.apply_rope(k, positions, freqs)
+    freqs_li = llm_model._layer_freqs(cfg, li, freqs)
+    q = llm_model.apply_rope(q, positions, freqs_li)
+    k = llm_model.apply_rope(k, positions, freqs_li)
 
     attn = attn_core(q, k, v, li).reshape(*lead, s, -1)
     x = llm_model._attn_residual(x, attn, layer, cfg)
