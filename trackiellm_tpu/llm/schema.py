@@ -32,7 +32,6 @@ should never be *stricter* than the schema intends.
 
 from __future__ import annotations
 
-import copy as _copy
 import json
 from typing import Any, List, Optional, Tuple
 
