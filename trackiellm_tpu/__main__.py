@@ -32,9 +32,10 @@ def _cmd_convert(args) -> int:
     t0 = time.time()
     vocab = None
     tok_spec = None
-    if args.family in ("gemma2-hf", "gemma3-hf", "mixtral-hf",
-                       "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf",
-                       "deepseekv2-hf", "deepseekv3-hf"):
+    if args.family in ("gemma2-hf", "gemma3-hf", "smollm3-hf",
+                       "olmo2-hf", "mixtral-hf", "qwen2moe-hf",
+                       "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
+                       "deepseekv3-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -42,6 +43,8 @@ def _cmd_convert(args) -> int:
 
         fn = {"gemma2-hf": _C.gemma2_from_hf,
               "gemma3-hf": _C.gemma3_from_hf,
+              "smollm3-hf": _C.smollm3_from_hf,
+              "olmo2-hf": _C.olmo2_from_hf,
               "mixtral-hf": _C.mixtral_from_hf,
               "qwen2moe-hf": _C.qwen2_moe_from_hf,
               "qwen3-hf": _C.qwen3_from_hf,
@@ -304,9 +307,9 @@ def main(argv=None) -> int:
     p.add_argument("--bits", type=int, default=4, choices=(0, 4, 8))
     p.add_argument("--family", default="gguf",
                    choices=("gguf", "gemma2-hf", "gemma3-hf",
-                            "mixtral-hf", "qwen2moe-hf", "qwen3-hf",
-                            "qwen3moe-hf", "deepseekv2-hf",
-                            "deepseekv3-hf"),
+                            "smollm3-hf", "olmo2-hf", "mixtral-hf",
+                            "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf",
+                            "deepseekv2-hf", "deepseekv3-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/mixtral/qwen2moe "
                    "arches)")

@@ -87,7 +87,7 @@ def decode_step_paged(
     def layer_fn(carry, inputs):
         x = carry
         layer, pk_l, pv_l, li = inputs  # (P, page, Hk, D)
-        h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = llm_model._attn_in(x, layer, cfg)
         qkv = llm_model._linear(h, layer["wqkv"])
         if cfg.qkv_bias:
             qkv = qkv + layer["wqkv_bias"]
@@ -235,7 +235,7 @@ def decode_step_batch_paged(
     def layer_fn(carry, inputs):
         x = carry
         layer, pk_l, pv_l, li = inputs
-        h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = llm_model._attn_in(x, layer, cfg)
         qkv = llm_model._linear(h, layer["wqkv"])
         if cfg.qkv_bias:
             qkv = qkv + layer["wqkv_bias"]

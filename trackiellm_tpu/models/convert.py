@@ -123,6 +123,21 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
     # sqrt(dim) embedding scale is folded below in gguf_to_llm_params.
     gemma2 = arch == "gemma2"
     extra = {}
+    if arch == "olmo2":
+        # OLMo-2 (llama.cpp LLM_ARCH_OLMO2): post-norm-only placement
+        # (no attn_norm/ffn_norm tensors; post_attention_norm /
+        # post_ffw_norm instead) and Q/K RMSNorm over the WHOLE
+        # projection — the attn_{q,k}_norm tensors exist but are
+        # (H*Dh,), so the per-head qk_norm detection above must yield
+        # to qk_norm_full.
+        qk_norm = False
+        extra = dict(pre_norms=False, post_norms=True, qk_norm_full=True)
+    if arch == "smollm3":
+        # SmolLM3 (llama.cpp LLM_ARCH_SMOLLM3): Llama-shaped with NoPE
+        # every interval-th layer; llama.cpp hardcodes the published
+        # interval of 4 when the key is absent.
+        extra = dict(nope_pattern=int(md.get(
+            f"{arch}.no_rope_layer_interval", 4)))
     if arch == "gemma3":
         # Gemma-3 (llama.cpp LLM_ARCH_GEMMA3): GeGLU + sandwich norms
         # like Gemma-2, no softcaps (per-head QK norms instead —
@@ -360,15 +375,17 @@ def gguf_to_llm_params(
     shared_gu, shared_down, shared_gate = [], [], []
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
-        attn_norm.append(vec(f"{p}.attn_norm.weight"))
-        mlp_norm.append(vec(f"{p}.ffn_norm.weight"))
+        if cfg.pre_norms:
+            attn_norm.append(vec(f"{p}.attn_norm.weight"))
+            mlp_norm.append(vec(f"{p}.ffn_norm.weight"))
         if cfg.post_norms:
             # Gemma-2 sandwich norms (llama.cpp tensor names); the
             # (1+w) fold is already baked by convert_hf_to_gguf.
             attn_post_norm.append(vec(f"{p}.post_attention_norm.weight"))
             mlp_post_norm.append(vec(f"{p}.post_ffw_norm.weight"))
-        if cfg.qk_norm:
-            # Qwen3 per-head QK norms (llama.cpp attn_{q,k}_norm).
+        if cfg.qk_norm or cfg.qk_norm_full:
+            # Qwen3 per-head / OLMo-2 whole-projection QK norms (the
+            # same llama.cpp attn_{q,k}_norm names; the shape differs).
             q_norm.append(vec(f"{p}.attn_q_norm.weight"))
             k_norm.append(vec(f"{p}.attn_k_norm.weight"))
         if f"{p}.attn_qkv.weight" in gguf.tensors:
@@ -440,19 +457,20 @@ def gguf_to_llm_params(
         tok_emb = tok_emb * float(np.sqrt(cfg.dim))
 
     layers: Dict[str, Any] = {
-        "attn_norm": jnp.stack(attn_norm),
         "wqkv": stack(wqkv),
         "wo": stack(wo),
-        "mlp_norm": jnp.stack(mlp_norm),
         "w_gu": stack(w_gu),
         "w_down": stack(w_down),
     }
+    if cfg.pre_norms:
+        layers["attn_norm"] = jnp.stack(attn_norm)
+        layers["mlp_norm"] = jnp.stack(mlp_norm)
     if cfg.qkv_bias:
         layers["wqkv_bias"] = jnp.stack(qkv_bias)
     if cfg.post_norms:
         layers["attn_post_norm"] = jnp.stack(attn_post_norm)
         layers["mlp_post_norm"] = jnp.stack(mlp_post_norm)
-    if cfg.qk_norm:
+    if cfg.qk_norm or cfg.qk_norm_full:
         layers["q_norm"] = jnp.stack(q_norm)
         layers["k_norm"] = jnp.stack(k_norm)
     if cfg.n_experts:
@@ -1813,6 +1831,152 @@ def qwen2_moe_from_hf(
         L["shared_down"].append(A(f"{sp}.down_proj.weight").T)
         L["shared_gate"].append(
             A(f"{pre}.mlp.shared_expert_gate.weight").T)
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg
+
+
+def smollm3_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 65536,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 5e6,
+    nope_pattern: int = 4,
+    head_dim: int = 0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers SmolLM3 state dict to (params, cfg).
+
+    SmolLM3 is Llama-shaped (RMSNorm, SwiGLU, GQA, no biases, tied
+    embeddings) with ONE delta: NoPE every ``no_rope_layer_interval``-th
+    layer — rope applies on layer li iff (li+1) % interval != 0
+    (transformers configuration_smollm3.py). That maps to
+    ``cfg.nope_pattern``; the rotation is skipped in-scan by zeroing
+    that layer's rope frequencies (see llm._layer_freqs). head_dim is
+    not shape-derivable (no per-head norms); the published 3B uses the
+    Llama default dim//n_heads = 128, overridable via ``head_dim``."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.mlp.gate_proj.weight").shape[0]
+    # q_proj is (H*Dh, D) and there are no per-head norms, so head_dim
+    # isn't shape-derivable on its own. SmolLM3 keeps the Llama
+    # convention head_dim = dim // n_heads with q_proj square
+    # (H*Dh == D); the published 3B is 2048/16 = 128.
+    hd = head_dim or 128
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, nope_pattern=nope_pattern)
+
+    L = {"attn_norm": [], "wqkv": [], "wo": [], "mlp_norm": [],
+         "w_gu": [], "w_down": []}
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        L["mlp_norm"].append(A(f"{pre}.post_attention_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.weight").T
+             for p in ("q", "k", "v")], axis=1))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["w_gu"].append(np.concatenate(
+            [A(f"{pre}.mlp.gate_proj.weight").T,
+             A(f"{pre}.mlp.up_proj.weight").T], axis=1))
+        L["w_down"].append(A(f"{pre}.mlp.down_proj.weight").T)
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg
+
+
+def olmo2_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 4096,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 500000.0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers OLMo-2 state dict to (params, cfg).
+
+    OLMo-2's two deltas vs Llama (transformers modeling_olmo2.py):
+    post-norm-only placement — attention and MLP consume the residual
+    stream RAW, with RMSNorms on the branch outputs before the residual
+    adds (``pre_norms=False`` + ``post_norms=True``; the layers carry
+    only attn_post_norm/mlp_post_norm) — and Q/K RMSNorm over the WHOLE
+    projection (``self_attn.{q,k}_norm`` of size H*Dh, applied before
+    the head reshape and before rope; ``qk_norm_full``). head_dim is
+    read off q_norm vs q_proj shapes."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.mlp.gate_proj.weight").shape[0]
+    # q_norm is (H*Dh,) == q_proj rows; heads resolve from the k/q row
+    # ratio at the Llama-default head_dim = dim // n_heads, with
+    # n_heads = q_rows // head_dim. OLMo-2 keeps q_proj square
+    # (H*Dh == D) so head_dim = dim^2 / (q_rows * ?) — published sizes
+    # all use MHA with head_dim 128 (7B: 4096/32) or 40 heads (13B:
+    # 5120/40 = 128); derive as dim // 128 heads unless that fails.
+    hd = 128 if q0.shape[0] % 128 == 0 else q0.shape[0] // 16
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, pre_norms=False, post_norms=True,
+        qk_norm_full=True)
+
+    L = {"wqkv": [], "wo": [], "w_gu": [], "w_down": [],
+         "attn_post_norm": [], "mlp_post_norm": [],
+         "q_norm": [], "k_norm": []}
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_post_norm"].append(
+            A(f"{pre}.post_attention_layernorm.weight"))
+        L["mlp_post_norm"].append(
+            A(f"{pre}.post_feedforward_layernorm.weight"))
+        L["q_norm"].append(A(f"{pre}.self_attn.q_norm.weight"))
+        L["k_norm"].append(A(f"{pre}.self_attn.k_norm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.weight").T
+             for p in ("q", "k", "v")], axis=1))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["w_gu"].append(np.concatenate(
+            [A(f"{pre}.mlp.gate_proj.weight").T,
+             A(f"{pre}.mlp.up_proj.weight").T], axis=1))
+        L["w_down"].append(A(f"{pre}.mlp.down_proj.weight").T)
 
     params = {
         "tok_emb": jnp.asarray(emb, dtype),

@@ -66,6 +66,11 @@ class LLMConfig(NamedTuple):
     # tied copy). The rest:
     act: str = "silu"           # "gelu" = GeGLU (gelu-tanh gate)
     post_norms: bool = False    # post-attn / post-ffw sandwich norms
+    # OLMo-2's norm placement: NO pre-norms — the attention/MLP consume
+    # the residual stream raw, and the branch outputs are normed before
+    # the residual add (pre_norms=False + post_norms=True). Layers then
+    # carry only attn_post_norm/mlp_post_norm weights.
+    pre_norms: bool = True
     attn_softcap: float = 0.0   # attention logit soft-capping (50.0)
     logit_softcap: float = 0.0  # final logit soft-capping (30.0)
     query_pre_attn_scalar: float = 0.0  # q scale = 1/sqrt(this); 0 = 1/sqrt(head_dim)
@@ -79,6 +84,11 @@ class LLMConfig(NamedTuple):
     # rope_factors scaling; global layers use rope_theta (+ factors).
     # 0 = single rope for all layers.
     rope_local_theta: float = 0.0
+    # SmolLM3/Llama-4-style NoPE interval: every ``nope_pattern``-th
+    # layer (li % pattern == pattern-1) applies NO rotary embedding
+    # (transformers' no_rope_layer_interval — rope on layer li iff
+    # (li+1) % interval != 0). 0 = rope everywhere.
+    nope_pattern: int = 0
     # Phi-3 longrope (the 128k variants): params carry
     # rope_factors_short/long divisor sets; the per-dispatch choice is
     # long when the TOTAL sequence length exceeds this (0 = off), and
@@ -107,6 +117,10 @@ class LLMConfig(NamedTuple):
     # the projection reshape, BEFORE rope — transformers' Qwen3Attention
     # order). Params carry layers.q_norm/k_norm (L, head_dim).
     qk_norm: bool = False
+    # OLMo-2 flavor: the Q/K RMSNorm runs over the WHOLE projection
+    # (all heads jointly, H*head_dim values per token) instead of
+    # per-head; layers.q_norm is (L, H*Dh) and k_norm (L, Hk*Dh).
+    qk_norm_full: bool = False
     # DeepSeek MoE deltas (models/mla.py drives these through the same
     # _moe_block): top-k weights multiply routed_scaling_factor, the
     # shared expert adds UNGATED (no sigmoid(shared_gate)), and
@@ -265,6 +279,27 @@ class LLMConfig(NamedTuple):
             query_pre_attn_scalar=168.0)
 
     @classmethod
+    def olmo2_7b(cls) -> "LLMConfig":
+        """OLMo-2-7B: Llama-shaped MHA-32 with post-norm-only placement
+        (branch outputs normed before the residual adds; no pre-norms)
+        and whole-projection Q/K RMSNorm."""
+        return cls(vocab_size=100352, dim=4096, n_layers=32, n_heads=32,
+                   n_kv_heads=32, head_dim=128, hidden_dim=11008,
+                   norm_eps=1e-6, rope_theta=500000.0, max_seq=4096,
+                   sliding_window=4096, pre_norms=False, post_norms=True,
+                   qk_norm_full=True)
+
+    @classmethod
+    def smollm3_3b(cls) -> "LLMConfig":
+        """SmolLM3-3B: Llama-shaped GQA-4 with NoPE every 4th layer
+        (transformers no_rope_layer_interval=4 — rope on li iff
+        (li+1) % 4 != 0) and a 5M rope base for long context."""
+        return cls(vocab_size=128256, dim=2048, n_layers=36, n_heads=16,
+                   n_kv_heads=4, head_dim=128, hidden_dim=11008,
+                   norm_eps=1e-6, rope_theta=5e6, max_seq=65536,
+                   sliding_window=65536, nope_pattern=4)
+
+    @classmethod
     def qwen3_8b(cls) -> "LLMConfig":
         """Qwen3-8B: GQA-8, per-head QK-norm (replaces Qwen2's QKV
         biases), theta 1e6, 151k vocab."""
@@ -380,6 +415,10 @@ def init_params(key: jax.Array, cfg: LLMConfig,
     if cfg.qk_norm:
         layers["q_norm"] = jnp.ones((l, cfg.head_dim), dtype)
         layers["k_norm"] = jnp.ones((l, cfg.head_dim), dtype)
+    elif cfg.qk_norm_full:
+        layers["q_norm"] = jnp.ones((l, cfg.n_heads * cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((l, cfg.n_kv_heads * cfg.head_dim),
+                                    dtype)
     return {
         "tok_emb": w(keys[0], cfg.vocab_size, d, scale=0.02),
         "layers": layers,
@@ -451,6 +490,10 @@ def init_params_quantized(key: jax.Array, cfg: LLMConfig, bits: int = 4,
     if cfg.qk_norm:
         layers["q_norm"] = jnp.ones((l, cfg.head_dim), dtype)
         layers["k_norm"] = jnp.ones((l, cfg.head_dim), dtype)
+    elif cfg.qk_norm_full:
+        layers["q_norm"] = jnp.ones((l, cfg.n_heads * cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((l, cfg.n_kv_heads * cfg.head_dim),
+                                    dtype)
     build_one = jax.jit(
         lambda k, kk, nn: quantize(
             jax.random.normal(k, (kk, nn), jnp.float32) / (kk ** 0.5), group),
@@ -496,11 +539,32 @@ def _qk_norm(q: jnp.ndarray, k: jnp.ndarray, layer,
     """Qwen3 per-head QK RMSNorm: normalize the head_dim axis of the
     reshaped (..., H, head_dim) Q and K, scaled by the per-layer
     (head_dim,) weights — applied BEFORE rope, matching transformers'
-    Qwen3Attention. No-op for configs without ``qk_norm``."""
+    Qwen3Attention. No-op for configs without ``qk_norm``.
+
+    ``qk_norm_full`` (OLMo-2) instead normalizes the WHOLE projection:
+    the mean square runs over all heads jointly (equivalent to
+    transformers' norm on the flat (H*Dh,) vector before the reshape)
+    and the (H*Dh,) weight applies per-head via a reshape."""
+    if cfg.qk_norm_full:
+        def full(t, w):
+            ms = jnp.mean(jnp.square(t.astype(jnp.float32)),
+                          axis=(-2, -1), keepdims=True)
+            t32 = t.astype(jnp.float32) * jax.lax.rsqrt(ms + cfg.norm_eps)
+            return t32.astype(t.dtype) * w.reshape(t.shape[-2],
+                                                   t.shape[-1])
+        return full(q, layer["q_norm"]), full(k, layer["k_norm"])
     if not cfg.qk_norm:
         return q, k
     return (_rms_norm(q, layer["q_norm"], cfg.norm_eps),
             _rms_norm(k, layer["k_norm"], cfg.norm_eps))
+
+
+def _attn_in(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
+    """The attention branch's input: pre-normed residual stream, or the
+    raw stream for OLMo-2's post-norm-only placement."""
+    if not cfg.pre_norms:
+        return x
+    return _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
 
 
 def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -545,9 +609,12 @@ def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
     from trackiellm_tpu.ops import fused
 
     if (x.ndim == 2 and act == "silu" and post_norm is None
+            and norm_scale is not None
             and fused.use_fused_mlp() and fused._can_fuse(x, w_gu, w_down)):
         return fused.fused_mlp(x, norm_scale, w_gu, w_down, eps)
-    h2 = _rms_norm(x, norm_scale, eps)
+    # norm_scale None = OLMo-2 placement: the MLP consumes the residual
+    # stream raw (only the post-norm applies).
+    h2 = _rms_norm(x, norm_scale, eps) if norm_scale is not None else x
     gu = _linear(h2, w_gu).astype(jnp.float32)
     gate, up = jnp.split(gu, 2, axis=-1)
     out = _linear(_act_combine(gate, up, act).astype(x.dtype), w_down)
@@ -750,7 +817,8 @@ def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     """Config-aware wrapper every forward body calls."""
     if cfg.n_experts:
         return _moe_block(x, layer, cfg)
-    return _mlp_block(x, layer["mlp_norm"], layer["w_gu"],
+    return _mlp_block(x, layer["mlp_norm"] if cfg.pre_norms else None,
+                      layer["w_gu"],
                       layer["w_down"], cfg.norm_eps, act=cfg.act,
                       post_norm=layer.get("mlp_post_norm"))
 
@@ -899,10 +967,17 @@ def _layer_freqs(cfg: LLMConfig, li, freqs: jnp.ndarray) -> jnp.ndarray:
     """Per-layer rope frequency select inside the layer scan: with
     ``rope_local_theta`` set (Gemma-3), sliding layers rotate with the
     local base and global layers with ``freqs`` (the scaled global
-    set). ``li`` is traced, so this is one jnp.where — not a cond."""
-    if not cfg.rope_local_theta:
-        return freqs
-    return jnp.where(_is_sliding(cfg, li), _local_rope_freqs(cfg), freqs)
+    set); with ``nope_pattern`` set (SmolLM3), every pattern-th layer
+    rotates by ZERO frequencies — cos=1/sin=0 makes apply_rope the
+    identity, so NoPE costs nothing extra. ``li`` is traced, so each
+    select is one jnp.where — not a cond."""
+    if cfg.rope_local_theta:
+        freqs = jnp.where(_is_sliding(cfg, li), _local_rope_freqs(cfg),
+                          freqs)
+    if cfg.nope_pattern > 1:
+        freqs = jnp.where((li % cfg.nope_pattern) == cfg.nope_pattern - 1,
+                          jnp.zeros_like(freqs), freqs)
+    return freqs
 
 
 def linear_rope_factors(cfg: LLMConfig, factor: float) -> jnp.ndarray:
@@ -1044,7 +1119,7 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
 
     def layer_fn(x, inputs):
         layer, li = inputs
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = _attn_in(x, layer, cfg)
         qkv = _linear(h, layer["wqkv"])
         if cfg.qkv_bias:
             qkv = qkv + layer["wqkv_bias"]
@@ -1109,7 +1184,7 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
 
     def layer_fn(x, inputs):
         layer, li = inputs
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = _attn_in(x, layer, cfg)
         qkv = _linear(h.reshape(b * s_pad, -1),
                       layer["wqkv"]).reshape(b, s_pad, -1)
         if cfg.qkv_bias:
@@ -1176,7 +1251,7 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         layer, k_cache_l, v_cache_l, li = inputs
         qd = cfg.n_heads * cfg.head_dim
         kvd = cfg.n_kv_heads * cfg.head_dim
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = _attn_in(x, layer, cfg)
         qkv = _linear(h, layer["wqkv"])
         if cfg.qkv_bias:
             qkv = qkv + layer["wqkv_bias"]
@@ -1275,7 +1350,7 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
     def layer_fn(carry, inputs):
         x = carry
         layer, k_cache_l, v_cache_l, li = inputs  # caches: (B, S, Hk, D)
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = _attn_in(x, layer, cfg)
         qkv = _linear(h, layer["wqkv"])
         if cfg.qkv_bias:
             qkv = qkv + layer["wqkv_bias"]
@@ -1393,7 +1468,7 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
 
     def layer_fn(x, inputs):
         layer, k_cache_l, v_cache_l, li = inputs  # (S_max, Hk, D)
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = _attn_in(x, layer, cfg)
         qkv = _linear(h, layer["wqkv"])
         if cfg.qkv_bias:
             qkv = qkv + layer["wqkv_bias"]

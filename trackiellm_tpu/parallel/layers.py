@@ -109,7 +109,7 @@ def transformer_layer(
     kvd = cfg.n_kv_heads * cfg.head_dim
     lead = x.shape[:-2]
 
-    h = llm_model._rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    h = llm_model._attn_in(x, layer, cfg)
     qkv = llm_model._linear(h, layer["wqkv"])
     if cfg.qkv_bias:
         qkv = qkv + layer["wqkv_bias"]
