@@ -74,6 +74,16 @@ def main() -> None:
                     help="override the model input size (default: the "
                     "config's 256 — the real midas_v21_small_256 "
                     "resolution; fully convolutional)")
+    ap.add_argument("--family", default="midas-small",
+                    choices=["midas-small", "dpt-swinv2"],
+                    help="midas-small: midas_v21_small torch layout; "
+                    "dpt-swinv2: HF DPTForDepthEstimation w/ Swinv2 "
+                    "backbone (Intel/dpt-swinv2-tiny-256 = the "
+                    "reference's MiDaS DPT-SwinV2, tk_cortex_main.h:70)")
+    ap.add_argument("--window-size", type=int, default=16,
+                    help="dpt-swinv2 only: backbone window size from "
+                    "the checkpoint config (tiny_256: 16, "
+                    "base/large_384: 24) — not derivable from weights")
     ap.add_argument("--out", default="depth_out.npz")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
@@ -81,30 +91,52 @@ def main() -> None:
     ckpt = require_file(
         args.checkpoint, "depth checkpoint",
         "expected the midas_v21_small torch state dict "
-        "(pretrained.layer*/scratch.* names)")
+        "(pretrained.layer*/scratch.* names) or an HF DPT-SwinV2 one "
+        "(backbone.*/neck.*/head.* names, --family dpt-swinv2)")
     paths = _images(args.images)
 
     import jax.numpy as jnp
 
-    from trackiellm_tpu.models import depth as depth_model
-    from trackiellm_tpu.models.convert import midas_small_from_torch
-    from trackiellm_tpu.ops.preprocess import imagenet_normalize_chw
+    from trackiellm_tpu.ops.preprocess import (dpt_normalize_chw,
+                                               imagenet_normalize_chw)
 
     state = load_state_dict(ckpt)
-    try:
-        params, cfg = midas_small_from_torch(state)
-    except KeyError as exc:
-        die(f"checkpoint does not match the midas_v21_small layout "
-            f"(missing {exc}); run tools/inspect_checkpoint.py to list "
-            f"its names")
-    if args.input_size:
-        cfg = cfg._replace(img_size=args.input_size)
+    if args.family == "dpt-swinv2":
+        from trackiellm_tpu.models import dpt as dpt_model
+        from trackiellm_tpu.models.convert import dpt_swinv2_from_torch
+
+        try:
+            params, cfg = dpt_swinv2_from_torch(
+                state, image_size=args.input_size or 256,
+                window_size=args.window_size)
+        except KeyError as exc:
+            die(f"checkpoint does not match the HF DPT-SwinV2 layout "
+                f"(missing {exc}); run tools/inspect_checkpoint.py to "
+                f"list its names")
+        size = cfg.image_size
+        forward = lambda chw: dpt_model.dpt_forward(params, cfg, chw)  # noqa: E731
+        normalize = dpt_normalize_chw
+    else:
+        from trackiellm_tpu.models import depth as depth_model
+        from trackiellm_tpu.models.convert import midas_small_from_torch
+
+        try:
+            params, cfg = midas_small_from_torch(state)
+        except KeyError as exc:
+            die(f"checkpoint does not match the midas_v21_small layout "
+                f"(missing {exc}); run tools/inspect_checkpoint.py to "
+                f"list its names")
+        if args.input_size:
+            cfg = cfg._replace(img_size=args.input_size)
+        size = cfg.img_size
+        forward = lambda chw: depth_model.depth_forward(params, cfg, chw)  # noqa: E731
+        normalize = imagenet_normalize_chw
 
     preds = {}
     for p in paths:
         img = load_image(p)
-        chw = imagenet_normalize_chw(jnp.asarray(img), cfg.img_size)
-        rel = depth_model.depth_forward(params, cfg, chw)
+        chw = normalize(jnp.asarray(img), size, size)
+        rel = forward(chw)
         preds[os.path.basename(p)] = np.asarray(rel, np.float32)
 
     if not args.expected:

@@ -2704,3 +2704,308 @@ def gpt_oss_from_hf(
             cfg, rope_scaling_factor, rope_original_max_seq,
             truncate=False)
     return params, cfg
+
+
+# --- DPT-SwinV2 depth (transformers DPTForDepthEstimation) -----------------
+
+def _conv2d_nb(state, key):
+    """torch nn.Conv2d weight (no bias) -> {"w": HWIO, "b": None}."""
+    w = np.asarray(state[key], np.float32)
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": None}
+
+
+def dpt_swinv2_config_from_torch(state: Dict[str, Any],
+                                 image_size: int = 256,
+                                 window_size: int = 16):
+    """Derive a DPTSwinConfig from an HF DPTForDepthEstimation (swinv2
+    backbone) state dict. ``window_size`` cannot be derived from the
+    weights (the CPB MLP is size-independent and the coords table is a
+    non-persistent buffer) — pass it from the checkpoint config
+    (tiny_256: 16; base/large_384: 24)."""
+    from trackiellm_tpu.models.dpt import DPTSwinConfig
+
+    embed_dim = int(np.asarray(
+        state["backbone.embeddings.patch_embeddings.projection.weight"]
+    ).shape[0])
+    patch = int(np.asarray(
+        state["backbone.embeddings.patch_embeddings.projection.weight"]
+    ).shape[2])
+    depths, heads = [], []
+    i = 0
+    while (f"backbone.encoder.layers.{i}.blocks.0."
+           "attention.self.logit_scale") in state:
+        j = 0
+        while (f"backbone.encoder.layers.{i}.blocks.{j}."
+               "attention.self.logit_scale") in state:
+            j += 1
+        depths.append(j)
+        heads.append(int(np.asarray(
+            state[f"backbone.encoder.layers.{i}.blocks.0."
+                  "attention.self.logit_scale"]).shape[0]))
+        i += 1
+    dim0 = embed_dim
+    mid0 = int(np.asarray(
+        state["backbone.encoder.layers.0.blocks.0."
+              "intermediate.dense.weight"]).shape[0])
+    fusion = int(np.asarray(state["neck.convs.0.weight"]).shape[0])
+    return DPTSwinConfig(
+        image_size=image_size, patch_size=patch, embed_dim=embed_dim,
+        depths=tuple(depths), num_heads=tuple(heads),
+        window_size=window_size, mlp_ratio=mid0 / dim0,
+        fusion_hidden=fusion)
+
+
+def dpt_swinv2_from_torch(state: Dict[str, Any], image_size: int = 256,
+                          window_size: int = 16):
+    """HF ``DPTForDepthEstimation`` (Swinv2 backbone — the class that
+    loads Intel/dpt-swinv2-tiny-256 = MiDaS 3.1 dpt_swin2_tiny_256;
+    reference model set src/cortex/tk_cortex_main.h:70-76) state dict
+    -> (params, DPTSwinConfig) for models/dpt.dpt_forward.
+
+    Name map (HF -> tree): backbone.embeddings.* -> patch_embed /
+    embed_norm; backbone.encoder.layers.{i}.blocks.{j}.* -> stages[i]
+    .blocks[j] (q/k/v/o, CPB MLP, logit_scale, post-norms, MLP);
+    .downsample.* -> stages[i].merge; neck.convs.{i} -> neck_convs;
+    neck.fusion_stage.layers.{i} -> fusion[i] (layer 0's unused
+    residual_layer1 is skipped); head.head.{0,2,4} -> head1..3.
+    """
+    state = {k: v for k, v in state.items()}
+    cfg = dpt_swinv2_config_from_torch(state, image_size, window_size)
+
+    def ln(prefix):
+        return {"g": jnp.asarray(np.asarray(state[f"{prefix}.weight"],
+                                            np.float32)),
+                "b": jnp.asarray(np.asarray(state[f"{prefix}.bias"],
+                                            np.float32))}
+
+    stages = []
+    for i in range(len(cfg.depths)):
+        blocks = []
+        for j in range(cfg.depths[i]):
+            pre = f"backbone.encoder.layers.{i}.blocks.{j}"
+            att = f"{pre}.attention.self"
+            q = _lin(state, f"{att}.query")
+            v = _lin(state, f"{att}.value")
+            kw = jnp.asarray(np.asarray(state[f"{att}.key.weight"],
+                                        np.float32).T)
+            o = _lin(state, f"{pre}.attention.output.dense")
+            wi = _lin(state, f"{pre}.intermediate.dense")
+            wp = _lin(state, f"{pre}.output.dense")
+            cpb0 = _lin(state, f"{att}.continuous_position_bias_mlp.0")
+            cpb1w = jnp.asarray(np.asarray(
+                state[f"{att}.continuous_position_bias_mlp.2.weight"],
+                np.float32).T)
+            blocks.append({
+                "wq": q["w"], "bq": q["b"], "wk": kw,
+                "wv": v["w"], "bv": v["b"], "wo": o["w"], "bo": o["b"],
+                "wi": wi["w"], "bi": wi["b"],
+                "wp": wp["w"], "bp": wp["b"],
+                "ln1": ln(f"{pre}.layernorm_before"),
+                "ln2": ln(f"{pre}.layernorm_after"),
+                "logit_scale": jnp.asarray(np.asarray(
+                    state[f"{att}.logit_scale"], np.float32)),
+                "cpb": {"w0": cpb0["w"], "b0": cpb0["b"], "w1": cpb1w},
+            })
+        stage: Dict[str, Any] = {"blocks": blocks}
+        red = f"backbone.encoder.layers.{i}.downsample.reduction.weight"
+        if red in state:
+            stage["merge"] = {
+                "w": jnp.asarray(np.asarray(state[red], np.float32).T),
+                "norm": ln(f"backbone.encoder.layers.{i}"
+                           ".downsample.norm"),
+            }
+        stages.append(stage)
+
+    def rcu(prefix):
+        return {"c1": _conv2d(state, f"{prefix}.convolution1"),
+                "c2": _conv2d(state, f"{prefix}.convolution2")}
+
+    fusion = []
+    for i in range(len(cfg.depths)):
+        pre = f"neck.fusion_stage.layers.{i}"
+        p = {"rcu2": rcu(f"{pre}.residual_layer2"),
+             "out": _conv2d(state, f"{pre}.projection")}
+        if i > 0:  # layer 0 never receives a residual (oracle skips it)
+            p["rcu1"] = rcu(f"{pre}.residual_layer1")
+        fusion.append(p)
+
+    params = {
+        "patch_embed": _conv2d(
+            state, "backbone.embeddings.patch_embeddings.projection"),
+        "embed_norm": ln("backbone.embeddings.norm"),
+        "stages": stages,
+        "neck_convs": [_conv2d_nb(state, f"neck.convs.{i}.weight")
+                       for i in range(len(cfg.depths))],
+        "fusion": fusion,
+        "head1": _conv2d(state, "head.head.0"),
+        "head2": _conv2d(state, "head.head.2"),
+        "head3": _conv2d(state, "head.head.4"),
+    }
+    return params, cfg
+
+
+# --- BERT-family embedder (HF BertModel / llama.cpp bert GGUF) -------------
+
+def bert_from_hf(state: Dict[str, Any], pooling: str = "mean"):
+    """``transformers.BertModel`` state dict (optionally "bert."-
+    prefixed, e.g. a BertForMaskedLM dump) -> (params, EmbedderConfig)
+    for models/embedder. Covers the sentence-transformers zoo
+    (all-MiniLM, BGE, GTE small/base — llama.cpp's `bert` arch,
+    the `llama-embedding` model family)."""
+    from trackiellm_tpu.models.embedder import EmbedderConfig
+
+    if "bert.embeddings.word_embeddings.weight" in state:
+        state = {k[len("bert."):]: v for k, v in state.items()
+                 if k.startswith("bert.")}
+
+    def A(name):
+        return np.asarray(state[name], np.float32)
+
+    word = A("embeddings.word_embeddings.weight")
+    pos = A("embeddings.position_embeddings.weight")
+    typ = A("embeddings.token_type_embeddings.weight")
+    n_layers = 0
+    while f"encoder.layer.{n_layers}.attention.self.query.weight" in state:
+        n_layers += 1
+    hidden = word.shape[1]
+    inter = int(A("encoder.layer.0.intermediate.dense.weight").shape[0])
+
+    # Head count is not in the weights; every published BERT uses
+    # hidden/64 heads (MiniLM 384/12 included) unless overridden.
+    n_heads = max(1, hidden // 64)
+
+    L: Dict[str, list] = {k: [] for k in (
+        "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+        "attn_norm_g", "attn_norm_b", "wi", "bi", "wd", "bd",
+        "out_norm_g", "out_norm_b")}
+    for i in range(n_layers):
+        pre = f"encoder.layer.{i}"
+        for short, name in (("q", "attention.self.query"),
+                            ("k", "attention.self.key"),
+                            ("v", "attention.self.value")):
+            L[f"w{short}"].append(A(f"{pre}.{name}.weight").T)
+            L[f"b{short}"].append(A(f"{pre}.{name}.bias"))
+        L["wo"].append(A(f"{pre}.attention.output.dense.weight").T)
+        L["bo"].append(A(f"{pre}.attention.output.dense.bias"))
+        L["attn_norm_g"].append(A(f"{pre}.attention.output.LayerNorm.weight"))
+        L["attn_norm_b"].append(A(f"{pre}.attention.output.LayerNorm.bias"))
+        L["wi"].append(A(f"{pre}.intermediate.dense.weight").T)
+        L["bi"].append(A(f"{pre}.intermediate.dense.bias"))
+        L["wd"].append(A(f"{pre}.output.dense.weight").T)
+        L["bd"].append(A(f"{pre}.output.dense.bias"))
+        L["out_norm_g"].append(A(f"{pre}.output.LayerNorm.weight"))
+        L["out_norm_b"].append(A(f"{pre}.output.LayerNorm.bias"))
+
+    cfg = EmbedderConfig(
+        vocab_size=word.shape[0], hidden=hidden, n_layers=n_layers,
+        n_heads=n_heads, intermediate=inter, max_pos=pos.shape[0],
+        type_vocab=typ.shape[0], pooling=pooling)
+    params = {
+        "word_emb": jnp.asarray(word),
+        "pos_emb": jnp.asarray(pos),
+        "type_emb": jnp.asarray(typ),
+        "emb_norm": {"g": jnp.asarray(A("embeddings.LayerNorm.weight")),
+                     "b": jnp.asarray(A("embeddings.LayerNorm.bias"))},
+        "layers": {k: jnp.asarray(np.stack(v)) for k, v in L.items()},
+        "pooler": ({"w": jnp.asarray(A("pooler.dense.weight").T),
+                    "b": jnp.asarray(A("pooler.dense.bias"))}
+                   if "pooler.dense.weight" in state else
+                   {"w": jnp.eye(hidden, dtype=jnp.float32),
+                    "b": jnp.zeros((hidden,), jnp.float32)}),
+    }
+    return params, cfg
+
+
+def gguf_to_bert_params(path: str, pooling: Optional[str] = None):
+    """llama.cpp ``bert``-architecture GGUF (all-MiniLM/BGE embedding
+    checkpoints, `llama-embedding`) -> (params, EmbedderConfig,
+    WordPieceTokenizer|None).
+
+    Tensor names (llama.cpp constants): token_embd / token_types /
+    position_embd / token_embd_norm, blk.{i}.attn_{q,k,v,output}(+bias),
+    attn_output_norm, ffn_{up,down}(+bias), layer_output_norm.
+    Pooling comes from ``{arch}.pooling_type`` (1=mean, 2=cls) unless
+    overridden."""
+    from trackiellm_tpu.models.embedder import EmbedderConfig
+
+    gguf = read_gguf_header(path)
+    md = gguf.metadata
+    arch = gguf.architecture or "bert"
+
+    def get(key, default=None):
+        return md.get(f"{arch}.{key}", default)
+
+    hidden = int(get("embedding_length"))
+    n_layers = int(get("block_count"))
+    n_heads = int(get("attention.head_count", max(1, hidden // 64)))
+    inter = int(get("feed_forward_length"))
+    eps = float(get("attention.layer_norm_epsilon", 1e-12))
+    max_pos = int(get("context_length", 512))
+    if pooling is None:
+        pooling = {1: "mean", 2: "cls"}.get(
+            int(md.get(f"{arch}.pooling_type", 1) or 1), "mean")
+
+    def T(name):
+        return np.asarray(load_gguf_tensor(gguf, name), np.float32)
+
+    def opt(name, shape):
+        try:
+            return T(name)
+        except Exception:
+            return np.zeros(shape, np.float32)
+
+    word = T("token_embd.weight")
+    L: Dict[str, list] = {k: [] for k in (
+        "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+        "attn_norm_g", "attn_norm_b", "wi", "bi", "wd", "bd",
+        "out_norm_g", "out_norm_b")}
+    for i in range(n_layers):
+        pre = f"blk.{i}"
+        for short, name in (("q", "attn_q"), ("k", "attn_k"),
+                            ("v", "attn_v")):
+            L[f"w{short}"].append(T(f"{pre}.{name}.weight").T)
+            L[f"b{short}"].append(opt(f"{pre}.{name}.bias", (hidden,)))
+        L["wo"].append(T(f"{pre}.attn_output.weight").T)
+        L["bo"].append(opt(f"{pre}.attn_output.bias", (hidden,)))
+        L["attn_norm_g"].append(T(f"{pre}.attn_output_norm.weight"))
+        L["attn_norm_b"].append(T(f"{pre}.attn_output_norm.bias"))
+        L["wi"].append(T(f"{pre}.ffn_up.weight").T)
+        L["bi"].append(opt(f"{pre}.ffn_up.bias", (inter,)))
+        L["wd"].append(T(f"{pre}.ffn_down.weight").T)
+        L["bd"].append(opt(f"{pre}.ffn_down.bias", (hidden,)))
+        L["out_norm_g"].append(T(f"{pre}.layer_output_norm.weight"))
+        L["out_norm_b"].append(T(f"{pre}.layer_output_norm.bias"))
+
+    typ = opt("token_types.weight", (2, hidden))
+    cfg = EmbedderConfig(
+        vocab_size=word.shape[0], hidden=hidden, n_layers=n_layers,
+        n_heads=n_heads, intermediate=inter, max_pos=max_pos,
+        type_vocab=typ.shape[0], eps=eps, pooling=pooling)
+    params = {
+        "word_emb": jnp.asarray(word),
+        "pos_emb": jnp.asarray(T("position_embd.weight")),
+        "type_emb": jnp.asarray(typ),
+        "emb_norm": {"g": jnp.asarray(T("token_embd_norm.weight")),
+                     "b": jnp.asarray(T("token_embd_norm.bias"))},
+        "layers": {k: jnp.asarray(np.stack(v)) for k, v in L.items()},
+        "pooler": {"w": jnp.eye(hidden, dtype=jnp.float32),
+                   "b": jnp.zeros((hidden,), jnp.float32)},
+    }
+    tokenizer = None
+    if md.get("tokenizer.ggml.model") == "bert" and \
+            md.get("tokenizer.ggml.tokens"):
+        from trackiellm_tpu.llm.tokenizer import WordPieceTokenizer
+
+        def mi(key, alt=None):
+            v = md.get(key, md.get(alt) if alt else None)
+            return None if v is None else int(v)
+
+        tokenizer = WordPieceTokenizer(
+            list(md["tokenizer.ggml.tokens"]),
+            unk_id=mi("tokenizer.ggml.unknown_token_id"),
+            cls_id=mi("tokenizer.ggml.cls_token_id",
+                      "tokenizer.ggml.bos_token_id"),
+            sep_id=mi("tokenizer.ggml.seperator_token_id",
+                      "tokenizer.ggml.eos_token_id"),
+            pad_id=mi("tokenizer.ggml.padding_token_id"))
+    return params, cfg, tokenizer

@@ -100,3 +100,18 @@ def imagenet_normalize_chw(
     std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
     normed = (resized - mean) / std
     return jnp.transpose(normed, (2, 0, 1)).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("target_h", "target_w", "out_dtype"))
+def dpt_normalize_chw(
+    image_u8: jnp.ndarray,
+    target_h: int = 256,
+    target_w: int = 256,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Resize (no letterbox) + (x-0.5)/0.5 normalize + HWC->CHW: the DPT
+    image-processor statistics the DPT-SwinV2 checkpoints were trained
+    under (models/dpt.py DPT_MEAN/DPT_STD) — NOT ImageNet stats."""
+    resized = _bilinear_resize(image_u8, target_h, target_w) * (1.0 / 255.0)
+    normed = (resized - 0.5) / 0.5
+    return jnp.transpose(normed, (2, 0, 1)).astype(out_dtype)

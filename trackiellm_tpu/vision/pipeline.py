@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from trackiellm_tpu.models.detector import COCO_LABELS
 from trackiellm_tpu.ops.nms import boxes_to_original, decode_and_nms
 from trackiellm_tpu.ops.preprocess import (
+    dpt_normalize_chw,
     imagenet_normalize_chw,
     letterbox_preprocess,
 )
@@ -72,6 +73,11 @@ class VisionConfig:
     max_objects: int = 20
     detector_input: int = 640
     depth_input: int = 384
+    # Depth-model input statistics: "imagenet" for MiDaS v2.1-small
+    # (tk_depth_midas.c:377-389), "dpt" ((x-0.5)/0.5) for the
+    # DPT-SwinV2 family (models/dpt.py) — set depth_input to the DPT
+    # config's image_size (256/384) when selecting it.
+    depth_preproc: str = "imagenet"
     min_depth_m: float = 0.3
     max_depth_m: float = 10.0
     labels: Tuple[str, ...] = COCO_LABELS
@@ -239,8 +245,11 @@ class VisionPipeline:
         if flags & AnalysisFlags.DEPTH and self.depth_fn is not None:
             t0 = time.perf_counter()
             try:
-                chw = imagenet_normalize_chw(frame, cfg.depth_input,
-                                             cfg.depth_input)
+                depth_norm = (dpt_normalize_chw
+                              if cfg.depth_preproc == "dpt"
+                              else imagenet_normalize_chw)
+                chw = depth_norm(frame, cfg.depth_input,
+                                 cfg.depth_input)
                 rel = self.depth_fn(chw)
                 depth_dev = relative_to_metric(rel, cfg.min_depth_m,
                                                cfg.max_depth_m)
