@@ -318,3 +318,64 @@ class TestSemanticMemory:
 
         again = MemoryManager(store_path=store, embed_fn=embed_fn)
         assert again.fragments[0].embedding is not None
+
+
+class TestReranker:
+    def test_rank_matches_sequence_classification_oracle(self):
+        """rank_forward == BertForSequenceClassification(num_labels=1)
+        logits (llama.cpp RANK pooling: cls dense + tanh + cls.output),
+        with real segment ids on the pair."""
+        from transformers import BertConfig, BertForSequenceClassification
+
+        cfg_t = BertConfig(
+            vocab_size=128, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=64, type_vocab_size=2,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            num_labels=1, classifier_dropout=0.0)
+        torch.manual_seed(7)
+        model = BertForSequenceClassification(cfg_t).eval()
+        with torch.no_grad():
+            for p in model.parameters():
+                p.copy_(torch.randn_like(p) * 0.2)
+        state = {k: v.numpy() for k, v in model.state_dict().items()}
+        params, cfg = convert.bert_from_hf(state)
+        cfg = cfg._replace(n_heads=4)
+        assert "cls_out" in params
+
+        rng = np.random.default_rng(5)
+        ids = rng.integers(0, 128, (2, 12)).astype(np.int64)
+        types = np.zeros((2, 12), np.int64)
+        types[:, 6:] = 1
+        mask = np.ones((2, 12), np.int64)
+        with torch.no_grad():
+            want = model(input_ids=torch.from_numpy(ids),
+                         attention_mask=torch.from_numpy(mask),
+                         token_type_ids=torch.from_numpy(types)
+                         ).logits[:, 0].numpy()
+        from trackiellm_tpu.models.embedder import rank_forward
+
+        got = np.asarray(rank_forward(
+            params, cfg, jnp.asarray(ids, jnp.int32),
+            jnp.asarray(mask, jnp.int32), jnp.asarray(types, jnp.int32)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_host_rank_api(self):
+        """Embedder.rank builds [CLS] q [SEP] d [SEP] pairs with
+        segment ids and returns one score per doc; embedding-only
+        checkpoints refuse clearly."""
+        cfg = EmbedderConfig(vocab_size=len(TestWordPiece.VOCAB),
+                             hidden=32, n_layers=2, n_heads=4,
+                             intermediate=64, max_pos=64)
+        params = init_embedder(jax.random.PRNGKey(0), cfg)
+        tok = WordPieceTokenizer(TestWordPiece.VOCAB)
+        emb = Embedder(params, cfg, tok)
+        with pytest.raises(ValueError):
+            emb.rank("the cat", ["the mat"])
+        params["cls_out"] = {
+            "w": jnp.ones((32, 1), jnp.float32) * 0.1,
+            "b": jnp.zeros((1,), jnp.float32)}
+        scores = emb.rank("the cat", ["the cat sat", "running!",
+                                      "unaffable mats"])
+        assert scores.shape == (3,)
+        assert np.all(np.isfinite(scores))

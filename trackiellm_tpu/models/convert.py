@@ -2855,8 +2855,11 @@ def bert_from_hf(state: Dict[str, Any], pooling: str = "mean"):
     from trackiellm_tpu.models.embedder import EmbedderConfig
 
     if "bert.embeddings.word_embeddings.weight" in state:
-        state = {k[len("bert."):]: v for k, v in state.items()
-                 if k.startswith("bert.")}
+        # BertForSequenceClassification/MaskedLM dump: strip the
+        # "bert." prefix but keep the top-level classifier head (the
+        # reranker score head).
+        state = {(k[len("bert."):] if k.startswith("bert.") else k): v
+                 for k, v in state.items()}
 
     def A(name):
         return np.asarray(state[name], np.float32)
@@ -2913,6 +2916,12 @@ def bert_from_hf(state: Dict[str, Any], pooling: str = "mean"):
                    {"w": jnp.eye(hidden, dtype=jnp.float32),
                     "b": jnp.zeros((hidden,), jnp.float32)}),
     }
+    if "classifier.weight" in state:
+        # Reranker / sequence-classification head: scores come from
+        # classifier(pooler(CLS)) — llama.cpp's cls.output.
+        params["cls_out"] = {
+            "w": jnp.asarray(A("classifier.weight").T),
+            "b": jnp.asarray(A("classifier.bias"))}
     return params, cfg
 
 
@@ -2991,6 +3000,14 @@ def gguf_to_bert_params(path: str, pooling: Optional[str] = None):
         "pooler": {"w": jnp.eye(hidden, dtype=jnp.float32),
                    "b": jnp.zeros((hidden,), jnp.float32)},
     }
+    try:  # reranker checkpoints: cls dense (tanh) + cls.output score
+        pooler = {"w": jnp.asarray(T("cls.weight").T),
+                  "b": jnp.asarray(T("cls.bias"))}
+        cls_out = {"w": jnp.asarray(T("cls.output.weight").T),
+                   "b": jnp.asarray(T("cls.output.bias"))}
+        params["pooler"], params["cls_out"] = pooler, cls_out
+    except Exception:
+        pass  # plain embedding checkpoint: no rank head
     tokenizer = None
     if md.get("tokenizer.ggml.model") == "bert" and \
             md.get("tokenizer.ggml.tokens"):

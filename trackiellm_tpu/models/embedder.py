@@ -104,16 +104,22 @@ def init_embedder(key: jax.Array, cfg: EmbedderConfig,
 
 
 def encoder_forward(params: Dict[str, Any], cfg: EmbedderConfig,
-                    ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+                    ids: jnp.ndarray, mask: jnp.ndarray,
+                    type_ids: jnp.ndarray = None) -> jnp.ndarray:
     """(B, T) int32 ids + (B, T) {0,1} mask -> (B, T, H) hidden states.
-    Bidirectional attention; padded positions receive -inf logits."""
+    Bidirectional attention; padded positions receive -inf logits.
+    ``type_ids`` (segment ids, pair inputs for reranking) default 0."""
     b, t = ids.shape
     h, nh = cfg.hidden, cfg.n_heads
     hd = h // nh
 
+    if type_ids is None:
+        type_emb = params["type_emb"][0][None, None]
+    else:
+        type_emb = params["type_emb"][type_ids]
     x = (params["word_emb"][ids]
          + params["pos_emb"][:t][None]
-         + params["type_emb"][0][None, None])
+         + type_emb)
     x = _ln(x, params["emb_norm"]["g"], params["emb_norm"]["b"], cfg.eps)
 
     neg = jnp.asarray(-1e9, jnp.float32)
@@ -160,6 +166,23 @@ def embed_forward(params: Dict[str, Any], cfg: EmbedderConfig,
     norm = jnp.linalg.norm(pooled.astype(jnp.float32), axis=-1,
                            keepdims=True)
     return (pooled / jnp.maximum(norm, 1e-12)).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rank_forward(params: Dict[str, Any], cfg: EmbedderConfig,
+                 ids: jnp.ndarray, mask: jnp.ndarray,
+                 type_ids: jnp.ndarray) -> jnp.ndarray:
+    """Cross-encoder reranking: (B, T) [CLS] query [SEP] doc [SEP]
+    pairs (segment ids 0/1) -> (B,) relevance scores.
+
+    llama.cpp's RANK pooling over the bert arch (cls dense + tanh +
+    cls.output) = HF BertForSequenceClassification(num_labels=1):
+    classifier(pooler(CLS))."""
+    hidden = encoder_forward(params, cfg, ids, mask, type_ids)
+    pooled = jnp.tanh(hidden[:, 0] @ params["pooler"]["w"]
+                      + params["pooler"]["b"])
+    out = params["cls_out"]
+    return (pooled @ out["w"] + out["b"])[:, 0].astype(jnp.float32)
 
 
 # Static (batch, length) buckets so ragged workloads hit a handful of
@@ -216,6 +239,36 @@ class Embedder:
             mask[i, :len(row)] = 1
         out = embed_forward(self.params, self.cfg, jnp.asarray(ids),
                             jnp.asarray(mask))
+        return np.asarray(out)[:n]
+
+    def rank(self, query: str, docs: Sequence[str]) -> np.ndarray:
+        """Cross-encode (query, doc) pairs -> (len(docs),) relevance
+        scores (requires a checkpoint with the cls head — rerankers)."""
+        if "cls_out" not in self.params:
+            raise ValueError("checkpoint has no reranking head "
+                             "(cls.output tensors absent)")
+        tok = self.tokenizer
+        q = tok.encode(query)
+        n = len(docs)
+        rows, types = [], []
+        for d in docs:
+            di = tok.encode(d)
+            ids = [tok.cls_id] + q + [tok.sep_id] + di + [tok.sep_id]
+            tys = [0] * (len(q) + 2) + [1] * (len(di) + 1)
+            cap = min(self.cfg.max_pos, _LEN_BUCKETS[-1])
+            rows.append(ids[:cap])
+            types.append(tys[:cap])
+        t = _bucket(max(len(r) for r in rows), _LEN_BUCKETS)
+        bb = _bucket(n, _BATCH_BUCKETS)
+        ids = np.zeros((bb, t), np.int32)
+        mask = np.zeros((bb, t), np.int32)
+        tys = np.zeros((bb, t), np.int32)
+        for i, (row, ty) in enumerate(zip(rows, types)):
+            ids[i, :len(row)] = row[:t]
+            mask[i, :len(row)] = 1
+            tys[i, :len(row)] = ty[:t]
+        out = rank_forward(self.params, self.cfg, jnp.asarray(ids),
+                           jnp.asarray(mask), jnp.asarray(tys))
         return np.asarray(out)[:n]
 
 
