@@ -379,3 +379,32 @@ class TestReranker:
                                       "unaffable mats"])
         assert scores.shape == (3,)
         assert np.all(np.isfinite(scores))
+
+
+class TestAppWiring:
+    def test_app_memory_uses_embedder(self):
+        """TrackieApp(embed_fn=...) routes memory embedding through the
+        shared scheduler (OTHER priority) into MemoryManager."""
+        from trackiellm_tpu.app import TrackieApp
+
+        calls = []
+
+        def embed_fn(texts):
+            calls.append(list(texts))
+            out = []
+            for t in texts:
+                rng = np.random.default_rng(abs(hash(t)) % (2 ** 31))
+                v = rng.standard_normal(4).astype(np.float32)
+                out.append(v / np.linalg.norm(v))
+            return np.stack(out)
+
+        app = TrackieApp(embed_fn=embed_fn)
+        try:
+            app.memory.archive("o usuario gosta de cafe")
+            got = app.memory.retrieve_relevant(
+                "o usuario gosta de cafe", top_k=1)
+            assert got and got[0].embedding is not None
+            assert calls  # went through the wrapper
+        finally:
+            if hasattr(app, "shutdown"):
+                app.shutdown()

@@ -312,3 +312,46 @@ class TestTTSParity:
         # 16-bit wav quantization bounds the self-distance.
         assert res["mel_l1"] < 0.02
         assert abs(res["duration_ratio"] - 1.0) < 1e-6
+
+
+class TestEmbedParity:
+    def test_missing_checkpoint(self):
+        proc = _run(["tools/parity_embed.py",
+                     "--checkpoint", "/nope/minilm.pt",
+                     "--texts", "/nope/s.txt"], expect_ok=False)
+        assert proc.returncode == 2
+        assert "not found" in proc.stderr
+
+    def test_self_parity(self, tmp_path, capsys):
+        sys.path.insert(0, REPO)
+        from tests.test_embedder import TestWordPiece, _oracle
+
+        model = _oracle(seed=9)
+        ckpt = str(tmp_path / "bert.npz")
+        np.savez(ckpt, **{k: v.numpy()
+                          for k, v in model.state_dict().items()})
+        vocab = TestWordPiece.VOCAB + [
+            f"w{i}" for i in range(128 - len(TestWordPiece.VOCAB))]
+        vpath = str(tmp_path / "vocab.txt")
+        open(vpath, "w").write("\n".join(vocab))
+        tpath = str(tmp_path / "texts.txt")
+        open(tpath, "w").write(
+            "the cat sat\nrunning on mats\nunaffable!\nthe 99 cats\n")
+
+        out = str(tmp_path / "emb.npy")
+        dump = _run_main("tools.parity_embed",
+                         ["--checkpoint", ckpt, "--vocab", vpath,
+                          "--texts", tpath, "--out", out,
+                          "--no-record"], capsys)
+        assert dump["texts"] == 4 and os.path.exists(out)
+
+        # NOTE: the tiny oracle has 4 heads (128/64 rule would give 2);
+        # self-parity compares the tool against itself, so the head
+        # inference is consistent either way.
+        res = _run_main("tools.parity_embed",
+                        ["--checkpoint", ckpt, "--vocab", vpath,
+                         "--texts", tpath, "--expected", out,
+                         "--no-record"], capsys)
+        assert res["mean_cosine"] > 0.999999
+        assert res["top1_agreement"] == 1.0
+        assert res["pass"]

@@ -73,7 +73,7 @@ class TrackieApp:
         sources: Optional[AppSources] = None,
         detector_fn=None, depth_fn=None, ocr_fn=None,
         vad_fn=None, asr_fn=None, tts_fn=None, wake_fn=None, sound_fn=None,
-        tts_stream_fn=None,
+        tts_stream_fn=None, embed_fn=None,
         streaming_asr=False,
         llm_runner=None,
         on_spoken_audio: Optional[Callable] = None,
@@ -92,8 +92,15 @@ class TrackieApp:
         self.scheduler = InferenceScheduler(
             focus_max_stale_s=cfg.get_float("scheduler.focus_stale_s",
                                             2.0))
+        # Optional semantic memory (models/embedder.Embedder.embed):
+        # retrieval becomes cosine similarity; embedding runs as an
+        # OTHER-priority job so it never contends with the reply path.
+        sched0 = self.scheduler
         self.memory = MemoryManager(
-            store_path=cfg.get_string("memory.path", "") or None)
+            store_path=cfg.get_string("memory.path", "") or None,
+            embed_fn=(None if embed_fn is None else
+                      (lambda texts: sched0.run(JobKind.OTHER, embed_fn,
+                                                texts))))
         self.sensors = SensorFusion()
         self.navigation = NavigationEngine()
 
