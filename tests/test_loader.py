@@ -384,6 +384,33 @@ class TestGGUF:
                     y[128 * n + 96 + l] = d * sc[8 * n + is_ + 6] * q4
             return y
 
+        kv = [-127, -104, -83, -65, -49, -35, -22, -10,
+              1, 13, 25, 38, 53, 69, 89, 113]  # kvalues_iq4nl
+
+        def ref_iq4_nl(b):
+            d = f16(b[0:2])
+            y = np.zeros(32)
+            for j in range(16):
+                y[j] = d * kv[b[2 + j] & 0xF]
+                y[j + 16] = d * kv[b[2 + j] >> 4]
+            return y
+
+        def ref_iq4_xs(b):
+            d = f16(b[0:2])
+            scales_h = int(np.frombuffer(bytes(b[2:4]), np.uint16)[0])
+            scales_l, qs = b[4:8], b[8:136]
+            y = np.zeros(256)
+            for ib in range(8):
+                # int() everywhere: np.uint8 wraps on the -32 below
+                ls = (int(scales_l[ib // 2] >> (4 * (ib % 2))) & 0xF) \
+                    | (((scales_h >> (2 * ib)) & 3) << 4)
+                dl = d * (ls - 32)
+                for j in range(16):
+                    q = qs[16 * ib + j]
+                    y[32 * ib + j] = dl * kv[q & 0xF]
+                    y[32 * ib + 16 + j] = dl * kv[q >> 4]
+            return y
+
         # (vectorized fn, scalar ref, bytes/block, elems/block,
         #  offsets of f16 scale fields to overwrite with finite values —
         #  random bytes can form inf/nan halves, which never compare).
@@ -396,6 +423,8 @@ class TestGGUF:
             (L._dequant_q4_k, ref_q4_k, 144, 256, (0, 2)),
             (L._dequant_q5_k, ref_q5_k, 176, 256, (0, 2)),
             (L._dequant_q6_k, ref_q6_k, 210, 256, (208,)),
+            (L._dequant_iq4_nl, ref_iq4_nl, 18, 32, (0,)),
+            (L._dequant_iq4_xs, ref_iq4_xs, 136, 256, (0,)),
         ]
         for vec_fn, ref_fn, block_bytes, per_block, f16_offs in cases:
             n_blocks = 5

@@ -11,7 +11,7 @@ entry points (:1188-1355).
 TPU design: models are parameter pytrees, so "loading" means parsing a
 checkpoint container into numpy/JAX arrays. The GGUF reader is complete
 and self-contained (header, kv metadata, tensor directory, F32/F16/
-Q8_0/Q4_0/Q4_1/Q5_0/Q5_1/Q2_K/Q3_K/Q4_K/Q5_K/Q6_K tensor data (the
+Q8_0/Q4_0/Q4_1/Q5_0/Q5_1/Q2_K..Q6_K/IQ4_NL/IQ4_XS tensor data (the
 full set published llama.cpp releases ship, incl. the Q4_K_M / Q5_K_M /
 Q3_K_M / Q2_K mixes) with dequantization or native requantization into
 :class:`trackiellm_tpu.ops.quant.QuantizedLinear` layout) — no llama.cpp.
@@ -107,6 +107,10 @@ GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q8_0 = 0, 1, 2, 8
 GGML_Q4_1, GGML_Q5_0, GGML_Q5_1 = 3, 6, 7
 GGML_Q2_K, GGML_Q3_K = 10, 11
 GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
+# I-quants (ggml.h): the 4-bit codebook pair ships widely as IQ4_XS /
+# IQ4_NL mixes; the sub-4-bit grid codebooks (IQ1/IQ2/IQ3) do not map
+# to this framework's kernels and stay unsupported.
+GGML_IQ4_NL, GGML_IQ4_XS = 20, 23
 
 
 @dataclasses.dataclass
@@ -419,6 +423,49 @@ def _dequant_q6_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
     return out.reshape(-1)[:n_elems]
 
 
+# The IQ4 nonlinear 4-bit codebook (ggml-quants.c kvalues_iq4nl).
+_IQ4NL_KVALUES = np.asarray(
+    [-127, -104, -83, -65, -49, -35, -22, -10,
+     1, 13, 25, 38, 53, 69, 89, 113], np.float32)
+
+
+def _dequant_iq4_nl(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF IQ4_NL: 18-byte blocks of 32 = f16 d + 16 packed bytes of
+    4-bit CODEBOOK INDICES (nonlinear kvalues table, not linear
+    levels). x = d * kvalues[q]; low nibbles are elements 0-15, high
+    16-31 (dequantize_row_iq4_nl)."""
+    blocks = raw.reshape(-1, 18)
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    qs = blocks[:, 2:18]
+    lo = _IQ4NL_KVALUES[qs & 0xF]
+    hi = _IQ4NL_KVALUES[qs >> 4]
+    return (np.concatenate([lo, hi], axis=1) * d).reshape(-1)[:n_elems]
+
+
+def _dequant_iq4_xs(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """GGUF IQ4_XS: 136-byte super-blocks of 256 = f16 d + u16
+    scales_h + 4 bytes scales_l + 128 packed codebook indices. Eight
+    32-element sub-blocks; 6-bit scale ib = low nibble from scales_l
+    plus 2 bits from scales_h, minus 32: x = d*(ls-32)*kvalues[q]
+    (dequantize_row_iq4_xs)."""
+    blocks = raw.reshape(-1, 136)
+    nb = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    scales_h = blocks[:, 2:4].copy().view(np.uint16).astype(np.uint32)
+    scales_l = blocks[:, 4:8]
+    qs = blocks[:, 8:136]
+    out = np.empty((nb, 256), np.float32)
+    for ib in range(8):
+        ls = ((scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0xF).astype(
+            np.uint32) | (((scales_h[:, 0] >> (2 * ib)) & 3) << 4)
+        dl = d[:, 0] * (ls.astype(np.float32) - 32.0)
+        q = qs[:, 16 * ib:16 * ib + 16]
+        out[:, 32 * ib:32 * ib + 16] = dl[:, None] * _IQ4NL_KVALUES[q & 0xF]
+        out[:, 32 * ib + 16:32 * ib + 32] = dl[:, None] \
+            * _IQ4NL_KVALUES[q >> 4]
+    return out.reshape(-1)[:n_elems]
+
+
 # ggml_type -> (elements per block, bytes per block, dequantizer).
 _GGML_DEQUANT = {
     GGML_Q8_0: (32, 34, _dequant_q8_0),
@@ -431,6 +478,8 @@ _GGML_DEQUANT = {
     GGML_Q4_K: (256, 144, _dequant_q4_k),
     GGML_Q5_K: (256, 176, _dequant_q5_k),
     GGML_Q6_K: (256, 210, _dequant_q6_k),
+    GGML_IQ4_NL: (32, 18, _dequant_iq4_nl),
+    GGML_IQ4_XS: (256, 136, _dequant_iq4_xs),
 }
 
 

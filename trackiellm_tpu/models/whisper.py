@@ -42,6 +42,18 @@ class WhisperConfig(NamedTuple):
         return cls()
 
     @classmethod
+    def base(cls) -> "WhisperConfig":
+        """openai/whisper-base (d512/h8/6+6 layers)."""
+        return cls(d_model=512, n_heads=8, n_audio_layers=6,
+                   n_text_layers=6)
+
+    @classmethod
+    def small(cls) -> "WhisperConfig":
+        """openai/whisper-small (d768/h12/12+12 layers)."""
+        return cls(d_model=768, n_heads=12, n_audio_layers=12,
+                   n_text_layers=12)
+
+    @classmethod
     def test(cls) -> "WhisperConfig":
         return cls(n_mels=80, d_model=64, n_heads=2, n_audio_layers=2,
                    n_text_layers=2, n_audio_ctx=100, n_text_ctx=32,
