@@ -132,6 +132,17 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         # to qk_norm_full.
         qk_norm = False
         extra = dict(pre_norms=False, post_norms=True, qk_norm_full=True)
+    if arch in ("granite", "granitemoe"):
+        # Granite (llama.cpp LLM_ARCH_GRANITE): Llama-shaped + scalar
+        # multipliers in metadata. attention.scale IS the score scale
+        # -> query_pre_attn_scalar = scale**-2; residual_scale is the
+        # runtime knob; embedding/logit scales fold in
+        # gguf_to_llm_params.
+        extra = dict(residual_multiplier=float(
+            md.get(f"{arch}.residual_scale", 1.0)))
+        attn_scale = float(md.get(f"{arch}.attention.scale", 0.0) or 0.0)
+        if attn_scale:
+            extra["query_pre_attn_scalar"] = float(attn_scale ** -2)
     if arch == "smollm3":
         # SmolLM3 (llama.cpp LLM_ARCH_SMOLLM3): Llama-shaped with NoPE
         # every interval-th layer; llama.cpp hardcodes the published
@@ -455,6 +466,19 @@ def gguf_to_llm_params(
         # build_gemma2/3 do the same); fold it into tok_emb AFTER the
         # tied lm_head took the unscaled copy.
         tok_emb = tok_emb * float(np.sqrt(cfg.dim))
+    if (gguf.architecture or "llama") in ("granite", "granitemoe"):
+        # Granite's foldable multipliers (llama.cpp applies them at
+        # runtime: f_embedding_scale on inpL, f_logit_scale divides
+        # the final logits); same unscaled-tied-copy order as Gemma.
+        arch0 = gguf.architecture
+        emb_scale = float(gguf.metadata.get(
+            f"{arch0}.embedding_scale", 1.0) or 1.0)
+        logit_scale = float(gguf.metadata.get(
+            f"{arch0}.logit_scale", 1.0) or 1.0)
+        if emb_scale != 1.0:
+            tok_emb = tok_emb * emb_scale
+        if logit_scale != 1.0:
+            lm_head = lm_head / logit_scale
 
     layers: Dict[str, Any] = {
         "wqkv": stack(wqkv),
@@ -3026,3 +3050,87 @@ def gguf_to_bert_params(path: str, pooling: Optional[str] = None):
                       "tokenizer.ggml.eos_token_id"),
             pad_id=mi("tokenizer.ggml.padding_token_id"))
     return params, cfg, tokenizer
+
+
+# --- Granite (IBM granite-3.x — llama.cpp arch "granite") ------------------
+
+def granite_from_hf(
+    state: Dict[str, Any],
+    *,
+    embedding_multiplier: float = 12.0,
+    residual_multiplier: float = 0.22,
+    attention_multiplier: float = 0.0078125,
+    logits_scaling: float = 16.0,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 1e7,
+    head_dim: int = 0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers GraniteForCausalLM state dict to
+    (params, cfg).
+
+    Granite is Llama-shaped plus four scalar multipliers (muP-style,
+    configuration_granite.py; defaults = the published granite-3.x
+    values). Three of them FOLD here, so the runtime stays generic:
+    embedding_multiplier scales tok_emb (after the tied lm_head takes
+    the unscaled copy), logits_scaling divides lm_head, and
+    attention_multiplier becomes query_pre_attn_scalar =
+    attention_multiplier**-2 (GraniteAttention uses it AS the score
+    scale). Only residual_multiplier runs at inference (both branch
+    outputs scale before their residual adds,
+    GraniteDecoderLayer:288,294)."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.mlp.gate_proj.weight").shape[0]
+    # Granite keeps the Llama convention (q_proj square, head_dim =
+    # dim // n_heads), but head_dim isn't shape-derivable alone;
+    # published sizes use 128 (8B) / 64 (2B): try those unless given.
+    hd = head_dim
+    if not hd:
+        for hd in (128, 64, 8):
+            if q0.shape[0] % hd == 0 and k0.shape[0] % hd == 0 \
+                    and dim % hd == 0:
+                break
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq,
+        residual_multiplier=residual_multiplier,
+        query_pre_attn_scalar=float(attention_multiplier ** -2))
+
+    L = {"attn_norm": [], "wqkv": [], "wo": [], "mlp_norm": [],
+         "w_gu": [], "w_down": []}
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        L["mlp_norm"].append(A(f"{pre}.post_attention_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.weight").T
+             for p in ("q", "k", "v")], axis=1))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["w_gu"].append(np.concatenate(
+            [A(f"{pre}.mlp.gate_proj.weight").T,
+             A(f"{pre}.mlp.up_proj.weight").T], axis=1))
+        L["w_down"].append(A(f"{pre}.mlp.down_proj.weight").T)
+
+    lm_head = (A("lm_head.weight").T if "lm_head.weight" in state
+               else np.ascontiguousarray(emb.T))
+    params = {
+        "tok_emb": jnp.asarray(emb * embedding_multiplier, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(lm_head / logits_scaling, dtype),
+    }
+    return params, cfg

@@ -74,6 +74,15 @@ class LLMConfig(NamedTuple):
     attn_softcap: float = 0.0   # attention logit soft-capping (50.0)
     logit_softcap: float = 0.0  # final logit soft-capping (30.0)
     query_pre_attn_scalar: float = 0.0  # q scale = 1/sqrt(this); 0 = 1/sqrt(head_dim)
+    # Granite's runtime multiplier: BOTH branch outputs (attention and
+    # MLP/MoE) scale by this before their residual adds
+    # (GraniteDecoderLayer.residual_multiplier; llama.cpp
+    # f_residual_scale). Granite's other three published multipliers
+    # need no knob — they FOLD at conversion: embedding_multiplier
+    # into tok_emb (after the tied lm_head takes the unscaled copy),
+    # logits_scaling as a divisor into lm_head, attention_multiplier
+    # into query_pre_attn_scalar (= attention_multiplier**-2).
+    residual_multiplier: float = 1.0
     alt_window: bool = False    # sliding window on EVEN layers only
     # Gemma-3 layer-type pattern: every ``window_pattern``-th layer is
     # GLOBAL (li % pattern == pattern-1), the rest slide (transformers
@@ -214,6 +223,19 @@ class LLMConfig(NamedTuple):
                    rope_theta=1e6, max_seq=8192, sliding_window=8192,
                    qkv_bias=True, n_experts=60, n_experts_used=4,
                    moe_norm_topk=False, moe_shared_hidden=5632)
+
+    @classmethod
+    def granite3_8b(cls) -> "LLMConfig":
+        """IBM Granite-3.x-8B: Llama-shaped with the four scalar
+        multipliers (published config: embedding 12.0, residual 0.22,
+        attention 0.0078125, logits 16.0). The three foldable ones are
+        baked by the converters; only residual_multiplier is runtime.
+        attention_multiplier 0.0078125 = 1/128 -> qpas = 128**2."""
+        return cls(vocab_size=49155, dim=4096, n_layers=40, n_heads=32,
+                   n_kv_heads=8, head_dim=128, hidden_dim=12800,
+                   rope_theta=1e7, max_seq=8192, sliding_window=8192,
+                   residual_multiplier=0.22,
+                   query_pre_attn_scalar=float(128 ** 2))
 
     @classmethod
     def gemma2_2b(cls) -> "LLMConfig":
@@ -593,7 +615,8 @@ def _act_combine(gate: jnp.ndarray, up: jnp.ndarray, act: str,
 
 def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
                eps: float, act: str = "silu",
-               post_norm=None) -> jnp.ndarray:
+               post_norm=None,
+               residual_multiplier: float = 1.0) -> jnp.ndarray:
     """norm -> gate/up -> act(gate)*up -> down [-> post-norm] -> +residual.
 
     ``act``: "silu" (Llama/Mistral SwiGLU) or "gelu" (Gemma GeGLU,
@@ -609,7 +632,7 @@ def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
     from trackiellm_tpu.ops import fused
 
     if (x.ndim == 2 and act == "silu" and post_norm is None
-            and norm_scale is not None
+            and norm_scale is not None and residual_multiplier == 1.0
             and fused.use_fused_mlp() and fused._can_fuse(x, w_gu, w_down)):
         return fused.fused_mlp(x, norm_scale, w_gu, w_down, eps)
     # norm_scale None = OLMo-2 placement: the MLP consumes the residual
@@ -620,6 +643,8 @@ def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
     out = _linear(_act_combine(gate, up, act).astype(x.dtype), w_down)
     if post_norm is not None:
         out = _rms_norm(out, post_norm, eps)
+    if residual_multiplier != 1.0:
+        out = out * jnp.asarray(residual_multiplier, out.dtype)
     return x + out
 
 
@@ -790,6 +815,8 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
         out = (out + _moe_shared(h2, layer, cfg)).astype(x.dtype)
         if cfg.post_norms:
             out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
+        if cfg.residual_multiplier != 1.0:
+            out = out * jnp.asarray(cfg.residual_multiplier, out.dtype)
         return x + out
     weights = jnp.sum(
         jax.nn.one_hot(topi, cfg.n_experts, dtype=jnp.float32)
@@ -810,6 +837,8 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     out = out.astype(x.dtype)
     if cfg.post_norms:
         out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
+    if cfg.residual_multiplier != 1.0:
+        out = out * jnp.asarray(cfg.residual_multiplier, out.dtype)
     return x + out
 
 
@@ -820,7 +849,8 @@ def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     return _mlp_block(x, layer["mlp_norm"] if cfg.pre_norms else None,
                       layer["w_gu"],
                       layer["w_down"], cfg.norm_eps, act=cfg.act,
-                      post_norm=layer.get("mlp_post_norm"))
+                      post_norm=layer.get("mlp_post_norm"),
+                      residual_multiplier=cfg.residual_multiplier)
 
 
 def _attn_residual(x: jnp.ndarray, attn_out: jnp.ndarray, layer,
@@ -832,6 +862,8 @@ def _attn_residual(x: jnp.ndarray, attn_out: jnp.ndarray, layer,
         out = out + layer["wo_bias"]
     if cfg.post_norms:
         out = _rms_norm(out, layer["attn_post_norm"], cfg.norm_eps)
+    if cfg.residual_multiplier != 1.0:
+        out = out * jnp.asarray(cfg.residual_multiplier, out.dtype)
     return x + out
 
 
