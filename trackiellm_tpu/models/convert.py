@@ -143,6 +143,16 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         attn_scale = float(md.get(f"{arch}.attention.scale", 0.0) or 0.0)
         if attn_scale:
             extra["query_pre_attn_scalar"] = float(attn_scale ** -2)
+    if arch == "glm4":
+        # GLM-4 (llama.cpp LLM_ARCH_GLM4): sandwich norms (Gemma-2
+        # tensor names) + half-width INTERLEAVED rope (llama.cpp rope
+        # type NORM; rope.dimension_count carries the rotary width).
+        # The interleave itself is folded by gguf_to_llm_params via a
+        # q/k column permutation.
+        rot = int(md.get(f"{arch}.rope.dimension_count", head_dim // 2))
+        extra = dict(
+            post_norms="blk.0.post_attention_norm.weight" in gguf.tensors,
+            partial_rotary_factor=rot / head_dim)
     if arch == "smollm3":
         # SmolLM3 (llama.cpp LLM_ARCH_SMOLLM3): Llama-shaped with NoPE
         # every interval-th layer; llama.cpp hardcodes the published
@@ -377,6 +387,11 @@ def gguf_to_llm_params(
             values=jnp.stack([q.values for q in items]),
             scales=jnp.stack([q.scales for q in items]))
 
+    # GLM-4: fold the interleaved rope layout into the q/k column
+    # order (exact; see _deinterleave_rope_cols).
+    glm_rot = (int(cfg.head_dim * cfg.partial_rotary_factor)
+               if (gguf.architecture or "") == "glm4" else 0)
+
     wqkv, wo, w_gu, w_down = [], [], [], []
     attn_norm, mlp_norm = [], []
     attn_post_norm, mlp_post_norm = [], []
@@ -405,15 +420,29 @@ def gguf_to_llm_params(
             # wqkv layout).
             qkv = mat(f"{p}.attn_qkv.weight")
         else:
-            qkv = np.concatenate([mat(f"{p}.attn_q.weight"),
-                                  mat(f"{p}.attn_k.weight"),
+            q_w, k_w = mat(f"{p}.attn_q.weight"), mat(f"{p}.attn_k.weight")
+            if glm_rot:
+                # GLM-4: interleaved-rope -> split-half column fold.
+                q_w = _deinterleave_rope_cols(np.asarray(q_w), cfg.n_heads,
+                                              cfg.head_dim, glm_rot)
+                k_w = _deinterleave_rope_cols(np.asarray(k_w),
+                                              cfg.n_kv_heads,
+                                              cfg.head_dim, glm_rot)
+            qkv = np.concatenate([q_w, k_w,
                                   mat(f"{p}.attn_v.weight")], axis=1)
         if cfg.qkv_bias:
             # Qwen2-style projection biases, fused to match wqkv's
             # [q | k | v] column layout; biases stay high-precision
             # (llama.cpp never quantizes 1-D tensors either).
+            q_b = np.asarray(vec(f"{p}.attn_q.bias"))
+            k_b = np.asarray(vec(f"{p}.attn_k.bias"))
+            if glm_rot:
+                q_b = _deinterleave_rope_cols(q_b, cfg.n_heads,
+                                              cfg.head_dim, glm_rot)
+                k_b = _deinterleave_rope_cols(k_b, cfg.n_kv_heads,
+                                              cfg.head_dim, glm_rot)
             qkv_bias.append(jnp.concatenate([
-                vec(f"{p}.attn_q.bias"), vec(f"{p}.attn_k.bias"),
+                jnp.asarray(q_b), jnp.asarray(k_b),
                 vec(f"{p}.attn_v.bias")]))
         wqkv.append(maybe_quant(qkv))
         wo.append(maybe_quant(mat(f"{p}.attn_output.weight")))
@@ -3132,5 +3161,111 @@ def granite_from_hf(
                    for k, v in L.items()},
         "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
         "lm_head": jnp.asarray(lm_head / logits_scaling, dtype),
+    }
+    return params, cfg
+
+
+# --- GLM-4 (THUDM — llama.cpp arch "glm4") ----------------------------------
+
+def _deinterleave_rope_cols(w: np.ndarray, n_heads: int, head_dim: int,
+                            rotary_dim: int) -> np.ndarray:
+    """Permute a q/k projection from GLM's INTERLEAVED rope layout
+    (pairs (2i, 2i+1) rotate together) to this framework's split-half
+    layout (pairs (i, R/2+i)). Applying the SAME permutation to q and
+    k leaves attention scores untouched, so the fold is exact.
+
+    ``w``: (in, H*hd) column-major projection (already transposed) or
+    (H*hd,) bias."""
+    shape = w.shape
+    cols = w.reshape(shape[:-1] + (n_heads, head_dim))
+    rot, rest = cols[..., :rotary_dim], cols[..., rotary_dim:]
+    rot = np.concatenate([rot[..., 0::2], rot[..., 1::2]], axis=-1)
+    return np.concatenate([rot, rest], axis=-1).reshape(shape)
+
+
+def glm4_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 10000.0,
+    partial_rotary_factor: float = 0.5,
+    head_dim: int = 0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Glm4ForCausalLM state dict to
+    (params, cfg).
+
+    GLM-4's deltas over Llama: QKV biases, Gemma-2-style sandwich
+    norms (post_self_attn_layernorm / post_mlp_layernorm on the branch
+    outputs; post_attention_layernorm is the pre-MLP norm), fused
+    gate_up, and a half-width INTERLEAVED rope
+    (modeling_glm4.py rotate_half: pairs (0,1),(2,3),... on the first
+    partial_rotary_factor*head_dim dims). The interleave folds here
+    via _deinterleave_rope_cols; partial width rides
+    cfg.partial_rotary_factor."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    gu0 = A("model.layers.0.mlp.gate_up_proj.weight")
+    hidden = gu0.shape[0] // 2
+    hd = head_dim or 128
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+    rotary = int(hd * partial_rotary_factor)
+    qkv_bias = "model.layers.0.self_attn.q_proj.bias" in state
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, qkv_bias=qkv_bias, post_norms=True,
+        partial_rotary_factor=partial_rotary_factor)
+
+    def deint(w, heads):
+        return _deinterleave_rope_cols(w, heads, hd, rotary)
+
+    L = {"attn_norm": [], "wqkv": [], "wo": [], "mlp_norm": [],
+         "w_gu": [], "w_down": [], "attn_post_norm": [],
+         "mlp_post_norm": []}
+    if qkv_bias:
+        L["wqkv_bias"] = []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        # HF post_attention_layernorm is the PRE-MLP norm; the branch
+        # post-norms are post_self_attn / post_mlp.
+        L["mlp_norm"].append(
+            A(f"{pre}.post_attention_layernorm.weight"))
+        L["attn_post_norm"].append(
+            A(f"{pre}.post_self_attn_layernorm.weight"))
+        L["mlp_post_norm"].append(
+            A(f"{pre}.post_mlp_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [deint(A(f"{pre}.self_attn.q_proj.weight").T, n_heads),
+             deint(A(f"{pre}.self_attn.k_proj.weight").T, n_kv),
+             A(f"{pre}.self_attn.v_proj.weight").T], axis=1))
+        if qkv_bias:
+            L["wqkv_bias"].append(np.concatenate(
+                [deint(A(f"{pre}.self_attn.q_proj.bias"), n_heads),
+                 deint(A(f"{pre}.self_attn.k_proj.bias"), n_kv),
+                 A(f"{pre}.self_attn.v_proj.bias")]))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["w_gu"].append(A(f"{pre}.mlp.gate_up_proj.weight").T)
+        L["w_down"].append(A(f"{pre}.mlp.down_proj.weight").T)
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
     }
     return params, cfg

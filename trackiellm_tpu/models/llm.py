@@ -83,6 +83,13 @@ class LLMConfig(NamedTuple):
     # logits_scaling as a divisor into lm_head, attention_multiplier
     # into query_pre_attn_scalar (= attention_multiplier**-2).
     residual_multiplier: float = 1.0
+    # GLM-4-style partial rotary: rope rotates only the first
+    # factor*head_dim dims of q/k, the rest pass through untouched.
+    # GLM's INTERLEAVED pair layout needs no knob — the converters
+    # permute the q/k projection columns into this framework's
+    # split-half layout (attention scores are invariant to a common
+    # head-dim permutation of q and k; V is untouched).
+    partial_rotary_factor: float = 1.0
     alt_window: bool = False    # sliding window on EVEN layers only
     # Gemma-3 layer-type pattern: every ``window_pattern``-th layer is
     # GLOBAL (li % pattern == pattern-1), the rest slide (transformers
@@ -236,6 +243,17 @@ class LLMConfig(NamedTuple):
                    rope_theta=1e7, max_seq=8192, sliding_window=8192,
                    residual_multiplier=0.22,
                    query_pre_attn_scalar=float(128 ** 2))
+
+    @classmethod
+    def glm4_9b(cls) -> "LLMConfig":
+        """GLM-4-9B (0414 series): QKV biases, Gemma-2-style sandwich
+        norms, half-width interleaved rope (the interleave is folded
+        into the q/k column order at conversion)."""
+        return cls(vocab_size=151552, dim=4096, n_layers=40, n_heads=32,
+                   n_kv_heads=2, head_dim=128, hidden_dim=13696,
+                   rope_theta=10000.0, max_seq=8192, sliding_window=8192,
+                   qkv_bias=True, post_norms=True,
+                   partial_rotary_factor=0.5)
 
     @classmethod
     def gemma2_2b(cls) -> "LLMConfig":
@@ -958,7 +976,7 @@ def _output_logits(params: Dict[str, Any], cfg: LLMConfig,
 # ---------------------------------------------------------------------------
 
 def _rope_freqs(cfg: LLMConfig) -> jnp.ndarray:
-    half = cfg.head_dim // 2
+    half = int(cfg.head_dim * cfg.partial_rotary_factor) // 2
     return 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32) / half))
 
 
@@ -990,7 +1008,7 @@ def _local_rope_freqs(cfg: LLMConfig) -> jnp.ndarray:
     """Gemma-3 sliding-layer rope base (rope_local_base_freq) —
     NEVER scaled by rope_factors (transformers pins the local rotary
     to rope_type=default regardless of rope_scaling)."""
-    half = cfg.head_dim // 2
+    half = int(cfg.head_dim * cfg.partial_rotary_factor) // 2
     return 1.0 / (cfg.rope_local_theta
                   ** (jnp.arange(half, dtype=jnp.float32) / half))
 
@@ -1098,13 +1116,20 @@ def yarn_attention_factor(factor: float) -> float:
 def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
                freqs: jnp.ndarray) -> jnp.ndarray:
     """Rotate (..., S, H, D) by per-position angles (split-half layout,
-    matching Mistral/Llama reference weights)."""
-    ang = positions[..., :, None].astype(jnp.float32) * freqs  # (S, D/2)
+    matching Mistral/Llama reference weights). Partial rotary (GLM-4:
+    2*len(freqs) < D) rotates only the leading dims — the static freqs
+    length IS the rotary width, so no extra knob reaches this layer."""
+    ang = positions[..., :, None].astype(jnp.float32) * freqs  # (S, R/2)
     cos = jnp.cos(ang)[..., :, None, :]
     sin = jnp.sin(ang)[..., :, None, :]
-    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
-    return out.astype(x.dtype)
+    rot = 2 * freqs.shape[-1]
+    xr = x[..., :rot].astype(jnp.float32)
+    x1, x2 = jnp.split(xr, 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                          axis=-1).astype(x.dtype)
+    if rot == x.shape[-1]:
+        return out
+    return jnp.concatenate([out, x[..., rot:]], axis=-1)
 
 
 # ---------------------------------------------------------------------------
