@@ -1,0 +1,172 @@
+"""Llama-4 (Scout-class) correctness against the transformers oracle.
+
+A tiny random-weight ``Llama4ForCausalLM`` (text tower, eager
+attention) is the ground truth. Llama-4's deltas over Llama:
+
+- uniform MoE: sigmoid top-1 router whose weight scales the expert
+  INPUT (Llama4TextMoe/Llama4Router) + an ungated shared expert;
+- NoPE every ``no_rope_layer_interval``-th layer, with query
+  temperature tuning on those layers (arXiv:2501.19399);
+- post-rope weightless L2 norm on q/k of rope layers (use_qk_norm);
+- CHUNKED attention on rope layers (attention_chunk_size): queries
+  attend only within their aligned chunk; NoPE layers stay global;
+- INTERLEAVED rope over the full head_dim — folded to split-half at
+  conversion (_deinterleave_rope_cols; NoPE layers and the post-rope
+  L2 norm are permutation-invariant so the uniform fold is exact).
+
+Maverick's dense/MoE interleave is rejected with a clear error.
+Reference analogue: llama.cpp's llama4 arch behind the reference's
+loader (src/ai_models/tk_model_loader.c:199).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from trackiellm_tpu.models import convert as C
+from trackiellm_tpu.models import llm as llm_model
+
+VOCAB, DIM, LAYERS, HEADS, KV, HD = 128, 64, 4, 4, 2, 16
+EXPERTS, EXP_HID, SHARED_HID = 4, 48, 48
+THETA = 10000.0
+SEQ = 20
+CHUNK = 8          # tiny so the chunk mask binds inside SEQ
+NOPE = 2           # layers 1 and 3 are NoPE in this 4-layer fixture
+FLOOR = 4.0        # tiny so temperature tuning binds inside SEQ
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    torch.manual_seed(0)
+    hf_cfg = Llama4TextConfig(
+        vocab_size=VOCAB, hidden_size=DIM,
+        intermediate_size=EXP_HID, intermediate_size_mlp=96,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=KV, head_dim=HD,
+        num_local_experts=EXPERTS, num_experts_per_tok=1,
+        interleave_moe_layer_step=1,
+        max_position_embeddings=64, rope_theta=THETA, rope_scaling=None,
+        no_rope_layer_interval=NOPE, attention_chunk_size=CHUNK,
+        attn_temperature_tuning=True, floor_scale=FLOOR, attn_scale=0.1,
+        use_qk_norm=True, attention_bias=False, attention_dropout=0.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    hf_cfg._attn_implementation = "eager"
+    model = Llama4ForCausalLM(hf_cfg).eval()
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "norm" in name and "qk_norm" not in name:
+                p.copy_(1.0 + torch.randn(p.shape, generator=gen) * 0.2)
+            elif "q_proj" in name or "k_proj" in name:
+                # Real-scale projections so the rope layout, chunk
+                # mask, L2 norm, and temperature tuning are all
+                # load-bearing in the logits.
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.15)
+            elif "router" in name:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.5)
+    tokens = torch.randint(0, VOCAB, (1, SEQ + 4),
+                           generator=torch.Generator().manual_seed(2))
+    with torch.no_grad():
+        ref_logits = model(tokens).logits[0].numpy()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    return state, tokens[0].numpy(), ref_logits
+
+
+def _convert_hf(state):
+    return C.llama4_from_hf(
+        state, max_seq=64, norm_eps=1e-5, rope_theta=THETA,
+        nope_pattern=NOPE, attn_chunk=CHUNK, attn_temp_tuning=True,
+        attn_temp_floor=FLOOR, attn_temp_scale=0.1, qk_l2norm=True,
+        head_dim=HD, dtype=jnp.float32)
+
+
+class TestLlama4:
+    def test_hf_convert_matches_oracle(self, oracle):
+        state, tokens, ref = oracle
+        params, cfg = _convert_hf(state)
+        assert cfg.n_experts == EXPERTS and cfg.n_experts_used == 1
+        assert cfg.moe_score_func == "sigmoid_topk"
+        assert cfg.moe_scale_input and not cfg.moe_shared_gated
+        assert cfg.attn_chunk == CHUNK and cfg.nope_pattern == NOPE
+        toks = jnp.asarray(tokens[:SEQ], jnp.int32)
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(params, cfg, toks,
+                                          jnp.int32(SEQ), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   rtol=2e-3, atol=2e-3)
+        for j in range(4):
+            logits, cache = llm_model.decode_step(
+                params, cfg, jnp.int32(int(tokens[SEQ + j])), cache)
+            np.testing.assert_allclose(
+                np.asarray(logits), ref[SEQ + j],
+                rtol=2e-3, atol=2e-3, err_msg=f"decode step {j}")
+
+    def _last_prefill(self, params, cfg, tokens):
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, _ = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        return np.asarray(logits)
+
+    def _bad_vs_good(self, oracle, bad_cfg_fn):
+        state, tokens, ref = oracle
+        params, cfg = _convert_hf(state)
+        good = self._last_prefill(params, cfg, tokens)
+        good_err = np.abs(good - ref[SEQ - 1]).max()
+        bad = self._last_prefill(params, bad_cfg_fn(cfg), tokens)
+        # The correct config matches to ~3e-7 here; any real semantic
+        # change lands orders of magnitude above that.
+        assert np.abs(bad - ref[SEQ - 1]).max() > max(100 * good_err,
+                                                      2e-3)
+
+    def test_chunked_attention_load_bearing(self, oracle):
+        self._bad_vs_good(oracle, lambda c: c._replace(attn_chunk=0))
+
+    def test_temp_tuning_load_bearing(self, oracle):
+        self._bad_vs_good(
+            oracle, lambda c: c._replace(attn_temp_tuning=False))
+
+    def test_qk_l2norm_load_bearing(self, oracle):
+        self._bad_vs_good(oracle, lambda c: c._replace(qk_l2norm=False))
+
+    def test_input_scaling_load_bearing(self, oracle):
+        """Output-scaled routing (Mixtral convention) must diverge —
+        sigmoid weights pass through the SwiGLU nonlinearity when they
+        scale the input."""
+        self._bad_vs_good(
+            oracle, lambda c: c._replace(moe_scale_input=False))
+
+    def test_sigmoid_topk_load_bearing(self, oracle):
+        self._bad_vs_good(
+            oracle, lambda c: c._replace(moe_score_func="softmax"))
+
+    def test_extend_matches_prefill(self, oracle):
+        """Chunked-attention extend (absolute-position chunk mask as
+        data) agrees with one-shot prefill across a chunk boundary."""
+        state, tokens, ref = oracle
+        params, cfg = _convert_hf(state)
+        full = self._last_prefill(params, cfg, tokens)
+
+        split = 11  # mid-chunk split; the extend crosses pos 16 = 2*C
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        _, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:split], jnp.int32),
+            jnp.int32(split), cache)
+        logits, _ = llm_model.extend(
+            params, cfg, jnp.asarray(tokens[split:SEQ], jnp.int32),
+            jnp.int32(SEQ - split), cache)
+        np.testing.assert_allclose(np.asarray(logits), full, rtol=2e-4,
+                                   atol=2e-4)
+
+    def test_maverick_interleave_refused(self, oracle):
+        state, _, _ = oracle
+        state = dict(state)
+        state["model.layers.1.feed_forward.gate_proj.weight"] = \
+            np.zeros((96, DIM), np.float32)
+        with pytest.raises(NotImplementedError, match="Maverick|interleave"):
+            C.llama4_from_hf(state, head_dim=HD)

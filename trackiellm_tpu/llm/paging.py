@@ -98,6 +98,7 @@ def decode_step_paged(
         freqs_li = llm_model._layer_freqs(cfg, li, freqs)
         q = llm_model.apply_rope(q, pos[None], freqs_li)
         k = llm_model.apply_rope(k, pos[None], freqs_li)
+        q, k = llm_model._post_rope_qk(q, k, pos[None], li, cfg)
 
         if isinstance(pk_l, QuantPool):
             kq, ks = _quant_cells(k[None])   # (1,1,Hk,D)/(1,1,Hk)
@@ -244,10 +245,13 @@ def decode_step_batch_paged(
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         q, k = llm_model._qk_norm(q, k, layer, cfg)
         freqs_li = llm_model._layer_freqs(cfg, li, freqs)
-        q = jax.vmap(lambda qq, p: llm_model.apply_rope(
-            qq[None], p[None], freqs_li)[0])(q, pos)
-        k = jax.vmap(lambda kk, p: llm_model.apply_rope(
-            kk[None], p[None], freqs_li)[0])(k, pos)
+        def rope_row(qq, kk, p):
+            qr = llm_model.apply_rope(qq[None], p[None], freqs_li)
+            kr = llm_model.apply_rope(kk[None], p[None], freqs_li)
+            qr, kr = llm_model._post_rope_qk(qr, kr, p[None], li, cfg)
+            return qr[0], kr[0]
+
+        q, k = jax.vmap(rope_row)(q, k, pos)
 
         # Scatter each active slot's KV into its (page, slot) cell.
         if isinstance(pk_l, QuantPool):

@@ -3269,3 +3269,134 @@ def glm4_from_hf(
              else np.ascontiguousarray(emb.T)), dtype),
     }
     return params, cfg
+
+
+# --- Llama-4 (Meta — Scout-class uniform-MoE text tower) --------------------
+
+def llama4_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 500000.0,
+    nope_pattern: int = 4,
+    attn_chunk: int = 8192,
+    attn_temp_tuning: bool = True,
+    attn_temp_floor: float = 8192.0,
+    attn_temp_scale: float = 0.1,
+    qk_l2norm: bool = True,
+    head_dim: int = 0,
+    rope_scaling: Optional[Dict[str, Any]] = None,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Llama4ForCausalLM (text) state dict to
+    (params, cfg).
+
+    Covers the Scout-class UNIFORM-MoE tower (every layer: sigmoid
+    top-1 router scaling the expert INPUT + an ungated shared expert —
+    Llama4TextMoe). Maverick's dense/MoE interleave
+    (interleave_moe_layer_step=2) is rejected: the layer scan needs
+    homogeneous stacks. The checkpoint's INTERLEAVED rope folds to
+    split-half via _deinterleave_rope_cols (full head_dim — Llama-4
+    rotates every dim; NoPE layers are permutation-invariant so the
+    uniform fold is exact). Attention deltas ride cfg: nope_pattern,
+    qk_l2norm (post-rope L2 on rope layers), attn_temp_tuning (NoPE
+    query temperature), attn_chunk (chunked attention on rope layers).
+    ``rope_scaling``: the config's llama3-style dict (rope_type
+    "llama3") -> params["rope_factors"].
+    """
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    if "model.layers.0.feed_forward.gate_proj.weight" in state \
+            or "model.layers.1.feed_forward.gate_proj.weight" in state:
+        raise NotImplementedError(
+            "interleaved dense/MoE Llama-4 (Maverick, "
+            "interleave_moe_layer_step > 1) is not supported yet — "
+            "the layer scan needs homogeneous stacks; Scout-class "
+            "uniform-MoE checkpoints convert fine")
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    experts0 = np.asarray(
+        state["model.layers.0.feed_forward.experts.gate_up_proj"])
+    n_experts, _, two_h = experts0.shape
+    hidden = two_h // 2
+    shared0 = A("model.layers.0.feed_forward.shared_expert"
+                ".gate_proj.weight")
+    hd = head_dim or 128
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq,
+        n_experts=n_experts, n_experts_used=1,
+        moe_score_func="sigmoid_topk", moe_norm_topk=False,
+        moe_scale_input=True, moe_shared_hidden=shared0.shape[0],
+        moe_shared_gated=False,
+        nope_pattern=nope_pattern, qk_l2norm=qk_l2norm,
+        attn_temp_tuning=attn_temp_tuning,
+        attn_temp_floor=attn_temp_floor,
+        attn_temp_scale=attn_temp_scale, attn_chunk=attn_chunk)
+
+    def deint(w, heads):
+        # Full-width interleaved rope -> split-half fold.
+        return _deinterleave_rope_cols(w, heads, hd, hd)
+
+    L = {"attn_norm": [], "wqkv": [], "wo": [], "mlp_norm": [],
+         "w_gu": [], "w_down": [], "moe_gate": [],
+         "shared_gu": [], "shared_down": []}
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        L["mlp_norm"].append(A(f"{pre}.post_attention_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [deint(A(f"{pre}.self_attn.q_proj.weight").T, n_heads),
+             deint(A(f"{pre}.self_attn.k_proj.weight").T, n_kv),
+             A(f"{pre}.self_attn.v_proj.weight").T], axis=1))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        # Experts ship pre-fused in this framework's layout already:
+        # gate_up_proj (E, D, 2H) with [gate; up] on the last axis,
+        # down_proj (E, H, D).
+        L["w_gu"].append(np.asarray(
+            state[f"{pre}.feed_forward.experts.gate_up_proj"],
+            np.float32))
+        L["w_down"].append(np.asarray(
+            state[f"{pre}.feed_forward.experts.down_proj"], np.float32))
+        L["moe_gate"].append(
+            A(f"{pre}.feed_forward.router.weight").T)
+        L["shared_gu"].append(np.concatenate(
+            [A(f"{pre}.feed_forward.shared_expert.gate_proj.weight").T,
+             A(f"{pre}.feed_forward.shared_expert.up_proj.weight").T],
+            axis=1))
+        L["shared_down"].append(
+            A(f"{pre}.feed_forward.shared_expert.down_proj.weight").T)
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    if rope_scaling and rope_scaling.get("rope_type",
+                                         rope_scaling.get("type")) \
+            == "llama3":
+        params["rope_factors"] = llm_model.llama3_rope_factors(
+            cfg,
+            factor=float(rope_scaling.get("factor", 8.0)),
+            low_freq_factor=float(
+                rope_scaling.get("low_freq_factor", 1.0)),
+            high_freq_factor=float(
+                rope_scaling.get("high_freq_factor", 4.0)),
+            original_max_seq=int(rope_scaling.get(
+                "original_max_position_embeddings", 8192)))
+    return params, cfg

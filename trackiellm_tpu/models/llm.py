@@ -90,6 +90,26 @@ class LLMConfig(NamedTuple):
     # split-half layout (attention scores are invariant to a common
     # head-dim permutation of q and k; V is untouched).
     partial_rotary_factor: float = 1.0
+    # Llama-4 attention deltas (Llama4TextAttention):
+    # - qk_l2norm: weightless RMS (L2) norm on q/k AFTER rope, on ROPE
+    #   layers only (NoPE layers skip it) — unlike Qwen3's weighted
+    #   pre-rope per-head norm.
+    # - attn_temp_tuning: on NoPE layers the query scales by
+    #   log1p(floor((pos+1)/attn_temp_floor)) * attn_temp_scale + 1
+    #   (position-dependent temperature, arXiv:2501.19399).
+    # - attn_chunk: ROPE layers attend only within aligned chunks of
+    #   this many positions (floor(q/C) == floor(k/C), causal); NoPE
+    #   layers stay global. 0 = off.
+    qk_l2norm: bool = False
+    attn_temp_tuning: bool = False
+    attn_temp_floor: float = 8192.0
+    attn_temp_scale: float = 0.1
+    attn_chunk: int = 0
+    # Llama-4 MoE: selection on raw router logits, combine weight =
+    # sigmoid(selected logit) ("sigmoid_topk" score func), and the
+    # weight scales the expert INPUT, not its output (experts have no
+    # biases, so unselected contributions are exactly zero).
+    moe_scale_input: bool = False
     alt_window: bool = False    # sliding window on EVEN layers only
     # Gemma-3 layer-type pattern: every ``window_pattern``-th layer is
     # GLOBAL (li % pattern == pattern-1), the rest slide (transformers
@@ -155,7 +175,8 @@ class LLMConfig(NamedTuple):
     # "softmax_topk" = gpt-oss: select on RAW router logits, combine
     # weights = softmax over just the selected logits
     # (transformers GptOssTopKRouter).
-    moe_score_func: str = "softmax"      # "softmax" | "sigmoid" | "softmax_topk"
+    moe_score_func: str = "softmax"      # "softmax" | "sigmoid" |
+                                         # "softmax_topk" | "sigmoid_topk"
     moe_group_score: str = "max"         # "max" | "top2sum"
     # gpt-oss family deltas (OpenAI's 2025 open-weight MoE):
     # - attn_sinks: learned per-head sink logits (layers.attn_sink,
@@ -243,6 +264,27 @@ class LLMConfig(NamedTuple):
                    rope_theta=1e7, max_seq=8192, sliding_window=8192,
                    residual_multiplier=0.22,
                    query_pre_attn_scalar=float(128 ** 2))
+
+    @classmethod
+    def llama4_scout(cls) -> "LLMConfig":
+        """Llama-4-Scout-17B-16E (text tower): uniform MoE (every layer:
+        16 routed top-1 + shared expert, input-scaled sigmoid routing),
+        NoPE every 4th layer with temperature tuning, post-rope QK
+        L2-norm on rope layers, 8192-chunk attention on rope layers.
+        The rope is INTERLEAVED in the checkpoint — folded to
+        split-half at conversion like GLM-4. Llama-3-style rope-factor
+        scaling rides params["rope_factors"]. Maverick's dense/MoE
+        interleave (step 2) is NOT yet supported (uniform stacks only)."""
+        return cls(vocab_size=202048, dim=5120, n_layers=48, n_heads=40,
+                   n_kv_heads=8, head_dim=128, hidden_dim=8192,
+                   rope_theta=500000.0, max_seq=8192,
+                   sliding_window=8192,
+                   n_experts=16, n_experts_used=1,
+                   moe_score_func="sigmoid_topk", moe_norm_topk=False,
+                   moe_scale_input=True, moe_shared_hidden=8192,
+                   moe_shared_gated=False,
+                   nope_pattern=4, qk_l2norm=True,
+                   attn_temp_tuning=True, attn_chunk=8192)
 
     @classmethod
     def glm4_9b(cls) -> "LLMConfig":
@@ -748,6 +790,27 @@ def _moe_routed(h2: jnp.ndarray, topv: jnp.ndarray, topi: jnp.ndarray,
         ys * wts[:, None])
 
 
+def _moe_routed_scaled_in(h2, topv, topi, layer, cfg):
+    """Llama-4 variant of _moe_routed: the router weight scales the
+    expert INPUT (Llama4TextMoe routed_in = x * score); outputs add
+    unweighted. Distinct from output scaling because of the SwiGLU
+    nonlinearity."""
+    T = h2.shape[0]
+    K = cfg.n_experts_used
+    flat_expert = topi.reshape(-1)
+    order = jnp.argsort(flat_expert, stable=True)
+    src_tok = order // K
+    wts = jnp.take(topv.reshape(-1), order)                  # (T*K,)
+    xs = jnp.take(h2, src_tok, axis=0) * wts[:, None].astype(h2.dtype)
+    group_sizes = jnp.bincount(flat_expert, length=cfg.n_experts)
+    gu = _grouped_dot(xs, layer["w_gu"], group_sizes)
+    gate, up = jnp.split(gu, 2, axis=-1)
+    ys = _grouped_dot(
+        _act_combine(gate, up, cfg.act, cfg.act_limit).astype(h2.dtype),
+        layer["w_down"], group_sizes)
+    return jnp.zeros((T, h2.shape[1]), jnp.float32).at[src_tok].add(ys)
+
+
 def _moe_shared(h2: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     """Qwen2-MoE/DeepSeek shared expert: an always-active SwiGLU scaled
     by sigmoid(shared_gate(h2)), added to the routed mixture. Returns
@@ -790,9 +853,10 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
         logits = logits + layer["moe_gate_b"].astype(jnp.float32)
     if cfg.moe_score_func == "sigmoid":
         scores = jax.nn.sigmoid(logits)
-    elif cfg.moe_score_func == "softmax_topk":
-        # gpt-oss: select on raw logits; softmax happens AFTER top-k,
-        # over just the selected logits (GptOssTopKRouter).
+    elif cfg.moe_score_func in ("softmax_topk", "sigmoid_topk"):
+        # gpt-oss / Llama-4: select on raw logits; the combine
+        # transform (softmax over the winners / per-winner sigmoid)
+        # happens AFTER top-k (GptOssTopKRouter / Llama4Router).
         scores = logits
     else:
         scores = jax.nn.softmax(logits, axis=-1)             # (T, E)
@@ -821,6 +885,8 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     topv = jnp.take_along_axis(scores, topi, axis=-1)
     if cfg.moe_score_func == "softmax_topk":
         topv = jax.nn.softmax(topv, axis=-1)
+    elif cfg.moe_score_func == "sigmoid_topk":
+        topv = jax.nn.sigmoid(topv)
     if cfg.moe_norm_topk:
         denom = jnp.sum(topv, axis=-1, keepdims=True)
         if cfg.moe_score_func == "sigmoid":
@@ -829,7 +895,9 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     if cfg.moe_routed_scale != 1.0:
         topv = topv * cfg.moe_routed_scale
     if _moe_use_routed(x.shape[0], layer["w_gu"]):
-        out = _moe_routed(h2, topv, topi, layer, cfg)
+        out = (_moe_routed_scaled_in(h2, topv, topi, layer, cfg)
+               if cfg.moe_scale_input else
+               _moe_routed(h2, topv, topi, layer, cfg))
         out = (out + _moe_shared(h2, layer, cfg)).astype(x.dtype)
         if cfg.post_norms:
             out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
@@ -841,7 +909,13 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
         * topv[..., None], axis=-2)                          # (T, E)
     out = _moe_shared(h2, layer, cfg)
     for e in range(cfg.n_experts):
-        gu = _linear(h2, _expert_slice(layer["w_gu"], e)).astype(
+        # Llama-4 scales the expert INPUT by the router weight; the
+        # off-top-k weights are exactly 0 and the experts have no
+        # biases, so unselected experts contribute exactly 0 and the
+        # dense-all formulation stays exact.
+        h2_e = (h2 * weights[:, e:e + 1].astype(h2.dtype)
+                if cfg.moe_scale_input else h2)
+        gu = _linear(h2_e, _expert_slice(layer["w_gu"], e)).astype(
             jnp.float32)
         if cfg.moe_bias:
             gu = gu + layer["w_gu_b"][e].astype(jnp.float32)
@@ -851,7 +925,8 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
         y = y.astype(jnp.float32)
         if cfg.moe_bias:
             y = y + layer["w_down_b"][e].astype(jnp.float32)
-        out = out + weights[:, e:e + 1] * y
+        out = out + (y if cfg.moe_scale_input
+                     else weights[:, e:e + 1] * y)
     out = out.astype(x.dtype)
     if cfg.post_norms:
         out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
@@ -933,6 +1008,18 @@ def _decode_attn(cfg: LLMConfig, li, q, k_view, v_view, cur_len,
     kw = _attn_extras(cfg)
     if cfg.attn_sinks:
         kw["sinks"] = layer["attn_sink"]
+    if cfg.attn_chunk:
+        # Llama-4: rope layers attend within aligned chunks; NoPE
+        # layers are global. Both static-chunk programs compile and
+        # lax.cond picks per traced layer index.
+        return jax.lax.cond(
+            _is_nope(cfg, li) if cfg.nope_pattern > 1
+            else jnp.bool_(False),
+            lambda: decode_attention(q, k_view, v_view, cur_len,
+                                     window=0, **kw),
+            lambda: decode_attention(q, k_view, v_view, cur_len,
+                                     window=0, chunk=cfg.attn_chunk,
+                                     **kw))
     win = _layer_window(cfg)
     if _per_layer_windows(cfg) and win > 0:
         return jax.lax.cond(
@@ -950,6 +1037,14 @@ def _prefill_attn(cfg: LLMConfig, li, q, k, v, layer=None):
     kw = _attn_extras(cfg)
     if cfg.attn_sinks:
         kw["sinks"] = layer["attn_sink"]
+    if cfg.attn_chunk:
+        return jax.lax.cond(
+            _is_nope(cfg, li) if cfg.nope_pattern > 1
+            else jnp.bool_(False),
+            lambda: prefill_attention(q, k, v, causal=True, window=0,
+                                      **kw),
+            lambda: prefill_attention(q, k, v, causal=True, window=0,
+                                      chunk=cfg.attn_chunk, **kw))
     win = _layer_window(cfg)
     if _per_layer_windows(cfg) and win > 0:
         return jax.lax.cond(
@@ -1132,6 +1227,41 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
     return jnp.concatenate([out, x[..., rot:]], axis=-1)
 
 
+def _is_nope(cfg: LLMConfig, li) -> jnp.ndarray:
+    """Traced bool: layer ``li`` is a NoPE layer (SmolLM3/Llama-4)."""
+    return (li % cfg.nope_pattern) == (cfg.nope_pattern - 1)
+
+
+def _post_rope_qk(q: jnp.ndarray, k: jnp.ndarray, positions, li,
+                  cfg: LLMConfig):
+    """Llama-4's post-rope q/k processing (Llama4TextAttention):
+    weightless L2 (RMS) norm on ROPE layers; position-dependent query
+    temperature tuning on NoPE layers. No-op unless configured.
+    ``positions`` broadcasts over q's leading sequence axis (q is
+    (..., S, H, D))."""
+    if not (cfg.qk_l2norm or cfg.attn_temp_tuning):
+        return q, k
+    nope = (_is_nope(cfg, li) if cfg.nope_pattern > 1
+            else jnp.bool_(False))
+    if cfg.qk_l2norm:
+        def l2(v):
+            v32 = v.astype(jnp.float32)
+            return (v32 * jax.lax.rsqrt(
+                jnp.mean(v32 * v32, axis=-1, keepdims=True)
+                + cfg.norm_eps)).astype(v.dtype)
+
+        q = jnp.where(nope, q, l2(q))
+        k = jnp.where(nope, k, l2(k))
+    if cfg.attn_temp_tuning:
+        sc = (jnp.log1p(jnp.floor(
+            (positions.astype(jnp.float32) + 1.0) / cfg.attn_temp_floor))
+            * cfg.attn_temp_scale + 1.0)
+        q_t = (q.astype(jnp.float32) * sc[..., :, None, None]
+               ).astype(q.dtype)
+        q = jnp.where(nope, q_t, q)
+    return q, k
+
+
 # ---------------------------------------------------------------------------
 # KV cache
 # ---------------------------------------------------------------------------
@@ -1187,6 +1317,7 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         freqs_li = _layer_freqs(cfg, li, freqs)
         q = apply_rope(q, positions, freqs_li)
         k = apply_rope(k, positions, freqs_li)
+        q, k = _post_rope_qk(q, k, positions, li, cfg)
 
         attn = _prefill_attn(
             cfg, li, q.transpose(1, 0, 2), k.transpose(1, 0, 2),
@@ -1255,6 +1386,7 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
         freqs_li = _layer_freqs(cfg, li, freqs)
         q = apply_rope(q, positions, freqs_li)
         k = apply_rope(k, positions, freqs_li)
+        q, k = _post_rope_qk(q, k, positions, li, cfg)
         attn = jax.vmap(lambda qq, kk, vv: _prefill_attn(
             cfg, li, qq.transpose(1, 0, 2), kk.transpose(1, 0, 2),
             vv.transpose(1, 0, 2), layer=layer).transpose(1, 0, 2))(q, k, v)
@@ -1319,6 +1451,7 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         freqs_li = _layer_freqs(cfg, li, freqs)
         q = apply_rope(q, pos[None], freqs_li)
         k = apply_rope(k, pos[None], freqs_li)
+        q, k = _post_rope_qk(q, k, pos[None], li, cfg)
 
         k_cache_l = jax.lax.dynamic_update_slice(
             k_cache_l, k.astype(k_cache_l.dtype), (pos, 0, 0))
@@ -1416,10 +1549,13 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
         v = qkv[:, qd + kvd:].reshape(b, cfg.n_kv_heads, cfg.head_dim)
         q, k = _qk_norm(q, k, layer, cfg)
         freqs_li = _layer_freqs(cfg, li, freqs)
-        q = jax.vmap(lambda qq, p: apply_rope(qq[None], p[None],
-                                              freqs_li)[0])(q, pos)
-        k = jax.vmap(lambda kk, p: apply_rope(kk[None], p[None],
-                                              freqs_li)[0])(k, pos)
+        def rope_row(qq, kk, p):
+            qr = apply_rope(qq[None], p[None], freqs_li)
+            kr = apply_rope(kk[None], p[None], freqs_li)
+            qr, kr = _post_rope_qk(qr, kr, p[None], li, cfg)
+            return qr[0], kr[0]
+
+        q, k = jax.vmap(rope_row)(q, k, pos)
 
         def write_row(cache_row, val, p, act):
             new = jax.lax.dynamic_update_slice(
@@ -1536,6 +1672,7 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         freqs_li = _layer_freqs(cfg, li, freqs)
         q = apply_rope(q, positions, freqs_li)
         k = apply_rope(k, positions, freqs_li)
+        q, k = _post_rope_qk(q, k, positions, li, cfg)
 
         k_cache_l = jax.lax.dynamic_update_slice(
             k_cache_l, k.astype(k_cache_l.dtype), (offset, 0, 0))
@@ -1563,6 +1700,13 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         key_idx = jnp.arange(attn_len or s_max)[None, None, None, :]
         q_pos = positions[None, None, :, None]
         mask = key_idx <= q_pos
+        if cfg.attn_chunk:
+            # Chunk start as DATA: rope layers bound keys to the query
+            # position's aligned chunk; NoPE layers see everything.
+            start = (q_pos // cfg.attn_chunk) * cfg.attn_chunk
+            if cfg.nope_pattern > 1:
+                start = jnp.where(_is_nope(cfg, li), 0, start)
+            mask &= key_idx >= start
         if window:
             if _per_layer_windows(cfg):
                 # Per-layer window as DATA (traced li), not program

@@ -39,7 +39,8 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("causal", "window", "softcap", "scale"))
+                   static_argnames=("causal", "window", "softcap",
+                                    "scale", "chunk"))
 def attention_xla(
     q: jnp.ndarray,  # (H, Sq, D)
     k: jnp.ndarray,  # (Hk, Sk, D)
@@ -49,6 +50,8 @@ def attention_xla(
     softcap: float = 0.0,  # Gemma-2 attn logit soft-capping; 0 = off
     scale: float = 0.0,    # query scale override; 0 = 1/sqrt(D)
     sinks=None,            # gpt-oss attention sinks: (H,) per-head logit
+    chunk: int = 0,        # Llama-4 chunked attention: same aligned
+                           # chunk only (floor(q/C)==floor(k/C)); 0=off
 ) -> jnp.ndarray:
     h, sq, d = q.shape
     hk = k.shape[0]
@@ -68,6 +71,8 @@ def attention_xla(
         mask = ki <= qi
         if window > 0:
             mask &= ki > qi - window
+        if chunk > 0:
+            mask &= (ki // chunk) == (qi // chunk)
         s = jnp.where(mask, s, NEG_INF)
     if sinks is not None:
         # gpt-oss attention sinks (transformers GptOssAttention
@@ -238,10 +243,18 @@ def flash_attention(
 
 def prefill_attention(q, k, v, causal: bool = True,
                       window: int = 0, softcap: float = 0.0,
-                      scale: float = 0.0, sinks=None) -> jnp.ndarray:
-    """Dispatch: Pallas flash on TPU, XLA oracle elsewhere."""
+                      scale: float = 0.0, sinks=None,
+                      chunk: int = 0) -> jnp.ndarray:
+    """Dispatch: Pallas flash on TPU, XLA oracle elsewhere. Chunked
+    attention (Llama-4) always takes the XLA path — the flash kernel's
+    tile-skip logic doesn't know the chunk mask (a dedicated kernel is
+    only worth it past the 8192-token chunk width)."""
     from trackiellm_tpu.ops.backend import on_tpu
     s = q.shape[1]
+    if chunk > 0:
+        return attention_xla(q, k, v, causal=causal, window=window,
+                             softcap=softcap, scale=scale, sinks=sinks,
+                             chunk=chunk)
     if on_tpu() and s >= 256 and s % 256 == 0:
         return flash_attention(q, k, v, causal=causal, window=window,
                                softcap=softcap, scale=scale, sinks=sinks)
@@ -253,7 +266,8 @@ def prefill_attention(q, k, v, causal: bool = True,
 # Cached decode attention (single new token, length-masked cache)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("window", "softcap", "scale"))
+@functools.partial(jax.jit, static_argnames=("window", "softcap",
+                                             "scale", "chunk"))
 def decode_attention(
     q: jnp.ndarray,        # (H, D) — the new token's query
     k_cache: jnp.ndarray,  # (S_max, Hk, D)
@@ -263,6 +277,7 @@ def decode_attention(
     softcap: float = 0.0,  # Gemma-2 attn logit soft-capping; 0 = off
     scale: float = 0.0,    # query scale override; 0 = 1/sqrt(D)
     sinks=None,            # gpt-oss attention sinks: (H,) per-head logit
+    chunk: int = 0,        # Llama-4 chunked attention; 0 = off
 ) -> jnp.ndarray:
     h, d = q.shape
     s_max, hk, _ = k_cache.shape
@@ -282,6 +297,9 @@ def decode_attention(
     mask = idx < cur_len
     if window > 0:
         mask &= idx >= cur_len - window
+    if chunk > 0:
+        # Query position is cur_len - 1; keep keys in its chunk.
+        mask &= idx >= ((cur_len - 1) // chunk) * chunk
     s = jnp.where(mask, s, NEG_INF)
     if sinks is not None:
         col = sinks.astype(jnp.float32).reshape(hk, rep, 1)

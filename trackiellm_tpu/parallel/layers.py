@@ -123,6 +123,7 @@ def transformer_layer(
     freqs_li = llm_model._layer_freqs(cfg, li, freqs)
     q = llm_model.apply_rope(q, positions, freqs_li)
     k = llm_model.apply_rope(k, positions, freqs_li)
+    q, k = llm_model._post_rope_qk(q, k, positions, li, cfg)
 
     attn = attn_core(q, k, v, li).reshape(*lead, s, -1)
     x = llm_model._attn_residual(x, attn, layer, cfg)
