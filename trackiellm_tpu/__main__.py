@@ -35,7 +35,8 @@ def _cmd_convert(args) -> int:
     if args.family in ("gemma2-hf", "gemma3-hf", "smollm3-hf",
                        "olmo2-hf", "mixtral-hf", "qwen2moe-hf",
                        "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
-                       "deepseekv3-hf"):
+                       "deepseekv3-hf", "granite-hf", "glm4-hf",
+                       "llama4-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -50,7 +51,10 @@ def _cmd_convert(args) -> int:
               "qwen3-hf": _C.qwen3_from_hf,
               "qwen3moe-hf": _C.qwen3_moe_from_hf,
               "deepseekv2-hf": _C.deepseek_v2_from_hf,
-              "deepseekv3-hf": _C.deepseek_v3_from_hf}[args.family]
+              "deepseekv3-hf": _C.deepseek_v3_from_hf,
+              "granite-hf": _C.granite_from_hf,
+              "glm4-hf": _C.glm4_from_hf,
+              "llama4-hf": _C.llama4_from_hf}[args.family]
         params, cfg = fn(load_state_dict(args.gguf))
         if args.bits:
             if args.family.startswith("deepseek"):
@@ -309,10 +313,11 @@ def main(argv=None) -> int:
                    choices=("gguf", "gemma2-hf", "gemma3-hf",
                             "smollm3-hf", "olmo2-hf", "mixtral-hf",
                             "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf",
-                            "deepseekv2-hf", "deepseekv3-hf"),
+                            "deepseekv2-hf", "deepseekv3-hf",
+                            "granite-hf", "glm4-hf", "llama4-hf"),
                    help="source layout (default: GGUF metadata-driven, "
-                   "covers llama/mistral/qwen2/gemma2/mixtral/qwen2moe "
-                   "arches)")
+                   "covers llama/mistral/qwen2/gemma2/granite/glm4/"
+                   "mixtral/qwen2moe arches)")
     p.set_defaults(fn=_cmd_convert)
 
     p = sub.add_parser("generate", help="generate from a checkpoint")

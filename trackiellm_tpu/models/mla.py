@@ -81,9 +81,12 @@ class MLAConfig(NamedTuple):
     moe_score_func: str = "softmax"   # V3: "sigmoid"
     moe_group_score: str = "max"      # V3: "top2sum"
     # Unused by DeepSeek but read by the shared _moe_block/_act helpers
-    # (gpt-oss knobs in LLMConfig) — keep the duck-typing complete.
+    # (gpt-oss / Llama-4 / Granite knobs in LLMConfig) — keep the
+    # duck-typing complete.
     moe_bias: bool = False
     act_limit: float = 7.0
+    moe_scale_input: bool = False
+    residual_multiplier: float = 1.0
     first_k_dense: int = 1
     act: str = "silu"
     post_norms: bool = False     # read by _mlp helpers; always False here
