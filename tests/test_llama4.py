@@ -170,3 +170,75 @@ class TestLlama4:
             np.zeros((96, DIM), np.float32)
         with pytest.raises(NotImplementedError, match="Maverick|interleave"):
             C.llama4_from_hf(state, head_dim=HD)
+
+
+class TestLlama4ProductionPaths:
+    """Llama-4 through the batched body, interactive runner, and the
+    continuous-batching server: the chunk mask, temperature tuning,
+    L2 norms, and input-scaled MoE must survive every serving path."""
+
+    def test_batched_decode_matches_single(self, oracle):
+        state, tokens, ref = oracle
+        params, cfg = _convert_hf(state)
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        _, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        bcache = llm_model.BatchedKVCache.create(cfg, 2, jnp.float32)
+        bcache = llm_model.insert_sequence(bcache, cfg, 0, cache)
+        toks = jnp.asarray([int(tokens[SEQ]), 0], jnp.int32)
+        active = jnp.asarray([True, False])
+        blogits, _ = llm_model.decode_step_batch(
+            params, cfg, toks, active, bcache)
+        np.testing.assert_allclose(np.asarray(blogits[0]), ref[SEQ],
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_runner_lookahead_matches_serial(self, oracle):
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        state, _, _ = oracle
+        params, cfg = _convert_hf(state)
+        tok = ByteTokenizer(cfg.vocab_size)
+        ids = {}
+        for label, k in (("serial", 1), ("lookahead", 4)):
+            runner = LLMRunner(params, cfg, tok,
+                               GenerationConfig(max_tokens=14,
+                                                temperature=0.0,
+                                                min_tokens=8,
+                                                lookahead=k),
+                               cache_dtype=jnp.float32)
+            runner.generate("ola")
+            ids[label] = list(runner._generated_ids)
+        assert ids["lookahead"] == ids["serial"]
+        assert len(ids["serial"]) >= 8
+
+    def test_server_modes_agree(self, oracle):
+        from trackiellm_tpu.llm.server import LLMServer
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        state, _, _ = oracle
+        params, cfg = _convert_hf(state)
+
+        class IdTok(ByteTokenizer):
+            def decode(self, ids):
+                return "".join(f"{i}," for i in ids)
+
+            def decode_token(self, tid):
+                return f"{tid},"
+
+            def token_bytes(self, tid):
+                return f"{tid},".encode()
+
+        tok = IdTok(cfg.vocab_size)
+        outs = {}
+        for label, kw in (("per_step", dict(chunk_steps=1)),
+                          ("chunked", dict(chunk_steps=4))):
+            server = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                               cache_dtype=jnp.float32, **kw)
+            try:
+                outs[label] = server.generate("ola", max_tokens=11)
+            finally:
+                server.close()
+        assert outs["chunked"] == outs["per_step"]
+        assert outs["per_step"]
