@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 
-VOCAB, DIM, LAYERS, HEADS, KV, HD = 128, 64, 4, 4, 2, 16
+VOCAB, DIM, LAYERS, HEADS, KV, HD = 320, 64, 4, 4, 2, 16  # vocab >= 259: ByteTokenizer ids fit
 EXPERTS, EXP_HID, SHARED_HID = 4, 48, 48
 THETA = 10000.0
 SEQ = 20
