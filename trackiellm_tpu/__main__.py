@@ -36,7 +36,7 @@ def _cmd_convert(args) -> int:
                        "olmo2-hf", "mixtral-hf", "qwen2moe-hf",
                        "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
                        "deepseekv3-hf", "granite-hf", "glm4-hf",
-                       "llama4-hf"):
+                       "llama4-hf", "nemotron-hf", "starcoder2-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -54,7 +54,9 @@ def _cmd_convert(args) -> int:
               "deepseekv3-hf": _C.deepseek_v3_from_hf,
               "granite-hf": _C.granite_from_hf,
               "glm4-hf": _C.glm4_from_hf,
-              "llama4-hf": _C.llama4_from_hf}[args.family]
+              "llama4-hf": _C.llama4_from_hf,
+              "nemotron-hf": _C.nemotron_from_hf,
+              "starcoder2-hf": _C.starcoder2_from_hf}[args.family]
         params, cfg = fn(load_state_dict(args.gguf))
         if args.bits:
             if args.family.startswith("deepseek"):
@@ -314,7 +316,8 @@ def main(argv=None) -> int:
                             "smollm3-hf", "olmo2-hf", "mixtral-hf",
                             "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf",
                             "deepseekv2-hf", "deepseekv3-hf",
-                            "granite-hf", "glm4-hf", "llama4-hf"),
+                            "granite-hf", "glm4-hf", "llama4-hf",
+                            "nemotron-hf", "starcoder2-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")

@@ -143,6 +143,21 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         attn_scale = float(md.get(f"{arch}.attention.scale", 0.0) or 0.0)
         if attn_scale:
             extra["query_pre_attn_scalar"] = float(attn_scale ** -2)
+    if arch == "nemotron":
+        # Nemotron (llama.cpp LLM_ARCH_NEMOTRON): LayerNorm1p (the 1+w
+        # fold is baked by convert_hf_to_gguf, biases ship as tensors),
+        # ungated squared-ReLU MLP, partial split-half rope.
+        rot = int(md.get(f"{arch}.rope.dimension_count", head_dim // 2))
+        extra = dict(norm_type="layernorm", mlp_gated=False,
+                     act="relu2",
+                     partial_rotary_factor=rot / head_dim)
+    if arch == "starcoder2":
+        # StarCoder2 (llama.cpp LLM_ARCH_STARCODER2): LayerNorm with
+        # biases everywhere — attention projections (qkv_bias detected
+        # from tensors above), o_proj, and the ungated GELU MLP.
+        extra = dict(norm_type="layernorm", mlp_gated=False,
+                     act="gelu", mlp_bias=True,
+                     out_bias="blk.0.attn_output.bias" in gguf.tensors)
     if arch == "glm4":
         # GLM-4 (llama.cpp LLM_ARCH_GLM4): sandwich norms (Gemma-2
         # tensor names) + half-width INTERLEAVED rope (llama.cpp rope
@@ -238,7 +253,9 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         head_dim=head_dim,
         hidden_dim=int(md.get(f"{arch}.expert_feed_forward_length",
                            key("feed_forward_length"))),
-        norm_eps=float(key("attention.layer_norm_rms_epsilon", 1e-5)),
+        norm_eps=float(md.get(
+            f"{arch}.attention.layer_norm_rms_epsilon",
+            md.get(f"{arch}.attention.layer_norm_epsilon", 1e-5))),
         rope_theta=float(key("rope.freq_base", 10000.0)),
         max_seq=int(key("context_length", 4096)),
         sliding_window=int(md.get(f"{arch}.attention.sliding_window",
@@ -397,6 +414,12 @@ def gguf_to_llm_params(
     attn_post_norm, mlp_post_norm = [], []
     q_norm, k_norm = [], []
     qkv_bias = []
+    # LayerNorm arches (nemotron/starcoder2) ship norm BIASES as
+    # tensors; norm params then become {"g","b"} dicts.
+    norm_bias = (cfg.norm_type == "layernorm"
+                 and "blk.0.attn_norm.bias" in gguf.tensors)
+    attn_norm_b, mlp_norm_b = [], []
+    w_gu_b, w_down_b, wo_b = [], [], []
     moe_gate = []
     shared_gu, shared_down, shared_gate = [], [], []
     for i in range(cfg.n_layers):
@@ -404,6 +427,9 @@ def gguf_to_llm_params(
         if cfg.pre_norms:
             attn_norm.append(vec(f"{p}.attn_norm.weight"))
             mlp_norm.append(vec(f"{p}.ffn_norm.weight"))
+            if norm_bias:
+                attn_norm_b.append(vec(f"{p}.attn_norm.bias"))
+                mlp_norm_b.append(vec(f"{p}.ffn_norm.bias"))
         if cfg.post_norms:
             # Gemma-2 sandwich norms (llama.cpp tensor names); the
             # (1+w) fold is already baked by convert_hf_to_gguf.
@@ -446,6 +472,8 @@ def gguf_to_llm_params(
                 vec(f"{p}.attn_v.bias")]))
         wqkv.append(maybe_quant(qkv))
         wo.append(maybe_quant(mat(f"{p}.attn_output.weight")))
+        if cfg.out_bias:
+            wo_b.append(vec(f"{p}.attn_output.bias"))
         if cfg.n_experts:
             # Mixtral expert banks (llama.cpp 3D tensors, expert-major):
             # ffn_{gate,up}_exps (E, H, D) -> (E, D, 2H) fused;
@@ -483,6 +511,9 @@ def gguf_to_llm_params(
                 gu = mat(f"{p}.ffn_up.weight")
             w_gu.append(maybe_quant(gu))
             w_down.append(maybe_quant(mat(f"{p}.ffn_down.weight")))
+            if cfg.mlp_bias:
+                w_gu_b.append(vec(f"{p}.ffn_up.bias"))
+                w_down_b.append(vec(f"{p}.ffn_down.bias"))
         log.info("converted layer %d/%d", i + 1, cfg.n_layers)
 
     tok_emb = load_gguf_tensor(gguf, "token_embd.weight")  # (V, D)
@@ -516,8 +547,19 @@ def gguf_to_llm_params(
         "w_down": stack(w_down),
     }
     if cfg.pre_norms:
-        layers["attn_norm"] = jnp.stack(attn_norm)
-        layers["mlp_norm"] = jnp.stack(mlp_norm)
+        if norm_bias:
+            layers["attn_norm"] = {"g": jnp.stack(attn_norm),
+                                   "b": jnp.stack(attn_norm_b)}
+            layers["mlp_norm"] = {"g": jnp.stack(mlp_norm),
+                                  "b": jnp.stack(mlp_norm_b)}
+        else:
+            layers["attn_norm"] = jnp.stack(attn_norm)
+            layers["mlp_norm"] = jnp.stack(mlp_norm)
+    if cfg.out_bias and wo_b:
+        layers["wo_bias"] = jnp.stack(wo_b)
+    if cfg.mlp_bias:
+        layers["w_gu_b"] = jnp.stack(w_gu_b)
+        layers["w_down_b"] = jnp.stack(w_down_b)
     if cfg.qkv_bias:
         layers["wqkv_bias"] = jnp.stack(qkv_bias)
     if cfg.post_norms:
@@ -535,7 +577,10 @@ def gguf_to_llm_params(
     params: Dict[str, Any] = {
         "tok_emb": jnp.asarray(tok_emb, dtype),
         "layers": layers,
-        "out_norm": vec("output_norm.weight"),
+        "out_norm": ({"g": vec("output_norm.weight"),
+                      "b": vec("output_norm.bias")}
+                     if norm_bias and "output_norm.bias" in gguf.tensors
+                     else vec("output_norm.weight")),
         "lm_head": maybe_quant(lm_head),
     }
     if "rope_freqs.weight" in gguf.tensors:
@@ -3399,4 +3444,170 @@ def llama4_from_hf(
                 rope_scaling.get("high_freq_factor", 4.0)),
             original_max_seq=int(rope_scaling.get(
                 "original_max_position_embeddings", 8192)))
+    return params, cfg
+
+
+# --- Nemotron / StarCoder2 (LayerNorm families) -----------------------------
+
+def nemotron_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 4096,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 10000.0,
+    partial_rotary_factor: float = 0.5,
+    head_dim: int = 0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers NemotronForCausalLM state dict to
+    (params, cfg).
+
+    Nemotron's deltas over Llama: LayerNorm1p norms (effective scale =
+    1 + w, WITH bias — the +1 folds here so the runtime sees a plain
+    LayerNorm), an UNGATED squared-ReLU MLP (up -> relu² -> down), and
+    half-width split-half rope (partial_rotary_factor — no interleave
+    fold needed, Nemotron rotates like Llama)."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.mlp.up_proj.weight").shape[0]
+    # head_dim isn't shape-derivable (q_proj is square); published
+    # sizes use 128 — probe the common widths unless given.
+    hd = head_dim
+    if not hd:
+        for hd in (128, 64, 16):
+            if q0.shape[0] % hd == 0 and k0.shape[0] % hd == 0:
+                break
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, norm_type="layernorm",
+        mlp_gated=False, act="relu2",
+        partial_rotary_factor=partial_rotary_factor)
+
+    def ln1p(prefix):  # fold the +1 convention
+        return {"g": 1.0 + A(f"{prefix}.weight"),
+                "b": A(f"{prefix}.bias")}
+
+    L: Dict[str, list] = {k: [] for k in (
+        "wqkv", "wo", "w_gu", "w_down")}
+    an, mn = [], []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        an.append(ln1p(f"{pre}.input_layernorm"))
+        mn.append(ln1p(f"{pre}.post_attention_layernorm"))
+        L["wqkv"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.weight").T
+             for p in ("q", "k", "v")], axis=1))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["w_gu"].append(A(f"{pre}.mlp.up_proj.weight").T)
+        L["w_down"].append(A(f"{pre}.mlp.down_proj.weight").T)
+
+    layers = {k: jnp.asarray(np.stack(v), dtype) for k, v in L.items()}
+    layers["attn_norm"] = {
+        "g": jnp.asarray(np.stack([d["g"] for d in an]), jnp.float32),
+        "b": jnp.asarray(np.stack([d["b"] for d in an]), jnp.float32)}
+    layers["mlp_norm"] = {
+        "g": jnp.asarray(np.stack([d["g"] for d in mn]), jnp.float32),
+        "b": jnp.asarray(np.stack([d["b"] for d in mn]), jnp.float32)}
+    on = ln1p("model.norm")
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": layers,
+        "out_norm": {"g": jnp.asarray(on["g"]),
+                     "b": jnp.asarray(on["b"])},
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg
+
+
+def starcoder2_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 4096,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 1e5,
+    head_dim: int = 0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Starcoder2ForCausalLM state dict to
+    (params, cfg).
+
+    StarCoder2's deltas over Llama: plain LayerNorm norms (weight +
+    bias), biases on every attention projection AND the ungated
+    tanh-GELU MLP (c_fc -> gelu -> c_proj), full rope, usually tied
+    embeddings."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.mlp.c_fc.weight").shape[0]
+    hd = head_dim or 128
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, norm_type="layernorm",
+        mlp_gated=False, act="gelu", mlp_bias=True,
+        qkv_bias=True, out_bias=True)
+
+    def ln(prefix):
+        return {"g": A(f"{prefix}.weight"), "b": A(f"{prefix}.bias")}
+
+    L: Dict[str, list] = {k: [] for k in (
+        "wqkv", "wqkv_bias", "wo", "wo_bias",
+        "w_gu", "w_gu_b", "w_down", "w_down_b")}
+    an, mn = [], []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        an.append(ln(f"{pre}.input_layernorm"))
+        mn.append(ln(f"{pre}.post_attention_layernorm"))
+        L["wqkv"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.weight").T
+             for p in ("q", "k", "v")], axis=1))
+        L["wqkv_bias"].append(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.bias")
+             for p in ("q", "k", "v")]))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["wo_bias"].append(A(f"{pre}.self_attn.o_proj.bias"))
+        L["w_gu"].append(A(f"{pre}.mlp.c_fc.weight").T)
+        L["w_gu_b"].append(A(f"{pre}.mlp.c_fc.bias"))
+        L["w_down"].append(A(f"{pre}.mlp.c_proj.weight").T)
+        L["w_down_b"].append(A(f"{pre}.mlp.c_proj.bias"))
+
+    layers = {k: jnp.asarray(np.stack(v), dtype) for k, v in L.items()}
+    layers["attn_norm"] = {
+        "g": jnp.asarray(np.stack([d["g"] for d in an]), jnp.float32),
+        "b": jnp.asarray(np.stack([d["b"] for d in an]), jnp.float32)}
+    layers["mlp_norm"] = {
+        "g": jnp.asarray(np.stack([d["g"] for d in mn]), jnp.float32),
+        "b": jnp.asarray(np.stack([d["b"] for d in mn]), jnp.float32)}
+    on = ln("model.norm")
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": layers,
+        "out_norm": {"g": jnp.asarray(on["g"]),
+                     "b": jnp.asarray(on["b"])},
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
     return params, cfg

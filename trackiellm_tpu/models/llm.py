@@ -110,6 +110,18 @@ class LLMConfig(NamedTuple):
     # weight scales the expert INPUT, not its output (experts have no
     # biases, so unselected contributions are exactly zero).
     moe_scale_input: bool = False
+    # Norm family: "rms" (Llama & almost everything) or "layernorm"
+    # (mean-subtracting — StarCoder2, Nemotron, Command-R). LayerNorm
+    # weights may carry biases: norm params are then {"g","b"} dicts
+    # instead of bare arrays (scan-compatible pytrees). Nemotron's
+    # LayerNorm1p (1+w convention) folds at conversion.
+    norm_type: str = "rms"
+    # MLP shape: gated GLU (default) or a plain up->act->down stack
+    # (mlp_gated=False — StarCoder2's gelu, Nemotron's relu²; w_gu
+    # then holds ONLY the up projection). mlp_bias adds dense-MLP
+    # biases (layers.w_gu_b / w_down_b — StarCoder2).
+    mlp_gated: bool = True
+    mlp_bias: bool = False
     alt_window: bool = False    # sliding window on EVEN layers only
     # Gemma-3 layer-type pattern: every ``window_pattern``-th layer is
     # GLOBAL (li % pattern == pattern-1), the rest slide (transformers
@@ -646,12 +658,31 @@ def _attn_in(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     raw stream for OLMo-2's post-norm-only placement."""
     if not cfg.pre_norms:
         return x
-    return _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    return _norm(x, layer["attn_norm"], cfg.norm_eps, cfg.norm_type)
 
 
 def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
     return (x.astype(jnp.float32) * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * scale
+
+
+def _norm(x: jnp.ndarray, p, eps: float, kind: str = "rms") -> jnp.ndarray:
+    """Config-dispatched norm: ``p`` is a bare weight array (RMS /
+    bias-free LayerNorm) or a {"g","b"} dict (LayerNorm with bias)."""
+    if isinstance(p, dict):
+        g, b = p["g"], p.get("b")
+    else:
+        g, b = p, None
+    if kind == "rms":
+        out = _rms_norm(x, g, eps)
+    else:  # mean-subtracting LayerNorm
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        out = ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * g
+    if b is not None:
+        out = out + b
+    return out
 
 
 def _act_combine(gate: jnp.ndarray, up: jnp.ndarray, act: str,
@@ -676,7 +707,9 @@ def _act_combine(gate: jnp.ndarray, up: jnp.ndarray, act: str,
 def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
                eps: float, act: str = "silu",
                post_norm=None,
-               residual_multiplier: float = 1.0) -> jnp.ndarray:
+               residual_multiplier: float = 1.0,
+               norm_type: str = "rms", gated: bool = True,
+               w_gu_b=None, w_down_b=None) -> jnp.ndarray:
     """norm -> gate/up -> act(gate)*up -> down [-> post-norm] -> +residual.
 
     ``act``: "silu" (Llama/Mistral SwiGLU) or "gelu" (Gemma GeGLU,
@@ -693,16 +726,31 @@ def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
 
     if (x.ndim == 2 and act == "silu" and post_norm is None
             and norm_scale is not None and residual_multiplier == 1.0
+            and gated and norm_type == "rms"
+            and not isinstance(norm_scale, dict)
             and fused.use_fused_mlp() and fused._can_fuse(x, w_gu, w_down)):
         return fused.fused_mlp(x, norm_scale, w_gu, w_down, eps)
     # norm_scale None = OLMo-2 placement: the MLP consumes the residual
     # stream raw (only the post-norm applies).
-    h2 = _rms_norm(x, norm_scale, eps) if norm_scale is not None else x
+    h2 = (_norm(x, norm_scale, eps, norm_type)
+          if norm_scale is not None else x)
     gu = _linear(h2, w_gu).astype(jnp.float32)
-    gate, up = jnp.split(gu, 2, axis=-1)
-    out = _linear(_act_combine(gate, up, act).astype(x.dtype), w_down)
+    if w_gu_b is not None:
+        gu = gu + w_gu_b.astype(jnp.float32)
+    if gated:
+        gate, up = jnp.split(gu, 2, axis=-1)
+        act_out = _act_combine(gate, up, act)
+    elif act == "relu2":
+        # Nemotron: squared ReLU, no gate.
+        act_out = jnp.square(jax.nn.relu(gu))
+    else:
+        # StarCoder2: plain tanh-approximated GELU, no gate.
+        act_out = jax.nn.gelu(gu, approximate=True)
+    out = _linear(act_out.astype(x.dtype), w_down)
+    if w_down_b is not None:
+        out = out + w_down_b
     if post_norm is not None:
-        out = _rms_norm(out, post_norm, eps)
+        out = _norm(out, post_norm, eps, norm_type)
     if residual_multiplier != 1.0:
         out = out * jnp.asarray(residual_multiplier, out.dtype)
     return x + out
@@ -844,7 +892,7 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
       expert and grouped-matmul via ``lax.ragged_dot`` — K/E of the
       dense FLOPs (4x at Mixtral's 8/top-2). See _moe_routed.
     """
-    h2 = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    h2 = _norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.norm_type)
     logits = _linear(h2, layer["moe_gate"]).astype(jnp.float32)
     if cfg.moe_bias:
         # gpt-oss router bias: a true linear bias on the logits (it
@@ -900,7 +948,8 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
                _moe_routed(h2, topv, topi, layer, cfg))
         out = (out + _moe_shared(h2, layer, cfg)).astype(x.dtype)
         if cfg.post_norms:
-            out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
+            out = _norm(out, layer["mlp_post_norm"], cfg.norm_eps,
+                    cfg.norm_type)
         if cfg.residual_multiplier != 1.0:
             out = out * jnp.asarray(cfg.residual_multiplier, out.dtype)
         return x + out
@@ -929,7 +978,8 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
                      else weights[:, e:e + 1] * y)
     out = out.astype(x.dtype)
     if cfg.post_norms:
-        out = _rms_norm(out, layer["mlp_post_norm"], cfg.norm_eps)
+        out = _norm(out, layer["mlp_post_norm"], cfg.norm_eps,
+                    cfg.norm_type)
     if cfg.residual_multiplier != 1.0:
         out = out * jnp.asarray(cfg.residual_multiplier, out.dtype)
     return x + out
@@ -943,7 +993,12 @@ def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
                       layer["w_gu"],
                       layer["w_down"], cfg.norm_eps, act=cfg.act,
                       post_norm=layer.get("mlp_post_norm"),
-                      residual_multiplier=cfg.residual_multiplier)
+                      residual_multiplier=cfg.residual_multiplier,
+                      norm_type=cfg.norm_type, gated=cfg.mlp_gated,
+                      w_gu_b=(layer.get("w_gu_b")
+                              if cfg.mlp_bias else None),
+                      w_down_b=(layer.get("w_down_b")
+                                if cfg.mlp_bias else None))
 
 
 def _attn_residual(x: jnp.ndarray, attn_out: jnp.ndarray, layer,
@@ -954,7 +1009,8 @@ def _attn_residual(x: jnp.ndarray, attn_out: jnp.ndarray, layer,
     if cfg.out_bias:
         out = out + layer["wo_bias"]
     if cfg.post_norms:
-        out = _rms_norm(out, layer["attn_post_norm"], cfg.norm_eps)
+        out = _norm(out, layer["attn_post_norm"], cfg.norm_eps,
+                    cfg.norm_type)
     if cfg.residual_multiplier != 1.0:
         out = out * jnp.asarray(cfg.residual_multiplier, out.dtype)
     return x + out
@@ -1059,7 +1115,8 @@ def _prefill_attn(cfg: LLMConfig, li, q, k, v, layer=None):
 def _output_logits(params: Dict[str, Any], cfg: LLMConfig,
                    x: jnp.ndarray) -> jnp.ndarray:
     """Final norm -> lm_head (-> Gemma-2 logit soft-cap), f32."""
-    logits = _linear(_rms_norm(x, params["out_norm"], cfg.norm_eps),
+    logits = _linear(_norm(x, params["out_norm"], cfg.norm_eps,
+                           cfg.norm_type),
                      params["lm_head"]).astype(jnp.float32)
     if cfg.logit_softcap > 0.0:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)

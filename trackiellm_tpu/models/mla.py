@@ -87,6 +87,9 @@ class MLAConfig(NamedTuple):
     act_limit: float = 7.0
     moe_scale_input: bool = False
     residual_multiplier: float = 1.0
+    norm_type: str = "rms"
+    mlp_gated: bool = True
+    mlp_bias: bool = False
     first_k_dense: int = 1
     act: str = "silu"
     post_norms: bool = False     # read by _mlp helpers; always False here
