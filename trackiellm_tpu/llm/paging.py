@@ -130,8 +130,8 @@ def decode_step_paged(
             v_seq = pv_l[table].reshape(-1, cfg.n_kv_heads, cfg.head_dim)
         attn = llm_model._decode_attn(cfg, li, q[0], k_seq, v_seq, pos + 1,
                                       layer=layer)
-        x = llm_model._attn_residual(x, attn.reshape(1, -1), layer, cfg)
-        x = llm_model._mlp(x, layer, cfg)
+        x = llm_model._layer_tail(x, h, attn.reshape(1, -1), layer,
+                                  cfg)
         return x, (pk_l, pv_l)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -280,8 +280,8 @@ def decode_step_batch_paged(
                                           layer=layer)
 
         attn = jax.vmap(one_slot)(q, tables, pos)
-        x = llm_model._attn_residual(x, attn.reshape(b, -1), layer, cfg)
-        x = llm_model._mlp(x, layer, cfg)
+        x = llm_model._layer_tail(x, h, attn.reshape(b, -1), layer,
+                                  cfg)
         return x, (pk_l, pv_l)
 
     x, (new_k, new_v) = jax.lax.scan(

@@ -158,6 +158,17 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         extra = dict(norm_type="layernorm", mlp_gated=False,
                      act="gelu", mlp_bias=True,
                      out_bias="blk.0.attn_output.bias" in gguf.tensors)
+    if arch in ("command-r", "cohere2"):
+        # Cohere (llama.cpp LLM_ARCH_COMMAND_R / COHERE2): bias-free
+        # LayerNorm + parallel residual + interleaved rope (type NORM,
+        # folded below) + logit_scale MULTIPLIER (folded into lm_head).
+        # Cohere2's sliding_window_pattern: every pattern-th layer is
+        # global AND NoPE (rope only on sliding layers).
+        extra = dict(norm_type="layernorm", parallel_residual=True)
+        pattern = int(md.get(f"{arch}.attention.sliding_window_pattern",
+                             0) or 0)
+        if pattern > 1:
+            extra.update(window_pattern=pattern, nope_pattern=pattern)
     if arch == "glm4":
         # GLM-4 (llama.cpp LLM_ARCH_GLM4): sandwich norms (Gemma-2
         # tensor names) + half-width INTERLEAVED rope (llama.cpp rope
@@ -404,10 +415,16 @@ def gguf_to_llm_params(
             values=jnp.stack([q.values for q in items]),
             scales=jnp.stack([q.scales for q in items]))
 
-    # GLM-4: fold the interleaved rope layout into the q/k column
-    # order (exact; see _deinterleave_rope_cols).
-    glm_rot = (int(cfg.head_dim * cfg.partial_rotary_factor)
-               if (gguf.architecture or "") == "glm4" else 0)
+    # GLM-4 / Cohere: fold the interleaved rope layout (llama.cpp rope
+    # type NORM) into the q/k column order (exact; see
+    # _deinterleave_rope_cols). GLM-4 rotates half the head, Cohere
+    # all of it.
+    arch_ = gguf.architecture or ""
+    glm_rot = 0
+    if arch_ == "glm4":
+        glm_rot = int(cfg.head_dim * cfg.partial_rotary_factor)
+    elif arch_ in ("command-r", "cohere2"):
+        glm_rot = cfg.head_dim
 
     wqkv, wo, w_gu, w_down = [], [], [], []
     attn_norm, mlp_norm = [], []
@@ -426,7 +443,12 @@ def gguf_to_llm_params(
         p = f"blk.{i}"
         if cfg.pre_norms:
             attn_norm.append(vec(f"{p}.attn_norm.weight"))
-            mlp_norm.append(vec(f"{p}.ffn_norm.weight"))
+            if cfg.parallel_residual:
+                # Cohere: ONE shared norm per layer; the sequential
+                # helpers never read mlp_norm but the key must exist.
+                mlp_norm.append(jnp.ones((cfg.dim,), jnp.float32))
+            else:
+                mlp_norm.append(vec(f"{p}.ffn_norm.weight"))
             if norm_bias:
                 attn_norm_b.append(vec(f"{p}.attn_norm.bias"))
                 mlp_norm_b.append(vec(f"{p}.ffn_norm.bias"))
@@ -438,8 +460,16 @@ def gguf_to_llm_params(
         if cfg.qk_norm or cfg.qk_norm_full:
             # Qwen3 per-head / OLMo-2 whole-projection QK norms (the
             # same llama.cpp attn_{q,k}_norm names; the shape differs).
-            q_norm.append(vec(f"{p}.attn_q_norm.weight"))
-            k_norm.append(vec(f"{p}.attn_k_norm.weight"))
+            qn = np.asarray(vec(f"{p}.attn_q_norm.weight"))
+            kn = np.asarray(vec(f"{p}.attn_k_norm.weight"))
+            if glm_rot and qn.size == cfg.n_heads * cfg.head_dim:
+                # Cohere per-head norms ride the interleave fold.
+                qn = _deinterleave_rope_cols(qn, cfg.n_heads,
+                                             cfg.head_dim, glm_rot)
+                kn = _deinterleave_rope_cols(kn, cfg.n_kv_heads,
+                                             cfg.head_dim, glm_rot)
+            q_norm.append(jnp.asarray(qn))
+            k_norm.append(jnp.asarray(kn))
         if f"{p}.attn_qkv.weight" in gguf.tensors:
             # Phi-3-style pre-fused QKV ([q; k; v] rows in GGUF ->
             # [q | k | v] columns transposed — exactly this framework's
@@ -526,6 +556,13 @@ def gguf_to_llm_params(
         # build_gemma2/3 do the same); fold it into tok_emb AFTER the
         # tied lm_head took the unscaled copy.
         tok_emb = tok_emb * float(np.sqrt(cfg.dim))
+    if (gguf.architecture or "llama") in ("command-r", "cohere2"):
+        # Cohere MULTIPLIES the logits by logit_scale (llama.cpp
+        # build_command_r); fold into lm_head after the tied copy.
+        ls = float(gguf.metadata.get(
+            f"{gguf.architecture}.logit_scale", 1.0) or 1.0)
+        if ls != 1.0:
+            lm_head = lm_head * ls
     if (gguf.architecture or "llama") in ("granite", "granitemoe"):
         # Granite's foldable multipliers (llama.cpp applies them at
         # runtime: f_embedding_scale on inpL, f_logit_scale divides
@@ -3609,5 +3646,103 @@ def starcoder2_from_hf(
         "lm_head": jnp.asarray(
             (A("lm_head.weight").T if "lm_head.weight" in state
              else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg
+
+
+# --- Cohere Command-R / Command-R7B (llama.cpp arch "command-r"/"cohere2") --
+
+def cohere_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 10000.0,
+    logit_scale: float = 1.0,
+    sliding_window: int = 0,
+    sliding_window_pattern: int = 0,
+    head_dim: int = 0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers CohereForCausalLM / Cohere2ForCausalLM
+    state dict to (params, cfg).
+
+    Cohere's deltas over Llama: bias-free mean-subtracting LayerNorm,
+    PARALLEL residual (attention and MLP read the same
+    input_layernorm; one residual add — CohereDecoderLayer), a
+    logit_scale multiplier (folded into lm_head; embeddings are tied),
+    INTERLEAVED full-width rope (folded to split-half via the GLM-4
+    column permutation), and optionally per-head QK LayerNorms
+    (Command-R+ use_qk_norm — their (H, head_dim) weights ride the
+    same permutation, exact because mean/var over head_dim are
+    permutation-invariant). Cohere2 (Command-R7B) adds
+    ``sliding_window_pattern``: every pattern-th layer is GLOBAL and
+    rope applies ONLY on sliding layers — mapped to window_pattern +
+    nope_pattern at the same phase."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hidden = A("model.layers.0.mlp.gate_proj.weight").shape[0]
+    hd = head_dim or 128
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+    qk_norm = "model.layers.0.self_attn.q_norm.weight" in state
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=(sliding_window or max_seq),
+        norm_type="layernorm", parallel_residual=True,
+        qk_norm=qk_norm,
+        window_pattern=sliding_window_pattern,
+        nope_pattern=sliding_window_pattern)
+
+    def deint(w, heads):
+        return _deinterleave_rope_cols(w, heads, hd, hd)
+
+    L: Dict[str, list] = {k: [] for k in (
+        "attn_norm", "wqkv", "wo", "w_gu", "w_down")}
+    if qk_norm:
+        L["q_norm"], L["k_norm"] = [], []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [deint(A(f"{pre}.self_attn.q_proj.weight").T, n_heads),
+             deint(A(f"{pre}.self_attn.k_proj.weight").T, n_kv),
+             A(f"{pre}.self_attn.v_proj.weight").T], axis=1))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        L["w_gu"].append(np.concatenate(
+            [A(f"{pre}.mlp.gate_proj.weight").T,
+             A(f"{pre}.mlp.up_proj.weight").T], axis=1))
+        L["w_down"].append(A(f"{pre}.mlp.down_proj.weight").T)
+        if qk_norm:
+            # (H, head_dim) per-head weights — permuted like q/k cols.
+            L["q_norm"].append(deint(
+                A(f"{pre}.self_attn.q_norm.weight").reshape(-1),
+                n_heads))
+            L["k_norm"].append(deint(
+                A(f"{pre}.self_attn.k_norm.weight").reshape(-1), n_kv))
+
+    # The parallel-residual body never reads a pre-MLP norm, but the
+    # duck-typed helpers expect the key on pre_norms configs.
+    mlp_norm = [np.ones((dim,), np.float32)] * n_layers
+    layers = {k: jnp.asarray(np.stack(v), dtype) for k, v in L.items()}
+    layers["mlp_norm"] = jnp.asarray(np.stack(mlp_norm), jnp.float32)
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": layers,
+        "out_norm": jnp.asarray(A("model.norm.weight"), jnp.float32),
+        # Cohere multiplies the logits by logit_scale (tied
+        # embeddings): fold it into lm_head.
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)) * logit_scale, dtype),
     }
     return params, cfg

@@ -116,6 +116,11 @@ class LLMConfig(NamedTuple):
     # instead of bare arrays (scan-compatible pytrees). Nemotron's
     # LayerNorm1p (1+w convention) folds at conversion.
     norm_type: str = "rms"
+    # Command-R (Cohere): PARALLEL residual — attention and MLP both
+    # read the SAME input_layernorm output and their branch outputs
+    # add to the incoming stream (x + attn(h) + mlp(h)); no second
+    # norm. Dense MLP only (Cohere has no MoE).
+    parallel_residual: bool = False
     # MLP shape: gated GLU (default) or a plain up->act->down stack
     # (mlp_gated=False — StarCoder2's gelu, Nemotron's relu²; w_gu
     # then holds ONLY the up projection). mlp_bias adds dense-MLP
@@ -649,6 +654,18 @@ def _qk_norm(q: jnp.ndarray, k: jnp.ndarray, layer,
         return full(q, layer["q_norm"]), full(k, layer["k_norm"])
     if not cfg.qk_norm:
         return q, k
+    if cfg.norm_type == "layernorm":
+        # Command-R+ per-head QK LayerNorm (CohereLayerNorm with
+        # hidden_size=(H, head_dim)): mean-subtracting over head_dim,
+        # PER-HEAD (H, head_dim) weights, no bias.
+        def ln(t, w):
+            t32 = t.astype(jnp.float32)
+            mu = jnp.mean(t32, axis=-1, keepdims=True)
+            var = jnp.var(t32, axis=-1, keepdims=True)
+            y = (t32 - mu) * jax.lax.rsqrt(var + cfg.norm_eps)
+            return y.astype(t.dtype) * w.reshape(t.shape[-2],
+                                                 t.shape[-1])
+        return ln(q, layer["q_norm"]), ln(k, layer["k_norm"])
     return (_rms_norm(q, layer["q_norm"], cfg.norm_eps),
             _rms_norm(k, layer["k_norm"], cfg.norm_eps))
 
@@ -1016,6 +1033,39 @@ def _attn_residual(x: jnp.ndarray, attn_out: jnp.ndarray, layer,
     return x + out
 
 
+def _mlp_branch(h: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
+    """The dense-MLP branch output from an ALREADY-NORMED input (the
+    parallel-residual path: no norm, no post-norm, no residual)."""
+    gu = _linear(h, layer["w_gu"]).astype(jnp.float32)
+    if cfg.mlp_bias and "w_gu_b" in layer:
+        gu = gu + layer["w_gu_b"].astype(jnp.float32)
+    if cfg.mlp_gated:
+        gate, up = jnp.split(gu, 2, axis=-1)
+        act_out = _act_combine(gate, up, cfg.act, cfg.act_limit)
+    elif cfg.act == "relu2":
+        act_out = jnp.square(jax.nn.relu(gu))
+    else:
+        act_out = jax.nn.gelu(gu, approximate=True)
+    out = _linear(act_out.astype(h.dtype), layer["w_down"])
+    if cfg.mlp_bias and "w_down_b" in layer:
+        out = out + layer["w_down_b"]
+    return out
+
+
+def _layer_tail(x: jnp.ndarray, h: jnp.ndarray, attn: jnp.ndarray,
+                layer, cfg: LLMConfig) -> jnp.ndarray:
+    """Everything after the attention weights: sequential residuals
+    (default) or Command-R's parallel residual (CohereDecoderLayer:
+    hidden = residual + attn_out + mlp(h) with ONE shared norm)."""
+    if cfg.parallel_residual:
+        out = _linear(attn.astype(x.dtype), layer["wo"])
+        if cfg.out_bias:
+            out = out + layer["wo_bias"]
+        return x + out + _mlp_branch(h, layer, cfg).astype(x.dtype)
+    x = _attn_residual(x, attn, layer, cfg)
+    return _mlp(x, layer, cfg)
+
+
 def _attn_scale(cfg: LLMConfig) -> float:
     """The actual attention score scale: 1/sqrt(query scalar or
     head_dim), times the longrope attention factor squared."""
@@ -1380,8 +1430,7 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
             cfg, li, q.transpose(1, 0, 2), k.transpose(1, 0, 2),
             v.transpose(1, 0, 2), layer=layer
         ).transpose(1, 0, 2).reshape(s_pad, -1)
-        x = _attn_residual(x, attn, layer, cfg)
-        x = _mlp(x, layer, cfg)
+        x = _layer_tail(x, h, attn, layer, cfg)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(
@@ -1447,10 +1496,10 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
         attn = jax.vmap(lambda qq, kk, vv: _prefill_attn(
             cfg, li, qq.transpose(1, 0, 2), kk.transpose(1, 0, 2),
             vv.transpose(1, 0, 2), layer=layer).transpose(1, 0, 2))(q, k, v)
-        x = _attn_residual(
-            x.reshape(b * s_pad, -1),
-            attn.reshape(b * s_pad, -1), layer, cfg)
-        x = _mlp(x, layer, cfg).reshape(b, s_pad, -1)
+        x = _layer_tail(
+            x.reshape(b * s_pad, -1), h.reshape(b * s_pad, -1),
+            attn.reshape(b * s_pad, -1), layer, cfg
+        ).reshape(b, s_pad, -1)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(
@@ -1519,8 +1568,7 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         v_view = v_cache_l[:attn_len] if attn_len else v_cache_l
         attn = _decode_attn(cfg, li, q[0], k_view, v_view, pos + 1,
                             layer=layer)
-        x = _attn_residual(x, attn.reshape(1, -1), layer, cfg)
-        x = _mlp(x, layer, cfg)
+        x = _layer_tail(x, h, attn.reshape(1, -1), layer, cfg)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -1628,8 +1676,7 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
             lambda qq, kc, vc, p: _decode_attn(cfg, li, qq, kc, vc, p + 1,
                                                layer=layer)
         )(q, k_view, v_view, pos)
-        x = _attn_residual(x, attn.reshape(b, -1), layer, cfg)
-        x = _mlp(x, layer, cfg)
+        x = _layer_tail(x, h, attn.reshape(b, -1), layer, cfg)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -1785,8 +1832,7 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         attn = jnp.einsum(
             "grqs,sgd->qgrd", probs.astype(v_view.dtype), v_view,
             preferred_element_type=jnp.float32).reshape(b, -1)
-        x = _attn_residual(x, attn, layer, cfg)
-        x = _mlp(x, layer, cfg)
+        x = _layer_tail(x, h, attn, layer, cfg)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(

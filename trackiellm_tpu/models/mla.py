@@ -88,6 +88,7 @@ class MLAConfig(NamedTuple):
     moe_scale_input: bool = False
     residual_multiplier: float = 1.0
     norm_type: str = "rms"
+    parallel_residual: bool = False
     mlp_gated: bool = True
     mlp_bias: bool = False
     first_k_dense: int = 1

@@ -125,6 +125,11 @@ def transformer_layer(
     k = llm_model.apply_rope(k, positions, freqs_li)
     q, k = llm_model._post_rope_qk(q, k, positions, li, cfg)
 
+    if getattr(cfg, "parallel_residual", False):
+        raise NotImplementedError(
+            "parallel-residual (Command-R) layers are inference-only "
+            "for now — the train/pipeline/ring bodies keep sequential "
+            "residuals")
     attn = attn_core(q, k, v, li).reshape(*lead, s, -1)
     x = llm_model._attn_residual(x, attn, layer, cfg)
     x = res_constrain(x)
