@@ -355,3 +355,44 @@ class TestEmbedParity:
         assert res["mean_cosine"] > 0.999999
         assert res["top1_agreement"] == 1.0
         assert res["pass"]
+
+
+class TestLLMParityNativeCheckpoint:
+    def test_native_checkpoint_self_parity(self, tmp_path, capsys):
+        """The HF-route families (converted to a native checkpoint dir)
+        drive parity_llm too: a transcript produced by the runner
+        itself must match exactly."""
+        sys.path.insert(0, REPO)
+        import jax
+        import jax.numpy as jnp
+
+        from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+        from trackiellm_tpu.models import llm as llm_model
+        from trackiellm_tpu.models.checkpoint import save_checkpoint
+
+        cfg = llm_model.LLMConfig.tiny()
+        params = llm_model.init_params(jax.random.PRNGKey(3), cfg,
+                                       dtype=jnp.float32)
+        ckpt = str(tmp_path / "native_ckpt")
+        save_checkpoint(ckpt, params, config=cfg, metadata={})
+
+        tok = ByteTokenizer(cfg.vocab_size)
+        runner = LLMRunner(params, cfg, tok,
+                           GenerationConfig(max_tokens=10,
+                                            temperature=0.0,
+                                            min_tokens=6),
+                           cache_dtype=jnp.float32)
+        runner.generate("ola mundo")
+        ref_ids = [int(i) for i in runner._generated_ids]
+        assert ref_ids
+
+        tr = str(tmp_path / "transcript.json")
+        open(tr, "w").write(json.dumps(
+            {"prompt": "ola mundo", "tokens": ref_ids}))
+
+        res = _run_main("tools.parity_llm",
+                        ["--gguf", ckpt, "--transcript", tr,
+                         "--quantize", "0", "--no-record"], capsys)
+        assert res["match_rate"] >= 0.9  # bf16 sidecar roundtrip may
+        assert res["exact_prefix"] >= 1  # perturb late near-ties

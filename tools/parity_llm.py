@@ -36,7 +36,10 @@ from tools.parity_common import die, emit, record, require_file  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--gguf", required=True, help="GGUF model file")
+    ap.add_argument("--gguf", required=True,
+                    help="GGUF model file OR a native checkpoint dir "
+                    "(python -m trackiellm_tpu convert --family *-hf — "
+                    "the route for HF-only families like Llama-4)")
     ap.add_argument("--transcript", required=True,
                     help="llama.cpp greedy-run JSON (prompt + tokens)")
     ap.add_argument("--quantize", type=int, default=4, choices=(0, 4, 8),
@@ -45,8 +48,10 @@ def main() -> None:
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
-    gguf_path = require_file(args.gguf, "GGUF model",
-                             "e.g. mistral-7b-instruct Q4_0")
+    if not (os.path.isdir(args.gguf) or os.path.exists(args.gguf)):
+        die(f"model not found: {args.gguf!r} (GGUF file or native "
+            f"checkpoint dir)")
+    gguf_path = args.gguf
     tr_path = require_file(args.transcript, "llama.cpp transcript JSON")
     tr = json.loads(open(tr_path).read())
     if "prompt" not in tr or not ("tokens" in tr or "text" in tr):
@@ -57,25 +62,48 @@ def main() -> None:
         gguf_to_llm_params, tokenizer_from_gguf)
     from trackiellm_tpu.models.loader import read_gguf_header
 
-    print("loading GGUF...", file=sys.stderr)
-    try:
-        tokenizer = tokenizer_from_gguf(read_gguf_header(gguf_path))
-    except Exception as e:
-        die(f"GGUF tokenizer table unreadable: {e}")
-    params, cfg = gguf_to_llm_params(gguf_path,
-                                     bits=args.quantize or None)
+    model = None
+    if os.path.isdir(gguf_path):
+        # Native checkpoint (CLI convert output): config + tokenizer
+        # ride the sidecar; MLA checkpoints select models/mla.
+        from trackiellm_tpu.models.checkpoint import load_checkpoint
+
+        print("loading native checkpoint...", file=sys.stderr)
+        params, cfg, meta = load_checkpoint(gguf_path)
+        if cfg is None:
+            die("checkpoint has no config sidecar")
+        tokenizer = None
+        if meta.get("tokenizer_spec"):
+            from trackiellm_tpu.models.convert import tokenizer_from_spec
+
+            tokenizer = tokenizer_from_spec(meta["tokenizer_spec"])
+        elif meta.get("vocab_pieces"):
+            from trackiellm_tpu.models.convert import tokenizer_from_pieces
+
+            tokenizer = tokenizer_from_pieces(meta["vocab_pieces"])
+        if type(cfg).__name__ == "MLAConfig":
+            from trackiellm_tpu.models import mla as model  # noqa: F811
+    else:
+        print("loading GGUF...", file=sys.stderr)
+        try:
+            tokenizer = tokenizer_from_gguf(read_gguf_header(gguf_path))
+        except Exception as e:
+            die(f"GGUF tokenizer table unreadable: {e}")
+        params, cfg = gguf_to_llm_params(gguf_path,
+                                         bits=args.quantize or None)
     if tokenizer is None:
         from trackiellm_tpu.llm.tokenizer import ByteTokenizer
 
         print("WARNING: GGUF carries no tokenizer.ggml.tokens table; "
               "using the byte tokenizer (only valid for synthetic "
-              "models)", file=sys.stderr)
+              "models)", file=sys.stderr)  # noqa: E501
         tokenizer = ByteTokenizer(cfg.vocab_size)
 
     ref_tokens = tr.get("tokens")
     n_gen = len(ref_tokens) if ref_tokens else 256
     runner = LLMRunner(params, cfg, tokenizer,
-                       GenerationConfig(max_tokens=n_gen, temperature=0.0))
+                       GenerationConfig(max_tokens=n_gen, temperature=0.0),
+                       model=model)
     print(f"greedy-decoding {n_gen} tokens...", file=sys.stderr)
     out_text = runner.generate(tr["prompt"])
     got = runner._generated_ids
