@@ -163,13 +163,106 @@ class TestLlama4:
         np.testing.assert_allclose(np.asarray(logits), full, rtol=2e-4,
                                    atol=2e-4)
 
-    def test_maverick_interleave_refused(self, oracle):
+    def test_irregular_moe_layout_refused(self, oracle):
+        """A dense/MoE layout that isn't the interleave pattern (here:
+        layer 0 dense, the rest MoE) is refused clearly."""
         state, _, _ = oracle
         state = dict(state)
-        state["model.layers.1.feed_forward.gate_proj.weight"] = \
+        for k in list(state):
+            if k.startswith("model.layers.0.feed_forward.experts") or \
+                    "layers.0.feed_forward.router" in k or \
+                    "layers.0.feed_forward.shared_expert" in k:
+                del state[k]
+        state["model.layers.0.feed_forward.gate_proj.weight"] = \
             np.zeros((96, DIM), np.float32)
-        with pytest.raises(NotImplementedError, match="Maverick|interleave"):
+        state["model.layers.0.feed_forward.up_proj.weight"] = \
+            np.zeros((96, DIM), np.float32)
+        state["model.layers.0.feed_forward.down_proj.weight"] = \
+            np.zeros((DIM, 96), np.float32)
+        with pytest.raises(NotImplementedError, match="irregular"):
             C.llama4_from_hf(state, head_dim=HD)
+
+
+class TestMaverickInterleave:
+    """interleave_moe_layer_step=2: odd layers MoE, even layers a
+    WIDER dense MLP — the per-layer choice is a lax.cond over dual
+    stacked params."""
+
+    @pytest.fixture(scope="class")
+    def oracle(self):
+        from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+        torch.manual_seed(9)
+        hf_cfg = Llama4TextConfig(
+            vocab_size=VOCAB, hidden_size=DIM,
+            intermediate_size=EXP_HID, intermediate_size_mlp=96,
+            num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+            num_key_value_heads=KV, head_dim=HD,
+            num_local_experts=EXPERTS, num_experts_per_tok=1,
+            interleave_moe_layer_step=2,
+            max_position_embeddings=64, rope_theta=THETA,
+            rope_scaling=None,
+            no_rope_layer_interval=NOPE, attention_chunk_size=CHUNK,
+            attn_temperature_tuning=True, floor_scale=FLOOR,
+            attn_scale=0.1, use_qk_norm=True, attention_bias=False,
+            attention_dropout=0.0, rms_norm_eps=1e-5,
+            tie_word_embeddings=False,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2)
+        hf_cfg._attn_implementation = "eager"
+        model = Llama4ForCausalLM(hf_cfg).eval()
+        gen = torch.Generator().manual_seed(10)
+        with torch.no_grad():
+            for name, p in model.named_parameters():
+                if "norm" in name and "qk_norm" not in name:
+                    p.copy_(1.0 + torch.randn(p.shape,
+                                              generator=gen) * 0.2)
+                elif "q_proj" in name or "k_proj" in name:
+                    p.copy_(torch.randn(p.shape, generator=gen) * 0.15)
+                elif "router" in name:
+                    p.copy_(torch.randn(p.shape, generator=gen) * 0.5)
+        tokens = torch.randint(
+            0, VOCAB, (1, SEQ + 3),
+            generator=torch.Generator().manual_seed(11))
+        with torch.no_grad():
+            ref = model(tokens).logits[0].numpy()
+        state = {k: v.numpy() for k, v in model.state_dict().items()}
+        return state, tokens[0].numpy(), ref
+
+    def test_matches_oracle(self, oracle):
+        state, tokens, ref = oracle
+        params, cfg = _convert_hf(state)
+        assert cfg.moe_pattern == 2
+        assert "w_gu_mlp" in params["layers"]
+        toks = jnp.asarray(tokens[:SEQ], jnp.int32)
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(params, cfg, toks,
+                                          jnp.int32(SEQ), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   rtol=2e-3, atol=2e-3)
+        for j in range(3):
+            logits, cache = llm_model.decode_step(
+                params, cfg, jnp.int32(int(tokens[SEQ + j])), cache)
+            np.testing.assert_allclose(
+                np.asarray(logits), ref[SEQ + j],
+                rtol=2e-3, atol=2e-3, err_msg=f"decode step {j}")
+
+    def test_pattern_load_bearing(self, oracle):
+        """Treating every layer as MoE (pattern off) must diverge —
+        the dense layers' expert banks are zeros."""
+        state, tokens, ref = oracle
+        params, cfg = _convert_hf(state)
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        good, _ = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        good_err = np.abs(np.asarray(good) - ref[SEQ - 1]).max()
+        bad_cfg = cfg._replace(moe_pattern=0)
+        cache = llm_model.KVCache.create(bad_cfg, dtype=jnp.float32)
+        bad, _ = llm_model.prefill(
+            params, bad_cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        assert np.abs(np.asarray(bad) - ref[SEQ - 1]).max() \
+            > max(100 * good_err, 2e-3)
 
 
 class TestLlama4ProductionPaths:

@@ -131,7 +131,7 @@ def decode_step_paged(
         attn = llm_model._decode_attn(cfg, li, q[0], k_seq, v_seq, pos + 1,
                                       layer=layer)
         x = llm_model._layer_tail(x, h, attn.reshape(1, -1), layer,
-                                  cfg)
+                                  cfg, li=li)
         return x, (pk_l, pv_l)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -281,7 +281,7 @@ def decode_step_batch_paged(
 
         attn = jax.vmap(one_slot)(q, tables, pos)
         x = llm_model._layer_tail(x, h, attn.reshape(b, -1), layer,
-                                  cfg)
+                                  cfg, li=li)
         return x, (pk_l, pv_l)
 
     x, (new_k, new_v) = jax.lax.scan(

@@ -3389,26 +3389,44 @@ def llama4_from_hf(
     """
     A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
 
-    if "model.layers.0.feed_forward.gate_proj.weight" in state \
-            or "model.layers.1.feed_forward.gate_proj.weight" in state:
-        raise NotImplementedError(
-            "interleaved dense/MoE Llama-4 (Maverick, "
-            "interleave_moe_layer_step > 1) is not supported yet — "
-            "the layer scan needs homogeneous stacks; Scout-class "
-            "uniform-MoE checkpoints convert fine")
-
     emb = A("model.embed_tokens.weight")
     vocab, dim = emb.shape
     n_layers = len({k.split(".")[2] for k in state
                     if k.startswith("model.layers.")})
     q0 = A("model.layers.0.self_attn.q_proj.weight")
     k0 = A("model.layers.0.self_attn.k_proj.weight")
+
+    # Maverick interleaves dense and MoE layers
+    # (interleave_moe_layer_step=2): detect per layer, derive the
+    # pattern, and carry BOTH stacked MLP sets (zeros where a layer
+    # doesn't use one) — the per-layer choice is a lax.cond in the
+    # scan (cfg.moe_pattern).
+    is_moe = [f"model.layers.{i}.feed_forward.experts.gate_up_proj"
+              in state for i in range(n_layers)]
+    if not any(is_moe):
+        raise NotImplementedError(
+            "all-dense Llama-4 checkpoints are not a published shape")
+    moe_pattern = 0
+    if not all(is_moe):
+        step = is_moe.index(True) + 1
+        want = [(i % step) == (step - 1) for i in range(n_layers)]
+        if want != is_moe:
+            raise NotImplementedError(
+                f"irregular dense/MoE layout {is_moe} — only the "
+                f"interleave_moe_layer_step pattern is supported")
+        moe_pattern = step
+    first_moe = is_moe.index(True)
     experts0 = np.asarray(
-        state["model.layers.0.feed_forward.experts.gate_up_proj"])
+        state[f"model.layers.{first_moe}.feed_forward.experts"
+              ".gate_up_proj"])
     n_experts, _, two_h = experts0.shape
     hidden = two_h // 2
-    shared0 = A("model.layers.0.feed_forward.shared_expert"
+    shared0 = A(f"model.layers.{first_moe}.feed_forward.shared_expert"
                 ".gate_proj.weight")
+    hidden_mlp = 0
+    if moe_pattern:
+        hidden_mlp = int(A("model.layers.0.feed_forward"
+                           ".gate_proj.weight").shape[0])
     hd = head_dim or 128
     n_heads = q0.shape[0] // hd
     n_kv = k0.shape[0] // hd
@@ -3425,7 +3443,8 @@ def llama4_from_hf(
         nope_pattern=nope_pattern, qk_l2norm=qk_l2norm,
         attn_temp_tuning=attn_temp_tuning,
         attn_temp_floor=attn_temp_floor,
-        attn_temp_scale=attn_temp_scale, attn_chunk=attn_chunk)
+        attn_temp_scale=attn_temp_scale, attn_chunk=attn_chunk,
+        moe_pattern=moe_pattern)
 
     def deint(w, heads):
         # Full-width interleaved rope -> split-half fold.
@@ -3434,6 +3453,8 @@ def llama4_from_hf(
     L = {"attn_norm": [], "wqkv": [], "wo": [], "mlp_norm": [],
          "w_gu": [], "w_down": [], "moe_gate": [],
          "shared_gu": [], "shared_down": []}
+    if moe_pattern:
+        L["w_gu_mlp"], L["w_down_mlp"] = [], []
     for i in range(n_layers):
         pre = f"model.layers.{i}"
         L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
@@ -3443,22 +3464,49 @@ def llama4_from_hf(
              deint(A(f"{pre}.self_attn.k_proj.weight").T, n_kv),
              A(f"{pre}.self_attn.v_proj.weight").T], axis=1))
         L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
-        # Experts ship pre-fused in this framework's layout already:
-        # gate_up_proj (E, D, 2H) with [gate; up] on the last axis,
-        # down_proj (E, H, D).
-        L["w_gu"].append(np.asarray(
-            state[f"{pre}.feed_forward.experts.gate_up_proj"],
-            np.float32))
-        L["w_down"].append(np.asarray(
-            state[f"{pre}.feed_forward.experts.down_proj"], np.float32))
-        L["moe_gate"].append(
-            A(f"{pre}.feed_forward.router.weight").T)
-        L["shared_gu"].append(np.concatenate(
-            [A(f"{pre}.feed_forward.shared_expert.gate_proj.weight").T,
-             A(f"{pre}.feed_forward.shared_expert.up_proj.weight").T],
-            axis=1))
-        L["shared_down"].append(
-            A(f"{pre}.feed_forward.shared_expert.down_proj.weight").T)
+        if is_moe[i]:
+            # Experts ship pre-fused in this framework's layout:
+            # gate_up_proj (E, D, 2H) with [gate; up] on the last
+            # axis, down_proj (E, H, D).
+            L["w_gu"].append(np.asarray(
+                state[f"{pre}.feed_forward.experts.gate_up_proj"],
+                np.float32))
+            L["w_down"].append(np.asarray(
+                state[f"{pre}.feed_forward.experts.down_proj"],
+                np.float32))
+            L["moe_gate"].append(
+                A(f"{pre}.feed_forward.router.weight").T)
+            L["shared_gu"].append(np.concatenate(
+                [A(f"{pre}.feed_forward.shared_expert"
+                   ".gate_proj.weight").T,
+                 A(f"{pre}.feed_forward.shared_expert"
+                   ".up_proj.weight").T], axis=1))
+            L["shared_down"].append(
+                A(f"{pre}.feed_forward.shared_expert"
+                  ".down_proj.weight").T)
+            if moe_pattern:
+                L["w_gu_mlp"].append(
+                    np.zeros((dim, 2 * hidden_mlp), np.float32))
+                L["w_down_mlp"].append(
+                    np.zeros((hidden_mlp, dim), np.float32))
+        else:
+            # Dense (Maverick) layer: the MoE stacks get inert zeros
+            # (the cond never executes them); the dense MLP rides
+            # w_gu_mlp/w_down_mlp.
+            L["w_gu"].append(
+                np.zeros((n_experts, dim, 2 * hidden), np.float32))
+            L["w_down"].append(
+                np.zeros((n_experts, hidden, dim), np.float32))
+            L["moe_gate"].append(np.zeros((dim, n_experts), np.float32))
+            L["shared_gu"].append(
+                np.zeros((dim, 2 * shared0.shape[0]), np.float32))
+            L["shared_down"].append(
+                np.zeros((shared0.shape[0], dim), np.float32))
+            L["w_gu_mlp"].append(np.concatenate(
+                [A(f"{pre}.feed_forward.gate_proj.weight").T,
+                 A(f"{pre}.feed_forward.up_proj.weight").T], axis=1))
+            L["w_down_mlp"].append(
+                A(f"{pre}.feed_forward.down_proj.weight").T)
 
     params = {
         "tok_emb": jnp.asarray(emb, dtype),

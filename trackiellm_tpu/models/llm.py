@@ -110,6 +110,14 @@ class LLMConfig(NamedTuple):
     # weight scales the expert INPUT, not its output (experts have no
     # biases, so unselected contributions are exactly zero).
     moe_scale_input: bool = False
+    # Llama-4 Maverick: dense/MoE layer interleave — layer li is MoE
+    # iff li % moe_pattern == moe_pattern - 1 (transformers
+    # interleave_moe_layer_step; Maverick: 2 -> odd layers MoE). The
+    # per-layer choice is a lax.cond inside the scan; hybrid params
+    # carry BOTH stacks (expert banks in w_gu/w_down, the dense MLP in
+    # w_gu_mlp/w_down_mlp, zeros where a layer doesn't use one). 0 =
+    # uniform (all-MoE when n_experts, else all-dense).
+    moe_pattern: int = 0
     # Norm family: "rms" (Llama & almost everything) or "layernorm"
     # (mean-subtracting — StarCoder2, Nemotron, Command-R). LayerNorm
     # weights may carry biases: norm params are then {"g","b"} dicts
@@ -1002,8 +1010,22 @@ def _moe_block(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     return x + out
 
 
-def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
-    """Config-aware wrapper every forward body calls."""
+def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig, li=None) -> jnp.ndarray:
+    """Config-aware wrapper every forward body calls. ``li`` (traced
+    layer index) is only consulted for interleaved dense/MoE configs
+    (cfg.moe_pattern — Llama-4 Maverick)."""
+    if cfg.n_experts and cfg.moe_pattern > 1 and li is not None:
+        def dense(xx):
+            return _mlp_block(
+                xx, layer["mlp_norm"] if cfg.pre_norms else None,
+                layer["w_gu_mlp"], layer["w_down_mlp"], cfg.norm_eps,
+                act=cfg.act, post_norm=layer.get("mlp_post_norm"),
+                residual_multiplier=cfg.residual_multiplier,
+                norm_type=cfg.norm_type, gated=cfg.mlp_gated)
+
+        return jax.lax.cond(
+            (li % cfg.moe_pattern) == (cfg.moe_pattern - 1),
+            lambda xx: _moe_block(xx, layer, cfg), dense, x)
     if cfg.n_experts:
         return _moe_block(x, layer, cfg)
     return _mlp_block(x, layer["mlp_norm"] if cfg.pre_norms else None,
@@ -1053,7 +1075,7 @@ def _mlp_branch(h: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
 
 
 def _layer_tail(x: jnp.ndarray, h: jnp.ndarray, attn: jnp.ndarray,
-                layer, cfg: LLMConfig) -> jnp.ndarray:
+                layer, cfg: LLMConfig, li=None) -> jnp.ndarray:
     """Everything after the attention weights: sequential residuals
     (default) or Command-R's parallel residual (CohereDecoderLayer:
     hidden = residual + attn_out + mlp(h) with ONE shared norm)."""
@@ -1063,7 +1085,7 @@ def _layer_tail(x: jnp.ndarray, h: jnp.ndarray, attn: jnp.ndarray,
             out = out + layer["wo_bias"]
         return x + out + _mlp_branch(h, layer, cfg).astype(x.dtype)
     x = _attn_residual(x, attn, layer, cfg)
-    return _mlp(x, layer, cfg)
+    return _mlp(x, layer, cfg, li=li)
 
 
 def _attn_scale(cfg: LLMConfig) -> float:
@@ -1430,7 +1452,7 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
             cfg, li, q.transpose(1, 0, 2), k.transpose(1, 0, 2),
             v.transpose(1, 0, 2), layer=layer
         ).transpose(1, 0, 2).reshape(s_pad, -1)
-        x = _layer_tail(x, h, attn, layer, cfg)
+        x = _layer_tail(x, h, attn, layer, cfg, li=li)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(
@@ -1498,7 +1520,7 @@ def prefill_batch(params: Dict[str, Any], cfg: LLMConfig,
             vv.transpose(1, 0, 2), layer=layer).transpose(1, 0, 2))(q, k, v)
         x = _layer_tail(
             x.reshape(b * s_pad, -1), h.reshape(b * s_pad, -1),
-            attn.reshape(b * s_pad, -1), layer, cfg
+            attn.reshape(b * s_pad, -1), layer, cfg, li=li
         ).reshape(b, s_pad, -1)
         return x, (k, v)
 
@@ -1568,7 +1590,7 @@ def decode_step(params: Dict[str, Any], cfg: LLMConfig, token: jnp.ndarray,
         v_view = v_cache_l[:attn_len] if attn_len else v_cache_l
         attn = _decode_attn(cfg, li, q[0], k_view, v_view, pos + 1,
                             layer=layer)
-        x = _layer_tail(x, h, attn.reshape(1, -1), layer, cfg)
+        x = _layer_tail(x, h, attn.reshape(1, -1), layer, cfg, li=li)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -1676,7 +1698,7 @@ def decode_step_batch(params: Dict[str, Any], cfg: LLMConfig,
             lambda qq, kc, vc, p: _decode_attn(cfg, li, qq, kc, vc, p + 1,
                                                layer=layer)
         )(q, k_view, v_view, pos)
-        x = _layer_tail(x, h, attn.reshape(b, -1), layer, cfg)
+        x = _layer_tail(x, h, attn.reshape(b, -1), layer, cfg, li=li)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -1832,7 +1854,7 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         attn = jnp.einsum(
             "grqs,sgd->qgrd", probs.astype(v_view.dtype), v_view,
             preferred_element_type=jnp.float32).reshape(b, -1)
-        x = _layer_tail(x, h, attn, layer, cfg)
+        x = _layer_tail(x, h, attn, layer, cfg, li=li)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(
