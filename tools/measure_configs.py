@@ -129,6 +129,55 @@ def bench_tts():
                       "rtf": round(dt / max(audio_s, 1e-9), 3)}))
 
 
+def bench_dpt(size="tiny_256"):
+    """DPT-SwinV2 (the reference's exact depth family). Params init on
+    CPU (hundreds of tiny on-device programs are relay-pathological)."""
+    from trackiellm_tpu.models import dpt as dpt_model
+
+    cfg = getattr(dpt_model.DPTSwinConfig, size)()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = dpt_model.init_dpt(KEY, cfg)
+    params = jax.device_put(params, jax.devices()[0])
+    img = jnp.asarray(np.random.default_rng(int(time.time()))
+                      .standard_normal((3, cfg.image_size,
+                                        cfg.image_size), np.float32))
+
+    def step():
+        return dpt_model.relative_to_metric(
+            dpt_model.dpt_forward(params, cfg, img))
+
+    dt = timeit(step, reps=5)
+    print(json.dumps({"config": f"dpt_swinv2_{size}",
+                      "latency_ms": round(dt * 1e3, 1),
+                      "fps": round(1.0 / dt, 1)}))
+
+
+def bench_embed():
+    """MiniLM-class embedder (models/embedder.py) at the retrieval
+    (B=1) and backfill (B=32) shapes."""
+    from trackiellm_tpu.models import embedder as emb_model
+
+    cfg = emb_model.EmbedderConfig.minilm_l6()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = emb_model.init_embedder(KEY, cfg)
+    params = jax.device_put(params, jax.devices()[0])
+    rng = np.random.default_rng(int(time.time()))
+    for b, t in ((1, 64), (32, 64)):
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)),
+                          jnp.int32)
+        mask = jnp.ones((b, t), jnp.int32)
+
+        def step():
+            return emb_model.embed_forward(params, cfg, ids, mask)
+
+        dt = timeit(step, reps=5)
+        print(json.dumps({"config": f"embed_b{b}_t{t}",
+                          "latency_ms": round(dt * 1e3, 2),
+                          "texts_per_s": round(b / dt, 1)}))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "yolo"):
@@ -139,3 +188,7 @@ if __name__ == "__main__":
         bench_whisper()
     if which in ("all", "tts"):
         bench_tts()
+    if which == "dpt":
+        bench_dpt(sys.argv[2] if len(sys.argv) > 2 else "tiny_256")
+    if which == "embed":
+        bench_embed()

@@ -1026,6 +1026,12 @@ def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig, li=None) -> jnp.ndarray:
         return jax.lax.cond(
             (li % cfg.moe_pattern) == (cfg.moe_pattern - 1),
             lambda xx: _moe_block(xx, layer, cfg), dense, x)
+    if cfg.n_experts and cfg.moe_pattern > 1:
+        # A caller that can't supply the layer index (train/pipeline/
+        # ring bodies) must not silently run every layer as MoE.
+        raise NotImplementedError(
+            "interleaved dense/MoE (moe_pattern) needs the traced "
+            "layer index — this path doesn't thread it yet")
     if cfg.n_experts:
         return _moe_block(x, layer, cfg)
     return _mlp_block(x, layer["mlp_norm"] if cfg.pre_norms else None,
