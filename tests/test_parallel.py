@@ -845,3 +845,33 @@ class TestFamilyZooParallel:
             last = float(loss)
         assert np.isfinite(first) and np.isfinite(last)
         assert last < first * 0.6, (first, last)
+
+
+class TestInferenceOnlyKnobsRefused:
+    """The inference-only structural knobs (Command-R's parallel
+    residual, Llama-4's chunked attention, interleaved dense/MoE)
+    must REFUSE the train/pipeline/ring body loudly — a silent
+    sequential/full-attention/all-MoE fallback would train the wrong
+    model."""
+
+    @pytest.mark.parametrize("knob", [
+        dict(parallel_residual=True, norm_type="layernorm"),
+        dict(attn_chunk=8, nope_pattern=2),
+    ])
+    def test_parallel_body_refuses(self, knob):
+        cfg = ZOO_CFG._replace(**knob)
+        params = llm_model.init_params(jax.random.PRNGKey(35), cfg,
+                                       dtype=jnp.float32)
+        toks = jax.random.randint(jax.random.PRNGKey(36), (8,), 0,
+                                  cfg.vocab_size, jnp.int32)
+        with pytest.raises(NotImplementedError,
+                           match="inference-only"):
+            with build_mesh(jax.devices()[:1]):
+                lm_forward_batched(params, cfg, toks[None])
+
+    def test_mlp_without_layer_index_refuses_interleave(self):
+        from trackiellm_tpu.models.llm import _mlp
+
+        cfg = ZOO_CFG._replace(n_experts=2, moe_pattern=2)
+        with pytest.raises(NotImplementedError, match="layer index"):
+            _mlp(jnp.zeros((2, ZOO_CFG.dim)), {}, cfg)

@@ -130,6 +130,11 @@ def transformer_layer(
             "parallel-residual (Command-R) layers are inference-only "
             "for now — the train/pipeline/ring bodies keep sequential "
             "residuals")
+    if getattr(cfg, "attn_chunk", 0):
+        raise NotImplementedError(
+            "chunked attention (Llama-4) is inference-only for now — "
+            "the train/pipeline/ring attention cores don't build the "
+            "chunk mask")
     attn = attn_core(q, k, v, li).reshape(*lead, s, -1)
     x = llm_model._attn_residual(x, attn, layer, cfg)
     x = res_constrain(x)
