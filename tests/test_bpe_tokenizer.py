@@ -172,3 +172,52 @@ def test_tokenizer_spec_json_roundtrip(tmp_path, trained):
         "ano 2026 ok")
     assert a == b
     assert tok.decode(a) == "ano 2026 ok"
+
+
+O200K_RE = (r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*"
+            r"[\p{Ll}\p{Lm}\p{Lo}\p{M}]+(?i:'s|'t|'re|'ve|'m|'ll|'d)?"
+            r"|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+"
+            r"[\p{Ll}\p{Lm}\p{Lo}\p{M}]*(?i:'s|'t|'re|'ve|'m|'ll|'d)?"
+            r"|\p{N}{1,3}"
+            r"| ?[^\s\p{L}\p{N}]+[\r\n/]*"
+            r"|\s*[\r\n]+"
+            r"|\s+(?!\S)"
+            r"|\s+")
+
+O200K_BATTERY = BATTERY + [
+    "I'll say CAN'T they'd WE'RE it's",      # contractions GLUED here
+    "CamelCase USAToday iPhone XPath ABCdef",
+    "path/to/file.py // comment\n/slash",
+    "MiXeD cAsE wOrDs",
+    "ação ÀÉ Vésperas çÜ",
+    " Upper lower UPPER123abc",
+]
+
+
+class TestO200KPretokenizer:
+    """The o200k_base scanner (tiktoken; GPT-4o + Llama-4 — llama.cpp
+    pre id 'llama4') vs the `tokenizers` Rust regex engine running the
+    published pattern. The regex string is the tiktoken o200k_base
+    pat_str; the real-GGUF check on first weights contact is reading
+    tokenizer.ggml.pre == 'llama4' and spot-checking ids."""
+
+    @pytest.fixture(scope="class")
+    def engine(self):
+        from tokenizers import Regex, pre_tokenizers
+
+        return pre_tokenizers.Split(Regex(O200K_RE), behavior="isolated")
+
+    @pytest.mark.parametrize("idx", range(len(O200K_BATTERY)))
+    def test_scan_matches_rust_regex(self, engine, idx):
+        from trackiellm_tpu.llm.tokenizer import _pretokenize_o200k
+
+        text = O200K_BATTERY[idx]
+        want = [t for t, _ in engine.pre_tokenize_str(text)]
+        got = _pretokenize_o200k(text)
+        assert got == want, (text, got, want)
+
+    def test_dispatch_via_pre_id(self):
+        from trackiellm_tpu.llm.tokenizer import BpeTokenizer
+
+        tok = BpeTokenizer(["a", "b"], merges=[], pre="llama4")
+        assert tok._o200k

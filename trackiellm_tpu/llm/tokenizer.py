@@ -405,6 +405,113 @@ def _pretokenize(text: str, digit_run: int) -> List[str]:
     return out
 
 
+def _is_up(ch: str) -> bool:
+    r"""o200k 'uppercase-ish' class: [\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]."""
+    import unicodedata
+
+    k = unicodedata.category(ch)
+    return k in ("Lu", "Lt", "Lm", "Lo") or k[0] == "M"
+
+
+def _is_lo(ch: str) -> bool:
+    r"""o200k 'lowercase-ish' class: [\p{Ll}\p{Lm}\p{Lo}\p{M}]."""
+    import unicodedata
+
+    k = unicodedata.category(ch)
+    return k in ("Ll", "Lm", "Lo") or k[0] == "M"
+
+
+def _pretokenize_o200k(text: str) -> List[str]:
+    r"""Hand-rolled scanner for the o200k_base pre-tokenizer (tiktoken;
+    the tokenizer of GPT-4o and Llama-4 — llama.cpp pre id "llama4"):
+
+      [^\r\n\p{L}\p{N}]?[UP]*[LO]+(?i:'s|'t|'re|'ve|'m|'ll|'d)?
+    | [^\r\n\p{L}\p{N}]?[UP]+[LO]*(?i:'s|'t|'re|'ve|'m|'ll|'d)?
+    | \p{N}{1,3}
+    |  ?[^\s\p{L}\p{N}]+[\r\n/]*
+    | \s*[\r\n]+
+    | \s+(?!\S)
+    | \s+
+
+    with UP = Lu Lt Lm Lo M and LO = Ll Lm Lo M. The two letter
+    branches combined always match the greedy UP-run followed by the
+    LO-run (ordered alternation + backtracking collapse to that), with
+    an optional case-insensitive contraction suffix GLUED to the word
+    (unlike llama-bpe, which splits contractions off). Exactness is
+    pinned against the `tokenizers` Rust regex engine in
+    tests/test_bpe_tokenizer.py."""
+    out: List[str] = []
+    i, n = 0, len(text)
+
+    def letters_end(j: int) -> int:
+        e = j
+        while e < n and _is_up(text[e]):
+            e += 1
+        while e < n and _is_lo(text[e]):
+            e += 1
+        return e
+
+    def contraction_end(j: int) -> int:
+        low3 = text[j:j + 3].lower()
+        if low3 in ("'re", "'ve", "'ll"):
+            return j + 3
+        if text[j:j + 2].lower() in ("'s", "'t", "'m", "'d"):
+            return j + 2
+        return j
+
+    while i < n:
+        c = text[i]
+        k = _cat(c)
+        # Letter branches, optional one-char prefix (greedy ?).
+        if c not in "\r\n" and k not in ("L", "N") and i + 1 < n:
+            e = letters_end(i + 1)
+            if e > i + 1:
+                out.append(text[i:contraction_end(e)])
+                i = contraction_end(e)
+                continue
+        e = letters_end(i)
+        if e > i:
+            out.append(text[i:contraction_end(e)])
+            i = contraction_end(e)
+            continue
+        # \p{N}{1,3}
+        if k == "N":
+            j = i
+            while j < n and j - i < 3 and _cat(text[j]) == "N":
+                j += 1
+            out.append(text[i:j]); i = j; continue
+        # ' '? [^\s L N]+ [\r\n/]*
+        p0 = i + 1 if (c == " " and i + 1 < n) else i
+        if (p0 < n and not _is_ws(text[p0])
+                and _cat(text[p0]) not in ("L", "N")):
+            j = p0
+            while (j < n and not _is_ws(text[j])
+                   and _cat(text[j]) not in ("L", "N")):
+                j += 1
+            while j < n and text[j] in "\r\n/":
+                j += 1
+            out.append(text[i:j]); i = j; continue
+        # Whitespace alternatives (same as llama-bpe).
+        if _is_ws(c):
+            j = i
+            while j < n and _is_ws(text[j]):
+                j += 1
+            last_nl = -1
+            for t in range(i, j):
+                if text[t] in "\r\n":
+                    last_nl = t
+            if last_nl >= 0 and all(_is_ws(text[t])
+                                    for t in range(i, last_nl)):
+                if last_nl + 1 == j:
+                    out.append(text[i:j]); i = j; continue
+                out.append(text[i:last_nl + 1]); i = last_nl + 1; continue
+            if j < n and j - i > 1:
+                out.append(text[i:j - 1]); i = j - 1; continue
+            out.append(text[i:j]); i = j; continue
+        out.append(c); i += 1
+    return out
+
+
 class BpeTokenizer:
     """GPT-2-style byte-level BPE over a GGUF vocab + merge list — the
     tokenizer family of Llama-3, Qwen2/Qwen2-MoE, and every other
@@ -431,11 +538,14 @@ class BpeTokenizer:
             self._ranks[(left, right)] = r
         self.vocab_size = len(self._pieces)
         self.bos_id, self.eos_id, self.pad_id = bos_id, eos_id, pad_id
-        # llama.cpp defines dozens of "pre" ids; the two implemented
-        # scanners cover the framework's LLM families (Llama-3 and the
-        # Qwen2 line). Anything else gets the llama-bpe scanner with a
-        # warning — ids will be close but not guaranteed exact.
-        if pre not in ("llama-bpe", "qwen2", "default", "gpt-2"):
+        # llama.cpp defines dozens of "pre" ids; the implemented
+        # scanners cover the framework's LLM families (Llama-3, the
+        # Qwen2 line, and the o200k/tiktoken family: GPT-4o + Llama-4).
+        # Anything else gets the llama-bpe scanner with a warning —
+        # ids will be close but not guaranteed exact.
+        self._o200k = pre in ("llama4", "gpt-4o", "o200k")
+        if pre not in ("llama-bpe", "qwen2", "default", "gpt-2",
+                       "llama4", "gpt-4o", "o200k"):
             import logging
 
             logging.getLogger("trackiellm.tokenizer").warning(
@@ -474,7 +584,8 @@ class BpeTokenizer:
         return out
 
     def _encode_span(self, text: str, out: List[int]) -> None:
-        for pre_tok in _pretokenize(text, self._digit_run):
+        for pre_tok in (_pretokenize_o200k(text) if self._o200k
+                        else _pretokenize(text, self._digit_run)):
             repr_str = "".join(self._b2u[b] for b in pre_tok.encode("utf-8"))
             out.extend(self._bpe(repr_str))
 
