@@ -363,7 +363,10 @@ class Cortex:
                 if event.type is not EventType.SYSTEM_TIMER:
                     self._consecutive_failures = 0
             except Exception as e:
-                log.error("cortex loop error on %s: %s", event.type, e)
+                # %r, not %s: TimeoutError and friends stringify to ''
+                # (a degraded relay produced three empty messages before
+                # this was caught).
+                log.error("cortex loop error on %s: %r", event.type, e)
                 # Parity: individual stage errors degrade; repeated
                 # failures escalate to FATAL_ERROR and halt the loop
                 # (tk_cortex_main.c:986-989).
