@@ -37,7 +37,7 @@ def _cmd_convert(args) -> int:
                        "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
                        "deepseekv3-hf", "granite-hf", "glm4-hf",
                        "llama4-hf", "nemotron-hf", "starcoder2-hf",
-                       "cohere-hf"):
+                       "cohere-hf", "ernie45-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -58,7 +58,8 @@ def _cmd_convert(args) -> int:
               "llama4-hf": _C.llama4_from_hf,
               "nemotron-hf": _C.nemotron_from_hf,
               "starcoder2-hf": _C.starcoder2_from_hf,
-              "cohere-hf": _C.cohere_from_hf}[args.family]
+              "cohere-hf": _C.cohere_from_hf,
+              "ernie45-hf": _C.ernie45_from_hf}[args.family]
         params, cfg = fn(load_state_dict(args.gguf))
         if args.bits:
             if args.family.startswith("deepseek"):
@@ -319,7 +320,8 @@ def main(argv=None) -> int:
                             "qwen2moe-hf", "qwen3-hf", "qwen3moe-hf",
                             "deepseekv2-hf", "deepseekv3-hf",
                             "granite-hf", "glm4-hf", "llama4-hf",
-                            "nemotron-hf", "starcoder2-hf", "cohere-hf"),
+                            "nemotron-hf", "starcoder2-hf", "cohere-hf",
+                            "ernie45-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")

@@ -3794,3 +3794,179 @@ def cohere_from_hf(
              else np.ascontiguousarray(emb.T)) * logit_scale, dtype),
     }
     return params, cfg
+
+
+# --- ERNIE 4.5 (Baidu — llama.cpp arches "ernie4_5"/"ernie4_5-moe") ---------
+
+def ernie45_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 500000.0,
+    head_dim: int = 0,
+    moe_k: int = 6,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Ernie4_5ForCausalLM /
+    Ernie4_5_MoeForCausalLM state dict to (params, cfg).
+
+    ERNIE 4.5 is Llama-shaped with an INTERLEAVED full-width rope
+    (folded to split-half like GLM-4) and optional projection biases
+    (use_bias). The MoE variant routes with softmax scores, SELECTS on
+    score + e_score_correction_bias (the same selection-only mechanism
+    as DeepSeek-V3's aux-loss-free bias -> layers.moe_gate_bias),
+    renormalizes the gathered top-k, adds ungated shared experts
+    (moe_num_shared_experts * moe_intermediate_size wide), and keeps
+    the first moe_layer_start_index layers DENSE at the full
+    intermediate width (cfg.moe_first_dense; a moe_layer_interval > 1
+    additionally maps to cfg.moe_pattern)."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    hd = head_dim or 128
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+    qkv_bias = "model.layers.0.self_attn.q_proj.bias" in state
+
+    is_moe = [f"model.layers.{i}.mlp.gate.weight" in state
+              for i in range(n_layers)]
+    moe = any(is_moe)
+
+    def deint(w, heads):
+        return _deinterleave_rope_cols(w, heads, hd, hd)
+
+    if moe:
+        first_moe = is_moe.index(True)
+        first_dense = first_moe  # moe_layer_start_index
+        # moe_layer_interval from the spacing of MoE layers past start.
+        moe_idx = [i for i, m in enumerate(is_moe) if m]
+        interval = 1
+        if len(moe_idx) > 1:
+            interval = moe_idx[1] - moe_idx[0]
+        want = [i >= first_dense and ((i + 1) % interval == 0)
+                for i in range(n_layers)]
+        if want != is_moe:
+            raise NotImplementedError(
+                f"irregular ERNIE MoE layout {is_moe}")
+        e0 = f"model.layers.{first_moe}.mlp.experts"
+        # keys: model.layers.N.mlp.experts.E.gate_proj.weight
+        n_experts = len({k.split(".")[5] for k in state
+                         if k.startswith(e0 + ".")})
+        moe_hidden = int(A(f"{e0}.0.gate_proj.weight").shape[0])
+        shared = f"model.layers.{first_moe}.mlp.shared_experts"
+        shared_hidden = (int(A(f"{shared}.gate_proj.weight").shape[0])
+                         if f"{shared}.gate_proj.weight" in state else 0)
+        dense_idx = [i for i, m in enumerate(is_moe) if not m]
+        hidden_dense = (int(A(f"model.layers.{dense_idx[0]}.mlp"
+                              ".gate_proj.weight").shape[0])
+                        if dense_idx else 0)
+    else:
+        n_experts = 0
+        moe_hidden = shared_hidden = 0
+        first_dense, interval = 0, 1
+        hidden_dense = int(A("model.layers.0.mlp.gate_proj.weight"
+                             ).shape[0])
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd,
+        hidden_dim=(moe_hidden if moe else hidden_dense),
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, qkv_bias=qkv_bias,
+        n_experts=n_experts,
+        n_experts_used=moe_k if moe else 2,
+        moe_norm_topk=True, moe_shared_hidden=shared_hidden,
+        moe_shared_gated=False,
+        moe_first_dense=first_dense,
+        moe_pattern=(interval if interval > 1 else 0))
+
+    L: Dict[str, list] = {k: [] for k in (
+        "attn_norm", "wqkv", "wo", "mlp_norm", "w_gu", "w_down")}
+    if qkv_bias:
+        L["wqkv_bias"] = []
+    if moe:
+        for k in ("moe_gate", "moe_gate_bias", "shared_gu",
+                  "shared_down"):
+            L[k] = []
+        if first_dense or interval > 1:
+            L["w_gu_mlp"], L["w_down_mlp"] = [], []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        L["mlp_norm"].append(A(f"{pre}.post_attention_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [deint(A(f"{pre}.self_attn.q_proj.weight").T, n_heads),
+             deint(A(f"{pre}.self_attn.k_proj.weight").T, n_kv),
+             A(f"{pre}.self_attn.v_proj.weight").T], axis=1))
+        if qkv_bias:
+            L["wqkv_bias"].append(np.concatenate(
+                [deint(A(f"{pre}.self_attn.q_proj.bias"), n_heads),
+                 deint(A(f"{pre}.self_attn.k_proj.bias"), n_kv),
+                 A(f"{pre}.self_attn.v_proj.bias")]))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        if not moe or not is_moe[i]:
+            gu = np.concatenate(
+                [A(f"{pre}.mlp.gate_proj.weight").T,
+                 A(f"{pre}.mlp.up_proj.weight").T], axis=1)
+            dn = A(f"{pre}.mlp.down_proj.weight").T
+            if moe:
+                L["w_gu_mlp"].append(gu)
+                L["w_down_mlp"].append(dn)
+                L["w_gu"].append(np.zeros(
+                    (n_experts, dim, 2 * moe_hidden), np.float32))
+                L["w_down"].append(np.zeros(
+                    (n_experts, moe_hidden, dim), np.float32))
+                L["moe_gate"].append(
+                    np.zeros((dim, n_experts), np.float32))
+                L["moe_gate_bias"].append(
+                    np.zeros((n_experts,), np.float32))
+                L["shared_gu"].append(np.zeros(
+                    (dim, 2 * shared_hidden), np.float32))
+                L["shared_down"].append(np.zeros(
+                    (shared_hidden, dim), np.float32))
+            else:
+                L["w_gu"].append(gu)
+                L["w_down"].append(dn)
+        else:
+            gus, dns = [], []
+            for e in range(n_experts):
+                ep = f"{pre}.mlp.experts.{e}"
+                gus.append(np.concatenate(
+                    [A(f"{ep}.gate_proj.weight").T,
+                     A(f"{ep}.up_proj.weight").T], axis=1))
+                dns.append(A(f"{ep}.down_proj.weight").T)
+            L["w_gu"].append(np.stack(gus))
+            L["w_down"].append(np.stack(dns))
+            L["moe_gate"].append(A(f"{pre}.mlp.gate.weight").T)
+            L["moe_gate_bias"].append(A(
+                f"{pre}.mlp.moe_statics.e_score_correction_bias"
+            ).reshape(-1))
+            L["shared_gu"].append(np.concatenate(
+                [A(f"{pre}.mlp.shared_experts.gate_proj.weight").T,
+                 A(f"{pre}.mlp.shared_experts.up_proj.weight").T],
+                axis=1))
+            L["shared_down"].append(
+                A(f"{pre}.mlp.shared_experts.down_proj.weight").T)
+            if first_dense or interval > 1:
+                L["w_gu_mlp"].append(np.zeros(
+                    (dim, 2 * (hidden_dense or moe_hidden)),
+                    np.float32))
+                L["w_down_mlp"].append(np.zeros(
+                    ((hidden_dense or moe_hidden), dim), np.float32))
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg

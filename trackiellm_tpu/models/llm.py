@@ -118,6 +118,12 @@ class LLMConfig(NamedTuple):
     # w_gu_mlp/w_down_mlp, zeros where a layer doesn't use one). 0 =
     # uniform (all-MoE when n_experts, else all-dense).
     moe_pattern: int = 0
+    # ERNIE-4.5-MoE: the first k layers are DENSE regardless of the
+    # pattern (moe_layer_start_index; the 21B ships interval 1 +
+    # start 1 -> layer 0 dense, the rest MoE). Composes with
+    # moe_pattern: layer li is MoE iff li >= moe_first_dense AND
+    # (li % pattern == pattern - 1 when pattern > 1).
+    moe_first_dense: int = 0
     # Norm family: "rms" (Llama & almost everything) or "layernorm"
     # (mean-subtracting — StarCoder2, Nemotron, Command-R). LayerNorm
     # weights may carry biases: norm params are then {"g","b"} dicts
@@ -1014,7 +1020,9 @@ def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig, li=None) -> jnp.ndarray:
     """Config-aware wrapper every forward body calls. ``li`` (traced
     layer index) is only consulted for interleaved dense/MoE configs
     (cfg.moe_pattern — Llama-4 Maverick)."""
-    if cfg.n_experts and cfg.moe_pattern > 1 and li is not None:
+    hybrid = cfg.n_experts and (cfg.moe_pattern > 1
+                                or cfg.moe_first_dense > 0)
+    if hybrid and li is not None:
         def dense(xx):
             return _mlp_block(
                 xx, layer["mlp_norm"] if cfg.pre_norms else None,
@@ -1023,10 +1031,12 @@ def _mlp(x: jnp.ndarray, layer, cfg: LLMConfig, li=None) -> jnp.ndarray:
                 residual_multiplier=cfg.residual_multiplier,
                 norm_type=cfg.norm_type, gated=cfg.mlp_gated)
 
+        is_moe = li >= cfg.moe_first_dense
+        if cfg.moe_pattern > 1:
+            is_moe &= (li % cfg.moe_pattern) == (cfg.moe_pattern - 1)
         return jax.lax.cond(
-            (li % cfg.moe_pattern) == (cfg.moe_pattern - 1),
-            lambda xx: _moe_block(xx, layer, cfg), dense, x)
-    if cfg.n_experts and cfg.moe_pattern > 1:
+            is_moe, lambda xx: _moe_block(xx, layer, cfg), dense, x)
+    if hybrid:
         # A caller that can't supply the layer index (train/pipeline/
         # ring bodies) must not silently run every layer as MoE.
         raise NotImplementedError(

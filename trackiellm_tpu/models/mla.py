@@ -87,6 +87,7 @@ class MLAConfig(NamedTuple):
     act_limit: float = 7.0
     moe_scale_input: bool = False
     moe_pattern: int = 0
+    moe_first_dense: int = 0
     residual_multiplier: float = 1.0
     norm_type: str = "rms"
     parallel_residual: bool = False
