@@ -3970,3 +3970,127 @@ def ernie45_from_hf(
              else np.ascontiguousarray(emb.T)), dtype),
     }
     return params, cfg
+
+
+def llava_from_hf(
+    state: Dict[str, Any],
+    *,
+    n_heads: int,
+    max_seq: int = 4096,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 1e4,
+    vision_n_heads: int = 16,
+    vision_act: str = "quick_gelu",
+    vision_norm_eps: float = 1e-5,
+    feature_layer: int = -2,
+    drop_cls: bool = True,
+    proj_act: str = "gelu",
+    dtype=jnp.bfloat16,
+    vision_dtype=jnp.float32,
+) -> tuple:
+    """Convert a transformers LLaVA state dict to the full VLM bundle.
+
+    Returns ``(llm_params, llm_cfg, clip_params, clip_cfg)``:
+    the Llama-family language model in this framework's fused layout
+    plus the CLIP vision tower + multi-modal projector
+    (models/clip.py). Parity: llama.cpp's llava path splits the same
+    checkpoint into a text GGUF + an "mmproj" CLIP file; here both
+    halves convert together from the HF state dict (the offline,
+    zero-egress-validated route — like llama4/gpt-oss).
+
+    Handles both HF layouts: the ≥4.52 one
+    (``model.vision_tower.* / model.language_model.* / lm_head``) and
+    the legacy one (``vision_tower.* / language_model.model.* /
+    language_model.lm_head``).
+
+    Shape-derived vision geometry: dim/patch from the patch conv,
+    image_size from the position table, hidden from fc1. ``n_heads``
+    (text) and ``vision_n_heads`` are not shape-derivable — pass them
+    from the HF config (text head_dim follows the Llama convention
+    dim // n_heads).
+    """
+    from trackiellm_tpu.models import clip as clip_model
+
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    # --- layout detection -------------------------------------------------
+    if any(k.startswith("model.vision_tower.") for k in state):
+        vt = "model.vision_tower.vision_model."
+        lm = "model.language_model."
+        proj = "model.multi_modal_projector."
+        head_key = "lm_head.weight"
+    else:
+        vt = "vision_tower.vision_model."
+        lm = "language_model.model."
+        proj = "multi_modal_projector."
+        head_key = "language_model.lm_head.weight"
+
+    # --- language model (Llama template) ----------------------------------
+    text_state = {
+        "model." + k[len(lm):]: v for k, v in state.items()
+        if k.startswith(lm)}
+    if head_key in state:
+        text_state["lm_head.weight"] = state[head_key]
+    emb = A(lm + "embed_tokens.weight")
+    dim = emb.shape[1]
+    hd = dim // n_heads
+    llm_params, llm_cfg = smollm3_from_hf(
+        text_state, max_seq=max_seq, norm_eps=norm_eps,
+        rope_theta=rope_theta, nope_pattern=0, head_dim=hd, dtype=dtype)
+
+    # --- CLIP vision tower -------------------------------------------------
+    pw = A(vt + "embeddings.patch_embedding.weight")  # (D, 3, P, P)
+    vdim, _, patch, _ = pw.shape
+    pos = A(vt + "embeddings.position_embedding.weight")  # (N+1, D)
+    n_patches = pos.shape[0] - 1
+    image_size = patch * int(round(n_patches ** 0.5))
+    n_vlayers = len({k[len(vt) + len("encoder.layers."):].split(".")[0]
+                     for k in state
+                     if k.startswith(vt + "encoder.layers.")})
+    hidden = A(vt + "encoder.layers.0.mlp.fc1.weight").shape[0]
+
+    clip_cfg = clip_model.CLIPVisionConfig(
+        image_size=image_size, patch_size=patch, dim=vdim,
+        n_layers=n_vlayers, n_heads=vision_n_heads, hidden_dim=hidden,
+        norm_eps=vision_norm_eps, act=vision_act,
+        feature_layer=feature_layer, drop_cls=drop_cls,
+        proj_dim=dim, proj_act=proj_act)
+
+    L = {k: [] for k in ("ln1_g", "ln1_b", "ln2_g", "ln2_b",
+                         "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+                         "w1", "b1", "w2", "b2")}
+    for i in range(n_vlayers):
+        pre = f"{vt}encoder.layers.{i}"
+        L["ln1_g"].append(A(f"{pre}.layer_norm1.weight"))
+        L["ln1_b"].append(A(f"{pre}.layer_norm1.bias"))
+        L["ln2_g"].append(A(f"{pre}.layer_norm2.weight"))
+        L["ln2_b"].append(A(f"{pre}.layer_norm2.bias"))
+        for ours, theirs in (("q", "q"), ("k", "k"), ("v", "v")):
+            L[f"w{ours}"].append(A(f"{pre}.self_attn.{theirs}_proj.weight").T)
+            L[f"b{ours}"].append(A(f"{pre}.self_attn.{theirs}_proj.bias"))
+        L["wo"].append(A(f"{pre}.self_attn.out_proj.weight").T)
+        L["bo"].append(A(f"{pre}.self_attn.out_proj.bias"))
+        L["w1"].append(A(f"{pre}.mlp.fc1.weight").T)
+        L["b1"].append(A(f"{pre}.mlp.fc1.bias"))
+        L["w2"].append(A(f"{pre}.mlp.fc2.weight").T)
+        L["b2"].append(A(f"{pre}.mlp.fc2.bias"))
+
+    clip_params = {
+        # (D, 3, P, P) -> (3*P*P, D); flatten order (c, ph, pw) matches
+        # encode_image's patch extraction transpose.
+        "patch_w": jnp.asarray(pw.reshape(vdim, -1).T, vision_dtype),
+        "cls": jnp.asarray(A(vt + "embeddings.class_embedding"),
+                           vision_dtype),
+        "pos": jnp.asarray(pos, vision_dtype),
+        "pre_ln_g": jnp.asarray(A(vt + "pre_layrnorm.weight"), vision_dtype),
+        "pre_ln_b": jnp.asarray(A(vt + "pre_layrnorm.bias"), vision_dtype),
+        "layers": {k: jnp.asarray(np.stack(v), vision_dtype)
+                   for k, v in L.items()},
+        "proj": {
+            "w1": jnp.asarray(A(proj + "linear_1.weight").T, vision_dtype),
+            "b1": jnp.asarray(A(proj + "linear_1.bias"), vision_dtype),
+            "w2": jnp.asarray(A(proj + "linear_2.weight").T, vision_dtype),
+            "b2": jnp.asarray(A(proj + "linear_2.bias"), vision_dtype),
+        },
+    }
+    return llm_params, llm_cfg, clip_params, clip_cfg

@@ -1425,6 +1425,15 @@ class KVCache(NamedTuple):
                    length=jnp.int32(0))
 
 
+@jax.jit
+def embed_tokens(params: Dict[str, Any], tokens: jnp.ndarray) -> jnp.ndarray:
+    """Token-embedding lookup as its own device program: the multimodal
+    splice (llm/vlm.py) embeds a text chunk, overwrites the image rows
+    with projected CLIP features, then feeds the result to
+    :func:`prefill`/:func:`extend` via their ``embeds`` argument."""
+    return params["tok_emb"][tokens.astype(jnp.int32)]
+
+
 # ---------------------------------------------------------------------------
 # Forward: prefill (bucketed length, scan over layers)
 # ---------------------------------------------------------------------------
@@ -1432,6 +1441,7 @@ class KVCache(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
             length: jnp.ndarray, cache: KVCache,
+            embeds: Optional[jnp.ndarray] = None,
             ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the prompt through the model, filling the KV cache.
 
@@ -1440,11 +1450,20 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     (what sampling needs) and the filled cache. Padded positions write
     garbage at cache slots >= length, which decode masks via cache.length
     — causality means they never contaminate real positions.
+
+    ``embeds`` ((S_pad, dim), optional) replaces the token-embedding
+    lookup — the multimodal injection point (models/clip.py image
+    features spliced between text embeddings, llama.cpp's llava-style
+    ``embd`` batch input). When None (the default) the traced program
+    is identical to before the argument existed.
     """
     s_pad = tokens.shape[0]
     freqs = _freqs(params, cfg, length)
     positions = jnp.arange(s_pad)
-    x = params["tok_emb"][tokens]  # (S, D)
+    if embeds is not None:
+        x = embeds.astype(params["tok_emb"].dtype)  # (S, D)
+    else:
+        x = params["tok_emb"][tokens]  # (S, D)
 
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
@@ -1766,8 +1785,12 @@ def decode_steps_batch(params: Dict[str, Any], cfg: LLMConfig,
 def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
            n_valid: jnp.ndarray, cache: KVCache,
            attn_len: Optional[int] = None, all_logits: bool = False,
+           embeds: Optional[jnp.ndarray] = None,
            ) -> Tuple[jnp.ndarray, KVCache]:
     """Append a (bucketed, padded) token chunk after ``cache.length``.
+
+    ``embeds`` ((B, dim), optional) replaces the token-embedding lookup
+    (the multimodal injection point — see :func:`prefill`).
 
     Chunked prefill: the whole chunk runs in ONE parallel pass — each new
     token attends to the existing cache prefix plus causally within the
@@ -1790,7 +1813,10 @@ def extend(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     b = tokens.shape[0]
     freqs = _freqs(params, cfg, offset + n_valid)
     positions = offset + jnp.arange(b)
-    x = params["tok_emb"][tokens.astype(jnp.int32)]  # (B, D)
+    if embeds is not None:
+        x = embeds.astype(params["tok_emb"].dtype)  # (B, D)
+    else:
+        x = params["tok_emb"][tokens.astype(jnp.int32)]  # (B, D)
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
     window = _layer_window(cfg)

@@ -115,3 +115,26 @@ def dpt_normalize_chw(
     resized = _bilinear_resize(image_u8, target_h, target_w) * (1.0 / 255.0)
     normed = (resized - 0.5) / 0.5
     return jnp.transpose(normed, (2, 0, 1)).astype(out_dtype)
+
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@functools.partial(jax.jit, static_argnames=("target_h", "target_w", "out_dtype"))
+def clip_normalize_chw(
+    image_u8: jnp.ndarray,
+    target_h: int = 336,
+    target_w: int = 336,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Resize (no letterbox) + CLIP mean/std normalize + HWC->CHW: the
+    OpenAI-CLIP image statistics the LLaVA vision towers were trained
+    under (models/clip.py). HF's CLIPImageProcessor uses bicubic
+    shortest-side resize + center crop; the camera path uses a direct
+    square resize for latency — parity tests feed pixel_values directly."""
+    resized = _bilinear_resize(image_u8, target_h, target_w) * (1.0 / 255.0)
+    mean = jnp.asarray(CLIP_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(CLIP_STD, dtype=jnp.float32)
+    normed = (resized - mean) / std
+    return jnp.transpose(normed, (2, 0, 1)).astype(out_dtype)
