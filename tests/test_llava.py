@@ -65,7 +65,7 @@ def oracle():
 @pytest.fixture(scope="module")
 def converted(oracle):
     state = oracle[0]
-    return C.llava_from_hf(state, n_heads=4, max_seq=64,
+    return C.llava_from_hf(state, n_heads=4, max_seq=128,
                            rope_theta=10000.0, norm_eps=1e-5,
                            vision_n_heads=4, dtype=jnp.float32)
 
@@ -180,3 +180,146 @@ class TestSplicedLM:
             jnp.int32(len(ids)), cache)  # no embeds: raw placeholder rows
         assert np.abs(np.asarray(logits) - ref_logits[len(ids) - 1]).max() \
             > 1e-3
+
+
+class TestVLMRunner:
+    @pytest.fixture(scope="class")
+    def runner_parts(self, converted):
+        from trackiellm_tpu.llm.runner import GenerationConfig
+        from trackiellm_tpu.llm.vlm import VLMRunner
+        llm_params, llm_cfg, clip_params, clip_cfg = converted
+
+        def make():
+            return VLMRunner(
+                llm_params, llm_cfg, clip_params, clip_cfg,
+                gen_config=GenerationConfig(
+                    max_tokens=8, temperature=0.0, lookahead=2),
+                cache_dtype=jnp.float32)
+        return make
+
+    def _ref_generate(self, converted, prompt_ids, feats, start, n_new):
+        """Hand-rolled greedy loop: prefill(embeds) + decode_step."""
+        import jax
+        llm_params, llm_cfg, _, _ = converted
+        bucket = 64
+        padded = np.zeros(bucket, np.int32)
+        padded[: len(prompt_ids)] = prompt_ids
+        x = llm_model.embed_tokens(llm_params, jnp.asarray(padded))
+        x = jax.lax.dynamic_update_slice(
+            x, feats.astype(x.dtype), (start, 0))
+        cache = llm_model.KVCache.create(llm_cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            llm_params, llm_cfg, jnp.asarray(padded),
+            jnp.int32(len(prompt_ids)), cache, embeds=x)
+        out = []
+        for _ in range(n_new):
+            tid = int(np.argmax(np.asarray(logits)))
+            out.append(tid)
+            logits, cache = llm_model.decode_step(
+                llm_params, llm_cfg, jnp.int32(tid), cache)
+        return out
+
+    def test_generate_matches_serial_reference(self, converted,
+                                               runner_parts, oracle):
+        from trackiellm_tpu.models import clip as clip_model
+        _, px, *_ = oracle
+        runner = runner_parts()
+        img = px  # pre-normalized CHW pixel_values path
+        text = runner.generate("hi <image> ok", images=[img])
+        # Reconstruct the exact prompt ids the runner built.
+        ids = runner.tokenizer.encode("hi ", add_bos=True)
+        start = len(ids)
+        ids += [VLM_FILLER] * N_IMG_TOKENS
+        ids += runner.tokenizer.encode(" ok", add_bos=False)
+        llm_params, llm_cfg, clip_params, clip_cfg = converted
+        feats = clip_model.encode_and_project(
+            clip_params, clip_cfg, jnp.asarray(px))
+        ref_ids = self._ref_generate(converted, ids, feats, start, 8)
+        eos = getattr(runner.tokenizer, "eos_id", None)
+        if eos in ref_ids:
+            ref_ids = ref_ids[: ref_ids.index(eos)]
+        assert runner._generated_ids == ref_ids[: len(runner._generated_ids)]
+        assert text == runner.tokenizer.decode(runner._generated_ids)
+
+    def test_same_image_reuses_prefix(self, runner_parts, oracle):
+        _, px, *_ = oracle
+        runner = runner_parts()
+        out1 = runner.generate("sys preamble " * 8 + "<image> q1",
+                               images=[px])
+        runs1 = list(runner._image_runs)
+        out2 = runner.generate("sys preamble " * 8 + "<image> q1",
+                               images=[px])
+        assert runner._image_runs == runs1
+        assert out1 == out2
+
+    def test_different_image_rolls_back(self, runner_parts, oracle):
+        """A different image at the same position must NOT reuse the
+        cached image rows: output equals a fresh runner's."""
+        _, px, *_ = oracle
+        rng = np.random.default_rng(7)
+        px2 = rng.normal(size=px.shape).astype(np.float32)
+        prompt = "sys preamble " * 8 + "<image> q1"
+        warm = runner_parts()
+        warm.generate(prompt, images=[px])          # cache holds image A
+        out_warm = warm.generate(prompt, images=[px2])
+        fresh = runner_parts()
+        out_fresh = fresh.generate(prompt, images=[px2])
+        assert out_warm == out_fresh
+
+    def test_text_only_after_image_turn(self, runner_parts, oracle):
+        """A pure-text turn after a multimodal one must not match the
+        filler rows of the committed image run."""
+        _, px, *_ = oracle
+        runner = runner_parts()
+        runner.generate("abc <image> xyz", images=[px])
+        out = runner.generate("abc plain text question")
+        fresh = runner_parts()
+        assert out == fresh.generate("abc plain text question")
+
+    def test_marker_count_mismatch_raises(self, runner_parts, oracle):
+        from trackiellm_tpu.utils.errors import TrackieError
+        _, px, *_ = oracle
+        runner = runner_parts()
+        with pytest.raises(TrackieError):
+            runner.generate("no marker here", images=[px])
+
+
+VLM_FILLER = 0
+
+
+class TestVLMCheckpoint:
+    def test_vision_checkpoint_roundtrip(self, converted, tmp_path):
+        from trackiellm_tpu.models.checkpoint import (load_checkpoint,
+                                                      save_checkpoint)
+        _, _, clip_params, clip_cfg = converted
+        save_checkpoint(str(tmp_path / "vision"), clip_params,
+                        config=clip_cfg, metadata={"source": "test"})
+        p2, c2, meta = load_checkpoint(str(tmp_path / "vision"))
+        assert c2 == clip_cfg
+        rng = np.random.default_rng(3)
+        px = jnp.asarray(rng.normal(size=(3, 16, 16)).astype(np.float32))
+        a = np.asarray(clip_model.encode_and_project(clip_params,
+                                                     clip_cfg, px))
+        b = np.asarray(clip_model.encode_and_project(p2, c2, px))
+        np.testing.assert_allclose(a, b, atol=0, rtol=0)
+
+    def test_cli_convert_and_generate(self, oracle, tmp_path, capsys,
+                                      monkeypatch):
+        """`convert --family llava-hf` then `generate --image`."""
+        from trackiellm_tpu import __main__ as cli
+        state = oracle[0]
+        np.savez(tmp_path / "llava_state.npz",
+                 **{k: v for k, v in state.items()})
+        out = str(tmp_path / "ckpt")
+        rc = cli.main(["convert", str(tmp_path / "llava_state.npz"),
+                       "-o", out, "--family", "llava-hf",
+                       "--n-heads", "4", "--vision-n-heads", "4",
+                       "--bits", "0"])
+        assert rc == 0
+        img = (np.random.default_rng(5)
+               .integers(0, 255, (24, 32, 3)).astype(np.uint8))
+        np.save(tmp_path / "frame.npy", img)
+        rc = cli.main(["generate", out, "-p", "what is this? <image>",
+                       "--max-tokens", "4", "--temperature", "0",
+                       "--image", str(tmp_path / "frame.npy")])
+        assert rc == 0

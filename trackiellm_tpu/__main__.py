@@ -25,6 +25,7 @@ def _cmd_inspect(args) -> int:
 
 
 def _cmd_convert(args) -> int:
+    import os
     import time
 
     from trackiellm_tpu.models.checkpoint import save_checkpoint
@@ -32,6 +33,30 @@ def _cmd_convert(args) -> int:
     t0 = time.time()
     vocab = None
     tok_spec = None
+    if args.family == "llava-hf":
+        # Multimodal: the language model saves at --output, the CLIP
+        # vision tower + projector at --output/vision (its own
+        # checkpoint with a CLIPVisionConfig sidecar). Parity:
+        # llama.cpp splits the same checkpoint into a text GGUF + an
+        # "mmproj" file.
+        from tools.parity_common import load_state_dict
+
+        from trackiellm_tpu.models import convert as _C
+
+        params, cfg, clip_params, clip_cfg = _C.llava_from_hf(
+            load_state_dict(args.gguf), n_heads=args.n_heads,
+            vision_n_heads=args.vision_n_heads)
+        if args.bits:
+            from trackiellm_tpu.models.llm import quantize_params
+            params = quantize_params(params, bits=args.bits)
+        save_checkpoint(args.output, params, config=cfg,
+                        metadata={"source": args.gguf, "bits": args.bits,
+                                  "multimodal": "llava"})
+        save_checkpoint(os.path.join(args.output, "vision"), clip_params,
+                        config=clip_cfg, metadata={"source": args.gguf})
+        print(f"converted + saved LLM to {args.output}, vision tower to "
+              f"{args.output}/vision in {time.time() - t0:.1f}s")
+        return 0
     if args.family in ("gemma2-hf", "gemma3-hf", "smollm3-hf",
                        "olmo2-hf", "mixtral-hf", "qwen2moe-hf",
                        "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
@@ -113,10 +138,36 @@ def _cmd_generate(args) -> int:
     model = None
     if type(cfg).__name__ == "MLAConfig":
         from trackiellm_tpu.models import mla as model  # noqa: F811
+    gen_config = GenerationConfig(max_tokens=args.max_tokens,
+                                  temperature=args.temperature)
+    if getattr(args, "image", None):
+        import os
+
+        import numpy as np
+
+        from trackiellm_tpu.llm.vlm import VLMRunner
+
+        vis_dir = os.path.join(args.checkpoint, "vision")
+        clip_params, clip_cfg, _ = load_checkpoint(vis_dir)
+        if type(clip_cfg).__name__ != "CLIPVisionConfig":
+            print(f"{vis_dir} has no CLIPVisionConfig sidecar",
+                  file=sys.stderr)
+            return 1
+        if args.image.endswith(".npz"):
+            image = np.load(args.image)["image"]
+        else:
+            image = np.load(args.image)
+        prompt = args.prompt
+        if VLMRunner.IMAGE_MARKER not in prompt:
+            prompt = VLMRunner.IMAGE_MARKER + "\n" + prompt
+        runner = VLMRunner(params, cfg, clip_params, clip_cfg,
+                           tokenizer=tokenizer, gen_config=gen_config)
+        runner.generate(prompt, images=[image],
+                        on_token=lambda s: print(s, end="", flush=True))
+        print()
+        return 0
     runner = LLMRunner(params, cfg, tokenizer,
-                       gen_config=GenerationConfig(
-                           max_tokens=args.max_tokens,
-                           temperature=args.temperature),
+                       gen_config=gen_config,
                        model=model)
     runner.generate(args.prompt,
                     on_token=lambda s: print(s, end="", flush=True))
@@ -321,10 +372,15 @@ def main(argv=None) -> int:
                             "deepseekv2-hf", "deepseekv3-hf",
                             "granite-hf", "glm4-hf", "llama4-hf",
                             "nemotron-hf", "starcoder2-hf", "cohere-hf",
-                            "ernie45-hf"),
+                            "ernie45-hf", "llava-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")
+    p.add_argument("--n-heads", type=int, default=32,
+                   help="text attention heads (llava-hf only; not "
+                        "shape-derivable — LLaVA-1.5-7B uses 32)")
+    p.add_argument("--vision-n-heads", type=int, default=16,
+                   help="CLIP tower heads (llava-hf only; ViT-L/14 = 16)")
     p.set_defaults(fn=_cmd_convert)
 
     p = sub.add_parser("generate", help="generate from a checkpoint")
@@ -332,6 +388,10 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--prompt", default="Olá!")
     p.add_argument("--max-tokens", type=int, default=64)
     p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--image", default=None,
+                   help="image (.npy HWC uint8, or .npz with key 'image') "
+                        "for multimodal checkpoints; the prompt's "
+                        "<image> marker places it")
     p.set_defaults(fn=_cmd_generate)
 
     p = sub.add_parser("transcribe", help="transcribe a WAV file")

@@ -294,6 +294,16 @@ class LLMRunner:
                 log.info("primed prefix did not match the final prompt; "
                          "falling back to prefix-cache reuse")
             self._prefill_with_prefix_reuse(ids)
+        self._arm_generation_state(tools, force_tool_call,
+                                   response_schema, json_mode)
+
+    def _arm_generation_state(self, tools: Sequence[ToolDefinition],
+                              force_tool_call: bool,
+                              response_schema: Optional[Dict[str, Any]],
+                              json_mode: bool) -> None:
+        """Reset per-reply state + arm the constrained-decoding grammar
+        (shared by prepare_generation and the multimodal path,
+        llm/vlm.py)."""
         self._generated_ids = []
         self._generated_text = ""
         self._n_emitted = 0

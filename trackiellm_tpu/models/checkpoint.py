@@ -117,7 +117,11 @@ def save_checkpoint(directory: str, params: Any,
     sidecar = {"metadata": metadata or {},
                "format": {"q4_packing": _Q4_PACKING} if has_q4 else {}}
     if config is not None:
-        sidecar["config"] = dict(config._asdict())
+        if hasattr(config, "_asdict"):  # NamedTuple configs
+            sidecar["config"] = dict(config._asdict())
+        else:  # frozen-dataclass configs (e.g. CLIPVisionConfig)
+            import dataclasses as _dc
+            sidecar["config"] = _dc.asdict(config)
         sidecar["config_class"] = type(config).__name__
     Path(os.path.join(directory, _CONFIG_FILE)).write_text_atomic(
         json.dumps(sidecar, indent=1))
@@ -159,4 +163,9 @@ def load_checkpoint(directory: str, device_put: bool = True,
         from trackiellm_tpu.models import mla as mla_model
 
         cfg = mla_model.MLAConfig(**sidecar["config"])
+    elif ("config" in sidecar
+          and sidecar.get("config_class") == "CLIPVisionConfig"):
+        from trackiellm_tpu.models import clip as clip_model
+
+        cfg = clip_model.CLIPVisionConfig(**sidecar["config"])
     return params, cfg, sidecar.get("metadata", {})
