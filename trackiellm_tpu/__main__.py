@@ -62,7 +62,7 @@ def _cmd_convert(args) -> int:
                        "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
                        "deepseekv3-hf", "granite-hf", "glm4-hf",
                        "llama4-hf", "nemotron-hf", "starcoder2-hf",
-                       "cohere-hf", "ernie45-hf"):
+                       "cohere-hf", "ernie45-hf", "falcon-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -84,8 +84,11 @@ def _cmd_convert(args) -> int:
               "nemotron-hf": _C.nemotron_from_hf,
               "starcoder2-hf": _C.starcoder2_from_hf,
               "cohere-hf": _C.cohere_from_hf,
-              "ernie45-hf": _C.ernie45_from_hf}[args.family]
-        params, cfg = fn(load_state_dict(args.gguf))
+              "ernie45-hf": _C.ernie45_from_hf,
+              "falcon-hf": _C.falcon_from_hf}[args.family]
+        kw = ({"n_heads": args.n_heads} if args.family == "falcon-hf"
+              else {})
+        params, cfg = fn(load_state_dict(args.gguf), **kw)
         if args.bits:
             if args.family.startswith("deepseek"):
                 from trackiellm_tpu.models.mla import quantize_params
@@ -372,7 +375,7 @@ def main(argv=None) -> int:
                             "deepseekv2-hf", "deepseekv3-hf",
                             "granite-hf", "glm4-hf", "llama4-hf",
                             "nemotron-hf", "starcoder2-hf", "cohere-hf",
-                            "ernie45-hf", "llava-hf"),
+                            "ernie45-hf", "llava-hf", "falcon-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")

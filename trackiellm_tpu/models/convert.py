@@ -4094,3 +4094,142 @@ def llava_from_hf(
         },
     }
     return llm_params, llm_cfg, clip_params, clip_cfg
+
+
+def falcon_from_hf(
+    state: Dict[str, Any],
+    *,
+    n_heads: int,
+    max_seq: int = 2048,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 1e4,
+    new_arch: Optional[bool] = None,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Falcon state dict to (params, cfg).
+
+    Falcon deltas vs the Llama template (modeling_falcon.py):
+
+    - **LayerNorm with biases** everywhere ({"g","b"} norm params).
+    - **Parallel residual** (7B: one shared input_layernorm feeds both
+      branches — the Command-R mechanism). The 40B/180B "new decoder
+      architecture" adds a SECOND norm: the MLP branch reads its own
+      ``ln_mlp`` of the residual stream (cfg.parallel_mlp_norm).
+      ``parallel_attn=False`` checkpoints map to sequential residuals.
+    - **Fused query_key_value** with three layouts, un-fused here into
+      the framework's q|k|v column order: multi-query 7B stores
+      [q0..qn, k, v] head rows (already ordered); MHA checkpoints
+      interleave (q,k,v) per head; the new arch groups
+      [q0..qr, k, v] per kv head (group-major q order — exactly the
+      framework's GQA head indexing g*rep+r).
+    - **Ungated exact-erf GELU MLP** (nn.GELU -> cfg.act="gelu_exact";
+      StarCoder2's tanh approximation would diverge).
+
+    ``new_arch`` auto-detects from ``ln_attn`` / qkv shape; pass it
+    explicitly for new-arch checkpoints with num_ln_in_parallel_attn=1
+    (Falcon2-11B). Alibi checkpoints (falcon-rw) are not supported —
+    the published Falcon-7B/40B/180B line is rotary.
+    """
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    pre0 = "transformer.h.0."
+    emb = A("transformer.word_embeddings.weight")
+    vocab, dim = emb.shape
+    hd = dim // n_heads
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("transformer.h.")})
+    qkv_out = A(pre0 + "self_attention.query_key_value.weight").shape[0]
+    hidden = A(pre0 + "mlp.dense_h_to_4h.weight").shape[0]
+
+    two_norm = (pre0 + "ln_attn.weight") in state
+    sequential = (pre0 + "post_attention_layernorm.weight") in state
+    if new_arch is None:
+        new_arch = two_norm or (qkv_out not in (3 * dim, dim + 2 * hd))
+    if new_arch:
+        n_kv = (qkv_out // hd - n_heads) // 2
+    elif qkv_out == dim + 2 * hd:
+        n_kv = 1  # multi-query (Falcon-7B)
+    else:
+        n_kv = n_heads
+    qkv_bias = (pre0 + "self_attention.query_key_value.bias") in state
+    out_bias = (pre0 + "self_attention.dense.bias") in state
+    mlp_bias = (pre0 + "mlp.dense_h_to_4h.bias") in state
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, norm_type="layernorm",
+        parallel_residual=not sequential,
+        parallel_mlp_norm=two_norm, mlp_gated=False, act="gelu_exact",
+        qkv_bias=qkv_bias, out_bias=out_bias, mlp_bias=mlp_bias)
+
+    def unfuse(w: np.ndarray) -> np.ndarray:
+        """(qkv_out, D) fused rows -> (D, q|k|v) framework columns.
+        Works on weights and (reshaped) biases alike."""
+        flat = w.reshape(qkv_out, -1)
+        if new_arch:
+            g = flat.reshape(n_kv, n_heads // n_kv + 2, hd, -1)
+            q = g[:, :-2].reshape(n_heads * hd, -1)
+            k = g[:, -2].reshape(n_kv * hd, -1)
+            v = g[:, -1].reshape(n_kv * hd, -1)
+        elif n_kv == 1:
+            q, k, v = (flat[: n_heads * hd], flat[n_heads * hd: -hd],
+                       flat[-hd:])
+        else:
+            g = flat.reshape(n_heads, 3, hd, -1)
+            q = g[:, 0].reshape(n_heads * hd, -1)
+            k = g[:, 1].reshape(n_heads * hd, -1)
+            v = g[:, 2].reshape(n_heads * hd, -1)
+        return np.concatenate([q, k, v], axis=0)
+
+    L: Dict[str, list] = {"attn_norm": [], "wqkv": [], "wo": [],
+                          "w_gu": [], "w_down": []}
+    opt = {"mlp_norm": [], "wqkv_bias": [], "wo_bias": [], "w_gu_b": [],
+           "w_down_b": []}
+    for i in range(n_layers):
+        pre = f"transformer.h.{i}."
+        if two_norm:
+            L["attn_norm"].append({"g": A(pre + "ln_attn.weight"),
+                                   "b": A(pre + "ln_attn.bias")})
+            opt["mlp_norm"].append({"g": A(pre + "ln_mlp.weight"),
+                                    "b": A(pre + "ln_mlp.bias")})
+        else:
+            L["attn_norm"].append({"g": A(pre + "input_layernorm.weight"),
+                                   "b": A(pre + "input_layernorm.bias")})
+            if sequential:
+                opt["mlp_norm"].append(
+                    {"g": A(pre + "post_attention_layernorm.weight"),
+                     "b": A(pre + "post_attention_layernorm.bias")})
+        L["wqkv"].append(
+            unfuse(A(pre + "self_attention.query_key_value.weight")).T)
+        L["wo"].append(A(pre + "self_attention.dense.weight").T)
+        L["w_gu"].append(A(pre + "mlp.dense_h_to_4h.weight").T)
+        L["w_down"].append(A(pre + "mlp.dense_4h_to_h.weight").T)
+        if qkv_bias:
+            opt["wqkv_bias"].append(unfuse(
+                A(pre + "self_attention.query_key_value.bias"))[:, 0])
+        if out_bias:
+            opt["wo_bias"].append(A(pre + "self_attention.dense.bias"))
+        if mlp_bias:
+            opt["w_gu_b"].append(A(pre + "mlp.dense_h_to_4h.bias"))
+            opt["w_down_b"].append(A(pre + "mlp.dense_4h_to_h.bias"))
+
+    def stack(vals):
+        if vals and isinstance(vals[0], dict):
+            return {kk: jnp.asarray(np.stack([v[kk] for v in vals]), dtype)
+                    for kk in vals[0]}
+        return jnp.asarray(np.stack(vals), dtype)
+
+    layers = {k: stack(v) for k, v in L.items()}
+    layers.update({k: stack(v) for k, v in opt.items() if v})
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": layers,
+        "out_norm": {"g": jnp.asarray(A("transformer.ln_f.weight"), dtype),
+                     "b": jnp.asarray(A("transformer.ln_f.bias"), dtype)},
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg

@@ -135,6 +135,12 @@ class LLMConfig(NamedTuple):
     # add to the incoming stream (x + attn(h) + mlp(h)); no second
     # norm. Dense MLP only (Cohere has no MoE).
     parallel_residual: bool = False
+    # Falcon 40B/180B ("new decoder architecture", num_ln_in_parallel_
+    # attn=2): the parallel MLP branch reads its OWN LayerNorm of the
+    # residual stream (ln_mlp) instead of sharing the attention norm.
+    # Only meaningful with parallel_residual; the ln_mlp weights live
+    # in layers.mlp_norm.
+    parallel_mlp_norm: bool = False
     # MLP shape: gated GLU (default) or a plain up->act->down stack
     # (mlp_gated=False — StarCoder2's gelu, Nemotron's relu²; w_gu
     # then holds ONLY the up projection). mlp_bias adds dense-MLP
@@ -775,8 +781,9 @@ def _mlp_block(x: jnp.ndarray, norm_scale: jnp.ndarray, w_gu, w_down,
         # Nemotron: squared ReLU, no gate.
         act_out = jnp.square(jax.nn.relu(gu))
     else:
-        # StarCoder2: plain tanh-approximated GELU, no gate.
-        act_out = jax.nn.gelu(gu, approximate=True)
+        # StarCoder2: plain tanh-approximated GELU, no gate;
+        # "gelu_exact" = erf GELU (Falcon's nn.GELU).
+        act_out = jax.nn.gelu(gu, approximate=act != "gelu_exact")
     out = _linear(act_out.astype(x.dtype), w_down)
     if w_down_b is not None:
         out = out + w_down_b
@@ -1083,7 +1090,9 @@ def _mlp_branch(h: jnp.ndarray, layer, cfg: LLMConfig) -> jnp.ndarray:
     elif cfg.act == "relu2":
         act_out = jnp.square(jax.nn.relu(gu))
     else:
-        act_out = jax.nn.gelu(gu, approximate=True)
+        # "gelu_exact" = erf GELU (Falcon's nn.GELU); default tanh
+        # approximation (StarCoder2's gelu_pytorch_tanh).
+        act_out = jax.nn.gelu(gu, approximate=cfg.act != "gelu_exact")
     out = _linear(act_out.astype(h.dtype), layer["w_down"])
     if cfg.mlp_bias and "w_down_b" in layer:
         out = out + layer["w_down_b"]
@@ -1099,7 +1108,11 @@ def _layer_tail(x: jnp.ndarray, h: jnp.ndarray, attn: jnp.ndarray,
         out = _linear(attn.astype(x.dtype), layer["wo"])
         if cfg.out_bias:
             out = out + layer["wo_bias"]
-        return x + out + _mlp_branch(h, layer, cfg).astype(x.dtype)
+        # Falcon new-arch: the MLP branch norms the residual stream
+        # itself (ln_mlp) instead of sharing the attention norm.
+        hm = (_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.norm_type)
+              if cfg.parallel_mlp_norm else h)
+        return x + out + _mlp_branch(hm, layer, cfg).astype(x.dtype)
     x = _attn_residual(x, attn, layer, cfg)
     return _mlp(x, layer, cfg, li=li)
 
