@@ -864,3 +864,63 @@ class TestTypedTools:
         assert acc.feed_text("{}") and acc.done
         acc2 = SchemaAcceptor(defs["describe_scene"].schema)
         assert not acc2.feed_text('{"x":1}')
+
+
+class StubVLM(StubLLM):
+    """VLMRunner-shaped stub: exposes IMAGE_MARKER/clip_cfg and records
+    the images kwarg."""
+
+    IMAGE_MARKER = "<image>"
+
+    class _ClipCfg:
+        n_image_tokens = 4
+
+    clip_cfg = _ClipCfg()
+
+    def __init__(self, responses):
+        super().__init__(responses)
+        self.image_calls = []
+
+    def generate(self, prompt, tools=(), force_tool_call=False,
+                 on_token=None, images=(), should_stop=None):
+        self.image_calls.append((prompt, tuple(images)))
+        return super().generate(prompt, tools, force_tool_call, on_token)
+
+
+class TestCortexVLMSceneImage:
+    """CortexConfig.vlm_scene_image: the latest camera frame rides the
+    user-query prompt when the runner is multimodal (llm/vlm.py)."""
+
+    def test_frame_attached_with_marker(self):
+        llm = StubVLM(["vejo uma mesa."])
+        c = Cortex(llm_runner=llm,
+                   config=CortexConfig(vlm_scene_image=True))
+        c.run()
+        frame = object()
+        c.inject_video_frame(frame)
+        c.inject_user_text("o que voce ve? <image>")
+        c.stop(timeout=3.0)
+        assert len(llm.image_calls) == 1
+        prompt, images = llm.image_calls[0]
+        assert images == (frame,)
+        assert prompt.count("<image>") == 1  # user-injected marker gone
+        assert "Imagem da câmera" in prompt
+
+    def test_no_frame_no_image(self):
+        llm = StubVLM(["não vejo nada."])
+        c = Cortex(llm_runner=llm,
+                   config=CortexConfig(vlm_scene_image=True))
+        c.run()
+        c.inject_user_text("o que voce ve?")
+        c.stop(timeout=3.0)
+        assert llm.image_calls[0][1] == ()
+
+    def test_disabled_by_default(self):
+        llm = StubVLM(["ok."])
+        c = Cortex(llm_runner=llm)
+        c.run()
+        c.inject_video_frame(object())
+        c.inject_user_text("oi")
+        c.stop(timeout=3.0)
+        assert llm.image_calls[0][1] == ()
+        assert "<image>" not in llm.image_calls[0][0]

@@ -83,6 +83,16 @@ class ScriptedTextTokenizer(ByteTokenizer):
         self._emit_i += 1
         return word
 
+    @property
+    def token_bytes(self):
+        # Hide ByteTokenizer's byte-level surface: the runner's
+        # incremental UTF-8 assembler (LLMRunner._piece) prefers
+        # token_bytes when present, which would decode the random-weight
+        # byte soup instead of the scripted words — observed as
+        # `decide ''` (pieces held pending mid-UTF-8) and the sentence
+        # streamer never firing, every run INCOMPLETE.
+        raise AttributeError("scripted tokenizer decodes via decode_token")
+
 
 class ScriptedMic:
     """Real-time mic: loud (speech) chunks for SPEECH_SECONDS, then

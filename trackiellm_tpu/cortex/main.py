@@ -118,6 +118,14 @@ class CortexConfig:
     # reuse covers the head; "parity" is the reference's urgent-first
     # order (reasoner.generate_context_string docstring).
     context_layout: str = "prefix_stable"
+    # Multimodal scene input: when the runner is a VLMRunner
+    # (llm/vlm.py), attach the latest camera frame to each user-query
+    # prompt — the model SEES the scene instead of reading YOLO labels
+    # only. Placement (system + context, then image, then user text)
+    # keeps the stable prompt head reusable across turns (the VLM
+    # runner's digest-guarded prefix cache). Off by default: the
+    # text-only production path is the measured artifact.
+    vlm_scene_image: bool = False
     system_prompt: str = (
         "Você é o Trackie, um assistente para pessoas com deficiência "
         "visual. Responda de forma curta, clara e útil.")
@@ -577,11 +585,33 @@ class Cortex:
             context, tools = frozen
         else:
             tools = self._tool_definitions()
-            budget = self._context_budget(text, tools, margin=32)
+            margin = 32
+            if self.config.vlm_scene_image:
+                # The image run occupies real window positions.
+                clip_cfg = getattr(self.llm, "clip_cfg", None)
+                if clip_cfg is not None:
+                    margin += clip_cfg.n_image_tokens + 8
+            budget = self._context_budget(text, tools, margin=margin)
             context = self.reasoner.generate_context_string(
                 user_query=text, token_budget=budget,
                 count_fn=getattr(self.llm, "count_tokens", None),
                 layout=self.config.context_layout)
+
+        # Multimodal scene input: attach the freshest camera frame when
+        # configured and the runner supports it (VLMRunner). The image
+        # marker lands AFTER the stable system+context head (prefix
+        # reuse covers the head; a changed frame rolls back only the
+        # image+user tail) and BEFORE the user text.
+        images = ()
+        marker = getattr(self.llm, "IMAGE_MARKER", None)
+        if self.config.vlm_scene_image and marker:
+            with self._frame_lock:
+                frame = self._frames[-1] if self._frames else None
+            if frame is not None:
+                context = (f"{context}\n\nImagem da câmera: {marker}"
+                           if context else f"Imagem da câmera: {marker}")
+                images = (frame,)
+            text = text.replace(marker, " ")  # user text can't inject one
         prompt = self.llm.build_prompt(self.config.system_prompt, context,
                                        text, tools)
 
@@ -609,6 +639,8 @@ class Cortex:
                     or self._emergency_flag.is_set())
         except (TypeError, ValueError):
             pass
+        if images:
+            gen_kwargs["images"] = images
         raw = self.llm.generate(prompt, tools=tools,
                                 on_token=stream.feed, **gen_kwargs)
         self.stats["last_llm_ms"] = (time.monotonic() - t0) * 1e3

@@ -54,6 +54,22 @@ class WhisperConfig(NamedTuple):
                    n_text_layers=12)
 
     @classmethod
+    def medium(cls) -> "WhisperConfig":
+        """openai/whisper-medium (d1024/h16/24+24 layers)."""
+        return cls(d_model=1024, n_heads=16, n_audio_layers=24,
+                   n_text_layers=24)
+
+    @classmethod
+    def large_v3(cls) -> "WhisperConfig":
+        """openai/whisper-large-v3 (d1280/h20/32+32 layers, 128 mel
+        bins, +1 vocab entry for the <|yue|> language token). The mel
+        frontend (ops/mel.py) is n_mels-parameterized; conversion
+        derives all of this from shapes (whisper_config_from_torch)."""
+        return cls(n_mels=128, d_model=1280, n_heads=20,
+                   n_audio_layers=32, n_text_layers=32,
+                   vocab_size=51866)
+
+    @classmethod
     def test(cls) -> "WhisperConfig":
         return cls(n_mels=80, d_model=64, n_heads=2, n_audio_layers=2,
                    n_text_layers=2, n_audio_ctx=100, n_text_ctx=32,
