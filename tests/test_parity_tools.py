@@ -396,3 +396,67 @@ class TestLLMParityNativeCheckpoint:
                          "--quantize", "0", "--no-record"], capsys)
         assert res["match_rate"] >= 0.9  # bf16 sidecar roundtrip may
         assert res["exact_prefix"] >= 1  # perturb late near-ties
+
+
+class TestVLMParity:
+    def test_missing_checkpoint(self):
+        proc = _run(["tools/parity_vlm.py",
+                     "--checkpoint", "/nope/ckpt", "--image", "/nope/i.npy",
+                     "--transcript", "/nope/t.json"], expect_ok=False)
+        assert proc.returncode == 2
+        assert "not found" in proc.stderr
+
+    def test_self_parity(self, tmp_path, capsys):
+        sys.path.insert(0, REPO)
+        import torch
+
+        from trackiellm_tpu import __main__ as cli
+        from trackiellm_tpu.llm.runner import GenerationConfig
+        from trackiellm_tpu.llm.vlm import VLMRunner
+        from trackiellm_tpu.models.checkpoint import load_checkpoint
+
+        # Tiny LLaVA state dict -> CLI convert -> runner transcript.
+        from transformers import (CLIPVisionConfig, LlamaConfig,
+                                  LlavaConfig,
+                                  LlavaForConditionalGeneration)
+        vc = CLIPVisionConfig(
+            hidden_size=32, image_size=16, patch_size=8,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64)
+        tc = LlamaConfig(
+            vocab_size=128, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128)
+        torch.manual_seed(3)
+        m = LlavaForConditionalGeneration(LlavaConfig(
+            vision_config=vc, text_config=tc,
+            image_token_index=127)).eval()
+        state = {k: v.numpy() for k, v in m.state_dict().items()}
+        np.savez(tmp_path / "llava.npz", **state)
+        ckpt = str(tmp_path / "ckpt")
+        assert cli.main(["convert", str(tmp_path / "llava.npz"),
+                         "-o", ckpt, "--family", "llava-hf",
+                         "--n-heads", "4", "--vision-n-heads", "4",
+                         "--bits", "0"]) == 0
+
+        img = (np.random.default_rng(9)
+               .integers(0, 255, (20, 28, 3)).astype(np.uint8))
+        np.save(tmp_path / "frame.npy", img)
+        params, cfg, _meta = load_checkpoint(ckpt)
+        cp, cc, _m2 = load_checkpoint(os.path.join(ckpt, "vision"))
+        runner = VLMRunner(params, cfg, cp, cc,
+                           gen_config=GenerationConfig(
+                               max_tokens=8, temperature=0.0))
+        runner.generate("oi <image> tudo?", images=[img])
+        tr = {"prompt": "oi <image> tudo?",
+              "tokens": list(runner._generated_ids)}
+        tr_path = str(tmp_path / "tr.json")
+        with open(tr_path, "w") as f:
+            json.dump(tr, f)
+
+        res = _run_main("tools.parity_vlm",
+                        ["--checkpoint", ckpt,
+                         "--image", str(tmp_path / "frame.npy"),
+                         "--transcript", tr_path, "--no-record"], capsys)
+        assert res["match_rate"] == pytest.approx(1.0)
+        assert res["exact_prefix"] == len(tr["tokens"])

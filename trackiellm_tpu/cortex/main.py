@@ -605,13 +605,17 @@ class Cortex:
         images = ()
         marker = getattr(self.llm, "IMAGE_MARKER", None)
         if self.config.vlm_scene_image and marker:
+            # User speech can't inject markers — scrub them from the
+            # query AND the context (the reasoner quotes the query in
+            # conversation turns) before appending the real one.
+            text = text.replace(marker, " ")
+            context = context.replace(marker, " ") if context else context
             with self._frame_lock:
                 frame = self._frames[-1] if self._frames else None
             if frame is not None:
                 context = (f"{context}\n\nImagem da câmera: {marker}"
                            if context else f"Imagem da câmera: {marker}")
                 images = (frame,)
-            text = text.replace(marker, " ")  # user text can't inject one
         prompt = self.llm.build_prompt(self.config.system_prompt, context,
                                        text, tools)
 
