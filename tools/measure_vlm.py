@@ -33,12 +33,22 @@ VIT_L_336 = clip_model.CLIPVisionConfig(
 
 
 def _t(fn, n=20):
-    fn()  # compile + warm
-    fn()
+    """Honest timing: value-fetch sync (block_until_ready does not
+    round-trip through the axon relay — observed 0.04 ms 'latencies').
+    Only a tiny slice is fetched: the full result stays on device (a
+    (576, 4096) f32 fetch would cost ~1 s of relay bandwidth and swamp
+    the number); the slice is computed AFTER the full program ran, so
+    nothing is dead-code-eliminated."""
+    def run():
+        out = fn()
+        return np.asarray(out[:1].ravel()[:8])
+
+    run()  # compile + warm
+    run()
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        run()
         ts.append((time.perf_counter() - t0) * 1e3)
     return float(np.percentile(ts, 50)), float(np.min(ts))
 
