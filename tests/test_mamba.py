@@ -1,0 +1,188 @@
+"""Mamba (selective SSM) family correctness against the transformers
+oracle.
+
+A tiny random-weight ``MambaForCausalLM`` (slow path) is ground truth.
+The rebuild's prefill runs the recurrence as ONE
+``jax.lax.associative_scan`` (O(log S) depth) instead of the oracle's
+sequential Python loop — teacher-forced logits must still match
+exactly; decode is the O(1)-state single-step path; extend (chunked
+prefill from live state) must equal the one-shot prefill. Reference
+analogue: llama.cpp's mamba arch behind the reference's loader
+(src/ai_models/tk_model_loader.c:199).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from trackiellm_tpu.models import convert as C
+from trackiellm_tpu.models import mamba as M
+
+SEQ = 14
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from transformers import MambaConfig, MambaForCausalLM
+
+    hf_cfg = MambaConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=2,
+        state_size=8, conv_kernel=4, intermediate_size=64,
+        time_step_rank=4, layer_norm_epsilon=1e-5, use_bias=False,
+        use_conv_bias=True, use_mambapy=False, use_cache=False,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2)
+    torch.manual_seed(0)
+    model = MambaForCausalLM(hf_cfg).eval()
+    tokens = torch.randint(3, 96, (1, SEQ + 4),
+                           generator=torch.Generator().manual_seed(2))
+    with torch.no_grad():
+        ref = model(tokens).logits[0].numpy()
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    return state, tokens[0].numpy(), ref
+
+
+@pytest.fixture(scope="module")
+def converted(oracle):
+    return C.mamba_from_hf(oracle[0], max_seq=64)
+
+
+class TestMambaOracle:
+    def test_prefill_logits_match(self, oracle, converted):
+        _, tokens, ref = oracle
+        params, cfg = converted
+        cache = M.MambaCache.create(cfg)
+        padded = np.zeros(16, np.int32)
+        padded[:SEQ] = tokens[:SEQ]
+        logits, cache = M.prefill(params, cfg, jnp.asarray(padded),
+                                  jnp.int32(SEQ), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   atol=3e-4, rtol=1e-3)
+
+    def test_decode_steps_match(self, oracle, converted):
+        """Teacher-forced decode over ground-truth continuations:
+        proves the carried (conv, ssm) state is the oracle's."""
+        _, tokens, ref = oracle
+        params, cfg = converted
+        cache = M.MambaCache.create(cfg)
+        padded = np.zeros(16, np.int32)
+        padded[:SEQ] = tokens[:SEQ]
+        logits, cache = M.prefill(params, cfg, jnp.asarray(padded),
+                                  jnp.int32(SEQ), cache)
+        for j in range(4):
+            logits, cache = M.decode_step(
+                params, cfg, jnp.int32(int(tokens[SEQ + j])), cache)
+            np.testing.assert_allclose(np.asarray(logits), ref[SEQ + j],
+                                       atol=3e-4, rtol=1e-3)
+
+    def test_extend_equals_prefill(self, oracle, converted):
+        """Chunked ingestion (state folded into the scan's first
+        element) == one-shot prefill, across an uneven split."""
+        _, tokens, _ = oracle
+        params, cfg = converted
+        one = M.MambaCache.create(cfg)
+        padded = np.zeros(16, np.int32)
+        padded[:SEQ] = tokens[:SEQ]
+        ref_logits, ref_cache = M.prefill(
+            params, cfg, jnp.asarray(padded), jnp.int32(SEQ), one)
+
+        cache = M.MambaCache.create(cfg)
+        split = 5
+        p1 = np.zeros(8, np.int32)
+        p1[:split] = tokens[:split]
+        _, cache = M.prefill(params, cfg, jnp.asarray(p1),
+                             jnp.int32(split), cache)
+        p2 = np.zeros(16, np.int32)
+        p2[: SEQ - split] = tokens[split:SEQ]
+        logits, cache = M.extend(params, cfg, jnp.asarray(p2),
+                                 jnp.int32(SEQ - split), cache)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(ref_logits),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(cache.ssm),
+                                   np.asarray(ref_cache.ssm),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(cache.conv),
+                                   np.asarray(ref_cache.conv),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_padded_tail_does_not_contaminate_state(self, converted,
+                                                    oracle):
+        """Garbage in the padded rows past ``length`` must not leak
+        into the captured state (state is taken AT length-1)."""
+        _, tokens, _ = oracle
+        params, cfg = converted
+        a = np.zeros(16, np.int32)
+        a[:SEQ] = tokens[:SEQ]
+        b = np.full(16, 7, np.int32)
+        b[:SEQ] = tokens[:SEQ]
+        la, ca = M.prefill(params, cfg, jnp.asarray(a), jnp.int32(SEQ),
+                           M.MambaCache.create(cfg))
+        lb, cb = M.prefill(params, cfg, jnp.asarray(b), jnp.int32(SEQ),
+                           M.MambaCache.create(cfg))
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        np.testing.assert_array_equal(np.asarray(ca.ssm),
+                                      np.asarray(cb.ssm))
+        np.testing.assert_array_equal(np.asarray(ca.conv),
+                                      np.asarray(cb.conv))
+
+
+class TestMambaRunner:
+    def test_greedy_generate_matches_oracle_generate(self, oracle,
+                                                     converted):
+        from transformers import MambaConfig, MambaForCausalLM
+
+        state, tokens, _ = oracle
+        params, cfg = converted
+        hf_cfg = MambaConfig(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            state_size=8, conv_kernel=4, intermediate_size=64,
+            time_step_rank=4, use_bias=False, use_conv_bias=True,
+            use_mambapy=False, tie_word_embeddings=False,
+            bos_token_id=1, eos_token_id=2)
+        torch.manual_seed(0)
+        model = MambaForCausalLM(hf_cfg).eval()
+        prompt_ids = torch.tensor([list(map(int, tokens[:6]))])
+        with torch.no_grad():
+            out = model.generate(prompt_ids, max_new_tokens=6,
+                                 do_sample=False)
+        ref_cont = out[0, 6:].tolist()
+
+        from trackiellm_tpu.llm.runner import GenerationConfig
+
+        class IdTok:
+            eos_id = 2
+            def encode(self, text, add_bos=True):
+                return [int(x) for x in text.split()]
+            def decode(self, ids):
+                return " ".join(str(i) for i in ids)
+
+        runner = M.MambaRunner(
+            params, cfg, tokenizer=IdTok(),
+            gen_config=GenerationConfig(max_tokens=6, temperature=0.0))
+        runner.generate(" ".join(str(int(t)) for t in tokens[:6]))
+        got = runner._generated_ids
+        if 2 in ref_cont:
+            ref_cont = ref_cont[: ref_cont.index(2)]
+        assert got == ref_cont
+
+    def test_chunk_greedy_matches_serial(self, converted, oracle):
+        _, tokens, _ = oracle
+        params, cfg = converted
+        cache = M.MambaCache.create(cfg)
+        padded = np.zeros(16, np.int32)
+        padded[:SEQ] = tokens[:SEQ]
+        logits, cache = M.prefill(params, cfg, jnp.asarray(padded),
+                                  jnp.int32(SEQ), cache)
+        toks, lg, cache2 = M.decode_chunk_greedy(
+            params, cfg, logits, cache, 5)
+        serial = []
+        lgs, cs = logits, cache
+        for _ in range(5):
+            t = int(jnp.argmax(lgs))
+            serial.append(t)
+            lgs, cs = M.decode_step(params, cfg, jnp.int32(t), cs)
+        assert [int(t) for t in toks] == serial
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(lgs),
+                                   atol=1e-5)

@@ -4233,3 +4233,62 @@ def falcon_from_hf(
              else np.ascontiguousarray(emb.T)), dtype),
     }
     return params, cfg
+
+
+def mamba_from_hf(state: Dict[str, Any], *, norm_eps: float = 1e-5,
+                  max_seq: int = 4096, dtype=jnp.float32) -> tuple:
+    """Convert a transformers Mamba state dict to (params, cfg) for
+    models/mamba.py (selective-SSM family — llama.cpp's mamba arch).
+
+    Geometry is fully shape-derived: dim/d_inner from in_proj, K from
+    conv1d, dt_rank from dt_proj, d_state from A_log. SSM tensors
+    (A_log, D) stay float32 — the recurrence runs in f32 like the
+    oracle's slow path (modeling_mamba.py slow_forward)."""
+    from trackiellm_tpu.models.mamba import MambaConfig
+
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("backbone.embeddings.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("backbone.layers.")})
+    w_in0 = A("backbone.layers.0.mixer.in_proj.weight")     # (2I, D)
+    d_inner = w_in0.shape[0] // 2
+    k_conv = A("backbone.layers.0.mixer.conv1d.weight").shape[-1]
+    dt_rank = A("backbone.layers.0.mixer.dt_proj.weight").shape[1]
+    d_state = A("backbone.layers.0.mixer.A_log").shape[1]
+
+    cfg = MambaConfig(vocab_size=vocab, dim=dim, n_layers=n_layers,
+                      d_inner=d_inner, d_state=d_state, d_conv=k_conv,
+                      dt_rank=dt_rank, norm_eps=norm_eps, max_seq=max_seq)
+
+    L = {k: [] for k in ("norm", "w_in", "conv_w", "conv_b", "w_x",
+                         "w_dt", "b_dt", "A_log", "d", "w_out")}
+    for i in range(n_layers):
+        pre = f"backbone.layers.{i}.mixer"
+        L["norm"].append(A(f"backbone.layers.{i}.norm.weight"))
+        L["w_in"].append(A(f"{pre}.in_proj.weight").T)
+        # conv1d.weight (I, 1, K) -> (K, I)
+        L["conv_w"].append(A(f"{pre}.conv1d.weight")[:, 0, :].T)
+        L["conv_b"].append(A(f"{pre}.conv1d.bias")
+                           if f"{pre}.conv1d.bias" in state
+                           else np.zeros(d_inner, np.float32))
+        L["w_x"].append(A(f"{pre}.x_proj.weight").T)
+        L["w_dt"].append(A(f"{pre}.dt_proj.weight").T)
+        L["b_dt"].append(A(f"{pre}.dt_proj.bias"))
+        L["A_log"].append(A(f"{pre}.A_log"))
+        L["d"].append(A(f"{pre}.D"))
+        L["w_out"].append(A(f"{pre}.out_proj.weight").T)
+
+    f32_keys = {"A_log", "d"}
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v),
+                                  jnp.float32 if k in f32_keys else dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("backbone.norm_f.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg

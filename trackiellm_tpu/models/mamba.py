@@ -1,0 +1,362 @@
+"""Mamba (selective state-space) family — TPU-native.
+
+The llama.cpp engine family the reference embeds supports the mamba
+arch (state-space models: mamba-130m..2.8b, falcon-mamba); this module
+is the rebuild's equivalent, validated oracle-exact against
+``transformers.MambaForCausalLM`` (modeling_mamba.py slow_forward).
+
+TPU-first design — the recurrence is NOT a Python loop:
+
+- **Prefill/extend run as one `jax.lax.associative_scan`** over the
+  diagonal SSM: h_t = dA_t * h_{t-1} + dB_t x_t is associative in
+  (a, b) pairs with (aL,bL)⊕(aR,bR) = (aL*aR, bL*aR + bR), so the
+  whole prompt costs O(log S) scan depth on the VPU instead of S
+  sequential steps (the CUDA world's "parallel scan" kernel, as an
+  XLA-native formulation). A chunk's initial state folds into the
+  first element (b0 += a0*h0), which makes chunked prefill exact.
+- **The depthwise causal conv** (width K) is K shifted elementwise
+  multiply-adds over the concatenated [conv_state, x] sequence — XLA
+  fuses them into one pass; no conv program.
+- **Decode** is a single fused step per token over a scan of stacked
+  layer params, with a (conv, ssm) state cache — the recurrent
+  analogue of the KV cache, O(1) per token regardless of context
+  length (the family's whole point).
+
+State semantics: unlike attention caches, recurrent state cannot be
+rolled back by resetting a length counter — the k-token-lookahead /
+speculative machinery in llm/runner.py (stale-rows contract) does NOT
+apply. ``MambaRunner`` (bottom) is the session API: sequential decode,
+greedy or sampled, with the same streaming surface the cortex needs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MambaConfig(NamedTuple):
+    vocab_size: int = 50280
+    dim: int = 768
+    n_layers: int = 24
+    d_inner: int = 1536          # intermediate_size (2*dim)
+    d_state: int = 16            # ssm_state_size
+    d_conv: int = 4              # conv_kernel
+    dt_rank: int = 48            # time_step_rank (ceil(dim/16))
+    norm_eps: float = 1e-5
+    max_seq: int = 4096          # unbounded in principle; session cap
+
+    @classmethod
+    def mamba_130m(cls) -> "MambaConfig":
+        return cls()
+
+    @classmethod
+    def mamba_2_8b(cls) -> "MambaConfig":
+        return cls(dim=2560, d_inner=5120, dt_rank=160, n_layers=64)
+
+    @classmethod
+    def test(cls) -> "MambaConfig":
+        return cls(vocab_size=96, dim=32, n_layers=2, d_inner=64,
+                   d_state=8, d_conv=4, dt_rank=4, max_seq=64)
+
+
+class MambaCache(NamedTuple):
+    """Recurrent state: per layer the last K-1 pre-conv inputs and the
+    (d_inner, d_state) SSM state; ``length`` counts tokens consumed
+    (for window bookkeeping only — state size is position-free)."""
+
+    conv: jnp.ndarray   # (L, K-1, I)
+    ssm: jnp.ndarray    # (L, I, N) float32
+    length: jnp.ndarray  # scalar int32
+
+    @classmethod
+    def create(cls, cfg: MambaConfig, dtype=jnp.float32,
+               max_seq: Optional[int] = None) -> "MambaCache":
+        del max_seq  # recurrent state is O(1) in sequence length
+        return cls(
+            conv=jnp.zeros((cfg.n_layers, cfg.d_conv - 1, cfg.d_inner),
+                           dtype),
+            ssm=jnp.zeros((cfg.n_layers, cfg.d_inner, cfg.d_state),
+                          jnp.float32),
+            length=jnp.int32(0))
+
+
+def _rms(x, w, eps):
+    ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                  keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(ms + eps)
+            ).astype(x.dtype) * w
+
+
+def _ssm_assoc(eL, eR):
+    aL, bL = eL
+    aR, bR = eR
+    return aL * aR, bL * aR + bR
+
+
+def _mixer_seq(layer, cfg: MambaConfig, x_seq: jnp.ndarray,
+               conv_init: jnp.ndarray, ssm_init: jnp.ndarray,
+               last_idx: jnp.ndarray,
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One mixer over a whole (padded) sequence.
+
+    ``x_seq`` (S, D) normed inputs; returns (y (S, D), conv state and
+    ssm state captured AT ``last_idx`` — padded tail rows never
+    contaminate the carried state)."""
+    s = x_seq.shape[0]
+    k = cfg.d_conv
+    xz = x_seq @ layer["w_in"]                      # (S, 2I)
+    x, z = jnp.split(xz, 2, axis=-1)
+    # Depthwise causal conv: K shifted slices over [conv_init; x].
+    x_cat = jnp.concatenate([conv_init.astype(x.dtype), x], axis=0)
+    conv = layer["conv_b"]
+    for j in range(k):
+        conv = conv + x_cat[j: j + s] * layer["conv_w"][j]
+    h = jax.nn.silu(conv)                           # (S, I)
+
+    proj = h @ layer["w_x"]                         # (S, R+2N)
+    dt, B, C = jnp.split(
+        proj, [cfg.dt_rank, cfg.dt_rank + cfg.d_state], axis=-1)
+    delta = jax.nn.softplus(dt @ layer["w_dt"] + layer["b_dt"])  # (S, I)
+    A = -jnp.exp(layer["A_log"].astype(jnp.float32))             # (I, N)
+    delta32 = delta.astype(jnp.float32)
+    dA = jnp.exp(delta32[:, :, None] * A[None])                  # (S,I,N)
+    dBx = (delta32[:, :, None] * B.astype(jnp.float32)[:, None, :]
+           * h.astype(jnp.float32)[:, :, None])                  # (S,I,N)
+    # Fold the chunk's initial state into the first element.
+    dBx = dBx.at[0].add(dA[0] * ssm_init)
+    _, hs = jax.lax.associative_scan(_ssm_assoc, (dA, dBx))      # (S,I,N)
+    y = jnp.einsum("sin,sn->si", hs, C.astype(jnp.float32))
+    y = y + h.astype(jnp.float32) * layer["d"]
+    y = (y * jax.nn.silu(z.astype(jnp.float32))).astype(x_seq.dtype)
+    out = y @ layer["w_out"]                                     # (S, D)
+
+    conv_state = jax.lax.dynamic_slice(
+        x_cat, (last_idx + 1, 0), (k - 1, cfg.d_inner))
+    ssm_state = hs[last_idx]
+    return out, conv_state, ssm_state
+
+
+def _seq_forward(params, cfg: MambaConfig, tokens, n_valid, cache,
+                 ) -> Tuple[jnp.ndarray, MambaCache]:
+    """Shared prefill/extend body over a (S_pad,) token bucket."""
+    last = jnp.maximum(n_valid.astype(jnp.int32) - 1, 0)
+    x = params["tok_emb"][tokens.astype(jnp.int32)]  # (S, D)
+
+    def layer_fn(x, inputs):
+        layer, conv_l, ssm_l = inputs
+        h = _rms(x, layer["norm"], cfg.norm_eps)
+        out, conv_s, ssm_s = _mixer_seq(layer, cfg, h, conv_l, ssm_l,
+                                        last)
+        return x + out, (conv_s, ssm_s)
+
+    x, (convs, ssms) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.conv, cache.ssm))
+    x_last = x[last]
+    logits = (_rms(x_last[None], params["out_norm"], cfg.norm_eps)
+              @ params["lm_head"]).astype(jnp.float32)[0]
+    new_cache = MambaCache(
+        conv=convs.astype(cache.conv.dtype), ssm=ssms,
+        length=cache.length + n_valid.astype(jnp.int32))
+    return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(params: Dict[str, Any], cfg: MambaConfig, tokens: jnp.ndarray,
+            length: jnp.ndarray, cache: MambaCache,
+            ) -> Tuple[jnp.ndarray, MambaCache]:
+    """Prompt ingestion: (S_pad,) bucket, true ``length``. The cache
+    argument supplies buffers only (state starts from zero); returns
+    last-valid-token logits + the recurrent state at ``length-1``."""
+    zero = MambaCache.create(cfg, dtype=cache.conv.dtype)
+    return _seq_forward(params, cfg, tokens, length, zero)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extend(params: Dict[str, Any], cfg: MambaConfig, tokens: jnp.ndarray,
+           n_valid: jnp.ndarray, cache: MambaCache,
+           ) -> Tuple[jnp.ndarray, MambaCache]:
+    """Chunked continuation from live state (tool re-injection /
+    chunked prefill): exact — the initial state folds into the scan's
+    first element."""
+    return _seq_forward(params, cfg, tokens, n_valid, cache)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(params: Dict[str, Any], cfg: MambaConfig,
+                token: jnp.ndarray, cache: MambaCache,
+                ) -> Tuple[jnp.ndarray, MambaCache]:
+    """One token: O(1) state update per layer, one device program."""
+    x = params["tok_emb"][token][None]  # (1, D)
+    k = cfg.d_conv
+
+    def layer_fn(x, inputs):
+        layer, conv_l, ssm_l = inputs   # (K-1, I), (I, N)
+        h_in = _rms(x, layer["norm"], cfg.norm_eps)
+        xz = h_in @ layer["w_in"]
+        xi, z = jnp.split(xz, 2, axis=-1)           # (1, I)
+        x_cat = jnp.concatenate([conv_l.astype(xi.dtype), xi], axis=0)
+        conv = (x_cat * layer["conv_w"]).sum(0) + layer["conv_b"]
+        h = jax.nn.silu(conv)                        # (I,)
+        proj = h @ layer["w_x"]
+        dt, B, C = jnp.split(
+            proj, [cfg.dt_rank, cfg.dt_rank + cfg.d_state])
+        delta = jax.nn.softplus(dt @ layer["w_dt"] + layer["b_dt"])
+        A = -jnp.exp(layer["A_log"].astype(jnp.float32))
+        dA = jnp.exp(delta.astype(jnp.float32)[:, None] * A)
+        ssm = dA * ssm_l + (delta.astype(jnp.float32)[:, None]
+                            * B.astype(jnp.float32)[None, :]
+                            * h.astype(jnp.float32)[:, None])
+        y = ssm @ C.astype(jnp.float32)
+        y = y + h.astype(jnp.float32) * layer["d"]
+        y = (y * jax.nn.silu(z[0].astype(jnp.float32))
+             ).astype(x.dtype)[None]
+        out = y @ layer["w_out"]
+        return x + out, (x_cat[1:], ssm)
+
+    x, (convs, ssms) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.conv, cache.ssm))
+    logits = (_rms(x, params["out_norm"], cfg.norm_eps)
+              @ params["lm_head"]).astype(jnp.float32)[0]
+    return logits, MambaCache(conv=convs.astype(cache.conv.dtype),
+                              ssm=ssms, length=cache.length + 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def decode_chunk_greedy(params: Dict[str, Any], cfg: MambaConfig,
+                        logits: jnp.ndarray, cache: MambaCache,
+                        n_tokens: int,
+                        eos_id: Optional[int] = None,
+                        suppress_until: Optional[jnp.ndarray] = None,
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, MambaCache]:
+    """k greedy tokens in ONE device program (the relay-fetch
+    amortization trick, same contract as models/llm.py's) — but note
+    the cache CANNOT be rolled back afterwards (recurrent state);
+    callers must only use this when all k tokens are consumed
+    unconditionally (MambaRunner stops at chunk granularity)."""
+
+    def body(carry, step):
+        lg, cache = carry
+        if eos_id is not None and suppress_until is not None:
+            ban = (step < suppress_until) & (
+                jnp.arange(lg.shape[-1]) == eos_id)
+            lg = jnp.where(ban, jnp.float32(-1e30), lg)
+        tok = jnp.argmax(lg).astype(jnp.int32)
+        lg2, cache = decode_step(params, cfg, tok, cache)
+        return (lg2, cache), tok
+
+    (lg, cache), toks = jax.lax.scan(
+        body, (logits, cache), jnp.arange(n_tokens))
+    return toks, lg, cache
+
+
+def init_params(cfg: MambaConfig, rng, dtype=jnp.float32
+                ) -> Dict[str, Any]:
+    """Random params in the converter's layout (tests / benches)."""
+    rng = np.random.default_rng(rng) if isinstance(rng, int) else rng
+    n, d, i = cfg.n_layers, cfg.dim, cfg.d_inner
+
+    def w(*shape, s=0.02):
+        return jnp.asarray(rng.normal(0.0, s, shape), dtype)
+
+    # dt bias init matching HF (softplus-inverse of ~dt range) keeps
+    # activations in a sane regime for random-weight tests.
+    layers = {
+        "norm": jnp.ones((n, d), dtype),
+        "w_in": w(n, d, 2 * i),
+        "conv_w": w(n, cfg.d_conv, i, s=0.2),
+        "conv_b": jnp.zeros((n, i), dtype),
+        "w_x": w(n, i, cfg.dt_rank + 2 * cfg.d_state),
+        "w_dt": w(n, cfg.dt_rank, i, s=0.1),
+        "b_dt": jnp.full((n, i), -2.0, dtype),
+        "A_log": jnp.asarray(
+            np.tile(np.log(np.arange(1, cfg.d_state + 1,
+                                     dtype=np.float32))[None, None],
+                    (n, i, 1)), jnp.float32),
+        "d": jnp.ones((n, i), jnp.float32),
+        "w_out": w(n, i, d),
+    }
+    emb = w(cfg.vocab_size, d)
+    return {"tok_emb": emb, "layers": layers,
+            "out_norm": jnp.ones((d,), dtype),
+            "lm_head": jnp.asarray(np.asarray(emb).T, dtype)}
+
+
+class MambaRunner:
+    """Minimal streaming session over a Mamba checkpoint: bucketed
+    chunked prefill (associative scan), then greedy/sampled decode.
+
+    The attention runner's lookahead/speculative/prefix-reuse tricks
+    rely on rolling an attention cache's length back; recurrent state
+    has no such rollback, so this runner is strictly sequential —
+    which the family compensates for with O(1)-per-token decode at ANY
+    context length."""
+
+    CHUNK = 256
+
+    def __init__(self, params, cfg: MambaConfig, tokenizer=None,
+                 gen_config=None):
+        from trackiellm_tpu.llm.runner import GenerationConfig
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer or ByteTokenizer(
+            n_special_pad_to=cfg.vocab_size)
+        self.gen = gen_config or GenerationConfig()
+        self.cache = MambaCache.create(cfg)
+        self._key = jax.random.PRNGKey(self.gen.seed)
+        self._generated_ids = []
+
+    def _buckets(self, n):
+        from trackiellm_tpu.llm.runner import _bucket_for
+        return _bucket_for(n, (16, 64, self.CHUNK))
+
+    def generate(self, prompt: str, max_tokens: Optional[int] = None,
+                 on_token=None) -> str:
+        from trackiellm_tpu.llm import sampling
+
+        ids = self.tokenizer.encode(prompt, add_bos=True)
+        self.cache = MambaCache.create(self.cfg)
+        logits = None
+        pos = 0
+        first = True
+        while pos < len(ids):
+            chunk = ids[pos: pos + self.CHUNK]
+            padded = np.zeros(self._buckets(len(chunk)), np.int32)
+            padded[: len(chunk)] = chunk
+            fn = prefill if first else extend
+            logits, self.cache = fn(
+                self.params, self.cfg, jnp.asarray(padded),
+                jnp.int32(len(chunk)), self.cache)
+            pos += len(chunk)
+            first = False
+
+        out = []
+        text = ""
+        n_max = max_tokens or self.gen.max_tokens
+        eos = self.tokenizer.eos_id
+        for _ in range(n_max):
+            if self.gen.temperature <= 0:
+                tid = int(jnp.argmax(logits))
+            else:
+                self._key, sub = jax.random.split(self._key)
+                tid = int(sampling.sample(
+                    logits, sub, jnp.float32(self.gen.temperature),
+                    top_k=self.gen.top_k, top_p=self.gen.top_p,
+                    min_p=self.gen.min_p))
+            if tid == eos:
+                break
+            out.append(tid)
+            piece = self.tokenizer.decode([tid])
+            text += piece
+            if on_token:
+                on_token(piece)
+            logits, self.cache = decode_step(
+                self.params, self.cfg, jnp.int32(tid), self.cache)
+        self._generated_ids = out
+        return text
