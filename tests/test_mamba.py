@@ -186,3 +186,16 @@ class TestMambaRunner:
         assert [int(t) for t in toks] == serial
         np.testing.assert_allclose(np.asarray(lg), np.asarray(lgs),
                                    atol=1e-5)
+
+
+class TestMambaCLI:
+    def test_convert_and_generate(self, oracle, tmp_path):
+        from trackiellm_tpu import __main__ as cli
+        state = oracle[0]
+        np.savez(tmp_path / "mamba.npz", **state)
+        ckpt = str(tmp_path / "ckpt")
+        assert cli.main(["convert", str(tmp_path / "mamba.npz"),
+                         "-o", ckpt, "--family", "mamba-hf",
+                         "--bits", "0"]) == 0
+        assert cli.main(["generate", ckpt, "-p", "ola",
+                         "--max-tokens", "4", "--temperature", "0"]) == 0

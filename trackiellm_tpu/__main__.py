@@ -62,7 +62,8 @@ def _cmd_convert(args) -> int:
                        "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
                        "deepseekv3-hf", "granite-hf", "glm4-hf",
                        "llama4-hf", "nemotron-hf", "starcoder2-hf",
-                       "cohere-hf", "ernie45-hf", "falcon-hf"):
+                       "cohere-hf", "ernie45-hf", "falcon-hf",
+                       "mamba-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -85,7 +86,8 @@ def _cmd_convert(args) -> int:
               "starcoder2-hf": _C.starcoder2_from_hf,
               "cohere-hf": _C.cohere_from_hf,
               "ernie45-hf": _C.ernie45_from_hf,
-              "falcon-hf": _C.falcon_from_hf}[args.family]
+              "falcon-hf": _C.falcon_from_hf,
+              "mamba-hf": _C.mamba_from_hf}[args.family]
         kw = ({"n_heads": args.n_heads} if args.family == "falcon-hf"
               else {})
         params, cfg = fn(load_state_dict(args.gguf), **kw)
@@ -143,6 +145,17 @@ def _cmd_generate(args) -> int:
         from trackiellm_tpu.models import mla as model  # noqa: F811
     gen_config = GenerationConfig(max_tokens=args.max_tokens,
                                   temperature=args.temperature)
+    if type(cfg).__name__ == "MambaConfig":
+        # Recurrent-state family: its own sequential session runner
+        # (no attention-cache rollback semantics).
+        from trackiellm_tpu.models.mamba import MambaRunner
+
+        runner = MambaRunner(params, cfg, tokenizer=tokenizer,
+                             gen_config=gen_config)
+        runner.generate(args.prompt,
+                        on_token=lambda s: print(s, end="", flush=True))
+        print()
+        return 0
     if getattr(args, "image", None):
         import os
 
@@ -375,7 +388,8 @@ def main(argv=None) -> int:
                             "deepseekv2-hf", "deepseekv3-hf",
                             "granite-hf", "glm4-hf", "llama4-hf",
                             "nemotron-hf", "starcoder2-hf", "cohere-hf",
-                            "ernie45-hf", "llava-hf", "falcon-hf"),
+                            "ernie45-hf", "llava-hf", "falcon-hf",
+                            "mamba-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")

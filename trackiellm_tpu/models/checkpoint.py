@@ -168,4 +168,9 @@ def load_checkpoint(directory: str, device_put: bool = True,
         from trackiellm_tpu.models import clip as clip_model
 
         cfg = clip_model.CLIPVisionConfig(**sidecar["config"])
+    elif ("config" in sidecar
+          and sidecar.get("config_class") == "MambaConfig"):
+        from trackiellm_tpu.models import mamba as mamba_model
+
+        cfg = mamba_model.MambaConfig(**sidecar["config"])
     return params, cfg, sidecar.get("metadata", {})
