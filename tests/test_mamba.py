@@ -199,3 +199,96 @@ class TestMambaCLI:
                          "--bits", "0"]) == 0
         assert cli.main(["generate", ckpt, "-p", "ola",
                          "--max-tokens", "4", "--temperature", "0"]) == 0
+
+
+class TestMamba2Oracle:
+    """Mamba-2 (SSD): per-head scalar decay, grouped B/C, gated norm —
+    vs transformers Mamba2ForCausalLM.torch_forward."""
+
+    @pytest.fixture(scope="class")
+    def oracle2(self):
+        from transformers import Mamba2Config, Mamba2ForCausalLM
+
+        hf_cfg = Mamba2Config(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_heads=4, head_dim=16, state_size=16, n_groups=2,
+            expand=2, conv_kernel=4, chunk_size=8,
+            layer_norm_epsilon=1e-5, use_bias=False, use_conv_bias=True,
+            tie_word_embeddings=False, bos_token_id=1, eos_token_id=2)
+        torch.manual_seed(0)
+        model = Mamba2ForCausalLM(hf_cfg).eval()
+        tokens = torch.randint(3, 96, (1, SEQ + 4),
+                               generator=torch.Generator().manual_seed(2))
+        with torch.no_grad():
+            ref = model(tokens).logits[0].numpy()
+        state = {k: v.numpy() for k, v in model.state_dict().items()}
+        return state, tokens[0].numpy(), ref
+
+    @pytest.fixture(scope="class")
+    def converted2(self, oracle2):
+        return C.mamba2_from_hf(oracle2[0], n_groups=2, max_seq=64)
+
+    def test_prefill_and_decode_match(self, oracle2, converted2):
+        from trackiellm_tpu.models import mamba2 as M2
+        _, tokens, ref = oracle2
+        params, cfg = converted2
+        assert cfg.n_heads == 4 and cfg.head_dim == 16
+        cache = M2.Mamba2Cache.create(cfg)
+        padded = np.zeros(16, np.int32)
+        padded[:SEQ] = tokens[:SEQ]
+        logits, cache = M2.prefill(params, cfg, jnp.asarray(padded),
+                                   jnp.int32(SEQ), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   atol=3e-4, rtol=1e-3)
+        for j in range(4):
+            logits, cache = M2.decode_step(
+                params, cfg, jnp.int32(int(tokens[SEQ + j])), cache)
+            np.testing.assert_allclose(np.asarray(logits), ref[SEQ + j],
+                                       atol=3e-4, rtol=1e-3)
+
+    def test_extend_equals_prefill(self, oracle2, converted2):
+        from trackiellm_tpu.models import mamba2 as M2
+        _, tokens, _ = oracle2
+        params, cfg = converted2
+        padded = np.zeros(16, np.int32)
+        padded[:SEQ] = tokens[:SEQ]
+        ref_logits, ref_cache = M2.prefill(
+            params, cfg, jnp.asarray(padded), jnp.int32(SEQ),
+            M2.Mamba2Cache.create(cfg))
+        cache = M2.Mamba2Cache.create(cfg)
+        split = 6
+        p1 = np.zeros(8, np.int32)
+        p1[:split] = tokens[:split]
+        _, cache = M2.prefill(params, cfg, jnp.asarray(p1),
+                              jnp.int32(split), cache)
+        p2 = np.zeros(8, np.int32)
+        p2[: SEQ - split] = tokens[split:SEQ]
+        logits, cache = M2.extend(params, cfg, jnp.asarray(p2),
+                                  jnp.int32(SEQ - split), cache)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(ref_logits),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(cache.ssm),
+                                   np.asarray(ref_cache.ssm),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_group_sharing_is_load_bearing(self, oracle2):
+        """Converting with the wrong n_groups must fail the geometry
+        check (B/C widths wouldn't divide)."""
+        from trackiellm_tpu.utils.errors import TrackieError
+        with pytest.raises(TrackieError):
+            C.mamba2_from_hf(oracle2[0], n_groups=3)
+
+    def test_cli_convert_and_generate_mamba2(self, oracle2, tmp_path):
+        from trackiellm_tpu import __main__ as cli
+        state = oracle2[0]
+        np.savez(tmp_path / "m2.npz", **state)
+        ckpt = str(tmp_path / "ckpt2")
+        # n_groups isn't shape-derivable; the CLI default (8) won't fit
+        # this tiny fixture, so convert via the API and save like the
+        # CLI would, then drive generate end-to-end.
+        from trackiellm_tpu.models.checkpoint import save_checkpoint
+        params, cfg = C.mamba2_from_hf(state, n_groups=2, max_seq=64)
+        save_checkpoint(ckpt, params, config=cfg, metadata={})
+        assert cli.main(["generate", ckpt, "-p", "ola",
+                         "--max-tokens", "4", "--temperature", "0"]) == 0

@@ -63,7 +63,7 @@ def _cmd_convert(args) -> int:
                        "deepseekv3-hf", "granite-hf", "glm4-hf",
                        "llama4-hf", "nemotron-hf", "starcoder2-hf",
                        "cohere-hf", "ernie45-hf", "falcon-hf",
-                       "mamba-hf"):
+                       "mamba-hf", "mamba2-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -87,7 +87,8 @@ def _cmd_convert(args) -> int:
               "cohere-hf": _C.cohere_from_hf,
               "ernie45-hf": _C.ernie45_from_hf,
               "falcon-hf": _C.falcon_from_hf,
-              "mamba-hf": _C.mamba_from_hf}[args.family]
+              "mamba-hf": _C.mamba_from_hf,
+              "mamba2-hf": _C.mamba2_from_hf}[args.family]
         kw = ({"n_heads": args.n_heads} if args.family == "falcon-hf"
               else {})
         params, cfg = fn(load_state_dict(args.gguf), **kw)
@@ -145,8 +146,8 @@ def _cmd_generate(args) -> int:
         from trackiellm_tpu.models import mla as model  # noqa: F811
     gen_config = GenerationConfig(max_tokens=args.max_tokens,
                                   temperature=args.temperature)
-    if type(cfg).__name__ == "MambaConfig":
-        # Recurrent-state family: its own sequential session runner
+    if type(cfg).__name__ in ("MambaConfig", "Mamba2Config"):
+        # Recurrent-state families: their own sequential session runner
         # (no attention-cache rollback semantics).
         from trackiellm_tpu.models.mamba import MambaRunner
 
@@ -389,7 +390,7 @@ def main(argv=None) -> int:
                             "granite-hf", "glm4-hf", "llama4-hf",
                             "nemotron-hf", "starcoder2-hf", "cohere-hf",
                             "ernie45-hf", "llava-hf", "falcon-hf",
-                            "mamba-hf"),
+                            "mamba-hf", "mamba2-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")

@@ -173,4 +173,13 @@ def load_checkpoint(directory: str, device_put: bool = True,
         from trackiellm_tpu.models import mamba as mamba_model
 
         cfg = mamba_model.MambaConfig(**sidecar["config"])
+    elif ("config" in sidecar
+          and sidecar.get("config_class") == "Mamba2Config"):
+        from trackiellm_tpu.models import mamba2 as mamba2_model
+
+        c = dict(sidecar["config"])
+        # JSON round-trips tuples as lists; the config must stay
+        # hashable (jit static arg).
+        c["dt_limit"] = tuple(c.get("dt_limit", (0.0, float("inf"))))
+        cfg = mamba2_model.Mamba2Config(**c)
     return params, cfg, sidecar.get("metadata", {})

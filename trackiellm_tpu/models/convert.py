@@ -4292,3 +4292,77 @@ def mamba_from_hf(state: Dict[str, Any], *, norm_eps: float = 1e-5,
              else np.ascontiguousarray(emb.T)), dtype),
     }
     return params, cfg
+
+
+def mamba2_from_hf(state: Dict[str, Any], *, n_groups: int = 8,
+                   norm_eps: float = 1e-5, max_seq: int = 4096,
+                   dt_limit: tuple = (0.0, float("inf")),
+                   dtype=jnp.float32) -> tuple:
+    """Convert a transformers Mamba2 state dict to (params, cfg) for
+    models/mamba2.py (SSD family — llama.cpp's mamba2 arch).
+
+    Shape-derived: n_heads from A_log, conv_dim from conv1d,
+    d_inner = in_proj_out - conv_dim - n_heads, head_dim = d_inner /
+    n_heads, d_state = (conv_dim - d_inner) / (2 * n_groups).
+    ``n_groups`` itself is not shape-derivable — pass it from the HF
+    config (published default 8)."""
+    from trackiellm_tpu.models.mamba2 import Mamba2Config
+
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("backbone.embeddings.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("backbone.layers.")})
+    h = A("backbone.layers.0.mixer.A_log").shape[0]
+    conv_dim = A("backbone.layers.0.mixer.conv1d.weight").shape[0]
+    k_conv = A("backbone.layers.0.mixer.conv1d.weight").shape[-1]
+    proj_out = A("backbone.layers.0.mixer.in_proj.weight").shape[0]
+    d_inner = proj_out - conv_dim - h
+    if d_inner % h or (conv_dim - d_inner) % (2 * n_groups):
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"inconsistent mamba2 geometry: proj={proj_out} "
+            f"conv_dim={conv_dim} heads={h} n_groups={n_groups}")
+    head_dim = d_inner // h
+    d_state = (conv_dim - d_inner) // (2 * n_groups)
+
+    cfg = Mamba2Config(vocab_size=vocab, dim=dim, n_layers=n_layers,
+                       n_heads=h, head_dim=head_dim, d_state=d_state,
+                       n_groups=n_groups, d_conv=k_conv,
+                       norm_eps=norm_eps, dt_limit=tuple(dt_limit),
+                       max_seq=max_seq)
+
+    L = {k: [] for k in ("norm", "w_in", "conv_w", "conv_b", "dt_bias",
+                         "A_log", "d", "gate_norm", "w_out")}
+    has_b_in = "backbone.layers.0.mixer.in_proj.bias" in state
+    if has_b_in:
+        L["b_in"] = []
+    for i in range(n_layers):
+        pre = f"backbone.layers.{i}.mixer"
+        L["norm"].append(A(f"backbone.layers.{i}.norm.weight"))
+        L["w_in"].append(A(f"{pre}.in_proj.weight").T)
+        if has_b_in:
+            L["b_in"].append(A(f"{pre}.in_proj.bias"))
+        L["conv_w"].append(A(f"{pre}.conv1d.weight")[:, 0, :].T)
+        L["conv_b"].append(A(f"{pre}.conv1d.bias")
+                           if f"{pre}.conv1d.bias" in state
+                           else np.zeros(conv_dim, np.float32))
+        L["dt_bias"].append(A(f"{pre}.dt_bias"))
+        L["A_log"].append(A(f"{pre}.A_log"))
+        L["d"].append(A(f"{pre}.D"))
+        L["gate_norm"].append(A(f"{pre}.norm.weight"))
+        L["w_out"].append(A(f"{pre}.out_proj.weight").T)
+
+    f32_keys = {"A_log", "d", "dt_bias", "gate_norm"}
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v),
+                                  jnp.float32 if k in f32_keys else dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("backbone.norm_f.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg

@@ -298,17 +298,31 @@ class MambaRunner:
 
     CHUNK = 256
 
-    def __init__(self, params, cfg: MambaConfig, tokenizer=None,
-                 gen_config=None):
+    def __init__(self, params, cfg, tokenizer=None, gen_config=None,
+                 model=None):
+        """``model``: the SSM module (this one, or models.mamba2 —
+        same prefill/extend/decode_step surface). Auto-selected from
+        the config type when omitted."""
+        import sys as _sys
+
         from trackiellm_tpu.llm.runner import GenerationConfig
         from trackiellm_tpu.llm.tokenizer import ByteTokenizer
 
+        if model is None:
+            if type(cfg).__name__ == "Mamba2Config":
+                from trackiellm_tpu.models import mamba2 as model
+            else:
+                model = _sys.modules[__name__]
+        self._m = model
+        self._cache_cls = (model.Mamba2Cache
+                           if hasattr(model, "Mamba2Cache")
+                           else model.MambaCache)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer or ByteTokenizer(
             n_special_pad_to=cfg.vocab_size)
         self.gen = gen_config or GenerationConfig()
-        self.cache = MambaCache.create(cfg)
+        self.cache = self._cache_cls.create(cfg)
         self._key = jax.random.PRNGKey(self.gen.seed)
         self._generated_ids = []
 
@@ -321,7 +335,7 @@ class MambaRunner:
         from trackiellm_tpu.llm import sampling
 
         ids = self.tokenizer.encode(prompt, add_bos=True)
-        self.cache = MambaCache.create(self.cfg)
+        self.cache = self._cache_cls.create(self.cfg)
         logits = None
         pos = 0
         first = True
@@ -329,7 +343,7 @@ class MambaRunner:
             chunk = ids[pos: pos + self.CHUNK]
             padded = np.zeros(self._buckets(len(chunk)), np.int32)
             padded[: len(chunk)] = chunk
-            fn = prefill if first else extend
+            fn = self._m.prefill if first else self._m.extend
             logits, self.cache = fn(
                 self.params, self.cfg, jnp.asarray(padded),
                 jnp.int32(len(chunk)), self.cache)
@@ -356,7 +370,7 @@ class MambaRunner:
             text += piece
             if on_token:
                 on_token(piece)
-            logits, self.cache = decode_step(
+            logits, self.cache = self._m.decode_step(
                 self.params, self.cfg, jnp.int32(tid), self.cache)
         self._generated_ids = out
         return text
