@@ -22,7 +22,6 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from trackiellm_tpu.models.mamba import _rms, _ssm_assoc
 
