@@ -33,25 +33,31 @@ def _cmd_convert(args) -> int:
     t0 = time.time()
     vocab = None
     tok_spec = None
-    if args.family == "llava-hf":
-        # Multimodal: the language model saves at --output, the CLIP
-        # vision tower + projector at --output/vision (its own
-        # checkpoint with a CLIPVisionConfig sidecar). Parity:
-        # llama.cpp splits the same checkpoint into a text GGUF + an
-        # "mmproj" file.
+    if args.family in ("llava-hf", "paligemma-hf"):
+        # Multimodal: the language model saves at --output, the vision
+        # tower + projector at --output/vision (its own checkpoint with
+        # a CLIPVisionConfig sidecar). Parity: llama.cpp splits the
+        # same checkpoint into a text GGUF + an "mmproj" file.
         from tools.parity_common import load_state_dict
 
         from trackiellm_tpu.models import convert as _C
 
-        params, cfg, clip_params, clip_cfg = _C.llava_from_hf(
-            load_state_dict(args.gguf), n_heads=args.n_heads,
-            vision_n_heads=args.vision_n_heads)
+        if args.family == "llava-hf":
+            params, cfg, clip_params, clip_cfg = _C.llava_from_hf(
+                load_state_dict(args.gguf), n_heads=args.n_heads,
+                vision_n_heads=args.vision_n_heads)
+            kind = "llava"
+        else:
+            params, cfg, clip_params, clip_cfg = _C.paligemma_from_hf(
+                load_state_dict(args.gguf),
+                vision_n_heads=args.vision_n_heads)
+            kind = "paligemma"  # prefix-LM: VLMRunner(prefix_lm=True)
         if args.bits:
             from trackiellm_tpu.models.llm import quantize_params
             params = quantize_params(params, bits=args.bits)
         save_checkpoint(args.output, params, config=cfg,
                         metadata={"source": args.gguf, "bits": args.bits,
-                                  "multimodal": "llava"})
+                                  "multimodal": kind})
         save_checkpoint(os.path.join(args.output, "vision"), clip_params,
                         config=clip_cfg, metadata={"source": args.gguf})
         print(f"converted + saved LLM to {args.output}, vision tower to "
@@ -178,7 +184,9 @@ def _cmd_generate(args) -> int:
         if VLMRunner.IMAGE_MARKER not in prompt:
             prompt = VLMRunner.IMAGE_MARKER + "\n" + prompt
         runner = VLMRunner(params, cfg, clip_params, clip_cfg,
-                           tokenizer=tokenizer, gen_config=gen_config)
+                           tokenizer=tokenizer, gen_config=gen_config,
+                           prefix_lm=(meta.get("multimodal")
+                                      == "paligemma"))
         runner.generate(prompt, images=[image],
                         on_token=lambda s: print(s, end="", flush=True))
         print()
@@ -390,7 +398,7 @@ def main(argv=None) -> int:
                             "granite-hf", "glm4-hf", "llama4-hf",
                             "nemotron-hf", "starcoder2-hf", "cohere-hf",
                             "ernie45-hf", "llava-hf", "falcon-hf",
-                            "mamba-hf", "mamba2-hf"),
+                            "mamba-hf", "mamba2-hf", "paligemma-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")

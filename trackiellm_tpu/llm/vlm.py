@@ -54,7 +54,14 @@ class VLMRunner(LLMRunner):
 
     def __init__(self, params, cfg, clip_params, clip_cfg,
                  tokenizer=None, gen_config: Optional[GenerationConfig]
-                 = None, cache_dtype=jnp.bfloat16, model=None):
+                 = None, cache_dtype=jnp.bfloat16, model=None,
+                 prefix_lm: bool = False):
+        """``prefix_lm``: PaliGemma-style inference — the WHOLE input
+        prompt attends bidirectionally (models/llm.py prefill
+        ``bidir_len``), so every prompt ingests as ONE prefill bucket
+        (no chunking, no cross-turn prefix reuse: a changed suffix
+        changes every prefix hidden state). Generated tokens decode
+        causally as usual."""
         if model is not None and model is not llm_model:
             raise TrackieError(
                 ErrorCode.INVALID_ARGUMENT,
@@ -65,6 +72,7 @@ class VLMRunner(LLMRunner):
                          model=model)
         self.clip_params = clip_params
         self.clip_cfg = clip_cfg
+        self.prefix_lm = prefix_lm
         self._image_runs: List[_Run] = []
 
     # -- image encoding ----------------------------------------------------
@@ -103,7 +111,7 @@ class VLMRunner(LLMRunner):
                            response_schema: Optional[Dict[str, Any]] = None,
                            json_mode: bool = False,
                            images: Sequence[Any] = ()) -> None:
-        if not images and not self._image_runs:
+        if not images and not self._image_runs and not self.prefix_lm:
             # Pure text and no image rows in the cache: the base path
             # (incl. priming + prefix reuse) is exact.
             super().prepare_generation(
@@ -140,9 +148,38 @@ class VLMRunner(LLMRunner):
                 f"multimodal prompt of {len(ids)} tokens exceeds the "
                 f"{hard_limit}-token window budget")
 
-        self._ingest_multimodal(ids, runs)
+        if self.prefix_lm:
+            self._ingest_prefix_lm(ids, runs)
+        else:
+            self._ingest_multimodal(ids, runs)
         self._arm_generation_state(tools, force_tool_call,
                                    response_schema, json_mode)
+
+    def _ingest_prefix_lm(self, ids: List[int], runs) -> None:
+        """One bidirectional prefill over the whole prompt (PaliGemma
+        inference semantics)."""
+        buckets = ([b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq]
+                   or [self.cfg.max_seq])
+        if len(ids) > buckets[-1]:
+            raise TrackieError(
+                ErrorCode.CONTEXT_OVERFLOW,
+                f"prefix-LM prompt of {len(ids)} tokens exceeds the "
+                f"largest prefill bucket {buckets[-1]} (bidirectional "
+                f"attention cannot be chunked)")
+        bucket = _bucket_for(len(ids), buckets)
+        padded = np.zeros(bucket, np.int32)
+        padded[: len(ids)] = ids
+        self.cache = self.cache._replace(length=jnp.int32(0))
+        embeds = self._chunk_embeds(padded, 0, runs)
+        logits, self.cache = self._m.prefill(
+            self.params, self.cfg, jnp.asarray(padded),
+            jnp.int32(len(ids)), self.cache, embeds=embeds,
+            bidir_len=jnp.int32(len(ids)))
+        self._host_len = len(ids)
+        self._committed_ids = list(ids)
+        self._pending_spec = []
+        self._next_logits = logits
+        self._image_runs = [(s, n, d) for (s, n, d, _) in runs]
 
     def _ingest_multimodal(self, ids: List[int], runs) -> None:
         """Digest-aware prefix reuse + embeds-spliced prefill/extend."""
@@ -232,6 +269,15 @@ class VLMRunner(LLMRunner):
         self._host_len += len(chunk)
         self._committed_ids.extend(int(i) for i in chunk)
         return logits
+
+    def prime(self, prompt_prefix: str) -> None:
+        """Mid-utterance priming prefills CAUSALLY — meaningless under
+        prefix-LM semantics (the final prompt re-prefills
+        bidirectionally anyway), so it is a no-op there."""
+        if self.prefix_lm:
+            log.debug("prime() ignored in prefix-LM mode")
+            return
+        super().prime(prompt_prefix)
 
     # -- public API ----------------------------------------------------------
 

@@ -65,6 +65,16 @@ class CLIPVisionConfig:
     # Projector: vision dim -> LLM dim (0 = no projector params).
     proj_dim: int = 0
     proj_act: str = "gelu"
+    # Projector depth: 2 = LLaVA's linear-act-linear; 1 = PaliGemma's
+    # single linear (proj_act unused).
+    proj_layers: int = 2
+    # Tower dialect switches (CLIP defaults; SigLIP flips all four):
+    use_cls: bool = True        # class token prepended (CLIP)
+    patch_bias: bool = False    # patch conv bias (SigLIP)
+    pre_ln: bool = True         # pre-encoder LayerNorm (CLIP pre_layrnorm)
+    post_ln: bool = False       # post-encoder LayerNorm applied to the
+    #                             feature tap (SigLIP/PaliGemma taps the
+    #                             post_layernorm output)
 
     @property
     def n_patches(self) -> int:
@@ -73,6 +83,8 @@ class CLIPVisionConfig:
     @property
     def n_image_tokens(self) -> int:
         """Tokens one image contributes to the LLM prompt."""
+        if not self.use_cls:
+            return self.n_patches
         return self.n_patches + (0 if self.drop_cls else 1)
 
     @property
@@ -125,14 +137,18 @@ def encode_image(params: Dict[str, Any], cfg: CLIPVisionConfig,
     x = pixels.reshape(3, g, p, g, p).transpose(1, 3, 0, 2, 4)
     x = x.reshape(g * g, 3 * p * p)
     x = x @ params["patch_w"]                      # (N, D)
-    x = jnp.concatenate([params["cls"][None], x], axis=0)
+    if cfg.patch_bias:
+        x = x + params["patch_b"]
+    if cfg.use_cls:
+        x = jnp.concatenate([params["cls"][None], x], axis=0)
     x = x + params["pos"]
-    x = _ln(x, params["pre_ln_g"], params["pre_ln_b"], cfg.norm_eps)
+    if cfg.pre_ln:
+        x = _ln(x, params["pre_ln_g"], params["pre_ln_b"], cfg.norm_eps)
 
     n_run = cfg.n_run_layers()
     hd, nh = cfg.head_dim, cfg.n_heads
     scale = hd ** -0.5
-    seq = cfg.n_patches + 1
+    seq = cfg.n_patches + (1 if cfg.use_cls else 0)
 
     def layer_fn(x, layer):
         h = _ln(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
@@ -152,18 +168,25 @@ def encode_image(params: Dict[str, Any], cfg: CLIPVisionConfig,
     if n_run:
         run_layers = jax.tree.map(lambda a: a[:n_run], params["layers"])
         x, _ = jax.lax.scan(layer_fn, x, run_layers)
-    # NOTE: post_layernorm is deliberately absent — LLaVA taps raw
-    # hidden states; CLIP's post-LN only feeds its contrastive head.
-    return x[1:] if cfg.drop_cls else x
+    if cfg.post_ln:
+        # SigLIP/PaliGemma tap the post_layernorm output; LLaVA taps
+        # raw hidden states (CLIP's post-LN only feeds its
+        # contrastive head).
+        x = _ln(x, params["post_ln_g"], params["post_ln_b"],
+                cfg.norm_eps)
+    return x[1:] if (cfg.use_cls and cfg.drop_cls) else x
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def project_features(params: Dict[str, Any], cfg: CLIPVisionConfig,
                      feats: jnp.ndarray) -> jnp.ndarray:
-    """LLaVA multi-modal projector: (N, dim) -> (N, proj_dim)."""
+    """Multi-modal projector: (N, dim) -> (N, proj_dim). LLaVA's
+    linear-act-linear (proj_layers=2) or PaliGemma's single linear."""
     proj = params["proj"]
-    h = _act(cfg.proj_act, feats @ proj["w1"] + proj["b1"])
-    return h @ proj["w2"] + proj["b2"]
+    h = feats @ proj["w1"] + proj["b1"]
+    if cfg.proj_layers == 1:
+        return h
+    return _act(cfg.proj_act, h) @ proj["w2"] + proj["b2"]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -202,15 +225,26 @@ def init_params(cfg: CLIPVisionConfig, rng: np.random.Generator,
         "w1": w(n, d, hd), "b1": jnp.zeros((n, hd), dtype),
         "w2": w(n, hd, d), "b2": jnp.zeros((n, d), dtype),
     }
+    n_pos = cfg.n_patches + (1 if cfg.use_cls else 0)
     params: Dict[str, Any] = {
-        "patch_w": w(pp, d), "cls": w(d), "pos": w(cfg.n_patches + 1, d),
-        "pre_ln_g": jnp.ones((d,), dtype), "pre_ln_b": jnp.zeros((d,), dtype),
+        "patch_w": w(pp, d), "pos": w(n_pos, d),
         "layers": layers,
     }
+    if cfg.use_cls:
+        params["cls"] = w(d)
+    if cfg.patch_bias:
+        params["patch_b"] = jnp.zeros((d,), dtype)
+    if cfg.pre_ln:
+        params["pre_ln_g"] = jnp.ones((d,), dtype)
+        params["pre_ln_b"] = jnp.zeros((d,), dtype)
+    if cfg.post_ln:
+        params["post_ln_g"] = jnp.ones((d,), dtype)
+        params["post_ln_b"] = jnp.zeros((d,), dtype)
     if cfg.proj_dim:
         params["proj"] = {
             "w1": w(d, cfg.proj_dim), "b1": jnp.zeros((cfg.proj_dim,), dtype),
-            "w2": w(cfg.proj_dim, cfg.proj_dim),
-            "b2": jnp.zeros((cfg.proj_dim,), dtype),
         }
+        if cfg.proj_layers == 2:
+            params["proj"]["w2"] = w(cfg.proj_dim, cfg.proj_dim)
+            params["proj"]["b2"] = jnp.zeros((cfg.proj_dim,), dtype)
     return params

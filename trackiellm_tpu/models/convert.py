@@ -4366,3 +4366,174 @@ def mamba2_from_hf(state: Dict[str, Any], *, n_groups: int = 8,
              else np.ascontiguousarray(emb.T)), dtype),
     }
     return params, cfg
+
+
+def gemma_from_hf(
+    state: Dict[str, Any],
+    *,
+    head_dim: int = 256,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 10000.0,
+    prefix: str = "model.",
+    head_key: str = "lm_head.weight",
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Gemma-1 state dict to (params, cfg):
+    the Llama template with GeGLU (tanh), (1+w) RMSNorm fold, the
+    sqrt(dim) embedding-scale fold, explicit head_dim (256 on both
+    published sizes), and 1/sqrt(head_dim) attention scaling. Also the
+    text half of PaliGemma (``prefix="model.language_model."``)."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+    P = prefix
+
+    emb = A(P + "embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k[len(P) + len("layers."):].split(".")[0]
+                    for k in state if k.startswith(P + "layers.")})
+    hd = head_dim
+    n_heads = A(P + "layers.0.self_attn.q_proj.weight").shape[0] // hd
+    n_kv = A(P + "layers.0.self_attn.k_proj.weight").shape[0] // hd
+    hidden = A(P + "layers.0.mlp.gate_proj.weight").shape[0]
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, act="gelu")
+
+    def norm1(k):  # (1 + w) fold
+        return jnp.asarray(A(k) + 1.0, dtype)
+
+    L = {"attn_norm": [], "wqkv": [], "wo": [], "mlp_norm": [],
+         "w_gu": [], "w_down": []}
+    for i in range(n_layers):
+        pre = f"{P}layers.{i}"
+        L["attn_norm"].append(norm1(f"{pre}.input_layernorm.weight"))
+        L["mlp_norm"].append(
+            norm1(f"{pre}.post_attention_layernorm.weight"))
+        L["wqkv"].append(jnp.asarray(np.concatenate(
+            [A(f"{pre}.self_attn.{p}_proj.weight").T
+             for p in ("q", "k", "v")], axis=1), dtype))
+        L["wo"].append(jnp.asarray(
+            A(f"{pre}.self_attn.o_proj.weight").T, dtype))
+        L["w_gu"].append(jnp.asarray(np.concatenate(
+            [A(f"{pre}.mlp.gate_proj.weight").T,
+             A(f"{pre}.mlp.up_proj.weight").T], axis=1), dtype))
+        L["w_down"].append(jnp.asarray(
+            A(f"{pre}.mlp.down_proj.weight").T, dtype))
+
+    lm_head = (A(head_key).T if head_key in state
+               else np.ascontiguousarray(emb.T))
+    params = {
+        "tok_emb": jnp.asarray(emb * float(np.sqrt(dim)), dtype),
+        "layers": {k: jnp.stack(v) for k, v in L.items()},
+        "out_norm": norm1(P + "norm.weight"),
+        "lm_head": jnp.asarray(lm_head, dtype),
+    }
+    return params, cfg
+
+
+def paligemma_from_hf(
+    state: Dict[str, Any],
+    *,
+    head_dim: int = 256,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-6,
+    rope_theta: float = 10000.0,
+    vision_n_heads: int = 16,
+    vision_norm_eps: float = 1e-6,
+    dtype=jnp.bfloat16,
+    vision_dtype=jnp.float32,
+) -> tuple:
+    """Convert a transformers PaliGemma state dict to the VLM bundle
+    ``(llm_params, llm_cfg, clip_params, clip_cfg)``.
+
+    The vision tower is SigLIP (models/clip.py dialect switches:
+    no CLS, patch-conv bias, no pre-LN, POST-layernorm tap, tanh-GELU),
+    the projector a single linear, the text model Gemma-1
+    (:func:`gemma_from_hf`). Feature scaling: HF divides projected
+    features by sqrt(text_dim) and GemmaModel then multiplies ALL
+    input embeddings by sqrt(text_dim) — net identity on image rows —
+    so (with the embedding scale folded into tok_emb here) the
+    projector output injects UNSCALED.
+
+    PaliGemma is a PREFIX-LM: the whole input prompt attends
+    bidirectionally at inference (modeling_paligemma's
+    _update_causal_mask) — drive prefill with ``bidir_len`` /
+    ``VLMRunner`` in prefix-LM mode.
+    """
+    from trackiellm_tpu.models import clip as clip_model
+
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    if any(k.startswith("model.vision_tower.") for k in state):
+        vt = "model.vision_tower.vision_model."
+        lm = "model.language_model."
+        proj = "model.multi_modal_projector."
+        head_key = "lm_head.weight"
+    else:
+        vt = "vision_tower.vision_model."
+        lm = "language_model.model."
+        proj = "multi_modal_projector."
+        head_key = "language_model.lm_head.weight"
+
+    llm_params, llm_cfg = gemma_from_hf(
+        state, head_dim=head_dim, max_seq=max_seq, norm_eps=norm_eps,
+        rope_theta=rope_theta, prefix=lm, head_key=head_key, dtype=dtype)
+
+    pw = A(vt + "embeddings.patch_embedding.weight")  # (D, 3, P, P)
+    vdim, _, patch, _ = pw.shape
+    pos = A(vt + "embeddings.position_embedding.weight")  # (N, D)
+    n_patches = pos.shape[0]
+    image_size = patch * int(round(n_patches ** 0.5))
+    n_vlayers = len({k[len(vt) + len("encoder.layers."):].split(".")[0]
+                     for k in state
+                     if k.startswith(vt + "encoder.layers.")})
+    hidden = A(vt + "encoder.layers.0.mlp.fc1.weight").shape[0]
+    proj_dim = A(proj + "linear.weight").shape[0]
+
+    clip_cfg = clip_model.CLIPVisionConfig(
+        image_size=image_size, patch_size=patch, dim=vdim,
+        n_layers=n_vlayers, n_heads=vision_n_heads, hidden_dim=hidden,
+        norm_eps=vision_norm_eps, act="gelu_pytorch_tanh",
+        feature_layer=-1, drop_cls=False, use_cls=False,
+        patch_bias=True, pre_ln=False, post_ln=True,
+        proj_dim=proj_dim, proj_layers=1)
+
+    L = {k: [] for k in ("ln1_g", "ln1_b", "ln2_g", "ln2_b",
+                         "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+                         "w1", "b1", "w2", "b2")}
+    for i in range(n_vlayers):
+        pre = f"{vt}encoder.layers.{i}"
+        L["ln1_g"].append(A(f"{pre}.layer_norm1.weight"))
+        L["ln1_b"].append(A(f"{pre}.layer_norm1.bias"))
+        L["ln2_g"].append(A(f"{pre}.layer_norm2.weight"))
+        L["ln2_b"].append(A(f"{pre}.layer_norm2.bias"))
+        for p in ("q", "k", "v"):
+            L[f"w{p}"].append(A(f"{pre}.self_attn.{p}_proj.weight").T)
+            L[f"b{p}"].append(A(f"{pre}.self_attn.{p}_proj.bias"))
+        L["wo"].append(A(f"{pre}.self_attn.out_proj.weight").T)
+        L["bo"].append(A(f"{pre}.self_attn.out_proj.bias"))
+        L["w1"].append(A(f"{pre}.mlp.fc1.weight").T)
+        L["b1"].append(A(f"{pre}.mlp.fc1.bias"))
+        L["w2"].append(A(f"{pre}.mlp.fc2.weight").T)
+        L["b2"].append(A(f"{pre}.mlp.fc2.bias"))
+
+    clip_params = {
+        "patch_w": jnp.asarray(pw.reshape(vdim, -1).T, vision_dtype),
+        "patch_b": jnp.asarray(
+            A(vt + "embeddings.patch_embedding.bias"), vision_dtype),
+        "pos": jnp.asarray(pos, vision_dtype),
+        "post_ln_g": jnp.asarray(A(vt + "post_layernorm.weight"),
+                                 vision_dtype),
+        "post_ln_b": jnp.asarray(A(vt + "post_layernorm.bias"),
+                                 vision_dtype),
+        "layers": {k: jnp.asarray(np.stack(v), vision_dtype)
+                   for k, v in L.items()},
+        "proj": {
+            "w1": jnp.asarray(A(proj + "linear.weight").T, vision_dtype),
+            "b1": jnp.asarray(A(proj + "linear.bias"), vision_dtype),
+        },
+    }
+    return llm_params, llm_cfg, clip_params, clip_cfg

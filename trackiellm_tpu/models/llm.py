@@ -1188,6 +1188,33 @@ def _decode_attn(cfg: LLMConfig, li, q, k_view, v_view, cur_len,
     return decode_attention(q, k_view, v_view, cur_len, window=win, **kw)
 
 
+def _bidir_prefill_attn(cfg: LLMConfig, q, k, v,
+                        bidir_len: jnp.ndarray) -> jnp.ndarray:
+    """Prefix-LM prefill attention ((H, S, D) operands): positions
+    before ``bidir_len`` (traced) attend to each other BIDIRECTIONALLY;
+    everything else is causal. PaliGemma's inference mask (transformers
+    modeling_paligemma._update_causal_mask: the whole input prompt is
+    mutually visible; generated tokens are causal). Dense XLA path —
+    the prompt pass is one-time, and prefix-LM configs are plain
+    attention (no windows/chunks/sinks)."""
+    rep = cfg.n_heads // cfg.n_kv_heads
+    s = q.shape[1]
+    qg = q.reshape(cfg.n_kv_heads, rep, s, cfg.head_dim).astype(k.dtype)
+    scores = jnp.einsum("grqd,gsd->grqs", qg, k,
+                        preferred_element_type=jnp.float32
+                        ) * _attn_scale(cfg)
+    if cfg.attn_softcap > 0.0:
+        scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
+    idx = jnp.arange(s)
+    causal = idx[None, :] <= idx[:, None]               # (q, key)
+    bid = (idx[:, None] < bidir_len) & (idx[None, :] < bidir_len)
+    scores = jnp.where((causal | bid)[None, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("grqs,gsd->grqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(cfg.n_heads, s, cfg.head_dim)
+
+
 def _prefill_attn(cfg: LLMConfig, li, q, k, v, layer=None):
     """prefill_attention ((H, S, D) operands) with the same window
     policy as :func:`_decode_attn`."""
@@ -1455,6 +1482,7 @@ def embed_tokens(params: Dict[str, Any], tokens: jnp.ndarray) -> jnp.ndarray:
 def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
             length: jnp.ndarray, cache: KVCache,
             embeds: Optional[jnp.ndarray] = None,
+            bidir_len: Optional[jnp.ndarray] = None,
             ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the prompt through the model, filling the KV cache.
 
@@ -1469,7 +1497,19 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
     features spliced between text embeddings, llama.cpp's llava-style
     ``embd`` batch input). When None (the default) the traced program
     is identical to before the argument existed.
+
+    ``bidir_len`` (traced scalar, optional): prefix-LM attention —
+    positions before it attend bidirectionally (PaliGemma's inference
+    mask; see :func:`_bidir_prefill_attn`). Plain-attention configs
+    only. Must satisfy bidir_len <= length.
     """
+    if bidir_len is not None and (
+            _layer_window(cfg) or cfg.attn_chunk or cfg.attn_sinks
+            or cfg.nope_pattern > 1 or cfg.window_pattern > 1
+            or cfg.alt_window):
+        raise NotImplementedError(
+            "prefix-LM (bidir_len) supports plain-attention configs "
+            "only")
     s_pad = tokens.shape[0]
     freqs = _freqs(params, cfg, length)
     positions = jnp.arange(s_pad)
@@ -1496,10 +1536,16 @@ def prefill(params: Dict[str, Any], cfg: LLMConfig, tokens: jnp.ndarray,
         k = apply_rope(k, positions, freqs_li)
         q, k = _post_rope_qk(q, k, positions, li, cfg)
 
-        attn = _prefill_attn(
-            cfg, li, q.transpose(1, 0, 2), k.transpose(1, 0, 2),
-            v.transpose(1, 0, 2), layer=layer
-        ).transpose(1, 0, 2).reshape(s_pad, -1)
+        if bidir_len is not None:
+            attn = _bidir_prefill_attn(
+                cfg, q.transpose(1, 0, 2), k.transpose(1, 0, 2),
+                v.transpose(1, 0, 2), bidir_len
+            ).transpose(1, 0, 2).reshape(s_pad, -1)
+        else:
+            attn = _prefill_attn(
+                cfg, li, q.transpose(1, 0, 2), k.transpose(1, 0, 2),
+                v.transpose(1, 0, 2), layer=layer
+            ).transpose(1, 0, 2).reshape(s_pad, -1)
         x = _layer_tail(x, h, attn, layer, cfg, li=li)
         return x, (k, v)
 
