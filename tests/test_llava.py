@@ -323,3 +323,42 @@ class TestVLMCheckpoint:
                        "--max-tokens", "4", "--temperature", "0",
                        "--image", str(tmp_path / "frame.npy")])
         assert rc == 0
+
+
+class TestCortexWithRealVLM:
+    def test_cortex_turn_attaches_frame(self, converted):
+        """Full integration: a REAL tiny VLMRunner behind the cortex
+        with vlm_scene_image — the turn must commit an image run and
+        produce a reply."""
+        import time
+
+        from trackiellm_tpu.cortex.main import Cortex, CortexConfig
+        from trackiellm_tpu.llm.runner import GenerationConfig
+        from trackiellm_tpu.llm.vlm import VLMRunner
+
+        llm_params, llm_cfg, clip_params, clip_cfg = converted
+        # The cortex prompt (system + tools + context + image) needs a
+        # real window; the byte tokenizer is 1 token/char.
+        runner = VLMRunner(
+            llm_params, llm_cfg._replace(max_seq=2048), clip_params,
+            clip_cfg,
+            gen_config=GenerationConfig(max_tokens=4, temperature=0.0,
+                                        lookahead=1),
+            cache_dtype=jnp.float32)
+        responses = []
+        c = Cortex(llm_runner=runner,
+                   config=CortexConfig(
+                       vlm_scene_image=True,
+                       system_prompt="s"),  # tiny window budget
+                   on_response=responses.append)
+        c.run()
+        frame = (np.random.default_rng(2)
+                 .integers(0, 255, (24, 32, 3)).astype(np.uint8))
+        c.inject_video_frame(frame)
+        c.inject_user_text("oi")
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and not responses:
+            time.sleep(0.05)
+        c.stop(timeout=5.0)
+        assert responses, "no reply produced"
+        assert runner._image_runs, "image run not committed to cache"
