@@ -292,3 +292,39 @@ class TestMamba2Oracle:
         save_checkpoint(ckpt, params, config=cfg, metadata={})
         assert cli.main(["generate", ckpt, "-p", "ola",
                          "--max-tokens", "4", "--temperature", "0"]) == 0
+
+
+class TestMambaQuantized:
+    def test_q8_close_to_dense_and_consistent(self, oracle, converted):
+        """Q8 mamba: prefill close to dense; decode-vs-extend carried
+        state stays self-consistent (exactness is within the quantized
+        model, closeness is vs the dense one)."""
+        _, tokens, _ = oracle
+        params, cfg = converted
+        qparams = M.quantize_params(params, bits=8, group=16)
+        padded = np.zeros(16, np.int32)
+        padded[:SEQ] = tokens[:SEQ]
+        dense_logits, _ = M.prefill(params, cfg, jnp.asarray(padded),
+                                    jnp.int32(SEQ),
+                                    M.MambaCache.create(cfg))
+        q_logits, q_cache = M.prefill(qparams, cfg, jnp.asarray(padded),
+                                      jnp.int32(SEQ),
+                                      M.MambaCache.create(cfg))
+        d = np.asarray(dense_logits)
+        q = np.asarray(q_logits)
+        assert np.abs(d - q).max() < 0.15 * (np.abs(d).max() + 1)
+        # chunked-vs-oneshot identity holds under quantization
+        cache = M.MambaCache.create(cfg)
+        p1 = np.zeros(8, np.int32)
+        p1[:5] = tokens[:5]
+        _, cache = M.prefill(qparams, cfg, jnp.asarray(p1), jnp.int32(5),
+                             cache)
+        p2 = np.zeros(16, np.int32)
+        p2[: SEQ - 5] = tokens[5:SEQ]
+        logits2, cache2 = M.extend(qparams, cfg, jnp.asarray(p2),
+                                   jnp.int32(SEQ - 5), cache)
+        np.testing.assert_allclose(np.asarray(logits2), q,
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(cache2.ssm),
+                                   np.asarray(q_cache.ssm),
+                                   atol=2e-5, rtol=1e-4)

@@ -82,6 +82,23 @@ def main() -> None:
             "serial_tok_s": round(serial, 1),
             "chunk8_tok_s": round(chunk, 1)}))
 
+    # Q4: the weight-bandwidth lever (w_in/w_x/w_out + lm_head).
+    qparams = M.quantize_params(params, bits=4)
+    del params
+    logits, cache2 = M.prefill(qparams, cfg, tokens[:256],
+                               jnp.int32(256), cache)
+    toks, lg, c = M.decode_chunk_greedy(qparams, cfg, logits, cache2, 8)
+    np.asarray(toks)
+    t0 = time.perf_counter()
+    n = 64
+    lg, c = logits, cache2
+    for _ in range(n // 8):
+        toks, lg, c = M.decode_chunk_greedy(qparams, cfg, lg, c, 8)
+        np.asarray(toks)
+    print(json.dumps({
+        "config": "mamba_2.8b_q4_decode_ctx256",
+        "chunk8_tok_s": round(n / (time.perf_counter() - t0), 1)}))
+
 
 if __name__ == "__main__":
     main()

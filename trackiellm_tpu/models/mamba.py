@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from trackiellm_tpu.models.llm import _linear as _mm
+
 
 class MambaConfig(NamedTuple):
     vocab_size: int = 50280
@@ -109,7 +111,7 @@ def _mixer_seq(layer, cfg: MambaConfig, x_seq: jnp.ndarray,
     contaminate the carried state)."""
     s = x_seq.shape[0]
     k = cfg.d_conv
-    xz = x_seq @ layer["w_in"]                      # (S, 2I)
+    xz = _mm(x_seq, layer["w_in"])                  # (S, 2I)
     x, z = jnp.split(xz, 2, axis=-1)
     # Depthwise causal conv: K shifted slices over [conv_init; x].
     x_cat = jnp.concatenate([conv_init.astype(x.dtype), x], axis=0)
@@ -118,7 +120,7 @@ def _mixer_seq(layer, cfg: MambaConfig, x_seq: jnp.ndarray,
         conv = conv + x_cat[j: j + s] * layer["conv_w"][j]
     h = jax.nn.silu(conv)                           # (S, I)
 
-    proj = h @ layer["w_x"]                         # (S, R+2N)
+    proj = _mm(h, layer["w_x"])                     # (S, R+2N)
     dt, B, C = jnp.split(
         proj, [cfg.dt_rank, cfg.dt_rank + cfg.d_state], axis=-1)
     delta = jax.nn.softplus(dt @ layer["w_dt"] + layer["b_dt"])  # (S, I)
@@ -133,7 +135,7 @@ def _mixer_seq(layer, cfg: MambaConfig, x_seq: jnp.ndarray,
     y = jnp.einsum("sin,sn->si", hs, C.astype(jnp.float32))
     y = y + h.astype(jnp.float32) * layer["d"]
     y = (y * jax.nn.silu(z.astype(jnp.float32))).astype(x_seq.dtype)
-    out = y @ layer["w_out"]                                     # (S, D)
+    out = _mm(y, layer["w_out"])                                 # (S, D)
 
     conv_state = jax.lax.dynamic_slice(
         x_cat, (last_idx + 1, 0), (k - 1, cfg.d_inner))
@@ -157,8 +159,8 @@ def _seq_forward(params, cfg: MambaConfig, tokens, n_valid, cache,
     x, (convs, ssms) = jax.lax.scan(
         layer_fn, x, (params["layers"], cache.conv, cache.ssm))
     x_last = x[last]
-    logits = (_rms(x_last[None], params["out_norm"], cfg.norm_eps)
-              @ params["lm_head"]).astype(jnp.float32)[0]
+    logits = _mm(_rms(x_last[None], params["out_norm"], cfg.norm_eps),
+                 params["lm_head"]).astype(jnp.float32)[0]
     new_cache = MambaCache(
         conv=convs.astype(cache.conv.dtype), ssm=ssms,
         length=cache.length + n_valid.astype(jnp.int32))
@@ -197,12 +199,12 @@ def decode_step(params: Dict[str, Any], cfg: MambaConfig,
     def layer_fn(x, inputs):
         layer, conv_l, ssm_l = inputs   # (K-1, I), (I, N)
         h_in = _rms(x, layer["norm"], cfg.norm_eps)
-        xz = h_in @ layer["w_in"]
+        xz = _mm(h_in, layer["w_in"])
         xi, z = jnp.split(xz, 2, axis=-1)           # (1, I)
         x_cat = jnp.concatenate([conv_l.astype(xi.dtype), xi], axis=0)
         conv = (x_cat * layer["conv_w"]).sum(0) + layer["conv_b"]
         h = jax.nn.silu(conv)                        # (I,)
-        proj = h @ layer["w_x"]
+        proj = _mm(h[None], layer["w_x"])[0]
         dt, B, C = jnp.split(
             proj, [cfg.dt_rank, cfg.dt_rank + cfg.d_state])
         delta = jax.nn.softplus(dt @ layer["w_dt"] + layer["b_dt"])
@@ -215,13 +217,13 @@ def decode_step(params: Dict[str, Any], cfg: MambaConfig,
         y = y + h.astype(jnp.float32) * layer["d"]
         y = (y * jax.nn.silu(z[0].astype(jnp.float32))
              ).astype(x.dtype)[None]
-        out = y @ layer["w_out"]
+        out = _mm(y, layer["w_out"])
         return x + out, (x_cat[1:], ssm)
 
     x, (convs, ssms) = jax.lax.scan(
         layer_fn, x, (params["layers"], cache.conv, cache.ssm))
-    logits = (_rms(x, params["out_norm"], cfg.norm_eps)
-              @ params["lm_head"]).astype(jnp.float32)[0]
+    logits = _mm(_rms(x, params["out_norm"], cfg.norm_eps),
+                 params["lm_head"]).astype(jnp.float32)[0]
     return logits, MambaCache(conv=convs.astype(cache.conv.dtype),
                               ssm=ssms, length=cache.length + 1)
 
@@ -374,3 +376,26 @@ class MambaRunner:
                 self.params, self.cfg, jnp.int32(tid), self.cache)
         self._generated_ids = out
         return text
+
+
+def quantize_params(params: Dict[str, Any], bits: int = 4,
+                    group: int = 256) -> Dict[str, Any]:
+    """Quantize the big per-layer matrices (w_in / w_x / w_out — ~90%
+    of the bytes; llama.cpp's mamba quants keep the SSM tensors and
+    conv high-precision the same way). Decode is weight-bandwidth
+    bound, so Q4 is a direct tok/s lever."""
+    from trackiellm_tpu.ops.quant import (QuantizedLinear, quantize_q4,
+                                          quantize_q8)
+
+    quantize = quantize_q4 if bits == 4 else quantize_q8
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("w_in", "w_x", "w_out"):
+        stacked = layers[name]  # (L, K, N)
+        qs = [quantize(stacked[i], group) for i in range(stacked.shape[0])]
+        layers[name] = QuantizedLinear(
+            values=jnp.stack([q.values for q in qs]),
+            scales=jnp.stack([q.scales for q in qs]))
+    out["layers"] = layers
+    out["lm_head"] = quantize(params["lm_head"], group)
+    return out
