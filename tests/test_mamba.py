@@ -328,3 +328,30 @@ class TestMambaQuantized:
         np.testing.assert_allclose(np.asarray(cache2.ssm),
                                    np.asarray(q_cache.ssm),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestMambaCortex:
+    def test_cortex_turn_with_mamba_brain(self, converted):
+        """The production cortex drives a MambaRunner end-to-end (the
+        duck-typed runner surface: build_prompt / generate(tools=,
+        on_token=, should_stop=) / count_tokens)."""
+        import time
+
+        from trackiellm_tpu.cortex.main import Cortex, CortexConfig
+        from trackiellm_tpu.llm.runner import GenerationConfig
+
+        params, cfg = converted
+        runner = M.MambaRunner(
+            params, cfg._replace(max_seq=2048),
+            gen_config=GenerationConfig(max_tokens=4, temperature=0.0))
+        responses = []
+        c = Cortex(llm_runner=runner,
+                   config=CortexConfig(system_prompt="s"),
+                   on_response=responses.append)
+        c.run()
+        c.inject_user_text("oi")
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and not responses:
+            time.sleep(0.05)
+        c.stop(timeout=5.0)
+        assert responses, "no reply produced through the mamba runner"

@@ -332,11 +332,69 @@ class MambaRunner:
         from trackiellm_tpu.llm.runner import _bucket_for
         return _bucket_for(n, (16, 64, self.CHUNK))
 
-    def generate(self, prompt: str, max_tokens: Optional[int] = None,
-                 on_token=None) -> str:
+    # -- cortex session surface (Cortex._run_llm duck-types:
+    # build_prompt, generate(tools=, on_token=, should_stop=),
+    # add_tool_response, count_tokens, max_prompt_tokens). Sessions
+    # are stateless per reply: each generate re-prefills through the
+    # associative scan — at the measured 1100+ prompt tok/s a full
+    # re-prefill costs less than attention-style prefix bookkeeping.
+
+    def count_tokens(self, text: str) -> int:
+        return len(self.tokenizer.encode(text, add_bos=False))
+
+    @property
+    def max_prompt_tokens(self) -> int:
+        return max(self.cfg.max_seq - self.gen.max_tokens - 1, 16)
+
+    def build_prompt(self, system: str, context: str, user: str,
+                     tools=()) -> str:
+        parts = [system]
+        if tools:
+            parts.append(
+                "Ferramentas disponíveis (responda com JSON "
+                '{"tool_call": {"name": ..., "arguments": {...}}} '
+                "para usar):\n"
+                + "\n".join(t.render() for t in tools))
+        if context:
+            parts.append(f"Context:\n{context}")
+        body = "\n\n".join(parts)
+        return f"[INST] {body}\n\nUser: {user} [/INST]"
+
+    def add_tool_response(self, tool_name: str, response) -> None:
+        """Append the tool output to the live recurrent state (the
+        follow-up prompt also carries it, so this is belt-and-braces
+        like the reference's context re-injection)."""
+        import json as _json
+
+        text = f"\nTool {tool_name} returned: {_json.dumps(response)}\n"
+        ids = self.tokenizer.encode(text, add_bos=False)
+        if not ids:
+            return
+        padded = np.zeros(self._buckets(len(ids)), np.int32)
+        padded[: len(ids)] = ids
+        _, self.cache = self._m.extend(
+            self.params, self.cfg, jnp.asarray(padded),
+            jnp.int32(len(ids)), self.cache)
+
+    def reset(self) -> None:
+        self.cache = self._cache_cls.create(self.cfg)
+        self._generated_ids = []
+
+    def generate(self, prompt: str, tools=(), max_tokens=None,
+                 on_token=None, should_stop=None,
+                 force_tool_call: bool = False) -> str:
+        if force_tool_call:
+            raise NotImplementedError(
+                "grammar-constrained decoding needs per-token masks; "
+                "use the attention runner for forced tool calls")
+        text = ""
         from trackiellm_tpu.llm import sampling
 
         ids = self.tokenizer.encode(prompt, add_bos=True)
+        hard = self.max_prompt_tokens
+        if len(ids) > hard:
+            head = hard // 4
+            ids = ids[:head] + ids[-(hard - head):]
         self.cache = self._cache_cls.create(self.cfg)
         logits = None
         pos = 0
@@ -353,10 +411,11 @@ class MambaRunner:
             first = False
 
         out = []
-        text = ""
         n_max = max_tokens or self.gen.max_tokens
         eos = self.tokenizer.eos_id
         for _ in range(n_max):
+            if should_stop is not None and should_stop():
+                break
             if self.gen.temperature <= 0:
                 tid = int(jnp.argmax(logits))
             else:
@@ -376,6 +435,8 @@ class MambaRunner:
                 self.params, self.cfg, jnp.int32(tid), self.cache)
         self._generated_ids = out
         return text
+
+
 
 
 def quantize_params(params: Dict[str, Any], bits: int = 4,
