@@ -943,3 +943,85 @@ class TestStopSequences:
             assert text == full[:want_cut]
         finally:
             server.close()
+
+
+class TestMambaServer:
+    """Recurrent (SSM) models through the continuous-batching server:
+    per-slot (conv, ssm) states replace KV slots — O(1) state per slot,
+    no paging needed by construction (models/mamba.py batched surface).
+    Outputs must match the single-sequence MambaRunner byte for byte."""
+
+    @pytest.fixture(scope="class")
+    def mamba_setup(self):
+        from trackiellm_tpu.models import mamba
+        cfg = mamba.MambaConfig.test()._replace(max_seq=256)
+        params = mamba.init_params(cfg, 7)
+        return mamba, cfg, params
+
+    def test_mamba_server_matches_runner_greedy(self, mamba_setup):
+        from trackiellm_tpu.llm.runner import GenerationConfig
+        mamba, cfg, params = mamba_setup
+        tok = ByteTokenizer(cfg.vocab_size)
+        prompts = ["ola mamba", "segunda conversa"]
+        expected = []
+        for p in prompts:
+            runner = mamba.MambaRunner(
+                params, cfg, tokenizer=tok,
+                gen_config=GenerationConfig(max_tokens=6,
+                                            temperature=0.0))
+            expected.append(runner.generate(p))
+        server = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, model=mamba)
+        try:
+            futs = [server.submit(p, max_tokens=6) for p in prompts]
+            got = [f.result(timeout=180) for f in futs]
+        finally:
+            server.close()
+        assert got == expected
+
+    def test_mamba_chunked_matches_per_step(self, mamba_setup):
+        mamba, cfg, params = mamba_setup
+        tok = ByteTokenizer(cfg.vocab_size)
+        single = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                           cache_dtype=jnp.float32, model=mamba,
+                           chunk_steps=1)
+        try:
+            expected = [single.generate(f"pergunta {i}", max_tokens=9)
+                        for i in range(2)]
+        finally:
+            single.close()
+        chunked = LLMServer(params, cfg, batch_slots=2, tokenizer=tok,
+                            cache_dtype=jnp.float32, model=mamba,
+                            chunk_steps=3)
+        try:
+            futs = [chunked.submit(f"pergunta {i}", max_tokens=9)
+                    for i in range(2)]
+            got = [f.result(timeout=180) for f in futs]
+        finally:
+            chunked.close()
+        assert got == expected
+
+    def test_batched_step_matches_single(self, mamba_setup):
+        """decode_step_batch slot semantics == single decode_step."""
+        mamba, cfg, params = mamba_setup
+        import numpy as _np
+        rng = _np.random.default_rng(0)
+        ids = rng.integers(3, 90, 10).astype(_np.int32)
+        padded = _np.zeros(16, _np.int32)
+        padded[:10] = ids
+        logits, seq = mamba.prefill(params, cfg, jnp.asarray(padded),
+                                    jnp.int32(10),
+                                    mamba.MambaCache.create(cfg))
+        bat = mamba.BatchedMambaCache.create(cfg, 2, dtype=jnp.float32)
+        bat = mamba.insert_sequence(bat, cfg, 0, seq)
+        active = jnp.asarray([True, False])
+        t0 = int(jnp.argmax(logits))
+        bl, bat = mamba.decode_step_batch(
+            params, cfg, jnp.asarray([t0, 0], jnp.int32), active, bat)
+        sl, seq2 = mamba.decode_step(params, cfg, jnp.int32(t0), seq)
+        _np.testing.assert_allclose(_np.asarray(bl[0]), _np.asarray(sl),
+                                    atol=2e-5, rtol=1e-5)
+        # inactive slot state untouched
+        _np.testing.assert_array_equal(
+            _np.asarray(bat.ssm[:, 1]), 0.0)
+        assert int(bat.lengths[1]) == 0 and int(bat.lengths[0]) == 11

@@ -178,13 +178,21 @@ def prefill(params: Dict[str, Any], cfg: MambaConfig, tokens: jnp.ndarray,
     return _seq_forward(params, cfg, tokens, length, zero)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_len",
+                                              "all_logits"))
 def extend(params: Dict[str, Any], cfg: MambaConfig, tokens: jnp.ndarray,
            n_valid: jnp.ndarray, cache: MambaCache,
+           attn_len: Optional[int] = None, all_logits: bool = False,
            ) -> Tuple[jnp.ndarray, MambaCache]:
     """Chunked continuation from live state (tool re-injection /
     chunked prefill): exact — the initial state folds into the scan's
-    first element."""
+    first element. ``attn_len`` is accepted for the server contract
+    and ignored (no attention window exists)."""
+    del attn_len
+    if all_logits:
+        raise NotImplementedError(
+            "all_logits is an attention-path (speculative verify) "
+            "feature; the recurrent extend returns last-token logits")
     return _seq_forward(params, cfg, tokens, n_valid, cache)
 
 
@@ -460,3 +468,123 @@ def quantize_params(params: Dict[str, Any], bits: int = 4,
     out["layers"] = layers
     out["lm_head"] = quantize(params["lm_head"], group)
     return out
+
+
+# -- continuous-batching surface (llm/server.py model= contract) ----------
+
+class BatchedMambaCache(NamedTuple):
+    """Per-slot recurrent states for the batching server — the
+    recurrent twin of llm.BatchedKVCache. Note the size: B slots cost
+    B * (K-1 + N) * I values TOTAL (no max_seq axis at all) — a 2.8B
+    server's whole state for 8 slots is ~21 MB where the attention
+    equivalent at 4096 context is ~17 GB. Continuous batching needs no
+    paging for this family."""
+
+    conv: jnp.ndarray     # (L, B, K-1, I)
+    ssm: jnp.ndarray      # (L, B, I, N) float32
+    lengths: jnp.ndarray  # (B,) int32 (bookkeeping only)
+
+    @classmethod
+    def create(cls, cfg: MambaConfig, batch: int,
+               dtype: jnp.dtype = jnp.bfloat16,
+               max_seq: Optional[int] = None) -> "BatchedMambaCache":
+        del max_seq
+        return cls(
+            conv=jnp.zeros((cfg.n_layers, batch, cfg.d_conv - 1,
+                            cfg.d_inner), dtype),
+            ssm=jnp.zeros((cfg.n_layers, batch, cfg.d_inner,
+                           cfg.d_state), jnp.float32),
+            lengths=jnp.zeros((batch,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slot"))
+def insert_sequence(cache: BatchedMambaCache, cfg: MambaConfig,
+                    slot: int, seq_cache: MambaCache
+                    ) -> BatchedMambaCache:
+    """Copy a single-sequence recurrent state (from prefill) into batch
+    slot ``slot`` — same contract as llm.insert_sequence."""
+    conv = jax.lax.dynamic_update_slice(
+        cache.conv, seq_cache.conv[:, None].astype(cache.conv.dtype),
+        (0, slot, 0, 0))
+    ssm = jax.lax.dynamic_update_slice(
+        cache.ssm, seq_cache.ssm[:, None], (0, slot, 0, 0))
+    lengths = cache.lengths.at[slot].set(seq_cache.length)
+    return BatchedMambaCache(conv, ssm, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_len"))
+def decode_step_batch(params: Dict[str, Any], cfg: MambaConfig,
+                      tokens: jnp.ndarray, active: jnp.ndarray,
+                      cache: BatchedMambaCache,
+                      attn_len: Optional[int] = None,
+                      ) -> Tuple[jnp.ndarray, BatchedMambaCache]:
+    """One decode step for every active slot: tokens (B,) -> logits
+    (B, V). Inactive slots compute but their state does not advance.
+    ``attn_len`` is accepted for contract parity and ignored — there
+    is no attention window to bound."""
+    del attn_len
+    b = tokens.shape[0]
+    x = params["tok_emb"][tokens]  # (B, D)
+
+    def layer_fn(x, inputs):
+        layer, conv_l, ssm_l = inputs   # (B, K-1, I), (B, I, N)
+        h_in = _rms(x, layer["norm"], cfg.norm_eps)
+        xz = _mm(h_in, layer["w_in"])                  # (B, 2I)
+        xi, z = jnp.split(xz, 2, axis=-1)
+        x_cat = jnp.concatenate(
+            [conv_l.astype(xi.dtype), xi[:, None, :]], axis=1)  # (B,K,I)
+        conv = (x_cat * layer["conv_w"][None]).sum(1) + layer["conv_b"]
+        h = jax.nn.silu(conv)                          # (B, I)
+        proj = _mm(h, layer["w_x"])                    # (B, R+2N)
+        dt, B_, C = jnp.split(
+            proj, [cfg.dt_rank, cfg.dt_rank + cfg.d_state], axis=-1)
+        delta = jax.nn.softplus(dt @ layer["w_dt"] + layer["b_dt"])
+        A = -jnp.exp(layer["A_log"].astype(jnp.float32))
+        d32 = delta.astype(jnp.float32)
+        dA = jnp.exp(d32[:, :, None] * A[None])        # (B, I, N)
+        ssm_new = dA * ssm_l + (d32[:, :, None]
+                                * B_.astype(jnp.float32)[:, None, :]
+                                * h.astype(jnp.float32)[:, :, None])
+        y = jnp.einsum("bin,bn->bi", ssm_new, C.astype(jnp.float32))
+        y = y + h.astype(jnp.float32) * layer["d"][None]
+        y = (y * jax.nn.silu(z.astype(jnp.float32))).astype(x.dtype)
+        out = _mm(y, layer["w_out"])
+        act3 = active[:, None, None]
+        return x + out, (jnp.where(act3, x_cat[:, 1:], conv_l),
+                         jnp.where(act3, ssm_new, ssm_l))
+
+    x, (convs, ssms) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.conv, cache.ssm))
+    logits = _mm(_rms(x, params["out_norm"], cfg.norm_eps),
+                 params["lm_head"]).astype(jnp.float32)
+    return logits, BatchedMambaCache(
+        conv=convs.astype(cache.conv.dtype), ssm=ssms,
+        lengths=cache.lengths + active.astype(jnp.int32))
+
+
+def decode_steps_batch(params: Dict[str, Any], cfg: MambaConfig,
+                       tokens: jnp.ndarray, active: jnp.ndarray,
+                       cache: BatchedMambaCache, n_steps: int,
+                       attn_len: Optional[int] = None,
+                       ) -> Tuple[jnp.ndarray, BatchedMambaCache]:
+    """``n_steps`` greedy batch-decode steps as ONE compiled program
+    (the server's steady-state chunk fast path; contract of
+    llm.decode_steps_batch)."""
+    del attn_len
+
+    def step(carry, _):
+        toks, cache = carry
+        logits, cache = decode_step_batch(params, cfg, toks, active,
+                                          cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (_, cache), produced = jax.lax.scan(
+        step, (tokens, cache), None, length=n_steps)
+    return produced, cache
+
+
+# llm/server.py's model= contract addresses the cache classes by the
+# attention names.
+KVCache = MambaCache
+BatchedKVCache = BatchedMambaCache
