@@ -355,3 +355,150 @@ class TestMambaCortex:
             time.sleep(0.05)
         c.stop(timeout=5.0)
         assert responses, "no reply produced through the mamba runner"
+
+
+class TestMambaGGUF:
+    """llama.cpp mamba-arch GGUF ingestion (gguf_to_mamba_params):
+    synthetic-GGUF roundtrip vs mamba_from_hf on the same weights.
+
+    The writer applies llama.cpp's converter transforms independently
+    (conv squeeze to (I, K), ssm_a = -exp(A_log)) so the reader is
+    validated against the convention, not against itself."""
+
+    def _hf_state(self, cfg, seed=0):
+        rng = np.random.default_rng(seed)
+        R = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.1
+
+        state = {
+            "backbone.embeddings.weight": R(cfg.vocab_size, cfg.dim),
+            "backbone.norm_f.weight": R(cfg.dim) + 1.0,
+            "lm_head.weight": R(cfg.vocab_size, cfg.dim),
+        }
+        for i in range(cfg.n_layers):
+            p = f"backbone.layers.{i}."
+            state[p + "norm.weight"] = R(cfg.dim) + 1.0
+            state[p + "mixer.in_proj.weight"] = R(2 * cfg.d_inner, cfg.dim)
+            state[p + "mixer.conv1d.weight"] = R(cfg.d_inner, 1, cfg.d_conv)
+            state[p + "mixer.conv1d.bias"] = R(cfg.d_inner)
+            state[p + "mixer.x_proj.weight"] = R(
+                cfg.dt_rank + 2 * cfg.d_state, cfg.d_inner)
+            state[p + "mixer.dt_proj.weight"] = R(cfg.d_inner, cfg.dt_rank)
+            state[p + "mixer.dt_proj.bias"] = R(cfg.d_inner)
+            state[p + "mixer.A_log"] = np.log(
+                rng.uniform(0.5, 4.0, (cfg.d_inner, cfg.d_state))
+            ).astype(np.float32)
+            state[p + "mixer.D"] = R(cfg.d_inner) + 1.0
+            state[p + "mixer.out_proj.weight"] = R(cfg.dim, cfg.d_inner)
+        return state
+
+    def _write(self, path, cfg, state, metadata_override=None,
+               flip_a_sign=False):
+        from tests.test_loader import write_gguf
+        from trackiellm_tpu.models import loader as L
+
+        F32 = L.GGML_F32
+        t = {
+            "token_embd.weight": (state["backbone.embeddings.weight"], F32),
+            "output_norm.weight": (state["backbone.norm_f.weight"], F32),
+            "output.weight": (state["lm_head.weight"], F32),
+        }
+        for i in range(cfg.n_layers):
+            p, b = f"backbone.layers.{i}.", f"blk.{i}."
+            a = -np.exp(state[p + "mixer.A_log"])
+            if flip_a_sign:
+                a = -a
+            t[b + "attn_norm.weight"] = (state[p + "norm.weight"], F32)
+            t[b + "ssm_in.weight"] = (state[p + "mixer.in_proj.weight"], F32)
+            t[b + "ssm_conv1d.weight"] = (
+                state[p + "mixer.conv1d.weight"][:, 0, :], F32)
+            t[b + "ssm_conv1d.bias"] = (state[p + "mixer.conv1d.bias"], F32)
+            t[b + "ssm_x.weight"] = (state[p + "mixer.x_proj.weight"], F32)
+            t[b + "ssm_dt.weight"] = (state[p + "mixer.dt_proj.weight"], F32)
+            t[b + "ssm_dt.bias"] = (state[p + "mixer.dt_proj.bias"], F32)
+            t[b + "ssm_a"] = (a, F32)
+            t[b + "ssm_d"] = (state[p + "mixer.D"], F32)
+            t[b + "ssm_out.weight"] = (state[p + "mixer.out_proj.weight"],
+                                       F32)
+        md = {
+            "general.architecture": "mamba",
+            "mamba.block_count": cfg.n_layers,
+            "mamba.context_length": 64,
+            "mamba.embedding_length": cfg.dim,
+            "mamba.ssm.conv_kernel": cfg.d_conv,
+            "mamba.ssm.inner_size": cfg.d_inner,
+            "mamba.ssm.state_size": cfg.d_state,
+            "mamba.ssm.time_step_rank": cfg.dt_rank,
+            "mamba.attention.layer_norm_rms_epsilon": 1e-5,
+        }
+        md.update(metadata_override or {})
+        write_gguf(path, t, md)
+
+    def test_roundtrip_matches_hf_route(self, tmp_path):
+        import jax
+
+        cfg = M.MambaConfig.test()
+        state = self._hf_state(cfg)
+        ref_params, ref_cfg = C.mamba_from_hf(state, max_seq=64)
+        path = str(tmp_path / "mamba.gguf")
+        self._write(path, cfg, state)
+        params, got_cfg = C.gguf_to_mamba_params(path, max_seq=64)
+
+        assert got_cfg.norm_eps == pytest.approx(ref_cfg.norm_eps)
+        assert got_cfg._replace(norm_eps=0) == ref_cfg._replace(norm_eps=0)
+        flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_params))
+        flat_got = dict(jax.tree_util.tree_leaves_with_path(params))
+        assert flat_ref.keys() == flat_got.keys()
+        for key, leaf in flat_ref.items():
+            # A_log pays one f32 exp/log roundtrip (format transform);
+            # everything else is byte-exact.
+            tol = 1e-5 if "A_log" in str(key) else 0.0
+            np.testing.assert_allclose(
+                np.asarray(flat_got[key]), np.asarray(leaf),
+                rtol=tol, atol=tol, err_msg=str(key))
+
+    def test_geometry_mismatch_raises(self, tmp_path):
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        cfg = M.MambaConfig.test()
+        state = self._hf_state(cfg)
+        path = str(tmp_path / "bad_geom.gguf")
+        self._write(path, cfg, state,
+                    metadata_override={"mamba.ssm.state_size":
+                                       cfg.d_state + 1})
+        with pytest.raises(TrackieError, match="state_size"):
+            C.gguf_to_mamba_params(path, max_seq=64)
+
+    def test_positive_ssm_a_raises(self, tmp_path):
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        cfg = M.MambaConfig.test()
+        state = self._hf_state(cfg)
+        path = str(tmp_path / "bad_a.gguf")
+        self._write(path, cfg, state, flip_a_sign=True)
+        with pytest.raises(TrackieError, match="ssm_a"):
+            C.gguf_to_mamba_params(path, max_seq=64)
+
+    def test_wrong_arch_raises(self, tmp_path):
+        from tests.test_loader import write_gguf
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        path = str(tmp_path / "notmamba.gguf")
+        write_gguf(path, {}, {"general.architecture": "llama"})
+        with pytest.raises(TrackieError, match="mamba"):
+            C.gguf_to_mamba_params(path)
+
+    def test_quantized_and_generates(self, tmp_path):
+        from trackiellm_tpu.ops.quant import QuantizedLinear
+
+        cfg = M.MambaConfig.test()
+        state = self._hf_state(cfg)
+        path = str(tmp_path / "mamba_q.gguf")
+        self._write(path, cfg, state)
+        params, got_cfg = C.gguf_to_mamba_params(path, bits=8, group=16,
+                                                 max_seq=64)
+        assert isinstance(params["layers"]["w_in"], QuantizedLinear)
+        assert isinstance(params["lm_head"], QuantizedLinear)
+
+        runner = M.MambaRunner(params, got_cfg)
+        out = runner.generate("hi", max_tokens=4)
+        assert isinstance(out, str)

@@ -54,7 +54,8 @@ def _load_vocab(path):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True,
-                    help="Whisper weights (.pt/.safetensors/.npz)")
+                    help="Whisper weights (.pt/.safetensors/.npz, or a "
+                         "whisper.cpp GGML .bin — vocab comes embedded)")
     ap.add_argument("--audio", required=True)
     ap.add_argument("--refs", required=True,
                     help="TSV: filename<TAB>reference transcript")
@@ -87,18 +88,25 @@ def main() -> None:
 
     from trackiellm_tpu.audio.asr import WhisperASR
     from trackiellm_tpu.models.convert import (
-        whisper_config_from_torch, whisper_from_torch)
+        whisper_config_from_torch, whisper_from_ggml, whisper_from_torch)
+    from trackiellm_tpu.models.loader import ModelFormat, detect_format
 
-    state = load_state_dict(ckpt)
-    try:
-        cfg = whisper_config_from_torch(state)
-        params, _ = whisper_from_torch(state)
-    except KeyError as e:
-        die(f"checkpoint {ckpt!r} missing expected tensor {e}; list "
-            "names with tools/inspect_checkpoint.py and check "
-            "models/convert.py::whisper_from_torch")
+    embedded_tok = None
+    if detect_format(ckpt) is ModelFormat.GGML:
+        # whisper.cpp GGML (the reference's exact artifact): weights,
+        # config AND the byte vocab all come from the one file.
+        params, cfg, embedded_tok, _ = whisper_from_ggml(ckpt)
+    else:
+        state = load_state_dict(ckpt)
+        try:
+            cfg = whisper_config_from_torch(state)
+            params, _ = whisper_from_torch(state)
+        except KeyError as e:
+            die(f"checkpoint {ckpt!r} missing expected tensor {e}; list "
+                "names with tools/inspect_checkpoint.py and check "
+                "models/convert.py::whisper_from_torch")
 
-    tokenizer = _load_vocab(args.vocab) if args.vocab else None
+    tokenizer = _load_vocab(args.vocab) if args.vocab else embedded_tok
     if tokenizer is None:
         print("WARNING: no --vocab; using the byte tokenizer — WER vs a "
               "real BPE-vocab checkpoint is NOT meaningful", file=sys.stderr)

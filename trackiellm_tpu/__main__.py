@@ -107,6 +107,7 @@ def _cmd_convert(args) -> int:
             params = quantize_params(params, bits=args.bits)
     else:
         from trackiellm_tpu.models.convert import (gguf_to_llm_params,
+                                                   gguf_to_mamba_params,
                                                    gguf_to_mla_params,
                                                    tokenizer_spec_from_gguf)
         from trackiellm_tpu.models.loader import read_gguf_header
@@ -116,6 +117,9 @@ def _cmd_convert(args) -> int:
             # DeepSeek GGUFs load as MLA params (models/mla.py).
             params, cfg = gguf_to_mla_params(args.gguf,
                                              bits=args.bits or None)
+        elif (hdr.architecture or "") == "mamba":
+            params, cfg = gguf_to_mamba_params(args.gguf,
+                                               bits=args.bits or None)
         else:
             params, cfg = gguf_to_llm_params(args.gguf,
                                              bits=args.bits or None)

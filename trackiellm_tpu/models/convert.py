@@ -1146,6 +1146,45 @@ def whisper_from_torch(state: Dict[str, Any]):
     return params, cfg
 
 
+def whisper_from_ggml(path: str):
+    """whisper.cpp GGML file (the reference's exact ASR artifact,
+    tk_cortex_main.h:70-76 / tk_asr_whisper.c:238) -> (params, cfg,
+    tokenizer, mel_filters).
+
+    The GGML container keeps the openai state-dict tensor names, so
+    this is the GGML reader feeding :func:`whisper_from_torch`; the
+    file's embedded byte vocab becomes a decode-capable tokenizer and
+    its mel filterbank is returned for callers that want the original
+    filters (ops/mel computes identical slaney-style banks).
+
+    Shape-derived config is cross-checked against the file's hparams —
+    a mismatch means a malformed file, not a silently wrong model.
+    """
+    from trackiellm_tpu.models.ggml_reader import (
+        GGMLVocabTokenizer, read_ggml_whisper)
+
+    g = read_ggml_whisper(path)
+    params, cfg = whisper_from_torch(g.tensors)
+    hp = g.hparams
+    derived = {"n_mels": cfg.n_mels, "n_audio_layer": cfg.n_audio_layers,
+               "n_text_layer": cfg.n_text_layers,
+               "n_audio_state": cfg.d_model, "n_text_state": cfg.d_model,
+               "n_vocab": cfg.vocab_size, "n_text_ctx": cfg.n_text_ctx}
+    for key, ours in derived.items():
+        if hp.get(key, ours) != ours:
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"{path}: hparam {key}={hp[key]} disagrees with tensor "
+                f"shapes ({ours})")
+    # n_heads is NOT shape-derivable (whisper_config_from_torch assumes
+    # head_dim 64, true for all published sizes); trust the hparams.
+    if hp.get("n_audio_head", cfg.n_heads) != cfg.n_heads:
+        cfg = cfg._replace(n_heads=hp["n_audio_head"])
+    if hp.get("n_audio_ctx", cfg.n_audio_ctx) != cfg.n_audio_ctx:
+        cfg = cfg._replace(n_audio_ctx=hp["n_audio_ctx"])
+    return params, cfg, GGMLVocabTokenizer(g.vocab), g.mel_filters
+
+
 # ---------------------------------------------------------------------------
 # YOLOv8 detector (ultralytics checkpoint layout)
 # ---------------------------------------------------------------------------
@@ -4291,6 +4330,90 @@ def mamba_from_hf(state: Dict[str, Any], *, norm_eps: float = 1e-5,
             (A("lm_head.weight").T if "lm_head.weight" in state
              else np.ascontiguousarray(emb.T)), dtype),
     }
+    return params, cfg
+
+
+def gguf_to_mamba_params(path: str, *, bits: Optional[int] = None,
+                         group: int = 256,
+                         max_seq: Optional[int] = None,
+                         dtype=jnp.float32) -> tuple:
+    """llama.cpp mamba-arch GGUF -> (params, cfg) for models/mamba.
+
+    llama.cpp's converter (convert_hf_to_gguf.py ``MambaModel``) stores
+    the conv weight squeezed to (I, K) and ``ssm_a = -exp(A_log)``;
+    this reader rebuilds the transformers layout and rides
+    :func:`mamba_from_hf`. Geometry metadata (``mamba.ssm.*``) is
+    cross-checked against tensor shapes so a wrong key guess fails
+    loudly instead of mis-shaping silently.
+
+    Offline-validation caveat (same as deepseek2's once was): the key
+    strings follow llama.cpp's LLM_KV_SSM_* constants and
+    LLM_ARCH_MAMBA tensor names, pinned here by synthetic-GGUF
+    roundtrips only — zero-egress rounds can't see a real file.
+    """
+    gguf = read_gguf_header(path)
+    arch = gguf.architecture or ""
+    if arch != "mamba":
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"{path}: architecture {arch!r}, want 'mamba'")
+    md = gguf.metadata
+
+    def T(name: str) -> np.ndarray:
+        return load_gguf_tensor(gguf, name)
+
+    n_layers = int(md.get(
+        "mamba.block_count",
+        len({k.split(".")[1] for k in gguf.tensors
+             if k.startswith("blk.")})))
+    state: Dict[str, Any] = {
+        "backbone.embeddings.weight": T("token_embd.weight"),
+        "backbone.norm_f.weight": T("output_norm.weight"),
+    }
+    if "output.weight" in gguf.tensors:  # absent when tied to embeddings
+        state["lm_head.weight"] = T("output.weight")
+    for i in range(n_layers):
+        b, p = f"blk.{i}.", f"backbone.layers.{i}.mixer."
+        state[f"backbone.layers.{i}.norm.weight"] = T(b + "attn_norm.weight")
+        state[p + "in_proj.weight"] = T(b + "ssm_in.weight")
+        state[p + "conv1d.weight"] = T(b + "ssm_conv1d.weight")[:, None, :]
+        state[p + "conv1d.bias"] = T(b + "ssm_conv1d.bias")
+        state[p + "x_proj.weight"] = T(b + "ssm_x.weight")
+        state[p + "dt_proj.weight"] = T(b + "ssm_dt.weight")
+        state[p + "dt_proj.bias"] = T(b + "ssm_dt.bias")
+        a = T(b + "ssm_a")
+        if np.any(a >= 0):
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"{path}: ssm_a has non-negative entries — llama.cpp "
+                "stores -exp(A_log); refusing to mis-decode")
+        state[p + "A_log"] = np.log(-a)
+        state[p + "D"] = T(b + "ssm_d")
+        state[p + "out_proj.weight"] = T(b + "ssm_out.weight")
+
+    norm_eps = float(md.get("mamba.attention.layer_norm_rms_epsilon",
+                            1e-5))
+    ctx = int(md.get("mamba.context_length", 4096))
+    params, cfg = mamba_from_hf(
+        state, norm_eps=norm_eps,
+        max_seq=max_seq if max_seq is not None else min(ctx, 4096),
+        dtype=dtype)
+
+    checks = {"mamba.ssm.conv_kernel": cfg.d_conv,
+              "mamba.ssm.inner_size": cfg.d_inner,
+              "mamba.ssm.state_size": cfg.d_state,
+              "mamba.ssm.time_step_rank": cfg.dt_rank,
+              "mamba.embedding_length": cfg.dim,
+              "mamba.block_count": cfg.n_layers}
+    for key, ours in checks.items():
+        if key in md and int(md[key]) != ours:
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"{path}: {key}={md[key]} disagrees with tensor shapes "
+                f"({ours})")
+    if bits:
+        from trackiellm_tpu.models.mamba import quantize_params
+
+        params = quantize_params(params, bits=bits, group=group)
     return params, cfg
 
 

@@ -42,6 +42,7 @@ log = get_logger("models.loader")
 class ModelFormat(enum.Enum):
     NATIVE = "native"          # this framework's checkpoint directory
     GGUF = "gguf"
+    GGML = "ggml"              # whisper.cpp container (models/ggml_reader)
     SAFETENSORS = "safetensors"
     NPZ = "npz"
     ONNX = "onnx"
@@ -72,6 +73,8 @@ def detect_format(path: str) -> ModelFormat:
         raise TrackieError(ErrorCode.FILE_NOT_FOUND, f"{path}: {e}") from e
     if head[:4] == b"GGUF":
         return ModelFormat.GGUF
+    if head[:4] == b"lmgg":  # 0x67676d6c LE — whisper.cpp GGML
+        return ModelFormat.GGML
     if head[4:8] == b"TFL3":
         return ModelFormat.TFLITE
     if head[:2] == b"PK":
@@ -594,6 +597,16 @@ def describe(path: str) -> Dict[str, Any]:
             header = json.loads(f.read(hlen))
         names = [k for k in header if k != "__metadata__"]
         return {"format": fmt.value, "n_tensors": len(names)}
+    if fmt is ModelFormat.GGML:
+        from trackiellm_tpu.models.ggml_reader import (
+            _HPARAM_NAMES, GGML_MAGIC)
+
+        with open(path, "rb") as f:
+            head = f.read(48)
+        vals = struct.unpack("<12i", head)
+        assert vals[0] == GGML_MAGIC
+        return {"format": fmt.value, "architecture": "whisper",
+                "hparams": dict(zip(_HPARAM_NAMES, vals[1:]))}
     return {"format": fmt.value}
 
 
