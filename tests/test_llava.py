@@ -362,3 +362,128 @@ class TestCortexWithRealVLM:
         c.stop(timeout=5.0)
         assert responses, "no reply produced"
         assert runner._image_runs, "image run not committed to cache"
+
+
+class TestMmprojGGUF:
+    """llama.cpp "mmproj" vision GGUF ingestion (gguf_to_clip_params).
+
+    The writer reproduces the mmproj packaging independently from the
+    oracle's HF state dict: clip.cpp tensor names, blocks truncated at
+    the LLaVA -2 feature tap (the surgery script drops the untapped
+    tail), clip.vision.* metadata. Converted features must match the
+    transformers oracle exactly — and the result must be immune to the
+    historically unstable ffn_up/ffn_down naming (assigned by shape)."""
+
+    def _write_mmproj(self, path, state, swap_ffn_names=False,
+                      md_override=None):
+        from tests.test_loader import write_gguf
+        from trackiellm_tpu.models import loader as L
+
+        F32 = L.GGML_F32
+        if any(k.startswith("model.vision_tower.") for k in state):
+            vt = "model.vision_tower.vision_model."
+            proj = "model.multi_modal_projector."
+        else:
+            vt = "vision_tower.vision_model."
+            proj = "multi_modal_projector."
+        A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+        n_layers = len({k[len(vt) + len("encoder.layers."):].split(".")[0]
+                        for k in state
+                        if k.startswith(vt + "encoder.layers.")})
+        keep = n_layers - 1  # -2 tap: the last block never ships
+        t = {
+            "v.patch_embd.weight":
+                (A(vt + "embeddings.patch_embedding.weight"), F32),
+            "v.class_embd": (A(vt + "embeddings.class_embedding"), F32),
+            "v.position_embd.weight":
+                (A(vt + "embeddings.position_embedding.weight"), F32),
+            "v.pre_ln.weight": (A(vt + "pre_layrnorm.weight"), F32),
+            "v.pre_ln.bias": (A(vt + "pre_layrnorm.bias"), F32),
+            "mm.0.weight": (A(proj + "linear_1.weight"), F32),
+            "mm.0.bias": (A(proj + "linear_1.bias"), F32),
+            "mm.2.weight": (A(proj + "linear_2.weight"), F32),
+            "mm.2.bias": (A(proj + "linear_2.bias"), F32),
+        }
+        up, down = ("ffn_down", "ffn_up") if swap_ffn_names \
+            else ("ffn_up", "ffn_down")
+        for i in range(keep):
+            pre = f"{vt}encoder.layers.{i}."
+            b = f"v.blk.{i}."
+            t[b + "ln1.weight"] = (A(pre + "layer_norm1.weight"), F32)
+            t[b + "ln1.bias"] = (A(pre + "layer_norm1.bias"), F32)
+            t[b + "ln2.weight"] = (A(pre + "layer_norm2.weight"), F32)
+            t[b + "ln2.bias"] = (A(pre + "layer_norm2.bias"), F32)
+            for theirs, hf in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                               ("attn_v", "v_proj"),
+                               ("attn_out", "out_proj")):
+                t[b + theirs + ".weight"] = (
+                    A(pre + f"self_attn.{hf}.weight"), F32)
+                t[b + theirs + ".bias"] = (
+                    A(pre + f"self_attn.{hf}.bias"), F32)
+            t[b + up + ".weight"] = (A(pre + "mlp.fc1.weight"), F32)
+            t[b + up + ".bias"] = (A(pre + "mlp.fc1.bias"), F32)
+            t[b + down + ".weight"] = (A(pre + "mlp.fc2.weight"), F32)
+            t[b + down + ".bias"] = (A(pre + "mlp.fc2.bias"), F32)
+
+        md = {
+            "clip.has_vision_encoder": 1,
+            "clip.has_llava_projector": 1,
+            "clip.projector_type": "mlp",
+            "clip.use_gelu": 0,  # quick_gelu
+            "clip.vision.image_size": 16,
+            "clip.vision.patch_size": 8,
+            "clip.vision.embedding_length": 32,
+            "clip.vision.feed_forward_length": 64,
+            "clip.vision.block_count": keep,
+            "clip.vision.attention.head_count": 4,
+            "clip.vision.attention.layer_norm_epsilon": 1e-5,
+            "clip.vision.projection_dim": 48,
+        }
+        md.update(md_override or {})
+        write_gguf(path, t, md)
+
+    def test_features_match_oracle(self, oracle, tmp_path):
+        state, px, _, _, ref_feats, _ = oracle
+        path = str(tmp_path / "mmproj.gguf")
+        self._write_mmproj(path, state)
+        cp, cc = C.gguf_to_clip_params(path)
+        assert cc.n_layers == 2 and cc.feature_layer == 2
+        assert cc.n_image_tokens == N_IMG_TOKENS
+        assert cc.proj_dim == 48 and cc.act == "quick_gelu"
+        ours = np.asarray(clip_model.encode_and_project(
+            cp, cc, jnp.asarray(px)))
+        np.testing.assert_allclose(ours, ref_feats, atol=2e-5, rtol=1e-4)
+
+    def test_ffn_naming_convention_immune(self, oracle, tmp_path):
+        state, px, *_ = oracle
+        pa = str(tmp_path / "a.gguf")
+        pb = str(tmp_path / "b.gguf")
+        self._write_mmproj(pa, state, swap_ffn_names=False)
+        self._write_mmproj(pb, state, swap_ffn_names=True)
+        ca, cca = C.gguf_to_clip_params(pa)
+        cb, ccb = C.gguf_to_clip_params(pb)
+        fa = np.asarray(clip_model.encode_and_project(
+            ca, cca, jnp.asarray(px)))
+        fb = np.asarray(clip_model.encode_and_project(
+            cb, ccb, jnp.asarray(px)))
+        np.testing.assert_array_equal(fa, fb)
+
+    def test_geometry_mismatch_raises(self, oracle, tmp_path):
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        state = oracle[0]
+        path = str(tmp_path / "bad.gguf")
+        self._write_mmproj(path, state,
+                           md_override={"clip.vision.patch_size": 14})
+        with pytest.raises(TrackieError, match="patch_size"):
+            C.gguf_to_clip_params(path)
+
+    def test_not_a_mmproj_raises(self, tmp_path):
+        from tests.test_loader import write_gguf
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        path = str(tmp_path / "text.gguf")
+        write_gguf(path, {}, {"general.architecture": "llama"})
+        with pytest.raises(TrackieError, match="mmproj"):
+            C.gguf_to_clip_params(path)

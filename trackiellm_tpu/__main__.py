@@ -125,10 +125,21 @@ def _cmd_convert(args) -> int:
                                              bits=args.bits or None)
         vocab = hdr.metadata.get("tokenizer.ggml.tokens")
         tok_spec = tokenizer_spec_from_gguf(hdr)
-    save_checkpoint(args.output, params, config=cfg,
-                    metadata={"source": args.gguf, "bits": args.bits,
-                              "vocab_pieces": vocab,
-                              "tokenizer_spec": tok_spec})
+    meta = {"source": args.gguf, "bits": args.bits,
+            "vocab_pieces": vocab, "tokenizer_spec": tok_spec}
+    if getattr(args, "mmproj", None):
+        # llama.cpp llava packaging: text GGUF + vision "mmproj" GGUF.
+        from trackiellm_tpu.models.convert import gguf_to_clip_params
+
+        clip_params, clip_cfg = gguf_to_clip_params(args.mmproj)
+        meta["multimodal"] = "llava"
+        save_checkpoint(args.output, params, config=cfg, metadata=meta)
+        save_checkpoint(os.path.join(args.output, "vision"), clip_params,
+                        config=clip_cfg, metadata={"source": args.mmproj})
+        print(f"converted + saved LLM to {args.output}, mmproj vision "
+              f"tower to {args.output}/vision in {time.time() - t0:.1f}s")
+        return 0
+    save_checkpoint(args.output, params, config=cfg, metadata=meta)
     print(f"converted + saved to {args.output} "
           f"in {time.time() - t0:.1f}s; config: {cfg}")
     return 0
@@ -411,6 +422,9 @@ def main(argv=None) -> int:
                         "shape-derivable — LLaVA-1.5-7B uses 32)")
     p.add_argument("--vision-n-heads", type=int, default=16,
                    help="CLIP tower heads (llava-hf only; ViT-L/14 = 16)")
+    p.add_argument("--mmproj", default=None,
+                   help="llama.cpp llava vision 'mmproj' GGUF to convert "
+                        "alongside a text GGUF (saved to OUTPUT/vision)")
     p.set_defaults(fn=_cmd_convert)
 
     p = sub.add_parser("generate", help="generate from a checkpoint")

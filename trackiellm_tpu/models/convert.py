@@ -4135,6 +4135,128 @@ def llava_from_hf(
     return llm_params, llm_cfg, clip_params, clip_cfg
 
 
+def gguf_to_clip_params(path: str, *, vision_dtype=jnp.float32) -> tuple:
+    """llama.cpp "mmproj" CLIP GGUF -> (clip_params, CLIPVisionConfig).
+
+    Parity: the llava path pairs a text GGUF with a vision "mmproj"
+    file (llama.cpp clip.cpp); this reads the mmproj half so a
+    llama.cpp-packaged LLaVA runs through models/clip + llm/vlm.
+    Tensor names follow clip.cpp's constants (``v.patch_embd.weight``,
+    ``v.blk.%d.attn_{q,k,v}/attn_out/ln1/ln2/ffn_{up,down}``,
+    ``mm.0/mm.2`` projector). Geometry comes from ``clip.vision.*``
+    metadata cross-checked against tensor shapes.
+
+    Convention safety: clip.cpp's ffn_up/ffn_down naming has been
+    inconsistent across conversion scripts, so the two MLP matrices are
+    assigned BY SHAPE ((hidden, dim) = fc1, (dim, hidden) = fc2) —
+    immune to the naming either way. mmproj files are pre-truncated at
+    the LLaVA feature tap (ViT-L ships 23 of 24 blocks), so every
+    stored block runs: ``feature_layer = n_layers``.
+
+    Offline-validation caveat (same class as gguf_to_mamba_params):
+    key strings are pinned by synthetic-GGUF roundtrips; a real file
+    has not been seen in a zero-egress round.
+    """
+    from trackiellm_tpu.models import clip as clip_model
+
+    gguf = read_gguf_header(path)
+    md = gguf.metadata
+    if not (md.get("clip.has_vision_encoder", True)
+            and ("v.patch_embd.weight" in gguf.tensors)):
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"{path}: not a clip.cpp vision mmproj file")
+
+    def T(name: str) -> np.ndarray:
+        return load_gguf_tensor(gguf, name)
+
+    pw = T("v.patch_embd.weight")          # OIHW like the HF conv
+    vdim, _, patch, _ = pw.shape
+    pos = T("v.position_embd.weight")      # (N+1, D) with CLS
+    n_patches = pos.shape[0] - 1
+    image_size = patch * int(round(n_patches ** 0.5))
+    n_layers = len({k.split(".")[2] for k in gguf.tensors
+                    if k.startswith("v.blk.")})
+    n_heads = int(md.get("clip.vision.attention.head_count", 16))
+
+    checks = {"clip.vision.image_size": image_size,
+              "clip.vision.patch_size": patch,
+              "clip.vision.embedding_length": vdim,
+              "clip.vision.block_count": n_layers}
+    for key, ours in checks.items():
+        if key in md and int(md[key]) != ours:
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"{path}: {key}={md[key]} disagrees with tensor shapes "
+                f"({ours})")
+
+    def fc_pair(i: int):
+        """MLP matrices by SHAPE, not by clip.cpp's unstable naming."""
+        a = T(f"v.blk.{i}.ffn_up.weight")
+        a_b = T(f"v.blk.{i}.ffn_up.bias")
+        b = T(f"v.blk.{i}.ffn_down.weight")
+        b_b = T(f"v.blk.{i}.ffn_down.bias")
+        if a.shape[1] == vdim and a.shape[0] != vdim:
+            return a, a_b, b, b_b      # a: (hidden, dim) = fc1
+        if b.shape[1] == vdim and b.shape[0] != vdim:
+            return b, b_b, a, a_b
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"{path}: blk.{i} MLP shapes {a.shape}/{b.shape} don't "
+            f"disambiguate against dim={vdim}")
+
+    hidden = fc_pair(0)[0].shape[0]
+    L = {k: [] for k in ("ln1_g", "ln1_b", "ln2_g", "ln2_b",
+                         "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+                         "w1", "b1", "w2", "b2")}
+    for i in range(n_layers):
+        pre = f"v.blk.{i}"
+        L["ln1_g"].append(T(f"{pre}.ln1.weight"))
+        L["ln1_b"].append(T(f"{pre}.ln1.bias"))
+        L["ln2_g"].append(T(f"{pre}.ln2.weight"))
+        L["ln2_b"].append(T(f"{pre}.ln2.bias"))
+        for ours, theirs in (("q", "attn_q"), ("k", "attn_k"),
+                             ("v", "attn_v")):
+            L[f"w{ours}"].append(T(f"{pre}.{theirs}.weight").T)
+            L[f"b{ours}"].append(T(f"{pre}.{theirs}.bias"))
+        L["wo"].append(T(f"{pre}.attn_out.weight").T)
+        L["bo"].append(T(f"{pre}.attn_out.bias"))
+        w1, b1, w2, b2 = fc_pair(i)
+        L["w1"].append(w1.T)
+        L["b1"].append(b1)
+        L["w2"].append(w2.T)
+        L["b2"].append(b2)
+
+    proj_w1 = T("mm.0.weight")
+    proj_w2 = T("mm.2.weight")
+    proj_dim = proj_w2.shape[0]
+
+    clip_cfg = clip_model.CLIPVisionConfig(
+        image_size=image_size, patch_size=patch, dim=vdim,
+        n_layers=n_layers, n_heads=n_heads, hidden_dim=hidden,
+        norm_eps=float(md.get("clip.vision.attention.layer_norm_epsilon",
+                              1e-5)),
+        act=("gelu" if md.get("clip.use_gelu", False) else "quick_gelu"),
+        feature_layer=n_layers,  # mmproj stores only the tapped blocks
+        drop_cls=True, proj_dim=proj_dim, proj_act="gelu")
+
+    clip_params = {
+        "patch_w": jnp.asarray(pw.reshape(vdim, -1).T, vision_dtype),
+        "cls": jnp.asarray(T("v.class_embd").reshape(-1), vision_dtype),
+        "pos": jnp.asarray(pos, vision_dtype),
+        "pre_ln_g": jnp.asarray(T("v.pre_ln.weight"), vision_dtype),
+        "pre_ln_b": jnp.asarray(T("v.pre_ln.bias"), vision_dtype),
+        "layers": {k: jnp.asarray(np.stack(v), vision_dtype)
+                   for k, v in L.items()},
+        "proj": {
+            "w1": jnp.asarray(proj_w1.T, vision_dtype),
+            "b1": jnp.asarray(T("mm.0.bias"), vision_dtype),
+            "w2": jnp.asarray(proj_w2.T, vision_dtype),
+            "b2": jnp.asarray(T("mm.2.bias"), vision_dtype),
+        },
+    }
+    return clip_params, clip_cfg
+
+
 def falcon_from_hf(
     state: Dict[str, Any],
     *,
