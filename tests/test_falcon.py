@@ -20,6 +20,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from trackiellm_tpu.models import convert as C
@@ -133,3 +134,116 @@ class TestFalconSequential:
         assert not cfg.parallel_residual
         assert cfg.n_kv_heads == HEADS
         assert cfg.qkv_bias and cfg.out_bias and cfg.mlp_bias
+
+
+class TestFalconGGUF:
+    """llama.cpp falcon-arch GGUF ingestion (gguf_to_falcon_params).
+
+    The writer applies llama.cpp's qkv un-grouping independently
+    (convert_hf_to_gguf.py FalconModel: (G, rep+2, hd) view ->
+    [all q group-major; k; v]) for all three HF fused layouts, so the
+    reader's no-reinterleave assumption is validated against the
+    convention, not against itself."""
+
+    @staticmethod
+    def _ungroup(w, H, G, hd):
+        g = np.asarray(w, np.float32).reshape(G, H // G + 2, hd, -1)
+        q = g[:, :-2].reshape(H * hd, -1)
+        k = g[:, -2].reshape(G * hd, -1)
+        v = g[:, -1].reshape(G * hd, -1)
+        return np.concatenate([q, k, v], axis=0)
+
+    def _write(self, path, state, G, md_override=None):
+        from tests.test_loader import write_gguf
+        from trackiellm_tpu.models import loader as L
+
+        F32 = L.GGML_F32
+        A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+        hd = DIM // HEADS
+        two_norm = "transformer.h.0.ln_attn.weight" in state
+        t = {
+            "token_embd.weight": (A("transformer.word_embeddings.weight"),
+                                  F32),
+            "output_norm.weight": (A("transformer.ln_f.weight"), F32),
+            "output_norm.bias": (A("transformer.ln_f.bias"), F32),
+            "output.weight": (A("lm_head.weight"), F32),
+        }
+        for i in range(LAYERS):
+            pre, b = f"transformer.h.{i}.", f"blk.{i}."
+            if two_norm:
+                t[b + "attn_norm.weight"] = (A(pre + "ln_attn.weight"), F32)
+                t[b + "attn_norm.bias"] = (A(pre + "ln_attn.bias"), F32)
+                t[b + "attn_norm_2.weight"] = (A(pre + "ln_mlp.weight"),
+                                               F32)
+                t[b + "attn_norm_2.bias"] = (A(pre + "ln_mlp.bias"), F32)
+            else:
+                t[b + "attn_norm.weight"] = (
+                    A(pre + "input_layernorm.weight"), F32)
+                t[b + "attn_norm.bias"] = (
+                    A(pre + "input_layernorm.bias"), F32)
+            t[b + "attn_qkv.weight"] = (self._ungroup(
+                A(pre + "self_attention.query_key_value.weight"),
+                HEADS, G, hd), F32)
+            t[b + "attn_output.weight"] = (
+                A(pre + "self_attention.dense.weight"), F32)
+            t[b + "ffn_up.weight"] = (A(pre + "mlp.dense_h_to_4h.weight"),
+                                      F32)
+            t[b + "ffn_down.weight"] = (A(pre + "mlp.dense_4h_to_h.weight"),
+                                        F32)
+        md = {
+            "general.architecture": "falcon",
+            "falcon.block_count": LAYERS,
+            "falcon.embedding_length": DIM,
+            "falcon.context_length": 64,
+            "falcon.attention.head_count": HEADS,
+            "falcon.attention.head_count_kv": G,
+            "falcon.attention.layer_norm_epsilon": 1e-5,
+            "falcon.rope.freq_base": 10000.0,
+        }
+        md.update(md_override or {})
+        write_gguf(path, t, md)
+
+    def _roundtrip(self, tmp_path, G, **oracle_kw):
+        state, tokens, ref = _oracle(**oracle_kw)
+        ref_params, ref_cfg = C.falcon_from_hf(
+            state, n_heads=HEADS, max_seq=64, dtype=jnp.float32)
+        path = str(tmp_path / "falcon.gguf")
+        self._write(path, state, G)
+        params, cfg = C.gguf_to_falcon_params(
+            path, max_seq=64, dtype=jnp.float32)
+        assert cfg.norm_eps == pytest.approx(ref_cfg.norm_eps)
+        assert cfg._replace(norm_eps=0) == ref_cfg._replace(norm_eps=0)
+        flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_params))
+        flat_got = dict(jax.tree_util.tree_leaves_with_path(params))
+        assert flat_ref.keys() == flat_got.keys()
+        for key, leaf in flat_ref.items():
+            np.testing.assert_array_equal(
+                np.asarray(flat_got[key]), np.asarray(leaf),
+                err_msg=str(key))
+
+    def test_mqa_7b_layout(self, tmp_path):
+        self._roundtrip(tmp_path, G=1, multi_query=True,
+                        parallel_attn=True,
+                        new_decoder_architecture=False, bias=False)
+
+    def test_new_arch_gqa_layout(self, tmp_path):
+        self._roundtrip(tmp_path, G=2, multi_query=True,
+                        parallel_attn=True,
+                        new_decoder_architecture=True, num_kv_heads=2,
+                        bias=False)
+
+    def test_mha_interleaved_layout(self, tmp_path):
+        self._roundtrip(tmp_path, G=HEADS, multi_query=False,
+                        parallel_attn=True,
+                        new_decoder_architecture=False, bias=False)
+
+    def test_head_count_mismatch_raises(self, tmp_path):
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        state, _, _ = _oracle(multi_query=True, parallel_attn=True,
+                              new_decoder_architecture=False, bias=False)
+        path = str(tmp_path / "bad.gguf")
+        self._write(path, state, G=1,
+                    md_override={"falcon.attention.head_count_kv": 2})
+        with pytest.raises(TrackieError, match="attn_qkv rows"):
+            C.gguf_to_falcon_params(path)

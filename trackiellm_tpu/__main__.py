@@ -120,6 +120,11 @@ def _cmd_convert(args) -> int:
         elif (hdr.architecture or "") == "mamba":
             params, cfg = gguf_to_mamba_params(args.gguf,
                                                bits=args.bits or None)
+        elif (hdr.architecture or "") == "falcon":
+            from trackiellm_tpu.models.convert import gguf_to_falcon_params
+
+            params, cfg = gguf_to_falcon_params(args.gguf,
+                                                bits=args.bits or None)
         else:
             params, cfg = gguf_to_llm_params(args.gguf,
                                              bits=args.bits or None)

@@ -4396,6 +4396,119 @@ def falcon_from_hf(
     return params, cfg
 
 
+def gguf_to_falcon_params(path: str, *, bits: Optional[int] = None,
+                          group: int = 256,
+                          max_seq: Optional[int] = None,
+                          dtype=jnp.bfloat16) -> tuple:
+    """llama.cpp falcon-arch GGUF -> (params, cfg).
+
+    llama.cpp's converter UN-GROUPS Falcon's fused query_key_value at
+    conversion time (convert_hf_to_gguf.py ``FalconModel``: the
+    (n_kv, rep+2, hd) view splits to [all q group-major; k; v]) — which
+    is exactly this framework's q|k|v column order, so ``attn_qkv``
+    transposes straight in with no re-interleaving. Norm naming:
+    ``attn_norm`` = the shared/attn LayerNorm; ``attn_norm_2`` present
+    = the 40B/180B "new arch" second MLP-branch norm
+    (cfg.parallel_mlp_norm). The published Falcon line is
+    parallel-residual; sequential (falcon-rw) GGUFs are not expected
+    here. Geometry (head counts) comes from ``falcon.attention.*``
+    metadata, cross-checked against the qkv row count.
+
+    Offline-validation caveat (same as gguf_to_mamba_params): key
+    strings pinned by synthetic-GGUF roundtrips only.
+    """
+    gguf = read_gguf_header(path)
+    arch = gguf.architecture or ""
+    if arch != "falcon":
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"{path}: architecture {arch!r}, want 'falcon'")
+    md = gguf.metadata
+
+    def T(name: str) -> np.ndarray:
+        return load_gguf_tensor(gguf, name)
+
+    if "falcon.attention.head_count" not in md:
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"{path}: missing falcon.attention.head_count")
+    emb = T("token_embd.weight")
+    vocab, dim = emb.shape
+    n_heads = int(md["falcon.attention.head_count"])
+    n_kv = int(md.get("falcon.attention.head_count_kv", 1))
+    hd = dim // n_heads
+    n_layers = int(md.get(
+        "falcon.block_count",
+        len({k.split(".")[1] for k in gguf.tensors
+             if k.startswith("blk.")})))
+    qkv_rows = gguf.tensors["blk.0.attn_qkv.weight"].shape[0]
+    if qkv_rows != (n_heads + 2 * n_kv) * hd:
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"{path}: attn_qkv rows {qkv_rows} != (H+2G)*hd = "
+            f"{(n_heads + 2 * n_kv) * hd} (H={n_heads}, G={n_kv})")
+    two_norm = "blk.0.attn_norm_2.weight" in gguf.tensors
+    qkv_bias = "blk.0.attn_qkv.bias" in gguf.tensors
+    out_bias = "blk.0.attn_output.bias" in gguf.tensors
+    mlp_bias = "blk.0.ffn_up.bias" in gguf.tensors
+    ctx = int(md.get("falcon.context_length", 2048))
+    eff_seq = max_seq if max_seq is not None else min(ctx, 4096)
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd,
+        hidden_dim=gguf.tensors["blk.0.ffn_up.weight"].shape[0],
+        norm_eps=float(md.get("falcon.attention.layer_norm_epsilon",
+                              1e-5)),
+        rope_theta=float(md.get("falcon.rope.freq_base", 1e4)),
+        max_seq=eff_seq, sliding_window=eff_seq, norm_type="layernorm",
+        parallel_residual=True, parallel_mlp_norm=two_norm,
+        mlp_gated=False, act="gelu_exact",
+        qkv_bias=qkv_bias, out_bias=out_bias, mlp_bias=mlp_bias)
+
+    L: Dict[str, list] = {"attn_norm": [], "wqkv": [], "wo": [],
+                          "w_gu": [], "w_down": []}
+    opt: Dict[str, list] = {"mlp_norm": [], "wqkv_bias": [],
+                            "wo_bias": [], "w_gu_b": [], "w_down_b": []}
+    for i in range(n_layers):
+        b = f"blk.{i}."
+        L["attn_norm"].append({"g": T(b + "attn_norm.weight"),
+                               "b": T(b + "attn_norm.bias")})
+        if two_norm:
+            opt["mlp_norm"].append({"g": T(b + "attn_norm_2.weight"),
+                                    "b": T(b + "attn_norm_2.bias")})
+        L["wqkv"].append(T(b + "attn_qkv.weight").T)  # rows already q|k|v
+        L["wo"].append(T(b + "attn_output.weight").T)
+        L["w_gu"].append(T(b + "ffn_up.weight").T)
+        L["w_down"].append(T(b + "ffn_down.weight").T)
+        if qkv_bias:
+            opt["wqkv_bias"].append(T(b + "attn_qkv.bias"))
+        if out_bias:
+            opt["wo_bias"].append(T(b + "attn_output.bias"))
+        if mlp_bias:
+            opt["w_gu_b"].append(T(b + "ffn_up.bias"))
+            opt["w_down_b"].append(T(b + "ffn_down.bias"))
+
+    def stack(vals):
+        if vals and isinstance(vals[0], dict):
+            return {kk: jnp.asarray(np.stack([v[kk] for v in vals]), dtype)
+                    for kk in vals[0]}
+        return jnp.asarray(np.stack(vals), dtype)
+
+    layers = {k: stack(v) for k, v in L.items()}
+    layers.update({k: stack(v) for k, v in opt.items() if v})
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": layers,
+        "out_norm": {"g": jnp.asarray(T("output_norm.weight"), dtype),
+                     "b": jnp.asarray(T("output_norm.bias"), dtype)},
+        "lm_head": jnp.asarray(
+            (T("output.weight").T if "output.weight" in gguf.tensors
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    if bits:
+        params = llm_model.quantize_params(params, bits=bits, group=group)
+    return params, cfg
+
+
 def mamba_from_hf(state: Dict[str, Any], *, norm_eps: float = 1e-5,
                   max_seq: int = 4096, dtype=jnp.float32) -> tuple:
     """Convert a transformers Mamba state dict to (params, cfg) for
