@@ -576,3 +576,48 @@ class TestNativeCheckpointInspect:
         assert info["format"] == "native"
         assert info["config"]["config"]["dim"] == cfg.dim
         assert info["n_parameters"] > 0
+
+
+class TestMXFP4:
+    """MXFP4 dequant (ggml type 39 — gpt-oss GGUFs ship in it).
+
+    The reference encoder here follows the OCP Microscaling spec
+    directly (shared 2^(e-127) e8m0 scale, e2m1 element values), NOT
+    the reader's halved-scale integer-table formulation — so the two
+    agreeing validates the reader against the spec."""
+
+    E2M1 = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0],
+                    np.float32)
+
+    def _encode_block(self, e, codes):
+        """e8m0 byte + 32 4-bit codes (sign<<3 | magnitude index)."""
+        qs = bytearray(16)
+        for j in range(16):
+            qs[j] = (codes[j] & 0xF) | ((codes[j + 16] & 0xF) << 4)
+        return bytes([e]) + bytes(qs)
+
+    def _spec_value(self, e, code):
+        mag = self.E2M1[code & 0x7]
+        return float(2.0 ** (e - 127)) * (-mag if code & 0x8 else mag)
+
+    def test_exact_representable_values(self, tmp_path):
+        rng = np.random.default_rng(3)
+        codes = rng.integers(0, 16, size=(4, 32))
+        exps = [127, 126, 130, 1]  # incl. a subnormal-range scale
+        raw = b"".join(self._encode_block(e, c)
+                       for e, c in zip(exps, codes))
+        expected = np.array(
+            [[self._spec_value(e, int(c)) for c in blk]
+             for e, blk in zip(exps, codes)], np.float32).reshape(-1)
+
+        path = str(tmp_path / "mx.gguf")
+        write_gguf(path, {"t": (np.frombuffer(raw, np.uint8),
+                                L.GGML_MXFP4, (4, 32))},
+                   {"general.architecture": "llama"})
+        g = L.read_gguf_header(path)
+        got = L.load_gguf_tensor(g, "t").reshape(-1)
+        np.testing.assert_array_equal(got, expected)
+
+    def test_block_geometry_registered(self):
+        per_block, block_bytes, _ = L._GGML_DEQUANT[L.GGML_MXFP4]
+        assert (per_block, block_bytes) == (32, 17)

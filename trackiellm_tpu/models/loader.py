@@ -114,6 +114,10 @@ GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
 # IQ4_NL mixes; the sub-4-bit grid codebooks (IQ1/IQ2/IQ3) do not map
 # to this framework's kernels and stay unsupported.
 GGML_IQ4_NL, GGML_IQ4_XS = 20, 23
+# MXFP4 (ggml.h id 39; gpt-oss checkpoints ship in it): 32-element
+# blocks of one e8m0 shared scale byte + 16 packed e2m1 nibbles
+# (OCP Microscaling spec).
+GGML_MXFP4 = 39
 
 
 @dataclasses.dataclass
@@ -469,6 +473,27 @@ def _dequant_iq4_xs(raw: np.ndarray, n_elems: int) -> np.ndarray:
     return out.reshape(-1)[:n_elems]
 
 
+# MXFP4 e2m1 magnitudes doubled to integers ({0,.5,1,1.5,2,3,4,6}*2),
+# compensated by halving the e8m0 scale (ggml-quants.c kvalues_mxfp4).
+_MXFP4_KVALUES = np.array(
+    [0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12],
+    np.float32)
+
+
+def _dequant_mxfp4(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """MXFP4 (OCP Microscaling): block of 32 = 1 e8m0 scale byte
+    (2^(e-127), shared) + 16 bytes of e2m1 nibbles in the q4_0 element
+    order (elem j low nibble, elem j+16 high). Dequant uses the halved
+    scale 2^(e-128) against the doubled integer table."""
+    blocks = raw.reshape(-1, 17)
+    d = np.exp2(blocks[:, 0].astype(np.int32) - 128).astype(np.float32)
+    qs = blocks[:, 1:]
+    out = np.empty((blocks.shape[0], 32), np.float32)
+    out[:, :16] = d[:, None] * _MXFP4_KVALUES[qs & 0xF]
+    out[:, 16:] = d[:, None] * _MXFP4_KVALUES[qs >> 4]
+    return out.reshape(-1)[:n_elems]
+
+
 # ggml_type -> (elements per block, bytes per block, dequantizer).
 _GGML_DEQUANT = {
     GGML_Q8_0: (32, 34, _dequant_q8_0),
@@ -483,6 +508,7 @@ _GGML_DEQUANT = {
     GGML_Q6_K: (256, 210, _dequant_q6_k),
     GGML_IQ4_NL: (32, 18, _dequant_iq4_nl),
     GGML_IQ4_XS: (256, 136, _dequant_iq4_xs),
+    GGML_MXFP4: (32, 17, _dequant_mxfp4),
 }
 
 
