@@ -193,3 +193,13 @@ class TestGGMLWhisper:
         out = asr.transcribe(
             np.zeros(int(0.2 * 16000), np.float32))
         assert isinstance(out, str)
+
+    def test_load_model_frontend(self, tmp_path):
+        from trackiellm_tpu.models.loader import (ModelFormat, load_model)
+
+        path, state, _, _ = _tiny_file(tmp_path)
+        m = load_model(path)
+        assert m.format is ModelFormat.GGML
+        assert m.metadata["hparams"]["n_mels"] == 80
+        assert "encoder.conv1.weight" in m.tensors
+        assert m.size_bytes > 0

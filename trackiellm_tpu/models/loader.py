@@ -643,6 +643,12 @@ def load_model(path: str) -> LoadedModel:
         g = read_gguf_header(path)
         meta = dict(g.metadata)
         tensors = {n: load_gguf_tensor(g, n) for n in g.tensors}
+    elif fmt is ModelFormat.GGML:
+        from trackiellm_tpu.models.ggml_reader import read_ggml_whisper
+
+        g = read_ggml_whisper(path)
+        meta = {"hparams": g.hparams, "n_vocab_stored": len(g.vocab)}
+        tensors = g.tensors
     elif fmt is ModelFormat.SAFETENSORS:
         tensors = load_safetensors(path)
     elif fmt is ModelFormat.NPZ:
