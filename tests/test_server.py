@@ -396,6 +396,50 @@ class TestLLMServer:
             server.submit("x")
 
 
+class TestServeLoopDeath:
+    def test_mid_admission_failure_fails_all_futures(self, params):
+        """The loop dying MID-ADMISSION (prefill raises while requests
+        are popped from the queue but not yet slot-bound) must fail
+        every submitted future promptly — round-3 regression: such
+        requests lived only in _admit's locals, their futures hung
+        until an external SIGTERM."""
+
+        class _Boom:
+            """models.llm with a prefill that always raises."""
+
+            def __getattr__(self, name):
+                return getattr(llm_model, name)
+
+            @staticmethod
+            def prefill(*a, **k):
+                raise RuntimeError("boom")
+
+            @staticmethod
+            def prefill_batch(*a, **k):
+                raise RuntimeError("boom")
+
+        server = LLMServer(params, CFG, batch_slots=4,
+                           tokenizer=ByteTokenizer(CFG.vocab_size),
+                           cache_dtype=jnp.float32, model=_Boom())
+        try:
+            t0 = time.monotonic()
+            futs = []
+            for p in ("a", "bb", "ccc"):
+                try:
+                    futs.append(server.submit(p, max_tokens=4))
+                except RuntimeError:
+                    pass  # loop already died: the fail-fast contract
+            assert futs  # at least the first request went in
+            for f in futs:
+                with pytest.raises(RuntimeError, match="boom"):
+                    f.result(timeout=10)
+            assert time.monotonic() - t0 < 5.0, "futures settled slowly"
+            with pytest.raises(RuntimeError):  # fails fast from now on
+                server.submit("late")
+        finally:
+            server.close()
+
+
 class TestPagedServer:
     def test_paged_matches_dense_greedy(self, params):
         tok = ByteTokenizer(CFG.vocab_size)

@@ -135,7 +135,7 @@ class LLMServer:
                  page_size: int = 128, chunk_steps: int = 8,
                  kv_memory_budget_bytes: Optional[int] = None,
                  mesh=None, prefix_cache: bool = True,
-                 prefill_chunk: int = 0, model=None):
+                 prefill_chunk: int = 0, model=None, device=None):
         """``mesh``: a `jax.sharding.Mesh` with a ``tp`` axis shards the
         whole serve loop tensor-parallel over the chips — params via
         :func:`trackiellm_tpu.parallel.infer_param_shardings`, the slot
@@ -245,8 +245,33 @@ class LLMServer:
         self._slots = [_Slot() for _ in range(batch_slots)]
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._backlog: List[Request] = []  # OOM-deferred, retried first
+        # Requests popped from the queue but not yet bound to a slot
+        # (an admission wave in flight). The serve loop's death path
+        # fails these too — without the list their futures would be
+        # orphaned and hang (round-3 driver artifact: 9.5 min stall).
+        self._inflight: List[Request] = []
         self._fatal: Optional[Exception] = None
+        # Device hermeticity for the serve THREAD: jax.default_device /
+        # an active Mesh are thread-local contexts on the CALLER —
+        # they do not apply to the thread started below, whose eager
+        # ops (jnp.asarray/jnp.stack in admission) would otherwise
+        # dispatch to the process default backend (round-3 failure: a
+        # version-skewed TPU default killed the loop). Pin the thread
+        # to an explicit device: the caller's, or the params' own.
+        if device is None:
+            for leaf in jax.tree.leaves(self.params):
+                devs = getattr(leaf, "devices", None)
+                if callable(devs):
+                    try:
+                        device = min(devs(), key=lambda d: d.id)
+                    except Exception:  # uncommitted / host leaf
+                        device = None
+                    if device is not None:
+                        break
+        self._device = device
         self._key = jax.random.PRNGKey(seed)
+        if device is not None:
+            self._key = jax.device_put(self._key, device)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._serve_loop,
                                         daemon=True, name="llm-server")
@@ -303,12 +328,25 @@ class LLMServer:
     # ------------------------------------------------------------------
 
     def _next_request(self) -> Optional[Request]:
+        """Pop the next waiting request, registering it as in-flight
+        until :meth:`_settle` binds it to a slot (or a failure /
+        backlog path un-tracks it) — the serve loop's death path can
+        then fail it instead of orphaning its future."""
         if self._backlog:
-            return self._backlog.pop(0)
+            req = self._backlog.pop(0)
+        else:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return None
+        self._inflight.append(req)
+        return req
+
+    def _untrack(self, req: Optional[Request]) -> None:
         try:
-            return self._queue.get_nowait()
-        except queue.Empty:
-            return None
+            self._inflight.remove(req)
+        except ValueError:
+            pass
 
     def _admit(self) -> None:
         """Fill free slots from the queue (prefill + slot insert).
@@ -346,7 +384,8 @@ class LLMServer:
                 continue
             req = self._next_request()
             while req is not None and req.future.cancelled():
-                req = self._next_request()  # dropped before admission
+                self._untrack(req)  # dropped before admission
+                req = self._next_request()
             if req is None:
                 break
             ids = self.tokenizer.encode(req.prompt, add_bos=True)
@@ -359,11 +398,13 @@ class LLMServer:
                 if self.pool.free_pages - reserved < need:
                     if need > self.pool.n_pages - 1:
                         # Can never fit, even in an empty pool: reject.
+                        self._untrack(req)
                         req.future.set_exception(TrackieError(
                             ErrorCode.DEVICE_OOM,
                             f"prompt needs {need} KV pages, pool has "
                             f"{self.pool.n_pages - 1}"))
                         continue
+                    self._untrack(req)
                     self._backlog.insert(0, req)
                     break
             limit = min(buckets[-1],
@@ -374,6 +415,7 @@ class LLMServer:
                 # return the FULL prompt (ids[-0:]) or duplicate it,
                 # and the oversized bucket lookup would kill the serve
                 # loop. Fail the one request, not the server.
+                self._untrack(req)
                 req.future.set_exception(TrackieError(
                     ErrorCode.CONTEXT_OVERFLOW,
                     f"max_tokens={req.max_tokens} leaves no prompt room "
@@ -388,6 +430,9 @@ class LLMServer:
             if (self.prefill_chunk and self._prefill_job is None
                     and len(ids) > self.prefill_chunk
                     and self._start_prefill_job(slot_idx, slot, req, ids)):
+                # The job owns the request now; the death path reaches
+                # it through _abort_prefill_job.
+                self._untrack(req)
                 continue
             wave.append((slot_idx, slot, req, ids,
                          _bucket_for(len(ids), buckets)))
@@ -471,6 +516,7 @@ class LLMServer:
             self.cache = self._m.insert_sequence(
                 self.cache, self.cfg, slot_idx, seq_cache)
         slot.request = req
+        self._untrack(req)  # the slot owns it now
         slot.generated = []
         slot.n_emitted = 0
         slot.host_len = len(ids)
@@ -597,8 +643,8 @@ class LLMServer:
         job.slot.reserved = False
         if job.shared and self.paged:
             self.pool.release_prefix(job.shared)
-        if exc is not None and not job.req.future.cancelled():
-            job.req.future.set_exception(exc)
+        if exc is not None:
+            self._fail(job.req, exc)
 
     def _advance_prefill(self) -> None:
         """Run ONE extend chunk of the in-flight job (called once per
@@ -974,23 +1020,40 @@ class LLMServer:
                 slot.next_token = nxt
         return survived
 
+    @staticmethod
+    def _fail(req: Optional[Request], exc: Exception) -> None:
+        """Settle a future with ``exc`` if it is still pending."""
+        if req is not None and not req.future.done():
+            req.future.set_exception(exc)
+
     def _serve_loop(self) -> None:
         try:
-            self._serve_loop_inner()
+            # Re-enter the device context INSIDE the thread: the
+            # caller's jax.default_device is thread-local and gone here.
+            if self._device is not None:
+                with jax.default_device(self._device):
+                    self._serve_loop_inner()
+            else:
+                self._serve_loop_inner()
         except Exception as exc:  # noqa: BLE001 — fail futures, not hang
-            log.error("serve loop died: %s", exc)
+            log.error("serve loop died: %r", exc)
             self._fatal = exc  # submit() fails fast from here on
             self._abort_prefill_job(exc)
             for slot in self._slots:
                 if slot.active:
-                    slot.request.future.set_exception(exc)
+                    self._fail(slot.request, exc)
                     slot.request = None
+            # Admission-wave requests: popped from the queue, not yet
+            # bound to a slot — the round-3 orphan class.
+            for req in self._inflight:
+                self._fail(req, exc)
+            self._inflight.clear()
             for req in self._backlog:
-                req.future.set_exception(exc)
+                self._fail(req, exc)
             self._backlog.clear()
             while True:
                 try:
-                    self._queue.get_nowait().future.set_exception(exc)
+                    self._fail(self._queue.get_nowait(), exc)
                 except queue.Empty:
                     break
 
@@ -1085,18 +1148,20 @@ class LLMServer:
         if self._thread.is_alive():
             log.warning("serve loop did not stop within 30 s")
         # Fail any stragglers.
-        self._abort_prefill_job(RuntimeError("server closed"))
+        closed = RuntimeError("server closed")
+        self._abort_prefill_job(closed)
+        for req in self._inflight:
+            self._fail(req, closed)
+        self._inflight.clear()
         for req in self._backlog:
-            req.future.set_exception(RuntimeError("server closed"))
+            self._fail(req, closed)
         self._backlog.clear()
         while True:
             try:
-                req = self._queue.get_nowait()
-                req.future.set_exception(RuntimeError("server closed"))
+                self._fail(self._queue.get_nowait(), closed)
             except queue.Empty:
                 break
         for slot in self._slots:
             if slot.active:
-                slot.request.future.set_exception(
-                    RuntimeError("server closed"))
+                self._fail(slot.request, closed)
                 slot.request = None
