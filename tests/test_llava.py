@@ -375,7 +375,7 @@ class TestMmprojGGUF:
     historically unstable ffn_up/ffn_down naming (assigned by shape)."""
 
     def _write_mmproj(self, path, state, swap_ffn_names=False,
-                      md_override=None):
+                      md_override=None, full_tower=False):
         from tests.test_loader import write_gguf
         from trackiellm_tpu.models import loader as L
 
@@ -391,7 +391,9 @@ class TestMmprojGGUF:
         n_layers = len({k[len(vt) + len("encoder.layers."):].split(".")[0]
                         for k in state
                         if k.startswith(vt + "encoder.layers.")})
-        keep = n_layers - 1  # -2 tap: the last block never ships
+        # Truncated packaging (-2 tap: the last block never ships) by
+        # default; full_tower ships every block (newer converters).
+        keep = n_layers if full_tower else n_layers - 1
         t = {
             "v.patch_embd.weight":
                 (A(vt + "embeddings.patch_embedding.weight"), F32),
@@ -468,6 +470,25 @@ class TestMmprojGGUF:
         fb = np.asarray(clip_model.encode_and_project(
             cb, ccb, jnp.asarray(px)))
         np.testing.assert_array_equal(fa, fb)
+
+    def test_feature_layer_metadata_honored(self, oracle, tmp_path):
+        """A full-tower mmproj (every block shipped) carrying
+        clip.vision.feature_layer must tap at the SAME block as the
+        truncated packaging — not silently run the extra block. Both
+        metadata conventions: negative (HF vision_feature_layer=-2)
+        and positive (hidden_states index)."""
+        state, px, _, _, ref_feats, _ = oracle
+        for fl in (-2, 2):
+            path = str(tmp_path / f"full_{fl}.gguf")
+            self._write_mmproj(path, state, full_tower=True,
+                               md_override={
+                                   "clip.vision.feature_layer": fl})
+            cp, cc = C.gguf_to_clip_params(path)
+            assert cc.n_layers == 3 and cc.feature_layer == 2, fl
+            ours = np.asarray(clip_model.encode_and_project(
+                cp, cc, jnp.asarray(px)))
+            np.testing.assert_allclose(ours, ref_feats, atol=2e-5,
+                                       rtol=1e-4)
 
     def test_geometry_mismatch_raises(self, oracle, tmp_path):
         from trackiellm_tpu.utils.errors import TrackieError

@@ -59,7 +59,10 @@ def write_gguf(path, tensors, metadata=None):
         if isinstance(v, str):
             body += struct.pack("<I", 8) + _gguf_string(v)
         elif isinstance(v, int):
-            body += struct.pack("<I", 4) + struct.pack("<I", v)
+            if v < 0:  # int32 (type 5) for negative values
+                body += struct.pack("<I", 5) + struct.pack("<i", v)
+            else:
+                body += struct.pack("<I", 4) + struct.pack("<I", v)
         elif isinstance(v, float):
             body += struct.pack("<I", 6) + struct.pack("<f", v)
         elif isinstance(v, (list, tuple)):

@@ -4149,9 +4149,14 @@ def gguf_to_clip_params(path: str, *, vision_dtype=jnp.float32) -> tuple:
     Convention safety: clip.cpp's ffn_up/ffn_down naming has been
     inconsistent across conversion scripts, so the two MLP matrices are
     assigned BY SHAPE ((hidden, dim) = fc1, (dim, hidden) = fc2) —
-    immune to the naming either way. mmproj files are pre-truncated at
-    the LLaVA feature tap (ViT-L ships 23 of 24 blocks), so every
-    stored block runs: ``feature_layer = n_layers``.
+    immune to the naming either way. mmproj files are usually
+    pre-truncated at the LLaVA feature tap (ViT-L ships 23 of 24
+    blocks), so the default is to run every stored block
+    (``feature_layer = n_layers``); files that carry
+    ``clip.vision.feature_layer`` metadata (newer converters shipping
+    the full tower) override that — positive k runs k blocks
+    (hidden_states[k] convention), negative v runs n_layers+1+v (the
+    HF ``vision_feature_layer=-2`` convention).
 
     Offline-validation caveat (same class as gguf_to_mamba_params):
     key strings are pinned by synthetic-GGUF roundtrips; a real file
@@ -4230,13 +4235,39 @@ def gguf_to_clip_params(path: str, *, vision_dtype=jnp.float32) -> tuple:
     proj_w2 = T("mm.2.weight")
     proj_dim = proj_w2.shape[0]
 
+    # Feature tap: default = run every stored block (pre-truncated
+    # mmproj convention). Honor explicit clip.vision.feature_layer
+    # metadata when present — newer converters ship the FULL tower,
+    # where silently running the extra block(s) would corrupt the
+    # image features.
+    feature_layer = n_layers
+    if "clip.vision.feature_layer" in md:
+        fl = int(md["clip.vision.feature_layer"])
+        feature_layer = fl if fl > 0 else n_layers + 1 + fl
+        if not (1 <= feature_layer <= n_layers):
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"{path}: clip.vision.feature_layer={fl} resolves to "
+                f"{feature_layer} of {n_layers} stored blocks")
+    elif n_layers in (12, 24, 26, 27, 32):
+        # Canonical FULL CLIP/SigLIP tower depths: a truncated LLaVA
+        # mmproj ships depth-1 blocks (e.g. 23 of ViT-L's 24). A file
+        # with a full-depth block count and no tap metadata is
+        # suspicious — flag it rather than silently running the tap
+        # one block late.
+        log.warning(
+            "%s: mmproj stores %d blocks (a full tower depth) with no "
+            "clip.vision.feature_layer metadata; running all of them — "
+            "if features look wrong, the tap likely belongs at block "
+            "%d", path, n_layers, n_layers - 1)
+
     clip_cfg = clip_model.CLIPVisionConfig(
         image_size=image_size, patch_size=patch, dim=vdim,
         n_layers=n_layers, n_heads=n_heads, hidden_dim=hidden,
         norm_eps=float(md.get("clip.vision.attention.layer_norm_epsilon",
                               1e-5)),
         act=("gelu" if md.get("clip.use_gelu", False) else "quick_gelu"),
-        feature_layer=n_layers,  # mmproj stores only the tapped blocks
+        feature_layer=feature_layer,
         drop_cls=True, proj_dim=proj_dim, proj_act="gelu")
 
     clip_params = {

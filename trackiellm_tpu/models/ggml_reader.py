@@ -124,6 +124,11 @@ def read_ggml_whisper(path: str) -> WhisperGGML:
                     f"name_len={name_len})")
             ne = struct.unpack(f"<{n_dims}i",
                                _read_exact(f, 4 * n_dims, "tensor dims"))
+            if not all(0 < d <= 2**31 - 1 for d in ne):
+                raise TrackieError(
+                    ErrorCode.MODEL_FORMAT_UNKNOWN,
+                    f"implausible tensor dims ne={ne} "
+                    "(corrupt GGML header?)")
             name = _read_exact(f, name_len, "tensor name").decode("utf-8")
             shape = tuple(reversed(ne))  # ggml ne[] is innermost-first
             n_elems = int(np.prod(shape))

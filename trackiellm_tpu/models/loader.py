@@ -629,8 +629,15 @@ def describe(path: str) -> Dict[str, Any]:
 
         with open(path, "rb") as f:
             head = f.read(48)
+        if len(head) < 48:
+            raise TrackieError(
+                ErrorCode.MODEL_FORMAT_UNKNOWN,
+                f"truncated GGML file: {len(head)} bytes, header is 48")
         vals = struct.unpack("<12i", head)
-        assert vals[0] == GGML_MAGIC
+        if vals[0] != GGML_MAGIC:
+            raise TrackieError(
+                ErrorCode.MODEL_FORMAT_UNKNOWN,
+                f"bad GGML magic 0x{vals[0] & 0xFFFFFFFF:08x}")
         return {"format": fmt.value, "architecture": "whisper",
                 "hparams": dict(zip(_HPARAM_NAMES, vals[1:]))}
     return {"format": fmt.value}
