@@ -85,6 +85,11 @@ def main() -> None:
                     "the checkpoint config (tiny_256: 16, "
                     "base/large_384: 24) — not derivable from weights")
     ap.add_argument("--out", default="depth_out.npz")
+    ap.add_argument("--name-map", default="auto",
+                    help="bundled name-map or JSON path normalizing the "
+                    "real file's tensor names onto the converter layout "
+                    "('auto' = midas_small for --family midas-small, "
+                    "none for dpt-swinv2; 'none' to skip)")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
@@ -101,6 +106,14 @@ def main() -> None:
                                                imagenet_normalize_chw)
 
     state = load_state_dict(ckpt)
+    nm = args.name_map
+    if nm == "auto":
+        nm = "midas_small" if args.family == "midas-small" else "none"
+    if nm and nm.lower() != "none":
+        from trackiellm_tpu.models.convert import (apply_name_map,
+                                                   load_name_map)
+
+        state = apply_name_map(state, load_name_map(nm))
     if args.family == "dpt-swinv2":
         from trackiellm_tpu.models import dpt as dpt_model
         from trackiellm_tpu.models.convert import dpt_swinv2_from_torch

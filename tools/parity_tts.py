@@ -74,6 +74,10 @@ def main() -> None:
                     help="reference wav rendered by Piper (omit to just "
                     "write the synthesis to --out)")
     ap.add_argument("--out", default="tts_out.wav")
+    ap.add_argument("--name-map", default="piper_vits",
+                    help="bundled name-map or JSON path normalizing the "
+                    "voice's initializer names onto the converter "
+                    "layout (models/name_maps/; 'none' to skip)")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
@@ -82,8 +86,10 @@ def main() -> None:
 
     from trackiellm_tpu.models.vits import VITSVoice
 
+    nm = args.name_map if args.name_map.lower() != "none" else None
     try:
-        voice = VITSVoice.from_piper(voice_path, config_path)
+        voice = VITSVoice.from_piper(voice_path, config_path,
+                                     name_map=nm)
     except KeyError as exc:
         die(f"voice checkpoint does not match the published VITS "
             f"layout (missing {exc}); run tools/inspect_checkpoint.py "

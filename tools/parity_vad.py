@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8,
                     help="decision threshold (reference default)")
     ap.add_argument("--out", default="vad_probs.json")
+    ap.add_argument("--name-map", default="silero_v5",
+                    help="bundled name-map or JSON path normalizing the "
+                    "real file's initializer names onto the converter "
+                    "layout (models/name_maps/; 'none' to skip)")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
@@ -55,10 +59,14 @@ def main() -> None:
                         "the published silero_vad.onnx")
     audio = load_wav(require_file(args.audio, "audio file"))
 
-    from trackiellm_tpu.models.convert import silero_from_onnx
+    from trackiellm_tpu.models.convert import (apply_name_map,
+                                               load_name_map,
+                                               silero_from_onnx)
     from trackiellm_tpu.models.vad import SileroVAD
 
     state = load_state_dict(ckpt)
+    if args.name_map and args.name_map.lower() != "none":
+        state = apply_name_map(state, load_name_map(args.name_map))
     try:
         params, cfg = silero_from_onnx(state)
     except KeyError as exc:

@@ -494,12 +494,19 @@ class VITSVoice:
 
     @classmethod
     def from_piper(cls, checkpoint_path: str, config_path: str,
-                   max_frames: int = 768) -> "VITSVoice":
+                   max_frames: int = 768,
+                   name_map: Optional[str] = "piper_vits") -> "VITSVoice":
         """Load a real Piper voice: weights (.onnx/.pt/.npz) + its
-        .json config (phoneme_id_map, sample_rate, inference params)."""
+        .json config (phoneme_id_map, sample_rate, inference params).
+
+        ``name_map``: bundled map name or JSON path normalizing the
+        real file's initializer names onto the converter layout
+        (models/name_maps/piper_vits.json by default; None skips)."""
         import json
 
-        from trackiellm_tpu.models.convert import vits_from_torch
+        from trackiellm_tpu.models.convert import (apply_name_map,
+                                                   load_name_map,
+                                                   vits_from_torch)
 
         conf = json.loads(open(config_path).read())
         sr = int(conf.get("audio", {}).get("sample_rate", 22050))
@@ -513,6 +520,8 @@ class VITSVoice:
 
             with _np.load(checkpoint_path) as z:
                 state = {k: z[k] for k in z.files}
+        if name_map:
+            state = apply_name_map(state, load_name_map(name_map))
         params, cfg = vits_from_torch(state, max_frames=max_frames,
                                       sample_rate=sr)
         return cls(params, cfg,
