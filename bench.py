@@ -25,6 +25,8 @@ tests/test_llm_runner.py::TestKTokenLookahead.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -45,6 +47,21 @@ BENCH_MAX_SEQ = 512
 
 
 def main() -> None:
+    # Preamble: Pallas-vs-XLA numerics gate on the real chip (the CPU
+    # suite only exercises the *_xla oracles; this is the one check
+    # that would catch a Mosaic numerics drift). One PASS/FAIL line on
+    # stderr + a key in the JSON artifact.
+    gate = "skip"
+    if (jax.devices()[0].platform != "cpu"
+            and not os.environ.get("TRACKIE_SKIP_NUMERICS_GATE")):
+        from tools.tpu_numerics_gate import run as numerics_gate
+
+        try:
+            gate = "pass" if numerics_gate()[0] else "FAIL"
+        except Exception as exc:  # noqa: BLE001 — perf artifact survives
+            print(f"NUMERICS_GATE ERROR: {exc!r}", file=sys.stderr)
+            gate = "error"
+
     seed = int(time.time()) & 0x7FFFFFFF
     cfg = llm_model.LLMConfig.mistral_7b()._replace(
         max_seq=BENCH_MAX_SEQ, sliding_window=BENCH_MAX_SEQ)
@@ -69,6 +86,7 @@ def main() -> None:
         "value": round(best, 2),
         "unit": "tok/s",
         "vs_baseline": round(best / REFERENCE_TOKS_PER_S, 2),
+        "numerics_gate": gate,
     }))
 
 
