@@ -460,3 +460,44 @@ class TestVLMParity:
                          "--transcript", tr_path, "--no-record"], capsys)
         assert res["match_rate"] == pytest.approx(1.0)
         assert res["exact_prefix"] == len(tr["tokens"])
+
+
+class TestOCRParity:
+    def test_missing_checkpoint(self):
+        proc = _run(["tools/parity_ocr.py",
+                     "--checkpoint", "/nope/trocr.safetensors",
+                     "--config", "/nope/config.json",
+                     "--images", "/nope/crops"], expect_ok=False)
+        assert proc.returncode == 2
+        assert "not found" in proc.stderr
+
+    def test_self_parity(self, tmp_path, capsys):
+        sys.path.insert(0, REPO)
+        from tests.test_trocr import _build_oracle
+
+        _, state, cfgdict = _build_oracle("vit")
+        ckpt = str(tmp_path / "trocr.npz")
+        np.savez(ckpt, **state)
+        confp = str(tmp_path / "config.json")
+        with open(confp, "w") as f:
+            json.dump(cfgdict, f)
+        imgdir = tmp_path / "crops"
+        imgdir.mkdir()
+        for i in range(2):
+            np.save(str(imgdir / f"c{i}.npy"),
+                    np.random.RandomState(i).rand(20, 50)
+                    .astype(np.float32))
+
+        out = str(tmp_path / "texts.json")
+        dump = _run_main("tools.parity_ocr",
+                         ["--checkpoint", ckpt, "--config", confp,
+                          "--images", str(imgdir), "--out", out,
+                          "--no-record"], capsys)
+        assert dump["images"] == 2 and os.path.exists(out)
+
+        res = _run_main("tools.parity_ocr",
+                        ["--checkpoint", ckpt, "--config", confp,
+                         "--images", str(imgdir), "--expected", out,
+                         "--no-record"], capsys)
+        assert res["cer"] == 0.0
+        assert res["exact_match"] == 1.0

@@ -63,6 +63,22 @@ def _cmd_convert(args) -> int:
         print(f"converted + saved LLM to {args.output}, vision tower to "
               f"{args.output}/vision in {time.time() - t0:.1f}s")
         return 0
+    if args.family == "trocr-hf":
+        # OCR: HF VisionEncoderDecoderModel (microsoft/trocr-*) ->
+        # models/trocr.py checkpoint with its TrOCRConfig sidecar.
+        from tools.parity_common import load_state_dict
+
+        from trackiellm_tpu.models import convert as _C
+
+        conf = None
+        if getattr(args, "model_config", None):
+            conf = json.loads(open(args.model_config).read())
+        params, cfg = _C.trocr_from_hf(load_state_dict(args.gguf), conf)
+        save_checkpoint(args.output, params, config=cfg,
+                        metadata={"source": args.gguf, "ocr": "trocr"})
+        print(f"converted + saved TrOCR to {args.output} in "
+              f"{time.time() - t0:.1f}s")
+        return 0
     if args.family in ("gemma2-hf", "gemma3-hf", "smollm3-hf",
                        "olmo2-hf", "mixtral-hf", "qwen2moe-hf",
                        "qwen3-hf", "qwen3moe-hf", "deepseekv2-hf",
@@ -418,7 +434,8 @@ def main(argv=None) -> int:
                             "granite-hf", "glm4-hf", "llama4-hf",
                             "nemotron-hf", "starcoder2-hf", "cohere-hf",
                             "ernie45-hf", "llava-hf", "falcon-hf",
-                            "mamba-hf", "mamba2-hf", "paligemma-hf"),
+                            "mamba-hf", "mamba2-hf", "paligemma-hf",
+                            "trocr-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")
@@ -430,6 +447,9 @@ def main(argv=None) -> int:
     p.add_argument("--mmproj", default=None,
                    help="llama.cpp llava vision 'mmproj' GGUF to convert "
                         "alongside a text GGUF (saved to OUTPUT/vision)")
+    p.add_argument("--model-config", default=None,
+                   help="HF config.json (trocr-hf: head counts + "
+                        "special ids)")
     p.set_defaults(fn=_cmd_convert)
 
     p = sub.add_parser("generate", help="generate from a checkpoint")

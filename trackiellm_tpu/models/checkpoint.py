@@ -182,4 +182,9 @@ def load_checkpoint(directory: str, device_put: bool = True,
         # hashable (jit static arg).
         c["dt_limit"] = tuple(c.get("dt_limit", (0.0, float("inf"))))
         cfg = mamba2_model.Mamba2Config(**c)
+    elif ("config" in sidecar
+          and sidecar.get("config_class") == "TrOCRConfig"):
+        from trackiellm_tpu.models import trocr as trocr_model
+
+        cfg = trocr_model.TrOCRConfig(**sidecar["config"])
     return params, cfg, sidecar.get("metadata", {})

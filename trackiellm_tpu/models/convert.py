@@ -4926,3 +4926,173 @@ def paligemma_from_hf(
         },
     }
     return llm_params, llm_cfg, clip_params, clip_cfg
+
+
+def trocr_from_hf(state: Dict[str, Any], config: Optional[Dict[str, Any]]
+                  = None, *, enc_heads: Optional[int] = None,
+                  dec_heads: Optional[int] = None, max_len: int = 64,
+                  dtype=jnp.float32):
+    """HF TrOCR (``VisionEncoderDecoderModel``: ViT/DeiT encoder +
+    TrOCR decoder — microsoft/trocr-{small,base,large}-{printed,
+    handwritten}) state dict -> (params, TrOCRConfig) for
+    models/trocr.py.
+
+    Geometry is shape-derived (patch size, dims, layer counts, DeiT
+    distillation token); head counts and special ids come from
+    ``config`` (the HF config dict) or the explicit arguments. The OCR
+    stage's published-checkpoint route — parity target: the reference's
+    Tesseract engine (src/vision/tk_text_recognition.cpp:71-104).
+    """
+    from trackiellm_tpu.models.trocr import TrOCRConfig
+
+    config = config or {}
+    enc_cfg = config.get("encoder", {})
+    dec_cfg = config.get("decoder", {})
+
+    def A(name: str) -> np.ndarray:
+        if name not in state:
+            raise KeyError(name)
+        return np.asarray(state[name], np.float32)
+
+    # --- encoder geometry from shapes ---
+    pw = A("encoder.embeddings.patch_embeddings.projection.weight")
+    enc_dim, in_ch, ps, _ = pw.shape
+    pos = A("encoder.embeddings.position_embeddings")[0]  # (S, D)
+    has_dist = "encoder.embeddings.distillation_token" in state
+    n_prefix = 2 if has_dist else 1
+    n_patches = pos.shape[0] - n_prefix
+    image_size = ps * int(round(n_patches ** 0.5))
+    if image_size // ps * (image_size // ps) != n_patches:
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"non-square patch grid: {n_patches} patches of {ps}px")
+    n_enc = len({k.split(".")[3] for k in state
+                 if k.startswith("encoder.encoder.layer.")})
+    n_dec = len({k.split(".")[4] for k in state
+                 if k.startswith("decoder.model.decoder.layers.")})
+    emb = A("decoder.model.decoder.embed_tokens.weight")
+    vocab, d_model = emb.shape
+    ffn = A("decoder.model.decoder.layers.0.fc1.weight").shape[0]
+    dec_pos = A("decoder.model.decoder.embed_positions.weight")
+    ln_emb = "decoder.model.decoder.layernorm_embedding.weight" in state
+
+    e_heads = enc_heads or int(enc_cfg.get("num_attention_heads") or
+                               {192: 3, 384: 6, 768: 12, 1024: 16}
+                               .get(enc_dim, 12))
+    d_heads = dec_heads or int(dec_cfg.get("decoder_attention_heads") or
+                               {256: 8, 512: 8, 1024: 16}
+                               .get(d_model, 16))
+    cfg = TrOCRConfig(
+        image_size=int(enc_cfg.get("image_size", image_size)),
+        patch_size=ps, enc_dim=enc_dim, enc_layers=n_enc,
+        enc_heads=e_heads,
+        enc_hidden=A("encoder.encoder.layer.0.intermediate.dense"
+                     ".weight").shape[0],
+        n_prefix=n_prefix,
+        enc_eps=float(enc_cfg.get("layer_norm_eps", 1e-12)),
+        vocab_size=vocab, d_model=d_model, dec_layers=n_dec,
+        dec_heads=d_heads, dec_ffn=ffn,
+        max_len=min(max_len, dec_pos.shape[0] - 2),
+        scale_embedding=bool(dec_cfg.get("scale_embedding", False)),
+        layernorm_embedding=ln_emb,
+        dec_eps=float(dec_cfg.get("layer_norm_eps", 1e-5)),
+        act=str(dec_cfg.get("activation_function", "gelu")),
+        decoder_start_id=int(config.get("decoder_start_token_id")
+                             or dec_cfg.get("decoder_start_token_id")
+                             or dec_cfg.get("eos_token_id", 2)),
+        eos_id=int(dec_cfg.get("eos_token_id", 2)),
+        pad_id=int(dec_cfg.get("pad_token_id", 1)),
+    )
+    if in_ch != 3:
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"expected 3-channel patch conv, got {in_ch}")
+
+    J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+
+    prefix = [A("encoder.embeddings.cls_token")[0, 0]]
+    if has_dist:
+        prefix.append(A("encoder.embeddings.distillation_token")[0, 0])
+    EL: Dict[str, list] = {}
+
+    def stack_enc(nm, arrs):
+        EL[nm] = jnp.stack([J(a) for a in arrs])
+
+    pre = "encoder.encoder.layer"
+    stack_enc("ln1_g", [A(f"{pre}.{i}.layernorm_before.weight")
+                        for i in range(n_enc)])
+    stack_enc("ln1_b", [A(f"{pre}.{i}.layernorm_before.bias")
+                        for i in range(n_enc)])
+    stack_enc("ln2_g", [A(f"{pre}.{i}.layernorm_after.weight")
+                        for i in range(n_enc)])
+    stack_enc("ln2_b", [A(f"{pre}.{i}.layernorm_after.bias")
+                        for i in range(n_enc)])
+    for ours, theirs in (("q", "attention.attention.query"),
+                         ("k", "attention.attention.key"),
+                         ("v", "attention.attention.value"),
+                         ("o", "attention.output.dense")):
+        stack_enc(f"w{ours}", [A(f"{pre}.{i}.{theirs}.weight").T
+                               for i in range(n_enc)])
+        stack_enc(f"b{ours}", [A(f"{pre}.{i}.{theirs}.bias")
+                               for i in range(n_enc)])
+    stack_enc("w1", [A(f"{pre}.{i}.intermediate.dense.weight").T
+                     for i in range(n_enc)])
+    stack_enc("b1", [A(f"{pre}.{i}.intermediate.dense.bias")
+                     for i in range(n_enc)])
+    stack_enc("w2", [A(f"{pre}.{i}.output.dense.weight").T
+                     for i in range(n_enc)])
+    stack_enc("b2", [A(f"{pre}.{i}.output.dense.bias")
+                     for i in range(n_enc)])
+
+    enc = {
+        "patch_w": J(pw.reshape(enc_dim, -1).T),
+        "patch_b": J(A("encoder.embeddings.patch_embeddings"
+                       ".projection.bias")),
+        "prefix": J(np.stack(prefix)),
+        "pos": J(pos),
+        "ln_g": J(A("encoder.layernorm.weight")),
+        "ln_b": J(A("encoder.layernorm.bias")),
+        "layers": EL,
+    }
+
+    DL: Dict[str, list] = {}
+    dpre = "decoder.model.decoder.layers"
+
+    def stack_dec(nm, arrs):
+        DL[nm] = jnp.stack([J(a) for a in arrs])
+
+    for ours, theirs in (("wq", "self_attn.q_proj"),
+                         ("wk", "self_attn.k_proj"),
+                         ("wv", "self_attn.v_proj"),
+                         ("wo", "self_attn.out_proj"),
+                         ("cq", "encoder_attn.q_proj"),
+                         ("ck", "encoder_attn.k_proj"),
+                         ("cv", "encoder_attn.v_proj"),
+                         ("co", "encoder_attn.out_proj"),
+                         ("w1", "fc1"), ("w2", "fc2")):
+        stack_dec(ours, [A(f"{dpre}.{i}.{theirs}.weight").T
+                         for i in range(n_dec)])
+        bias_name = ("b" + ours[1:] if ours[0] == "w" else
+                     "cb" + ours[1:])
+        stack_dec(bias_name, [A(f"{dpre}.{i}.{theirs}.bias")
+                              for i in range(n_dec)])
+    for ours, theirs in (("ln_sa", "self_attn_layer_norm"),
+                         ("ln_ca", "encoder_attn_layer_norm"),
+                         ("ln_f", "final_layer_norm")):
+        stack_dec(f"{ours}_g", [A(f"{dpre}.{i}.{theirs}.weight")
+                                for i in range(n_dec)])
+        stack_dec(f"{ours}_b", [A(f"{dpre}.{i}.{theirs}.bias")
+                                for i in range(n_dec)])
+
+    dec = {
+        "embed": J(emb),
+        "pos": J(dec_pos),
+        "out_w": J(A("decoder.output_projection.weight")),
+        "layers": DL,
+    }
+    if ln_emb:
+        dec["ln_emb_g"] = J(
+            A("decoder.model.decoder.layernorm_embedding.weight"))
+        dec["ln_emb_b"] = J(
+            A("decoder.model.decoder.layernorm_embedding.bias"))
+
+    return {"enc": enc, "dec": dec}, cfg
