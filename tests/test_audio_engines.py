@@ -14,6 +14,8 @@ from trackiellm_tpu.models import tts as tts_model
 from trackiellm_tpu.models import whisper as whisper_model
 from trackiellm_tpu.models.vad import EnergyVAD
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 
 @pytest.fixture(scope="module")
 def asr():

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import mla as mla_model
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS = 512, 32, 3, 2
 R, NOPE, ROPE, VD = 16, 16, 8, 12
 HID, MOE_HID, EXPERTS, TOPK, SHARED = 64, 24, 4, 2, 2

@@ -19,6 +19,8 @@ from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import loader as L
 from trackiellm_tpu.models import mla as mla_model
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 
 def _interleaved_to_neox_rows(w: np.ndarray, start: int,
                               rope: int) -> np.ndarray:

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from trackiellm_tpu.models import convert
 from trackiellm_tpu.models.depth import DepthConfig, depth_forward
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 
 # --- torch twin (test-side oracle) ----------------------------------------
 

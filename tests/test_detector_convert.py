@@ -25,6 +25,8 @@ from trackiellm_tpu.models.detector import (
     detector_forward,
 )
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 
 # --- ultralytics transcription (test-side oracle) -------------------------
 

@@ -22,6 +22,8 @@ from trackiellm_tpu.models.dpt import (
     DPTSwinConfig, dpt_forward, init_dpt, swin_features,
 )
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 
 def _oracle(seed=0):
     from transformers import DPTConfig, DPTForDepthEstimation, Swinv2Config

@@ -22,6 +22,8 @@ from trackiellm_tpu.models.embedder import (
     Embedder, EmbedderConfig, cosine_topk, embed_forward, init_embedder,
 )
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 
 def _oracle(seed=0, vocab=128, hidden=32, layers=2, heads=4, inter=64,
             max_pos=64):

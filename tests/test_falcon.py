@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, HID = 128, 64, 3, 4, 128
 SEQ = 12
 

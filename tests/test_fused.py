@@ -9,6 +9,8 @@ from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.ops import fused
 from trackiellm_tpu.ops.quant import quantize_q4
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 D, H, G = 256, 512, 64
 
 

@@ -25,6 +25,8 @@ from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.models import loader as L
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, KV, HD, HID = 128, 64, 4, 4, 2, 16, 128
 WINDOW, ATTN_CAP, LOGIT_CAP, QPAS = 8, 5.0, 3.5, 32.0
 SEQ = 20

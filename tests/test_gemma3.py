@@ -29,6 +29,8 @@ from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.models import loader as L
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, KV, HD, HID = 128, 64, 4, 4, 2, 16, 128
 WINDOW, QPAS, PATTERN = 8, 32.0, 3
 THETA, LOCAL_THETA, LINEAR_FACTOR = 1e6, 10000.0, 4.0

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, KV, HD, HID = 128, 64, 4, 4, 2, 16, 128
 THETA = 10000.0
 SEQ = 20

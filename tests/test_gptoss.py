@@ -23,6 +23,8 @@ from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.ops import attention as A
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, KV, HD, HID = 3210, 64, 2, 4, 2, 16, 48
 EXPERTS, TOPK = 4, 2
 WINDOW = 8

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, KV, HD = 320, 64, 4, 4, 2, 16  # vocab >= 259: ByteTokenizer ids fit
 EXPERTS, EXP_HID, SHARED_HID = 4, 48, 48
 THETA = 10000.0

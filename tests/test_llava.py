@@ -21,6 +21,8 @@ from trackiellm_tpu.models import clip as clip_model
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 IMG_TOKEN = 127
 N_IMG_TOKENS = 4  # (16/8)^2 patches, CLS dropped
 

@@ -11,6 +11,8 @@ from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.models import lora
 from trackiellm_tpu.parallel.mesh import build_mesh
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 CFG = llm_model.LLMConfig(
     vocab_size=96, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
     head_dim=16, hidden_dim=128, max_seq=64, sliding_window=64)

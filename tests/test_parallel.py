@@ -16,6 +16,8 @@ from trackiellm_tpu.parallel import (
 )
 from trackiellm_tpu.parallel.mesh import _factor
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 
 TRAIN_CFG = llm_model.LLMConfig(
     vocab_size=128, dim=128, n_layers=2, n_heads=4, n_kv_heads=2,

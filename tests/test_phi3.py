@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, KV, HD, HID = 32100, 64, 2, 4, 2, 16, 128
 ORIG, MAXSEQ = 32, 64
 SHORT_F = [1.0 + i * 0.05 for i in range(HD // 2)]

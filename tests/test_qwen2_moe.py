@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, KV, HD = 1000, 64, 2, 4, 2, 16
 MOE_HID, SHARED_HID, EXPERTS, TOPK = 48, 96, 4, 2
 SEQ = 17

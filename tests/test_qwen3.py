@@ -24,6 +24,8 @@ from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.models import loader as L
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, KV, HD, HID = 1000, 64, 2, 4, 2, 24, 128
 MOE_HID, EXPERTS, TOPK = 48, 4, 2
 SEQ = 17

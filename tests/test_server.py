@@ -616,6 +616,7 @@ class TestChunkedPrefill:
         assert server.stats.get("prefill_chunks", 0) >= 10
 
 
+@pytest.mark.slow  # full-model compile; covered by the slow tier
 class TestMLAServer:
     """DeepSeek-class MLA through the continuous-batching server: the
     batched absorbed-decode twin must match the single-sequence MLA

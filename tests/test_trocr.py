@@ -16,6 +16,8 @@ import torch
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import trocr as T
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 
 def _build_oracle(encoder: str):
     from transformers import (TrOCRConfig, ViTConfig,

@@ -33,6 +33,7 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "regression_cup_on_table.json")
 
 
+@pytest.mark.slow  # full-model compile; covered by the slow tier
 class TestDetectorModel:
     def test_forward_shapes_and_decode(self):
         cfg = det_model.DetectorConfig.tiny()
@@ -59,6 +60,7 @@ class TestDetectorModel:
         assert det.boxes.shape == (8, 4)
 
 
+@pytest.mark.slow  # full-model compile; covered by the slow tier
 class TestDepthModel:
     def test_forward_shape(self):
         cfg = depth_model.DepthConfig.tiny()

@@ -20,6 +20,8 @@ import torch.nn.functional as F
 
 from trackiellm_tpu.models import vits as V
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 
 class TestSplineInverse:
     def _forward_np(self, x, widths, heights, derivs, tail):

@@ -19,6 +19,8 @@ from trackiellm_tpu.audio.wake_word import (
 )
 from trackiellm_tpu.ops.mel import log_mel_spectrogram
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 SR = 16_000
 WINDOW = 76 * 160 + 240  # NeuralWakeWord's ring size
 

@@ -25,6 +25,8 @@ from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.models import loader as L
 
+pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
+
 VOCAB, DIM, LAYERS, HEADS, KV, HID = 512, 64, 2, 4, 2, 128
 HD = DIM // HEADS
 ORIG_CTX, FACTOR = 16, 4.0

@@ -62,21 +62,37 @@ def train_tiny(cfg, tok, seed=0):
     return params, loss0, float(loss)
 
 
-def main() -> None:
+def run_granularity(granularity: str) -> dict:
+    """Train a tiny model to memorize the corpus at the given tokenizer
+    granularity, then measure prompt-lookup speculation on a corpus
+    replay prompt: byte level (the round-3 harness — 0.22 acceptance,
+    branching at shared byte prefixes) vs token level (word pieces —
+    the VERDICT r3 item-8 re-proposal)."""
     cfg = llm_model.LLMConfig.tiny()
-    tok = ByteTokenizer(cfg.vocab_size)
+    if granularity == "byte":
+        tok = ByteTokenizer(cfg.vocab_size)
+    else:
+        from trackiellm_tpu.llm.tokenizer import VocabTokenizer
+
+        words = sorted({w for w in CORPUS.replace(".", " .").split()})
+        pieces = [f"\u2581{w}" for w in words] + ["."]
+        pad = [f"<x{i}>" for i in range(cfg.vocab_size - 4 - len(pieces))]
+        tok = VocabTokenizer(pieces + pad)
     t0 = time.time()
     params, loss0, loss1 = train_tiny(cfg, tok)
-    print(f"trained {STEPS} steps in {time.time()-t0:.0f}s: "
-          f"loss {loss0:.2f} -> {loss1:.3f}", file=sys.stderr)
+    print(f"[{granularity}] trained {STEPS} steps in "
+          f"{time.time()-t0:.0f}s: loss {loss0:.2f} -> {loss1:.3f}",
+          file=sys.stderr)
 
     prompt = "o gato subiu na mesa da cozinha. o gato"
     results = {}
-    for label, spec in (("plain", False), ("speculative", True)):
+    for label, spec in (("plain", False), ("speculative", True),
+                        ("auto", "auto")):
         runner = LLMRunner(
             params, cfg, tok,
             GenerationConfig(max_tokens=N_GEN, temperature=0.0,
-                             speculative=spec, lookahead=1),
+                             speculative=spec,
+                             lookahead=1 if spec else 4),
             cache_dtype=jnp.float32)
         runner.generate(prompt)          # warm compile
         runner.spec_stats = {"passes": 0, "proposed": 0, "accepted": 0}
@@ -92,17 +108,15 @@ def main() -> None:
 
     assert results["plain"]["out"] == results["speculative"]["out"], \
         "speculative output diverged from plain greedy"
+    assert results["plain"]["out"] == results["auto"]["out"], \
+        "auto-speculative output diverged from plain greedy"
     st = results["speculative"]["spec_stats"]
     acc = st["accepted"] / max(st["proposed"], 1)
     n = results["speculative"]["n_tokens"]
-    # Each verify pass commits 1 + accepted_i tokens in ONE device
-    # call; the remaining tokens each cost one decode_step. So total
-    # device passes = n - accepted, and the pass reduction factor vs
-    # plain (one call per token) is n / (n - accepted).
     device_passes = n - st["accepted"]
     on_tpu = jax.devices()[0].platform != "cpu"
-    print(json.dumps({
-        "config": "spec_acceptance_trained_tiny_memorized_corpus",
+    return {
+        "config": f"spec_acceptance_{granularity}_memorized_corpus",
         "train_loss": [round(loss0, 3), round(loss1, 4)],
         "n_tokens": n,
         "verify_passes": st["passes"],
@@ -114,9 +128,16 @@ def main() -> None:
         "plain_tok_s": results["plain"]["tok_s"] if on_tpu else None,
         "speculative_tok_s": (results["speculative"]["tok_s"]
                               if on_tpu else None),
+        "auto_tok_s": results["auto"]["tok_s"] if on_tpu else None,
+        "auto_stats": results["auto"]["spec_stats"],
         "exact_match": True,
         "platform": jax.devices()[0].platform,
-    }))
+    }
+
+
+def main() -> None:
+    for granularity in ("byte", "token"):
+        print(json.dumps(run_granularity(granularity)))
 
 
 if __name__ == "__main__":

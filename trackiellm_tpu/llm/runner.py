@@ -65,9 +65,24 @@ class GenerationConfig:
     # (temperature <= 0), unconstrained generations verify n-gram
     # proposals in one extend() pass — emitted text is EXACTLY the
     # plain greedy sequence, repetitive spans just cost fewer passes.
-    speculative: bool = False
+    # ``"auto"`` self-gates: a rolling acceptance window disables
+    # speculation when it falls below ``spec_min_acceptance`` (the
+    # measured break-even — a verify pass costs ~1 extend vs the
+    # decode step it replaces) and re-probes every
+    # ``spec_probe_interval`` emitted tokens, so the worst case
+    # converges to the plain loop within a few passes.
+    speculative: Any = False  # False | True | "auto"
     spec_max_propose: int = 7
     spec_ngram: int = 3
+    # Minimum n-gram match length before a proposal fires. 0 = auto by
+    # tokenizer granularity: byte-level tokenizers need longer matches
+    # (a 3-BYTE match is weak evidence — the round-3 measured 0.22
+    # acceptance came from byte-level branching at shared prefixes),
+    # piece/BPE tokenizers accept 1. When auto raises min above
+    # spec_ngram, max rises with it (byte-level: 8-gram down to 3).
+    spec_min_ngram: int = 0
+    spec_min_acceptance: float = 0.125
+    spec_probe_interval: int = 64
     # Suppress EOS until at least this many tokens have been emitted
     # (HF ``min_new_tokens`` semantics; llama.cpp ``--ignore-eos`` is
     # the max_tokens-sized special case). The EOS logit is masked to
@@ -155,6 +170,24 @@ class LLMRunner:
         # per-session totals of verify passes, proposed and accepted
         # tokens.
         self.spec_stats = {"passes": 0, "proposed": 0, "accepted": 0}
+        # Adaptive gating ("auto" mode): rolling per-pass acceptance
+        # fractions + a cooldown counter of emitted tokens to skip
+        # speculation for after the window drops below break-even.
+        # _spec_misses counts consecutive no-proposal tokens — each
+        # costs a SERIAL decode step, so a dry context must also
+        # trigger the cooldown (onto the lookahead chunk path).
+        self._spec_recent: List[float] = []
+        self._spec_cooldown = 0
+        self._spec_misses = 0
+        # n-gram granularity: byte-level tokenizers need longer
+        # matches than piece/BPE tokenizers (see GenerationConfig).
+        byte_level = isinstance(self.tokenizer, ByteTokenizer)
+        self._spec_min_ngram = self.gen.spec_min_ngram or (
+            3 if byte_level else 1)
+        self._spec_max_ngram = max(self.gen.spec_ngram,
+                                   8 if byte_level
+                                   and not self.gen.spec_min_ngram
+                                   else self.gen.spec_ngram)
         # k-token lookahead chunk state (greedy unconstrained path):
         # fetched-but-unemitted tokens, and the dispatched-ahead chunk.
         self._la_buf: List[int] = []
@@ -528,11 +561,25 @@ class LLMRunner:
                 self._done = True
                 return piece
 
+        spec = self.gen.speculative
         if (self._grammar is None and self.gen.temperature <= 0
-                and not self.gen.speculative):
+                and (not spec
+                     or (spec == "auto" and self._spec_cooldown > 0))):
+            # "auto" cooldown rides the k-token lookahead FAST path
+            # (101 tok/s), not the serial loop — the worst case of
+            # auto-speculation is the production chunk path, with a
+            # probe pass every spec_probe_interval tokens.
+            if spec == "auto":
+                self._spec_cooldown -= 1
             if self.gen.lookahead > 1:
                 return self._greedy_chunk_step()
             return self._greedy_step_pipelined()
+        # Entering the sampled/speculative flow: discard any
+        # pre-dispatched lookahead chunk — its (cache, offset) snapshot
+        # goes stale the moment this flow advances the cache, and a
+        # later cooldown re-entering _greedy_chunk_step must not
+        # consume it.
+        self._la_next = None
 
         mask = None
         if self._grammar is not None:
@@ -587,11 +634,20 @@ class LLMRunner:
                 break
 
         if not self._done:
-            if (self.gen.speculative and self._grammar is None
+            if (self._spec_allowed() and self._grammar is None
                     and self.gen.temperature <= 0
-                    and self._n_emitted >= self.gen.min_tokens
-                    and self._start_speculative_pass(tid)):
-                return piece
+                    and self._n_emitted >= self.gen.min_tokens):
+                if self._start_speculative_pass(tid):
+                    self._spec_misses = 0
+                    return piece
+                if self.gen.speculative == "auto":
+                    # No proposal fired: this token pays a serial
+                    # decode step. A dry streak means the context has
+                    # nothing to look up — get back on the chunk path.
+                    self._spec_misses += 1
+                    if self._spec_misses >= 2:
+                        self._spec_misses = 0
+                        self._spec_cooldown = self.gen.spec_probe_interval
             self._next_logits, self.cache = self._m.decode_step(
                 self.params, self.cfg, jnp.int32(tid), self.cache,
                 attn_len=self._attn_bucket())
@@ -768,6 +824,16 @@ class LLMRunner:
     # Prompt-lookup speculative decoding (greedy, unconstrained only)
     # ------------------------------------------------------------------
 
+    def _spec_allowed(self) -> bool:
+        """Speculation eligibility. In "auto" mode a cooldown (counted
+        down by the fast-path branch in generate_next_token, which owns
+        cooldown tokens) suppresses speculation until the next probe."""
+        if not self.gen.speculative:
+            return False
+        if self.gen.speculative != "auto":
+            return True
+        return self._spec_cooldown <= 0
+
     def _start_speculative_pass(self, tid: int) -> bool:
         """After emitting ``tid``, try to verify an n-gram proposal in
         ONE extend() pass instead of a decode_step (llm/speculative.py
@@ -781,7 +847,8 @@ class LLMRunner:
 
         proposal = propose_ngram(self._committed_ids + [tid],
                                  self.gen.spec_max_propose,
-                                 max_ngram=self.gen.spec_ngram)
+                                 max_ngram=self._spec_max_ngram,
+                                 min_ngram=self._spec_min_ngram)
         if not proposal:
             return False
         bucket = EXTEND_BUCKETS[0]
@@ -805,6 +872,15 @@ class LLMRunner:
         self.spec_stats["passes"] += 1
         self.spec_stats["proposed"] += len(proposal)
         self.spec_stats["accepted"] += accepted
+        if self.gen.speculative == "auto":
+            self._spec_recent.append(accepted / len(proposal))
+            if len(self._spec_recent) > 8:
+                self._spec_recent.pop(0)
+            if (len(self._spec_recent) >= 4
+                    and (sum(self._spec_recent) / len(self._spec_recent)
+                         < self.gen.spec_min_acceptance)):
+                self._spec_cooldown = self.gen.spec_probe_interval
+                self._spec_recent = self._spec_recent[-2:]
         # Cache now holds tid + the accepted proposals; the rejected
         # tail past `length` is stale-masked (models/llm.py contract).
         self.cache = cache._replace(
