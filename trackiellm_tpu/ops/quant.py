@@ -575,10 +575,14 @@ def quantized_matmul(x: jnp.ndarray, qw: QuantizedLinear) -> jnp.ndarray:
             # i8 activations leave VMEM headroom for bigger weight
             # tiles (fewer grid steps / DMA issues); 14336-wide is the
             # measured compile-safe limit (16000-wide OOMs the Mosaic
-            # scoped stack).
+            # scoped stack). TRACKIE_Q4_WIDE_W overrides the
+            # double-buffered weight-block byte cap (A/B lever for
+            # probing the Mosaic scoped-stack boundary).
+            wide_w = int(os.environ.get("TRACKIE_Q4_WIDE_W",
+                                        "9000000"))
             tile_k, tile_n = _pick_tiles_for(
                 half, qw.n, g, m, halves=2,
-                max_wide_w=9_000_000, max_wide_n=14336)
+                max_wide_w=wide_w, max_wide_n=14336)
             out = q4_matmul_pallas_i8(x2, qw.values, qw.scales,
                                       tile_n=tile_n, tile_k=tile_k)
     return out.reshape(*lead, qw.n)
