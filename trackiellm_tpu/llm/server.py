@@ -142,9 +142,11 @@ class LLMServer:
         cache via :func:`~trackiellm_tpu.parallel.batched_kv_sharding`;
         the SAME jitted programs then run GSPMD-partitioned (XLA places
         the psums per the matmul shardings — scaling-book recipe).
-        Tensor-parallel mode is dense-only: the page pool's
-        gather/scatter chunk staging has no sharded formulation yet,
-        and dense is the measured-faster layout wherever it fits."""
+        Composes with paged KV: the pool shards the same KV-head axis
+        (pages unsharded, gathers shard-local — parallel/infer.py
+        ``paged_pool_sharding``); ``paged="auto"`` under a mesh keeps
+        the measured-faster dense layout, ``paged=True`` opts into the
+        elastic pool. int8 KV remains single-device."""
         self.params = params
         self.cfg = cfg
         self.batch = batch_slots
@@ -170,27 +172,35 @@ class LLMServer:
             paged = False
         if jnp.dtype(cache_dtype) == jnp.int8:
             # Quantized KV (llama.cpp -ctk q8_0 parity) lives in the
-            # page pool only; there is no dense int8 slot cache.
+            # page pool only; there is no dense int8 slot cache. The
+            # QuantPool's per-(cell, head) scale layout has no sharded
+            # formulation yet — int8 KV stays single-device.
             if paged is False or mesh is not None:
                 raise TrackieError(
                     ErrorCode.INVALID_ARGUMENT,
                     "int8 KV requires paged mode (no mesh)")
             paged = True
         if mesh is not None:
-            if paged is True:
-                raise TrackieError(
-                    ErrorCode.INVALID_ARGUMENT,
-                    "paged KV is not supported with mesh (dense-only)")
-            paged = False
+            # Tensor-parallel serving composes with BOTH memory
+            # layouts: dense slot caches shard KV heads over tp
+            # (batched_kv_sharding); a paged pool shards the SAME head
+            # axis with pages unsharded (paged_pool_sharding) so page
+            # gathers/scatters stay shard-local. paged="auto" keeps
+            # the dense preference (measured faster when it fits) —
+            # pass paged=True for an elastic pool under the mesh.
+            if paged == "auto":
+                paged = False
             from trackiellm_tpu.ops.quant import QuantizedLinear
             from trackiellm_tpu.parallel import (batched_kv_sharding,
-                                                 infer_param_shardings)
+                                                 infer_param_shardings,
+                                                 paged_pool_sharding)
 
             quantized = isinstance(params["layers"]["wqkv"],
                                    QuantizedLinear)
             self.params = jax.device_put(
                 params, infer_param_shardings(mesh, quantized, params))
             self._batched_cache_sharding = batched_kv_sharding(mesh)
+            self._pool_sharding = paged_pool_sharding(mesh)
         if paged == "auto":
             # With pipelined chunks the chunked paths are equal within
             # relay noise (BASELINE.md round-3: paged 432-528 vs dense
@@ -234,6 +244,14 @@ class LLMServer:
                 n_pages = batch_slots * (cfg.max_seq // page_size) // 2 + 1
             self.pool = PagedKVPool(cfg, n_pages=n_pages,
                                     page_size=page_size, dtype=cache_dtype)
+            if mesh is not None:
+                # Shard the pool on the KV-head axis; subsequent
+                # scatter/gather programs keep the layout (inputs are
+                # committed sharded arrays).
+                self.pool.pool_k = jax.device_put(self.pool.pool_k,
+                                                  self._pool_sharding)
+                self.pool.pool_v = jax.device_put(self.pool.pool_v,
+                                                  self._pool_sharding)
             self.cache = None
         else:
             self.pool = None

@@ -27,6 +27,7 @@ from trackiellm_tpu.parallel.infer import (  # noqa: F401
     make_sharded_prefill,
     mla_cache_sharding,
     mla_param_shardings,
+    paged_pool_sharding,
 )
 from trackiellm_tpu.parallel.mesh import build_mesh  # noqa: F401
 from trackiellm_tpu.parallel.moe import (  # noqa: F401

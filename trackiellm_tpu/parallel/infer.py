@@ -169,6 +169,17 @@ def mla_cache_sharding(mesh: Mesh):
                               length=_ns(mesh))
 
 
+def paged_pool_sharding(mesh: Mesh):
+    """Sharding for a PagedKVPool's device pools
+    ``(L, n_pages, page_size, Hk, D)``: KV heads over ``tp`` — the
+    page axis stays unsharded so page-id gathers/scatters are local
+    per shard (each shard holds its heads' slice of EVERY page; the
+    page table is host state and replicates). Composes with
+    infer_param_shardings: the per-layer attention reads its local
+    heads' pages, matmul psums ride GSPMD as in the dense path."""
+    return _ns(mesh, None, None, None, "tp", None)
+
+
 def batched_kv_sharding(mesh: Mesh) -> llm_model.BatchedKVCache:
     """Server-slot cache (L, B, S, Hk, D): KV heads over tp, slots
     replicated (slots are a latency axis, not a throughput one — the
