@@ -96,9 +96,15 @@ class TestConversion:
                 "attn_norm": jnp.stack(
                     [raw[f"blk.{i}.attn_norm.weight"][0]
                      for i in range(LAYERS)]),
+                # The reader inverts the llama.cpp q/k NORM-rope
+                # permute on llama-arch files; mirror it here.
                 "wqkv": jnp.stack([np.concatenate(
-                    [T(f"blk.{i}.attn_q.weight"),
-                     T(f"blk.{i}.attn_k.weight"),
+                    [C._deinterleave_rope_cols(
+                        T(f"blk.{i}.attn_q.weight"), HEADS,
+                        DIM // HEADS, DIM // HEADS),
+                     C._deinterleave_rope_cols(
+                        T(f"blk.{i}.attn_k.weight"), KV,
+                        DIM // HEADS, DIM // HEADS),
                      T(f"blk.{i}.attn_v.weight")], 1)
                     for i in range(LAYERS)]),
                 "wo": jnp.stack([T(f"blk.{i}.attn_output.weight")
@@ -516,8 +522,15 @@ class TestPhi3FusedTensors:
                                              L.GGML_F32)
                 d[f"{p}.attn_output.weight"] = (t["o"], L.GGML_F32)
                 d[f"{p}.ffn_down.weight"] = (t["down"], L.GGML_F32)
-            split[f"{p}.attn_q.weight"] = (t["q"], L.GGML_F32)
-            split[f"{p}.attn_k.weight"] = (t["k"], L.GGML_F32)
+            # The split file plays a REAL llama-arch GGUF, whose q/k
+            # are permuted into ggml's NORM-rope layout (the reader's
+            # fold inverts it back to the same semantics as the
+            # unpermuted phi3 fused layout).
+            from tests.test_loader import permute_llama_qk
+            split[f"{p}.attn_q.weight"] = (
+                permute_llama_qk(t["q"], HEADS), L.GGML_F32)
+            split[f"{p}.attn_k.weight"] = (
+                permute_llama_qk(t["k"], KV), L.GGML_F32)
             split[f"{p}.attn_v.weight"] = (t["v"], L.GGML_F32)
             split[f"{p}.ffn_gate.weight"] = (t["gate"], L.GGML_F32)
             split[f"{p}.ffn_up.weight"] = (t["up"], L.GGML_F32)
@@ -553,3 +566,116 @@ class TestPhi3FusedTensors:
         assert cfg.n_heads == cfg.n_kv_heads == 32  # MHA
         assert cfg.head_dim == 96 and cfg.dim == 3072
         assert cfg.sliding_window == 2047
+
+
+class TestLlamaGGUFRopeLayout:
+    """REAL llama-arch GGUFs carry q/k permuted into ggml's NORM-rope
+    layout (convert_hf_to_gguf LlamaModel.permute); the reader must
+    invert it. Pinned against a transformers Llama oracle — the old
+    unpermuted synthetic fixtures could not catch a missing fold
+    (round-4 finding)."""
+
+    def _oracle(self):
+        import torch
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        torch.manual_seed(31)
+        hf_cfg = LlamaConfig(
+            vocab_size=VOCAB, hidden_size=DIM, intermediate_size=HID,
+            num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+            num_key_value_heads=KV, max_position_embeddings=64,
+            rope_theta=10000.0, rms_norm_eps=1e-6,
+            attention_bias=False, attention_dropout=0.0,
+            tie_word_embeddings=False)
+        hf_cfg._attn_implementation = "eager"
+        model = LlamaForCausalLM(hf_cfg).eval()
+        tokens = torch.randint(0, VOCAB, (1, 14),
+                               generator=torch.Generator().manual_seed(7))
+        import torch as _t
+        with _t.no_grad():
+            ref = model(tokens).logits[0].numpy()
+        state = {k: v.numpy() for k, v in model.state_dict().items()}
+        return state, tokens[0].numpy(), ref
+
+    def _write(self, path, state):
+        from tests.test_loader import permute_llama_qk, write_gguf
+
+        def t(name):
+            return np.asarray(state[name], np.float32)
+
+        tensors = {
+            "token_embd.weight": (t("model.embed_tokens.weight"),
+                                  L.GGML_F32),
+            "output_norm.weight": (t("model.norm.weight"), L.GGML_F32),
+            "output.weight": (t("lm_head.weight"), L.GGML_F32),
+        }
+        for i in range(LAYERS):
+            hp, gp = f"model.layers.{i}", f"blk.{i}"
+            tensors[f"{gp}.attn_norm.weight"] = (
+                t(f"{hp}.input_layernorm.weight"), L.GGML_F32)
+            tensors[f"{gp}.ffn_norm.weight"] = (
+                t(f"{hp}.post_attention_layernorm.weight"), L.GGML_F32)
+            tensors[f"{gp}.attn_q.weight"] = (permute_llama_qk(
+                t(f"{hp}.self_attn.q_proj.weight"), HEADS), L.GGML_F32)
+            tensors[f"{gp}.attn_k.weight"] = (permute_llama_qk(
+                t(f"{hp}.self_attn.k_proj.weight"), KV), L.GGML_F32)
+            tensors[f"{gp}.attn_v.weight"] = (
+                t(f"{hp}.self_attn.v_proj.weight"), L.GGML_F32)
+            tensors[f"{gp}.attn_output.weight"] = (
+                t(f"{hp}.self_attn.o_proj.weight"), L.GGML_F32)
+            tensors[f"{gp}.ffn_gate.weight"] = (
+                t(f"{hp}.mlp.gate_proj.weight"), L.GGML_F32)
+            tensors[f"{gp}.ffn_up.weight"] = (
+                t(f"{hp}.mlp.up_proj.weight"), L.GGML_F32)
+            tensors[f"{gp}.ffn_down.weight"] = (
+                t(f"{hp}.mlp.down_proj.weight"), L.GGML_F32)
+        from tests.test_loader import write_gguf as _w
+        _w(path, tensors, metadata={
+            "general.architecture": "llama",
+            "llama.embedding_length": DIM,
+            "llama.block_count": LAYERS,
+            "llama.attention.head_count": HEADS,
+            "llama.attention.head_count_kv": KV,
+            "llama.feed_forward_length": HID,
+            "llama.context_length": 64,
+            "llama.attention.layer_norm_rms_epsilon": 1e-6,
+            "llama.rope.freq_base": 10000.0,
+            "llama.vocab_size": VOCAB,
+        })
+
+    def test_permuted_gguf_matches_oracle(self, tmp_path):
+        state, tokens, ref = self._oracle()
+        p = str(tmp_path / "llama_real_layout.gguf")
+        self._write(p, state)
+        params, cfg = C.gguf_to_llm_params(p, bits=None,
+                                           dtype=jnp.float32)
+        n = 11
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:n], jnp.int32),
+            jnp.int32(n), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[n - 1],
+                                   rtol=2e-3, atol=2e-3)
+        for j in range(2):
+            logits, cache = llm_model.decode_step(
+                params, cfg, jnp.int32(int(tokens[n + j])), cache)
+            np.testing.assert_allclose(np.asarray(logits), ref[n + j],
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_fold_is_load_bearing(self, tmp_path, monkeypatch):
+        """Disabling the fold (TRACKIE_LLAMA_GGUF_ROPE=hf) on a
+        permuted file must DIVERGE from the oracle — proves the fold
+        does real work and the escape hatch functions."""
+        state, tokens, ref = self._oracle()
+        p = str(tmp_path / "llama_real_layout.gguf")
+        self._write(p, state)
+        monkeypatch.setenv("TRACKIE_LLAMA_GGUF_ROPE", "hf")
+        params, cfg = C.gguf_to_llm_params(p, bits=None,
+                                           dtype=jnp.float32)
+        n = 11
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, _ = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:n], jnp.int32),
+            jnp.int32(n), cache)
+        assert not np.allclose(np.asarray(logits), ref[n - 1],
+                               atol=2e-3)

@@ -258,3 +258,115 @@ class TestSinkAttentionKernels:
             jnp.int32(s), sinks=sinks)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestGptOssGGUF:
+    """llama.cpp gpt-oss GGUF ingestion staged per the deepseek2/
+    falcon discipline: the synthetic writer produces the llama.cpp
+    tensor/metadata conventions from the SAME HF oracle weights, and
+    the GGUF route must match the oracle's teacher-forced logits
+    exactly. Key strings are unvalidated offline (docs/MODELS.md);
+    geometry cross-checks fail loudly on a mismatched real file."""
+
+    def test_synthetic_gguf_matches_oracle(self, oracle, tmp_path):
+        from tests.test_loader import write_gguf
+
+        from trackiellm_tpu.models import loader as L
+
+        state, tokens, ref = oracle
+
+        def t(name):
+            return np.asarray(state[name], np.float32)
+
+        F32 = L.GGML_F32
+        tensors = {
+            "token_embd.weight": (t("model.embed_tokens.weight"), F32),
+            "output_norm.weight": (t("model.norm.weight"), F32),
+            "output.weight": (t("lm_head.weight"), F32),
+        }
+        for i in range(LAYERS):
+            hp, gp = f"model.layers.{i}", f"blk.{i}"
+            tensors[f"{gp}.attn_norm.weight"] = (
+                t(f"{hp}.input_layernorm.weight"), F32)
+            tensors[f"{gp}.ffn_norm.weight"] = (
+                t(f"{hp}.post_attention_layernorm.weight"), F32)
+            for g, h in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                         ("attn_v", "v_proj")):
+                tensors[f"{gp}.{g}.weight"] = (
+                    t(f"{hp}.self_attn.{h}.weight"), F32)
+                tensors[f"{gp}.{g}.bias"] = (
+                    t(f"{hp}.self_attn.{h}.bias"), F32)
+            tensors[f"{gp}.attn_output.weight"] = (
+                t(f"{hp}.self_attn.o_proj.weight"), F32)
+            tensors[f"{gp}.attn_output.bias"] = (
+                t(f"{hp}.self_attn.o_proj.bias"), F32)
+            tensors[f"{gp}.attn_sinks.weight"] = (
+                t(f"{hp}.self_attn.sinks"), F32)
+            tensors[f"{gp}.ffn_gate_inp.weight"] = (
+                t(f"{hp}.mlp.router.weight"), F32)
+            tensors[f"{gp}.ffn_gate_inp.bias"] = (
+                t(f"{hp}.mlp.router.bias"), F32)
+            # HF stores experts FUSED (E, D, 2I) with gate/up columns
+            # INTERLEAVED; llama.cpp splits them into (E, I, D) banks.
+            gu = t(f"{hp}.mlp.experts.gate_up_proj")
+            gub = t(f"{hp}.mlp.experts.gate_up_proj_bias")
+            tensors[f"{gp}.ffn_gate_exps.weight"] = (
+                np.ascontiguousarray(gu[..., 0::2].transpose(0, 2, 1)),
+                F32)
+            tensors[f"{gp}.ffn_up_exps.weight"] = (
+                np.ascontiguousarray(gu[..., 1::2].transpose(0, 2, 1)),
+                F32)
+            tensors[f"{gp}.ffn_gate_exps.bias"] = (gub[..., 0::2], F32)
+            tensors[f"{gp}.ffn_up_exps.bias"] = (gub[..., 1::2], F32)
+            down = t(f"{hp}.mlp.experts.down_proj")  # (E, I, D)
+            tensors[f"{gp}.ffn_down_exps.weight"] = (
+                np.ascontiguousarray(down.transpose(0, 2, 1)), F32)
+            tensors[f"{gp}.ffn_down_exps.bias"] = (
+                t(f"{hp}.mlp.experts.down_proj_bias"), F32)
+
+        p = str(tmp_path / "gptoss.gguf")
+        write_gguf(p, tensors, metadata={
+            "general.architecture": "gpt-oss",
+            "gpt-oss.embedding_length": DIM,
+            "gpt-oss.block_count": LAYERS,
+            "gpt-oss.attention.head_count": HEADS,
+            "gpt-oss.attention.head_count_kv": KV,
+            "gpt-oss.attention.key_length": HD,
+            "gpt-oss.feed_forward_length": HID,
+            "gpt-oss.expert_feed_forward_length": HID,
+            "gpt-oss.context_length": 64,
+            "gpt-oss.attention.layer_norm_rms_epsilon": 1e-5,
+            "gpt-oss.rope.freq_base": 10000.0,
+            "gpt-oss.vocab_size": VOCAB,
+            "gpt-oss.expert_count": EXPERTS,
+            "gpt-oss.expert_used_count": TOPK,
+            "gpt-oss.attention.sliding_window": WINDOW,
+        })
+        params, cfg = C.gguf_to_llm_params(p, bits=None,
+                                           dtype=jnp.float32)
+        assert cfg.attn_sinks and cfg.moe_bias and cfg.out_bias
+        assert cfg.qkv_bias and cfg.act == "gptoss"
+        assert cfg.alt_window and cfg.sliding_window == WINDOW
+        assert cfg.moe_score_func == "softmax_topk"
+        assert not cfg.moe_norm_topk
+        assert cfg.n_experts == EXPERTS
+        assert cfg.n_experts_used == TOPK
+        lay = params["layers"]
+        assert lay["attn_sink"].shape == (LAYERS, HEADS)
+        assert lay["w_gu"].shape == (LAYERS, EXPERTS, DIM, 2 * HID)
+        assert lay["w_gu_b"].shape == (LAYERS, EXPERTS, 2 * HID)
+        assert lay["moe_gate_b"].shape == (LAYERS, EXPERTS)
+
+        n = SEQ
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:n], jnp.int32),
+            jnp.int32(n), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[n - 1],
+                                   atol=2e-3, rtol=2e-3)
+        # cached decode continues exactly (sinks + windows live here)
+        for j in range(2):
+            lg, cache = llm_model.decode_step(
+                params, cfg, jnp.int32(int(tokens[n + j])), cache)
+            np.testing.assert_allclose(np.asarray(lg), ref[n + j],
+                                       atol=2e-3, rtol=2e-3)

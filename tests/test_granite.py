@@ -126,7 +126,7 @@ class TestGranite:
         """A synthetic granite GGUF (llama.cpp tensor names + the
         granite.* multiplier metadata) loads to the same logits as the
         HF conversion — folds included."""
-        from tests.test_loader import write_gguf
+        from tests.test_loader import permute_llama_qk, write_gguf
 
         state, tokens, ref = oracle
         hf_params, cfg = _convert_hf(state)
@@ -146,8 +146,15 @@ class TestGranite:
             for gg, hf in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
                            ("attn_v", "v_proj"),
                            ("attn_output", "o_proj")):
-                tensors[f"{blk}.{gg}.weight"] = (
-                    state[f"{pre}.self_attn.{hf}.weight"], 0)
+                w = np.asarray(state[f"{pre}.self_attn.{hf}.weight"])
+                if gg == "attn_q":
+                    # Real granite GGUFs (convert_hf_to_gguf
+                    # GraniteModel < LlamaModel) ship q/k permuted
+                    # into ggml's NORM-rope layout.
+                    w = permute_llama_qk(w, HEADS)
+                elif gg == "attn_k":
+                    w = permute_llama_qk(w, KV)
+                tensors[f"{blk}.{gg}.weight"] = (w, 0)
             for gg, hf in (("ffn_gate", "gate_proj"),
                            ("ffn_up", "up_proj"),
                            ("ffn_down", "down_proj")):

@@ -337,3 +337,132 @@ class TestLlama4ProductionPaths:
                 server.close()
         assert outs["chunked"] == outs["per_step"]
         assert outs["per_step"]
+
+
+def _write_llama4_gguf(path, state, step):
+    """Write a synthetic llama.cpp llama4 GGUF from the HF oracle's
+    state dict (staged conventions — see gguf_to_llama4_params)."""
+    from tests.test_loader import write_gguf
+
+    from trackiellm_tpu.models import loader as L
+
+    def t(name):
+        return np.asarray(state[name], np.float32)
+
+    F32 = L.GGML_F32
+    tensors = {
+        "token_embd.weight": (t("model.embed_tokens.weight"), F32),
+        "output_norm.weight": (t("model.norm.weight"), F32),
+        "output.weight": (t("lm_head.weight"), F32),
+    }
+    for i in range(LAYERS):
+        hp, gp = f"model.layers.{i}", f"blk.{i}"
+        tensors[f"{gp}.attn_norm.weight"] = (
+            t(f"{hp}.input_layernorm.weight"), F32)
+        tensors[f"{gp}.ffn_norm.weight"] = (
+            t(f"{hp}.post_attention_layernorm.weight"), F32)
+        # llama4 ships q/k UN-permuted (HF interleaved-native;
+        # undo_permute=False in convert_hf_to_gguf).
+        for g, h in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                     ("attn_v", "v_proj"), ("attn_output", "o_proj")):
+            tensors[f"{gp}.{g}.weight"] = (
+                t(f"{hp}.self_attn.{h}.weight"), F32)
+        if f"{hp}.feed_forward.experts.gate_up_proj" in state:
+            gu = t(f"{hp}.feed_forward.experts.gate_up_proj")  # (E,D,2H)
+            h2 = gu.shape[-1] // 2
+            tensors[f"{gp}.ffn_gate_exps.weight"] = (
+                np.ascontiguousarray(gu[..., :h2].transpose(0, 2, 1)),
+                F32)
+            tensors[f"{gp}.ffn_up_exps.weight"] = (
+                np.ascontiguousarray(gu[..., h2:].transpose(0, 2, 1)),
+                F32)
+            down = t(f"{hp}.feed_forward.experts.down_proj")  # (E,H,D)
+            tensors[f"{gp}.ffn_down_exps.weight"] = (
+                np.ascontiguousarray(down.transpose(0, 2, 1)), F32)
+            tensors[f"{gp}.ffn_gate_inp.weight"] = (
+                t(f"{hp}.feed_forward.router.weight"), F32)
+            for g, h in (("ffn_gate_shexp", "gate_proj"),
+                         ("ffn_up_shexp", "up_proj"),
+                         ("ffn_down_shexp", "down_proj")):
+                tensors[f"{gp}.{g}.weight"] = (
+                    t(f"{hp}.feed_forward.shared_expert.{h}.weight"),
+                    F32)
+        else:
+            for g, h in (("ffn_gate", "gate_proj"),
+                         ("ffn_up", "up_proj"),
+                         ("ffn_down", "down_proj")):
+                tensors[f"{gp}.{g}.weight"] = (
+                    t(f"{hp}.feed_forward.{h}.weight"), F32)
+    write_gguf(path, tensors, metadata={
+        "general.architecture": "llama4",
+        "llama4.embedding_length": DIM,
+        "llama4.block_count": LAYERS,
+        "llama4.attention.head_count": HEADS,
+        "llama4.attention.head_count_kv": KV,
+        "llama4.attention.key_length": HD,
+        "llama4.feed_forward_length": 96,
+        "llama4.expert_feed_forward_length": EXP_HID,
+        "llama4.context_length": 64,
+        "llama4.attention.layer_norm_rms_epsilon": 1e-5,
+        "llama4.rope.freq_base": THETA,
+        "llama4.vocab_size": VOCAB,
+        "llama4.expert_count": EXPERTS,
+        "llama4.expert_used_count": 1,
+        "llama4.interleave_moe_layer_step": step,
+        "llama4.no_rope_layer_interval": NOPE,
+        "llama4.attention.chunk_size": CHUNK,
+        "llama4.attention.temperature_length": FLOOR,
+        "llama4.attention.use_kq_norm": 1,
+    })
+
+
+class TestLlama4GGUF:
+    """GGUF twins of both published shapes, logits-exact vs the HF
+    oracles (writer/reader pair pins geometry + the rope-layout
+    decision; real-file key strings remain the documented caveat)."""
+
+    def test_scout_gguf_matches_oracle(self, oracle, tmp_path):
+        state, tokens, ref = oracle
+        p = str(tmp_path / "scout.gguf")
+        _write_llama4_gguf(p, state, step=1)
+        params, cfg = C.gguf_to_llama4_params(p, bits=None,
+                                              dtype=jnp.float32)
+        assert cfg.moe_pattern == 0 and cfg.qk_l2norm
+        assert cfg.nope_pattern == NOPE and cfg.attn_chunk == CHUNK
+        assert cfg.attn_temp_floor == FLOOR
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   rtol=2e-3, atol=2e-3)
+        for j in range(2):
+            logits, cache = llm_model.decode_step(
+                params, cfg, jnp.int32(int(tokens[SEQ + j])), cache)
+            np.testing.assert_allclose(np.asarray(logits), ref[SEQ + j],
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_maverick_gguf_matches_oracle(self, tmp_path):
+        maverick = TestMaverickInterleave()
+        state, tokens, ref = maverick.oracle.__wrapped__(maverick)
+        p = str(tmp_path / "maverick.gguf")
+        _write_llama4_gguf(p, state, step=2)
+        params, cfg = C.gguf_to_llama4_params(p, bits=None,
+                                              dtype=jnp.float32)
+        assert cfg.moe_pattern == 2
+        assert "w_gu_mlp" in params["layers"]
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, _ = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[SEQ - 1],
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_interleave_mismatch_raises(self, oracle, tmp_path):
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        state, _, _ = oracle
+        p = str(tmp_path / "bad.gguf")
+        _write_llama4_gguf(p, state, step=2)  # uniform tensors, step 2
+        with pytest.raises(TrackieError, match="interleave"):
+            C.gguf_to_llama4_params(p, bits=None)

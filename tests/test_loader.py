@@ -624,3 +624,15 @@ class TestMXFP4:
     def test_block_geometry_registered(self):
         per_block, block_bytes, _ = L._GGML_DEQUANT[L.GGML_MXFP4]
         assert (per_block, block_bytes) == (32, 17)
+
+
+def permute_llama_qk(w: np.ndarray, n_heads: int) -> np.ndarray:
+    """llama.cpp ``LlamaModel.permute`` (convert_hf_to_gguf): HF
+    split-half q/k rows -> the ggml NORM-rope interleaved layout that
+    REAL llama-family GGUFs carry. Synthetic fixtures apply it so the
+    reader's inverse fold (``_deinterleave_rope_cols``) is pinned by
+    oracle logits, not just roundtripped against itself."""
+    shape = w.shape
+    d = shape[0] // n_heads
+    return (w.reshape(n_heads, 2, d // 2, *shape[1:])
+            .swapaxes(1, 2).reshape(shape))

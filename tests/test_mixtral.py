@@ -16,7 +16,7 @@ import torch
 import jax
 import jax.numpy as jnp
 
-from tests.test_loader import write_gguf
+from tests.test_loader import permute_llama_qk, write_gguf
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.models import loader as L
@@ -103,8 +103,14 @@ class TestMixtral:
                 t(f"{hp}.post_attention_layernorm.weight"), L.GGML_F32)
             for g, h in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
                          ("attn_v", "v_proj")):
-                tensors[f"{gp}.{g}.weight"] = (
-                    t(f"{hp}.self_attn.{h}.weight"), L.GGML_F32)
+                w = t(f"{hp}.self_attn.{h}.weight")
+                if g == "attn_q":
+                    # Real Mixtral GGUFs (arch "llama") ship q/k
+                    # permuted into ggml's NORM-rope layout.
+                    w = permute_llama_qk(w, HEADS)
+                elif g == "attn_k":
+                    w = permute_llama_qk(w, KV)
+                tensors[f"{gp}.{g}.weight"] = (w, L.GGML_F32)
             tensors[f"{gp}.attn_output.weight"] = (
                 t(f"{hp}.self_attn.o_proj.weight"), L.GGML_F32)
             tensors[f"{gp}.ffn_gate_inp.weight"] = (

@@ -144,3 +144,76 @@ class TestSmolLM3:
             finally:
                 server.close()
         assert outs["paged"] == outs["per_step"]
+
+
+class TestSmolLM3GGUF:
+    """Synthetic smollm3 GGUF in llama.cpp's REAL layout (q/k permuted
+    into ggml's NORM rope — SmolLM3Model inherits LlamaModel's
+    permute): the reader's fold must land on the HF oracle's logits,
+    NoPE interval included."""
+
+    def test_gguf_matches_oracle(self, oracle, tmp_path):
+        from tests.test_loader import permute_llama_qk, write_gguf
+
+        from trackiellm_tpu.models import loader as L
+
+        state, tokens, ref = oracle
+
+        def t(name):
+            return np.asarray(state[name], np.float32)
+
+        F32 = L.GGML_F32
+        tensors = {
+            "token_embd.weight": (t("model.embed_tokens.weight"), F32),
+            "output_norm.weight": (t("model.norm.weight"), F32),
+            "output.weight": (t("lm_head.weight"), F32),
+        }
+        for i in range(LAYERS):
+            hp, gp = f"model.layers.{i}", f"blk.{i}"
+            tensors[f"{gp}.attn_norm.weight"] = (
+                t(f"{hp}.input_layernorm.weight"), F32)
+            tensors[f"{gp}.ffn_norm.weight"] = (
+                t(f"{hp}.post_attention_layernorm.weight"), F32)
+            tensors[f"{gp}.attn_q.weight"] = (permute_llama_qk(
+                t(f"{hp}.self_attn.q_proj.weight"), HEADS), F32)
+            tensors[f"{gp}.attn_k.weight"] = (permute_llama_qk(
+                t(f"{hp}.self_attn.k_proj.weight"), KV), F32)
+            tensors[f"{gp}.attn_v.weight"] = (
+                t(f"{hp}.self_attn.v_proj.weight"), F32)
+            tensors[f"{gp}.attn_output.weight"] = (
+                t(f"{hp}.self_attn.o_proj.weight"), F32)
+            tensors[f"{gp}.ffn_gate.weight"] = (
+                t(f"{hp}.mlp.gate_proj.weight"), F32)
+            tensors[f"{gp}.ffn_up.weight"] = (
+                t(f"{hp}.mlp.up_proj.weight"), F32)
+            tensors[f"{gp}.ffn_down.weight"] = (
+                t(f"{hp}.mlp.down_proj.weight"), F32)
+        p = str(tmp_path / "smollm3.gguf")
+        write_gguf(p, tensors, metadata={
+            "general.architecture": "smollm3",
+            "smollm3.embedding_length": DIM,
+            "smollm3.block_count": LAYERS,
+            "smollm3.attention.head_count": HEADS,
+            "smollm3.attention.head_count_kv": KV,
+            "smollm3.feed_forward_length": HID,
+            "smollm3.context_length": 64,
+            "smollm3.attention.layer_norm_rms_epsilon": 1e-6,
+            "smollm3.rope.freq_base": THETA,
+            "smollm3.vocab_size": VOCAB,
+            "smollm3.no_rope_layer_interval": INTERVAL,
+        })
+        params, cfg = C.gguf_to_llm_params(p, bits=None,
+                                           dtype=jnp.float32)
+        assert cfg.nope_pattern == INTERVAL
+        n = SEQ
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:n], jnp.int32),
+            jnp.int32(n), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[n - 1],
+                                   rtol=2e-3, atol=2e-3)
+        for j in range(2):
+            logits, cache = llm_model.decode_step(
+                params, cfg, jnp.int32(int(tokens[n + j])), cache)
+            np.testing.assert_allclose(np.asarray(logits), ref[n + j],
+                                       rtol=2e-3, atol=2e-3)

@@ -20,7 +20,7 @@ import torch
 
 import jax.numpy as jnp
 
-from tests.test_loader import write_gguf
+from tests.test_loader import permute_llama_qk, write_gguf
 from trackiellm_tpu.models import convert as C
 from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.models import loader as L
@@ -73,8 +73,12 @@ def _gguf_twin(tmp_path, model, scaling_md):
                      ("ffn_gate", "mlp.gate_proj"),
                      ("ffn_up", "mlp.up_proj"),
                      ("ffn_down", "mlp.down_proj")):
-            tensors[f"{gp}.{g}.weight"] = (t(f"{hp}.{h}.weight"),
-                                           L.GGML_F32)
+            w = t(f"{hp}.{h}.weight")
+            if g in ("attn_q", "attn_k"):
+                # Real llama-arch GGUFs carry q/k PERMUTED into ggml's
+                # NORM-rope layout (convert_hf_to_gguf LlamaModel).
+                w = permute_llama_qk(w, HEADS if g == "attn_q" else KV)
+            tensors[f"{gp}.{g}.weight"] = (w, L.GGML_F32)
     p = str(tmp_path / "yarn.gguf")
     write_gguf(p, tensors, metadata={
         "general.architecture": "llama",

@@ -141,6 +141,11 @@ def _cmd_convert(args) -> int:
 
             params, cfg = gguf_to_falcon_params(args.gguf,
                                                 bits=args.bits or None)
+        elif (hdr.architecture or "") == "llama4":
+            from trackiellm_tpu.models.convert import gguf_to_llama4_params
+
+            params, cfg = gguf_to_llama4_params(args.gguf,
+                                                bits=args.bits or None)
         else:
             params, cfg = gguf_to_llm_params(args.gguf,
                                              bits=args.bits or None)
@@ -310,12 +315,14 @@ def _cmd_precompile(args) -> int:
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     done = []
+    skip = set((args.skip or "").split(","))
 
     def mark(name):
         done.append((name, round(time.time() - t0, 1)))
         print(f"[{time.time() - t0:7.1f}s] {name} warm", flush=True)
 
-    if args.skip not in ("llm",):
+    params = cfg = None
+    if "llm" not in skip:
         from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
         from trackiellm_tpu.llm.tokenizer import ByteTokenizer
         from trackiellm_tpu.models import llm as llm_model
@@ -343,7 +350,27 @@ def _cmd_precompile(args) -> int:
         runner.generate("contexto: " + "objeto perto. " * 60)
         mark("llm: large prefill bucket")
 
-    if args.skip not in ("asr",):
+    if "server" not in skip and params is not None:
+        # Continuous-batching admission programs: the vmapped
+        # admission-wave prefill (prefill_batch at the burst shape),
+        # the batched chunk decode (decode_steps_batch) and the wave
+        # argmax — the programs a service restart would otherwise
+        # compile on its first burst.
+        from trackiellm_tpu.llm.server import LLMServer
+
+        server = LLMServer(params, cfg, batch_slots=4,
+                           tokenizer=ByteTokenizer(cfg.vocab_size),
+                           chunk_steps=8)
+        try:
+            futs = [server.submit(f"pergunta {i} sobre a cena",
+                                  max_tokens=12) for i in range(5)]
+            for f in futs:
+                f.result(timeout=1800)
+        finally:
+            server.close()
+        mark("server: admission-wave prefill + batched decode chunks")
+
+    if "asr" not in skip:
         from trackiellm_tpu.audio.asr import WhisperASR
         from trackiellm_tpu.models import whisper as whisper_model
 
@@ -353,7 +380,7 @@ def _cmd_precompile(args) -> int:
         asr.transcribe(np.zeros(5 * 16000, np.float32))
         mark("asr: single-dispatch transcribe (5 s window)")
 
-    if args.skip not in ("tts",):
+    if "tts" not in skip:
         from trackiellm_tpu.models import tts as tts_model
 
         tcfg = tts_model.TTSConfig.default()
@@ -365,7 +392,7 @@ def _cmd_precompile(args) -> int:
                 pass
         mark("tts: latency buckets + streaming vocoder")
 
-    if args.skip not in ("vision",):
+    if "vision" not in skip:
         from trackiellm_tpu.models import depth as depth_model
         from trackiellm_tpu.models import detector as det_model
         from trackiellm_tpu.vision.pipeline import VisionPipeline
@@ -382,6 +409,52 @@ def _cmd_precompile(args) -> int:
         frame = np.zeros((480, 640, 3), np.uint8)
         pipe.process_frame(frame)
         mark("vision: letterbox + detector + NMS + depth + fusion")
+
+    if "dpt" not in skip:
+        # The DPT-SwinV2 depth tower: its compile is the single
+        # heaviest in the stack (115 s tiny_256 measured through the
+        # relay) — exactly what a cold restart must not pay.
+        import jax.numpy as jnp
+
+        from trackiellm_tpu.models import dpt as dpt_model
+
+        scfg = dpt_model.DPTSwinConfig.tiny_256()
+        sparams = dpt_model.init_dpt(ks[5], scfg)
+        np.asarray(dpt_model.dpt_forward(
+            sparams, scfg,
+            jnp.zeros((3, scfg.image_size, scfg.image_size),
+                      jnp.float32))[:1, :1])
+        mark("dpt: SwinV2 tiny_256 depth tower")
+
+    if "vlm" not in skip and params is not None:
+        # The CLIP ViT-L/14-336 tower + the embeds-spliced prefill
+        # bucket (the VLM path's only extra programs vs the text LLM).
+        import jax.numpy as jnp
+
+        from trackiellm_tpu.models import clip as clip_model
+        from trackiellm_tpu.models import llm as llm_model
+
+        vcfg = clip_model.CLIPVisionConfig(
+            image_size=336, patch_size=14, dim=1024, n_layers=24,
+            n_heads=16, hidden_dim=4096, proj_dim=cfg.dim)
+        vparams = clip_model.init_params(
+            vcfg, np.random.default_rng(0), dtype=jnp.bfloat16)
+        feats = clip_model.encode_and_project(
+            vparams, vcfg, jnp.zeros((3, 336, 336), jnp.float32))
+        np.asarray(feats[:1, :1])
+        mark("vlm: CLIP ViT-L/14-336 tower + projector")
+        bucket = 1024 if args.max_seq >= 1024 else args.max_seq
+        toks = jnp.zeros((bucket,), jnp.int32)
+        embeds = llm_model.embed_tokens(params, toks)
+        n_img = feats.shape[0]
+        embeds = jax.lax.dynamic_update_slice(
+            embeds, feats.astype(embeds.dtype), (4, 0))
+        cache2 = llm_model.KVCache.create(cfg)
+        logits, _ = llm_model.prefill(
+            params, cfg, toks, jnp.int32(n_img + 16), cache2,
+            embeds=embeds)
+        np.asarray(logits[:1])
+        mark("vlm: embeds-spliced prefill bucket")
 
     print(f"precompile done in {time.time() - t0:.1f}s; cache at "
           f"{args.cache_dir}; restarts now deserialize instead of "
@@ -483,8 +556,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-seq", type=int, default=1024)
     p.add_argument("--cache-dir", default="/root/.cache/jax_comp")
     p.add_argument("--skip", default=None,
-                   choices=("llm", "asr", "tts", "vision"),
-                   help="skip one stage")
+                   help="comma-separated stages to skip "
+                        "(llm,server,asr,tts,vision,dpt,vlm)")
     p.set_defaults(fn=_cmd_precompile)
 
     p = sub.add_parser("synth", help="synthesize speech from a Piper "

@@ -179,6 +179,22 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         extra = dict(
             post_norms="blk.0.post_attention_norm.weight" in gguf.tensors,
             partial_rotary_factor=rot / head_dim)
+    if arch == "gpt-oss":
+        # gpt-oss (llama.cpp LLM_ARCH_GPT_OSS; arch string per the
+        # llama.cpp convention of hyphenated HF names): attention
+        # sinks + biases everywhere (detected from tensors), clamped
+        # SwiGLU ("gptoss" act), softmax-AFTER-top-k router with bias,
+        # alternating sliding/full layers. KEY-STRING CAVEAT: staged
+        # against llama.cpp conventions but unvalidated offline — a
+        # real file has not been seen in a zero-egress round
+        # (docs/MODELS.md); geometry cross-checks fail loudly on
+        # mismatch.
+        extra = dict(alt_window=True, moe_score_func="softmax_topk",
+                     act="gptoss",
+                     moe_bias="blk.0.ffn_gate_inp.bias" in gguf.tensors,
+                     attn_sinks="blk.0.attn_sinks.weight" in gguf.tensors
+                     or "blk.0.attn_sinks" in gguf.tensors,
+                     out_bias="blk.0.attn_output.bias" in gguf.tensors)
     if arch == "smollm3":
         # SmolLM3 (llama.cpp LLM_ARCH_SMOLLM3): Llama-shaped with NoPE
         # every interval-th layer; llama.cpp hardcodes the published
@@ -280,7 +296,10 @@ def config_from_gguf(gguf: GGUFFile) -> llm_model.LLMConfig:
         # (llama.cpp's build_qwen2moe matches).
         moe_shared_hidden=int(md.get(
             f"{arch}.expert_shared_feed_forward_length", 0)),
-        moe_norm_topk=arch != "qwen2moe",
+        # No top-k renormalization: Qwen2-MoE (raw softmax slices) and
+        # gpt-oss (softmax over the kept top-k only — combined with
+        # moe_score_func="softmax_topk" above).
+        moe_norm_topk=arch not in ("qwen2moe", "gpt-oss"),
         **extra,
     )
 
@@ -415,15 +434,28 @@ def gguf_to_llm_params(
             values=jnp.stack([q.values for q in items]),
             scales=jnp.stack([q.scales for q in items]))
 
-    # GLM-4 / Cohere: fold the interleaved rope layout (llama.cpp rope
-    # type NORM) into the q/k column order (exact; see
-    # _deinterleave_rope_cols). GLM-4 rotates half the head, Cohere
-    # all of it.
+    # Interleaved-rope (llama.cpp rope type NORM) arches: fold the q/k
+    # column order to this framework's split-half layout (exact; see
+    # _deinterleave_rope_cols). GLM-4 rotates half the head; Cohere
+    # all of it; and the LLAMA-family arches (llama/mistral/mixtral,
+    # granite, smollm3 — everything convert_hf_to_gguf exports through
+    # LlamaModel with undo_permute) ship q/k PERMUTED into ggml's
+    # NORM pair layout, which this fold inverts — a real-file
+    # correctness requirement the old unpermuted synthetic fixtures
+    # could not catch (round-4 finding; the synthetic writers now
+    # produce the permuted layout and the oracle logits pin the fold).
+    # TRACKIE_LLAMA_GGUF_ROPE=hf disables the llama-family fold for
+    # GGUFs written directly from HF layout without the permute.
+    import os as _os
+
     arch_ = gguf.architecture or ""
     glm_rot = 0
     if arch_ == "glm4":
         glm_rot = int(cfg.head_dim * cfg.partial_rotary_factor)
     elif arch_ in ("command-r", "cohere2"):
+        glm_rot = cfg.head_dim
+    elif (arch_ in ("llama", "granite", "granitemoe", "smollm3")
+          and _os.environ.get("TRACKIE_LLAMA_GGUF_ROPE", "norm") != "hf"):
         glm_rot = cfg.head_dim
 
     wqkv, wo, w_gu, w_down = [], [], [], []
@@ -439,6 +471,7 @@ def gguf_to_llm_params(
     w_gu_b, w_down_b, wo_b = [], [], []
     moe_gate = []
     shared_gu, shared_down, shared_gate = [], [], []
+    attn_sink, moe_gate_b = [], []
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
         if cfg.pre_norms:
@@ -504,6 +537,14 @@ def gguf_to_llm_params(
         wo.append(maybe_quant(mat(f"{p}.attn_output.weight")))
         if cfg.out_bias:
             wo_b.append(vec(f"{p}.attn_output.bias"))
+        if cfg.attn_sinks:
+            # gpt-oss per-head sink logits (llama.cpp attn_sinks;
+            # some writers suffix .weight). Kept f32 like the HF route.
+            sink = (f"{p}.attn_sinks.weight"
+                    if f"{p}.attn_sinks.weight" in gguf.tensors
+                    else f"{p}.attn_sinks")
+            attn_sink.append(jnp.asarray(
+                load_gguf_tensor(gguf, sink), jnp.float32))
         if cfg.n_experts:
             # Mixtral expert banks (llama.cpp 3D tensors, expert-major):
             # ffn_{gate,up}_exps (E, H, D) -> (E, D, 2H) fused;
@@ -511,6 +552,21 @@ def gguf_to_llm_params(
             moe_gate.append(jnp.asarray(
                 load_gguf_tensor(gguf, f"{p}.ffn_gate_inp.weight").T,
                 dtype))
+            if cfg.moe_bias:
+                # gpt-oss: router bias + per-expert projection biases
+                # (gate/up fuse to the [gate | up] column layout).
+                moe_gate_b.append(vec(f"{p}.ffn_gate_inp.bias"))
+                gb = load_gguf_tensor(gguf, f"{p}.ffn_gate_exps.bias")
+                ub = load_gguf_tensor(gguf, f"{p}.ffn_up_exps.bias")
+                db = load_gguf_tensor(gguf, f"{p}.ffn_down_exps.bias")
+                if gb.shape != (cfg.n_experts, cfg.hidden_dim):
+                    raise TrackieError(
+                        ErrorCode.MODEL_METADATA_INVALID,
+                        f"{p}.ffn_gate_exps.bias shape {gb.shape} != "
+                        f"(E={cfg.n_experts}, H={cfg.hidden_dim})")
+                w_gu_b.append(jnp.asarray(
+                    np.concatenate([gb, ub], axis=1), dtype))
+                w_down_b.append(jnp.asarray(db, dtype))
             g = load_gguf_tensor(gguf, f"{p}.ffn_gate_exps.weight")
             u = load_gguf_tensor(gguf, f"{p}.ffn_up_exps.weight")
             dn = load_gguf_tensor(gguf, f"{p}.ffn_down_exps.weight")
@@ -605,8 +661,14 @@ def gguf_to_llm_params(
     if cfg.qk_norm or cfg.qk_norm_full:
         layers["q_norm"] = jnp.stack(q_norm)
         layers["k_norm"] = jnp.stack(k_norm)
+    if cfg.attn_sinks:
+        layers["attn_sink"] = jnp.stack(attn_sink)
     if cfg.n_experts:
         layers["moe_gate"] = jnp.stack(moe_gate)
+        if cfg.moe_bias and moe_gate_b:
+            layers["moe_gate_b"] = jnp.stack(moe_gate_b)
+            layers["w_gu_b"] = jnp.stack(w_gu_b)
+            layers["w_down_b"] = jnp.stack(w_down_b)
         if cfg.moe_shared_hidden:
             layers["shared_gu"] = stack(shared_gu)
             layers["shared_down"] = stack(shared_down)
@@ -3568,6 +3630,206 @@ def llama4_from_hf(
                 rope_scaling.get("high_freq_factor", 4.0)),
             original_max_seq=int(rope_scaling.get(
                 "original_max_position_embeddings", 8192)))
+    return params, cfg
+
+
+def gguf_to_llama4_params(
+    path: str,
+    bits: Optional[int] = 4,
+    group: int = 256,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a llama.cpp ``llama4`` GGUF (Scout/Maverick text tower)
+    to (params, cfg) for models/llm.py — the GGUF twin of
+    :func:`llama4_from_hf`.
+
+    Staged per the deepseek2/falcon discipline: tensor names follow
+    llama.cpp's conventions (``blk.N.ffn_{gate,up,down}_exps`` expert
+    banks, ``*_shexp`` shared expert, ``ffn_gate_inp`` router; dense
+    interleave layers use the plain ``ffn_{gate,up,down}`` names), and
+    geometry is cross-checked against shapes — but the KEY STRINGS are
+    unvalidated offline (zero-egress round; docs/MODELS.md). Optional
+    metadata read with the PUBLISHED defaults llama.cpp hardcodes:
+    ``llama4.interleave_moe_layer_step`` (1 = uniform MoE),
+    ``llama4.no_rope_layer_interval`` (4), chunked-attention size
+    (8192) and the NoPE query-temperature constants (8192 / 0.1).
+
+    Rope layout: HF Llama-4 rotates INTERLEAVED pairs natively, and
+    llama.cpp's converter ships llama4 q/k un-permuted
+    (``undo_permute = False`` — unlike the llama arch), so the same
+    interleaved->split-half fold as the HF route applies;
+    ``TRACKIE_LLAMA4_GGUF_ROPE=none`` disables it on first real-file
+    contact if the convention proves otherwise."""
+    import os as _os
+
+    gguf = read_gguf_header(path)
+    md = gguf.metadata
+
+    def key(suffix: str, default=None):
+        v = md.get(f"llama4.{suffix}", default)
+        if v is None:
+            raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                               f"missing GGUF key llama4.{suffix}")
+        return v
+
+    dim = int(key("embedding_length"))
+    n_layers = int(key("block_count"))
+    n_heads = int(key("attention.head_count"))
+    n_kv = int(key("attention.head_count_kv", n_heads))
+    hd = int(md.get("llama4.attention.key_length", dim // n_heads))
+    n_experts = int(key("expert_count"))
+    hidden = int(md.get("llama4.expert_feed_forward_length",
+                        key("feed_forward_length")))
+    step = int(md.get("llama4.interleave_moe_layer_step", 1))
+    moe_pattern = 0 if step <= 1 else step
+    is_moe = [f"blk.{i}.ffn_gate_exps.weight" in gguf.tensors
+              for i in range(n_layers)]
+    want = ([True] * n_layers if moe_pattern == 0
+            else [(i % step) == (step - 1) for i in range(n_layers)])
+    if is_moe != want:
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"{path}: MoE layer layout {is_moe} disagrees with "
+            f"interleave_moe_layer_step={step}")
+    first_moe = is_moe.index(True)
+    shared_rows = load_gguf_tensor(
+        gguf, f"blk.{first_moe}.ffn_gate_shexp.weight").shape[0]
+    hidden_mlp = 0
+    if moe_pattern:
+        hidden_mlp = load_gguf_tensor(
+            gguf, "blk.0.ffn_gate.weight").shape[0]
+    vocab = int(md.get("llama4.vocab_size",
+                       gguf.tensors["token_embd.weight"].shape[0]))
+    # Scout ships QK L2-norm, Maverick does not; read the metadata key
+    # when present, else default by the interleave signature.
+    qk_l2norm = bool(md.get("llama4.attention.use_kq_norm",
+                            moe_pattern == 0))
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=hidden,
+        norm_eps=float(md.get(
+            "llama4.attention.layer_norm_rms_epsilon", 1e-5)),
+        rope_theta=float(key("rope.freq_base", 500000.0)),
+        max_seq=int(key("context_length", 8192)),
+        sliding_window=int(key("context_length", 8192)),
+        n_experts=n_experts,
+        n_experts_used=int(md.get("llama4.expert_used_count", 1)),
+        moe_score_func="sigmoid_topk", moe_norm_topk=False,
+        moe_scale_input=True, moe_shared_hidden=shared_rows,
+        moe_shared_gated=False,
+        nope_pattern=int(md.get("llama4.no_rope_layer_interval", 4)),
+        qk_l2norm=qk_l2norm,
+        attn_temp_tuning=True,
+        attn_temp_floor=float(md.get(
+            "llama4.attention.temperature_length", 8192.0)),
+        attn_temp_scale=0.1,
+        attn_chunk=int(md.get("llama4.attention.chunk_size", 8192)),
+        moe_pattern=moe_pattern)
+
+    quantize = (quantize_q4 if bits == 4
+                else quantize_q8 if bits == 8 else None)
+
+    def mat(name: str) -> np.ndarray:
+        return np.ascontiguousarray(load_gguf_tensor(gguf, name).T)
+
+    def maybe_quant(w):
+        if quantize is None:
+            return jnp.asarray(w, dtype)
+        return quantize(jnp.asarray(w, jnp.float32), group)
+
+    fold = _os.environ.get("TRACKIE_LLAMA4_GGUF_ROPE", "fold") != "none"
+
+    def deint(w, heads):
+        return (_deinterleave_rope_cols(w, heads, hd, hd) if fold
+                else w)
+
+    Ls: Dict[str, list] = {
+        "attn_norm": [], "wqkv": [], "wo": [], "mlp_norm": [],
+        "w_gu": [], "w_down": [], "moe_gate": [],
+        "shared_gu": [], "shared_down": []}
+    if moe_pattern:
+        Ls["w_gu_mlp"], Ls["w_down_mlp"] = [], []
+    for i in range(n_layers):
+        p = f"blk.{i}"
+        Ls["attn_norm"].append(
+            jnp.asarray(load_gguf_tensor(gguf, f"{p}.attn_norm.weight"),
+                        dtype))
+        Ls["mlp_norm"].append(
+            jnp.asarray(load_gguf_tensor(gguf, f"{p}.ffn_norm.weight"),
+                        dtype))
+        qkv = np.concatenate(
+            [deint(mat(f"{p}.attn_q.weight"), n_heads),
+             deint(mat(f"{p}.attn_k.weight"), n_kv),
+             mat(f"{p}.attn_v.weight")], axis=1)
+        Ls["wqkv"].append(maybe_quant(qkv))
+        Ls["wo"].append(maybe_quant(mat(f"{p}.attn_output.weight")))
+        if is_moe[i]:
+            g = load_gguf_tensor(gguf, f"{p}.ffn_gate_exps.weight")
+            u = load_gguf_tensor(gguf, f"{p}.ffn_up_exps.weight")
+            dn = load_gguf_tensor(gguf, f"{p}.ffn_down_exps.weight")
+            if g.shape != (n_experts, hidden, dim):
+                raise TrackieError(
+                    ErrorCode.MODEL_METADATA_INVALID,
+                    f"{p}.ffn_gate_exps.weight shape {g.shape} != "
+                    f"(E={n_experts}, H={hidden}, D={dim})")
+            gu = np.concatenate([g.transpose(0, 2, 1),
+                                 u.transpose(0, 2, 1)], axis=2)
+            Ls["w_gu"].append(jnp.asarray(gu, dtype))
+            Ls["w_down"].append(jnp.asarray(dn.transpose(0, 2, 1),
+                                            dtype))
+            Ls["moe_gate"].append(jnp.asarray(
+                load_gguf_tensor(gguf, f"{p}.ffn_gate_inp.weight").T,
+                dtype))
+            Ls["shared_gu"].append(jnp.asarray(np.concatenate(
+                [mat(f"{p}.ffn_gate_shexp.weight"),
+                 mat(f"{p}.ffn_up_shexp.weight")], axis=1), dtype))
+            Ls["shared_down"].append(jnp.asarray(
+                mat(f"{p}.ffn_down_shexp.weight"), dtype))
+            if moe_pattern:
+                Ls["w_gu_mlp"].append(jnp.zeros(
+                    (dim, 2 * hidden_mlp), dtype))
+                Ls["w_down_mlp"].append(jnp.zeros(
+                    (hidden_mlp, dim), dtype))
+        else:
+            Ls["w_gu"].append(jnp.zeros((n_experts, dim, 2 * hidden),
+                                        dtype))
+            Ls["w_down"].append(jnp.zeros((n_experts, hidden, dim),
+                                          dtype))
+            Ls["moe_gate"].append(jnp.zeros((dim, n_experts), dtype))
+            Ls["shared_gu"].append(jnp.zeros((dim, 2 * shared_rows),
+                                             dtype))
+            Ls["shared_down"].append(jnp.zeros((shared_rows, dim),
+                                               dtype))
+            Ls["w_gu_mlp"].append(jnp.asarray(np.concatenate(
+                [mat(f"{p}.ffn_gate.weight"),
+                 mat(f"{p}.ffn_up.weight")], axis=1), dtype))
+            Ls["w_down_mlp"].append(jnp.asarray(
+                mat(f"{p}.ffn_down.weight"), dtype))
+        log.info("converted llama4 layer %d/%d", i + 1, n_layers)
+
+    def stack(items):
+        from trackiellm_tpu.ops.quant import QuantizedLinear
+
+        if items and isinstance(items[0], QuantizedLinear):
+            return QuantizedLinear(
+                values=jnp.stack([q.values for q in items]),
+                scales=jnp.stack([q.scales for q in items]))
+        return jnp.stack(items)
+
+    tok_emb = load_gguf_tensor(gguf, "token_embd.weight")
+    lm_head = (mat("output.weight") if "output.weight" in gguf.tensors
+               else np.ascontiguousarray(tok_emb.T))
+    params = {
+        "tok_emb": jnp.asarray(tok_emb, dtype),
+        "layers": {k: stack(v) for k, v in Ls.items()},
+        "out_norm": jnp.asarray(
+            load_gguf_tensor(gguf, "output_norm.weight"), dtype),
+        "lm_head": maybe_quant(lm_head),
+    }
+    if "rope_freqs.weight" in gguf.tensors:
+        params["rope_factors"] = jnp.asarray(
+            load_gguf_tensor(gguf, "rope_freqs.weight"), jnp.float32)
     return params, cfg
 
 
