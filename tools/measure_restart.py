@@ -80,6 +80,15 @@ def main() -> None:
         def decode_token(self, tid):
             return super().decode_token(tid) or "x"
 
+        @property
+        def token_bytes(self):
+            # Hide the byte-level fast path: the runner's incremental
+            # UTF-8 assembler prefers token_bytes and would decode
+            # random-weight ids to "" (the measure_app_e2e scripted-
+            # tokenizer bug class) — on_token must see the scripted
+            # pieces.
+            raise AttributeError("scripted tokenizer")
+
     runner = LLMRunner(params, cfg, _Audible(cfg.vocab_size),
                        GenerationConfig(max_tokens=8, min_tokens=8,
                                         temperature=0.0))

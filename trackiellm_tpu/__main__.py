@@ -343,6 +343,16 @@ def _cmd_precompile(args) -> int:
         # streaming-ASR path uses; a long prompt hits the big bucket.
         runner.generate("ola")
         mark("llm: small prefill bucket + decode chunks")
+        # Streaming-generate shape (on_token + exact-budget tail): the
+        # restart tool's 50 s first-run outlier was THIS program
+        # missing from the cache.
+        stream_runner = LLMRunner(
+            params, cfg, ByteTokenizer(cfg.vocab_size),
+            GenerationConfig(max_tokens=8, min_tokens=8,
+                             temperature=0.0))
+        stream_runner.generate("ola, descreva a cena",
+                               on_token=lambda _: None)
+        mark("llm: streaming generate (on_token) shape")
         runner.reset()
         runner.prime("por favor descreva " * 40)
         mark("llm: prime/extend chunk buckets")
