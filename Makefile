@@ -16,8 +16,13 @@ test:
 
 # Fast tier for tight loops: excludes the `slow`-marked modules
 # (model-zoo oracles, the 8-device parallel suite, heavy converts)
-# and the real-model e2e. Measured ~4 min on this host (round 4);
-# `make test` stays the full net.
+# and the real-model e2e; `make test` stays the full net. Measured
+# ~8-9 min on this SINGLE-CORE build host (round 4; the remaining
+# tail is legitimate core coverage — server identity suites, cortex
+# loop, audio converters — at 4-16 s apiece of XLA:CPU compile).
+# On a multi-core host add `-n auto` (pytest-xdist ships in the
+# image) for a roughly core-count speedup; it serializes here
+# (nproc=1), so the default stays sequential.
 smoke:
 	$(PY) -m pytest tests/ -q -x -m "not slow" \
 	    --deselect tests/test_e2e_real.py
