@@ -924,3 +924,60 @@ class TestCortexVLMSceneImage:
         c.stop(timeout=3.0)
         assert llm.image_calls[0][1] == ()
         assert "<image>" not in llm.image_calls[0][0]
+
+
+class TestTextAndQRContext:
+    """Recognized text + QR detections reach the prompt (parity: the
+    OCR engine's full-text/region results and QR hook consumption,
+    tk_text_recognition.cpp:73-104)."""
+
+    def test_full_text_and_qr_in_prompt(self):
+        r = ContextualReasoner()
+        r.update_text_context("SAÍDA DE EMERGÊNCIA",
+                              ["qr_code@[10,10,80,80]"])
+        prompt = r.generate_context_string(user_query="o que diz ali?")
+        assert "Texto visível: SAÍDA DE EMERGÊNCIA" in prompt
+        assert "código QR visível" in prompt
+
+    def test_text_context_replaces_not_accumulates(self):
+        r = ContextualReasoner()
+        r.update_text_context("PRIMEIRO AVISO")
+        r.update_text_context("SEGUNDO AVISO")
+        prompt = r.generate_context_string()
+        assert "SEGUNDO AVISO" in prompt
+        assert "PRIMEIRO AVISO" not in prompt
+
+    def test_object_attached_text_in_vision_context(self):
+        r = ContextualReasoner()
+        o = FakeObj("placa", [0, 0, 5, 5], 1.5)
+        o.text = "PARE"
+        r.update_vision_context([o])
+        prompt = r.generate_context_string()
+        assert 'placa com texto "PARE"' in prompt
+
+    def test_multiple_qr_pluralizes(self):
+        r = ContextualReasoner()
+        r.update_text_context("", ["a", "b"])
+        prompt = r.generate_context_string()
+        assert "2 códigos QR" in prompt
+
+    def test_cortex_loop_forwards_text_results(self):
+        """End to end through the cortex vision tick: a pipeline stub
+        returning full_text + barcodes lands both in the prompt."""
+        from trackiellm_tpu.cortex.main import Cortex, CortexConfig
+
+        class _StubVision:
+            def process_frame(self, frame, orientation_wxyz=None):
+                import types
+
+                return types.SimpleNamespace(
+                    objects=[], scene_graph=None, navigation_cues=[],
+                    full_text="ABERTO 24H",
+                    barcodes=["qr_code@[1,1,9,9]"])
+
+        c = Cortex(CortexConfig(), vision_pipeline=_StubVision())
+        c._frames.append(object())
+        c._process_vision()
+        prompt = c.reasoner.generate_context_string()
+        assert "ABERTO 24H" in prompt
+        assert "código QR" in prompt

@@ -71,7 +71,7 @@ class TrackieApp:
         self,
         config: Optional[Config] = None,
         sources: Optional[AppSources] = None,
-        detector_fn=None, depth_fn=None, ocr_fn=None,
+        detector_fn=None, depth_fn=None, ocr_fn=None, barcode_fn=None,
         vad_fn=None, asr_fn=None, tts_fn=None, wake_fn=None, sound_fn=None,
         tts_stream_fn=None, embed_fn=None,
         streaming_asr=False,
@@ -139,8 +139,17 @@ class TrackieApp:
 
         # The navigation engine rides the vision pipeline's depth maps
         # (NAVIGATION analysis flag); the cortex then reads its hazards.
+        # QR detection (vision/qr.py finder-pattern detector) defaults
+        # ON whenever OCR runs — the tk_text_recognition.cpp:103-104
+        # hook surface; vision.qr_detection=false disables it.
+        if (barcode_fn is None
+                and cfg.get_bool("vision.qr_detection", True)):
+            from trackiellm_tpu.vision.qr import QRFinderDetector
+
+            barcode_fn = QRFinderDetector()
         self.vision_pipeline = (
             VisionPipeline(detector_fn, depth_fn, ocr_fn,
+                           barcode_fn=barcode_fn,
                            navigation_engine=self.navigation)
             if detector_fn else None)
         self.vision = (_ScheduledVision(sched, self.vision_pipeline)

@@ -447,6 +447,10 @@ class Cortex:
             from trackiellm_tpu.vision.scene_graph import describe_scene_graph
             scene_desc = describe_scene_graph(result.scene_graph)
         self.reasoner.update_vision_context(result.objects, scene_desc)
+        full_text = getattr(result, "full_text", "") or ""
+        barcodes = getattr(result, "barcodes", None) or ()
+        if full_text or barcodes:
+            self.reasoner.update_text_context(full_text, barcodes)
 
         cues = getattr(result, "navigation_cues", None)
         if cues:

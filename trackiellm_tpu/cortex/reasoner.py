@@ -111,11 +111,32 @@ class ContextualReasoner:
             desc = getattr(o, "label", str(o))
             if attrs:
                 desc = f"{desc} ({', '.join(attrs)})"
+            txt = getattr(o, "text", None)
+            if txt:
+                # OCR result attached to the triggering object
+                # (tk_vision_object_t's text field parity).
+                desc = f'{desc} com texto "{txt[:60]}"'
             parts.append(f"{desc} a {d:.1f} m" if d is not None else desc)
         text = "Visível: " + ", ".join(parts)
         if scene_description:
             text += f". {scene_description}"
         self.add_context_item(text, ContextPriority.NORMAL, "vision")
+
+    def update_text_context(self, full_text: str = "",
+                            barcodes: Sequence[str] = ()) -> None:
+        """Full-page recognized text + QR candidates reach the prompt
+        context (parity: the OCR engine's region/full-text results and
+        the QR/barcode hooks, tk_text_recognition.cpp:73-104)."""
+        self._drop_category("vision_text")
+        if full_text:
+            self.add_context_item(f"Texto visível: {full_text[:200]}",
+                                  ContextPriority.NORMAL, "vision_text")
+        if barcodes:
+            n = len(barcodes)
+            self.add_context_item(
+                "Há um código QR visível à frente" if n == 1
+                else f"Há {n} códigos QR visíveis à frente",
+                ContextPriority.NORMAL, "vision_text")
 
     def update_navigation_context(self, hazards: Sequence[str],
                                   clear_path_deg: Optional[float] = None,
