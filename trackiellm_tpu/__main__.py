@@ -85,7 +85,7 @@ def _cmd_convert(args) -> int:
                        "deepseekv3-hf", "granite-hf", "glm4-hf",
                        "llama4-hf", "nemotron-hf", "starcoder2-hf",
                        "cohere-hf", "ernie45-hf", "falcon-hf",
-                       "mamba-hf", "mamba2-hf"):
+                       "mamba-hf", "mamba2-hf", "glm4moe-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -108,6 +108,7 @@ def _cmd_convert(args) -> int:
               "starcoder2-hf": _C.starcoder2_from_hf,
               "cohere-hf": _C.cohere_from_hf,
               "ernie45-hf": _C.ernie45_from_hf,
+              "glm4moe-hf": _C.glm4_moe_from_hf,
               "falcon-hf": _C.falcon_from_hf,
               "mamba-hf": _C.mamba_from_hf,
               "mamba2-hf": _C.mamba2_from_hf}[args.family]
@@ -518,7 +519,7 @@ def main(argv=None) -> int:
                             "nemotron-hf", "starcoder2-hf", "cohere-hf",
                             "ernie45-hf", "llava-hf", "falcon-hf",
                             "mamba-hf", "mamba2-hf", "paligemma-hf",
-                            "trocr-hf"),
+                            "trocr-hf", "glm4moe-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")

@@ -4273,6 +4273,171 @@ def ernie45_from_hf(
     return params, cfg
 
 
+def glm4_moe_from_hf(
+    state: Dict[str, Any],
+    *,
+    max_seq: int = 8192,
+    norm_eps: float = 1e-5,
+    rope_theta: float = 10000.0,
+    partial_rotary_factor: float = 0.5,
+    moe_k: int = 8,
+    routed_scaling_factor: float = 1.0,
+    n_groups: int = 1,
+    topk_groups: int = 1,
+    norm_topk: bool = True,
+    head_dim: int = 0,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a transformers Glm4MoeForCausalLM (GLM-4.5/4.5-Air/4.6)
+    state dict to (params, cfg).
+
+    GLM-4.5's deltas over Llama assemble entirely from existing
+    mechanisms: per-head QK RMSNorm BEFORE rope (Qwen3's cfg.qk_norm —
+    detected from tensor presence), a half-width SPLIT-HALF rope
+    (plain cfg.partial_rotary_factor; unlike dense GLM-4 there is NO
+    interleave to fold — modeling_glm4_moe uses rotate_half), and the
+    full DeepSeek-V3 routing stack: sigmoid scores, selection-only
+    e_score_correction_bias (layers.moe_gate_bias), top-2-sum
+    group-limited greedy (moe_n_groups/moe_topk_groups),
+    renormalized top-k scaled by routed_scaling_factor, ungated
+    shared experts, first_k_dense_replace dense layers
+    (cfg.moe_first_dense). Non-shape-derivable knobs come from the HF
+    config as kwargs (GLM-4.5 publishes n_group=topk_group=1,
+    num_experts_per_tok=8)."""
+    A = lambda k: np.asarray(state[k], np.float32)  # noqa: E731
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    qk_norm = "model.layers.0.self_attn.q_norm.weight" in state
+    hd = head_dim or (
+        int(A("model.layers.0.self_attn.q_norm.weight").shape[0])
+        if qk_norm else 128)
+    q0 = A("model.layers.0.self_attn.q_proj.weight")
+    k0 = A("model.layers.0.self_attn.k_proj.weight")
+    n_heads = q0.shape[0] // hd
+    n_kv = k0.shape[0] // hd
+    qkv_bias = "model.layers.0.self_attn.q_proj.bias" in state
+
+    is_moe = [f"model.layers.{i}.mlp.gate.weight" in state
+              for i in range(n_layers)]
+    if not any(is_moe):
+        raise NotImplementedError(
+            "all-dense glm4_moe checkpoints are not a published shape "
+            "(dense GLM-4 loads through glm4_from_hf)")
+    first_dense = is_moe.index(True)  # first_k_dense_replace
+    if is_moe != [i >= first_dense for i in range(n_layers)]:
+        raise NotImplementedError(
+            f"irregular GLM-4.5 dense/MoE layout {is_moe} — only "
+            "first_k_dense_replace is published")
+    e0 = f"model.layers.{first_dense}.mlp.experts"
+    n_experts = len({k.split(".")[5] for k in state
+                     if k.startswith(e0 + ".")})
+    moe_hidden = int(A(f"{e0}.0.gate_proj.weight").shape[0])
+    shared = f"model.layers.{first_dense}.mlp.shared_experts"
+    shared_hidden = int(A(f"{shared}.gate_proj.weight").shape[0])
+    hidden_dense = (int(A("model.layers.0.mlp.gate_proj.weight"
+                          ).shape[0]) if first_dense else 0)
+    if n_experts % max(n_groups, 1):
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"n_experts={n_experts} not divisible by n_groups="
+            f"{n_groups}")
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=moe_hidden,
+        norm_eps=norm_eps, rope_theta=rope_theta, max_seq=max_seq,
+        sliding_window=max_seq, qkv_bias=qkv_bias, qk_norm=qk_norm,
+        partial_rotary_factor=partial_rotary_factor,
+        n_experts=n_experts, n_experts_used=moe_k,
+        moe_score_func="sigmoid", moe_norm_topk=norm_topk,
+        moe_routed_scale=routed_scaling_factor,
+        moe_n_groups=n_groups, moe_topk_groups=topk_groups,
+        moe_group_score="top2sum",
+        moe_shared_hidden=shared_hidden, moe_shared_gated=False,
+        moe_first_dense=first_dense)
+
+    L: Dict[str, list] = {k: [] for k in (
+        "attn_norm", "wqkv", "wo", "mlp_norm", "w_gu", "w_down",
+        "moe_gate", "moe_gate_bias", "shared_gu", "shared_down")}
+    if qk_norm:
+        L["q_norm"], L["k_norm"] = [], []
+    if qkv_bias:
+        L["wqkv_bias"] = []
+    if first_dense:
+        L["w_gu_mlp"], L["w_down_mlp"] = [], []
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        L["attn_norm"].append(A(f"{pre}.input_layernorm.weight"))
+        L["mlp_norm"].append(A(f"{pre}.post_attention_layernorm.weight"))
+        L["wqkv"].append(np.concatenate(
+            [A(f"{pre}.self_attn.q_proj.weight").T,
+             A(f"{pre}.self_attn.k_proj.weight").T,
+             A(f"{pre}.self_attn.v_proj.weight").T], axis=1))
+        if qkv_bias:
+            L["wqkv_bias"].append(np.concatenate(
+                [A(f"{pre}.self_attn.q_proj.bias"),
+                 A(f"{pre}.self_attn.k_proj.bias"),
+                 A(f"{pre}.self_attn.v_proj.bias")]))
+        L["wo"].append(A(f"{pre}.self_attn.o_proj.weight").T)
+        if qk_norm:
+            L["q_norm"].append(A(f"{pre}.self_attn.q_norm.weight"))
+            L["k_norm"].append(A(f"{pre}.self_attn.k_norm.weight"))
+        if is_moe[i]:
+            gus, dns = [], []
+            for e in range(n_experts):
+                ep = f"{pre}.mlp.experts.{e}"
+                gus.append(np.concatenate(
+                    [A(f"{ep}.gate_proj.weight").T,
+                     A(f"{ep}.up_proj.weight").T], axis=1))
+                dns.append(A(f"{ep}.down_proj.weight").T)
+            L["w_gu"].append(np.stack(gus))
+            L["w_down"].append(np.stack(dns))
+            L["moe_gate"].append(A(f"{pre}.mlp.gate.weight").T)
+            L["moe_gate_bias"].append(
+                A(f"{pre}.mlp.gate.e_score_correction_bias")
+                .reshape(-1))
+            L["shared_gu"].append(np.concatenate(
+                [A(f"{pre}.mlp.shared_experts.gate_proj.weight").T,
+                 A(f"{pre}.mlp.shared_experts.up_proj.weight").T],
+                axis=1))
+            L["shared_down"].append(
+                A(f"{pre}.mlp.shared_experts.down_proj.weight").T)
+            if first_dense:
+                L["w_gu_mlp"].append(np.zeros(
+                    (dim, 2 * hidden_dense), np.float32))
+                L["w_down_mlp"].append(np.zeros(
+                    (hidden_dense, dim), np.float32))
+        else:
+            L["w_gu"].append(np.zeros(
+                (n_experts, dim, 2 * moe_hidden), np.float32))
+            L["w_down"].append(np.zeros(
+                (n_experts, moe_hidden, dim), np.float32))
+            L["moe_gate"].append(np.zeros((dim, n_experts), np.float32))
+            L["moe_gate_bias"].append(np.zeros((n_experts,), np.float32))
+            L["shared_gu"].append(np.zeros(
+                (dim, 2 * shared_hidden), np.float32))
+            L["shared_down"].append(np.zeros(
+                (shared_hidden, dim), np.float32))
+            L["w_gu_mlp"].append(np.concatenate(
+                [A(f"{pre}.mlp.gate_proj.weight").T,
+                 A(f"{pre}.mlp.up_proj.weight").T], axis=1))
+            L["w_down_mlp"].append(A(f"{pre}.mlp.down_proj.weight").T)
+
+    params = {
+        "tok_emb": jnp.asarray(emb, dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in L.items()},
+        "out_norm": jnp.asarray(A("model.norm.weight"), dtype),
+        "lm_head": jnp.asarray(
+            (A("lm_head.weight").T if "lm_head.weight" in state
+             else np.ascontiguousarray(emb.T)), dtype),
+    }
+    return params, cfg
+
+
 def llava_from_hf(
     state: Dict[str, Any],
     *,
