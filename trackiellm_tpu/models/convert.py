@@ -5523,3 +5523,113 @@ def trocr_from_hf(state: Dict[str, Any], config: Optional[Dict[str, Any]]
             A("decoder.model.decoder.layernorm_embedding.bias"))
 
     return {"enc": enc, "dec": dec}, cfg
+
+
+def ast_from_hf(state: Dict[str, Any],
+                config: Optional[Dict[str, Any]] = None,
+                *, n_heads: int = 0, dtype=jnp.float32):
+    """HF ``ASTForAudioClassification`` (MIT/ast-finetuned-audioset-*)
+    state dict -> (params, ASTConfig, labels) for models/ast.py — the
+    ambient sound classifier's published-checkpoint route (parity
+    target: the reference's ONNX classifier,
+    src/audio/tk_sound_classifier.c:14).
+
+    Geometry is shape-derived where possible (dim, patch, layer count,
+    label count); the strides and input frame/mel extents come from
+    ``config`` (the HF config dict — not derivable from weights alone;
+    pos-embedding length cross-checks them loudly). ``labels`` is the
+    ordered id2label list (empty when the config carries none)."""
+    from trackiellm_tpu.models.ast import ASTConfig
+
+    config = config or {}
+    pre = "audio_spectrogram_transformer"
+
+    def A(name: str) -> np.ndarray:
+        if name not in state:
+            raise KeyError(name)
+        return np.asarray(state[name], np.float32)
+
+    pw = A(f"{pre}.embeddings.patch_embeddings.projection.weight")
+    dim, in_ch, patch, _ = pw.shape
+    if in_ch != 1:
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"expected 1-channel patch conv, got {in_ch}")
+    n_layers = len({k.split(".")[3] for k in state
+                    if k.startswith(f"{pre}.encoder.layer.")})
+    head_w = A("classifier.dense.weight")
+    n_labels = head_w.shape[0]
+    pos = A(f"{pre}.embeddings.position_embeddings")[0]
+
+    cfg = ASTConfig(
+        n_mels=int(config.get("num_mel_bins", 128)),
+        n_frames=int(config.get("max_length", 1024)),
+        patch=patch,
+        fstride=int(config.get("frequency_stride", 10)),
+        tstride=int(config.get("time_stride", 10)),
+        dim=dim, n_layers=n_layers,
+        n_heads=n_heads or int(config.get("num_attention_heads")
+                               or {192: 3, 384: 6, 768: 12}.get(dim,
+                                                                12)),
+        hidden=A(f"{pre}.encoder.layer.0.intermediate.dense.weight"
+                 ).shape[0],
+        eps=float(config.get("layer_norm_eps", 1e-12)),
+        n_labels=n_labels)
+    if pos.shape[0] != cfg.n_patches + 2:
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"position embeddings carry {pos.shape[0]} tokens but the "
+            f"config geometry gives {cfg.n_patches}+2 — check "
+            f"num_mel_bins/max_length/strides")
+
+    J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+    L: Dict[str, list] = {}
+
+    def stack(nm, arrs):
+        L[nm] = jnp.stack([J(a) for a in arrs])
+
+    lp = f"{pre}.encoder.layer"
+    stack("ln1_g", [A(f"{lp}.{i}.layernorm_before.weight")
+                    for i in range(n_layers)])
+    stack("ln1_b", [A(f"{lp}.{i}.layernorm_before.bias")
+                    for i in range(n_layers)])
+    stack("ln2_g", [A(f"{lp}.{i}.layernorm_after.weight")
+                    for i in range(n_layers)])
+    stack("ln2_b", [A(f"{lp}.{i}.layernorm_after.bias")
+                    for i in range(n_layers)])
+    for ours, theirs in (("q", "attention.attention.query"),
+                         ("k", "attention.attention.key"),
+                         ("v", "attention.attention.value"),
+                         ("o", "attention.output.dense")):
+        stack(f"w{ours}", [A(f"{lp}.{i}.{theirs}.weight").T
+                           for i in range(n_layers)])
+        stack(f"b{ours}", [A(f"{lp}.{i}.{theirs}.bias")
+                           for i in range(n_layers)])
+    stack("w1", [A(f"{lp}.{i}.intermediate.dense.weight").T
+                 for i in range(n_layers)])
+    stack("b1", [A(f"{lp}.{i}.intermediate.dense.bias")
+                 for i in range(n_layers)])
+    stack("w2", [A(f"{lp}.{i}.output.dense.weight").T
+                 for i in range(n_layers)])
+    stack("b2", [A(f"{lp}.{i}.output.dense.bias")
+                 for i in range(n_layers)])
+
+    params = {
+        "patch_w": J(pw),
+        "patch_b": J(A(f"{pre}.embeddings.patch_embeddings"
+                       ".projection.bias")),
+        "prefix": J(np.stack(
+            [A(f"{pre}.embeddings.cls_token")[0, 0],
+             A(f"{pre}.embeddings.distillation_token")[0, 0]])),
+        "pos": J(pos),
+        "ln_g": J(A(f"{pre}.layernorm.weight")),
+        "ln_b": J(A(f"{pre}.layernorm.bias")),
+        "head_ln_g": J(A("classifier.layernorm.weight")),
+        "head_ln_b": J(A("classifier.layernorm.bias")),
+        "head_w": J(head_w.T),
+        "head_b": J(A("classifier.dense.bias")),
+        "layers": L,
+    }
+    id2label = config.get("id2label") or {}
+    labels = [str(id2label.get(str(i), id2label.get(i, "")))
+              for i in range(n_labels)] if id2label else []
+    return params, cfg, labels
