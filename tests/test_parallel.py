@@ -371,15 +371,28 @@ class TestShardedServer:
         assert outs["chunked"] == outs["per_step"]
         assert any(outs["per_step"])  # real text came back
 
-    def test_mesh_rejects_paged(self):
+    def test_mesh_paged_composition_contract(self):
+        """Round 4: paged KV COMPOSES with the mesh (pool sharded on
+        the KV-head axis — identity-tested in test_server.py's
+        TestPagedMeshServer); the remaining exclusion is int8 KV, whose
+        QuantPool scale tables have no sharded formulation."""
+        import jax.numpy as jnp_
+
         from trackiellm_tpu.llm.server import LLMServer
         from trackiellm_tpu.utils.errors import TrackieError
 
         mesh = build_mesh(jax.devices()[:8])
         params = llm_model.init_params(jax.random.PRNGKey(0), self.CFG,
                                        dtype=jnp.bfloat16)
+        server = LLMServer(params, self.CFG, paged=True, mesh=mesh,
+                           page_size=32)
+        try:
+            assert server.paged and server.pool is not None
+        finally:
+            server.close()
         with pytest.raises(TrackieError):
-            LLMServer(params, self.CFG, paged=True, mesh=mesh)
+            LLMServer(params, self.CFG, paged=True, mesh=mesh,
+                      cache_dtype=jnp_.int8)
 
 
 class TestPipelineParallel:

@@ -29,7 +29,10 @@ from trackiellm_tpu.parallel.infer import (  # noqa: F401
     mla_param_shardings,
     paged_pool_sharding,
 )
-from trackiellm_tpu.parallel.mesh import build_mesh  # noqa: F401
+from trackiellm_tpu.parallel.mesh import (  # noqa: F401
+    build_mesh,
+    shard_host_batch,
+)
 from trackiellm_tpu.parallel.moe import (  # noqa: F401
     dispatch_combine,
     ep_moe_mlp,

@@ -38,7 +38,36 @@ def build_mesh(
     (dp, fsdp, ep, tp) and MoE expert banks shard whole-expert over it
     (``parallel.moe``). ep sits between fsdp and tp so the dispatch
     collectives ride an inner (fast) ICI dimension while tp keeps the
-    innermost ring."""
+    innermost ring.
+
+    Multi-host (DCN) generalization: when ``devices`` is None and the
+    process count exceeds one, the device grid comes from
+    ``mesh_utils.create_device_mesh`` — topology-aware assignment so
+    tp stays on intra-host/ICI rings and dp spans hosts (the
+    scaling-book layout); a flat ``jax.devices()`` reshape would
+    interleave hosts across the innermost axis. Host-local batches on
+    multi-host must go through :func:`shard_host_batch`, not a plain
+    ``device_put``."""
+    if devices is None and jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        n = len(jax.devices())
+        if ep is not None:
+            assert n % ep == 0, f"{n} devices not divisible by ep={ep}"
+            rem = n // ep
+            if tp is None:
+                _, _, tp = _factor(rem, max_tp)
+            dp, fsdp, _ = _factor(rem // tp, 1)
+            grid = mesh_utils.create_device_mesh((dp, fsdp, ep, tp))
+            return Mesh(grid, ("dp", "fsdp", "ep", "tp"))
+        if tp is None:
+            dims = _factor(n, max_tp)
+        else:
+            assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+            _, fsdp, _ = _factor(n // tp, 1)
+            dims = (n // tp // fsdp, fsdp, tp)
+        grid = mesh_utils.create_device_mesh(dims)
+        return Mesh(grid, axis_names)
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if ep is not None:
@@ -58,3 +87,23 @@ def build_mesh(
         dims = _factor(n, max_tp)
     arr = np.array(devices).reshape(dims)
     return Mesh(arr, axis_names)
+
+
+def shard_host_batch(mesh: Mesh, host_batch, sharding=None):
+    """Place a HOST-LOCAL batch onto the mesh's data sharding,
+    correctly on both single- and multi-host runs.
+
+    Single-host: a plain ``device_put`` (the existing behavior).
+    Multi-host: each process holds only its shard of the global batch;
+    ``jax.make_array_from_process_local_data`` assembles the global
+    array view (a cross-host ``device_put`` of another host's rows is
+    impossible — this is THE multi-host data-loading seam, kept in one
+    place so train loops stay host-count-agnostic)."""
+    if sharding is None:
+        from trackiellm_tpu.parallel.sharding import data_sharding
+
+        sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding,
+                                                      host_batch)
+    return jax.device_put(host_batch, sharding)
