@@ -1,0 +1,179 @@
+"""Qwen3-Next (hybrid Gated-DeltaNet / gated attention) vs the
+transformers oracle.
+
+A tiny random-weight ``Qwen3NextForCausalLM`` is ground truth; the JAX
+forward must match teacher-forced logits through prefill AND cached
+decode — exercising every delta at once: the 3:1 linear/full layer
+interleave, per-head zero-centered QK norms + partial rotary + sigmoid
+output gating on attention layers, causal-conv + l2-normed gated
+delta-rule state on linear layers (the oracle prefills via the CHUNKED
+kernel and decodes via the recurrence — ours is the recurrence for
+both, mathematically the same state), Qwen-MoE softmax-renorm routing
+with the sigmoid-gated shared expert, and zero-centered RMSNorms."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from trackiellm_tpu.models import convert as C
+from trackiellm_tpu.models import qwen3next as Q
+
+pytestmark = pytest.mark.slow  # model-zoo tier: excluded from `make smoke`
+
+VOCAB, DIM, LAYERS = 160, 64, 4
+HEADS, KV, HD = 4, 2, 16
+LHK, LHV, LDK, LDV, CONVK = 2, 4, 16, 16, 4
+EXPERTS, TOPK, MOE_HID, SHARED_HID = 4, 2, 48, 48
+SEQ = 15
+
+
+def _build(moe=True):
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    hf_cfg = Qwen3NextConfig(
+        vocab_size=VOCAB, hidden_size=DIM, intermediate_size=96,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=KV, head_dim=HD,
+        linear_num_key_heads=LHK, linear_num_value_heads=LHV,
+        linear_key_head_dim=LDK, linear_value_head_dim=LDV,
+        linear_conv_kernel_dim=CONVK,
+        num_experts=EXPERTS if moe else 0,
+        num_experts_per_tok=TOPK,
+        moe_intermediate_size=MOE_HID,
+        shared_expert_intermediate_size=SHARED_HID,
+        decoder_sparse_step=1 if moe else 0,
+        norm_topk_prob=True,
+        partial_rotary_factor=0.25, rope_theta=10000.0,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=False)
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(4)
+    model = Qwen3NextForCausalLM(hf_cfg).eval()
+    gen = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "A_log" in name or "dt_bias" in name:
+                continue  # keep the init's calibrated decay ranges
+            if "norm" in name:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.2)
+            else:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.08)
+    tokens = torch.randint(0, VOCAB, (1, SEQ + 3),
+                           generator=torch.Generator().manual_seed(9))
+    with torch.no_grad():
+        ref = model(tokens).logits[0].float().numpy()
+    state = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    return model, state, hf_cfg.to_dict(), tokens[0].numpy(), ref
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return _build(moe=True)
+
+
+@pytest.fixture(scope="module")
+def converted(oracle):
+    _, state, cfgdict, tokens, ref = oracle
+    params, cfg = C.qwen3_next_from_hf(state, cfgdict, max_seq=64)
+    return params, cfg, tokens, ref
+
+
+class TestQwen3Next:
+    def test_config_inference(self, converted):
+        _, cfg, _, _ = converted
+        assert cfg.layer_types == ("l", "l", "l", "f")
+        assert cfg.lin_k_heads == LHK and cfg.lin_v_heads == LHV
+        assert cfg.n_heads == HEADS and cfg.n_kv_heads == KV
+        assert cfg.n_experts == EXPERTS
+        assert cfg.partial_rotary_factor == 0.25
+
+    def test_teacher_forced_logits_match(self, converted):
+        params, cfg, tokens, ref = converted
+        cache = Q.create_cache(cfg)
+        logits, _ = Q.forward(params, cfg,
+                              jnp.asarray(tokens[:SEQ], jnp.int32),
+                              cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[:SEQ],
+                                   rtol=3e-3, atol=3e-3)
+
+    def test_cached_decode_matches(self, converted):
+        """Prefill then token-by-token decode must continue the
+        teacher-forced sequence exactly — pins the conv state carry,
+        the recurrent delta state, AND the attention KV append."""
+        params, cfg, tokens, ref = converted
+        cache = Q.create_cache(cfg)
+        _, cache = Q.prefill(params, cfg,
+                             jnp.asarray(tokens[:SEQ], jnp.int32),
+                             cache)
+        for j in range(3):
+            logits, cache = Q.decode_step(
+                params, cfg, jnp.asarray(int(tokens[SEQ + j]),
+                                         jnp.int32), cache)
+            np.testing.assert_allclose(np.asarray(logits), ref[SEQ + j],
+                                       rtol=3e-3, atol=3e-3,
+                                       err_msg=f"decode step {j}")
+
+    def test_split_prefill_matches_oneshot(self, converted):
+        """Two sequential forward calls == one (the recurrent state
+        and the KV append compose across calls)."""
+        params, cfg, tokens, ref = converted
+        one = Q.create_cache(cfg)
+        lg1, _ = Q.forward(params, cfg,
+                           jnp.asarray(tokens[:SEQ], jnp.int32), one)
+        two = Q.create_cache(cfg)
+        cut = 6
+        _, two = Q.forward(params, cfg,
+                           jnp.asarray(tokens[:cut], jnp.int32), two)
+        lg2, _ = Q.forward(params, cfg,
+                           jnp.asarray(tokens[cut:SEQ], jnp.int32), two)
+        np.testing.assert_allclose(np.asarray(lg2),
+                                   np.asarray(lg1)[cut:],
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_output_gate_is_load_bearing(self, oracle, converted):
+        """Zeroing the attention layers' gate columns (silu(0)=0.5
+        scaling everywhere) must change logits — guards a dropped
+        sigmoid output gate."""
+        params, cfg, tokens, ref = converted
+        broken = {**params, "layers": [dict(lp) for lp
+                                       in params["layers"]]}
+        for li, lt in enumerate(cfg.layer_types):
+            if lt != "f":
+                continue
+            wq = np.asarray(broken["layers"][li]["wq"]).copy()
+            wq = wq.reshape(cfg.dim, cfg.n_heads, 2 * cfg.head_dim)
+            wq[:, :, cfg.head_dim:] = 0.0
+            broken["layers"][li]["wq"] = jnp.asarray(
+                wq.reshape(cfg.dim, -1))
+        cache = Q.create_cache(cfg)
+        logits, _ = Q.forward(params, cfg,
+                              jnp.asarray(tokens[:SEQ], jnp.int32),
+                              cache)
+        cache = Q.create_cache(cfg)
+        blogits, _ = Q.forward(broken, cfg,
+                               jnp.asarray(tokens[:SEQ], jnp.int32),
+                               cache)
+        assert not np.allclose(np.asarray(blogits), np.asarray(logits),
+                               atol=1e-3)
+
+    def test_greedy_generate_runs(self, converted):
+        params, cfg, tokens, _ = converted
+        out = Q.greedy_generate(params, cfg, tokens[:6], 4)
+        assert len(out) == 4 and all(0 <= t < cfg.vocab_size
+                                     for t in out)
+
+
+class TestQwen3NextDense:
+    def test_dense_variant_matches(self):
+        _, state, cfgdict, tokens, ref = _build(moe=False)
+        params, cfg = C.qwen3_next_from_hf(state, cfgdict, max_seq=64)
+        assert cfg.n_experts == 0
+        cache = Q.create_cache(cfg)
+        logits, _ = Q.forward(params, cfg,
+                              jnp.asarray(tokens[:SEQ], jnp.int32),
+                              cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[:SEQ],
+                                   rtol=3e-3, atol=3e-3)

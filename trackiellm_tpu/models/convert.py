@@ -5633,3 +5633,186 @@ def ast_from_hf(state: Dict[str, Any],
     labels = [str(id2label.get(str(i), id2label.get(i, "")))
               for i in range(n_labels)] if id2label else []
     return params, cfg, labels
+
+
+def qwen3_next_from_hf(state: Dict[str, Any],
+                       config: Optional[Dict[str, Any]] = None,
+                       *, max_seq: int = 512, dtype=jnp.float32):
+    """HF ``Qwen3NextForCausalLM`` state dict -> (params,
+    Qwen3NextConfig) for models/qwen3next.py (the hybrid
+    Gated-DeltaNet / gated-attention family).
+
+    The fused projections un-fuse at conversion (exact — linear row
+    slices): the attention ``q_proj`` packs per-head [query | gate]
+    (kept fused, the runtime splits per head); the DeltaNet
+    ``in_proj_qkvz`` groups rows per K-head as [q, k, v, z] and
+    ``in_proj_ba`` as [b, a] — both regrouped into separate global
+    wq/wk/wv/wz/wb/wa so the runtime needs no reordering. Geometry is
+    shape-derived; per-layer type from tensor presence
+    (``linear_attn`` vs ``self_attn``); zero-centered RMSNorm weights
+    are stored raw (the runtime applies the 1+w convention)."""
+    from trackiellm_tpu.models.qwen3next import Qwen3NextConfig
+
+    config = config or {}
+
+    def A(name: str) -> np.ndarray:
+        if name not in state:
+            raise KeyError(name)
+        return np.asarray(state[name], np.float32)
+
+    emb = A("model.embed_tokens.weight")
+    vocab, dim = emb.shape
+    n_layers = len({k.split(".")[2] for k in state
+                    if k.startswith("model.layers.")})
+    layer_types = tuple(
+        "l" if f"model.layers.{i}.linear_attn.in_proj_qkvz.weight"
+        in state else "f" for i in range(n_layers))
+    if "l" not in layer_types or "f" not in layer_types:
+        log.warning("qwen3_next: homogeneous layer_types %s — "
+                    "published checkpoints interleave both",
+                    layer_types)
+
+    li_lin = layer_types.index("l")
+    li_full = layer_types.index("f") if "f" in layer_types else None
+    hv = A(f"model.layers.{li_lin}.linear_attn.dt_bias").shape[0]
+    conv_w = A(f"model.layers.{li_lin}.linear_attn.conv1d.weight")
+    conv_dim, _, conv_k = conv_w.shape
+    hk = int(config.get("linear_num_key_heads", 0))
+    dk = int(config.get("linear_key_head_dim", 0))
+    dv = int(config.get("linear_value_head_dim", 0))
+    if not (hk and dk and dv):
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            "qwen3_next needs linear_num_key_heads / "
+            "linear_key_head_dim / linear_value_head_dim from the HF "
+            "config (head splits are not shape-derivable)")
+    if conv_dim != 2 * hk * dk + hv * dv:
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"conv1d carries {conv_dim} channels but the config "
+            f"geometry gives {2 * hk * dk + hv * dv}")
+
+    hd = int(config.get("head_dim", 0)) or 16
+    n_heads = int(config.get("num_attention_heads", 0))
+    n_kv = int(config.get("num_key_value_heads", 0))
+    if li_full is not None:
+        k_w = A(f"model.layers.{li_full}.self_attn.k_proj.weight")
+        q_w = A(f"model.layers.{li_full}.self_attn.q_proj.weight")
+        if not n_heads:
+            n_heads = q_w.shape[0] // (2 * hd)
+        if not n_kv:
+            n_kv = k_w.shape[0] // hd
+
+    n_experts = int(config.get("num_experts", 0))
+    moe = f"model.layers.0.mlp.gate.weight" in state or any(
+        f"model.layers.{i}.mlp.gate.weight" in state
+        for i in range(n_layers))
+    moe_hidden = shared_hidden = hidden = 0
+    if moe:
+        li_moe = next(i for i in range(n_layers)
+                      if f"model.layers.{i}.mlp.gate.weight" in state)
+        e0 = f"model.layers.{li_moe}.mlp.experts"
+        n_experts = len({k.split(".")[5] for k in state
+                         if k.startswith(e0 + ".")})
+        moe_hidden = A(f"{e0}.0.gate_proj.weight").shape[0]
+        shared_hidden = A(f"model.layers.{li_moe}.mlp.shared_expert"
+                          ".gate_proj.weight").shape[0]
+    else:
+        hidden = A("model.layers.0.mlp.gate_proj.weight").shape[0]
+        n_experts = 0
+
+    cfg = Qwen3NextConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers,
+        layer_types=layer_types,
+        n_heads=n_heads, n_kv_heads=n_kv, head_dim=hd,
+        partial_rotary_factor=float(
+            config.get("partial_rotary_factor", 0.25)),
+        rope_theta=float(config.get("rope_theta", 10000.0)),
+        lin_k_heads=hk, lin_v_heads=hv, lin_dk=dk, lin_dv=dv,
+        conv_k=conv_k,
+        hidden_dim=hidden or moe_hidden,
+        n_experts=n_experts,
+        n_experts_used=int(config.get("num_experts_per_tok", 2)),
+        moe_hidden=moe_hidden, shared_hidden=shared_hidden,
+        norm_topk=bool(config.get("norm_topk_prob", True)),
+        norm_eps=float(config.get("rms_norm_eps", 1e-6)),
+        max_seq=max_seq)
+
+    J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+    layers = []
+    rep = hv // hk
+    for i in range(n_layers):
+        pre = f"model.layers.{i}"
+        lp: Dict[str, Any] = {
+            "attn_norm": J(A(f"{pre}.input_layernorm.weight")),
+            "mlp_norm": J(A(f"{pre}.post_attention_layernorm.weight")),
+        }
+        if layer_types[i] == "f":
+            ap = f"{pre}.self_attn"
+            lp["wq"] = J(A(f"{ap}.q_proj.weight").T)  # [q|gate]/head
+            lp["wk"] = J(A(f"{ap}.k_proj.weight").T)
+            lp["wv"] = J(A(f"{ap}.v_proj.weight").T)
+            lp["wo"] = J(A(f"{ap}.o_proj.weight").T)
+            lp["q_norm"] = J(A(f"{ap}.q_norm.weight"))
+            lp["k_norm"] = J(A(f"{ap}.k_norm.weight"))
+        else:
+            ap = f"{pre}.linear_attn"
+            qkvz = A(f"{ap}.in_proj_qkvz.weight")      # (rows, D)
+            ba = A(f"{ap}.in_proj_ba.weight")
+            gsz = 2 * dk + 2 * rep * dv
+            qs, ks, vs, zs, bs, as_ = [], [], [], [], [], []
+            for g in range(hk):
+                base = g * gsz
+                qs.append(qkvz[base: base + dk])
+                ks.append(qkvz[base + dk: base + 2 * dk])
+                vs.append(qkvz[base + 2 * dk: base + 2 * dk
+                               + rep * dv])
+                zs.append(qkvz[base + 2 * dk + rep * dv: base + gsz])
+                b2 = g * 2 * rep
+                bs.append(ba[b2: b2 + rep])
+                as_.append(ba[b2 + rep: b2 + 2 * rep])
+            lp["wq"] = J(np.concatenate(qs).T)
+            lp["wk"] = J(np.concatenate(ks).T)
+            lp["wv"] = J(np.concatenate(vs).T)
+            lp["wz"] = J(np.concatenate(zs).T)
+            lp["wb"] = J(np.concatenate(bs).T)
+            lp["wa"] = J(np.concatenate(as_).T)
+            lp["conv_w"] = J(A(f"{ap}.conv1d.weight")[:, 0, :])
+            lp["dt_bias"] = J(A(f"{ap}.dt_bias"))
+            lp["a_log"] = J(A(f"{ap}.A_log"))
+            lp["o_norm"] = J(A(f"{ap}.norm.weight"))
+            lp["wo"] = J(A(f"{ap}.out_proj.weight").T)
+        if f"{pre}.mlp.gate.weight" in state:
+            lp["moe_gate"] = J(A(f"{pre}.mlp.gate.weight").T)
+            ne = cfg.n_experts
+            lp["w_gu"] = J(np.stack([np.concatenate(
+                [A(f"{pre}.mlp.experts.{e}.gate_proj.weight").T,
+                 A(f"{pre}.mlp.experts.{e}.up_proj.weight").T],
+                axis=1) for e in range(ne)]))
+            lp["w_down"] = J(np.stack(
+                [A(f"{pre}.mlp.experts.{e}.down_proj.weight").T
+                 for e in range(ne)]))
+            lp["shared_gu"] = J(np.concatenate(
+                [A(f"{pre}.mlp.shared_expert.gate_proj.weight").T,
+                 A(f"{pre}.mlp.shared_expert.up_proj.weight").T],
+                axis=1))
+            lp["shared_down"] = J(
+                A(f"{pre}.mlp.shared_expert.down_proj.weight").T)
+            lp["shared_gate"] = J(
+                A(f"{pre}.mlp.shared_expert_gate.weight").T)
+        else:
+            lp["w_gu"] = J(np.concatenate(
+                [A(f"{pre}.mlp.gate_proj.weight").T,
+                 A(f"{pre}.mlp.up_proj.weight").T], axis=1))
+            lp["w_down"] = J(A(f"{pre}.mlp.down_proj.weight").T)
+        layers.append(lp)
+
+    params = {
+        "tok_emb": J(emb),
+        "layers": layers,
+        "out_norm": J(A("model.norm.weight")),
+        "lm_head": J(A("lm_head.weight").T
+                     if "lm_head.weight" in state
+                     else np.ascontiguousarray(emb.T)),
+    }
+    return params, cfg

@@ -1,0 +1,325 @@
+"""Qwen3-Next: hybrid Gated-DeltaNet / gated-attention family.
+
+The 2025 Qwen3-Next-80B-A3B architecture mixes, in a 3:1 pattern,
+linear-attention **Gated DeltaNet** layers (causal conv + per-head
+gated delta-rule state, O(1) memory per token) with **gated full
+attention** layers (GQA + per-head zero-centered QK RMSNorm + partial
+rotary + sigmoid output gating), over a Qwen-MoE MLP stack (softmax
+top-k renormalized + sigmoid-gated shared expert) and zero-centered
+RMSNorms throughout.
+
+v1 design notes (correct-first; the optimization path is known):
+
+- **Exact-length prefill** (no bucket padding): the delta-rule state is
+  a recurrence — padded positions would corrupt it. One traced program
+  per prompt length; the Mamba module's chunk-fold trick is the
+  follow-up for bucketed ingestion.
+- The delta recurrence runs as ONE ``lax.scan`` over time inside each
+  linear layer (the reference's ``torch_recurrent_gated_delta_rule``
+  semantics, vectorized over heads). The chunk-parallel form
+  (``torch_chunk_gated_delta_rule``) is the throughput follow-up.
+- Layers are heterogeneous, so the stack is a per-layer list (an
+  unrolled loop in the traced program), not a scanned stack.
+
+Oracle: transformers ``Qwen3NextForCausalLM`` — teacher-forced logits
+and cached decode pinned exact in tests/test_qwen3next.py. Parity:
+the reference serves whatever llama.cpp loads
+(src/ai_models/tk_model_loader.c:199); qwen3-next is the current
+frontier open-weight family in that ecosystem.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class Qwen3NextConfig(NamedTuple):
+    vocab_size: int = 2048
+    dim: int = 64
+    n_layers: int = 4
+    layer_types: Tuple[str, ...] = ("l", "l", "l", "f")  # l=linear f=full
+    # full attention
+    n_heads: int = 4
+    n_kv_heads: int = 2
+    head_dim: int = 16
+    partial_rotary_factor: float = 0.25
+    rope_theta: float = 10000.0
+    # gated deltanet (linear attention)
+    lin_k_heads: int = 2
+    lin_v_heads: int = 4
+    lin_dk: int = 16
+    lin_dv: int = 16
+    conv_k: int = 4
+    # MLP / MoE (n_experts=0 -> dense MLP of hidden_dim)
+    hidden_dim: int = 128
+    n_experts: int = 0
+    n_experts_used: int = 2
+    moe_hidden: int = 0
+    shared_hidden: int = 0
+    norm_topk: bool = True
+    norm_eps: float = 1e-6
+    max_seq: int = 512
+
+    @property
+    def conv_dim(self) -> int:
+        return 2 * self.lin_k_heads * self.lin_dk \
+            + self.lin_v_heads * self.lin_dv
+
+    @classmethod
+    def tiny(cls) -> "Qwen3NextConfig":
+        return cls()
+
+
+def _norm(x, w, eps):
+    """Zero-centered RMSNorm: weights store w, the scale is (1 + w) —
+    all in f32 before the cast (Qwen3NextRMSNorm)."""
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps)
+    return (xf * (1.0 + w.astype(jnp.float32))).astype(x.dtype)
+
+
+def _gated_norm(x, w, gate, eps):
+    """Norm-then-gate (Qwen3NextRMSNormGated: plain weight, f32 silu
+    gate)."""
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps)
+    xf = w.astype(jnp.float32) * xf
+    return (xf * jax.nn.silu(gate.astype(jnp.float32))).astype(x.dtype)
+
+
+def _l2norm(x, eps=1e-6):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + eps)
+
+
+def _rope(x, positions, cfg: Qwen3NextConfig):
+    """Partial split-half rotary on the leading rotary dims."""
+    rot = int(cfg.head_dim * cfg.partial_rotary_factor)
+    half = rot // 2
+    freqs = 1.0 / (cfg.rope_theta
+                   ** (jnp.arange(half, dtype=jnp.float32) / half))
+    ang = positions[:, None].astype(jnp.float32) * freqs   # (S, half)
+    cos = jnp.cos(ang)[:, None, :]
+    sin = jnp.sin(ang)[:, None, :]
+    xr = x[..., :rot].astype(jnp.float32)
+    x1, x2 = jnp.split(xr, 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                          axis=-1).astype(x.dtype)
+    return jnp.concatenate([out, x[..., rot:]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Full-attention layer (gated)
+# ---------------------------------------------------------------------------
+
+def _attn_layer(lp, cfg: Qwen3NextConfig, x, positions, k_cache, v_cache,
+                kv_len):
+    """x (S, D); cache (S_cache, Hk, hd) holds keys/values for
+    positions [0, kv_len); this call appends S new positions starting
+    at kv_len. Returns (out, new_k, new_v)."""
+    s = x.shape[0]
+    h, hk, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qg = (x @ lp["wq"]).reshape(s, h, 2 * hd)
+    q, gate = qg[..., :hd], qg[..., hd:]
+    k = (x @ lp["wk"]).reshape(s, hk, hd)
+    v = (x @ lp["wv"]).reshape(s, hk, hd)
+    q = _norm(q, lp["q_norm"], cfg.norm_eps)
+    k = _norm(k, lp["k_norm"], cfg.norm_eps)
+    q = _rope(q, positions, cfg)
+    k = _rope(k, positions, cfg)
+
+    new_k = jax.lax.dynamic_update_slice(k_cache, k, (kv_len, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(v_cache, v, (kv_len, 0, 0))
+
+    rep = h // hk
+    qh = q.reshape(s, hk, rep, hd)
+    scores = jnp.einsum("sgrd,tgd->grst", qh.astype(jnp.float32),
+                        new_k.astype(jnp.float32)) / math.sqrt(hd)
+    t_idx = jnp.arange(new_k.shape[0])[None, None, None, :]
+    q_pos = positions[None, None, :, None]
+    mask = t_idx <= q_pos
+    scores = jnp.where(mask, scores, -jnp.inf)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("grst,tgd->sgrd", p,
+                     new_v.astype(jnp.float32)).reshape(s, h * hd)
+    out = out.astype(x.dtype) * jax.nn.sigmoid(
+        gate.reshape(s, h * hd).astype(jnp.float32)).astype(x.dtype)
+    return out @ lp["wo"], new_k, new_v
+
+
+# ---------------------------------------------------------------------------
+# Gated DeltaNet layer (linear attention)
+# ---------------------------------------------------------------------------
+
+def _delta_layer(lp, cfg: Qwen3NextConfig, x, conv_state, rec_state):
+    """x (S, D). conv_state (conv_dim, K-1) holds the PREVIOUS inputs;
+    rec_state (Hv, dk, dv). Returns (out, new_conv_state, new_rec)."""
+    s = x.shape[0]
+    hk, hv = cfg.lin_k_heads, cfg.lin_v_heads
+    dk, dv = cfg.lin_dk, cfg.lin_dv
+
+    q = x @ lp["wq"]                      # (S, hk*dk)
+    k = x @ lp["wk"]
+    v = x @ lp["wv"]
+    z = (x @ lp["wz"]).reshape(s, hv, dv)
+    b = x @ lp["wb"]                      # (S, hv)
+    a = x @ lp["wa"]
+
+    mixed = jnp.concatenate([q, k, v], axis=-1)      # (S, conv_dim)
+    hist = jnp.concatenate([conv_state.T, mixed], axis=0)  # (K-1+S, C)
+    new_conv_state = hist[-(cfg.conv_k - 1):].T
+    # Depthwise causal conv as K shifted multiply-adds (Mamba trick).
+    w = lp["conv_w"]                                  # (conv_dim, K)
+    acc = jnp.zeros((s, cfg.conv_dim), jnp.float32)
+    for j in range(cfg.conv_k):
+        acc = acc + hist[j: j + s].astype(jnp.float32) \
+            * w[:, j].astype(jnp.float32)
+    mixed = jax.nn.silu(acc).astype(x.dtype)
+
+    kd = hk * dk
+    q = mixed[:, :kd].reshape(s, hk, dk)
+    k = mixed[:, kd: 2 * kd].reshape(s, hk, dk)
+    v = mixed[:, 2 * kd:].reshape(s, hv, dv)
+
+    beta = jax.nn.sigmoid(b.astype(jnp.float32))      # (S, hv)
+    g = -jnp.exp(lp["a_log"].astype(jnp.float32)) \
+        * jax.nn.softplus(a.astype(jnp.float32)
+                          + lp["dt_bias"].astype(jnp.float32))
+    rep = hv // hk
+    q = jnp.repeat(q, rep, axis=1)                    # (S, hv, dk)
+    k = jnp.repeat(k, rep, axis=1)
+    q = _l2norm(q.astype(jnp.float32))
+    k = _l2norm(k.astype(jnp.float32))
+    q = q / math.sqrt(dk)
+    v = v.astype(jnp.float32)
+
+    def step(state, inputs):
+        q_t, k_t, v_t, g_t, b_t = inputs              # (hv, dk) ...
+        state = state * jnp.exp(g_t)[:, None, None]
+        kv_mem = jnp.einsum("hkv,hk->hv", state, k_t)
+        delta = (v_t - kv_mem) * b_t[:, None]
+        state = state + k_t[:, :, None] * delta[:, None, :]
+        out_t = jnp.einsum("hkv,hk->hv", state, q_t)
+        return state, out_t
+
+    rec, core = jax.lax.scan(
+        step, rec_state.astype(jnp.float32), (q, k, v, g, beta))
+    core = _gated_norm(core.astype(x.dtype), lp["o_norm"], z,
+                       cfg.norm_eps)                   # (S, hv, dv)
+    return core.reshape(s, hv * dv) @ lp["wo"], new_conv_state, rec
+
+
+# ---------------------------------------------------------------------------
+# MLP / MoE
+# ---------------------------------------------------------------------------
+
+def _mlp(lp, cfg: Qwen3NextConfig, x):
+    if "moe_gate" not in lp:
+        gu = x @ lp["w_gu"]
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return (jax.nn.silu(gate) * up) @ lp["w_down"]
+    logits = (x @ lp["moe_gate"]).astype(jnp.float32)
+    scores = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(scores, cfg.n_experts_used)
+    if cfg.norm_topk:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    weights = jnp.sum(jax.nn.one_hot(topi, cfg.n_experts,
+                                     dtype=jnp.float32)
+                      * topv[..., None], axis=-2)     # (S, E)
+    out = jnp.zeros((x.shape[0], cfg.dim), jnp.float32)
+    for e in range(cfg.n_experts):
+        gu = x @ lp["w_gu"][e]
+        gate, up = jnp.split(gu, 2, axis=-1)
+        y = (jax.nn.silu(gate) * up) @ lp["w_down"][e]
+        out = out + weights[:, e: e + 1] * y.astype(jnp.float32)
+    sg = jax.nn.sigmoid((x @ lp["shared_gate"]).astype(jnp.float32))
+    gu = x @ lp["shared_gu"]
+    gate, up = jnp.split(gu, 2, axis=-1)
+    shared = (jax.nn.silu(gate) * up) @ lp["shared_down"]
+    return (out + sg * shared.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Cache + forward
+# ---------------------------------------------------------------------------
+
+def create_cache(cfg: Qwen3NextConfig, dtype=jnp.float32):
+    """Per-layer hybrid state: (k, v) for full-attention layers;
+    (conv, rec) for linear layers. `length` counts ingested tokens."""
+    states: List[Dict[str, Any]] = []
+    for lt in cfg.layer_types:
+        if lt == "f":
+            states.append({
+                "k": jnp.zeros((cfg.max_seq, cfg.n_kv_heads,
+                                cfg.head_dim), dtype),
+                "v": jnp.zeros((cfg.max_seq, cfg.n_kv_heads,
+                                cfg.head_dim), dtype),
+            })
+        else:
+            states.append({
+                "conv": jnp.zeros((cfg.conv_dim, cfg.conv_k - 1),
+                                  dtype),
+                "rec": jnp.zeros((cfg.lin_v_heads, cfg.lin_dk,
+                                  cfg.lin_dv), jnp.float32),
+            })
+    return {"layers": states, "length": jnp.int32(0)}
+
+
+def forward(params, cfg: Qwen3NextConfig, tokens: jnp.ndarray, cache):
+    """tokens (S,) EXACT length (no padding — see module docstring).
+    Returns (all_logits (S, V), new_cache)."""
+    s = tokens.shape[0]
+    start = cache["length"]
+    positions = start + jnp.arange(s)
+    x = params["tok_emb"][tokens]
+    new_states = []
+    for li, lt in enumerate(cfg.layer_types):
+        lp = params["layers"][li]
+        st = cache["layers"][li]
+        h = _norm(x, lp["attn_norm"], cfg.norm_eps)
+        if lt == "f":
+            out, nk, nv = _attn_layer(lp, cfg, h, positions,
+                                      st["k"], st["v"], start)
+            new_states.append({"k": nk, "v": nv})
+        else:
+            out, nc, nr = _delta_layer(lp, cfg, h, st["conv"],
+                                       st["rec"])
+            new_states.append({"conv": nc, "rec": nr})
+        x = x + out
+        h = _norm(x, lp["mlp_norm"], cfg.norm_eps)
+        x = x + _mlp(lp, cfg, h)
+    x = _norm(x, params["out_norm"], cfg.norm_eps)
+    logits = x @ params["lm_head"]
+    return logits, {"layers": new_states, "length": start + s}
+
+
+def prefill(params, cfg: Qwen3NextConfig, tokens, cache):
+    logits, cache = forward(params, cfg, tokens, cache)
+    return logits[-1], cache
+
+
+def decode_step(params, cfg: Qwen3NextConfig, token, cache):
+    logits, cache = forward(params, cfg, token[None], cache)
+    return logits[0], cache
+
+
+def greedy_generate(params, cfg: Qwen3NextConfig, prompt: np.ndarray,
+                    n_tokens: int) -> List[int]:
+    """Host greedy loop (tests / smoke; the production session wrapper
+    is the Mamba-style follow-up — recurrent state has no rollback)."""
+    cache = create_cache(cfg)
+    pf = jax.jit(prefill, static_argnames=("cfg",))
+    ds = jax.jit(decode_step, static_argnames=("cfg",))
+    logits, cache = pf(params, cfg, jnp.asarray(prompt, jnp.int32),
+                       cache)
+    out = []
+    tok = jnp.argmax(logits).astype(jnp.int32)
+    for _ in range(n_tokens):
+        out.append(int(tok))
+        logits, cache = ds(params, cfg, tok, cache)
+        tok = jnp.argmax(logits).astype(jnp.int32)
+    return out
