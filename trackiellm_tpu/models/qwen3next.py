@@ -197,20 +197,97 @@ def _delta_layer(lp, cfg: Qwen3NextConfig, x, conv_state, rec_state):
     q = q / math.sqrt(dk)
     v = v.astype(jnp.float32)
 
-    def step(state, inputs):
-        q_t, k_t, v_t, g_t, b_t = inputs              # (hv, dk) ...
-        state = state * jnp.exp(g_t)[:, None, None]
-        kv_mem = jnp.einsum("hkv,hk->hv", state, k_t)
-        delta = (v_t - kv_mem) * b_t[:, None]
-        state = state + k_t[:, :, None] * delta[:, None, :]
-        out_t = jnp.einsum("hkv,hk->hv", state, q_t)
-        return state, out_t
+    if s >= 8:
+        core, rec = _chunk_gated_delta(
+            q.transpose(1, 0, 2), k.transpose(1, 0, 2),
+            v.transpose(1, 0, 2), g.T, beta.T,
+            rec_state.astype(jnp.float32))
+        core = core.transpose(1, 0, 2)                # (S, hv, dv)
+    else:
+        def step(state, inputs):
+            q_t, k_t, v_t, g_t, b_t = inputs          # (hv, dk) ...
+            state = state * jnp.exp(g_t)[:, None, None]
+            kv_mem = jnp.einsum("hkv,hk->hv", state, k_t)
+            delta = (v_t - kv_mem) * b_t[:, None]
+            state = state + k_t[:, :, None] * delta[:, None, :]
+            out_t = jnp.einsum("hkv,hk->hv", state, q_t)
+            return state, out_t
 
-    rec, core = jax.lax.scan(
-        step, rec_state.astype(jnp.float32), (q, k, v, g, beta))
+        rec, core = jax.lax.scan(
+            step, rec_state.astype(jnp.float32), (q, k, v, g, beta))
     core = _gated_norm(core.astype(x.dtype), lp["o_norm"], z,
                        cfg.norm_eps)                   # (S, hv, dv)
     return core.reshape(s, hv * dv) @ lp["wo"], new_conv_state, rec
+
+
+def _chunk_gated_delta(q, k, v, g, beta, state0, chunk: int = 64):
+    """Chunk-parallel gated delta rule — TPU-first prefill: in-chunk
+    work is dense matmuls + one unit-lower triangular solve (MXU),
+    with ONE sequential carry per chunk instead of per token. Exactly
+    the recurrence's math, reassociated (the reference's
+    ``torch_chunk_gated_delta_rule``; equality vs the per-token scan is
+    pinned in tests).
+
+    q, k: (H, T, dk) — already l2-normed, q pre-scaled by 1/sqrt(dk);
+    v: (H, T, dv); g, beta: (H, T); state0 (H, dk, dv) f32.
+    Returns (out (H, T, dv) f32, final state)."""
+    h, t, dk = k.shape
+    dv = v.shape[-1]
+    c = min(chunk, max(8, t))
+    pad = (-t) % c
+    if pad:
+        zf = lambda x, w: jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * w)  # noqa: E731
+        q, k, v = zf(q, 1), zf(k, 1), zf(v, 1)
+        g, beta = zf(g, 0), zf(beta, 0)
+    n = (t + pad) // c
+    qc = q.reshape(h, n, c, dk)
+    kc = k.reshape(h, n, c, dk)
+    vc = v.reshape(h, n, c, dv)
+    gc = jnp.cumsum(g.reshape(h, n, c), axis=-1)       # in-chunk decay
+    bc = beta.reshape(h, n, c)
+    v_beta = vc * bc[..., None]
+    k_beta = kc * bc[..., None]
+
+    tri_lo = jnp.tril(jnp.ones((c, c), bool), -1)      # strict lower
+    decay = jnp.where(
+        jnp.tril(jnp.ones((c, c), bool)),
+        jnp.exp(gc[..., :, None] - gc[..., None, :]), 0.0)
+    a = jnp.where(tri_lo, -(jnp.einsum("hncd,hnkd->hnck", k_beta, kc)
+                            * decay), 0.0)
+    # attn = (I - A)^{-1} for unit-lower-triangular (I - A).
+    eye = jnp.eye(c, dtype=a.dtype)
+    inv = jax.scipy.linalg.solve_triangular(
+        eye - a, jnp.broadcast_to(eye, a.shape), lower=True,
+        unit_diagonal=True)
+    u = jnp.einsum("hnck,hnkd->hncd", inv, v_beta)
+    w = jnp.einsum("hnck,hnkd->hncd", inv,
+                   k_beta * jnp.exp(gc)[..., None])
+
+    intra_mask = jnp.tril(jnp.ones((c, c), bool))
+
+    def chunk_step(state, inputs):
+        q_i, k_i, u_i, w_i, g_i, d_i = inputs
+        v_prime = jnp.einsum("hcd,hdv->hcv", w_i, state)
+        v_new = u_i - v_prime
+        attn_inter = jnp.einsum(
+            "hcd,hdv->hcv", q_i * jnp.exp(g_i)[..., None], state)
+        intra = jnp.where(intra_mask,
+                          jnp.einsum("hcd,hkd->hck", q_i, k_i) * d_i,
+                          0.0)
+        out_i = attn_inter + jnp.einsum("hck,hkv->hcv", intra, v_new)
+        g_last = g_i[:, -1]
+        state = state * jnp.exp(g_last)[:, None, None] \
+            + jnp.einsum(
+                "hcd,hcv->hdv",
+                k_i * jnp.exp(g_last[:, None] - g_i)[..., None], v_new)
+        return state, out_i
+
+    seq = (qc.transpose(1, 0, 2, 3), kc.transpose(1, 0, 2, 3),
+           u.transpose(1, 0, 2, 3), w.transpose(1, 0, 2, 3),
+           gc.transpose(1, 0, 2), decay.transpose(1, 0, 2, 3))
+    state, outs = jax.lax.scan(chunk_step, state0, seq)
+    out = outs.transpose(1, 0, 2, 3).reshape(h, t + pad, dv)
+    return out[:, :t], state
 
 
 # ---------------------------------------------------------------------------
