@@ -108,7 +108,7 @@ class TestQwen3Next:
         cache = Q.create_cache(cfg)
         _, cache = Q.prefill(params, cfg,
                              jnp.asarray(tokens[:SEQ], jnp.int32),
-                             cache)
+                             jnp.int32(SEQ), cache)
         for j in range(3):
             logits, cache = Q.decode_step(
                 params, cfg, jnp.asarray(int(tokens[SEQ + j]),
@@ -223,3 +223,44 @@ class TestChunkedDeltaRule:
         route (the scan path would also pass, so pin the branch)."""
         _, cfg, _, _ = converted
         assert SEQ >= 8  # forward() takes the chunked branch
+
+
+class TestPaddingAndSession:
+    def test_padded_prefill_matches_exact(self, converted):
+        """Padded-bucket ingestion (length semantics): junk tail
+        tokens must not perturb the real prefix — conv window slice,
+        delta no-ops, and stale attention rows all pinned."""
+        params, cfg, tokens, ref = converted
+        exact = Q.create_cache(cfg)
+        lg_e, cache_e = Q.prefill(
+            params, cfg, jnp.asarray(tokens[:SEQ], jnp.int32),
+            jnp.int32(SEQ), exact)
+        padded = np.full(24, 7, np.int32)  # junk everywhere...
+        padded[:SEQ] = tokens[:SEQ]        # ...except the real prefix
+        pad_cache = Q.create_cache(cfg)
+        lg_p, cache_p = Q.prefill(params, cfg, jnp.asarray(padded),
+                                  jnp.int32(SEQ), pad_cache)
+        np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_e),
+                                   rtol=1e-4, atol=1e-4)
+        # And decode continues identically from both caches.
+        nxt = int(tokens[SEQ])
+        d_e, _ = Q.decode_step(params, cfg, jnp.int32(nxt), cache_e)
+        d_p, _ = Q.decode_step(params, cfg, jnp.int32(nxt), cache_p)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_e),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_mamba_runner_session(self, converted):
+        """The recurrent-family session (MambaRunner) auto-selects the
+        qwen3next module from the config type and generates text
+        through the padded-chunk prefill + decode path."""
+        from trackiellm_tpu.llm.runner import GenerationConfig
+        from trackiellm_tpu.llm.tokenizer import ByteTokenizer
+        from trackiellm_tpu.models.mamba import MambaRunner
+
+        params, cfg, _, _ = converted
+        r = MambaRunner(params, cfg, ByteTokenizer(cfg.vocab_size),
+                        GenerationConfig(max_tokens=6, temperature=0.0))
+        assert r._m.__name__.endswith("qwen3next")
+        out = r.generate("ola")
+        assert isinstance(out, str)
+        r.add_tool_response("t", {"ok": 1})  # state extends, no crash

@@ -321,12 +321,16 @@ class MambaRunner:
         if model is None:
             if type(cfg).__name__ == "Mamba2Config":
                 from trackiellm_tpu.models import mamba2 as model
+            elif type(cfg).__name__ == "Qwen3NextConfig":
+                from trackiellm_tpu.models import qwen3next as model
             else:
                 model = _sys.modules[__name__]
         self._m = model
         self._cache_cls = (model.Mamba2Cache
                            if hasattr(model, "Mamba2Cache")
-                           else model.MambaCache)
+                           else model.MambaCache
+                           if hasattr(model, "MambaCache")
+                           else model.Cache)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer or ByteTokenizer(

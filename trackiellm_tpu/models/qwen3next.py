@@ -30,6 +30,7 @@ frontier open-weight family in that ecosystem.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, List, NamedTuple, Tuple
 
@@ -155,9 +156,12 @@ def _attn_layer(lp, cfg: Qwen3NextConfig, x, positions, k_cache, v_cache,
 # Gated DeltaNet layer (linear attention)
 # ---------------------------------------------------------------------------
 
-def _delta_layer(lp, cfg: Qwen3NextConfig, x, conv_state, rec_state):
-    """x (S, D). conv_state (conv_dim, K-1) holds the PREVIOUS inputs;
-    rec_state (Hv, dk, dv). Returns (out, new_conv_state, new_rec)."""
+def _delta_layer(lp, cfg: Qwen3NextConfig, x, conv_state, rec_state,
+                 length, real):
+    """x (S, D); ``length``/``real`` mark the real prefix (padding
+    semantics: see forward). conv_state (conv_dim, K-1) holds the
+    PREVIOUS inputs; rec_state (Hv, dk, dv). Returns (out,
+    new_conv_state, new_rec)."""
     s = x.shape[0]
     hk, hv = cfg.lin_k_heads, cfg.lin_v_heads
     dk, dv = cfg.lin_dk, cfg.lin_dv
@@ -171,7 +175,11 @@ def _delta_layer(lp, cfg: Qwen3NextConfig, x, conv_state, rec_state):
 
     mixed = jnp.concatenate([q, k, v], axis=-1)      # (S, conv_dim)
     hist = jnp.concatenate([conv_state.T, mixed], axis=0)  # (K-1+S, C)
-    new_conv_state = hist[-(cfg.conv_k - 1):].T
+    # Conv window ending at the LAST REAL input: hist[K-1+t] is
+    # input[t], so the K-1 rows before the first pad start at
+    # hist[length].
+    new_conv_state = jax.lax.dynamic_slice(
+        hist, (length, 0), (cfg.conv_k - 1, cfg.conv_dim)).T
     # Depthwise causal conv as K shifted multiply-adds (Mamba trick).
     w = lp["conv_w"]                                  # (conv_dim, K)
     acc = jnp.zeros((s, cfg.conv_dim), jnp.float32)
@@ -189,6 +197,9 @@ def _delta_layer(lp, cfg: Qwen3NextConfig, x, conv_state, rec_state):
     g = -jnp.exp(lp["a_log"].astype(jnp.float32)) \
         * jax.nn.softplus(a.astype(jnp.float32)
                           + lp["dt_bias"].astype(jnp.float32))
+    # Padded positions are recurrence no-ops: decay exp(0)=1, beta=0.
+    beta = jnp.where(real[:, None], beta, 0.0)
+    g = jnp.where(real[:, None], g, 0.0)
     rep = hv // hk
     q = jnp.repeat(q, rep, axis=1)                    # (S, hv, dk)
     k = jnp.repeat(k, rep, axis=1)
@@ -346,12 +357,21 @@ def create_cache(cfg: Qwen3NextConfig, dtype=jnp.float32):
     return {"layers": states, "length": jnp.int32(0)}
 
 
-def forward(params, cfg: Qwen3NextConfig, tokens: jnp.ndarray, cache):
-    """tokens (S,) EXACT length (no padding — see module docstring).
-    Returns (all_logits (S, V), new_cache)."""
+def forward(params, cfg: Qwen3NextConfig, tokens: jnp.ndarray, cache,
+            length=None):
+    """tokens (S,); ``length`` (traced scalar) marks how many are REAL
+    — padded tail positions are inert: their K/V rows land past the
+    advanced length (overwritten by the next call, masked meanwhile —
+    the llm.py stale-row contract), the conv window is sliced at the
+    last real input, and the delta recurrence sees g=0/beta=0 no-ops.
+    None = every position is real. Returns (all_logits (S, V),
+    new_cache); rows at/after ``length`` are junk."""
     s = tokens.shape[0]
+    if length is None:
+        length = jnp.int32(s)
     start = cache["length"]
     positions = start + jnp.arange(s)
+    real = jnp.arange(s) < length
     x = params["tok_emb"][tokens]
     new_states = []
     for li, lt in enumerate(cfg.layer_types):
@@ -364,39 +384,57 @@ def forward(params, cfg: Qwen3NextConfig, tokens: jnp.ndarray, cache):
             new_states.append({"k": nk, "v": nv})
         else:
             out, nc, nr = _delta_layer(lp, cfg, h, st["conv"],
-                                       st["rec"])
+                                       st["rec"], length, real)
             new_states.append({"conv": nc, "rec": nr})
         x = x + out
         h = _norm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + _mlp(lp, cfg, h)
     x = _norm(x, params["out_norm"], cfg.norm_eps)
     logits = x @ params["lm_head"]
-    return logits, {"layers": new_states, "length": start + s}
+    return logits, {"layers": new_states, "length": start + length}
 
 
-def prefill(params, cfg: Qwen3NextConfig, tokens, cache):
-    logits, cache = forward(params, cfg, tokens, cache)
-    return logits[-1], cache
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(params, cfg: Qwen3NextConfig, tokens, length, cache):
+    """Padded-chunk ingestion (the Mamba session contract): (last-real
+    logits, cache)."""
+    logits, cache = forward(params, cfg, tokens, cache, length=length)
+    return jax.lax.dynamic_index_in_dim(logits, length - 1, axis=0,
+                                        keepdims=False), cache
 
 
+extend = prefill  # recurrent state: continuation IS another prefill
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_step(params, cfg: Qwen3NextConfig, token, cache):
-    logits, cache = forward(params, cfg, token[None], cache)
+    logits, cache = forward(params, cfg,
+                            jnp.asarray(token, jnp.int32)[None], cache)
     return logits[0], cache
+
+
+class Cache:
+    """Factory shim matching the Mamba session's cache contract."""
+
+    @staticmethod
+    def create(cfg: Qwen3NextConfig, dtype=jnp.float32):
+        return create_cache(cfg, dtype)
 
 
 def greedy_generate(params, cfg: Qwen3NextConfig, prompt: np.ndarray,
                     n_tokens: int) -> List[int]:
-    """Host greedy loop (tests / smoke; the production session wrapper
-    is the Mamba-style follow-up — recurrent state has no rollback)."""
+    """Host greedy loop (tests / smoke); the production session is
+    :class:`trackiellm_tpu.models.mamba.MambaRunner` with
+    ``model=qwen3next`` (the recurrent-family session contract —
+    strictly sequential, no rollback)."""
     cache = create_cache(cfg)
-    pf = jax.jit(prefill, static_argnames=("cfg",))
-    ds = jax.jit(decode_step, static_argnames=("cfg",))
-    logits, cache = pf(params, cfg, jnp.asarray(prompt, jnp.int32),
-                       cache)
+    ids = jnp.asarray(prompt, jnp.int32)
+    logits, cache = prefill(params, cfg, ids, jnp.int32(len(prompt)),
+                            cache)
     out = []
     tok = jnp.argmax(logits).astype(jnp.int32)
     for _ in range(n_tokens):
         out.append(int(tok))
-        logits, cache = ds(params, cfg, tok, cache)
+        logits, cache = decode_step(params, cfg, tok, cache)
         tok = jnp.argmax(logits).astype(jnp.int32)
     return out
