@@ -85,7 +85,8 @@ def _cmd_convert(args) -> int:
                        "deepseekv3-hf", "granite-hf", "glm4-hf",
                        "llama4-hf", "nemotron-hf", "starcoder2-hf",
                        "cohere-hf", "ernie45-hf", "falcon-hf",
-                       "mamba-hf", "mamba2-hf", "glm4moe-hf"):
+                       "mamba-hf", "mamba2-hf", "glm4moe-hf",
+                       "qwen3next-hf"):
         # transformers state dict (.pt/.safetensors/.npz).
         from tools.parity_common import load_state_dict
 
@@ -109,13 +110,25 @@ def _cmd_convert(args) -> int:
               "cohere-hf": _C.cohere_from_hf,
               "ernie45-hf": _C.ernie45_from_hf,
               "glm4moe-hf": _C.glm4_moe_from_hf,
+              "qwen3next-hf": _C.qwen3_next_from_hf,
               "falcon-hf": _C.falcon_from_hf,
               "mamba-hf": _C.mamba_from_hf,
               "mamba2-hf": _C.mamba2_from_hf}[args.family]
         kw = ({"n_heads": args.n_heads} if args.family == "falcon-hf"
               else {})
+        if args.family == "qwen3next-hf":
+            # Linear-attention head splits are not shape-derivable.
+            if not getattr(args, "model_config", None):
+                print("qwen3next-hf needs --model-config config.json "
+                      "(linear_num_key_heads / head dims)",
+                      file=sys.stderr)
+                return 1
+            kw["config"] = json.loads(open(args.model_config).read())
         params, cfg = fn(load_state_dict(args.gguf), **kw)
-        if args.bits:
+        if args.family == "qwen3next-hf" and args.bits:
+            print("note: qwen3next-hf saves unquantized (the hybrid "
+                  "tree has no quantize_params yet)")
+        elif args.bits:
             if args.family.startswith("deepseek"):
                 from trackiellm_tpu.models.mla import quantize_params
             else:
@@ -194,9 +207,11 @@ def _cmd_generate(args) -> int:
         from trackiellm_tpu.models import mla as model  # noqa: F811
     gen_config = GenerationConfig(max_tokens=args.max_tokens,
                                   temperature=args.temperature)
-    if type(cfg).__name__ in ("MambaConfig", "Mamba2Config"):
-        # Recurrent-state families: their own sequential session runner
-        # (no attention-cache rollback semantics).
+    if type(cfg).__name__ in ("MambaConfig", "Mamba2Config",
+                              "Qwen3NextConfig"):
+        # Recurrent-state families (incl. the Qwen3-Next hybrid):
+        # their own sequential session runner (no attention-cache
+        # rollback semantics).
         from trackiellm_tpu.models.mamba import MambaRunner
 
         runner = MambaRunner(params, cfg, tokenizer=tokenizer,
@@ -519,7 +534,7 @@ def main(argv=None) -> int:
                             "nemotron-hf", "starcoder2-hf", "cohere-hf",
                             "ernie45-hf", "llava-hf", "falcon-hf",
                             "mamba-hf", "mamba2-hf", "paligemma-hf",
-                            "trocr-hf", "glm4moe-hf"),
+                            "trocr-hf", "glm4moe-hf", "qwen3next-hf"),
                    help="source layout (default: GGUF metadata-driven, "
                    "covers llama/mistral/qwen2/gemma2/granite/glm4/"
                    "mixtral/qwen2moe arches)")

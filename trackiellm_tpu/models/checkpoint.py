@@ -187,4 +187,13 @@ def load_checkpoint(directory: str, device_put: bool = True,
         from trackiellm_tpu.models import trocr as trocr_model
 
         cfg = trocr_model.TrOCRConfig(**sidecar["config"])
+    elif ("config" in sidecar
+          and sidecar.get("config_class") == "Qwen3NextConfig"):
+        from trackiellm_tpu.models import qwen3next as q3n_model
+
+        c = dict(sidecar["config"])
+        # JSON round-trips tuples as lists; the config must stay
+        # hashable (jit static arg).
+        c["layer_types"] = tuple(c.get("layer_types", ()))
+        cfg = q3n_model.Qwen3NextConfig(**c)
     return params, cfg, sidecar.get("metadata", {})
