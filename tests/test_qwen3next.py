@@ -264,3 +264,30 @@ class TestPaddingAndSession:
         out = r.generate("ola")
         assert isinstance(out, str)
         r.add_tool_response("t", {"ok": 1})  # state extends, no crash
+
+
+class TestQuantized:
+    def test_q8_close_to_dense(self, converted):
+        """Q8 on the big matrices tracks the dense logits (quantizer
+        error envelope) and decodes finitely through the session."""
+        params, cfg, tokens, _ = converted
+        qp = Q.quantize_params(params, bits=8, group=16)
+        from trackiellm_tpu.ops.quant import QuantizedLinear
+
+        assert isinstance(qp["lm_head"], QuantizedLinear)
+        assert any(isinstance(lp.get("wq"), QuantizedLinear)
+                   for lp in qp["layers"])
+        dense_c = Q.create_cache(cfg)
+        d_lg, _ = Q.prefill(params, cfg,
+                            jnp.asarray(tokens[:SEQ], jnp.int32),
+                            jnp.int32(SEQ), dense_c)
+        quant_c = Q.create_cache(cfg)
+        q_lg, quant_c = Q.prefill(qp, cfg,
+                                  jnp.asarray(tokens[:SEQ], jnp.int32),
+                                  jnp.int32(SEQ), quant_c)
+        rel = (np.linalg.norm(np.asarray(q_lg) - np.asarray(d_lg))
+               / np.linalg.norm(np.asarray(d_lg)))
+        assert rel < 0.05, rel
+        lg2, _ = Q.decode_step(qp, cfg, jnp.int32(int(tokens[SEQ])),
+                               quant_c)
+        assert np.isfinite(np.asarray(lg2)).all()

@@ -86,6 +86,11 @@ def _init(seed: int):
 def main() -> None:
     seed = int(time.time()) & 0x7FFFFFFF
     params = _init(seed)
+    bits = int(os.environ.get("TRACKIE_Q3N_BITS", "0"))
+    label = "bf16"
+    if bits:
+        params = Q.quantize_params(params, bits=bits)
+        label = f"q{bits}"
     jax.block_until_ready(params["out_norm"])
 
     cache = Q.create_cache(CFG, dtype=jnp.bfloat16)
@@ -125,7 +130,7 @@ def main() -> None:
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(params))
     print(json.dumps({
-        "config": "qwen3next_hybrid_0p9b_bf16",
+        "config": f"qwen3next_hybrid_0p9b_{label}",
         "n_params_m": round(n_params / 1e6, 1),
         "layer_types": "".join(CFG.layer_types),
         "prefill_tokens": PREFILL_T,

@@ -38,6 +38,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from trackiellm_tpu.models.llm import _linear
+
 
 class Qwen3NextConfig(NamedTuple):
     vocab_size: int = 2048
@@ -124,10 +126,10 @@ def _attn_layer(lp, cfg: Qwen3NextConfig, x, positions, k_cache, v_cache,
     at kv_len. Returns (out, new_k, new_v)."""
     s = x.shape[0]
     h, hk, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    qg = (x @ lp["wq"]).reshape(s, h, 2 * hd)
+    qg = _linear(x, lp["wq"]).reshape(s, h, 2 * hd)
     q, gate = qg[..., :hd], qg[..., hd:]
-    k = (x @ lp["wk"]).reshape(s, hk, hd)
-    v = (x @ lp["wv"]).reshape(s, hk, hd)
+    k = _linear(x, lp["wk"]).reshape(s, hk, hd)
+    v = _linear(x, lp["wv"]).reshape(s, hk, hd)
     q = _norm(q, lp["q_norm"], cfg.norm_eps)
     k = _norm(k, lp["k_norm"], cfg.norm_eps)
     q = _rope(q, positions, cfg)
@@ -149,7 +151,7 @@ def _attn_layer(lp, cfg: Qwen3NextConfig, x, positions, k_cache, v_cache,
                      new_v.astype(jnp.float32)).reshape(s, h * hd)
     out = out.astype(x.dtype) * jax.nn.sigmoid(
         gate.reshape(s, h * hd).astype(jnp.float32)).astype(x.dtype)
-    return out @ lp["wo"], new_k, new_v
+    return _linear(out, lp["wo"]), new_k, new_v
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +168,10 @@ def _delta_layer(lp, cfg: Qwen3NextConfig, x, conv_state, rec_state,
     hk, hv = cfg.lin_k_heads, cfg.lin_v_heads
     dk, dv = cfg.lin_dk, cfg.lin_dv
 
-    q = x @ lp["wq"]                      # (S, hk*dk)
-    k = x @ lp["wk"]
-    v = x @ lp["wv"]
-    z = (x @ lp["wz"]).reshape(s, hv, dv)
+    q = _linear(x, lp["wq"])              # (S, hk*dk)
+    k = _linear(x, lp["wk"])
+    v = _linear(x, lp["wv"])
+    z = _linear(x, lp["wz"]).reshape(s, hv, dv)
     b = x @ lp["wb"]                      # (S, hv)
     a = x @ lp["wa"]
 
@@ -228,7 +230,8 @@ def _delta_layer(lp, cfg: Qwen3NextConfig, x, conv_state, rec_state,
             step, rec_state.astype(jnp.float32), (q, k, v, g, beta))
     core = _gated_norm(core.astype(x.dtype), lp["o_norm"], z,
                        cfg.norm_eps)                   # (S, hv, dv)
-    return core.reshape(s, hv * dv) @ lp["wo"], new_conv_state, rec
+    return _linear(core.reshape(s, hv * dv), lp["wo"]), \
+        new_conv_state, rec
 
 
 def _chunk_gated_delta(q, k, v, g, beta, state0, chunk: int = 64):
@@ -307,9 +310,9 @@ def _chunk_gated_delta(q, k, v, g, beta, state0, chunk: int = 64):
 
 def _mlp(lp, cfg: Qwen3NextConfig, x):
     if "moe_gate" not in lp:
-        gu = x @ lp["w_gu"]
+        gu = _linear(x, lp["w_gu"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        return (jax.nn.silu(gate) * up) @ lp["w_down"]
+        return _linear(jax.nn.silu(gate) * up, lp["w_down"])
     logits = (x @ lp["moe_gate"]).astype(jnp.float32)
     scores = jax.nn.softmax(logits, axis=-1)
     topv, topi = jax.lax.top_k(scores, cfg.n_experts_used)
@@ -325,9 +328,9 @@ def _mlp(lp, cfg: Qwen3NextConfig, x):
         y = (jax.nn.silu(gate) * up) @ lp["w_down"][e]
         out = out + weights[:, e: e + 1] * y.astype(jnp.float32)
     sg = jax.nn.sigmoid((x @ lp["shared_gate"]).astype(jnp.float32))
-    gu = x @ lp["shared_gu"]
+    gu = _linear(x, lp["shared_gu"])
     gate, up = jnp.split(gu, 2, axis=-1)
-    shared = (jax.nn.silu(gate) * up) @ lp["shared_down"]
+    shared = _linear(jax.nn.silu(gate) * up, lp["shared_down"])
     return (out + sg * shared.astype(jnp.float32)).astype(x.dtype)
 
 
@@ -390,7 +393,7 @@ def forward(params, cfg: Qwen3NextConfig, tokens: jnp.ndarray, cache,
         h = _norm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + _mlp(lp, cfg, h)
     x = _norm(x, params["out_norm"], cfg.norm_eps)
-    logits = x @ params["lm_head"]
+    logits = _linear(x, params["lm_head"])
     return logits, {"layers": new_states, "length": start + length}
 
 
@@ -437,4 +440,35 @@ def greedy_generate(params, cfg: Qwen3NextConfig, prompt: np.ndarray,
         out.append(int(tok))
         logits, cache = decode_step(params, cfg, tok, cache)
         tok = jnp.argmax(logits).astype(jnp.int32)
+    return out
+
+
+def quantize_params(params: Dict[str, Any], bits: int = 4,
+                    group: int = 256) -> Dict[str, Any]:
+    """Quantize the big per-layer matrices of the hybrid tree (the
+    attention/DeltaNet projections, dense-MLP banks and lm_head carry
+    ~95% of the bytes; norms, conv kernels, dt/A and the small b/a
+    projections stay high-precision, matching the Mamba policy).
+    Decode is weight-bandwidth-bound, so Q4 is a direct tok/s lever."""
+    from trackiellm_tpu.ops.quant import quantize_q4, quantize_q8
+
+    quantize = quantize_q4 if bits == 4 else quantize_q8
+
+    def q(w):
+        return quantize(jnp.asarray(w, jnp.float32), group)
+
+    out = dict(params)
+    layers = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        for name in ("wq", "wk", "wv", "wz", "wo", "w_gu", "w_down",
+                     "shared_gu", "shared_down"):
+            if name in nlp and not isinstance(nlp[name], dict):
+                arr = nlp[name]
+                if hasattr(arr, "ndim") and arr.ndim == 2 \
+                        and min(arr.shape) >= group:
+                    nlp[name] = q(arr)
+        layers.append(nlp)
+    out["layers"] = layers
+    out["lm_head"] = q(params["lm_head"])
     return out
