@@ -158,3 +158,109 @@ class TestGlm4Moe:
                       GenerationConfig(max_tokens=8, temperature=0.0),
                       cache_dtype=jnp.float32)
         assert isinstance(r.generate("ola"), str)
+
+
+class TestGlm4MoeGGUF:
+    """llama.cpp glm4moe GGUF ingestion staged per the deepseek2
+    discipline: the synthetic writer produces the staged conventions
+    (deepseek2-style routing keys, exp_probs_b.bias selection bias,
+    *_exps/*_shexp banks) from the SAME HF oracle weights, and the
+    GGUF route must match the oracle's teacher-forced logits. Key
+    strings remain unvalidated offline (docs/MODELS.md)."""
+
+    def test_synthetic_gguf_matches_oracle(self, oracle, tmp_path):
+        from tests.test_loader import write_gguf
+
+        from trackiellm_tpu.models import loader as L
+
+        state, tokens, ref = oracle
+
+        def t(name):
+            return np.asarray(state[name], np.float32)
+
+        F32 = L.GGML_F32
+        tensors = {
+            "token_embd.weight": (t("model.embed_tokens.weight"), F32),
+            "output_norm.weight": (t("model.norm.weight"), F32),
+            "output.weight": (t("lm_head.weight"), F32),
+        }
+        for i in range(LAYERS):
+            hp, gp = f"model.layers.{i}", f"blk.{i}"
+            tensors[f"{gp}.attn_norm.weight"] = (
+                t(f"{hp}.input_layernorm.weight"), F32)
+            tensors[f"{gp}.ffn_norm.weight"] = (
+                t(f"{hp}.post_attention_layernorm.weight"), F32)
+            for g, h in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                         ("attn_v", "v_proj"),
+                         ("attn_output", "o_proj")):
+                tensors[f"{gp}.{g}.weight"] = (
+                    t(f"{hp}.self_attn.{h}.weight"), F32)
+            tensors[f"{gp}.attn_q_norm.weight"] = (
+                t(f"{hp}.self_attn.q_norm.weight"), F32)
+            tensors[f"{gp}.attn_k_norm.weight"] = (
+                t(f"{hp}.self_attn.k_norm.weight"), F32)
+            if f"{hp}.mlp.gate.weight" in state:
+                tensors[f"{gp}.ffn_gate_inp.weight"] = (
+                    t(f"{hp}.mlp.gate.weight"), F32)
+                tensors[f"{gp}.exp_probs_b.bias"] = (
+                    t(f"{hp}.mlp.gate.e_score_correction_bias"), F32)
+                for gg, hh in (("ffn_gate_exps", "gate_proj"),
+                               ("ffn_up_exps", "up_proj"),
+                               ("ffn_down_exps", "down_proj")):
+                    tensors[f"{gp}.{gg}.weight"] = (np.stack(
+                        [t(f"{hp}.mlp.experts.{e}.{hh}.weight")
+                         for e in range(EXPERTS)]), F32)
+                for gg, hh in (("ffn_gate_shexp", "gate_proj"),
+                               ("ffn_up_shexp", "up_proj"),
+                               ("ffn_down_shexp", "down_proj")):
+                    tensors[f"{gp}.{gg}.weight"] = (
+                        t(f"{hp}.mlp.shared_experts.{hh}.weight"), F32)
+            else:
+                for gg, hh in (("ffn_gate", "gate_proj"),
+                               ("ffn_up", "up_proj"),
+                               ("ffn_down", "down_proj")):
+                    tensors[f"{gp}.{gg}.weight"] = (
+                        t(f"{hp}.mlp.{hh}.weight"), F32)
+        p = str(tmp_path / "glm45.gguf")
+        write_gguf(p, tensors, metadata={
+            "general.architecture": "glm4moe",
+            "glm4moe.embedding_length": DIM,
+            "glm4moe.block_count": LAYERS,
+            "glm4moe.attention.head_count": HEADS,
+            "glm4moe.attention.head_count_kv": KV,
+            "glm4moe.attention.key_length": HD,
+            "glm4moe.feed_forward_length": DENSE_HID,
+            "glm4moe.expert_feed_forward_length": MOE_HID,
+            "glm4moe.context_length": 64,
+            "glm4moe.attention.layer_norm_rms_epsilon": 1e-5,
+            "glm4moe.rope.freq_base": 10000.0,
+            "glm4moe.rope.dimension_count": HD // 2,
+            "glm4moe.vocab_size": VOCAB,
+            "glm4moe.expert_count": EXPERTS,
+            "glm4moe.expert_used_count": TOPK,
+            "glm4moe.expert_weights_scale": SCALE,
+            "glm4moe.expert_weights_norm": 1,
+            "glm4moe.expert_gating_func": 2,
+            "glm4moe.expert_group_count": N_GROUP,
+            "glm4moe.expert_group_used_count": TOPK_GROUP,
+            "glm4moe.leading_dense_block_count": FIRST_DENSE,
+        })
+        params, cfg = C.gguf_to_glm4moe_params(p, bits=None,
+                                               dtype=jnp.float32)
+        assert cfg.qk_norm and cfg.partial_rotary_factor == 0.5
+        assert cfg.moe_score_func == "sigmoid"
+        assert cfg.moe_routed_scale == SCALE
+        assert cfg.moe_n_groups == N_GROUP
+        assert cfg.moe_first_dense == FIRST_DENSE
+        n = SEQ
+        cache = llm_model.KVCache.create(cfg, dtype=jnp.float32)
+        logits, cache = llm_model.prefill(
+            params, cfg, jnp.asarray(tokens[:n], jnp.int32),
+            jnp.int32(n), cache)
+        np.testing.assert_allclose(np.asarray(logits), ref[n - 1],
+                                   rtol=2e-3, atol=2e-3)
+        for j in range(2):
+            logits, cache = llm_model.decode_step(
+                params, cfg, jnp.int32(int(tokens[n + j])), cache)
+            np.testing.assert_allclose(np.asarray(logits), ref[n + j],
+                                       rtol=2e-3, atol=2e-3)

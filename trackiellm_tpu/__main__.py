@@ -160,6 +160,12 @@ def _cmd_convert(args) -> int:
 
             params, cfg = gguf_to_llama4_params(args.gguf,
                                                 bits=args.bits or None)
+        elif (hdr.architecture or "") == "glm4moe":
+            from trackiellm_tpu.models.convert import (
+                gguf_to_glm4moe_params)
+
+            params, cfg = gguf_to_glm4moe_params(args.gguf,
+                                                 bits=args.bits or None)
         else:
             params, cfg = gguf_to_llm_params(args.gguf,
                                              bits=args.bits or None)

@@ -5525,6 +5525,200 @@ def trocr_from_hf(state: Dict[str, Any], config: Optional[Dict[str, Any]]
     return {"enc": enc, "dec": dec}, cfg
 
 
+def gguf_to_glm4moe_params(
+    path: str,
+    bits: Optional[int] = 4,
+    group: int = 256,
+    dtype=jnp.bfloat16,
+) -> tuple:
+    """Convert a llama.cpp ``glm4moe`` GGUF (GLM-4.5/4.5-Air/4.6) to
+    (params, cfg) for models/llm.py — the GGUF twin of
+    :func:`glm4_moe_from_hf`.
+
+    Staged per the deepseek2 discipline: the metadata keys follow the
+    conventions llama.cpp established for deepseek2's routing stack
+    (``expert_gating_func``/``expert_weights_scale``/
+    ``expert_weights_norm``/``expert_group_count``/
+    ``leading_dense_block_count``; ``exp_probs_b.bias`` carries the
+    selection-only e_score_correction_bias) and the tensor names
+    mirror the qwen-family layout plus ``*_exps``/``*_shexp`` banks —
+    but the REAL key strings are unvalidated offline (zero-egress;
+    docs/MODELS.md). Geometry cross-checks fail loudly. Rope is
+    split-half at ``rope.dimension_count`` width (Glm4Moe uses
+    rotate_half natively — no interleave fold, unlike dense GLM-4)."""
+    gguf = read_gguf_header(path)
+    md = gguf.metadata
+    t = gguf.tensors
+    arch = "glm4moe"
+
+    def key(suffix: str, default=None):
+        v = md.get(f"{arch}.{suffix}", default)
+        if v is None:
+            raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                               f"missing GGUF key {arch}.{suffix}")
+        return v
+
+    dim = int(key("embedding_length"))
+    n_layers = int(key("block_count"))
+    n_heads = int(key("attention.head_count"))
+    n_kv = int(key("attention.head_count_kv", n_heads))
+    hd = int(md.get(f"{arch}.attention.key_length", dim // n_heads))
+    rot = int(md.get(f"{arch}.rope.dimension_count", hd // 2))
+    n_experts = int(md.get(f"{arch}.expert_count", 0))
+    first_k = int(md.get(f"{arch}.leading_dense_block_count", -1))
+    if first_k < 0:
+        first_k = sum(1 for i in range(n_layers)
+                      if f"blk.{i}.ffn_gate.weight" in t)
+    if not n_experts or first_k >= n_layers:
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           f"{path}: no MoE layers (dense GLM-4 loads "
+                           "through the glm4 arch)")
+    gating = int(md.get(f"{arch}.expert_gating_func", 2))
+    shex = f"blk.{first_k}.ffn_gate_shexp.weight"
+    shared_hidden = t[shex].shape[0] if shex in t else 0
+    moe_hidden = int(md.get(
+        f"{arch}.expert_feed_forward_length",
+        t[f"blk.{first_k}.ffn_gate_exps.weight"].shape[1]))
+    hidden_dense = (t["blk.0.ffn_gate.weight"].shape[0]
+                    if first_k else 0)
+    qk_norm = "blk.0.attn_q_norm.weight" in t
+    vocab = int(md.get("tokenizer.ggml.tokens_count",
+                       md.get(f"{arch}.vocab_size",
+                              t["token_embd.weight"].shape[0])))
+
+    cfg = llm_model.LLMConfig(
+        vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=n_kv, head_dim=hd, hidden_dim=moe_hidden,
+        norm_eps=float(md.get(
+            f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
+        rope_theta=float(key("rope.freq_base", 10000.0)),
+        max_seq=int(key("context_length", 8192)),
+        sliding_window=int(key("context_length", 8192)),
+        qkv_bias="blk.0.attn_q.bias" in t, qk_norm=qk_norm,
+        partial_rotary_factor=rot / hd,
+        n_experts=n_experts,
+        n_experts_used=int(md.get(f"{arch}.expert_used_count", 8)),
+        moe_score_func="sigmoid" if gating == 2 else "softmax",
+        moe_norm_topk=bool(md.get(f"{arch}.expert_weights_norm",
+                                  True)),
+        moe_routed_scale=float(md.get(f"{arch}.expert_weights_scale",
+                                      1.0) or 1.0),
+        moe_n_groups=int(md.get(f"{arch}.expert_group_count", 1) or 1),
+        moe_topk_groups=int(md.get(f"{arch}.expert_group_used_count",
+                                   1) or 1),
+        moe_group_score="top2sum",
+        moe_shared_hidden=shared_hidden, moe_shared_gated=False,
+        moe_first_dense=first_k)
+
+    quantize = (quantize_q4 if bits == 4
+                else quantize_q8 if bits == 8 else None)
+
+    def mat(name: str) -> np.ndarray:
+        return np.ascontiguousarray(load_gguf_tensor(gguf, name).T)
+
+    def vec(name: str) -> jnp.ndarray:
+        return jnp.asarray(load_gguf_tensor(gguf, name), dtype)
+
+    def maybe_quant(w):
+        if quantize is None:
+            return jnp.asarray(w, dtype)
+        return quantize(jnp.asarray(w, jnp.float32), group)
+
+    Ls: Dict[str, list] = {k: [] for k in (
+        "attn_norm", "wqkv", "wo", "mlp_norm", "w_gu", "w_down",
+        "moe_gate", "moe_gate_bias", "shared_gu", "shared_down")}
+    if qk_norm:
+        Ls["q_norm"], Ls["k_norm"] = [], []
+    if cfg.qkv_bias:
+        Ls["wqkv_bias"] = []
+    if first_k:
+        Ls["w_gu_mlp"], Ls["w_down_mlp"] = [], []
+    for i in range(n_layers):
+        p = f"blk.{i}"
+        Ls["attn_norm"].append(vec(f"{p}.attn_norm.weight"))
+        Ls["mlp_norm"].append(vec(f"{p}.ffn_norm.weight"))
+        qkv = np.concatenate([mat(f"{p}.attn_q.weight"),
+                              mat(f"{p}.attn_k.weight"),
+                              mat(f"{p}.attn_v.weight")], axis=1)
+        Ls["wqkv"].append(maybe_quant(qkv))
+        if cfg.qkv_bias:
+            Ls["wqkv_bias"].append(jnp.concatenate(
+                [vec(f"{p}.attn_q.bias"), vec(f"{p}.attn_k.bias"),
+                 vec(f"{p}.attn_v.bias")]))
+        Ls["wo"].append(maybe_quant(mat(f"{p}.attn_output.weight")))
+        if qk_norm:
+            Ls["q_norm"].append(vec(f"{p}.attn_q_norm.weight"))
+            Ls["k_norm"].append(vec(f"{p}.attn_k_norm.weight"))
+        if i >= first_k:
+            g = load_gguf_tensor(gguf, f"{p}.ffn_gate_exps.weight")
+            u = load_gguf_tensor(gguf, f"{p}.ffn_up_exps.weight")
+            dn = load_gguf_tensor(gguf, f"{p}.ffn_down_exps.weight")
+            if g.shape != (n_experts, moe_hidden, dim):
+                raise TrackieError(
+                    ErrorCode.MODEL_METADATA_INVALID,
+                    f"{p}.ffn_gate_exps.weight shape {g.shape} != "
+                    f"(E={n_experts}, H={moe_hidden}, D={dim})")
+            gu = np.concatenate([g.transpose(0, 2, 1),
+                                 u.transpose(0, 2, 1)], axis=2)
+            Ls["w_gu"].append(jnp.asarray(gu, dtype))
+            Ls["w_down"].append(jnp.asarray(dn.transpose(0, 2, 1),
+                                            dtype))
+            Ls["moe_gate"].append(jnp.asarray(
+                load_gguf_tensor(gguf, f"{p}.ffn_gate_inp.weight").T,
+                dtype))
+            Ls["moe_gate_bias"].append(jnp.asarray(
+                load_gguf_tensor(gguf, f"{p}.exp_probs_b.bias")
+                .reshape(-1), jnp.float32))
+            Ls["shared_gu"].append(maybe_quant(np.concatenate(
+                [mat(f"{p}.ffn_gate_shexp.weight"),
+                 mat(f"{p}.ffn_up_shexp.weight")], axis=1)))
+            Ls["shared_down"].append(
+                maybe_quant(mat(f"{p}.ffn_down_shexp.weight")))
+            if first_k:
+                Ls["w_gu_mlp"].append(jnp.zeros(
+                    (dim, 2 * hidden_dense), dtype))
+                Ls["w_down_mlp"].append(jnp.zeros(
+                    (hidden_dense, dim), dtype))
+        else:
+            Ls["w_gu"].append(jnp.zeros(
+                (n_experts, dim, 2 * moe_hidden), dtype))
+            Ls["w_down"].append(jnp.zeros(
+                (n_experts, moe_hidden, dim), dtype))
+            Ls["moe_gate"].append(jnp.zeros((dim, n_experts), dtype))
+            Ls["moe_gate_bias"].append(jnp.zeros((n_experts,),
+                                                 jnp.float32))
+            Ls["shared_gu"].append(jnp.zeros(
+                (dim, 2 * shared_hidden), dtype))
+            Ls["shared_down"].append(jnp.zeros((shared_hidden, dim),
+                                               dtype))
+            Ls["w_gu_mlp"].append(jnp.asarray(np.concatenate(
+                [mat(f"{p}.ffn_gate.weight"),
+                 mat(f"{p}.ffn_up.weight")], axis=1), dtype))
+            Ls["w_down_mlp"].append(jnp.asarray(
+                mat(f"{p}.ffn_down.weight"), dtype))
+        log.info("converted glm4moe layer %d/%d", i + 1, n_layers)
+
+    def stack(items):
+        from trackiellm_tpu.ops.quant import QuantizedLinear
+
+        if items and isinstance(items[0], QuantizedLinear):
+            return QuantizedLinear(
+                values=jnp.stack([q.values for q in items]),
+                scales=jnp.stack([q.scales for q in items]))
+        return jnp.stack(items)
+
+    tok_emb = load_gguf_tensor(gguf, "token_embd.weight")
+    lm_head = (mat("output.weight") if "output.weight" in t
+               else np.ascontiguousarray(tok_emb.T))
+    params = {
+        "tok_emb": jnp.asarray(tok_emb, dtype),
+        "layers": {k: stack(v) for k, v in Ls.items()},
+        "out_norm": vec("output_norm.weight"),
+        "lm_head": maybe_quant(lm_head),
+    }
+    return params, cfg
+
+
 def ast_from_hf(state: Dict[str, Any],
                 config: Optional[Dict[str, Any]] = None,
                 *, n_heads: int = 0, dtype=jnp.float32):
