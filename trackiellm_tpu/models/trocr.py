@@ -262,9 +262,6 @@ def greedy_ids(params: Dict[str, Any], cfg: TrOCRConfig,
     return out
 
 
-_greedy_jit = jax.jit(greedy_ids, static_argnames=("cfg",))
-_encode_jit = jax.jit(encode, static_argnames=("cfg",))
-
 
 # ---------------------------------------------------------------------------
 # Engine: the vision pipeline's ocr_fn surface
