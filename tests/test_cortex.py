@@ -981,3 +981,37 @@ class TestTextAndQRContext:
         prompt = c.reasoner.generate_context_string()
         assert "ABERTO 24H" in prompt
         assert "código QR" in prompt
+
+    def test_empty_ocr_pass_clears_stale_text(self):
+        """An OCR pass that finds nothing must CLEAR the previous
+        text/QR context (review finding: 'há um código QR' lingered
+        ~58 decay ticks after the camera turned away)."""
+        import types
+
+        from trackiellm_tpu.cortex.main import Cortex, CortexConfig
+        from trackiellm_tpu.vision.pipeline import AnalysisFlags
+
+        results = [
+            types.SimpleNamespace(
+                objects=[], scene_graph=None, navigation_cues=[],
+                full_text="SAIDA", barcodes=["qr_code@[1,1,9,9]"],
+                valid_analyses=AnalysisFlags.OCR),
+            types.SimpleNamespace(
+                objects=[], scene_graph=None, navigation_cues=[],
+                full_text="", barcodes=[],
+                valid_analyses=AnalysisFlags.OCR),
+        ]
+
+        class _StubVision:
+            def process_frame(self, frame, orientation_wxyz=None):
+                return results.pop(0)
+
+        c = Cortex(CortexConfig(), vision_pipeline=_StubVision())
+        c._frames.append(object())
+        c._process_vision()
+        assert "SAIDA" in c.reasoner.generate_context_string()
+        c._frames.append(object())
+        c._process_vision()
+        prompt = c.reasoner.generate_context_string()
+        assert "SAIDA" not in prompt
+        assert "código QR" not in prompt

@@ -96,3 +96,20 @@ class TestPipelineHook:
                  ).astype(np.uint8)
         res = pipe.process_frame(frame, AnalysisFlags.OCR)
         assert res.barcodes and res.barcodes[0].startswith("qr_code@")
+
+
+class TestTwoCodes:
+    def test_two_codes_detect_separately(self):
+        """Two same-scale QR codes in one frame must yield TWO
+        candidates (scale-only grouping would merge all six finder
+        patterns into one full-frame box)."""
+        img = np.ones((240, 560), np.float32)
+        span = 7 * 6
+        for x0 in (20, 320):
+            _draw_finder(img, 20, x0, 6)
+            _draw_finder(img, 20, x0 + 160 - span, 6)
+            _draw_finder(img, 180 - span + 20, x0, 6)
+        codes = qr.detect_qr(img)
+        assert len(codes) == 2, codes
+        (a, b) = sorted(c["bbox"][0] for c in codes)
+        assert b - a > 200  # genuinely separate boxes

@@ -126,8 +126,9 @@ def _cmd_convert(args) -> int:
             kw["config"] = json.loads(open(args.model_config).read())
         params, cfg = fn(load_state_dict(args.gguf), **kw)
         if args.family == "qwen3next-hf" and args.bits:
-            print("note: qwen3next-hf saves unquantized (the hybrid "
-                  "tree has no quantize_params yet)")
+            from trackiellm_tpu.models.qwen3next import quantize_params
+
+            params = quantize_params(params, bits=args.bits)
         elif args.bits:
             if args.family.startswith("deepseek"):
                 from trackiellm_tpu.models.mla import quantize_params

@@ -449,7 +449,17 @@ class Cortex:
         self.reasoner.update_vision_context(result.objects, scene_desc)
         full_text = getattr(result, "full_text", "") or ""
         barcodes = getattr(result, "barcodes", None) or ()
-        if full_text or barcodes:
+        valid = getattr(result, "valid_analyses", None)
+        ran_ocr = False
+        if valid is not None:
+            from trackiellm_tpu.vision.pipeline import AnalysisFlags
+            ran_ocr = bool(valid & AnalysisFlags.OCR)
+        if full_text or barcodes or ran_ocr:
+            # An OCR pass that found NOTHING must also clear the
+            # previous text/QR context (else "há um código QR" would
+            # linger ~58 decay ticks after the camera turned away);
+            # frames where OCR simply did not run keep the old items
+            # decaying naturally.
             self.reasoner.update_text_context(full_text, barcodes)
 
         cues = getattr(result, "navigation_cues", None)

@@ -532,6 +532,12 @@ class LLMRunner:
         if self._pending_spec:
             return self._emit_spec_token()
         if self._la_buf:
+            # Auto-speculation cooldown counts EMITTED tokens: buffered
+            # chunk tokens bypass the fast-path branch below, so they
+            # decrement here (exactly once per token — the fast path
+            # only runs when this buffer is empty).
+            if self.gen.speculative == "auto" and self._spec_cooldown > 0:
+                self._spec_cooldown -= 1
             return self._greedy_chunk_step()
 
         # Budget-forced closure: if a constrained generation is about to

@@ -3691,6 +3691,11 @@ def gguf_to_llama4_params(
             ErrorCode.MODEL_METADATA_INVALID,
             f"{path}: MoE layer layout {is_moe} disagrees with "
             f"interleave_moe_layer_step={step}")
+    if not any(is_moe):
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"{path}: no MoE layers (interleave_moe_layer_step={step} "
+            f"exceeds block_count={n_layers}?)")
     first_moe = is_moe.index(True)
     shared_rows = load_gguf_tensor(
         gguf, f"blk.{first_moe}.ffn_gate_shexp.weight").shape[0]
@@ -5424,9 +5429,11 @@ def trocr_from_hf(state: Dict[str, Any], config: Optional[Dict[str, Any]]
         layernorm_embedding=ln_emb,
         dec_eps=float(dec_cfg.get("layer_norm_eps", 1e-5)),
         act=str(dec_cfg.get("activation_function", "gelu")),
-        decoder_start_id=int(config.get("decoder_start_token_id")
-                             or dec_cfg.get("decoder_start_token_id")
-                             or dec_cfg.get("eos_token_id", 2)),
+        decoder_start_id=int(next(
+            v for v in (config.get("decoder_start_token_id"),
+                        dec_cfg.get("decoder_start_token_id"),
+                        dec_cfg.get("eos_token_id"), 2)
+            if v is not None)),
         eos_id=int(dec_cfg.get("eos_token_id", 2)),
         pad_id=int(dec_cfg.get("pad_token_id", 1)),
     )
@@ -5886,16 +5893,26 @@ def qwen3_next_from_hf(state: Dict[str, Any],
             f"conv1d carries {conv_dim} channels but the config "
             f"geometry gives {2 * hk * dk + hv * dv}")
 
-    hd = int(config.get("head_dim", 0)) or 16
+    hd = int(config.get("head_dim", 0))
     n_heads = int(config.get("num_attention_heads", 0))
     n_kv = int(config.get("num_key_value_heads", 0))
     if li_full is not None:
+        if not hd:
+            # q_proj packs [query | gate] per head, so head_dim is not
+            # shape-derivable alone — a silent default would load a
+            # consistently-WRONG head split. Fail loudly.
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                "qwen3_next needs head_dim from the HF config (the "
+                "fused [query|gate] q_proj hides it from shapes)")
         k_w = A(f"model.layers.{li_full}.self_attn.k_proj.weight")
         q_w = A(f"model.layers.{li_full}.self_attn.q_proj.weight")
         if not n_heads:
             n_heads = q_w.shape[0] // (2 * hd)
         if not n_kv:
             n_kv = k_w.shape[0] // hd
+    elif not hd:
+        hd = 16  # linear-only stacks never touch attention shapes
 
     n_experts = int(config.get("num_experts", 0))
     moe = f"model.layers.0.mlp.gate.weight" in state or any(

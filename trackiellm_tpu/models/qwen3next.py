@@ -308,6 +308,17 @@ def _chunk_gated_delta(q, k, v, g, beta, state0, chunk: int = 64):
 # MLP / MoE
 # ---------------------------------------------------------------------------
 
+def _expert(bank, e: int):
+    """Slice expert ``e`` from a dense (E, K, N) bank or a per-expert
+    QuantizedLinear stack."""
+    from trackiellm_tpu.ops.quant import QuantizedLinear
+
+    if isinstance(bank, QuantizedLinear):
+        return QuantizedLinear(values=bank.values[e],
+                               scales=bank.scales[e])
+    return bank[e]
+
+
 def _mlp(lp, cfg: Qwen3NextConfig, x):
     if "moe_gate" not in lp:
         gu = _linear(x, lp["w_gu"])
@@ -323,9 +334,9 @@ def _mlp(lp, cfg: Qwen3NextConfig, x):
                       * topv[..., None], axis=-2)     # (S, E)
     out = jnp.zeros((x.shape[0], cfg.dim), jnp.float32)
     for e in range(cfg.n_experts):
-        gu = x @ lp["w_gu"][e]
+        gu = _linear(x, _expert(lp["w_gu"], e))
         gate, up = jnp.split(gu, 2, axis=-1)
-        y = (jax.nn.silu(gate) * up) @ lp["w_down"][e]
+        y = _linear(jax.nn.silu(gate) * up, _expert(lp["w_down"], e))
         out = out + weights[:, e: e + 1] * y.astype(jnp.float32)
     sg = jax.nn.sigmoid((x @ lp["shared_gate"]).astype(jnp.float32))
     gu = _linear(x, lp["shared_gu"])
@@ -457,17 +468,31 @@ def quantize_params(params: Dict[str, Any], bits: int = 4,
     def q(w):
         return quantize(jnp.asarray(w, jnp.float32), group)
 
+    from trackiellm_tpu.ops.quant import QuantizedLinear
+
+    def q_bank(w):
+        """(E, K, N) MoE expert bank -> per-expert quantized stack (the
+        dominant bytes of the published 80B-A3B shape)."""
+        qs = [q(w[e]) for e in range(w.shape[0])]
+        return QuantizedLinear(
+            values=jnp.stack([x.values for x in qs]),
+            scales=jnp.stack([x.scales for x in qs]))
+
     out = dict(params)
     layers = []
     for lp in params["layers"]:
         nlp = dict(lp)
         for name in ("wq", "wk", "wv", "wz", "wo", "w_gu", "w_down",
                      "shared_gu", "shared_down"):
-            if name in nlp and not isinstance(nlp[name], dict):
-                arr = nlp[name]
-                if hasattr(arr, "ndim") and arr.ndim == 2 \
-                        and min(arr.shape) >= group:
-                    nlp[name] = q(arr)
+            if name not in nlp or isinstance(nlp[name], dict):
+                continue
+            arr = nlp[name]
+            if not hasattr(arr, "ndim"):
+                continue
+            if arr.ndim == 2 and min(arr.shape) >= group:
+                nlp[name] = q(arr)
+            elif arr.ndim == 3 and min(arr.shape[1:]) >= group:
+                nlp[name] = q_bank(arr)
         layers.append(nlp)
     out["layers"] = layers
     out["lm_head"] = q(params["lm_head"])

@@ -292,6 +292,8 @@ class TrOCREngine:
         a = np.asarray(crop, np.float32)
         if a.max() > 1.5:
             a = a / 255.0
+        if a.ndim == 3 and a.shape[-1] == 1:
+            a = a[..., 0]  # (H, W, 1) channel-last grayscale
         if a.ndim == 2:
             a = np.stack([a] * 3)
         elif a.shape[-1] == 3:

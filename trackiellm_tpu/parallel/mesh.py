@@ -57,6 +57,8 @@ def build_mesh(
             rem = n // ep
             if tp is None:
                 _, _, tp = _factor(rem, max_tp)
+            assert rem % tp == 0, \
+                f"{rem} devices not divisible by tp={tp}"
             dp, fsdp, _ = _factor(rem // tp, 1)
             grid = mesh_utils.create_device_mesh((dp, fsdp, ep, tp))
             return Mesh(grid, ("dp", "fsdp", "ep", "tp"))

@@ -122,13 +122,23 @@ def detect_qr(gray: np.ndarray) -> List[Dict]:
     pats = detect_finder_patterns(gray)
     if len(pats) < 3:
         return []
+    # A QR code's three finder patterns share a scale AND sit within
+    # the code's extent — up to ~25 modules apart for the versions a
+    # hand-held camera resolves. Scale-only grouping would collapse
+    # two same-sized codes (or three scattered false positives) into
+    # one full-frame candidate.
+    max_span_modules = 30.0
     used = [False] * len(pats)
     results = []
     for i, p in enumerate(pats):
         if used[i]:
             continue
         group = [j for j in range(len(pats)) if not used[j]
-                 and 0.5 <= pats[j]["module"] / p["module"] <= 2.0]
+                 and 0.5 <= pats[j]["module"] / p["module"] <= 2.0
+                 and abs(pats[j]["x"] - p["x"])
+                 <= max_span_modules * p["module"]
+                 and abs(pats[j]["y"] - p["y"])
+                 <= max_span_modules * p["module"]]
         if len(group) < 3:
             continue
         for j in group:
