@@ -101,9 +101,20 @@ def main() -> None:
 
     ref_tokens = tr.get("tokens")
     n_gen = len(ref_tokens) if ref_tokens else 256
-    runner = LLMRunner(params, cfg, tokenizer,
-                       GenerationConfig(max_tokens=n_gen, temperature=0.0),
-                       model=model)
+    if type(cfg).__name__ in ("MambaConfig", "Mamba2Config",
+                              "Qwen3NextConfig"):
+        # Recurrent-state families score through their sequential
+        # session (same _generated_ids surface).
+        from trackiellm_tpu.models.mamba import MambaRunner
+
+        runner = MambaRunner(params, cfg, tokenizer,
+                             GenerationConfig(max_tokens=n_gen,
+                                              temperature=0.0))
+    else:
+        runner = LLMRunner(params, cfg, tokenizer,
+                           GenerationConfig(max_tokens=n_gen,
+                                            temperature=0.0),
+                           model=model)
     print(f"greedy-decoding {n_gen} tokens...", file=sys.stderr)
     out_text = runner.generate(tr["prompt"])
     got = runner._generated_ids
