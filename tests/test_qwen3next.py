@@ -167,6 +167,22 @@ class TestQwen3Next:
                                      for t in out)
 
 
+class TestRoutedMoeDispatch:
+    def test_routed_equals_dense_loop(self, converted, monkeypatch):
+        """The grouped-matmul routed dispatch (TRACKIE_MOE_ROUTED=1)
+        must reproduce the dense-all-experts loop exactly — same
+        top-k semantics at K/E of the FLOPs (advisor r4)."""
+        params, cfg, tokens, _ = converted
+        toks = jnp.asarray(tokens[:SEQ], jnp.int32)
+        monkeypatch.setenv("TRACKIE_MOE_ROUTED", "0")
+        dense, _ = Q.forward(params, cfg, toks, Q.create_cache(cfg))
+        monkeypatch.setenv("TRACKIE_MOE_ROUTED", "1")
+        routed, _ = Q.forward(params, cfg, toks, Q.create_cache(cfg))
+        np.testing.assert_allclose(np.asarray(routed),
+                                   np.asarray(dense),
+                                   rtol=2e-4, atol=2e-4)
+
+
 class TestQwen3NextDense:
     def test_dense_variant_matches(self):
         _, state, cfgdict, tokens, ref = _build(moe=False)

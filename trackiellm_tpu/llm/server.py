@@ -1164,7 +1164,19 @@ class LLMServer:
         # while the thread is in device code risks a crash at exit.
         self._thread.join(timeout=30.0)
         if self._thread.is_alive():
-            log.warning("serve loop did not stop within 30 s")
+            # The serve thread still owns _inflight/_backlog/_slots;
+            # mutating them here would race it (advisor r4). The loop
+            # has seen _stop and will fail its own stragglers on the
+            # way out; we only drain the queue, which is thread-safe.
+            log.warning("serve loop did not stop within 30 s; "
+                        "skipping straggler cleanup to avoid racing it")
+            closed = RuntimeError("server closed")
+            while True:
+                try:
+                    self._fail(self._queue.get_nowait(), closed)
+                except queue.Empty:
+                    break
+            return
         # Fail any stragglers.
         closed = RuntimeError("server closed")
         self._abort_prefill_job(closed)

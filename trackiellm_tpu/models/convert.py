@@ -24,6 +24,8 @@ W (in, out), so every matrix is transposed during conversion.
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -41,6 +43,28 @@ from trackiellm_tpu.utils.errors import ErrorCode, TrackieError
 from trackiellm_tpu.utils.logging import get_logger
 
 log = get_logger("models.convert")
+
+
+def _math_key(md: Dict[str, Any], name: str, default,
+              heuristic: str = ""):
+    """Read a GGUF metadata key whose value CHANGES MATH (gating
+    function, QK-norm presence, weight-norm flags) with first-contact
+    discipline (advisor r4): absent keys default by heuristic with a
+    loud warning, and ``TRACKIE_GGUF_STRICT=1`` turns the guess into a
+    hard failure so the first-contact harness surfaces every guessed
+    key instead of silently picking wrong math."""
+    if name in md:
+        return md[name]
+    why = f" ({heuristic})" if heuristic else ""
+    if os.environ.get("TRACKIE_GGUF_STRICT", "0") == "1":
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"GGUF lacks math-bearing key {name}; refusing to default "
+            f"to {default!r}{why} under TRACKIE_GGUF_STRICT=1")
+    log.warning("GGUF lacks math-bearing key %s; defaulting to %r%s — "
+                "verify against the publisher (TRACKIE_GGUF_STRICT=1 "
+                "to fail instead)", name, default, why)
+    return default
 
 
 def apply_name_map(state: Dict[str, Any], mapping: Dict[str, str],
@@ -454,9 +478,22 @@ def gguf_to_llm_params(
         glm_rot = int(cfg.head_dim * cfg.partial_rotary_factor)
     elif arch_ in ("command-r", "cohere2"):
         glm_rot = cfg.head_dim
-    elif (arch_ in ("llama", "granite", "granitemoe", "smollm3")
-          and _os.environ.get("TRACKIE_LLAMA_GGUF_ROPE", "norm") != "hf"):
-        glm_rot = cfg.head_dim
+    elif arch_ in ("llama", "granite", "granitemoe", "smollm3"):
+        _rope_env = _os.environ.get("TRACKIE_LLAMA_GGUF_ROPE", "norm")
+        if _rope_env != "hf":
+            glm_rot = cfg.head_dim
+        # Always say which layout was assumed so a wrong guess on a
+        # non-llama.cpp writer is diagnosable from the log alone
+        # (advisor r4): scrambled q/k columns otherwise convert
+        # silently.
+        import logging as _logging
+
+        _logging.getLogger("trackiellm_tpu.convert").info(
+            "gguf arch=%s: assuming %s q/k rope layout "
+            "(TRACKIE_LLAMA_GGUF_ROPE=%s; set =hf for GGUFs written "
+            "directly from HF layout without llama.cpp's permute)",
+            arch_, "permuted-NORM" if glm_rot else "HF split-half",
+            _rope_env)
 
     wqkv, wo, w_gu, w_down = [], [], [], []
     attn_norm, mlp_norm = [], []
@@ -2612,7 +2649,9 @@ def mla_config_from_gguf(gguf: GGUFFile) -> "Any":
     # V3 routing deltas ride metadata: expert_gating_func (1=softmax,
     # 2=sigmoid — llama.cpp LLAMA_EXPERT_GATING_FUNC_*), weight norm,
     # and group-limited selection counts.
-    gating = int(md.get(f"{arch}.expert_gating_func", 1))
+    gating = int(_math_key(
+        md, f"{arch}.expert_gating_func", 1,
+        "V2 family default: softmax routing"))
     score = "sigmoid" if gating == 2 else "softmax"
     n_groups = int(md.get(f"{arch}.expert_group_count", 1) or 1)
     topk_groups = int(md.get(f"{arch}.expert_group_used_count", 1) or 1)
@@ -3707,8 +3746,9 @@ def gguf_to_llama4_params(
                        gguf.tensors["token_embd.weight"].shape[0]))
     # Scout ships QK L2-norm, Maverick does not; read the metadata key
     # when present, else default by the interleave signature.
-    qk_l2norm = bool(md.get("llama4.attention.use_kq_norm",
-                            moe_pattern == 0))
+    qk_l2norm = bool(_math_key(
+        md, "llama4.attention.use_kq_norm", moe_pattern == 0,
+        "interleave signature: Scout(uniform MoE)=True"))
 
     cfg = llm_model.LLMConfig(
         vocab_size=vocab, dim=dim, n_layers=n_layers, n_heads=n_heads,
@@ -5580,7 +5620,9 @@ def gguf_to_glm4moe_params(
         raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
                            f"{path}: no MoE layers (dense GLM-4 loads "
                            "through the glm4 arch)")
-    gating = int(md.get(f"{arch}.expert_gating_func", 2))
+    gating = int(_math_key(
+        md, f"{arch}.expert_gating_func", 2,
+        "GLM-4.5 publishes sigmoid routing"))
     shex = f"blk.{first_k}.ffn_gate_shexp.weight"
     shared_hidden = t[shex].shape[0] if shex in t else 0
     moe_hidden = int(md.get(

@@ -329,15 +329,44 @@ def _mlp(lp, cfg: Qwen3NextConfig, x):
     topv, topi = jax.lax.top_k(scores, cfg.n_experts_used)
     if cfg.norm_topk:
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-    weights = jnp.sum(jax.nn.one_hot(topi, cfg.n_experts,
-                                     dtype=jnp.float32)
-                      * topv[..., None], axis=-2)     # (S, E)
-    out = jnp.zeros((x.shape[0], cfg.dim), jnp.float32)
-    for e in range(cfg.n_experts):
-        gu = _linear(x, _expert(lp["w_gu"], e))
+    from trackiellm_tpu.models.llm import _moe_use_routed
+
+    if _moe_use_routed(x.shape[0], lp["w_gu"]):
+        # Sorted grouped-matmul dispatch (K/E of the dense FLOPs; the
+        # llm.py _moe_routed pattern — advisor r4: the dense loop
+        # wastes ~E/k of the MoE FLOPs at the published 80B-A3B
+        # expert counts and unrolls E matmuls into the program).
+        K = cfg.n_experts_used
+        flat_expert = topi.reshape(-1)                   # (S*K,)
+        order = jnp.argsort(flat_expert, stable=True)
+        src_tok = order // K
+        xs = jnp.take(x, src_tok, axis=0)                # (S*K, D)
+        group_sizes = jnp.bincount(
+            flat_expert, length=cfg.n_experts).astype(jnp.int32)
+        gu = jax.lax.ragged_dot(xs, lp["w_gu"], group_sizes,
+                                preferred_element_type=jnp.float32)
         gate, up = jnp.split(gu, 2, axis=-1)
-        y = _linear(jax.nn.silu(gate) * up, _expert(lp["w_down"], e))
-        out = out + weights[:, e: e + 1] * y.astype(jnp.float32)
+        ys = jax.lax.ragged_dot(
+            (jax.nn.silu(gate) * up).astype(x.dtype),
+            lp["w_down"], group_sizes,
+            preferred_element_type=jnp.float32)          # (S*K, D)
+        wts = jnp.take(topv.reshape(-1), order)
+        out = jnp.zeros((x.shape[0], cfg.dim), jnp.float32).at[
+            src_tok].add(ys * wts[:, None])
+    else:
+        # Dense-all-experts (decode sizes / quantized banks): every
+        # expert computes, weighted by the zero-off-top-k (S, E)
+        # matrix; exactness-tested against the routed path.
+        weights = jnp.sum(jax.nn.one_hot(topi, cfg.n_experts,
+                                         dtype=jnp.float32)
+                          * topv[..., None], axis=-2)     # (S, E)
+        out = jnp.zeros((x.shape[0], cfg.dim), jnp.float32)
+        for e in range(cfg.n_experts):
+            gu = _linear(x, _expert(lp["w_gu"], e))
+            gate, up = jnp.split(gu, 2, axis=-1)
+            y = _linear(jax.nn.silu(gate) * up,
+                        _expert(lp["w_down"], e))
+            out = out + weights[:, e: e + 1] * y.astype(jnp.float32)
     sg = jax.nn.sigmoid((x @ lp["shared_gate"]).astype(jnp.float32))
     gu = _linear(x, lp["shared_gu"])
     gate, up = jnp.split(gu, 2, axis=-1)

@@ -289,8 +289,13 @@ class TrOCREngine:
     def _prep(self, crop: np.ndarray) -> np.ndarray:
         """Grayscale or RGB crop (H, W[, 3]) in [0,1] or [0,255] ->
         normalized (3, S, S)."""
-        a = np.asarray(crop, np.float32)
-        if a.max() > 1.5:
+        raw = np.asarray(crop)
+        a = raw.astype(np.float32)
+        # Scale keyed on dtype, not observed max: a near-black uint8
+        # crop (max 0/1) must still divide by 255 (advisor r4).
+        if np.issubdtype(raw.dtype, np.integer):
+            a = a / 255.0
+        elif a.max() > 1.5:
             a = a / 255.0
         if a.ndim == 3 and a.shape[-1] == 1:
             a = a[..., 0]  # (H, W, 1) channel-last grayscale
