@@ -519,6 +519,22 @@ def _cmd_synth(args) -> int:
     return 0
 
 
+def _cmd_first_contact(args) -> int:
+    from trackiellm_tpu import first_contact as FC
+
+    report = FC.run(args.directory, args.report,
+                    FC.Options(bits=args.bits,
+                               probe_tokens=args.probe_tokens,
+                               no_flags=args.no_flags, deep=args.deep,
+                               strict=args.strict,
+                               quantize=args.quantize))
+    for a in report["artifacts"]:
+        print(f"{a['status']:4s} {a['kind']:14s} {a['file']}")
+    s = report["summary"]
+    print(f"# {s['PASS']} PASS / {s['WARN']} WARN / {s['FAIL']} FAIL")
+    return 1 if s["FAIL"] else 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="trackiellm_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -592,6 +608,24 @@ def main(argv=None) -> int:
                    help="comma-separated stages to skip "
                         "(llm,server,asr,tts,vision,dpt,vlm)")
     p.set_defaults(fn=_cmd_precompile)
+
+    p = sub.add_parser(
+        "first_contact",
+        help="validate a directory of real checkpoints: sniff -> "
+             "convert -> probe -> flag gauntlet -> parity, one JSON "
+             "report (docs/REAL_WEIGHTS.md)")
+    p.add_argument("directory")
+    p.add_argument("--report", default=None)
+    p.add_argument("--bits", type=int, default=None, choices=(4, 8))
+    p.add_argument("--probe-tokens", type=int, default=32)
+    p.add_argument("--no-flags", action="store_true")
+    p.add_argument("--deep", action="store_true")
+    p.add_argument("--strict", action="store_true")
+    p.add_argument("--quantize", type=int, default=4,
+                   choices=(0, 4, 8),
+                   help="requantization for the parity_llm companion "
+                   "runs (4 = the reference's Q4 serving)")
+    p.set_defaults(fn=_cmd_first_contact)
 
     p = sub.add_parser("synth", help="synthesize speech from a Piper "
                        "voice (VITS) to a WAV file")
