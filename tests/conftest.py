@@ -27,6 +27,19 @@ import jax  # noqa: E402
 # lazily, so the 8-device override above still applies).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache across test runs (VERDICT r4 #7): the
+# suite's cost is dominated by XLA:CPU compiles (4-16 s apiece for the
+# server/cortex programs); pointing the JAX persistent cache at a
+# repo-local dir makes warm `make smoke` reuse every unchanged program.
+# The per-module clear_caches() below still bounds live JIT code — the
+# recompiles it forces then hit this disk cache instead of LLVM.
+_CACHE_DIR = os.environ.get(
+    "TRACKIE_TEST_COMPILE_CACHE",
+    os.path.join(_REPO_ROOT, ".jax_test_cache"))
+if _CACHE_DIR and _CACHE_DIR != "0":
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import pytest  # noqa: E402
 
 

@@ -585,6 +585,53 @@ class TestMoEOnPipelineAndRing:
                                    rtol=2e-4, atol=2e-4)
 
 
+class TestVocabParallelEmbed:
+    def test_loss_identical_with_and_without(self):
+        """The Megatron vocab-parallel lookup (masked local gather +
+        psum / psum_scatter) is a layout change, not a math change:
+        train-step loss must match the plain gather on a tp=4 mesh,
+        in both residual layouts (VERDICT r4 #3)."""
+        from trackiellm_tpu.parallel.train import lm_loss
+
+        mesh = build_mesh(jax.devices()[:8], tp=4)
+        with mesh:
+            params, opt_state, opt = init_train_state(
+                jax.random.PRNGKey(2), TRAIN_CFG, mesh, lr=1e-3)
+            batch = jax.device_put(
+                jnp.tile(jnp.arange(64, dtype=jnp.int32)
+                         % TRAIN_CFG.vocab_size, (8, 1)),
+                data_sharding(mesh))
+            for sp in (False, True):
+                plain = float(jax.jit(
+                    lambda p, t: lm_loss(p, TRAIN_CFG, t,
+                                         sequence_parallel=sp))(
+                    params, batch))
+                vp = float(jax.jit(
+                    lambda p, t: lm_loss(p, TRAIN_CFG, t,
+                                         sequence_parallel=sp,
+                                         mesh=mesh))(params, batch))
+                np.testing.assert_allclose(vp, plain, rtol=1e-5,
+                                           err_msg=f"sp={sp}")
+
+    def test_train_step_uses_it_and_trains(self):
+        """make_train_step wires the mesh through; loss still falls."""
+        mesh = build_mesh(jax.devices()[:8], tp=2)
+        with mesh:
+            params, opt_state, opt = init_train_state(
+                jax.random.PRNGKey(3), TRAIN_CFG, mesh, lr=3e-3)
+            step = make_train_step(TRAIN_CFG, mesh, opt)
+            batch = jax.device_put(
+                jnp.tile(jnp.arange(64, dtype=jnp.int32)
+                         % TRAIN_CFG.vocab_size, (8, 1)),
+                data_sharding(mesh))
+            first = last = None
+            for _ in range(10):
+                params, opt_state, loss = step(params, opt_state, batch)
+                first = float(loss) if first is None else first
+            last = float(loss)
+        assert last < first * 0.7, (first, last)
+
+
 class TestVocabParallelCE:
     def test_matches_dense_cross_entropy(self):
         """vocab_parallel_ce (head column-sharded over tp, two-psum

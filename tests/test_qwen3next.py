@@ -307,3 +307,177 @@ class TestQuantized:
         lg2, _ = Q.decode_step(qp, cfg, jnp.int32(int(tokens[SEQ])),
                                quant_c)
         assert np.isfinite(np.asarray(lg2)).all()
+
+
+class TestQwen3NextGGUF:
+    """Staged llama.cpp qwen3next GGUF ingestion (VERDICT r4 #5a):
+    a synthetic GGUF written with the staged tensor names must convert
+    to logits matching the transformers oracle, through BOTH
+    attention-gate conventions and BOTH ssm_a encodings; tampered
+    geometry metadata must fail loudly."""
+
+    def _write_gguf(self, path, state, cfgdict, split_gate=False,
+                    neg_a=False, extra_md=None):
+        from tests.test_loader import write_gguf
+        from trackiellm_tpu.models import loader as L
+
+        F32 = L.GGML_F32
+        tensors = {
+            "token_embd.weight": (state["model.embed_tokens.weight"],
+                                  F32),
+            "output_norm.weight": (state["model.norm.weight"], F32),
+            "output.weight": (state["lm_head.weight"], F32),
+        }
+        n_layers = cfgdict["num_hidden_layers"]
+        hd = cfgdict["head_dim"]
+        for i in range(n_layers):
+            p, b = f"model.layers.{i}.", f"blk.{i}."
+            tensors[b + "attn_norm.weight"] = (
+                state[p + "input_layernorm.weight"], F32)
+            tensors[b + "ffn_norm.weight"] = (
+                state[p + "post_attention_layernorm.weight"], F32)
+            if p + "linear_attn.in_proj_qkvz.weight" in state:
+                la = p + "linear_attn."
+                tensors[b + "ssm_in.weight"] = (
+                    state[la + "in_proj_qkvz.weight"], F32)
+                tensors[b + "ssm_beta_alpha.weight"] = (
+                    state[la + "in_proj_ba.weight"], F32)
+                tensors[b + "ssm_conv1d.weight"] = (
+                    state[la + "conv1d.weight"][:, 0, :], F32)
+                tensors[b + "ssm_dt.bias"] = (state[la + "dt_bias"],
+                                              F32)
+                a = state[la + "A_log"]
+                tensors[b + "ssm_a"] = ((-np.exp(a) if neg_a else a),
+                                        F32)
+                tensors[b + "ssm_norm.weight"] = (
+                    state[la + "norm.weight"], F32)
+                tensors[b + "ssm_out.weight"] = (
+                    state[la + "out_proj.weight"], F32)
+            else:
+                sa = p + "self_attn."
+                q = state[sa + "q_proj.weight"]          # (2*H*hd, D)
+                if split_gate:
+                    H = cfgdict["num_attention_heads"]
+                    qg = q.reshape(H, 2 * hd, -1)
+                    tensors[b + "attn_q.weight"] = (
+                        qg[:, :hd].reshape(H * hd, -1), F32)
+                    tensors[b + "attn_gate.weight"] = (
+                        qg[:, hd:].reshape(H * hd, -1), F32)
+                else:
+                    tensors[b + "attn_q.weight"] = (q, F32)
+                tensors[b + "attn_k.weight"] = (
+                    state[sa + "k_proj.weight"], F32)
+                tensors[b + "attn_v.weight"] = (
+                    state[sa + "v_proj.weight"], F32)
+                tensors[b + "attn_output.weight"] = (
+                    state[sa + "o_proj.weight"], F32)
+                tensors[b + "attn_q_norm.weight"] = (
+                    state[sa + "q_norm.weight"], F32)
+                tensors[b + "attn_k_norm.weight"] = (
+                    state[sa + "k_norm.weight"], F32)
+            if p + "mlp.gate.weight" in state:
+                tensors[b + "ffn_gate_inp.weight"] = (
+                    state[p + "mlp.gate.weight"], F32)
+                E = EXPERTS
+                tensors[b + "ffn_gate_exps.weight"] = (np.stack(
+                    [state[p + f"mlp.experts.{e}.gate_proj.weight"]
+                     for e in range(E)]), F32)
+                tensors[b + "ffn_up_exps.weight"] = (np.stack(
+                    [state[p + f"mlp.experts.{e}.up_proj.weight"]
+                     for e in range(E)]), F32)
+                tensors[b + "ffn_down_exps.weight"] = (np.stack(
+                    [state[p + f"mlp.experts.{e}.down_proj.weight"]
+                     for e in range(E)]), F32)
+                tensors[b + "ffn_gate_shexp.weight"] = (
+                    state[p + "mlp.shared_expert.gate_proj.weight"],
+                    F32)
+                tensors[b + "ffn_up_shexp.weight"] = (
+                    state[p + "mlp.shared_expert.up_proj.weight"], F32)
+                tensors[b + "ffn_down_shexp.weight"] = (
+                    state[p + "mlp.shared_expert.down_proj.weight"],
+                    F32)
+                tensors[b + "ffn_gate_inp_shexp.weight"] = (
+                    state[p + "mlp.shared_expert_gate.weight"], F32)
+            else:
+                tensors[b + "ffn_gate.weight"] = (
+                    state[p + "mlp.gate_proj.weight"], F32)
+                tensors[b + "ffn_up.weight"] = (
+                    state[p + "mlp.up_proj.weight"], F32)
+                tensors[b + "ffn_down.weight"] = (
+                    state[p + "mlp.down_proj.weight"], F32)
+        md = {
+            "general.architecture": "qwen3next",
+            "qwen3next.block_count": n_layers,
+            "qwen3next.embedding_length": cfgdict["hidden_size"],
+            "qwen3next.attention.head_count":
+                cfgdict["num_attention_heads"],
+            "qwen3next.attention.head_count_kv":
+                cfgdict["num_key_value_heads"],
+            "qwen3next.attention.key_length": hd,
+            "qwen3next.attention.layer_norm_rms_epsilon":
+                cfgdict["rms_norm_eps"],
+            "qwen3next.rope.freq_base": cfgdict["rope_theta"],
+            "qwen3next.rope.dimension_count": int(
+                cfgdict["partial_rotary_factor"] * hd),
+            "qwen3next.context_length": 64,
+            "qwen3next.expert_count": EXPERTS,
+            "qwen3next.expert_used_count": TOPK,
+            "qwen3next.ssm.state_size": LDK,
+            "qwen3next.ssm.group_count": LHK,
+            "qwen3next.ssm.inner_size": LHV * LDV,
+            "qwen3next.ssm.conv_kernel": CONVK,
+        }
+        md.update(extra_md or {})
+        write_gguf(path, tensors, metadata=md)
+
+    def test_roundtrip_matches_oracle(self, oracle, tmp_path):
+        _, state, cfgdict, tokens, ref = oracle
+        path = str(tmp_path / "q3n.gguf")
+        self._write_gguf(path, state, cfgdict)
+        params, cfg = C.gguf_to_qwen3next_params(path, max_seq=64)
+        assert cfg.layer_types == ("l", "l", "l", "f")
+        assert (cfg.lin_k_heads, cfg.lin_dk, cfg.lin_dv) == (LHK, LDK,
+                                                             LDV)
+        logits, _ = Q.forward(params, cfg,
+                              jnp.asarray(tokens[:SEQ], jnp.int32),
+                              Q.create_cache(cfg))
+        np.testing.assert_allclose(np.asarray(logits), ref[:SEQ],
+                                   rtol=3e-3, atol=3e-3)
+
+    def test_split_gate_and_neg_a_conventions(self, oracle, tmp_path):
+        """attn_gate-split + mamba-style -exp(A_log) GGUF must decode
+        to the same logits (geometry/sign detection, not guessing)."""
+        _, state, cfgdict, tokens, ref = oracle
+        path = str(tmp_path / "q3n_alt.gguf")
+        self._write_gguf(path, state, cfgdict, split_gate=True,
+                         neg_a=True)
+        params, cfg = C.gguf_to_qwen3next_params(path, max_seq=64)
+        logits, _ = Q.forward(params, cfg,
+                              jnp.asarray(tokens[:SEQ], jnp.int32),
+                              Q.create_cache(cfg))
+        np.testing.assert_allclose(np.asarray(logits), ref[:SEQ],
+                                   rtol=3e-3, atol=3e-3)
+
+    def test_tampered_geometry_fails_loudly(self, oracle, tmp_path):
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        _, state, cfgdict, _, _ = oracle
+        path = str(tmp_path / "q3n_bad.gguf")
+        self._write_gguf(path, state, cfgdict,
+                         extra_md={"qwen3next.ssm.group_count":
+                                   LHK + 1})
+        with pytest.raises(TrackieError):
+            C.gguf_to_qwen3next_params(path, max_seq=64)
+
+    def test_quantized_roundtrip_close(self, oracle, tmp_path):
+        _, state, cfgdict, tokens, ref = oracle
+        path = str(tmp_path / "q3n_q8.gguf")
+        self._write_gguf(path, state, cfgdict)
+        params, cfg = C.gguf_to_qwen3next_params(path, bits=8,
+                                                 group=16, max_seq=64)
+        logits, _ = Q.forward(params, cfg,
+                              jnp.asarray(tokens[:SEQ], jnp.int32),
+                              Q.create_cache(cfg))
+        rel = (np.linalg.norm(np.asarray(logits) - ref[:SEQ])
+               / np.linalg.norm(ref[:SEQ]))
+        assert rel < 0.05, rel

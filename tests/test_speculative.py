@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from trackiellm_tpu.llm import sampling
 from trackiellm_tpu.llm.speculative import (SpecStats, propose_ngram,
                                             speculative_generate)
 from trackiellm_tpu.models import llm as llm_model
@@ -186,10 +187,31 @@ class TestRunnerSpeculative:
                         speculative=True).generate("qq qq qq qq q")
             assert a == b, n
 
-    def test_sampling_temperature_disables_speculation(self):
-        r = _runner(seed=0, speculative=True, temperature=0.8)
-        r.generate("abc abc abc")
-        assert not r._pending_spec  # never armed
+    def test_sampled_speculation_arms_and_stays_consistent(self):
+        """temperature > 0 speculation (rejection-sampling verify):
+        passes fire on repetitive context and every invariant of the
+        greedy path holds — this is the production cortex's 0.7 case
+        (VERDICT r4 #2)."""
+        r = _runner(seed=0, speculative=True, temperature=0.7,
+                    spec_min_ngram=1, max_tokens=32)
+        out = r.generate("abc abc abc abc ab")
+        assert r.spec_stats["passes"] > 0, r.spec_stats
+        assert r._host_len == len(r._committed_ids)
+        assert not r._pending_spec
+        assert isinstance(out, str)
+        # cache must be continuable (tool-response re-injection)
+        r.add_tool_response("t", {"ok": 1})
+        more = [r.generate_next_token() for _ in range(4)]
+        assert all(m is None or isinstance(m, str) for m in more)
+
+    def test_sampled_speculation_deterministic_per_seed(self):
+        a = _runner(seed=4, speculative=True, temperature=0.7,
+                    spec_min_ngram=1, max_tokens=24
+                    ).generate("qq qq qq qq q")
+        b = _runner(seed=4, speculative=True, temperature=0.7,
+                    spec_min_ngram=1, max_tokens=24
+                    ).generate("qq qq qq qq q")
+        assert a == b
 
     def test_speculation_saves_forward_passes(self):
         """Count device passes via decode_step/extend call wrappers.
@@ -347,3 +369,88 @@ class TestAutoMode:
         # Serial decode steps are bounded by the miss streak per probe
         # cycle; with 40 tokens that is a handful, not one per token.
         assert r.spec_stats["passes"] <= 6, r.spec_stats
+
+
+class TestRejectionSamplingKernel:
+    """sampling.spec_verify_sampled must preserve the production
+    sampler's distribution exactly (the Leviathan point-mass scheme):
+    the marginal law of each emitted token equals plain sequential
+    sampling through the same processing chain."""
+
+    V, B, W, N = 48, 4, 8, 20000
+    KW = dict(top_k=16, top_p=0.9, min_p=0.05, repetition_penalty=1.0)
+
+    def _setup(self, seed=0, temp=0.8, likely_proposal=False,
+               scale=2.0, kw=None):
+        self.KW = kw or dict(top_k=16, top_p=0.9, min_p=0.05,
+                             repetition_penalty=1.0)
+        rng = np.random.default_rng(seed)
+        logits = jnp.asarray(
+            rng.standard_normal((self.B, self.V)).astype(np.float32)
+            * scale)
+        if likely_proposal:
+            # 2nd-most-likely token per position: inside every filter,
+            # accepted often enough for conditional statistics.
+            proposal = jnp.asarray(np.argsort(
+                np.asarray(logits), axis=-1)[:self.B - 1, -2],
+                jnp.int32)
+        else:
+            proposal = jnp.asarray(
+                rng.integers(0, self.V, self.B - 1), jnp.int32)
+        recent = jnp.full((self.B, self.W), -1, jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(seed + 1), self.N)
+        vf = jax.vmap(lambda k: sampling.spec_verify_sampled(
+            logits, proposal, jnp.int32(self.B - 1), k,
+            jnp.float32(temp), recent, **self.KW))
+        n_accs, toks = vf(keys)
+        return (logits, np.asarray(proposal), np.asarray(n_accs),
+                np.asarray(toks), temp)
+
+    def _ref_probs(self, logits, pos, temp):
+        proc = sampling._process_chain(
+            logits[pos], jnp.float32(temp), self.KW["top_k"],
+            self.KW["top_p"], self.KW["min_p"], None, None,
+            self.KW["repetition_penalty"])
+        lg = np.asarray(proc, np.float64)
+        lg -= lg.max()
+        p = np.exp(lg)
+        return p / p.sum()
+
+    @staticmethod
+    def _tv(emp_tokens, probs, v):
+        emp = np.bincount(emp_tokens, minlength=v) / len(emp_tokens)
+        return 0.5 * np.abs(emp - probs).sum()
+
+    def test_first_token_marginal(self):
+        logits, prop, n_accs, toks, temp = self._setup()
+        first = np.where(n_accs >= 1, prop[0], toks)
+        tv = self._tv(first, self._ref_probs(logits, 0, temp), self.V)
+        assert tv < 0.05, tv  # ~0.02 sampling noise at N=20k
+
+    def test_second_token_conditional(self):
+        """Given position 0 accepted, the second emitted token's law
+        must equal plain sampling at position 1 (acceptance at 0 is
+        independent of position 1's draw)."""
+        logits, prop, n_accs, toks, temp = self._setup(
+            seed=3, likely_proposal=True, scale=1.0, temp=1.2,
+            kw=dict(top_k=32, top_p=0.98, min_p=0.0,
+                    repetition_penalty=1.0))
+        sel = n_accs >= 1
+        second = np.where(n_accs >= 2, prop[1], toks)[sel]
+        assert len(second) > 1000  # enough statistics
+        tv = self._tv(second, self._ref_probs(logits, 1, temp), self.V)
+        assert tv < 0.08, tv
+
+    def test_low_temperature_approaches_greedy(self):
+        logits, prop, n_accs, toks, temp = self._setup(seed=5,
+                                                       temp=0.01)
+        first = np.where(n_accs >= 1, prop[0], toks)
+        argmax0 = int(np.argmax(np.asarray(logits[0])))
+        assert (first == argmax0).mean() > 0.999
+
+    def test_all_rejected_never_emits_proposal_token(self):
+        """On rejection at position 0 the residual excludes the
+        proposal token by construction."""
+        logits, prop, n_accs, toks, _ = self._setup(seed=7)
+        rejected_first = toks[n_accs == 0]
+        assert not np.any(rejected_first == prop[0])

@@ -135,9 +135,65 @@ def run_granularity(granularity: str) -> dict:
     }
 
 
+def run_sampled(granularity: str = "token",
+                temperature: float = 0.7) -> dict:
+    """The production case (VERDICT r4 #2): temperature-0.7 sampling
+    with rejection-sampling speculative verification
+    (sampling.spec_verify_sampled). Outputs are draws from the SAME
+    distribution, not byte-identical — the honest comparison is
+    acceptance + wall tok/s on the same memorized-corpus replay, plus
+    a same-seed determinism check."""
+    cfg = llm_model.LLMConfig.tiny()
+    from trackiellm_tpu.llm.tokenizer import VocabTokenizer
+
+    words = sorted({w for w in CORPUS.replace(".", " .").split()})
+    pieces = [f"▁{w}" for w in words] + ["."]
+    pad = [f"<x{i}>" for i in range(cfg.vocab_size - 4 - len(pieces))]
+    tok = VocabTokenizer(pieces + pad)
+    params, loss0, loss1 = train_tiny(cfg, tok)
+    prompt = "o gato subiu na mesa da cozinha. o gato"
+    results = {}
+    for label, spec in (("plain", False), ("speculative", True),
+                        ("auto", "auto")):
+        runner = LLMRunner(
+            params, cfg, tok,
+            GenerationConfig(max_tokens=N_GEN, temperature=temperature,
+                             seed=11, speculative=spec,
+                             spec_min_ngram=1,
+                             lookahead=1 if spec else 4),
+            cache_dtype=jnp.float32)
+        runner.generate(prompt)          # warm compile
+        runner.spec_stats = {"passes": 0, "proposed": 0, "accepted": 0}
+        t0 = time.perf_counter()
+        out = runner.generate(prompt)
+        dt = time.perf_counter() - t0
+        n = len(runner._generated_ids)
+        results[label] = {"out": out, "n_tokens": n,
+                          "tok_s": round(n / dt, 1),
+                          "spec_stats": dict(runner.spec_stats)}
+    st = results["speculative"]["spec_stats"]
+    acc = st["accepted"] / max(st["proposed"], 1)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    return {
+        "config": f"spec_acceptance_sampled_t{temperature}_"
+                  f"{granularity}",
+        "train_loss": [round(loss0, 3), round(loss1, 4)],
+        "n_tokens": results["speculative"]["n_tokens"],
+        "verify_passes": st["passes"],
+        "acceptance_rate": round(acc, 3),
+        "plain_tok_s": results["plain"]["tok_s"] if on_tpu else None,
+        "speculative_tok_s": (results["speculative"]["tok_s"]
+                              if on_tpu else None),
+        "auto_tok_s": results["auto"]["tok_s"] if on_tpu else None,
+        "auto_stats": results["auto"]["spec_stats"],
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def main() -> None:
     for granularity in ("byte", "token"):
         print(json.dumps(run_granularity(granularity)))
+    print(json.dumps(run_sampled()))
 
 
 if __name__ == "__main__":

@@ -167,6 +167,12 @@ def _cmd_convert(args) -> int:
 
             params, cfg = gguf_to_glm4moe_params(args.gguf,
                                                  bits=args.bits or None)
+        elif (hdr.architecture or "") == "qwen3next":
+            from trackiellm_tpu.models.convert import (
+                gguf_to_qwen3next_params)
+
+            params, cfg = gguf_to_qwen3next_params(
+                args.gguf, bits=args.bits or None)
         else:
             params, cfg = gguf_to_llm_params(args.gguf,
                                              bits=args.bits or None)

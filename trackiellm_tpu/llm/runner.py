@@ -61,17 +61,25 @@ class GenerationConfig:
     # Measured on the chip (tools/measure_runner_decode.py, 7B Q4):
     # 33.6 tok/s at k=1 -> 100.8 at k=4, 97.6 at k=8, 91.1 at k=16.
     lookahead: int = 4
-    # Prompt-lookup speculative decoding (llm/speculative.py): greedy
-    # (temperature <= 0), unconstrained generations verify n-gram
-    # proposals in one extend() pass — emitted text is EXACTLY the
-    # plain greedy sequence, repetitive spans just cost fewer passes.
+    # Prompt-lookup speculative decoding (llm/speculative.py):
+    # unconstrained generations verify n-gram proposals in one
+    # extend() pass. Greedy (temperature <= 0): emitted text is
+    # EXACTLY the plain greedy sequence. Sampled (temperature > 0):
+    # rejection-sampling verification preserves the production
+    # sampler's distribution exactly (sampling.spec_verify_sampled —
+    # the Leviathan scheme with point-mass drafts), so the cortex's
+    # temperature-0.7 requests accelerate too.
     # ``"auto"`` self-gates: a rolling acceptance window disables
     # speculation when it falls below ``spec_min_acceptance`` (the
     # measured break-even — a verify pass costs ~1 extend vs the
     # decode step it replaces) and re-probes every
     # ``spec_probe_interval`` emitted tokens, so the worst case
-    # converges to the plain loop within a few passes.
-    speculative: Any = False  # False | True | "auto"
+    # converges to the plain loop within a few passes. DEFAULT "auto"
+    # (round 5): measured on-chip at the cortex's temperature 0.7 on
+    # memorized-corpus replay, auto 51.6 tok/s vs plain 22.3 at
+    # acceptance 0.483 (tools/measure_spec_acceptance.py run_sampled);
+    # greedy workloads keep the k-lookahead fast path during cooldowns.
+    speculative: Any = "auto"  # False | True | "auto"
     spec_max_propose: int = 7
     spec_ngram: int = 3
     # Minimum n-gram match length before a proposal fires. 0 = auto by
@@ -640,16 +648,32 @@ class LLMRunner:
                 break
 
         if not self._done:
+            # Speculation works at ANY temperature: greedy passes use
+            # exact argmax-prefix acceptance; sampled passes use
+            # rejection-sampling verification (distribution-preserving
+            # — sampling.spec_verify_sampled), so the production
+            # cortex's temperature-0.7 requests benefit too.
+            if (self.gen.speculative == "auto"
+                    and self.gen.temperature > 0
+                    and self._spec_cooldown > 0):
+                # Sampled tokens never ride the greedy fast path, so
+                # the acceptance-window cooldown counts down here.
+                self._spec_cooldown -= 1
             if (self._spec_allowed() and self._grammar is None
-                    and self.gen.temperature <= 0
                     and self._n_emitted >= self.gen.min_tokens):
                 if self._start_speculative_pass(tid):
                     self._spec_misses = 0
                     return piece
-                if self.gen.speculative == "auto":
+                if (self.gen.speculative == "auto"
+                        and self.gen.temperature <= 0):
                     # No proposal fired: this token pays a serial
                     # decode step. A dry streak means the context has
                     # nothing to look up — get back on the chunk path.
+                    # GREEDY ONLY: at temperature > 0 there is no
+                    # lookahead chunk path to return to, misses cost
+                    # nothing (host-side n-gram scan), and a cooldown
+                    # would just disable the feature — only the
+                    # acceptance window gates sampled auto mode.
                     self._spec_misses += 1
                     if self._spec_misses >= 2:
                         self._spec_misses = 0
@@ -870,11 +894,39 @@ class LLMRunner:
             jnp.int32(len(chunk)), self.cache,
             attn_len=self._attn_bucket_for(offset + bucket),
             all_logits=True)
-        greedy = np.asarray(jnp.argmax(logits[: len(chunk)], axis=-1))
-        accepted = 0
-        while (accepted < len(proposal)
-               and int(greedy[accepted]) == proposal[accepted]):
-            accepted += 1
+        if self.gen.temperature <= 0:
+            greedy = np.asarray(
+                jnp.argmax(logits[: len(chunk)], axis=-1))
+            accepted = 0
+            while (accepted < len(proposal)
+                   and int(greedy[accepted]) == proposal[accepted]):
+                accepted += 1
+            pending = [int(g) for g in greedy[: accepted + 1]]
+        else:
+            # Rejection-sampling verification (distribution-preserving
+            # at any temperature — sampling.spec_verify_sampled). The
+            # repetition-penalty window at position i is the emitted
+            # history (which already includes ``tid``) plus the
+            # accepted proposals before i — deterministic per position
+            # because accepted tokens ARE the proposal prefix.
+            kpad = bucket - 1
+            prop = np.zeros(kpad, np.int32)
+            prop[: len(proposal)] = proposal
+            rec = np.full((bucket, self.gen.repeat_window), -1,
+                          np.int32)
+            hist = self._generated_ids
+            for i in range(len(proposal) + 1):
+                t = (hist + proposal[:i])[-self.gen.repeat_window:]
+                rec[i, : len(t)] = t
+            self._key, sub = jax.random.split(self._key)
+            n_acc_d, tok_d = sampling.spec_verify_sampled(
+                logits, jnp.asarray(prop), jnp.int32(len(proposal)),
+                sub, jnp.float32(self.gen.temperature),
+                jnp.asarray(rec), top_k=self.gen.top_k,
+                top_p=self.gen.top_p, min_p=self.gen.min_p,
+                repetition_penalty=self.gen.repetition_penalty)
+            accepted = int(n_acc_d)  # one fetch; tok_d rides along
+            pending = proposal[:accepted] + [int(tok_d)]
         self.spec_stats["passes"] += 1
         self.spec_stats["proposed"] += len(proposal)
         self.spec_stats["accepted"] += accepted
@@ -896,7 +948,7 @@ class LLMRunner:
         self._spec_offset = offset
         self._spec_accepted = accepted
         self._spec_index = 0
-        self._pending_spec = [int(g) for g in greedy[: accepted + 1]]
+        self._pending_spec = pending
         self._next_logits = None
         return True
 

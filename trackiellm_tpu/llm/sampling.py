@@ -41,6 +41,17 @@ def sample(
     on the PRE-temperature distribution — llama.cpp's default sampler
     chain places min_p before the temperature stage, and the ratio
     test is not temperature-invariant."""
+    logits = _process_chain(logits, temperature, top_k, top_p, min_p,
+                            mask, recent_tokens, repetition_penalty)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+def _process_chain(logits, temperature, top_k, top_p, min_p, mask,
+                   recent_tokens, repetition_penalty):
+    """The full llama.cpp-ordered processing chain, returning FINAL
+    logits (categorical over these == the production sampler). Shared
+    by :func:`sample` and the speculative rejection verifier so the
+    two can never drift."""
     v = logits.shape[0]
 
     if recent_tokens is not None and repetition_penalty != 1.0:
@@ -76,7 +87,65 @@ def sample(
         cutoff = sorted_logits[jnp.maximum(cutoff_idx, 0)]
         logits = jnp.where(logits >= cutoff, logits, NEG_INF)
 
-    return jax.random.categorical(key, logits).astype(jnp.int32)
+    return logits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "top_p", "min_p", "repetition_penalty"))
+def spec_verify_sampled(
+    logits: jnp.ndarray,        # (B, V) f32 — verify-pass all-logits
+    proposal: jnp.ndarray,      # (B-1,) int32, padded past n_prop
+    n_prop: jnp.ndarray,        # traced scalar — real proposal count
+    key: jax.Array,
+    temperature: jnp.ndarray,   # scalar > 0
+    recent: jnp.ndarray,        # (B, W) int32, -1 padded, per position
+    top_k: int = 40,
+    top_p: float = 0.95,
+    min_p: float = 0.0,
+    repetition_penalty: float = 1.0,
+) -> tuple:
+    """Rejection-sampling speculative verification for POINT-MASS
+    drafts (prompt-lookup / greedy draft-model proposals), exact w.r.t.
+    the production sampler's distribution.
+
+    Leviathan et al.'s scheme with draft q = delta(proposal_i): accept
+    proposal_i with probability p_i(proposal_i); on the first reject,
+    resample from the residual norm(max(0, p - q)) — which for a point
+    mass is p_i with proposal_i's probability zeroed and renormalized.
+    If all n_prop accept, a bonus token samples from the next
+    position's full distribution. The marginal law of the emitted
+    tokens equals plain sequential sampling (tested statistically in
+    tests/test_speculative.py). p_i is the FULL production chain
+    (repetition penalty / min-p / temperature / top-k / top-p) via
+    ``_process_chain`` — the same final logits ``sample`` draws from.
+
+    Shapes are static per extend-bucket ``B`` (ONE compiled variant
+    regardless of the live proposal length); rows at/past ``n_prop+1``
+    are junk from the padded extend and never selected. Returns
+    (n_accepted, final_token) — one fetch; each verify pass emits
+    n_accepted + 1 tokens.
+    """
+    kpad = proposal.shape[0]
+    proc = jax.vmap(
+        lambda lg, rec: _process_chain(
+            lg, temperature, top_k, top_p, min_p, None, rec,
+            repetition_penalty))(logits, recent)       # (B, V)
+    ukey, skey = jax.random.split(key)
+    u = jax.random.uniform(ukey, (kpad,))
+    logp = jax.nn.log_softmax(proc[:kpad], axis=-1)
+    p_prop = jnp.exp(jnp.take_along_axis(
+        logp, proposal[:, None], axis=1)[:, 0])        # (B-1,)
+    idx = jnp.arange(kpad)
+    accept = (u < p_prop) & (idx < n_prop)
+    n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32)))
+    last = proc[n_acc]                                  # (V,)
+    # Residual for the rejected position: proposal's mass removed.
+    rejected_tok = proposal[jnp.minimum(n_acc, kpad - 1)]
+    resid = last.at[rejected_tok].set(NEG_INF)
+    final_logits = jnp.where(n_acc == n_prop, last, resid)
+    tok = jax.random.categorical(skey, final_logits).astype(jnp.int32)
+    return n_acc.astype(jnp.int32), tok
 
 
 @jax.jit

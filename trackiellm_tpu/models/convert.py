@@ -6069,3 +6069,234 @@ def qwen3_next_from_hf(state: Dict[str, Any],
                      else np.ascontiguousarray(emb.T)),
     }
     return params, cfg
+
+
+def gguf_to_qwen3next_params(path: str, *, bits: Optional[int] = None,
+                             group: int = 256, max_seq: int = 512,
+                             dtype=jnp.float32) -> tuple:
+    """llama.cpp ``qwen3next`` GGUF -> (params, Qwen3NextConfig) —
+    the GGUF twin of :func:`qwen3_next_from_hf` (the reference's
+    parity bar: it serves whatever llama.cpp loads,
+    src/ai_models/tk_model_loader.c:199).
+
+    Strategy (the gguf_to_mamba_params pattern): rebuild the HF
+    ``Qwen3NextForCausalLM`` state-dict names + a config dict from the
+    GGUF, then ride the oracle-validated HF converter — all fused
+    projection regrouping logic is reused, never duplicated.
+
+    Staged per the glm4moe/llama4 discipline (zero-egress round; key
+    strings follow llama.cpp's LLM_ARCH_QWEN3NEXT conventions but are
+    unvalidated against a real file — docs/MODELS.md):
+
+    - layer types derive from TENSOR PRESENCE (``blk.N.ssm_in`` =
+      Gated-DeltaNet layer, ``blk.N.attn_q`` = gated full attention),
+      never from a metadata pattern key;
+    - the attention output gate handles BOTH plausible conventions by
+      GEOMETRY: a separate ``attn_gate.weight`` (re-interleaved into
+      the HF fused per-head [q|gate] ``q_proj``) or an already-fused
+      ``attn_q`` with 2*H*hd rows;
+    - ``ssm_a`` sign-detected: all-negative entries mean llama.cpp's
+      mamba-style ``-exp(A_log)`` fold (inverted here), anything else
+      is raw ``A_log`` (HF stores log(A) with A in (1, 16) — strictly
+      positive, so the two encodings cannot be confused);
+    - linear-attention head geometry: ``hv`` from ``ssm_dt.bias``,
+      ``hv*dv`` from (qkvz_rows - conv_dim), ``dk`` from
+      ``qwen3next.ssm.state_size`` when present else the published
+      dk=dv square heuristic (loud _math_key warning;
+      TRACKIE_GGUF_STRICT=1 fails instead) — then ``hk*dk`` closes
+      from the conv width and everything cross-checks in the HF
+      converter's geometry equation.
+    """
+    gguf = read_gguf_header(path)
+    arch = gguf.architecture or ""
+    if arch != "qwen3next":
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"{path}: architecture {arch!r}, want 'qwen3next'")
+    md = gguf.metadata
+    t = gguf.tensors
+
+    def T(name: str) -> np.ndarray:
+        return load_gguf_tensor(gguf, name)
+
+    n_layers = int(md.get(
+        f"{arch}.block_count",
+        len({k.split(".")[1] for k in t if k.startswith("blk.")})))
+    dim = int(md.get(f"{arch}.embedding_length",
+                     t["token_embd.weight"].shape[1]))
+    lin_layers = [i for i in range(n_layers)
+                  if f"blk.{i}.ssm_in.weight" in t]
+    full_layers = [i for i in range(n_layers)
+                   if f"blk.{i}.attn_q.weight" in t]
+    if sorted(lin_layers + full_layers) != list(range(n_layers)):
+        raise TrackieError(
+            ErrorCode.MODEL_METADATA_INVALID,
+            f"{path}: layers {sorted(set(range(n_layers)) - set(lin_layers) - set(full_layers))} "
+            "carry neither ssm_in nor attn_q")
+
+    # --- linear-attention geometry (see docstring) ---
+    li = lin_layers[0] if lin_layers else None
+    config: Dict[str, Any] = {
+        "rms_norm_eps": float(md.get(
+            f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)),
+        "rope_theta": float(md.get(f"{arch}.rope.freq_base", 10000.0)),
+        "num_experts_per_tok": int(md.get(f"{arch}.expert_used_count",
+                                          2)),
+        "norm_topk_prob": True,
+    }
+    if li is not None:
+        hv = t[f"blk.{li}.ssm_dt.bias"].shape[0]
+        qkvz_rows = t[f"blk.{li}.ssm_in.weight"].shape[0]
+        conv_dim = t[f"blk.{li}.ssm_conv1d.weight"].shape[0]
+        hv_dv = qkvz_rows - conv_dim
+        if hv_dv <= 0 or hv_dv % hv:
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"{path}: qkvz rows {qkvz_rows} / conv width "
+                f"{conv_dim} / dt heads {hv} are inconsistent")
+        dv = hv_dv // hv
+        dk = int(_math_key(
+            md, f"{arch}.ssm.state_size", dv,
+            "published Qwen3-Next uses square dk=dv heads"))
+        hk2dk = conv_dim - hv * dv
+        if hk2dk <= 0 or hk2dk % (2 * dk):
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"{path}: conv width {conv_dim} minus value channels "
+                f"{hv * dv} is not a multiple of 2*dk={2 * dk}")
+        hk = hk2dk // (2 * dk)
+        config.update(linear_num_key_heads=hk, linear_key_head_dim=dk,
+                      linear_value_head_dim=dv)
+        for key, ours in ((f"{arch}.ssm.group_count", hk),
+                          (f"{arch}.ssm.inner_size", hv * dv),
+                          (f"{arch}.ssm.conv_kernel",
+                           t[f"blk.{li}.ssm_conv1d.weight"].shape[-1])):
+            if key in md and int(md[key]) != ours:
+                raise TrackieError(
+                    ErrorCode.MODEL_METADATA_INVALID,
+                    f"{path}: {key}={md[key]} disagrees with tensor "
+                    f"shapes ({ours})")
+
+    # --- full-attention geometry ---
+    if full_layers:
+        fi = full_layers[0]
+        n_heads = int(md.get(f"{arch}.attention.head_count", 0))
+        n_kv = int(md.get(f"{arch}.attention.head_count_kv", n_heads))
+        if not (n_heads and n_kv):
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"{path}: missing {arch}.attention.head_count[_kv]")
+        hd = t[f"blk.{fi}.attn_k.weight"].shape[0] // n_kv
+        if f"{arch}.attention.key_length" in md and int(
+                md[f"{arch}.attention.key_length"]) != hd:
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"{path}: attention.key_length="
+                f"{md[f'{arch}.attention.key_length']} disagrees with "
+                f"attn_k rows ({hd} per kv head)")
+        config.update(num_attention_heads=n_heads,
+                      num_key_value_heads=n_kv, head_dim=hd,
+                      partial_rotary_factor=float(md.get(
+                          f"{arch}.rope.dimension_count",
+                          0.25 * hd)) / hd)
+
+    # --- rebuild the HF state dict ---
+    state: Dict[str, Any] = {
+        "model.embed_tokens.weight": T("token_embd.weight"),
+        "model.norm.weight": T("output_norm.weight"),
+    }
+    if "output.weight" in t:
+        state["lm_head.weight"] = T("output.weight")
+    for i in range(n_layers):
+        b, p = f"blk.{i}.", f"model.layers.{i}."
+        state[p + "input_layernorm.weight"] = T(b + "attn_norm.weight")
+        state[p + "post_attention_layernorm.weight"] = T(
+            b + "ffn_norm.weight")
+        if i in lin_layers:
+            la = p + "linear_attn."
+            state[la + "in_proj_qkvz.weight"] = T(b + "ssm_in.weight")
+            state[la + "in_proj_ba.weight"] = T(
+                b + "ssm_beta_alpha.weight")
+            state[la + "conv1d.weight"] = T(
+                b + "ssm_conv1d.weight")[:, None, :]
+            state[la + "dt_bias"] = T(b + "ssm_dt.bias")
+            a = T(b + "ssm_a")
+            if np.all(a < 0):
+                a = np.log(-a)  # llama.cpp mamba-style -exp(A_log)
+                log.info("gguf qwen3next: ssm_a decoded as -exp(A_log)"
+                         " (all-negative entries)")
+            state[la + "A_log"] = a
+            state[la + "norm.weight"] = T(b + "ssm_norm.weight")
+            state[la + "out_proj.weight"] = T(b + "ssm_out.weight")
+        else:
+            sa = p + "self_attn."
+            q = T(b + "attn_q.weight")
+            hd = config["head_dim"]
+            n_heads = config["num_attention_heads"]
+            if f"blk.{i}.attn_gate.weight" in t:
+                # Split convention: re-interleave per head into the HF
+                # fused [q|gate] layout the oracle converter expects.
+                g = T(b + "attn_gate.weight")
+                if q.shape[0] != n_heads * hd or g.shape != q.shape:
+                    raise TrackieError(
+                        ErrorCode.MODEL_METADATA_INVALID,
+                        f"{path}: blk.{i} attn_q {q.shape} / "
+                        f"attn_gate {g.shape} vs H={n_heads}, "
+                        f"hd={hd}")
+                q = np.concatenate(
+                    [q.reshape(n_heads, hd, dim),
+                     g.reshape(n_heads, hd, dim)],
+                    axis=1).reshape(n_heads * 2 * hd, dim)
+            elif q.shape[0] != n_heads * 2 * hd:
+                raise TrackieError(
+                    ErrorCode.MODEL_METADATA_INVALID,
+                    f"{path}: blk.{i} attn_q rows {q.shape[0]} match "
+                    f"neither the fused 2*H*hd={2 * n_heads * hd} nor "
+                    f"the split H*hd={n_heads * hd} (+attn_gate) "
+                    "layout")
+            state[sa + "q_proj.weight"] = q
+            state[sa + "k_proj.weight"] = T(b + "attn_k.weight")
+            state[sa + "v_proj.weight"] = T(b + "attn_v.weight")
+            state[sa + "o_proj.weight"] = T(b + "attn_output.weight")
+            state[sa + "q_norm.weight"] = T(b + "attn_q_norm.weight")
+            state[sa + "k_norm.weight"] = T(b + "attn_k_norm.weight")
+        if f"blk.{i}.ffn_gate_exps.weight" in t:
+            g = T(b + "ffn_gate_exps.weight")
+            u = T(b + "ffn_up_exps.weight")
+            dn = T(b + "ffn_down_exps.weight")
+            n_experts = g.shape[0]
+            if f"{arch}.expert_count" in md and int(
+                    md[f"{arch}.expert_count"]) != n_experts:
+                raise TrackieError(
+                    ErrorCode.MODEL_METADATA_INVALID,
+                    f"{path}: expert_count="
+                    f"{md[f'{arch}.expert_count']} but the banks "
+                    f"carry {n_experts} experts")
+            state[p + "mlp.gate.weight"] = T(b + "ffn_gate_inp.weight")
+            for e in range(n_experts):
+                ep = p + f"mlp.experts.{e}."
+                state[ep + "gate_proj.weight"] = g[e]
+                state[ep + "up_proj.weight"] = u[e]
+                state[ep + "down_proj.weight"] = dn[e]
+            state[p + "mlp.shared_expert.gate_proj.weight"] = T(
+                b + "ffn_gate_shexp.weight")
+            state[p + "mlp.shared_expert.up_proj.weight"] = T(
+                b + "ffn_up_shexp.weight")
+            state[p + "mlp.shared_expert.down_proj.weight"] = T(
+                b + "ffn_down_shexp.weight")
+            state[p + "mlp.shared_expert_gate.weight"] = T(
+                b + "ffn_gate_inp_shexp.weight")
+        else:
+            state[p + "mlp.gate_proj.weight"] = T(b + "ffn_gate.weight")
+            state[p + "mlp.up_proj.weight"] = T(b + "ffn_up.weight")
+            state[p + "mlp.down_proj.weight"] = T(b + "ffn_down.weight")
+
+    ctx = int(md.get(f"{arch}.context_length", max_seq))
+    params, cfg = qwen3_next_from_hf(state, config,
+                                     max_seq=min(ctx, max_seq),
+                                     dtype=dtype)
+    if bits:
+        from trackiellm_tpu.models.qwen3next import quantize_params
+
+        params = quantize_params(params, bits=bits, group=group)
+    return params, cfg

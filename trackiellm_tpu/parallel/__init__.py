@@ -20,6 +20,7 @@ axis shards whole experts with GShard capacity-based dispatch
 
 from trackiellm_tpu.parallel.infer import (  # noqa: F401
     batched_kv_sharding,
+    batched_mla_sharding,
     infer_param_shardings,
     kv_cache_sharding,
     make_sharded_decode,
@@ -28,6 +29,7 @@ from trackiellm_tpu.parallel.infer import (  # noqa: F401
     mla_cache_sharding,
     mla_param_shardings,
     paged_pool_sharding,
+    quant_pool_sharding,
 )
 from trackiellm_tpu.parallel.mesh import (  # noqa: F401
     build_mesh,

@@ -23,11 +23,59 @@ from trackiellm_tpu.models import llm as llm_model
 from trackiellm_tpu.parallel import sharding as shd
 
 
+def vocab_parallel_embed(tok_emb: jnp.ndarray, tokens: jnp.ndarray,
+                         mesh: Mesh,
+                         sequence_parallel: bool = False) -> jnp.ndarray:
+    """Embedding lookup with the vocabulary sharded over ``tp``
+    (the Megatron-LM VocabParallelEmbedding scheme): each tp shard
+    gathers only ids inside its vocab slice (masked local gather) and
+    the shards psum — or psum_scatter straight into the Megatron-SP
+    sequence layout, halving the collective bytes.
+
+    Without this, the plain ``tok_emb[tokens]`` gather over a
+    tp-sharded table cannot be resharded efficiently and GSPMD
+    replicates the whole table per step ("Involuntary full
+    rematerialization", MULTICHIP_r04 tail — HBM + ICI burned per
+    step; VERDICT r4 #3). The backward transpose keeps gradients
+    shard-local: each chip scatter-adds only into its own vocab rows.
+    Loss-identity with the plain gather is pinned in
+    tests/test_parallel.py."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape["tp"]
+    v_local = tok_emb.shape[0] // tp
+    out_spec = (shd.sequence_spec() if sequence_parallel
+                else shd.activation_spec())
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("tp", "fsdp"), P(("dp", "fsdp"), None)),
+        out_specs=out_spec, check_rep=False)
+    def run(emb_local, toks):
+        # fsdp shards the feature axis of the table too: restore the
+        # full (V/tp, D) block (same move as vocab_parallel_ce).
+        emb_local = jax.lax.all_gather(emb_local, "fsdp", axis=1,
+                                       tiled=True)
+        shard = jax.lax.axis_index("tp")
+        local = toks - shard * v_local
+        ok = (local >= 0) & (local < v_local)
+        x = emb_local[jnp.clip(local, 0, v_local - 1)]   # (b, S, D)
+        x = jnp.where(ok[..., None], x, jnp.zeros((), x.dtype))
+        if sequence_parallel:
+            return jax.lax.psum_scatter(x, "tp", scatter_dimension=1,
+                                        tiled=True)
+        return jax.lax.psum(x, "tp")
+
+    return run(tok_emb, tokens)
+
+
 def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
                        tokens: jnp.ndarray,
                        sequence_parallel: bool = False,
                        expert_parallel: bool = False,
-                       moe_capacity_factor: float = 2.0) -> jnp.ndarray:
+                       moe_capacity_factor: float = 2.0,
+                       mesh: Mesh = None) -> jnp.ndarray:
     """Batched causal LM forward: (B, S) int32 tokens ->
     ``(logits (B, S, V) f32, aux)`` — ``aux`` is the per-layer router
     stats tuple for MoE configs and None for dense ones (a single
@@ -67,8 +115,15 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
                 else shd.activation_spec())
     freqs = llm_model._freqs(params, cfg, s)
     positions = jnp.arange(s)
-    x = params["tok_emb"][tokens]  # (B, S, D)
-    x = jax.lax.with_sharding_constraint(x, res_spec)
+    if (mesh is not None and mesh.shape.get("tp", 1) > 1
+            and cfg.vocab_size % mesh.shape["tp"] == 0):
+        # Megatron vocab-parallel lookup: avoids GSPMD's involuntary
+        # full rematerialization of the tp-sharded embedding table.
+        x = vocab_parallel_embed(params["tok_emb"], tokens, mesh,
+                                 sequence_parallel)
+    else:
+        x = params["tok_emb"][tokens]  # (B, S, D)
+        x = jax.lax.with_sharding_constraint(x, res_spec)
 
     def res_con(t):
         return jax.lax.with_sharding_constraint(t, res_spec)
@@ -143,14 +198,15 @@ def moe_load_balancing_loss(aux, cfg: llm_model.LLMConfig) -> jnp.ndarray:
 
 def lm_loss(params, cfg, tokens, sequence_parallel: bool = False,
             moe_aux_coef: float = 0.02, expert_parallel: bool = False,
-            moe_capacity_factor: float = 2.0) -> jnp.ndarray:
+            moe_capacity_factor: float = 2.0,
+            mesh: Mesh = None) -> jnp.ndarray:
     """Next-token cross-entropy over (B, S) tokens (shifted). MoE
     configs add ``moe_aux_coef`` x the load-balancing loss (Mixtral's
     router_aux_loss_coef default)."""
     logits, aux = lm_forward_batched(
         params, cfg, tokens, sequence_parallel,
         expert_parallel=expert_parallel,
-        moe_capacity_factor=moe_capacity_factor)
+        moe_capacity_factor=moe_capacity_factor, mesh=mesh)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -215,7 +271,7 @@ def make_train_step(cfg: llm_model.LLMConfig, mesh: Mesh,
         loss, grads = jax.value_and_grad(lm_loss)(
             params, cfg, tokens, sequence_parallel=sequence_parallel,
             expert_parallel=expert_parallel,
-            moe_capacity_factor=moe_capacity_factor)
+            moe_capacity_factor=moe_capacity_factor, mesh=mesh)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
