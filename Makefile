@@ -16,13 +16,14 @@ test:
 
 # Fast tier for tight loops: excludes the `slow`-marked modules
 # (model-zoo oracles, the 8-device parallel suite, heavy converts)
-# and the real-model e2e; `make test` stays the full net. Measured
-# ~8-9 min on this SINGLE-CORE build host (round 4; the remaining
-# tail is legitimate core coverage — server identity suites, cortex
-# loop, audio converters — at 4-16 s apiece of XLA:CPU compile).
-# On a multi-core host add `-n auto` (pytest-xdist ships in the
-# image) for a roughly core-count speedup; it serializes here
-# (nproc=1), so the default stays sequential.
+# and the real-model e2e; `make test` stays the full net. Round 5:
+# tests/conftest.py points the JAX persistent compile cache at
+# .jax_test_cache/ (9 MB), so repeat runs reuse every unchanged
+# XLA:CPU program — measured on this SINGLE-CORE host: cold 7m35,
+# WARM 3m47 (under the round-3 <5 min target). Delete the dir (or
+# set TRACKIE_TEST_COMPILE_CACHE=0) for a cold run. On a multi-core
+# host add `-n auto` (pytest-xdist ships in the image) for a
+# roughly core-count speedup on top.
 smoke:
 	$(PY) -m pytest tests/ -q -x -m "not slow" \
 	    --deselect tests/test_e2e_real.py

@@ -27,7 +27,20 @@ import jax.numpy as jnp  # noqa: E402
 from trackiellm_tpu.app import AppSources, TrackieApp
 from trackiellm_tpu.audio.asr import WhisperASR
 from trackiellm_tpu.audio.tts_engine import TTSEngine
-from trackiellm_tpu.audio.wake_word import PhraseWakeWord
+from trackiellm_tpu.audio.wake_word import (PhraseWakeWord,
+                                            load_default_wake_word)
+
+
+def _wake_fn():
+    """The bundled pretrained conv spotter (real keyword detection out
+    of the box — the reference ships working Porcupine weights,
+    tk_wake_word_porcupine.c:15); energy fallback only if the artifact
+    is absent from the tree."""
+    try:
+        return load_default_wake_word()
+    except FileNotFoundError:
+        print("[wake] bundled artifact missing; using energy fallback")
+        return PhraseWakeWord(consecutive=2)
 from trackiellm_tpu.llm.runner import GenerationConfig, LLMRunner
 from trackiellm_tpu.llm.tokenizer import ByteTokenizer
 from trackiellm_tpu.models import (  # noqa: E501
@@ -89,7 +102,7 @@ def main():
         vad_fn=EnergyVAD(1e-3),
         asr_fn=asr,
         tts_fn=tts,
-        wake_fn=PhraseWakeWord(consecutive=2),
+        wake_fn=_wake_fn(),
         llm_runner=runner,
         on_spoken_audio=lambda wav, p: print(
             f"[tts] {len(wav)} samples at priority {p}"),

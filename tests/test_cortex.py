@@ -961,6 +961,18 @@ class TestTextAndQRContext:
         prompt = r.generate_context_string()
         assert "2 códigos QR" in prompt
 
+    def test_decoded_qr_payload_is_spoken(self):
+        """A decoded payload (vision/qr_decode.py rides the detector
+        string after ':') reaches the prompt as CONTENT, not just
+        presence (VERDICT r4 #9)."""
+        r = ContextualReasoner()
+        r.update_text_context(
+            "", ["qr_code@[10,10,80,80]:PONTO DE ONIBUS 4512",
+                 "qr_code@[200,10,260,80]"])
+        prompt = r.generate_context_string()
+        assert "Código QR à frente diz: PONTO DE ONIBUS 4512" in prompt
+        assert "não legível" in prompt  # the undecoded one still shows
+
     def test_cortex_loop_forwards_text_results(self):
         """End to end through the cortex vision tick: a pipeline stub
         returning full_text + barcodes lands both in the prompt."""

@@ -129,3 +129,118 @@ class TestWakeWordFAFR:
         audio = np.zeros(WINDOW, np.float32)
         assert not any(det(audio[i:i + 1600])
                        for i in range(0, len(audio) - 1600, 1600))
+
+
+class TestBundledDefaultArtifact:
+    """The committed pretrained spotter (VERDICT r4 #6): loads from the
+    package, separates held-out keyword/imposter clips, and round-trips
+    through save/load exactly."""
+
+    def test_loads_and_separates(self):
+        from trackiellm_tpu.audio.wake_word import load_default_wake_word
+
+        det = load_default_wake_word()
+        rng = np.random.default_rng(123)  # fresh held-out clips
+        kw_scores = [float(wake_word_score(det.params, det.cfg,
+                                           _mel(_keyword(rng))))
+                     for _ in range(8)]
+        imp_scores = [float(wake_word_score(det.params, det.cfg,
+                                            _mel(_imposter(rng, i % 4))))
+                      for i in range(8)]
+        assert sum(s >= det.cfg.sensitivity for s in kw_scores) >= 7, \
+            kw_scores
+        assert sum(s >= det.cfg.sensitivity for s in imp_scores) <= 1, \
+            imp_scores
+
+    def test_save_load_roundtrip(self, trained, tmp_path):
+        from trackiellm_tpu.audio.wake_word import (load_wake_word,
+                                                    save_wake_word)
+
+        params, cfg = trained
+        p = str(tmp_path / "ww.npz")
+        save_wake_word(p, params, cfg)
+        params2, cfg2 = load_wake_word(p)
+        assert cfg2 == cfg
+        rng = np.random.default_rng(5)
+        m = _mel(_keyword(rng))
+        np.testing.assert_allclose(
+            float(wake_word_score(params, cfg, m)),
+            float(wake_word_score(params2, cfg2, m)), rtol=1e-6)
+
+
+class TestOpenWakeWordVerifierHead:
+    """Geometry-chained ingestion of the openwakeword per-keyword
+    verifier (a plain dense stack; the staged half of the openwakeword
+    route — the embedding tower stays a first-contact decision)."""
+
+    def _stack_state(self, rng, dims=(96 * 16, 128, 64, 1),
+                     transpose=False, shuffle=True):
+        state = {}
+        names = []
+        for i in range(len(dims) - 1):
+            w = rng.standard_normal((dims[i], dims[i + 1])).astype(
+                np.float32) * 0.1
+            b = rng.standard_normal(dims[i + 1]).astype(np.float32) * 0.1
+            state[f"model/dense_{i}/kernel:0"] = w.T if transpose else w
+            state[f"model/dense_{i}/bias:0"] = b
+            names.append((w, b))
+        if shuffle:
+            keys = list(state)
+            rng.shuffle(keys)
+            state = {k: state[k] for k in keys}
+        return state, names
+
+    def _ref(self, layers, x):
+        import jax.nn
+
+        h = x
+        for i, (w, b) in enumerate(layers):
+            h = h @ w + b
+            if i + 1 < len(layers):
+                h = np.maximum(h, 0.0)
+        return float(jax.nn.sigmoid(jnp.asarray(h[0])))
+
+    def test_chains_by_geometry(self):
+        from trackiellm_tpu.models.convert import (
+            openwakeword_verifier_from_onnx)
+
+        rng = np.random.default_rng(0)
+        state, layers = self._stack_state(rng)
+        head = openwakeword_verifier_from_onnx(state)
+        x = rng.standard_normal(96 * 16).astype(np.float32) * 0.2
+        got = head(x)
+        assert abs(got - self._ref(layers, x)) < 1e-5
+
+    def test_transposed_export_chains_too(self):
+        from trackiellm_tpu.models.convert import (
+            openwakeword_verifier_from_onnx)
+
+        rng = np.random.default_rng(1)
+        state, layers = self._stack_state(rng, transpose=True)
+        head = openwakeword_verifier_from_onnx(state)
+        x = rng.standard_normal(96 * 16).astype(np.float32) * 0.2
+        assert abs(head(x) - self._ref(layers, x)) < 1e-5
+
+    def test_nonchaining_inventory_fails_loudly(self):
+        from trackiellm_tpu.models.convert import (
+            openwakeword_verifier_from_onnx)
+        from trackiellm_tpu.utils.errors import TrackieError
+
+        with pytest.raises(TrackieError):
+            openwakeword_verifier_from_onnx(
+                {"w": np.zeros((4, 5), np.float32)})
+
+    def test_through_onnx_file(self, tmp_path):
+        from trackiellm_tpu.models.convert import (
+            openwakeword_verifier_from_onnx)
+        from trackiellm_tpu.models.onnx_reader import (
+            read_onnx_initializers, write_onnx_initializers)
+
+        rng = np.random.default_rng(2)
+        state, layers = self._stack_state(rng, dims=(32, 16, 1),
+                                          shuffle=False)
+        p = str(tmp_path / "verifier.onnx")
+        write_onnx_initializers(p, state)
+        head = openwakeword_verifier_from_onnx(read_onnx_initializers(p))
+        x = rng.standard_normal(32).astype(np.float32)
+        assert abs(head(x) - self._ref(layers, x)) < 1e-5

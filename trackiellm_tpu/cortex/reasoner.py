@@ -132,11 +132,25 @@ class ContextualReasoner:
             self.add_context_item(f"Texto visível: {full_text[:200]}",
                                   ContextPriority.NORMAL, "vision_text")
         if barcodes:
+            # Decoded payloads ride the detector string after ":"
+            # (vision/qr_decode.py); speak the CONTENT when we have
+            # it, presence only when we don't.
+            payloads = [b.split(":", 1)[1] for b in barcodes
+                        if ":" in b and b.split(":", 1)[1]]
             n = len(barcodes)
-            self.add_context_item(
-                "Há um código QR visível à frente" if n == 1
-                else f"Há {n} códigos QR visíveis à frente",
-                ContextPriority.NORMAL, "vision_text")
+            if payloads:
+                listed = "; ".join(p[:120] for p in payloads[:3])
+                self.add_context_item(
+                    f"Código QR à frente diz: {listed}",
+                    ContextPriority.NORMAL, "vision_text")
+            if len(payloads) < n:
+                rest = n - len(payloads)
+                self.add_context_item(
+                    "Há um código QR visível à frente (não legível "
+                    "daqui)" if rest == 1
+                    else f"Há {rest} códigos QR visíveis à frente "
+                    "(não legíveis daqui)",
+                    ContextPriority.NORMAL, "vision_text")
 
     def update_navigation_context(self, hazards: Sequence[str],
                                   clear_path_deg: Optional[float] = None,

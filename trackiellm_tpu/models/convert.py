@@ -6300,3 +6300,85 @@ def gguf_to_qwen3next_params(path: str, *, bits: Optional[int] = None,
 
         params = quantize_params(params, bits=bits, group=group)
     return params, cfg
+
+
+def openwakeword_verifier_from_onnx(state: Dict[str, Any]):
+    """Published openwakeword per-keyword verifier ONNX initializers ->
+    :class:`trackiellm_tpu.audio.wake_word.VerifierHead`.
+
+    The verifier is a plain dense stack (the ROADMAP's "ingestible in
+    minutes" half of openwakeword; the speech-embedding tower stays a
+    first-contact decision). Keras/tf2onnx exports carry unstable
+    initializer names, so the chain is reconstructed by GEOMETRY, not
+    names: collect the 2-D matrices and 1-D biases, pair each matrix
+    with the bias matching its output width, orient matrices as
+    (in, out) (transposing (out, in) exports when only that
+    orientation chains), and order the pairs by connectivity — the
+    unique sequence where each layer's input width equals the previous
+    layer's output width and the final width is 1. Ambiguous or
+    non-chaining inventories fail loudly rather than guessing."""
+    from trackiellm_tpu.audio.wake_word import VerifierHead
+
+    mats = []
+    biases = []
+    for k, v in state.items():
+        a = np.asarray(v, np.float32)
+        if a.ndim == 2:
+            mats.append((k, a))
+        elif a.ndim == 1 and a.size > 0:
+            biases.append((k, a))
+    if not mats:
+        raise TrackieError(ErrorCode.MODEL_METADATA_INVALID,
+                           "verifier ONNX carries no 2-D matrices")
+
+    # Pair each matrix with a bias of matching output width, trying
+    # both orientations; prefer the orientation whose output width has
+    # a bias (dense layers always carry one in these exports).
+    by_width: Dict[int, list] = {}
+    for k, b in biases:
+        by_width.setdefault(b.shape[0], []).append(b)
+
+    def orient(a: np.ndarray):
+        """Yield candidate (in_dim, out_dim, w) orientations."""
+        yield a.shape[0], a.shape[1], a
+        if a.shape[0] != a.shape[1]:
+            yield a.shape[1], a.shape[0], a.T
+
+    # Build the chain ending at width 1 by working backwards.
+    remaining = [a for _, a in mats]
+    chain = []
+    want_out = 1
+    while remaining:
+        matches = []
+        for i, a in enumerate(remaining):
+            for din, dout, w in orient(a):
+                if dout == want_out:
+                    matches.append((i, din, w))
+        if not matches:
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"no matrix produces width {want_out}; shapes: "
+                f"{[a.shape for a in remaining]}")
+        dins = {din for _, din, _ in matches}
+        if len(matches) > 1 and len(dins) > 1:
+            raise TrackieError(
+                ErrorCode.MODEL_METADATA_INVALID,
+                f"ambiguous chain at width {want_out}: candidate "
+                f"input widths {sorted(dins)}")
+        i, din, w = matches[0]
+        pool = by_width.get(want_out, [])
+        if len(pool) > 1:
+            # Same-width dense layers: bias PAIRING is ambiguous by
+            # geometry alone (pop in reverse-chain order — correct for
+            # sequential exports, where initializers appear in layer
+            # order; a real file that violates this needs a name map).
+            log.warning(
+                "openwakeword verifier: %d biases share width %d — "
+                "pairing by initializer order; verify against the "
+                "real graph on first contact", len(pool), want_out)
+        b = pool.pop() if pool else np.zeros(want_out, np.float32)
+        chain.append((w, b))
+        remaining.pop(i)
+        want_out = din
+    chain.reverse()
+    return VerifierHead(chain)

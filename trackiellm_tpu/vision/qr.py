@@ -158,12 +158,29 @@ def detect_qr(gray: np.ndarray) -> List[Dict]:
 
 class QRFinderDetector:
     """The vision pipeline's ``barcode_fn``: gray frame -> descriptive
-    strings, one per QR candidate (tk_text_recognition.cpp:103-104
-    hook parity — detection-only)."""
+    strings, one per QR candidate. Detection fills the
+    tk_text_recognition.cpp:103-104 hook surface; when the payload
+    DECODES (vision/qr_decode.py — affine sampling + format BCH +
+    Reed-Solomon + segment parse) the string carries the text so the
+    cortex can SPEAK it, not just announce presence. Decode failures
+    (perspective, unsupported version, damage past EC) degrade to the
+    detection-only string, never drop the candidate."""
+
+    def __init__(self, decode: bool = True):
+        self.decode = decode
 
     def __call__(self, gray: np.ndarray) -> List[str]:
         out = []
         for qr in detect_qr(gray):
             x0, y0, x1, y1 = (int(round(v)) for v in qr["bbox"])
-            out.append(f"qr_code@[{x0},{y0},{x1},{y1}]")
+            payload = None
+            if self.decode:
+                from trackiellm_tpu.vision.qr_decode import (
+                    decode_qr_payload)
+
+                payload = decode_qr_payload(gray, qr)
+            if payload:
+                out.append(f"qr_code@[{x0},{y0},{x1},{y1}]:{payload}")
+            else:
+                out.append(f"qr_code@[{x0},{y0},{x1},{y1}]")
         return out
