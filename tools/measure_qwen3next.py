@@ -91,6 +91,12 @@ def main() -> None:
     if bits:
         params = Q.quantize_params(params, bits=bits)
         label = f"q{bits}"
+    if os.environ.get("TRACKIE_Q3N_FUSED", "0") == "1":
+        # Fused input projections (VERDICT r4 #5b lever): one weight
+        # stream per layer instead of six. One mode per PROCESS
+        # (PERF_NOTES env-lever rule).
+        params = Q.fuse_projections(params, CFG)
+        label += "_fused"
     jax.block_until_ready(params["out_norm"])
 
     cache = Q.create_cache(CFG, dtype=jnp.bfloat16)

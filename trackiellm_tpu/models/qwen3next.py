@@ -119,6 +119,33 @@ def _rope(x, positions, cfg: Qwen3NextConfig):
 # Full-attention layer (gated)
 # ---------------------------------------------------------------------------
 
+def fuse_projections(params, cfg: Qwen3NextConfig):
+    """Concatenate each layer's input projections into ONE matmul
+    (``w_in``): linear layers fold [wq|wk|wv|wz|wb|wa], attention
+    layers [wq|wk|wv]. At decode (S=1) every projection is a thin
+    (1, D) x (D, N) whose cost is the WEIGHT stream; one wide matrix
+    replaces six separate DMA streams per DeltaNet layer, the
+    fused-linear-decode lever VERDICT r4 #5b names. Output slicing is
+    free (the rows were already regrouped to global order at
+    conversion). Dense (bf16/f32) trees only — the measured-right
+    dtype at this family's ~1B scale (BASELINE.md row 10); quantized
+    banks keep the split layout."""
+    from trackiellm_tpu.ops.quant import QuantizedLinear
+
+    layers = []
+    for lt, lp in zip(cfg.layer_types, params["layers"]):
+        keys = (("wq", "wk", "wv", "wz", "wb", "wa") if lt == "l"
+                else ("wq", "wk", "wv"))
+        if any(isinstance(lp[k], QuantizedLinear) for k in keys):
+            layers.append(lp)
+            continue
+        lp = dict(lp)
+        lp["w_in"] = jnp.concatenate([lp.pop(k) for k in keys],
+                                     axis=1)
+        layers.append(lp)
+    return {**params, "layers": layers}
+
+
 def _attn_layer(lp, cfg: Qwen3NextConfig, x, positions, k_cache, v_cache,
                 kv_len):
     """x (S, D); cache (S_cache, Hk, hd) holds keys/values for
@@ -126,10 +153,18 @@ def _attn_layer(lp, cfg: Qwen3NextConfig, x, positions, k_cache, v_cache,
     at kv_len. Returns (out, new_k, new_v)."""
     s = x.shape[0]
     h, hk, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    qg = _linear(x, lp["wq"]).reshape(s, h, 2 * hd)
+    if "w_in" in lp:
+        y = _linear(x, lp["w_in"])
+        qd = h * 2 * hd
+        kvd = hk * hd
+        qg = y[:, :qd].reshape(s, h, 2 * hd)
+        k = y[:, qd: qd + kvd].reshape(s, hk, hd)
+        v = y[:, qd + kvd:].reshape(s, hk, hd)
+    else:
+        qg = _linear(x, lp["wq"]).reshape(s, h, 2 * hd)
+        k = _linear(x, lp["wk"]).reshape(s, hk, hd)
+        v = _linear(x, lp["wv"]).reshape(s, hk, hd)
     q, gate = qg[..., :hd], qg[..., hd:]
-    k = _linear(x, lp["wk"]).reshape(s, hk, hd)
-    v = _linear(x, lp["wv"]).reshape(s, hk, hd)
     q = _norm(q, lp["q_norm"], cfg.norm_eps)
     k = _norm(k, lp["k_norm"], cfg.norm_eps)
     q = _rope(q, positions, cfg)
@@ -168,12 +203,25 @@ def _delta_layer(lp, cfg: Qwen3NextConfig, x, conv_state, rec_state,
     hk, hv = cfg.lin_k_heads, cfg.lin_v_heads
     dk, dv = cfg.lin_dk, cfg.lin_dv
 
-    q = _linear(x, lp["wq"])              # (S, hk*dk)
-    k = _linear(x, lp["wk"])
-    v = _linear(x, lp["wv"])
-    z = _linear(x, lp["wz"]).reshape(s, hv, dv)
-    b = x @ lp["wb"]                      # (S, hv)
-    a = x @ lp["wa"]
+    if "w_in" in lp:
+        # One fused weight stream (see fuse_projections); slice order
+        # matches the concat: [q | k | v | z | b | a].
+        y = _linear(x, lp["w_in"])
+        o = 0
+        widths = (hk * dk, hk * dk, hv * dv, hv * dv, hv, hv)
+        cuts = []
+        for wdt in widths:
+            cuts.append(y[:, o: o + wdt])
+            o += wdt
+        q, k, v, z, b, a = cuts
+        z = z.reshape(s, hv, dv)
+    else:
+        q = _linear(x, lp["wq"])          # (S, hk*dk)
+        k = _linear(x, lp["wk"])
+        v = _linear(x, lp["wv"])
+        z = _linear(x, lp["wz"]).reshape(s, hv, dv)
+        b = x @ lp["wb"]                  # (S, hv)
+        a = x @ lp["wa"]
 
     mixed = jnp.concatenate([q, k, v], axis=-1)      # (S, conv_dim)
     hist = jnp.concatenate([conv_state.T, mixed], axis=0)  # (K-1+S, C)
