@@ -83,6 +83,17 @@ class TestSniff:
         p.write_bytes(b"\x00" * 16)
         assert FC.sniff(str(p))["kind"] == "hf-shard"
 
+    def test_truncated_gguf_fails_one_artifact_not_the_run(self,
+                                                           tmp_path):
+        """A half-copied checkpoint (valid magic, truncated header)
+        must mark THAT file FAIL, never abort the gauntlet (review
+        round-5 finding — this crashed the whole harness)."""
+        (tmp_path / "broken.gguf").write_bytes(b"GGUF\x03\x00")
+        rep = FC.run(str(tmp_path), None, FC.Options())
+        assert rep["summary"]["FAIL"] == 1
+        e = rep["artifacts"][0]
+        assert e["status"] == "FAIL" and e["kind"] == "unreadable"
+
 
 class TestHarnessEndToEnd:
     @pytest.fixture(scope="class")

@@ -402,9 +402,9 @@ class TestRejectionSamplingKernel:
         vf = jax.vmap(lambda k: sampling.spec_verify_sampled(
             logits, proposal, jnp.int32(self.B - 1), k,
             jnp.float32(temp), recent, **self.KW))
-        n_accs, toks = vf(keys)
-        return (logits, np.asarray(proposal), np.asarray(n_accs),
-                np.asarray(toks), temp)
+        verdicts = np.asarray(vf(keys))         # (N, 2) stacked
+        return (logits, np.asarray(proposal), verdicts[:, 0],
+                verdicts[:, 1], temp)
 
     def _ref_probs(self, logits, pos, temp):
         proc = sampling._process_chain(

@@ -137,15 +137,21 @@ class TestBundledDefaultArtifact:
     through save/load exactly."""
 
     def test_loads_and_separates(self):
+        # Evaluate with the TRAINER's own generators (single source of
+        # truth for the clip distribution — review round-5 finding:
+        # drifting test-local copies would score the artifact on a
+        # distribution it was never trained on).
+        from tools.train_wake_word_default import imposter, keyword, mel
+
         from trackiellm_tpu.audio.wake_word import load_default_wake_word
 
         det = load_default_wake_word()
         rng = np.random.default_rng(123)  # fresh held-out clips
         kw_scores = [float(wake_word_score(det.params, det.cfg,
-                                           _mel(_keyword(rng))))
+                                           mel(keyword(rng))))
                      for _ in range(8)]
         imp_scores = [float(wake_word_score(det.params, det.cfg,
-                                            _mel(_imposter(rng, i % 4))))
+                                            mel(imposter(rng, i % 4))))
                       for i in range(8)]
         assert sum(s >= det.cfg.sensitivity for s in kw_scores) >= 7, \
             kw_scores

@@ -137,45 +137,16 @@ def _cmd_convert(args) -> int:
 
             params = quantize_params(params, bits=args.bits)
     else:
-        from trackiellm_tpu.models.convert import (gguf_to_llm_params,
-                                                   gguf_to_mamba_params,
-                                                   gguf_to_mla_params,
+        from trackiellm_tpu.models.convert import (gguf_convert_auto,
                                                    tokenizer_spec_from_gguf)
         from trackiellm_tpu.models.loader import read_gguf_header
 
         hdr = read_gguf_header(args.gguf)
-        if (hdr.architecture or "") == "deepseek2":
-            # DeepSeek GGUFs load as MLA params (models/mla.py).
-            params, cfg = gguf_to_mla_params(args.gguf,
-                                             bits=args.bits or None)
-        elif (hdr.architecture or "") == "mamba":
-            params, cfg = gguf_to_mamba_params(args.gguf,
-                                               bits=args.bits or None)
-        elif (hdr.architecture or "") == "falcon":
-            from trackiellm_tpu.models.convert import gguf_to_falcon_params
-
-            params, cfg = gguf_to_falcon_params(args.gguf,
-                                                bits=args.bits or None)
-        elif (hdr.architecture or "") == "llama4":
-            from trackiellm_tpu.models.convert import gguf_to_llama4_params
-
-            params, cfg = gguf_to_llama4_params(args.gguf,
-                                                bits=args.bits or None)
-        elif (hdr.architecture or "") == "glm4moe":
-            from trackiellm_tpu.models.convert import (
-                gguf_to_glm4moe_params)
-
-            params, cfg = gguf_to_glm4moe_params(args.gguf,
-                                                 bits=args.bits or None)
-        elif (hdr.architecture or "") == "qwen3next":
-            from trackiellm_tpu.models.convert import (
-                gguf_to_qwen3next_params)
-
-            params, cfg = gguf_to_qwen3next_params(
-                args.gguf, bits=args.bits or None)
-        else:
-            params, cfg = gguf_to_llm_params(args.gguf,
-                                             bits=args.bits or None)
+        # ONE shared arch dispatch (deepseek2 -> MLA, mamba, falcon,
+        # llama4, glm4moe, qwen3next, default llama-family) — the same
+        # route the first-contact harness probes.
+        params, cfg = gguf_convert_auto(args.gguf,
+                                        bits=args.bits or None)
         vocab = hdr.metadata.get("tokenizer.ggml.tokens")
         tok_spec = tokenizer_spec_from_gguf(hdr)
     meta = {"source": args.gguf, "bits": args.bits,

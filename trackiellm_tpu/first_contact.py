@@ -103,9 +103,9 @@ COMPANIONS = {
               ["tools/parity_depth.py", "--checkpoint", "{a}",
                "--images", "{stem}.images",
                "--expected", "{stem}.expected.npz"]),
-    "tts": (("{stem}.text.txt", "{stem}.expected.wav", "{a}.json"),
+    "tts": (("{stem}.text.txt", "{stem}.expected.wav", "{VCFG}"),
             ["tools/parity_tts.py", "--voice", "{a}",
-             "--config", "{a}.json",
+             "--config", "{VCFG}",
              "--text", "{TEXT}",
              "--expected", "{stem}.expected.wav"]),
     "ocr": (("{stem}.images", "{stem}.expected.json", "{stem}.vocab.json",
@@ -314,27 +314,15 @@ def probe_nll(params, cfg, ids: List[int]) -> float:
 # ---------------------------------------------------------------------------
 
 def _convert_gguf(path: str, arch: str, bits: Optional[int]):
-    """Mirror of the CLI's convert dispatch (__main__.py _cmd_convert),
-    returning (params, cfg, tokenizer)."""
+    """The CLI's exact conversion route (convert.gguf_convert_auto —
+    ONE shared dispatch table), returning (params, cfg, tokenizer)."""
     from trackiellm_tpu.models import convert as C
     from trackiellm_tpu.models.loader import read_gguf_header
 
-    if arch == "deepseek2":
-        params, cfg = C.gguf_to_mla_params(path, bits=bits)
-    elif arch == "mamba":
-        params, cfg = C.gguf_to_mamba_params(path, bits=bits)
-    elif arch == "falcon":
-        params, cfg = C.gguf_to_falcon_params(path, bits=bits)
-    elif arch == "llama4":
-        params, cfg = C.gguf_to_llama4_params(path, bits=bits)
-    elif arch == "glm4moe":
-        params, cfg = C.gguf_to_glm4moe_params(path, bits=bits)
-    elif arch == "qwen3next":
-        params, cfg = C.gguf_to_qwen3next_params(path, bits=bits)
-    elif arch == "bert":
+    if arch == "bert":
         params, cfg = C.gguf_to_bert_params(path)
     else:
-        params, cfg = C.gguf_to_llm_params(path, bits=bits)
+        params, cfg = C.gguf_convert_auto(path, bits=bits)
     tok = None
     try:
         tok = C.tokenizer_from_gguf(read_gguf_header(path))
@@ -675,8 +663,13 @@ def _parity_for(path: str, kind: str, entry: Dict[str, Any],
         return None
     stem = os.path.splitext(path)[0]
     needed, cmd = COMPANIONS[tool]
+    # Piper voices ship the config as either voice.onnx.json or
+    # voice.json (sniffing accepts both) — resolve to whichever
+    # exists, preferring the first.
+    vcfg = next((p for p in (path + ".json", stem + ".json")
+                 if os.path.exists(p)), path + ".json")
     sub = {"a": path, "stem": stem, "TEXT": "{TEXT}",
-           "QUANT": str(opts.quantize)}
+           "QUANT": str(opts.quantize), "VCFG": vcfg}
     paths = [n.format(**sub) for n in needed]
     command = [sys.executable] + [c.format(**sub) for c in cmd]
     if "{TEXT}" in command:
@@ -724,7 +717,15 @@ class Options:
 
 def check_artifact(path: str, opts: Options,
                    repo_root: str) -> Optional[Dict[str, Any]]:
-    info = sniff(path)
+    try:
+        info = sniff(path)
+    except Exception as e:
+        # A corrupt/truncated file (half-copied checkpoint) must mark
+        # THIS artifact FAIL, never abort the whole gauntlet.
+        return {"file": os.path.basename(path), "kind": "unreadable",
+                "status": "FAIL",
+                "error": f"{type(e).__name__}: {e}",
+                "seconds": 0.0}
     kind = info.pop("kind")
     if kind == "skip":
         return None

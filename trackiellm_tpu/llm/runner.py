@@ -919,14 +919,14 @@ class LLMRunner:
                 t = (hist + proposal[:i])[-self.gen.repeat_window:]
                 rec[i, : len(t)] = t
             self._key, sub = jax.random.split(self._key)
-            n_acc_d, tok_d = sampling.spec_verify_sampled(
+            verdict = np.asarray(sampling.spec_verify_sampled(
                 logits, jnp.asarray(prop), jnp.int32(len(proposal)),
                 sub, jnp.float32(self.gen.temperature),
                 jnp.asarray(rec), top_k=self.gen.top_k,
                 top_p=self.gen.top_p, min_p=self.gen.min_p,
-                repetition_penalty=self.gen.repetition_penalty)
-            accepted = int(n_acc_d)  # one fetch; tok_d rides along
-            pending = proposal[:accepted] + [int(tok_d)]
+                repetition_penalty=self.gen.repetition_penalty))
+            accepted = int(verdict[0])  # ONE stacked fetch per pass
+            pending = proposal[:accepted] + [int(verdict[1])]
         self.spec_stats["passes"] += 1
         self.spec_stats["proposed"] += len(proposal)
         self.spec_stats["accepted"] += accepted
@@ -955,6 +955,12 @@ class LLMRunner:
     def _emit_spec_token(self) -> Optional[str]:
         """Pop one buffered speculative token with the exact semantics
         of the plain sample-then-commit path."""
+        if (self.gen.speculative == "auto"
+                and self.gen.temperature > 0
+                and self._spec_cooldown > 0):
+            # Sampled-auto cooldown counts EMITTED tokens; buffered
+            # tokens bypass the main-body decrement.
+            self._spec_cooldown -= 1
         idx = self._spec_index
         tid = self._pending_spec[idx]
         self._spec_index += 1
@@ -1005,9 +1011,15 @@ class LLMRunner:
         elif last:
             # Bonus token: not in the cache yet — either chain another
             # speculative pass from it or decode_step it (both commit).
+            # The chain honors the auto-mode acceptance cooldown:
+            # without the _spec_allowed() gate, rejecting contexts
+            # would keep paying a full verify extend per token because
+            # every pass ends in a bonus token that re-chains (review
+            # round-5 finding).
             self._pending_spec = []
             self._spec_index = 0
-            if not self._start_speculative_pass(tid):
+            if not (self._spec_allowed()
+                    and self._start_speculative_pass(tid)):
                 self._next_logits, self.cache = self._m.decode_step(
                     self.params, self.cfg, jnp.int32(tid), self.cache,
                     attn_len=self._attn_bucket())

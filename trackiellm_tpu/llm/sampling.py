@@ -122,9 +122,11 @@ def spec_verify_sampled(
 
     Shapes are static per extend-bucket ``B`` (ONE compiled variant
     regardless of the live proposal length); rows at/past ``n_prop+1``
-    are junk from the padded extend and never selected. Returns
-    (n_accepted, final_token) — one fetch; each verify pass emits
-    n_accepted + 1 tokens.
+    are junk from the padded extend and never selected. Returns ONE
+    stacked int32 (2,) array [n_accepted, final_token] so the caller
+    pays a single host fetch per verify pass (two separate device
+    scalars would be two non-pipelining relay round trips —
+    PERF_NOTES); each pass emits n_accepted + 1 tokens.
     """
     kpad = proposal.shape[0]
     proc = jax.vmap(
@@ -145,7 +147,7 @@ def spec_verify_sampled(
     resid = last.at[rejected_tok].set(NEG_INF)
     final_logits = jnp.where(n_acc == n_prop, last, resid)
     tok = jax.random.categorical(skey, final_logits).astype(jnp.int32)
-    return n_acc.astype(jnp.int32), tok
+    return jnp.stack([n_acc.astype(jnp.int32), tok])
 
 
 @jax.jit

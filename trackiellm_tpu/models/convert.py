@@ -485,10 +485,10 @@ def gguf_to_llm_params(
         # Always say which layout was assumed so a wrong guess on a
         # non-llama.cpp writer is diagnosable from the log alone
         # (advisor r4): scrambled q/k columns otherwise convert
-        # silently.
-        import logging as _logging
-
-        _logging.getLogger("trackiellm_tpu.convert").info(
+        # silently. Module logger — it has the framework handler
+        # (a bare logging.getLogger name outside the 'trackiellm'
+        # hierarchy was dead code, review round-5 finding).
+        log.info(
             "gguf arch=%s: assuming %s q/k rope layout "
             "(TRACKIE_LLAMA_GGUF_ROPE=%s; set =hf for GGUFs written "
             "directly from HF layout without llama.cpp's permute)",
@@ -6136,12 +6136,22 @@ def gguf_to_qwen3next_params(path: str, *, bits: Optional[int] = None,
 
     # --- linear-attention geometry (see docstring) ---
     li = lin_layers[0] if lin_layers else None
+    has_moe = any(f"blk.{i}.ffn_gate_exps.weight" in t
+                  for i in range(n_layers))
     config: Dict[str, Any] = {
         "rms_norm_eps": float(md.get(
             f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)),
-        "rope_theta": float(md.get(f"{arch}.rope.freq_base", 10000.0)),
-        "num_experts_per_tok": int(md.get(f"{arch}.expert_used_count",
-                                          2)),
+        # Math-bearing keys ride the strict/warn discipline — the
+        # published 80B-A3B uses rope_theta 10,000,000 and top-10
+        # routing, so silent llama-ish defaults would be garbage.
+        "rope_theta": (float(_math_key(
+            md, f"{arch}.rope.freq_base", 10000.0,
+            "llama.cpp default; published Qwen3-Next uses 1e7"))
+            if full_layers else 10000.0),
+        "num_experts_per_tok": (int(_math_key(
+            md, f"{arch}.expert_used_count", 2,
+            "qwen-MoE default; published Qwen3-Next routes top-10"))
+            if has_moe else 2),
         "norm_topk_prob": True,
     }
     if li is not None:
@@ -6196,9 +6206,11 @@ def gguf_to_qwen3next_params(path: str, *, bits: Optional[int] = None,
                 f"attn_k rows ({hd} per kv head)")
         config.update(num_attention_heads=n_heads,
                       num_key_value_heads=n_kv, head_dim=hd,
-                      partial_rotary_factor=float(md.get(
-                          f"{arch}.rope.dimension_count",
-                          0.25 * hd)) / hd)
+                      partial_rotary_factor=float(_math_key(
+                          md, f"{arch}.rope.dimension_count",
+                          0.25 * hd,
+                          "published Qwen3-Next partial rotary 0.25"
+                      )) / hd)
 
     # --- rebuild the HF state dict ---
     state: Dict[str, Any] = {
@@ -6382,3 +6394,22 @@ def openwakeword_verifier_from_onnx(state: Dict[str, Any]):
         want_out = din
     chain.reverse()
     return VerifierHead(chain)
+
+
+def gguf_convert_auto(path: str, bits: Optional[int] = None) -> tuple:
+    """ONE arch->converter dispatch for GGUF files, shared by the CLI
+    (__main__ convert) and the first-contact harness so the probe can
+    never validate a different conversion route than the product uses
+    (review round-5 finding: the two hand-maintained if/elif chains
+    had already diverged once). Returns (params, cfg)."""
+    arch = read_gguf_header(path).architecture or ""
+    table = {
+        "deepseek2": gguf_to_mla_params,
+        "mamba": gguf_to_mamba_params,
+        "falcon": gguf_to_falcon_params,
+        "llama4": gguf_to_llama4_params,
+        "glm4moe": gguf_to_glm4moe_params,
+        "qwen3next": gguf_to_qwen3next_params,
+    }
+    fn = table.get(arch, gguf_to_llm_params)
+    return fn(path, bits=bits)
