@@ -454,3 +454,32 @@ class TestRejectionSamplingKernel:
         logits, prop, n_accs, toks, _ = self._setup(seed=7)
         rejected_first = toks[n_accs == 0]
         assert not np.any(rejected_first == prop[0])
+
+
+class TestAutoMinTokensRidesChunkPath:
+    def test_min_tokens_floor_uses_chunk_path(self, monkeypatch):
+        """auto + min_tokens=max_tokens (the app-e2e harness shape —
+        forced-length greedy): speculation can never arm, so every
+        token must ride the k-lookahead chunk path, not the serial
+        loop (round-5 regression: 418 vs 236 ms reply p50)."""
+        r = _runner(seed=2, speculative="auto", max_tokens=16,
+                    min_tokens=16, lookahead=4)
+        plain = _runner(seed=2, speculative=False, max_tokens=16,
+                        min_tokens=16, lookahead=4)
+        calls = {"auto": 0, "plain": 0}
+        orig = llm_model.decode_step
+
+        def count_auto(*a, **k):
+            calls["auto"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(llm_model, "decode_step", count_auto)
+        out_auto = r.generate("abc abc abc abc ab")
+        monkeypatch.setattr(llm_model, "decode_step", lambda *a, **k: (
+            calls.__setitem__("plain", calls["plain"] + 1)
+            or orig(*a, **k)))
+        out_plain = plain.generate("abc abc abc abc ab")
+        assert out_auto == out_plain
+        # Chunked decode dispatches decode_chunk_greedy, not per-token
+        # decode_step: the auto path must match plain's call count.
+        assert calls["auto"] == calls["plain"], calls

@@ -359,6 +359,19 @@ def _cmd_precompile(args) -> int:
         runner.reset()
         runner.generate("contexto: " + "objeto perto. " * 60)
         mark("llm: large prefill bucket")
+        # Sampled speculative programs (the round-5 "auto" default):
+        # the bucket-16 all-logits extend + spec_verify_sampled at the
+        # production sampler settings. Without these, the FIRST
+        # temperature-0.7 reply with a firing n-gram proposal pays
+        # their compiles inside the reply path (measured: a ~9.5 min
+        # first-reply outlier on a cold cache).
+        spec_runner = LLMRunner(
+            params, cfg, ByteTokenizer(cfg.vocab_size),
+            GenerationConfig(max_tokens=24, temperature=0.7, seed=0,
+                             speculative=True, spec_min_ngram=1))
+        spec_runner.generate("descreva descreva descreva descreva "
+                             "descreva descreva a cena")
+        mark("llm: sampled speculative verify programs")
 
     if "server" not in skip and params is not None:
         # Continuous-batching admission programs: the vmapped

@@ -576,14 +576,20 @@ class LLMRunner:
                 return piece
 
         spec = self.gen.speculative
+        # A token that CANNOT speculate (cooldown, or min_tokens not
+        # yet reached — the arming condition below requires it) must
+        # ride the k-token lookahead FAST path, not the serial loop:
+        # the worst case of auto-speculation is the production chunk
+        # path, with a probe pass every spec_probe_interval tokens.
+        # (Round-5 regression fix: min_tokens-floored greedy runs —
+        # the app-e2e harness shape — decoded SERIALLY under the new
+        # auto default, 418 vs 236 ms reply p50.)
+        spec_eligible = (self._n_emitted >= self.gen.min_tokens
+                        and self._spec_cooldown <= 0)
         if (self._grammar is None and self.gen.temperature <= 0
                 and (not spec
-                     or (spec == "auto" and self._spec_cooldown > 0))):
-            # "auto" cooldown rides the k-token lookahead FAST path
-            # (101 tok/s), not the serial loop — the worst case of
-            # auto-speculation is the production chunk path, with a
-            # probe pass every spec_probe_interval tokens.
-            if spec == "auto":
+                     or (spec == "auto" and not spec_eligible))):
+            if spec == "auto" and self._spec_cooldown > 0:
                 self._spec_cooldown -= 1
             if self.gen.lookahead > 1:
                 return self._greedy_chunk_step()

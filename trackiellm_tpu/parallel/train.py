@@ -75,7 +75,8 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
                        sequence_parallel: bool = False,
                        expert_parallel: bool = False,
                        moe_capacity_factor: float = 2.0,
-                       mesh: Mesh = None) -> jnp.ndarray:
+                       mesh: Mesh = None,
+                       return_hidden: bool = False) -> jnp.ndarray:
     """Batched causal LM forward: (B, S) int32 tokens ->
     ``(logits (B, S, V) f32, aux)`` — ``aux`` is the per-layer router
     stats tuple for MoE configs and None for dense ones (a single
@@ -178,6 +179,11 @@ def lm_forward_batched(params: Dict[str, Any], cfg: llm_model.LLMConfig,
 
     x, aux = jax.lax.scan(layer_fn, x,
                           (params["layers"], jnp.arange(cfg.n_layers)))
+    if return_hidden:
+        # Final-norm hidden states for the vocab-parallel CE (the
+        # (B, S, V) logits never materialize — Megatron's trick).
+        return llm_model._norm(x, params["out_norm"], cfg.norm_eps,
+                               cfg.norm_type), aux
     logits = llm_model._output_logits(params, cfg, x)
     return logits, aux
 
@@ -202,15 +208,34 @@ def lm_loss(params, cfg, tokens, sequence_parallel: bool = False,
             mesh: Mesh = None) -> jnp.ndarray:
     """Next-token cross-entropy over (B, S) tokens (shifted). MoE
     configs add ``moe_aux_coef`` x the load-balancing loss (Mixtral's
-    router_aux_loss_coef default)."""
-    logits, aux = lm_forward_batched(
+    router_aux_loss_coef default).
+
+    Under a tp>1 ``mesh`` (and no logit softcap), the loss runs
+    VOCAB-PARALLEL end to end: the forward returns final-norm hidden
+    states and :func:`vocab_parallel_ce` computes the CE against the
+    tp-sharded lm_head without ever materializing (B, S, V) logits —
+    peak activation memory per chip stays V/tp wide (round 5; the
+    function existed since round 3 but the train step never used it).
+    Loss identity with the full-logits path is pinned in
+    tests/test_parallel.py."""
+    use_vp_ce = (mesh is not None and mesh.shape.get("tp", 1) > 1
+                 and cfg.logit_softcap <= 0.0
+                 and cfg.vocab_size % mesh.shape["tp"] == 0)
+    hidden_or_logits, aux = lm_forward_batched(
         params, cfg, tokens, sequence_parallel,
         expert_parallel=expert_parallel,
-        moe_capacity_factor=moe_capacity_factor, mesh=mesh)
-    targets = tokens[:, 1:]
-    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    loss = jnp.mean(nll)
+        moe_capacity_factor=moe_capacity_factor, mesh=mesh,
+        return_hidden=use_vp_ce)
+    if use_vp_ce:
+        loss = vocab_parallel_ce(hidden_or_logits, params["lm_head"],
+                                 tokens, mesh)
+    else:
+        logits = hidden_or_logits
+        targets = tokens[:, 1:]
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None],
+                                   axis=-1)[..., 0]
+        loss = jnp.mean(nll)
     if aux is not None and moe_aux_coef:
         loss = loss + moe_aux_coef * moe_load_balancing_loss(aux, cfg)
     return loss
