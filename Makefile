@@ -20,13 +20,16 @@ test:
 # tests/conftest.py points the JAX persistent compile cache at
 # .jax_test_cache/ (9 MB), so repeat runs reuse every unchanged
 # XLA:CPU program — measured on this SINGLE-CORE host: cold 7m35,
-# WARM 3m47 (under the round-3 <5 min target). Delete the dir (or
-# set TRACKIE_TEST_COMPILE_CACHE=0) for a cold run. On a multi-core
-# host add `-n auto` (pytest-xdist ships in the image) for a
-# roughly core-count speedup on top.
+# WARM 3m47 (under the round-3 <5 min target). The cache is opt-in
+# (this target sets TRACKIE_TEST_COMPILE_CACHE=1): warm-cache entries
+# for some slow-tier GSPMD train steps SIGABRT at execution on this
+# jax version, so `make test` (the full suite) runs uncached. Delete
+# .jax_test_cache/ for a cold smoke. On a multi-core host add
+# `-n auto` (pytest-xdist ships in the image) for a roughly
+# core-count speedup on top.
 smoke:
-	$(PY) -m pytest tests/ -q -x -m "not slow" \
-	    --deselect tests/test_e2e_real.py
+	TRACKIE_TEST_COMPILE_CACHE=1 $(PY) -m pytest tests/ -q -x \
+	    -m "not slow" --deselect tests/test_e2e_real.py
 
 native:
 	g++ -O2 -shared -fPIC -std=c++17 -pthread \

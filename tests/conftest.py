@@ -30,12 +30,16 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache across test runs (VERDICT r4 #7): the
 # suite's cost is dominated by XLA:CPU compiles (4-16 s apiece for the
 # server/cortex programs); pointing the JAX persistent cache at a
-# repo-local dir makes warm `make smoke` reuse every unchanged program.
-# The per-module clear_caches() below still bounds live JIT code — the
-# recompiles it forces then hit this disk cache instead of LLVM.
-_CACHE_DIR = os.environ.get(
-    "TRACKIE_TEST_COMPILE_CACHE",
-    os.path.join(_REPO_ROOT, ".jax_test_cache"))
+# repo-local dir makes warm `make smoke` reuse every unchanged program
+# (measured: cold 7m35 -> warm 3m47). OPT-IN (make smoke sets it):
+# deserialized executables for SOME of the slow tier's GSPMD train
+# steps ABORT at execution on this jax version (reproduced: the
+# family-zoo sharded train step passes cold and SIGABRTs from a warm
+# cache entry), so the full suite must run uncached. The per-module
+# clear_caches() below still bounds live JIT code.
+_CACHE_DIR = os.environ.get("TRACKIE_TEST_COMPILE_CACHE", "0")
+if _CACHE_DIR == "1":
+    _CACHE_DIR = os.path.join(_REPO_ROOT, ".jax_test_cache")
 if _CACHE_DIR and _CACHE_DIR != "0":
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

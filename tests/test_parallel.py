@@ -19,6 +19,18 @@ from trackiellm_tpu.parallel.mesh import _factor
 pytestmark = pytest.mark.slow  # model-zoo/parallel tier: excluded from `make smoke`
 
 
+@pytest.fixture(autouse=True, scope="class")
+def _clear_jit_between_classes():
+    """This single module compiles more distinct XLA:CPU programs than
+    any other (every parallel formation x config); with the round-5
+    vocab-parallel CE/embed variants added, the accumulated LLVM JIT
+    code crossed the known segfault threshold (see conftest's
+    per-module clear) late in the module. Clearing per CLASS bounds
+    it; the persistent disk cache makes the forced recompiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 TRAIN_CFG = llm_model.LLMConfig(
     vocab_size=128, dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
     head_dim=32, hidden_dim=256, max_seq=64, sliding_window=64)
@@ -373,13 +385,14 @@ class TestShardedServer:
 
     def test_mesh_paged_composition_contract(self):
         """Round 4: paged KV COMPOSES with the mesh (pool sharded on
-        the KV-head axis — identity-tested in test_server.py's
-        TestPagedMeshServer); the remaining exclusion is int8 KV, whose
-        QuantPool scale tables have no sharded formulation."""
+        the KV-head axis). Round 5 closed the last exclusion: int8 KV
+        composes too — the QuantPool's values AND per-(cell, head)
+        scales shard the same head axis (quant_pool_sharding; greedy
+        identity vs single-device pinned in test_server.py)."""
         import jax.numpy as jnp_
 
+        from trackiellm_tpu.llm.paging import QuantPool
         from trackiellm_tpu.llm.server import LLMServer
-        from trackiellm_tpu.utils.errors import TrackieError
 
         mesh = build_mesh(jax.devices()[:8])
         params = llm_model.init_params(jax.random.PRNGKey(0), self.CFG,
@@ -390,9 +403,12 @@ class TestShardedServer:
             assert server.paged and server.pool is not None
         finally:
             server.close()
-        with pytest.raises(TrackieError):
-            LLMServer(params, self.CFG, paged=True, mesh=mesh,
-                      cache_dtype=jnp_.int8)
+        q = LLMServer(params, self.CFG, paged=True, mesh=mesh,
+                      page_size=32, cache_dtype=jnp_.int8)
+        try:
+            assert q.paged and isinstance(q.pool.pool_k, QuantPool)
+        finally:
+            q.close()
 
 
 class TestPipelineParallel:

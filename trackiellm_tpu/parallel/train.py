@@ -392,7 +392,15 @@ def vocab_parallel_ce(x: jnp.ndarray, lm_head, tokens: jnp.ndarray,
         logits = jnp.einsum(
             "bsd,dv->bsv", xb[:, :-1].astype(jnp.float32),
             head_local.astype(jnp.float32))           # (B, S-1, Vl)
-        m = jax.lax.pmax(jnp.max(logits, axis=-1), "tp")
+        # Global max via all_gather + jnp.max rather than lax.pmax:
+        # pmax has no differentiation rule (even under stop_gradient
+        # the jvp trace hits it), while all_gather is differentiable —
+        # and the LSE max's own gradient contribution cancels exactly
+        # anyway. This is what makes the CE usable inside
+        # value_and_grad (round 5: forward-only until the train step
+        # wired it).
+        m = jnp.max(jax.lax.all_gather(
+            jnp.max(logits, axis=-1), "tp", axis=0), axis=0)
         lse = jnp.log(jax.lax.psum(
             jnp.sum(jnp.exp(logits - m[..., None]), axis=-1), "tp")) + m
         tgt = toks[:, 1:] - shard * v_local            # local id or OOB
