@@ -148,6 +148,33 @@ class TestHarnessEndToEnd:
         assert "parity_llm" in e["parity"]["suggested"]
 
 
+class TestShardedCheckpointMerging:
+    def test_shard_group_merges_and_converts(self, tmp_path):
+        """model-XXXXX-of-YYYYY.safetensors groups — the layout real
+        HF checkpoints ship in — merge and convert as ONE artifact."""
+        from safetensors.numpy import save_file
+
+        from tests.test_whisper_ggml import _tiny_file
+
+        _, state, _, _ = _tiny_file(tmp_path)
+        items = sorted((k, np.ascontiguousarray(np.asarray(v)))
+                       for k, v in state.items())
+        half = len(items) // 2
+        save_file(dict(items[:half]),
+                  str(tmp_path / "model-00001-of-00002.safetensors"))
+        save_file(dict(items[half:]),
+                  str(tmp_path / "model-00002-of-00002.safetensors"))
+        (tmp_path / "ggml-test.bin").unlink()  # isolate the group
+        rep = FC.run(str(tmp_path), None, FC.Options())
+        assert rep["summary"]["FAIL"] == 0, rep["artifacts"]
+        sharded = [a for a in rep["artifacts"]
+                   if a["kind"] == "hf-sharded"]
+        assert len(sharded) == 1
+        assert sharded[0]["status"] in ("PASS", "WARN")
+        assert sharded[0]["arch"] == "whisper-torch"
+        assert "2 shards" in sharded[0]["file"]
+
+
 class TestStateDictClassifier:
     def test_config_json_wins(self, tmp_path):
         (tmp_path / "config.json").write_text(

@@ -730,12 +730,12 @@ def check_artifact(path: str, opts: Options,
     if kind == "skip":
         return None
     if kind == "hf-shard":
+        # Individual shards are handled as a GROUP by run(); reaching
+        # here means check_artifact was called on one directly.
         return {"file": os.path.basename(path), "kind": kind,
                 "status": "WARN",
-                "actions": ["sharded HF checkpoint: merge shards first "
-                            "(np.savez over all model-*-of-*.safetensors"
-                            " states) or convert via the CLI with the "
-                            "merged file"]}
+                "actions": ["run the harness on the DIRECTORY — "
+                            "shard groups merge automatically"]}
     entry: Dict[str, Any] = {"file": os.path.basename(path),
                              "kind": kind, **info}
     if opts.strict:
@@ -795,6 +795,53 @@ def check_artifact(path: str, opts: Options,
     return entry
 
 
+def check_shard_group(prefix: str, paths: List[str],
+                      opts: Options) -> Dict[str, Any]:
+    """Merge a model-XXXXX-of-YYYYY.safetensors group into one state
+    dict and route it through the state-dict check — the layout most
+    published HF checkpoints actually ship in."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+        __file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    from tools.parity_common import load_state_dict
+
+    entry: Dict[str, Any] = {
+        "file": f"{os.path.basename(prefix)}-*.safetensors "
+                f"({len(paths)} shards)",
+        "kind": "hf-sharded"}
+    tap = _WarningTap()
+    t0 = time.time()
+    try:
+        with tap:
+            state: Dict[str, Any] = {}
+            for p in sorted(paths):
+                state.update(load_state_dict(p))
+            names = list(state.keys())
+            family, how = _classify_state_dict(names, paths[0])
+            entry.update(arch=family or "unknown", detected_by=how,
+                         n_tensors=len(names))
+            if family is None:
+                entry["actions"] = [
+                    "could not classify the merged shards; a sibling "
+                    "config.json with model_type picks the converter"]
+                raise RuntimeError("unclassified sharded checkpoint")
+            _convert_state_dict(family, state, paths[0], entry, opts)
+        entry["status"] = "PASS"
+    except Exception as e:
+        entry["status"] = "FAIL"
+        entry["error"] = f"{type(e).__name__}: {e}"
+        entry["trace_tail"] = traceback.format_exc().splitlines()[-3:]
+    entry["seconds"] = round(time.time() - t0, 1)
+    if tap.records:
+        entry["warnings"] = tap.records
+        if entry["status"] == "PASS":
+            entry["status"] = "WARN"
+    if entry.get("actions") and entry["status"] == "PASS":
+        entry["status"] = "WARN"
+    return entry
+
+
 def run(directory: str, report_path: Optional[str] = None,
         opts: Optional[Options] = None) -> Dict[str, Any]:
     opts = opts or Options()
@@ -803,8 +850,24 @@ def run(directory: str, report_path: Optional[str] = None,
     files = sorted(
         os.path.join(directory, f) for f in os.listdir(directory)
         if os.path.isfile(os.path.join(directory, f)))
-    artifacts: List[Dict[str, Any]] = []
+    # Group sharded HF checkpoints (model-00001-of-00002.safetensors)
+    # and check each group merged, each remaining file individually.
+    groups: Dict[str, List[str]] = {}
+    singles: List[str] = []
     for path in files:
+        m = _SHARD_RE.search(os.path.basename(path))
+        if m:
+            prefix = path[: path.rindex(m.group(0))]
+            groups.setdefault(prefix, []).append(path)
+        else:
+            singles.append(path)
+    artifacts: List[Dict[str, Any]] = []
+    for prefix, paths in sorted(groups.items()):
+        entry = check_shard_group(prefix, paths, opts)
+        artifacts.append(entry)
+        log.info("first_contact %s: %s (%ss)", entry["file"],
+                 entry["status"], entry.get("seconds"))
+    for path in singles:
         entry = check_artifact(path, opts, repo_root)
         if entry is None:
             continue
