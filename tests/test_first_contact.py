@@ -148,6 +148,43 @@ class TestHarnessEndToEnd:
         assert "parity_llm" in e["parity"]["suggested"]
 
 
+@pytest.mark.slow
+class TestPiperVoiceRoute:
+    def test_piper_onnx_with_config_loads(self, tmp_path):
+        """A VITS-named ONNX + its voice .json routes through
+        VITSVoice.from_piper (name map + converter) and PASSes."""
+        from tests.test_vits import TestConverter
+        from trackiellm_tpu.models import vits as V
+
+        cfg0 = V.VITSConfig.tiny()
+        st = {k: np.asarray(v) for k, v in
+              TestConverter()._torch_vits_state(cfg0).items()}
+        p = str(tmp_path / "voice.onnx")
+        write_onnx_initializers(p, st)
+        (tmp_path / "voice.onnx.json").write_text(json.dumps(
+            {"audio": {"sample_rate": cfg0.sample_rate},
+             "phoneme_id_map": {"a": [1], "^": [0]}}))
+        rep = FC.run(str(tmp_path), None, FC.Options())
+        assert rep["summary"]["FAIL"] == 0, rep["artifacts"]
+        e = [a for a in rep["artifacts"]
+             if a["kind"] == "onnx-piper"][0]
+        assert e["status"] in ("PASS", "WARN")
+        assert e["probe"]["sample_rate"] == cfg0.sample_rate
+
+    def test_piper_without_config_fails_informatively(self, tmp_path):
+        from tests.test_vits import TestConverter
+        from trackiellm_tpu.models import vits as V
+
+        st = {k: np.asarray(v) for k, v in TestConverter()
+              ._torch_vits_state(V.VITSConfig.tiny()).items()}
+        p = str(tmp_path / "lonely.onnx")
+        write_onnx_initializers(p, st)
+        rep = FC.run(str(tmp_path), None, FC.Options())
+        e = rep["artifacts"][0]
+        assert e["status"] == "FAIL"
+        assert ".json" in e["error"]  # names the expected config path
+
+
 class TestShardedCheckpointMerging:
     def test_shard_group_merges_and_converts(self, tmp_path):
         """model-XXXXX-of-YYYYY.safetensors groups — the layout real

@@ -386,6 +386,9 @@ def check_gguf(path: str, arch: str, opts) -> Dict[str, Any]:
             entry.setdefault("actions", []).append(
                 f"set {env}={winner} for this file (probe NLL "
                 f"{nll_alt:.3f} vs {nll:.3f} at the default)")
+    # Informational (does not affect status): the production next step.
+    entry["next_step"] = (f"python -m trackiellm_tpu convert {path} "
+                          f"-o <checkpoint_dir> --bits 4")
     return entry
 
 
@@ -439,11 +442,10 @@ def check_onnx_piper(path: str, config: Optional[str],
                      opts) -> Dict[str, Any]:
     entry: Dict[str, Any] = {"arch": "piper-vits"}
     if config is None:
-        entry["actions"] = [
-            "no sibling .json voice config found (expected "
-            f"{path}.json); Piper voices need it for phoneme ids + "
-            "sample rate"]
-        raise RuntimeError("piper voice without its .json config")
+        raise RuntimeError(
+            "piper voice without its voice config: expected "
+            f"{path}.json (or {os.path.splitext(path)[0]}.json) — "
+            "Piper voices need it for phoneme ids + sample rate")
     from trackiellm_tpu.models.vits import VITSVoice
 
     voice = VITSVoice.from_piper(path, config)
